@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the benchmark/test parquet tables.
+  *
+  * The reference avoids runtime schema inference by resolving dtypes from its
+  * metadata catalog before every read (reference `lambda_function.py:114-137`,
+  * `utilities/utilities.py:340-360`). For parquet the footer IS the schema, so
+  * a plain `spark.read.parquet` is already inference-free; column pruning and
+  * predicate pushdown reach the scan because the plan stays declarative.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory (e.g. /root/testdata/sf0.01). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` queries resolve. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
