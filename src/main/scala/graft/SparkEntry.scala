@@ -17,8 +17,8 @@ object SparkEntry {
     graft.queries.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++ graft.queries.EtlOps.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++ graft.queries.EtlOps.oracles
 }

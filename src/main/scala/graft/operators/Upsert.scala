@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Staging→warehouse upsert — the reference's generated stored-proc MERGE
+  * (`utilities/helpers/table_generator.py:39-58`, `db/columns/dbcolumngen.py:
+  * 3-32`): update matched target rows from source, insert unmatched.
+  *
+  * Spark restatement: source-wins-by-key via union + window dedup. One
+  * shuffle on the merge key; at 100 TB pre-bucketing target and source on
+  * the key makes this shuffle-free, and AQE's skew-join splitting handles
+  * hot keys. A full-outer-join + per-column coalesce variant is provided for
+  * sinks that need per-column merge semantics.
+  */
+object Upsert {
+
+  /** Source-priority upsert: for each key, the source row (if any) replaces
+    * the target row; unmatched source rows are inserted; unmatched target
+    * rows are kept. Requires identical schemas (use UnionBySchema first
+    * when they drift). `tieBreak` orders within source/target duplicates. */
+  def apply(target: DataFrame, source: DataFrame, keys: Seq[String],
+            tieBreak: Seq[Column] = Nil): DataFrame = {
+    val srcCol = "_graft_src_priority"
+    val rnCol = "_graft_rn"
+    val all = target.withColumn(srcCol, lit(0))
+      .unionByName(source.withColumn(srcCol, lit(1)), allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(srcCol).desc +: tieBreak: _*)
+    all.withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) === 1)
+      .drop(srcCol, rnCol)
+  }
+
+  /** Per-column merge via full-outer join: matched rows take source values
+    * column-wise (null source values fall back to target — the stored-proc
+    * UPDATE-list semantics). */
+  def mergeColumns(target: DataFrame, source: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val dataCols = target.columns.filterNot(keys.contains).toIndexedSeq
+    val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
+    val merged = dataCols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c))
+    t.join(s, joinCond, "full_outer").select(keyCols ++ merged: _*)
+  }
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Cleanse, Incremental, UnionBySchema, Upsert, Validation}
+import graft.schema.SchemaRegistry
+import graft.sources.Tables
+
+/** ETL-semantics query battery: each query drives one reference operator
+  * (SURVEY.md §2) through the library implementation, over the benchmark
+  * tables, with a DuckDB oracle that states the *expected result* (not the
+  * mechanics). Null/sentinel/guard cases are injected deterministically from
+  * key columns so both engines compute identical inputs.
+  */
+object EtlOps {
+
+  /** U1-U3: two drifting schema versions of orders reconciled by name with
+    * null padding and sorted output columns. */
+  def unionByNameQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val v1 = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+    UnionBySchema(Seq(v1, v2)).orderBy(col("o_orderkey"))
+  }
+
+  /** J1: source-wins upsert of "staging" updates into the orders "warehouse"
+    * (the stored-proc MERGE shape). */
+  def upsertQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val target = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val source = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) *
+          lit(1.1).cast(DecimalType(18, 2))).cast("double").as("o_totalprice"))
+    Upsert(target, source, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+  }
+
+  /** P14: sentinel null-fill across int/double/string/timestamp dtypes.
+    * Nulls are injected deterministically by event_id. */
+  def sentinelFillQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val withNulls = e.select(
+      col("event_id"),
+      when(col("event_id") % 11 === 0, lit(null))
+        .otherwise(date_trunc("second", col("ts"))).as("ts"),
+      when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(col("user_id")).as("user_id"),
+      when(col("event_id") % 5 === 0, lit(null))
+        .otherwise(col("event_type")).as("event_type"),
+      when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value")).as("value"))
+    Cleanse.sentinelFill(withNulls).orderBy(col("event_id"))
+  }
+
+  /** P10: amount guard-cast — date strings in an amount column → 0.00. */
+  def guardAmountQ(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 3 === 0,
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .otherwise(col("l_quantity").cast("string"))
+    l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+             Cleanse.guardAmount(raw).as("amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** P11: GUID validation — malformed ids → 'N/A'. */
+  def guardUuidQ(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val h = md5(col("c_custkey").cast("string"))
+    val uuid = concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+    val raw = when(col("c_custkey") % 4 === 0, uuid).otherwise(col("c_name"))
+    c.select(col("c_custkey"), Cleanse.guardUuid(raw).as("guarded"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** P9: key=value list extraction with pure built-ins. */
+  def kvExtractQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val kv = concat(lit("A=1,IDBudgetFundType="), col("o_orderpriority"), lit(",Z=9"))
+    o.select(col("o_orderkey"), Cleanse.kvExtract(kv, "IDBudgetFundType").as("fund_type"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** P13: two-phase datetime coercion — unparseable strings → null. */
+  def dateCoerceQ(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val raw = when(col("l_linenumber") % 4 === 0, lit("not-a-date"))
+      .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+    l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+             Cleanse.coerceDatetime(raw).as("coerced"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** I4: daily watermark ids over the events stream (UTC−6, 05:00 cutoff). */
+  def watermarkQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    e.select(Incremental.incrementalId(col("ts")).as("inc_id"), col("event_id"))
+      .groupBy(col("inc_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"),
+           max(col("event_id")).as("max_event"))
+      .orderBy(col("inc_id"))
+  }
+
+  /** A4: schema-drift detection — distinct record keysets get version ids
+    * from the SchemaRegistry (driver-minted, broadcast-assigned). */
+  def schemaDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val enriched = e.withColumn("rec",
+      when(col("event_id") % 3 === 0, col("props"))
+        .when(col("event_id") % 3 === 1, lit("""{"k": 1, "extra": "x"}"""))
+        .otherwise(lit("""{"b": 2, "a": 1}""")))
+    val registry = SchemaRegistry.seed
+      .observeSorted(SchemaRegistry.discoverKeysets(enriched, "rec"))
+    SchemaRegistry.assignVersions(enriched, "rec", registry)
+      .groupBy(col("schema_version").cast("long").as("schema_version"),
+               SchemaRegistry.keysetExpr(col("rec")).as("keyset"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("keyset"))
+  }
+
+  /** A3/J3: per-key count reconciliation (actual lineitem rows vs the
+    * max linenumber "declared" count), full-outer with zero-fill. */
+  def countReconcileQ(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val actual = l.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("actual_count"))
+    val declared = l.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(col("l_linenumber")).cast("long").as("declared_count"))
+    Validation.reconcileCounts(actual, declared, "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_union_by_name"  -> unionByNameQ _,
+    "q13_upsert"         -> upsertQ _,
+    "q14_sentinel_fill"  -> sentinelFillQ _,
+    "q15_guard_amount"   -> guardAmountQ _,
+    "q16_guard_uuid"     -> guardUuidQ _,
+    "q17_kv_extract"     -> kvExtractQ _,
+    "q18_date_coerce"    -> dateCoerceQ _,
+    "q19_watermark"      -> watermarkQ _,
+    "q20_schema_drift"   -> schemaDriftQ _,
+    "q21_count_reconcile" -> countReconcileQ _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q12_union_by_name" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | UNION ALL
+        | SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') t
+        |ORDER BY o_orderkey""".stripMargin,
+    "q13_upsert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY p DESC) AS rn FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS p FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'F' AS o_orderstatus,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |   1 AS p
+        |  FROM orders WHERE o_orderstatus = 'O') u) v
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q14_sentinel_fill" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 11 = 0 THEN TIMESTAMP '1900-01-01 00:00:00'
+        |      ELSE date_trunc('second', ts) END AS ts,
+        | CASE WHEN event_id % 3 = 0 THEN -99 ELSE user_id END AS user_id,
+        | CASE WHEN event_id % 5 = 0 THEN '' ELSE event_type END AS event_type,
+        | CASE WHEN event_id % 7 = 0 THEN -99.0 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_guard_amount" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CASE WHEN l_linenumber % 3 = 0 THEN 0.0 ELSE l_quantity END AS amount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_guard_uuid" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 4 = 0 THEN
+        |  concat_ws('-', substring(md5(CAST(c_custkey AS VARCHAR)),1,8),
+        |   substring(md5(CAST(c_custkey AS VARCHAR)),9,4),
+        |   substring(md5(CAST(c_custkey AS VARCHAR)),13,4),
+        |   substring(md5(CAST(c_custkey AS VARCHAR)),17,4),
+        |   substring(md5(CAST(c_custkey AS VARCHAR)),21,12))
+        | ELSE 'N/A' END AS guarded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q17_kv_extract" ->
+      """SELECT o_orderkey, o_orderpriority AS fund_type
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q18_date_coerce" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_shipdate END AS coerced
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q19_watermark" ->
+      """WITH t AS (
+        | SELECT event_id, ts - INTERVAL 6 HOUR AS local FROM events),
+        |d AS (
+        | SELECT event_id,
+        |  CASE WHEN extract(hour FROM local) < 5
+        |       THEN date_trunc('day', local) - INTERVAL 1 DAY
+        |       ELSE date_trunc('day', local) END AS eff_day
+        | FROM t)
+        |SELECT CAST(epoch(eff_day) AS BIGINT) + 11 * 3600 AS inc_id,
+        | COUNT(*) AS n, MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        |FROM d GROUP BY 1 ORDER BY inc_id""".stripMargin,
+    "q20_schema_drift" ->
+      """WITH recs AS (
+        | SELECT CASE WHEN event_id % 3 = 0 THEN 'k'
+        |             WHEN event_id % 3 = 1 THEN 'extra,k'
+        |             ELSE 'a,b' END AS keyset
+        | FROM events)
+        |SELECT CAST(DENSE_RANK() OVER (ORDER BY keyset) AS BIGINT) AS schema_version,
+        | keyset, n FROM (SELECT keyset, COUNT(*) AS n FROM recs GROUP BY keyset) g
+        |ORDER BY keyset""".stripMargin,
+    "q21_count_reconcile" ->
+      """SELECT l_orderkey AS o_orderkey, COUNT(*) AS actual_count,
+        | CAST(MAX(l_linenumber) AS BIGINT) AS declared_count,
+        | COUNT(*) = MAX(l_linenumber) AS count_match
+        |FROM lineitem GROUP BY l_orderkey ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,87 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Versioned-schema registry — the reference's core "non-standard semantics"
+  * (SURVEY.md §7.4).
+  *
+  * A business class's records arrive with multiple coexisting schemas; the
+  * registry maps each distinct *keyset* (the set of fields present in a
+  * record) to an integer version id. Reference behavior
+  * (`utilities/utilities.py:639-704`):
+  *   - seeded with version 0 = empty keyset (`{"0": []}`,
+  *     `utilities/utilities.py:140-141`); version 0 is dropped before writes;
+  *   - version identity is exact keyset match, order-insensitive;
+  *   - unseen keysets mint monotonically increasing ids, first-seen wins.
+  *
+  * 100 TB posture: the registry holds *keysets*, never data — cardinality is
+  * the number of schema versions (tens), so driver-side state and a broadcast
+  * join for per-row version assignment are correct at any scale. New-keyset
+  * discovery is a distinct-aggregate over the data (one shuffle of keyset
+  * strings, combined map-side), and id assignment happens once on the driver
+  * so version minting cannot race across executors.
+  */
+final case class SchemaRegistry(versions: Map[Int, Set[String]]) {
+
+  def nextId: Int = if (versions.isEmpty) 0 else versions.keys.max + 1
+
+  def versionOf(keyset: Set[String]): Option[Int] =
+    versions.collectFirst { case (id, ks) if ks == keyset => id }
+
+  /** Mint ids for unseen keysets, in the order given (first-seen wins, like
+    * the reference's per-record loop). Callers that want determinism under
+    * parallel discovery should pass keysets sorted (see `observeSorted`). */
+  def observe(keysets: Seq[Set[String]]): SchemaRegistry =
+    keysets.foldLeft(this) { (reg, ks) =>
+      if (reg.versionOf(ks).isDefined) reg
+      else SchemaRegistry(reg.versions + (reg.nextId -> ks))
+    }
+
+  /** Deterministic variant: new keysets are assigned ids in lexicographic
+    * order of their sorted column list. */
+  def observeSorted(keysets: Seq[Set[String]]): SchemaRegistry =
+    observe(keysets.distinct.sortBy(_.toSeq.sorted.mkString(",")))
+
+  /** All column names across versions (reference
+    * `utilities/utilities.py:306-315` set-union). */
+  def allColumns: Set[String] = versions.values.flatten.toSet
+
+  /** Registry without the empty seed version (dropped before writes,
+    * reference `utilities/utilities.py:381, 620`). */
+  def withoutSeed: SchemaRegistry =
+    SchemaRegistry(versions.filterNot(_._2.isEmpty))
+}
+
+object SchemaRegistry {
+
+  /** The reference's seed registry (`{"0": []}`). */
+  val seed: SchemaRegistry = SchemaRegistry(Map(0 -> Set.empty[String]))
+
+  /** Canonical keyset string for a raw JSON record column: the record's
+    * object keys, sorted and comma-joined. Pure built-ins (codegen'd). */
+  def keysetExpr(rawJson: Column): Column =
+    array_join(array_sort(json_object_keys(rawJson)), ",")
+
+  /** Distinct keysets present in a column of raw JSON records. One
+    * distinct-shuffle over short strings; safe to collect (cardinality =
+    * number of schema versions, not rows). */
+  def discoverKeysets(df: DataFrame, rawJsonCol: String): Seq[Set[String]] =
+    df.select(keysetExpr(col(rawJsonCol)).as("ks")).distinct()
+      .collect().map(_.getString(0))
+      .map(s => if (s.isEmpty) Set.empty[String] else s.split(",").toSet)
+      .toSeq
+
+  /** Tag each record with its schema version via a broadcast lookup of the
+    * registry (keyset string → id). Unknown keysets get null — callers
+    * should `observe` first. */
+  def assignVersions(df: DataFrame, rawJsonCol: String,
+                     registry: SchemaRegistry): DataFrame = {
+    val pairs = registry.versions.toSeq.flatMap { case (id, ks) =>
+      Seq(lit(ks.toSeq.sorted.mkString(",")), lit(id))
+    }
+    val lookup = map(pairs: _*)
+    df.withColumn("schema_version",
+      element_at(lookup, keysetExpr(col(rawJsonCol))))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Catalog of the benchmark/test parquet tables.
   *
@@ -15,9 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one table from a scale-factor directory (e.g. /root/testdata/sf0.01). */
+  /** Read one table from a scale-factor directory (e.g. /root/testdata/sf0.01).
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; it is read as a nanos-since-epoch long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and converted to a microsecond
+    * TimestampType with integer division (a double division would lose
+    * precision above 2^53 ns).
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Register every table as a temp view so `spark.sql` queries resolve. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
