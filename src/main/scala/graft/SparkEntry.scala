@@ -17,8 +17,10 @@ object SparkEntry {
     graft.queries.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.EtlOps.queries
+    graft.queries.Relational.queries ++ graft.queries.EtlOps.queries ++
+      graft.queries.TrainingData.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.EtlOps.oracles
+    graft.queries.Relational.oracles ++ graft.queries.EtlOps.oracles ++
+      graft.queries.TrainingData.oracles
 }

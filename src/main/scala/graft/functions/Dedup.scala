@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB path:
+  *
+  *   - exact dedup shuffles on (hash, text) — the 64-bit hash dominates the
+  *     partitioner so giant text keys never skew one partition;
+  *   - MinHash+LSH finds near-dup *candidates* with a band-bucket self-join
+  *     (shuffle on short band signatures), never an O(n²) cross join; exact
+  *     Jaccard verification runs only on candidate pairs;
+  *   - SimHash candidates match on 16-bit chunks (pigeonhole: hamming ≤ 3
+  *     over 4 chunks guarantees one equal chunk).
+  *
+  * All hashing is xxhash64-based (Spark-native, seed-stable), with modular
+  * arithmetic kept below 2^62 so ANSI overflow checking never trips.
+  */
+object Dedup {
+
+  /** Keep one row per exact text value (the minimum id wins — the
+    * reference-style deterministic keeper). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+      .orderBy(col(idCol))
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  /** Character k-shingles of a string (k consecutive chars, step 1). */
+  def charShingles(c: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
+      i => substring(c, i, lit(k)))
+
+  /** Word n-grams over a token array; documents shorter than n become a
+    * single shingle of all their tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Prime modulus 2^31−1: products a·x stay ≤ 2^62 (no ANSI overflow). */
+  private val P = 2147483647L
+
+  /** Deterministic universal-hash seeds (a, b) from a fixed PRNG seed. */
+  def seeds(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  /** MinHash signature (array of numHashes longs) over a shingle array. */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column = {
+    val params = typedLit(seeds(numHashes))
+    transform(params, p =>
+      array_min(transform(shingles, s =>
+        pmod(p.getField("_1") * pmod(xxhash64(s), lit(P)) + p.getField("_2"), lit(P)))))
+  }
+
+  /** LSH banding: explode a signature into (band_idx, band_sig) rows.
+    * Docs sharing any full band agree on r consecutive minhashes —
+    * the classic (b, r) S-curve candidate filter. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .toDF(idCol, "band_idx", "band_sig")
+
+  /** Candidate near-dup pairs via the band-bucket self-join (id_a < id_b). */
+  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.toDF(s"${idCol}_a", "band_idx", "band_sig")
+    val b = bandsDf.toDF(s"${idCol}_b", "band_idx", "band_sig")
+    a.join(b, Seq("band_idx", "band_sig"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle arrays (zero-guarded). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
+    * candidate join → exact-Jaccard verify. Returns (id_a, id_b, jaccard)
+    * for pairs with similarity ≥ threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 5, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = df.select(col(idCol),
+      charShingles(lower(col(textCol)), shingleSize).as("shingles"))
+    val signed = shingled.withColumn("sig",
+      minhashSignature(col("shingles"), numHashes))
+    val cands = lshCandidates(
+      lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol)
+    val sa = shingled.select(col(idCol).as(s"${idCol}_a"),
+      col("shingles").as("sh_a"))
+    val sb = shingled.select(col(idCol).as(s"${idCol}_b"),
+      col("shingles").as("sh_b"))
+    cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
+      .withColumn("jaccard", jaccard(array_distinct(col("sh_a")),
+                                     array_distinct(col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over a token array: bit b of the result is the sign of
+    * Σ_tokens (±1 depending on bit b of xxhash64(token)). */
+  def simhash64(toks: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val vote = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when((call_function("shiftright", xxhash64(t), b)
+          .bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (pigeonhole for hamming ≤ 3), verified with bit_count(xor) ≤ maxDist. */
+  def simhashNearDups(df: DataFrame, idCol: String, simCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val chunks = df.select(col(idCol), col(simCol),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        call_function("shiftright", col(simCol), i * lit(16))
+          .bitwiseAND(lit(0xFFFFL)))))
+      .toDF(idCol, simCol, "chunk_idx", "chunk")
+    val a = chunks.toDF(s"${idCol}_a", "sim_a", "chunk_idx", "chunk")
+    val b = chunks.toDF(s"${idCol}_b", "sim_b", "chunk_idx", "chunk")
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** N-gram Jaccard near-dup within blocking groups: candidate pairs are
+    * limited to rows sharing `blockCol` (a cheap partitioner — language,
+    * source, length band), then exact token-n-gram Jaccard verifies. */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, n: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    val grams = df.select(col(blockCol), col(idCol),
+      array_distinct(wordShingles(TextAnalysis.tokens(lower(col(textCol))), n)).as("grams"))
+    val a = grams.toDF(blockCol, s"${idCol}_a", "grams_a")
+    val b = grams.toDF(blockCol, s"${idCol}_b", "grams_b")
+    a.join(b, blockCol)
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one scan, no shuffle —
+  * per-row arithmetic then a global top-k, which Spark executes as per-
+  * partition top-k + driver merge via `orderBy().limit()` with
+  * TakeOrderedAndProject). The scale path is random-hyperplane LSH: each
+  * vector hashes to a small bucket code, the query probes only its bucket —
+  * at 100 TB the bucket column is a partition key, turning ANN into a
+  * partition-pruned scan.
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns (left-to-right accumulation,
+    * deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, zero-norm-guarded. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+
+  /** Exact brute-force top-k: cosine of every row against one query vector.
+    * Output ordered by (similarity desc, id) for determinism. */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol),
+        cosine(col(vecCol), typedLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic random hyperplanes for LSH bucketing. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket code of a vector under the given hyperplanes. */
+  def bucketCode(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Scala-side bucket code of the query vector (must mirror bucketCode). */
+  def bucketCodeOf(query: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d > 0) 1L << i else 0L
+    }.foldLeft(0L)(_ | _)
+
+  /** LSH-bucketed approximate top-k: probe only the query's bucket.
+    * Recall < 1 by construction; raise `numPlanes` for smaller buckets or
+    * probe neighboring codes for higher recall. */
+  def annTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(numPlanes, query.size)
+    val qCode = bucketCodeOf(query, planes)
+    df.withColumn("bucket", bucketCode(col(vecCol), planes))
+      .filter(col("bucket") === qCode)
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocking groups (same label). */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as(s"${idCol}_a"),
+      col(vecCol).as("vec_a"))
+    val b = df.select(col(blockCol), col(idCol).as(s"${idCol}_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, blockCol)
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cosine_sim"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, and document
+  * fingerprinting. All pure built-in-expression compositions — they run
+  * inside whole-stage codegen, shuffle nothing, and scale linearly with
+  * input partitions (per-row work only).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: alphanumeric runs and single punctuation marks
+    * each count as one token (a cheap proxy for subword tokenizers). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(c: Column): Column =
+    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => lower(t).isInCollection(stopwords))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors longer documents with low
+    * punctuation density and a healthy stopword ratio. Deterministic double
+    * arithmetic (identical in any engine evaluating the same formula). */
+  def qualityScore(c: Column): Column =
+    lit(0.5) * least(length(c).cast("double") / lit(1000.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio(c)) +
+      lit(0.2) * stopwordRatio(c)
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "les", "des"))
+
+  /** Per-language marker-hit score. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isInCollection(markers))).cast("long")
+
+  /** Heuristic language-ID: argmax marker score with a fixed priority-order
+    * tiebreak (en > es > de > fr). */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(c, m) }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Normalized document fingerprint: md5 over lowercase
+    * whitespace-normalized text (stable across engines). */
+  def fingerprint(c: Column): Column =
+    md5(array_join(tokens(lower(c)), " "))
+
+  private val P = 1000000007L
+
+  /** Order-sensitive rolling token hash (polynomial, mod 1e9+7). ANSI-safe:
+    * every intermediate stays far below Long.MaxValue. Spark-native
+    * (xxhash64-based); used for shingle hashing, not oracle-compared. */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(P)), lit(P)))
+}

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `BinaryType` columns beside a typed metadata struct; decode/feature
+  * steps run per-partition so a real codec binds without changing the
+  * pipeline shape.
+  *
+  * The decode itself is STUBBED — this container has no image/audio codecs —
+  * with a deterministic fake that derives "decoded" attributes from the
+  * payload bytes. The Spark-side contract (schema, partitioning, batch
+  * shape) is real and tested; swap `fakeDecode*` for a codec UDF or
+  * `mapInPandas`-style batch decode in a full deployment.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))), nullable = true)))
+
+  /** Wrap a string column as a binary payload (utf-8), the shape ingest
+    * produces when reading raw media bytes. */
+  def asPayload(c: Column): Column = encode(c, "UTF-8")
+
+  /** STUB image decode: derives deterministic fake dimensions from the
+    * payload bytes (first payload byte scales width/height). A real
+    * implementation decodes the codec header here; everything downstream
+    * consumes only the struct. */
+  def fakeDecodeMeta(payload: Column): Column = {
+    val firstByteHex = substring(hex(payload), 1, 2)
+    val firstByte = conv(firstByteHex, 16, 10).cast("int")
+    struct(
+      length(payload).cast("long").as("n_bytes"),
+      substring(hex(payload), 1, 8).as("format"),
+      (firstByte % 64 * 16 + 16).as("width"),
+      (firstByte % 48 * 16 + 16).as("height"))
+  }
+
+  /** Fixed-count frame sampling: n evenly-spaced byte-window "frames" from
+    * a payload — the batch shape a video pipeline needs (id, frame_idx,
+    * frame_bytes), exploded so frames distribute across partitions. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   n: Int, frameBytes: Int): DataFrame = {
+    val p = col(payloadCol)
+    val step = greatest((length(p) - lit(frameBytes)) / lit(math.max(n - 1, 1)), lit(1))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(p, (i * step + 1).cast("int"), lit(frameBytes)))))
+      .toDF(idCol, "frame_idx", "frame")
+      .filter(length(col("frame")) > 0)
+  }
+
+  /** Repartition media rows by id so one huge payload never skews a
+    * partition set — the pre-decode layout step at scale. */
+  def partitionForDecode(df: DataFrame, idCol: String, partitions: Int): DataFrame =
+    df.repartition(partitions, col(idCol))
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Training-data pipeline battery: text analysis, dedup (exact / MinHash-LSH
+  * / SimHash / n-gram Jaccard / embedding-cosine), similarity search, and
+  * multimodal plumbing over the `documents` and `embeddings` tables.
+  *
+  * Near-dup queries run on a corpus of the documents unioned with exact
+  * clones (doc_id + 100000) so the expected pairs are known. Oracles are
+  * provided wherever the computation is engine-portable (md5, regexp counts,
+  * double arithmetic with controlled accumulation order); xxhash64-based ops
+  * (MinHash, SimHash) and PRNG-seeded LSH are rows-only checks.
+  */
+object TrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Documents plus exact clones — the near-dup test corpus. */
+  private def cloneCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  def tokenCountQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  def qualityQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def langIdQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"), col("lang"))
+      .withColumn("is_match", col("lang_pred") === col("lang"))
+      .orderBy(col("doc_id"))
+
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  def exactDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(cloneCorpus(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def minhashQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(cloneCorpus(s, dir), "doc_id", "text",
+        shingleSize = 7, numHashes = 64, bands = 8, threshold = 0.95)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  def simhashQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"),
+        Dedup.simhash64(TextAnalysis.tokens(lower(col("text")))).as("simhash"))
+    d.orderBy(col("doc_id"))
+  }
+
+  def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardNearDups(cloneCorpus(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 3, threshold = 0.9)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  /** Embedding-cosine near-dups: embeddings unioned with exact clones,
+    * blocked by label; clone pairs surface at cosine ≈ 1. */
+  def embeddingNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val corpus = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000))
+    Similarity.cosineNearDups(corpus, "vec_id", "embedding", "label", 0.99)
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
+  /** Exact brute-force cosine top-10 against the vec_id=0 embedding. */
+  def cosineTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceTopK(e, "embedding", "vec_id", query, 10)
+  }
+
+  /** LSH-bucketed approximate top-10 (scale path: partition-pruned probe). */
+  def annTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    Similarity.annTopK(e, "embedding", "vec_id", query, 10, numPlanes = 4)
+  }
+
+  /** Multimodal plumbing: opaque binary payload + decoded metadata struct
+    * (decode stubbed deterministically; schema/partitioning real). */
+  def multimodalQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", Multimodal.asPayload(col("text")))
+      .withColumn("meta", Multimodal.fakeDecodeMeta(col("payload")))
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-sampling batch shape: 5 evenly-spaced 16-byte windows per doc. */
+  def frameSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir)
+      .withColumn("payload", Multimodal.asPayload(col("text")))
+    Multimodal.sampleFrames(media, "doc_id", "payload", n = 5, frameBytes = 16)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).as("frame_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_token_count"       -> tokenCountQ _,
+    "q23_quality_score"     -> qualityQ _,
+    "q24_langid"            -> langIdQ _,
+    "q25_fingerprint"       -> fingerprintQ _,
+    "q26_exact_dedup"       -> exactDedupQ _,
+    "q27_minhash_neardup"   -> minhashQ _,
+    "q28_simhash"           -> simhashQ _,
+    "q29_ngram_jaccard"     -> ngramJaccardQ _,
+    "q30_embedding_neardup" -> embeddingNearDupQ _,
+    "q31_cosine_topk"       -> cosineTopKQ _,
+    "q32_ann_topk"          -> annTopKQ _,
+    "q33_multimodal"        -> multimodalQ _,
+    "q34_frame_sample"      -> frameSampleQ _,
+  )
+
+  private val cosExpr =
+    """list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      | / greatest(
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 1e-12)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q22_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |    / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |    / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE AS stopword_ratio
+        | FROM documents)
+        |SELECT doc_id, len, punct_ratio, stopword_ratio,
+        | 0.5 * least(len::DOUBLE / 1000.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+        |  + 0.2 * stopword_ratio AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q24_langid" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('el','la','de','los'))) AS s_es,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('der','und','die','das'))) AS s_de,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('le','et','les','des'))) AS s_fr
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+        | lang,
+        | (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_match
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(regexp_extract_all(lower(text), '\S+'), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars FROM (
+        | SELECT doc_id, text, n_chars FROM documents
+        | UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents) c
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q30_embedding_neardup" ->
+      s"""WITH c AS (
+         | SELECT vec_id, embedding, label FROM embeddings
+         | UNION ALL SELECT vec_id + 100000, embedding, label FROM embeddings)
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, $cosExpr AS cosine_sim
+         |FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cosExpr >= 0.99
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "q31_cosine_topk" ->
+      s"""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         |SELECT a.vec_id, $cosExpr AS cosine_sim
+         |FROM embeddings a, b
+         |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q33_multimodal" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | substring(hex(encode(text)), 1, 8) AS format,
+        | ascii(substring(text, 1, 1)) % 64 * 16 + 16 AS width,
+        | ascii(substring(text, 1, 1)) % 48 * 16 + 16 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

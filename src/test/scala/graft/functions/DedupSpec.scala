@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different text about spark shuffles and partitions"))
+
+  test("exactDedup keeps the minimum id per text") {
+    val out = Dedup.exactDedup(corpus.toDF("id", "text"), "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("charShingles produces length-k windows; short strings yield one shingle") {
+    val out = Seq("abcde", "ab").toDF("t")
+      .select(Dedup.charShingles($"t", 3).as("s")).as[Seq[String]].collect()
+    assert(out(0) == Seq("abc", "bcd", "cde"))
+    assert(out(1) == Seq("ab"))
+  }
+
+  test("wordShingles produces n-grams; short docs collapse to one") {
+    val out = Seq("a b c d", "a").toDF("t")
+      .select(Dedup.wordShingles(TextAnalysis.tokens($"t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a"))
+  }
+
+  test("minhash signatures of identical shingle sets are identical") {
+    val df = Seq("a b c d e f g h", "a b c d e f g h", "z y x w v u t s")
+      .toDF("t").select(Dedup.minhashSignature(
+        Dedup.charShingles($"t", 3), 16).as("sig")).as[Seq[Long]].collect()
+    assert(df(0) == df(1) && df(0) != df(2))
+    assert(df(0).size == 16)
+    assert(df.flatten.forall(h => h >= 0 && h < 2147483647L))
+  }
+
+  test("minhashNearDups finds the near-dup pair, not the distinct pair") {
+    val out = Dedup.minhashNearDups(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", shingleSize = 5, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L))) // exact dup always found
+    assert(out.contains((1L, 3L)) || out.contains((2L, 3L))) // near dup
+    assert(!out.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical token arrays hash identically, near texts are close") {
+    val sims = corpus.toDF("id", "text")
+      .select(Dedup.simhash64(TextAnalysis.tokens(lower($"text"))).as("s"))
+      .as[Long].collect()
+    assert(sims(0) == sims(1))
+    val hammingNear = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    val hammingFar = java.lang.Long.bitCount(sims(0) ^ sims(3))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashNearDups pairs exact dups at hamming 0") {
+    val df = corpus.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash64(TextAnalysis.tokens(lower($"text"))).as("sh"))
+    val out = Dedup.simhashNearDups(df, "doc_id", "sh", maxDist = 3)
+      .select("doc_id_a", "doc_id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("ngramJaccardNearDups respects blocking and threshold") {
+    val blocked = corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = Dedup.ngramJaccardNearDups(blocked, "doc_id", "text", "lang",
+        n = 2, threshold = 0.99)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L))) // only the exact dup survives 0.99
+  }
+
+  test("jaccard is zero-guarded on empty arrays") {
+    val out = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect().head
+    assert(out == 0.0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Seq(0.9f, 0.1f, 0.0f)),   // close to 0
+    (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (4L, Seq(-1.0f, 0.0f, 0.0f)))  // opposite
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = vecs.toDF("id", "v")
+    val out = df.select(Similarity.cosine($"v", typedLit(Seq(1.0, 0.0, 0.0))).as("c"))
+      .as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 1.0)
+    assert(out(2) > 0.9 && out(2) < 1.0)
+    assert(out(3) == 0.0)
+    assert(out(4) == -1.0)
+  }
+
+  test("cosine survives zero vectors (guard, no division error)") {
+    val out = Seq(Seq(0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(Similarity.cosine($"v", typedLit(Seq(1.0, 0.0, 0.0))).as("c"))
+      .as[Double].collect().head
+    assert(out == 0.0)
+  }
+
+  test("bruteForceTopK ranks by similarity desc with id tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs.toDF("id", "v"), "v", "id",
+        Seq(1.0, 0.0, 0.0), 3)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L, 2L)) // ids 0,1 tie at 1.0 → id order
+  }
+
+  test("annTopK returns the query's own bucket including itself") {
+    val out = Similarity.annTopK(vecs.toDF("id", "v"), "v", "id",
+        Seq(1.0, 0.0, 0.0), 5, numPlanes = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(out.contains(0L) && out.contains(1L)) // identical vectors co-bucket
+    assert(!out.contains(4L)) // opposite vector lands elsewhere
+  }
+
+  test("bucketCodeOf mirrors the Column-side bucketCode") {
+    val planes = Similarity.hyperplanes(4, 3)
+    val scalaCodes = vecs.map { case (_, v) =>
+      Similarity.bucketCodeOf(v.map(_.toDouble), planes) }
+    val sparkCodes = vecs.toDF("id", "v")
+      .select(Similarity.bucketCode($"v", planes).as("b")).as[Long].collect().toSeq
+    assert(scalaCodes == sparkCodes)
+  }
+
+  test("cosineNearDups finds identical pairs within blocks only") {
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("label", when($"vec_id" < 3, 1).otherwise(2))
+    val out = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.999)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+}
