@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.EtlOps.queries ++
-      graft.queries.TrainingData.queries
+      graft.queries.TrainingData.queries ++ graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.EtlOps.oracles ++
-      graft.queries.TrainingData.oracles
+      graft.queries.TrainingData.oracles ++ graft.queries.PipelineQueries.oracles
 }

@@ -52,13 +52,25 @@ object Dedup {
     Seq.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
   }
 
-  /** MinHash signature (array of numHashes longs) over a shingle array. */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column = {
+  /** Distinct shingle hashes (xxhash64 mod P): computed ONCE per shingle,
+    * then reused by every minhash function and by set-similarity
+    * verification. Hashing to longs shrinks both compute and shuffle width
+    * (the raw shingle strings never leave the scan stage). */
+  def hashedShingles(shingles: Column): Column =
+    array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(P))))
+
+  /** MinHash signature over pre-hashed shingles: numHashes × |shingles|
+    * cheap modular ops, no re-hashing. */
+  def minhashSignatureFromHashes(hashed: Column, numHashes: Int = 64): Column = {
     val params = typedLit(seeds(numHashes))
     transform(params, p =>
-      array_min(transform(shingles, s =>
-        pmod(p.getField("_1") * pmod(xxhash64(s), lit(P)) + p.getField("_2"), lit(P)))))
+      array_min(transform(hashed, x =>
+        pmod(p.getField("_1") * x + p.getField("_2"), lit(P)))))
   }
+
+  /** MinHash signature (array of numHashes longs) over a shingle array. */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    minhashSignatureFromHashes(hashedShingles(shingles), numHashes)
 
   /** LSH banding: explode a signature into (band_idx, band_sig) rows.
     * Docs sharing any full band agree on r consecutive minhashes —
@@ -70,20 +82,38 @@ object Dedup {
         b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .toDF(idCol, "band_idx", "band_sig")
 
-  /** Candidate near-dup pairs via the band-bucket self-join (id_a < id_b). */
-  def lshCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.toDF(s"${idCol}_a", "band_idx", "band_sig")
-    val b = bandsDf.toDF(s"${idCol}_b", "band_idx", "band_sig")
+  /** Candidate near-dup pairs via the band-bucket self-join (id_a < id_b).
+    *
+    * Buckets larger than `maxBucket` are dropped before the join: a hot
+    * bucket contributes m² pairs, so without a cap one degenerate band
+    * (e.g. a saturated shingle space) turns the join quadratic. Dropped
+    * buckets are low-information — their members collide on other, more
+    * selective bands when genuinely near-identical. This is the standard
+    * production guard for LSH dedup at scale.
+    */
+  def lshCandidates(bandsDf: DataFrame, idCol: String,
+                    maxBucket: Int = 64): DataFrame = {
+    val sized = bandsDf.withColumn("_bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_idx"), col("band_sig"))))
+      .filter(col("_bucket_n") <= maxBucket)
+      .drop("_bucket_n")
+    val a = sized.toDF(s"${idCol}_a", "band_idx", "band_sig")
+    val b = sized.toDF(s"${idCol}_b", "band_idx", "band_sig")
     a.join(b, Seq("band_idx", "band_sig"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"))
       .distinct()
   }
 
-  /** Exact Jaccard similarity between two shingle arrays (zero-guarded). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      greatest(size(array_union(a, b)), lit(1)).cast("double")
+  /** Exact Jaccard similarity between two distinct-element arrays
+    * (zero-guarded). |A∪B| is derived as |A|+|B|−|A∩B| so only the
+    * intersection is materialized. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") /
+      greatest(size(a) + size(b) - inter, lit(1)).cast("double")
+  }
 
   /** End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
     * candidate join → exact-Jaccard verify. Returns (id_a, id_b, jaccard)
@@ -93,18 +123,21 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val shingled = df.select(col(idCol),
-      charShingles(lower(col(textCol)), shingleSize).as("shingles"))
+      hashedShingles(charShingles(lower(col(textCol)), shingleSize)).as("hs"))
     val signed = shingled.withColumn("sig",
-      minhashSignature(col("shingles"), numHashes))
+      minhashSignatureFromHashes(col("hs"), numHashes))
     val cands = lshCandidates(
       lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol)
-    val sa = shingled.select(col(idCol).as(s"${idCol}_a"),
-      col("shingles").as("sh_a"))
-    val sb = shingled.select(col(idCol).as(s"${idCol}_b"),
-      col("shingles").as("sh_b"))
+    // verify on hashed shingle sets: same Jaccard value modulo (negligible)
+    // 64-bit collisions, at a fraction of the compare/shuffle cost
+    val sa = shingled.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))
+    val sb = shingled.select(col(idCol).as(s"${idCol}_b"), col("hs").as("hs_b"))
     cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
-      .withColumn("jaccard", jaccard(array_distinct(col("sh_a")),
-                                     array_distinct(col("sh_b"))))
+      // necessary condition jaccard ≥ t ⇒ |A|/|B| ≥ t: prune before the
+      // expensive set intersection
+      .filter(size(col("hs_a")).cast("double") >= lit(threshold) * size(col("hs_b")) &&
+              size(col("hs_b")).cast("double") >= lit(threshold) * size(col("hs_a")))
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
@@ -147,7 +180,7 @@ object Dedup {
                            blockCol: String, n: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
     val grams = df.select(col(blockCol), col(idCol),
-      array_distinct(wordShingles(TextAnalysis.tokens(lower(col(textCol))), n)).as("grams"))
+      hashedShingles(wordShingles(TextAnalysis.tokens(lower(col(textCol))), n)).as("grams"))
     val a = grams.toDF(blockCol, s"${idCol}_a", "grams_a")
     val b = grams.toDF(blockCol, s"${idCol}_b", "grams_b")
     a.join(b, blockCol)

@@ -69,16 +69,20 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-dup pairs within blocking groups (same label). */
+  /** Embedding-cosine near-dup pairs within blocking groups (same label).
+    * Norms are computed once per vector before the pair join — the join
+    * evaluates only one dot product per pair instead of three. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol), col(idCol).as(s"${idCol}_a"),
-      col(vecCol).as("vec_a"))
-    val b = df.select(col(blockCol), col(idCol).as(s"${idCol}_b"),
-      col(vecCol).as("vec_b"))
+    val normed = df.select(col(blockCol), col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    val a = normed.toDF(blockCol, s"${idCol}_a", "vec_a", "norm_a")
+    val b = normed.toDF(blockCol, s"${idCol}_b", "vec_b", "norm_b")
     a.join(b, blockCol)
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
-      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine_sim",
+        dot(col("vec_a"), col("vec_b")) /
+          greatest(col("norm_a") * col("norm_b"), lit(1e-12)))
       .filter(col("cosine_sim") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cosine_sim"))
   }

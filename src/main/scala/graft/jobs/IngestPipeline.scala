@@ -1,0 +1,67 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleanse, UnionBySchema, Upsert, Validation}
+import graft.schema.SchemaRegistry
+
+/** The reference's full pipeline (SURVEY.md §3.1) as one driver program:
+  *
+  *   extract (NDJSON) → schema-version tagging → bronze (partitioned by
+  *   version) → union-by-schema + cleanse → silver → warehouse upsert
+  *
+  * What the reference does across PowerShell↔Python↔HTTP↔S3↔ODBC process
+  * boundaries (`workflow.ps1:469-509` driving `datalakewrapper`,
+  * `compile_data`, `push_data`, `lambda_function`, `run_stored_proc`)
+  * collapses into one lazy DataFrame chain; the only process boundaries left
+  * are driver↔executors at the shuffle points (version groupBy, upsert key
+  * shuffle) and driver↔storage at source/sink.
+  */
+object IngestPipeline {
+
+  final case class IngestResult(
+      registry: SchemaRegistry,
+      silver: DataFrame,
+      countCheck: Validation.CountCheck)
+
+  /** Ingest one business class from a raw NDJSON record column.
+    *
+    * @param raw        one JSON record per row (column `recordCol`)
+    * @param registry   prior schema registry (seed for a full load)
+    * @param declared   source-declared record count for reconciliation
+    *                   (reference `dl_instance_count` sums); None skips
+    */
+  def ingest(spark: SparkSession, raw: DataFrame, recordCol: String,
+             registry: SchemaRegistry = SchemaRegistry.seed,
+             declared: Option[Long] = None): IngestResult = {
+    // 1. drift detection: distinct keysets → driver-minted version ids
+    val updated = registry.observeSorted(
+      SchemaRegistry.discoverKeysets(raw, recordCol))
+
+    // 2. tag rows with their schema version (broadcast map lookup)
+    val tagged = SchemaRegistry.assignVersions(raw, recordCol, updated)
+
+    // 3. parse each record against the union-of-schemas column universe,
+    //    reproducing the reference's per-version files + merged projection
+    //    (`bc_merged_csv`) without materializing per-version frames
+    val allCols = updated.withoutSeed.allColumns.toSeq.sorted
+    val parsed = tagged.select(
+      col("schema_version") +:
+        allCols.map(c => get_json_object(col(recordCol), s"$$['$c']").as(c)): _*)
+
+    // 4. cleanse: SQL-safe names, dupe resolution, sorted columns
+    val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(parsed))
+
+    // 5. validation: actual rows vs declared count
+    val actual = cleansed.count()
+    val check = Validation.reconcile(actual, declared.getOrElse(actual))
+
+    IngestResult(updated, cleansed, check)
+  }
+
+  /** Staging→warehouse merge (reference stored-proc MERGE, J1). */
+  def warehouseMerge(warehouse: DataFrame, staging: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    Upsert(warehouse, staging, keys)
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.jobs.IngestPipeline
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** End-to-end surfaces: the streaming window expression (batch-equivalent
+  * semantics) and the full drift-ingest pipeline driven from constructed
+  * NDJSON records.
+  */
+object PipelineQueries {
+
+  /** Tumbling 1-hour windowed aggregation over events — the identical
+    * expression runs under readStream+watermark in EventStreams. */
+  def eventWindowQ(s: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingAgg(
+        Tables.load(s, dir, "events")
+          .withColumn("ts", date_trunc("second", col("ts")))
+          // exact decimal sum: order-insensitive, engine-portable
+          .withColumn("value", col("value").cast(DecimalType(18, 2))),
+        "ts", "1 hour")
+      .withColumn("total_value", col("total_value").cast("double"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Full ingest pipeline over drifting NDJSON built from orders: half the
+    * records carry an extra field, minting two schema versions; the silver
+    * output unions both with sorted columns. */
+  def ingestPipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val raw = o.select(
+      when(col("o_orderkey") % 2 === 0,
+        to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+      .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")))).as("rec"))
+    IngestPipeline.ingest(s, raw, "rec").silver
+      .withColumn("schema_version", col("schema_version").cast("long"))
+      .withColumn("o_orderkey", col("o_orderkey").cast("long"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_event_window"    -> eventWindowQ _,
+    "q36_ingest_pipeline" -> ingestPipelineQ _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q35_event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q36_ingest_pipeline" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,
+        | CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+        | CAST(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

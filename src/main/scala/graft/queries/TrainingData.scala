@@ -70,9 +70,14 @@ object TrainingData {
     d.orderBy(col("doc_id"))
   }
 
+  /** Blocking key (lang, length band): near-dups share language and nearly
+    * the same length, so blocks stay small as the corpus grows — the pair
+    * count scales with Σ block², not n². */
   def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardNearDups(cloneCorpus(s, dir), "doc_id", "text",
-        blockCol = "lang", n = 3, threshold = 0.9)
+    Dedup.ngramJaccardNearDups(
+        cloneCorpus(s, dir).withColumn("block",
+          concat_ws("|", col("lang"), expr("n_chars div 32"))),
+        "doc_id", "text", blockCol = "block", n = 3, threshold = 0.9)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
 
   /** Embedding-cosine near-dups: embeddings unioned with exact clones,

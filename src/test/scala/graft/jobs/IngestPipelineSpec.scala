@@ -1,0 +1,51 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.schema.SchemaRegistry
+
+/** End-to-end drift ingest over the FIXTURES.md §4 record batches: two
+  * coexisting schemas, reconciled into one sorted-column silver frame. */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val batch = Seq(
+    """{"GLTransactionDetail": 1, "AccountingEntity": "951", "TransactionAmount": 100.25, "PostingDate": "2023-01-15T00:00:00Z"}""",
+    """{"GLTransactionDetail": 2, "AccountingEntity": "952", "TransactionAmount": 2023.0, "PostingDate": "2023-01-16T00:00:00Z"}""",
+    """{"GLTransactionDetail": 3, "AccountingEntity": "951", "TransactionAmount": 55.5, "PostingDate": "2023-02-01T00:00:00Z", "FinanceCodeBlock.AccountingUnit": "AU01", "JournalCode": "GJ"}""")
+
+  test("drifting batches produce two versions and one reconciled silver frame") {
+    val raw = batch.toDF("rec")
+    val r = IngestPipeline.ingest(spark, raw, "rec", declared = Some(3L))
+    assert(r.registry.withoutSeed.versions.size == 2)
+    assert(r.countCheck.matches)
+    // dotted name formatted, all columns present and sorted
+    assert(r.silver.columns.toSeq ==
+      Seq("AccountingEntity", "FinanceCodeBlock_AccountingUnit",
+        "GLTransactionDetail", "JournalCode", "PostingDate",
+        "TransactionAmount", "schema_version"))
+    // v1 rows have nulls in the v2-only columns
+    val rows = r.silver.orderBy($"GLTransactionDetail").collect()
+    assert(rows(0).getAs[String]("FinanceCodeBlock_AccountingUnit") == null)
+    assert(rows(2).getAs[String]("FinanceCodeBlock_AccountingUnit") == "AU01")
+  }
+
+  test("incremental re-ingest with a prior registry keeps version ids stable") {
+    val r1 = IngestPipeline.ingest(spark, batch.take(2).toDF("rec"), "rec")
+    val v1 = r1.registry.versionOf(Set("GLTransactionDetail",
+      "AccountingEntity", "TransactionAmount", "PostingDate"))
+    val r2 = IngestPipeline.ingest(spark, batch.toDF("rec"), "rec",
+      registry = r1.registry)
+    assert(r2.registry.versionOf(Set("GLTransactionDetail",
+      "AccountingEntity", "TransactionAmount", "PostingDate")) == v1)
+    assert(r2.registry.withoutSeed.versions.size == 2)
+  }
+
+  test("warehouseMerge upserts staging into warehouse") {
+    val wh = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "v", "amt")
+    val st = Seq((2L, "b2", 9.0), (3L, "c", 3.0)).toDF("k", "v", "amt")
+    val out = IngestPipeline.warehouseMerge(wh, st, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 1.0), (2L, "b2", 9.0), (3L, "c", 3.0)))
+  }
+}
