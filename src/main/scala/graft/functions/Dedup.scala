@@ -122,10 +122,14 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // shingled feeds three plan branches (banding + both verify sides);
+    // persist so the shingle/hash pipeline runs once, not once per branch
     val shingled = df.select(col(idCol),
       hashedShingles(charShingles(lower(col(textCol)), shingleSize)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = shingled.withColumn("sig",
       minhashSignatureFromHashes(col("hs"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(
       lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol)
     // verify on hashed shingle sets: same Jaccard value modulo (negligible)
@@ -158,11 +162,14 @@ object Dedup {
     * (pigeonhole for hamming ≤ 3), verified with bit_count(xor) ≤ maxDist. */
   def simhashNearDups(df: DataFrame, idCol: String, simCol: String,
                       maxDist: Int = 3): DataFrame = {
+    // the chunk frame self-joins: persist so an expensive upstream simhash
+    // computation is not replayed for both join sides
     val chunks = df.select(col(idCol), col(simCol),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
         call_function("shiftright", col(simCol), i * lit(16))
           .bitwiseAND(lit(0xFFFFL)))))
       .toDF(idCol, simCol, "chunk_idx", "chunk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunks.toDF(s"${idCol}_a", "sim_a", "chunk_idx", "chunk")
     val b = chunks.toDF(s"${idCol}_b", "sim_b", "chunk_idx", "chunk")
     a.join(b, Seq("chunk_idx", "chunk"))
@@ -181,6 +188,7 @@ object Dedup {
                            threshold: Double = 0.8): DataFrame = {
     val grams = df.select(col(blockCol), col(idCol),
       hashedShingles(wordShingles(TextAnalysis.tokens(lower(col(textCol))), n)).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = grams.toDF(blockCol, s"${idCol}_a", "grams_a")
     val b = grams.toDF(blockCol, s"${idCol}_b", "grams_b")
     a.join(b, blockCol)

@@ -76,6 +76,7 @@ object Similarity {
                      blockCol: String, threshold: Double): DataFrame = {
     val normed = df.select(col(blockCol), col(idCol), col(vecCol),
       norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = normed.toDF(blockCol, s"${idCol}_a", "vec_a", "norm_a")
     val b = normed.toDF(blockCol, s"${idCol}_b", "vec_b", "norm_b")
     a.join(b, blockCol)
