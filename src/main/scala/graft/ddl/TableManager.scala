@@ -1,0 +1,41 @@
+package graft.ddl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+import graft.types.{ColumnMeta, MetadataCatalog}
+
+/** Catalog DDL operators (SURVEY.md §2.9): create-from-metadata (D1),
+  * drop-if-exists (D2), column DDL fragments (D3). The reference generates
+  * MSSQL DDL strings (`db/sql.py:7-30`) and round-trips them over ODBC; here
+  * the catalog is Spark's, and the MSSQL DDL remains available from
+  * MetadataCatalog for JDBC sink provisioning.
+  */
+object TableManager {
+
+  /** D1: create a managed table from ION JSON-Schema metadata. */
+  def createFromMetadata(spark: SparkSession, table: String,
+                         metas: Seq[ColumnMeta]): Unit =
+    createFromSchema(spark, table, MetadataCatalog.toStructType(metas))
+
+  def createFromSchema(spark: SparkSession, table: String,
+                       schema: StructType): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table (${schema.toDDL}) USING parquet")
+
+  /** D2. */
+  def dropIfExists(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** D3: one column's sink DDL fragment. */
+  def columnDdl(meta: ColumnMeta): String =
+    s"[${meta.name}] ${MetadataCatalog.mssqlType(meta)} NULL"
+
+  /** Reference naming rules (`utilities/helpers/table_generator.py:52-56`):
+    * warehouse table = staging minus `_dl`; merge proc name = staging minus
+    * `luma_dl_` plus `_proc`. */
+  def warehouseTableName(stagingTable: String): String =
+    stagingTable.replace("_dl", "")
+
+  def mergeProcName(stagingTable: String): String =
+    stagingTable.replace("luma_dl_", "") + "_proc"
+}

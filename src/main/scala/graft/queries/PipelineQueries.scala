@@ -42,9 +42,50 @@ object PipelineQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** DSv2 lake scan end-to-end: the documents table re-laid out as a
+    * simulated data lake (5 objects + range index), scanned through the
+    * LakeSim source with filter + column pushdown, checked against the
+    * DuckDB oracle over the original table. Fixture construction is
+    * driver-side (500-5000 rows at test scale) — the scan itself is the
+    * distributed path under test. */
+  def lakesimScanQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .collect()
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_lakesim").toString
+    val objects = docs.grouped(math.max(docs.length / 5, 1)).zipWithIndex.toSeq
+    val index = objects.map { case (rows, i) =>
+      val ids = rows.map(_.getLong(0)); val chars = rows.map(_.getLong(3))
+      s"""{"file": "obj$i.ndjson", "count": ${rows.length},
+         | "ranges": {"doc_id": [${ids.min}, ${ids.max}],
+         |            "n_chars": [${chars.min}, ${chars.max}]}}""".stripMargin
+    }.mkString("{\"objects\": [", ",", "]}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$lakeDir/index.json"), index)
+    objects.foreach { case (rows, i) =>
+      val ndjson = rows.map(r =>
+        s"""{"doc_id": ${r.getLong(0)}, "lang": "${r.getString(1)}",
+           | "source": "${r.getString(2)}", "n_chars": ${r.getLong(3)}}"""
+          .stripMargin.replace("\n", "")).mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$lakeDir/obj$i.ndjson"), ndjson)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.format(classOf[graft.sources.lakesim.LakeSimSource].getName)
+      .schema(schema).option("path", lakeDir).option("pageSize", "200").load()
+      .filter(col("n_chars") > 300 && col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_event_window"    -> eventWindowQ _,
     "q36_ingest_pipeline" -> ingestPipelineQ _,
+    "q37_lakesim_scan"    -> lakesimScanQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -53,6 +94,9 @@ object PipelineQueries {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q37_lakesim_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
     "q36_ingest_pipeline" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,

@@ -1,0 +1,70 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Cleanse
+
+/** Sink operators (SURVEY.md §2.2).
+  *
+  * The reference routes record batches to per-schema-version CSV files
+  * (K1, `utilities/utilities.py:609-637`), writes a merged all-schemas file
+  * (K2, `:406-424`), and loads staging tables with chunked inserts /
+  * truncate-then-load (K3/K4, `lambda_function.py:205-243`). Spark
+  * restatement: partitioned parquet appends, an optional single-file merge,
+  * and JDBC-compatible value conversion — partitioning replaces the
+  * reference's hand-rolled file splitting (C2/C3) wholesale.
+  */
+object Sinks {
+
+  /** K1: schema-versioned append — one directory per schema version (and
+    * per incremental batch when `incId` is set), the layout the reference
+    * builds by hand with versioned filenames + inc-id folders. */
+  def writeVersioned(df: DataFrame, path: String,
+                     versionCol: String = "schema_version",
+                     incId: Option[Long] = None): Unit = {
+    val withInc = incId.map(id => df.withColumn("inc_id", lit(id))).getOrElse(df)
+    val parts = versionCol +: incId.map(_ => "inc_id").toSeq
+    withInc.write.partitionBy(parts: _*).mode(SaveMode.Append).parquet(path)
+  }
+
+  /** K2: merged sink. The reference emits ONE merged CSV per business class;
+    * at scale a single file is a driver bottleneck, so single-file output is
+    * opt-in and the default keeps the write parallel. */
+  def writeMerged(df: DataFrame, path: String,
+                  singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** K4: truncate-then-load semantics = overwrite mode on a managed table. */
+  def replaceTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** MSSQL-compatible value conversion, reproducing the reference's sink
+    * type system (`metadata/types.py:88-102` + `lambda_function.py:184-199`):
+    * booleans become 'True'/'False' text (varchar(5) semantics), doubles
+    * become DECIMAL(18,2), and sentinel null-fills apply. In-flight frames
+    * keep native types; this runs only at a JDBC-style sink boundary. */
+  def mssqlCompat(df: DataFrame): DataFrame = {
+    // 1. booleans → 'True'/'False' text (so the string sentinel '' applies)
+    val boolsAsText = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case BooleanType => acc.withColumn(f.name,
+          when(col(f.name), "True").when(!col(f.name), "False"))
+        case _ => acc
+      }
+    }
+    // 2. sentinel fills on native numeric/string/timestamp types
+    val filled = Cleanse.sentinelFill(boolsAsText)
+    // 3. doubles → DECIMAL(18,2) at the very end (-99.0 → -99.00)
+    filled.schema.fields.foldLeft(filled) { (acc, f) =>
+      f.dataType match {
+        case DoubleType | FloatType => acc.withColumn(f.name,
+          col(f.name).cast(DecimalType(18, 2)))
+        case _ => acc
+      }
+    }
+  }
+}

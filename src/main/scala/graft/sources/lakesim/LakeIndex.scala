@@ -1,0 +1,105 @@
+package graft.sources.lakesim
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.sources._
+
+/** One data object in the simulated lake: its NDJSON file, declared record
+  * count (the reference's `dl_instance_count`), and per-field min/max value
+  * ranges used for split pruning. */
+final case class ObjectEntry(file: String, count: Long,
+                             ranges: Map[String, (Double, Double)])
+
+/** Index + pruning logic for the lakesim source. Pure functions — unit
+  * tested independently of the DSv2 machinery. */
+object LakeIndex {
+
+  private val mapper = new ObjectMapper()
+
+  /** Load `index.json`:
+    * `{"objects": [{"file": "...", "count": N,
+    *    "ranges": {"field": [min, max], ...}}, ...]}` */
+  def load(dir: String): Seq[ObjectEntry] = {
+    val root = mapper.readTree(new java.io.File(s"$dir/index.json"))
+    root.get("objects").elements().asScala.map { o =>
+      val ranges = Option(o.get("ranges")).map(_.properties().asScala.map { e =>
+        val arr = e.getValue
+        e.getKey -> (arr.get(0).asDouble(), arr.get(1).asDouble())
+      }.toMap).getOrElse(Map.empty)
+      ObjectEntry(o.get("file").asText(), o.get("count").asLong(), ranges)
+    }.toSeq
+  }
+
+  /** Filters this source can evaluate (and prune splits with). */
+  def supportedFilter(f: Filter): Boolean = f match {
+    case EqualTo(_, v)              => numeric(v).isDefined || v.isInstanceOf[String] || v.isInstanceOf[Boolean]
+    case GreaterThan(_, v)          => numeric(v).isDefined
+    case GreaterThanOrEqual(_, v)   => numeric(v).isDefined
+    case LessThan(_, v)             => numeric(v).isDefined
+    case LessThanOrEqual(_, v)      => numeric(v).isDefined
+    case IsNotNull(_)               => true
+    case And(l, r)                  => supportedFilter(l) && supportedFilter(r)
+    case _                          => false
+  }
+
+  /** Split pruning: keep objects whose indexed value range can satisfy every
+    * pushed filter (un-indexed fields never prune). This is the reference's
+    * split-query planning — the lake only returns chunks matching the query
+    * filter. */
+  def prune(entries: Seq[ObjectEntry], filters: Seq[Filter]): Seq[ObjectEntry] =
+    entries.filter(e => filters.forall(f => mayMatch(e, f)))
+
+  private def mayMatch(e: ObjectEntry, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => e.ranges.get(a) match {
+      case Some((lo, hi)) => numeric(v).forall(d => d >= lo && d <= hi)
+      case None => true
+    }
+    case GreaterThan(a, v) =>
+      e.ranges.get(a).forall { case (_, hi) => numeric(v).forall(hi > _) }
+    case GreaterThanOrEqual(a, v) =>
+      e.ranges.get(a).forall { case (_, hi) => numeric(v).forall(hi >= _) }
+    case LessThan(a, v) =>
+      e.ranges.get(a).forall { case (lo, _) => numeric(v).forall(lo < _) }
+    case LessThanOrEqual(a, v) =>
+      e.ranges.get(a).forall { case (lo, _) => numeric(v).forall(lo <= _) }
+    case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
+    case _ => true
+  }
+
+  /** Record-side filter evaluation (the simulated server applies the pushed
+    * query filter to each record before returning it). */
+  def evalFilter(f: Filter, rec: Map[String, Any]): Boolean = f match {
+    case EqualTo(a, v) => rec.get(a).orNull match {
+      case null => false
+      case x => (numeric(x), numeric(v)) match {
+        case (Some(xd), Some(vd)) => xd == vd
+        case _ => x == v || x.toString == v.toString
+      }
+    }
+    case GreaterThan(a, v)        => cmp(rec, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(rec, a, v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(rec, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(rec, a, v).exists(_ <= 0)
+    case IsNotNull(a)             => rec.get(a).orNull != null
+    case And(l, r)                => evalFilter(l, rec) && evalFilter(r, rec)
+    case _                        => true
+  }
+
+  private def cmp(rec: Map[String, Any], attr: String, v: Any): Option[Int] =
+    (rec.get(attr).flatMap(numeric), numeric(v)) match {
+      case (Some(x), Some(y)) => Some(java.lang.Double.compare(x, y))
+      case _ => None
+    }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float  => Some(f.toDouble)
+    case l: Long   => Some(l.toDouble)
+    case i: Int    => Some(i.toDouble)
+    case s: Short  => Some(s.toDouble)
+    case b: Byte   => Some(b.toDouble)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case _ => None
+  }
+}

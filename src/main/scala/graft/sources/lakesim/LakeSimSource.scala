@@ -1,0 +1,183 @@
+package graft.sources.lakesim
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 simulation of the reference's paginated data-lake scan
+  * (SURVEY.md §2.1, S1-S8):
+  *
+  *   - the lake's split-query planner (`query_split` → one query filter per
+  *     chunk, reference datalakewrapper.py:69-86) becomes
+  *     `planInputPartitions()`: one InputPartition per data object, pruned
+  *     by pushed filters against the index's per-object value ranges;
+  *   - the filter-in-URL pushdown (`_lplFilter`, fsmwrapper.py:169;
+  *     `create_filter`, utilities/utilities.py:226-238) becomes
+  *     `SupportsPushDownFilters` — accepted filters are evaluated
+  *     record-side in the reader, exactly like the server would;
+  *   - the 276-field `_fields` projection (fsmwrapper.py:164) becomes
+  *     `SupportsPushDownRequiredColumns` — only requested fields are
+  *     extracted from each NDJSON record;
+  *   - the 10k-record page (datalakewrapper.py:88) becomes the `pageSize`
+  *     option: oversized objects split into multiple partitions.
+  *
+  * Layout on disk (the "lake"): a directory with `index.json` (one entry
+  * per data object: file, record count, per-field min/max ranges) and one
+  * NDJSON file per object. At cluster scale each partition reads one
+  * object/page — the same parallelism the reference got from its split
+  * filters and per-key threads.
+  */
+class LakeSimSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "lakesim requires an explicit schema (metadata-driven, no inference)")
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("lakesim: 'path' option is required"))
+    val pageSize = opts.getInt("pagesize", 10000)
+    new LakeSimTable(path, schema, pageSize)
+  }
+}
+
+class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"lakesim($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeSimScanBuilder(path, tableSchema, pageSize)
+}
+
+class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(LakeIndex.supportedFilter)
+    pushed = supported
+    rest // Spark re-applies these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new LakeSimScan(path, tableSchema, required, pushed, pageSize)
+}
+
+class LakeSimScan(path: String, tableSchema: StructType,
+                  required: StructType, pushed: Array[Filter], pageSize: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"lakesim path=$path pushed=[${pushed.mkString(", ")}] " +
+      s"fields=[${required.fieldNames.mkString(",")}]"
+
+  /** Split planning: one partition per (pruned) object page. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = LakeIndex.load(path)
+    val surviving = LakeIndex.prune(entries, pushed)
+    surviving.flatMap { e =>
+      val pages = math.max(1L, (e.count + pageSize - 1) / pageSize)
+      (0L until pages).map(p =>
+        LakeSimPartition(s"$path/${e.file}", p * pageSize, pageSize,
+          required, pushed): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeSimReaderFactory
+}
+
+final case class LakeSimPartition(file: String, startRecord: Long,
+                                  pageSize: Int, required: StructType,
+                                  pushed: Array[Filter]) extends InputPartition
+
+class LakeSimReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new LakeSimPartitionReader(p.asInstanceOf[LakeSimPartition])
+}
+
+/** Reads one page of one data object's NDJSON, applying the pushed filters
+  * and projecting the required fields — the simulated "server side". */
+class LakeSimPartitionReader(p: LakeSimPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = {
+    val src = scala.io.Source.fromFile(p.file)
+    try src.getLines().toVector finally src.close()
+  }.slice(p.startRecord.toInt, p.startRecord.toInt + p.pageSize)
+    .filter(_.nonEmpty).iterator
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      val values: Map[String, Any] = node.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNull) null
+                     else if (v.isNumber) v.asDouble()
+                     else if (v.isBoolean) v.asBoolean()
+                     else v.asText())
+      }.toMap
+      if (p.pushed.forall(f => LakeIndex.evalFilter(f, values))) {
+        current = InternalRow.fromSeq(p.required.fields.toIndexedSeq.map { f =>
+          values.get(f.name).orNull match {
+            case null => null
+            case v => f.dataType match {
+              case StringType => UTF8String.fromString(v.toString)
+              case LongType => v match {
+                case d: Double => d.toLong
+                case s: String => s.toLong
+                case b: Boolean => if (b) 1L else 0L
+              }
+              case IntegerType => v match {
+                case d: Double => d.toInt
+                case s: String => s.toInt
+                case b: Boolean => if (b) 1 else 0
+              }
+              case DoubleType => v match {
+                case d: Double => d
+                case s: String => s.toDouble
+                case b: Boolean => if (b) 1.0 else 0.0
+              }
+              case BooleanType => v.asInstanceOf[Boolean]
+              case _ => null
+            }
+          }
+        })
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
