@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (executor threads, codegen compiler, parquet footer
+    // cache) so the first timed query doesn't absorb startup cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.load(spark, sfDir, "lineitem").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
