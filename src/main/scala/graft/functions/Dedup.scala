@@ -146,9 +146,16 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over a token array: bit b of the result is the sign of
-    * Σ_tokens (±1 depending on bit b of xxhash64(token)). */
-  def simhash64(toks: Column): Column = {
+  /** 64-bit SimHash over a token array — native single-pass Catalyst
+    * expression (see `graft.expressions.SimHash64Expr`). */
+  def simhash64(toks: Column): Column =
+    graft.expressions.SimHash64Expr.simhash64(toks)
+
+  /** Reference formulation with built-in higher-order functions: identical
+    * semantics to [[simhash64]] (pinned by DedupSpec equivalence test) but
+    * O(64·n) lambda traversals per row — kept as the executable spec the
+    * native expression is verified against. */
+  def simhash64Hof(toks: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)), b => {
       val vote = aggregate(toks, lit(0L), (acc, t) =>
         acc + when((call_function("shiftright", xxhash64(t), b)

@@ -73,6 +73,15 @@ object TrainingData {
   /** Blocking key (lang, length band): near-dups share language and nearly
     * the same length, so blocks stay small as the corpus grows — the pair
     * count scales with Σ block², not n². */
+  /** SimHash near-dup pairs on the clone corpus (native expression +
+    * 16-bit-chunk candidate pairing); clones surface at hamming 0. */
+  def simhashNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val hashed = cloneCorpus(s, dir).select(col("doc_id"),
+      Dedup.simhash64(TextAnalysis.tokens(lower(col("text")))).as("sh"))
+    Dedup.simhashNearDups(hashed, "doc_id", "sh", maxDist = 3)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardNearDups(
         cloneCorpus(s, dir).withColumn("block",
@@ -136,6 +145,7 @@ object TrainingData {
     "q27_minhash_neardup"   -> minhashQ _,
     "q28_simhash"           -> simhashQ _,
     "q29_ngram_jaccard"     -> ngramJaccardQ _,
+    "q38_simhash_neardup"   -> simhashNearDupQ _,
     "q30_embedding_neardup" -> embeddingNearDupQ _,
     "q31_cosine_topk"       -> cosineTopKQ _,
     "q32_ann_topk"          -> annTopKQ _,

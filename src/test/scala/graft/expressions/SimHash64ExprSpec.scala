@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{Dedup, TextAnalysis}
+
+class SimHash64ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "completely different text about spark shuffles",
+    "", "   single")
+
+  test("native expression matches the built-in HOF formulation exactly") {
+    val df = texts.toDF("t").select(
+      Dedup.simhash64(TextAnalysis.tokens(lower($"t"))).as("native"),
+      Dedup.simhash64Hof(TextAnalysis.tokens(lower($"t"))).as("hof"))
+    val rows = df.as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+  }
+
+  test("null input array yields null, null elements are skipped") {
+    val df = Seq((Some(Seq("a", "b")), 1), (None, 2)).toDF("toks", "i")
+    val out = df.select(SimHash64Expr.simhash64($"toks").as("s"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out(0).isDefined && out(1).isEmpty)
+    // array with a null element: same hash as without it
+    val withNull = Seq(Seq[String]("a", null, "b"), Seq[String]("a", "b"))
+      .toDF("toks").select(SimHash64Expr.simhash64($"toks")).as[Long].collect()
+    assert(withNull(0) == withNull(1))
+  }
+
+  test("registered SQL function evaluates (extensions hook)") {
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT simhash64(array('a','b')) = simhash64(array('a','b')) AS eq, " +
+      "simhash64(array('a','b')) <> simhash64(array('x','y','z')) AS ne")
+      .as[(Boolean, Boolean)].head()
+    assert(out == ((true, true)))
+  }
+
+  test("codegen and interpreted paths agree") {
+    val toks = TextAnalysis.tokens(lit("alpha beta gamma delta"))
+    val viaDf = spark.range(1).select(SimHash64Expr.simhash64(toks))
+      .as[Long].head()
+    // force interpreted path through the kernel directly
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("alpha", "beta", "gamma", "delta")
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    assert(viaDf == SimHash64Expr.simhashOf(arr))
+  }
+}
