@@ -150,6 +150,40 @@ object Relational {
     c.except(o).orderBy(col("k"))
   }
 
+  /** CUBE grouping sets over two dimensions. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec("l_extendedprice")).cast("double").as("price"))
+      .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus"))
+  }
+
+  /** Correlated EXISTS through the SQL surface (temp views + spark.sql) —
+    * Catalyst decorrelates into a semi join. */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderkey, o_orderdate FROM orders_v o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Semi-structured extraction: JSON props parsed per event, aggregated
+    * per event type. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary _,
     "q02_filter_topk"     -> filterTopK _,
@@ -162,6 +196,9 @@ object Relational {
     "q09_rollup"          -> rollupAgg _,
     "q10_intersect"       -> intersectKeys _,
     "q11_except"          -> exceptKeys _,
+    "q39_cube"            -> cubeAgg _,
+    "q40_exists_subquery" -> existsSubquery _,
+    "q41_json_extract"    -> jsonExtract _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +261,22 @@ object Relational {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0
         |ORDER BY k""".stripMargin,
+    "q39_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q40_exists_subquery" ->
+      """SELECT o_orderkey, o_orderdate FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q41_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,75 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class PipelineRunnerSpec extends SparkSpec {
+
+  val tableJson =
+    """{
+      |  "gl_transaction_detail": {
+      |    "business_class_name": "FSM_GLTransactionDetail",
+      |    "staging_table_name": "luma_dl_gl_transaction_detail",
+      |    "replication_set_name": "GeneralLedgerRepSet",
+      |    "incremental": true
+      |  },
+      |  "account": {
+      |    "business_class_name": "FSM_Account",
+      |    "staging_table_name": "luma_dl_account",
+      |    "replication_set_name": "GeneralLedgerRepSet",
+      |    "incremental": false
+      |  },
+      |  "missing_bc": {
+      |    "business_class_name": "FSM_DoesNotExist",
+      |    "staging_table_name": "luma_dl_missing",
+      |    "replication_set_name": "X",
+      |    "incremental": false
+      |  }
+      |}""".stripMargin
+
+  val subjectAreaJson =
+    """{"general_ledger": ["gl_transaction_detail", "account", "missing_bc"]}"""
+
+  test("config parses tables, areas, naming and incremental flags") {
+    val cfg = EngineConfig.fromJson(tableJson, subjectAreaJson)
+    assert(cfg.tables.size == 3)
+    assert(cfg.isIncremental("gl_transaction_detail"))
+    assert(!cfg.isIncremental("account"))
+    assert(cfg.tables("gl_transaction_detail").warehouseTableName ==
+      "luma_gl_transaction_detail")
+    assert(cfg.tablesFor("general_ledger").map(_._1) ==
+      Seq("gl_transaction_detail", "account", "missing_bc"))
+  }
+
+  test("subject-area run ingests each class, isolates failures, reports jobs") {
+    val base = Files.createTempDirectory("graft_runner").toString
+    val (lake, bronze, silver) = (s"$base/lake", s"$base/bronze", s"$base/silver")
+    Files.createDirectories(Paths.get(lake))
+    Files.writeString(Paths.get(s"$lake/FSM_GLTransactionDetail.ndjson"),
+      Seq(
+        """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""",
+        """{"GLTransactionDetail": 2, "TransactionAmount": 20.5, "JournalCode": "GJ"}"""
+      ).mkString("\n"))
+    Files.writeString(Paths.get(s"$lake/FSM_Account.ndjson"),
+      """{"Account": "1000", "Description": "Cash"}""")
+
+    val cfg = EngineConfig.fromJson(tableJson, subjectAreaJson)
+    val reports = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake, bronze, silver)
+
+    assert(reports.map(_.success) == Seq(true, true, false))
+    val gl = reports.head
+    assert(gl.rows == 2 && gl.schemaVersions == 2)
+    // bronze is version-partitioned, silver has the reconciled columns
+    assert(new java.io.File(
+      s"$bronze/luma_dl_gl_transaction_detail/schema_version=1").exists() ||
+      new java.io.File(
+      s"$bronze/luma_dl_gl_transaction_detail/schema_version=2").exists())
+    val silverDf = spark.read.parquet(s"$silver/luma_gl_transaction_detail")
+    assert(silverDf.columns.toSeq.sorted.containsSlice(
+      Seq("GLTransactionDetail", "JournalCode", "TransactionAmount")))
+    // failed class reports its error and doesn't abort the area
+    assert(reports.last.error.isDefined)
+  }
+}
