@@ -59,9 +59,16 @@ object Dedup {
   def hashedShingles(shingles: Column): Column =
     array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(P))))
 
-  /** MinHash signature over pre-hashed shingles: numHashes × |shingles|
-    * cheap modular ops, no re-hashing. */
-  def minhashSignatureFromHashes(hashed: Column, numHashes: Int = 64): Column = {
+  /** MinHash signature over pre-hashed shingles — native single-pass
+    * expression (see `graft.expressions.MinHashSigExpr`). */
+  def minhashSignatureFromHashes(hashed: Column, numHashes: Int = 64): Column =
+    graft.expressions.MinHashSigExpr.minhashSig(hashed, numHashes)
+
+  /** Built-in HOF formulation of the signature: identical output to
+    * [[minhashSignatureFromHashes]] (pinned by MinHashSigExprSpec) but one
+    * boxed lambda dispatch per (hash, shingle) pair — kept as the
+    * executable spec. */
+  def minhashSignatureFromHashesHof(hashed: Column, numHashes: Int = 64): Column = {
     val params = typedLit(seeds(numHashes))
     transform(params, p =>
       array_min(transform(hashed, x =>
