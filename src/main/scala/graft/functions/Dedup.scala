@@ -207,6 +207,9 @@ object Dedup {
     val b = grams.toDF(blockCol, s"${idCol}_b", "grams_b")
     a.join(b, blockCol)
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      // jaccard ≥ t ⇒ gram-set sizes within ratio t: prune pre-intersect
+      .filter(size(col("grams_a")).cast("double") >= lit(threshold) * size(col("grams_b")) &&
+              size(col("grams_b")).cast("double") >= lit(threshold) * size(col("grams_a")))
       .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))

@@ -69,6 +69,57 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse centroids: a deterministic hash-ordered sample of the data
+    * itself (a valid coarse quantizer without a k-means dependency; swap in
+    * trained centroids when ml is available). Driver-side collect of k
+    * vectors only. */
+  def ivfCentroids(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int): Seq[Seq[Double]] =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(pmod(xxhash64(col(idCol)), lit(1000003L)), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+
+  /** Squared-L2 distances to every centroid (array, centroid order). */
+  private def centroidDists(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    transform(typedLit(centroids), c =>
+      aggregate(zip_with(vec, c, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, v) => acc + v))
+
+  /** IVF cell id = index of the nearest centroid (1-based). */
+  def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = centroidDists(vec, centroids)
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Scala-side nProbe nearest cells for the query (must mirror ivfCell). */
+  def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
+                 nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum, i + 1)
+    }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+
+  /** IVF approximate top-k: assign every vector to its nearest coarse
+    * centroid, probe only the query's nProbe nearest cells. At scale the
+    * cell id is a partition/bucket column, so the probe is a
+    * partition-pruned scan over ~nProbe/k of the data. */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+              nProbe: Int = 4): DataFrame = {
+    val probed = probeCells(query, centroids, nProbe)
+    df.withColumn("ivf_cell", ivfCell(col(vecCol), centroids))
+      .filter(col("ivf_cell").isin(probed: _*))
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs within blocking groups (same label).
     * Norms are computed once per vector before the pair join — the join
     * evaluates only one dot product per pair instead of three. */

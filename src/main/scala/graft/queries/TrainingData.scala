@@ -114,6 +114,15 @@ object TrainingData {
     Similarity.annTopK(e, "embedding", "vec_id", query, 10, numPlanes = 4)
   }
 
+  /** IVF approximate top-10: coarse-quantized cells, 4-probe search. */
+  def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", 16)
+    Similarity.ivfTopK(e, "embedding", "vec_id", query, 10, centroids, nProbe = 4)
+  }
+
   /** Multimodal plumbing: opaque binary payload + decoded metadata struct
     * (decode stubbed deterministically; schema/partitioning real). */
   def multimodalQ(s: SparkSession, dir: String): DataFrame =
@@ -146,6 +155,7 @@ object TrainingData {
     "q28_simhash"           -> simhashQ _,
     "q29_ngram_jaccard"     -> ngramJaccardQ _,
     "q38_simhash_neardup"   -> simhashNearDupQ _,
+    "q42_ivf_topk"          -> ivfTopKQ _,
     "q30_embedding_neardup" -> embeddingNearDupQ _,
     "q31_cosine_topk"       -> cosineTopKQ _,
     "q32_ann_topk"          -> annTopKQ _,

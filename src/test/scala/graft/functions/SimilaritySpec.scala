@@ -54,6 +54,31 @@ class SimilaritySpec extends SparkSpec {
     assert(scalaCodes == sparkCodes)
   }
 
+  test("ivf: cells partition the data; probing finds the exact neighbor") {
+    val data = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(base + i * 0.001f, base, 0.1f * (i % 3)))
+    }
+    val df = data.toDF("id", "v")
+    val centroids = Similarity.ivfCentroids(df, "v", "id", 4)
+    assert(centroids.size == 4)
+    // deterministic across calls
+    assert(centroids == Similarity.ivfCentroids(df, "v", "id", 4))
+    val cells = df.select(Similarity.ivfCell($"v", centroids).as("c"))
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 1 && c <= 4))
+    // with all cells probed, IVF == brute force
+    val brute = Similarity.bruteForceTopK(df, "v", "id", Seq(1.0, 1.0, 0.0), 5)
+      .select("id").as[Long].collect().toSeq
+    val ivfAll = Similarity.ivfTopK(df, "v", "id", Seq(1.0, 1.0, 0.0), 5,
+      centroids, nProbe = 4).select("id").as[Long].collect().toSeq
+    assert(ivfAll == brute)
+    // with 1 probe, the query's own cluster is still found (top1 agrees)
+    val ivf1 = Similarity.ivfTopK(df, "v", "id", Seq(1.0, 1.0, 0.0), 5,
+      centroids, nProbe = 1).select("id").as[Long].collect().toSeq
+    assert(ivf1.nonEmpty && ivf1.head == brute.head)
+  }
+
   test("cosineNearDups finds identical pairs within blocks only") {
     val df = vecs.toDF("vec_id", "embedding")
       .withColumn("label", when($"vec_id" < 3, 1).otherwise(2))
