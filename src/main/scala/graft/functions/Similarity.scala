@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns (left-to-right accumulation,
-    * deterministic). */
+  /** Dot product of two numeric array columns — native single-pass
+    * expression (left-to-right double accumulation; see
+    * `graft.expressions.DotProductExpr`). */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProductExpr.dot(a, b)
+
+  /** Built-in HOF formulation: identical values to [[dot]] (pinned by
+    * DotProductExprSpec), kept as the executable spec. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
