@@ -52,12 +52,18 @@ object Dedup {
     Seq.fill(numHashes)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
   }
 
-  /** Distinct shingle hashes (xxhash64 mod P): computed ONCE per shingle,
-    * then reused by every minhash function and by set-similarity
+  /** Sorted distinct shingle hashes (xxhash64 mod P): computed ONCE per
+    * shingle, then reused by every minhash function and by set-similarity
     * verification. Hashing to longs shrinks both compute and shuffle width
-    * (the raw shingle strings never leave the scan stage). */
+    * (the raw shingle strings never leave the scan stage); sorting makes
+    * the pairwise Jaccard a native merge walk (JaccardSortedExpr). */
   def hashedShingles(shingles: Column): Column =
-    array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(P))))
+    array_sort(array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(P)))))
+
+  /** Jaccard over sorted distinct hash arrays — native merge-walk
+    * expression; values identical to [[jaccard]] on the same sets. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    graft.expressions.JaccardSortedExpr.jaccardSorted(a, b)
 
   /** MinHash signature over pre-hashed shingles — native single-pass
     * expression (see `graft.expressions.MinHashSigExpr`). */
@@ -148,7 +154,7 @@ object Dedup {
       // expensive set intersection
       .filter(size(col("hs_a")).cast("double") >= lit(threshold) * size(col("hs_b")) &&
               size(col("hs_b")).cast("double") >= lit(threshold) * size(col("hs_a")))
-      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
@@ -210,7 +216,7 @@ object Dedup {
       // jaccard ≥ t ⇒ gram-set sizes within ratio t: prune pre-intersect
       .filter(size(col("grams_a")).cast("double") >= lit(threshold) * size(col("grams_b")) &&
               size(col("grams_b")).cast("double") >= lit(threshold) * size(col("grams_a")))
-      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .withColumn("jaccard", jaccardSorted(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
