@@ -60,7 +60,8 @@ class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int)
   override def name(): String = s"lakesim($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSimScanBuilder(path, tableSchema, pageSize)
 }
@@ -93,6 +94,9 @@ class LakeSimScan(path: String, tableSchema: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LakeSimMicroBatchStream(path, required, pushed, pageSize)
   override def description(): String =
     s"lakesim path=$path pushed=[${pushed.mkString(", ")}] " +
       s"fields=[${required.fieldNames.mkString(",")}]"
