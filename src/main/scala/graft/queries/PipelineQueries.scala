@@ -82,8 +82,19 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gap-based sessionization (30-minute gap) over the events stream. */
+  def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withColumn("value", col("value").cast(DecimalType(18, 2)))
+    graft.streaming.Sessionize.sessions(e, "user_id", "ts", 1800L, col("value"))
+      .withColumn("total_value", col("total_value").cast("double"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_event_window"    -> eventWindowQ _,
+    "q43_sessionize"      -> sessionizeQ _,
     "q36_ingest_pipeline" -> ingestPipelineQ _,
     "q37_lakesim_scan"    -> lakesimScanQ _,
   )
@@ -94,6 +105,23 @@ object PipelineQueries {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q43_sessionize" ->
+      """WITH tagged AS (
+        | SELECT user_id, date_trunc('second', ts) AS ts, value,
+        |  SUM(CASE WHEN prev_ts IS NULL
+        |        OR epoch(date_trunc('second', ts)) - epoch(prev_ts) > 1800
+        |       THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (SELECT user_id, ts, value,
+        |   LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events) t)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM tagged GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q37_lakesim_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
