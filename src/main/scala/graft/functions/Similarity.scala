@@ -61,18 +61,32 @@ object Similarity {
       if (d > 0) 1L << i else 0L
     }.foldLeft(0L)(_ | _)
 
-  /** LSH-bucketed approximate top-k: probe only the query's bucket.
-    * Recall < 1 by construction; raise `numPlanes` for smaller buckets or
-    * probe neighboring codes for higher recall. */
+  /** LSH-bucketed approximate top-k with multi-probe: search the query's
+    * bucket plus every bucket within `probeHamming` sign-bit flips —
+    * near-misses on a single hyperplane are the dominant recall loss, so
+    * probing hamming-1 neighbors buys most of it back for numPlanes+1
+    * buckets of work. Probed codes are enumerated driver-side; the scan
+    * stays a bucket-pruned filter. */
   def annTopK(df: DataFrame, vecCol: String, idCol: String,
-              query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+              query: Seq[Double], k: Int, numPlanes: Int = 8,
+              probeHamming: Int = 1): DataFrame = {
     val planes = hyperplanes(numPlanes, query.size)
     val qCode = bucketCodeOf(query, planes)
+    val probed = probeCodes(qCode, numPlanes, probeHamming)
     df.withColumn("bucket", bucketCode(col(vecCol), planes))
-      .filter(col("bucket") === qCode)
+      .filter(col("bucket").isin(probed: _*))
       .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** All codes within `maxFlips` bit flips of `code` (incl. itself). */
+  def probeCodes(code: Long, numPlanes: Int, maxFlips: Int): Seq[Long] = {
+    def flips(c: Long, fromBit: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(c)
+      else Seq(c) ++ (fromBit until numPlanes).flatMap(b =>
+        flips(c ^ (1L << b), b + 1, remaining - 1))
+    flips(code, 0, maxFlips).distinct
   }
 
   // ------------------------------------------------------------------ IVF

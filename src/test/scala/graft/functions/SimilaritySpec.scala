@@ -45,6 +45,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains(4L)) // opposite vector lands elsewhere
   }
 
+  test("probeCodes enumerates hamming-ball codes") {
+    assert(Similarity.probeCodes(0L, 3, 0) == Seq(0L))
+    assert(Similarity.probeCodes(0L, 3, 1).toSet == Set(0L, 1L, 2L, 4L))
+    assert(Similarity.probeCodes(5L, 3, 1).toSet == Set(5L, 4L, 7L, 1L))
+    assert(Similarity.probeCodes(0L, 3, 2).toSet ==
+      Set(0L, 1L, 2L, 4L, 3L, 5L, 6L))
+  }
+
+  test("multi-probe widens recall over single-bucket probing") {
+    val rnd = new scala.util.Random(11)
+    val many = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = many.toDF("id", "v")
+    val q = many.head._2.map(_.toDouble)
+    val single = Similarity.annTopK(df, "v", "id", q, 50, numPlanes = 6,
+      probeHamming = 0).count()
+    val multi = Similarity.annTopK(df, "v", "id", q, 50, numPlanes = 6,
+      probeHamming = 1).count()
+    assert(multi >= single)
+    // full-hamming probe = brute force
+    val all = Similarity.annTopK(df, "v", "id", q, 200, numPlanes = 6,
+      probeHamming = 6).count()
+    assert(all == 200)
+  }
+
   test("bucketCodeOf mirrors the Column-side bucketCode") {
     val planes = Similarity.hyperplanes(4, 3)
     val scalaCodes = vecs.map { case (_, v) =>
