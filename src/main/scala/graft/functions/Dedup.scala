@@ -65,6 +65,12 @@ object Dedup {
   def jaccardSorted(a: Column, b: Column): Column =
     graft.expressions.JaccardSortedExpr.jaccardSorted(a, b)
 
+  /** Fused char-shingle hashing: string → sorted distinct hashes in one
+    * native pass (no intermediate shingle-string array); identical output
+    * to `hashedShingles(charShingles(text, k))`. */
+  def hashedCharShingles(text: Column, k: Int): Column =
+    graft.expressions.HashedShinglesExpr.hashedShingles(text, k)
+
   /** MinHash signature over pre-hashed shingles — native single-pass
     * expression (see `graft.expressions.MinHashSigExpr`). */
   def minhashSignatureFromHashes(hashed: Column, numHashes: Int = 64): Column =
@@ -138,7 +144,7 @@ object Dedup {
     // shingled feeds three plan branches (banding + both verify sides);
     // persist so the shingle/hash pipeline runs once, not once per branch
     val shingled = df.select(col(idCol),
-      hashedShingles(charShingles(lower(col(textCol)), shingleSize)).as("hs"))
+      hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signed = shingled.withColumn("sig",
       minhashSignatureFromHashes(col("hs"), numHashes))
