@@ -119,9 +119,12 @@ object EtlOps {
         .otherwise(lit("""{"b": 2, "a": 1}""")))
     val registry = SchemaRegistry.seed
       .observeSorted(SchemaRegistry.discoverKeysets(enriched, "rec"))
-    SchemaRegistry.assignVersions(enriched, "rec", registry)
+    // materialize the keyset once; version assignment and grouping reuse it
+    val withKeyset = enriched.withColumn("keyset",
+      SchemaRegistry.keysetExpr(col("rec")))
+    SchemaRegistry.assignVersionsByKeyset(withKeyset, "keyset", registry)
       .groupBy(col("schema_version").cast("long").as("schema_version"),
-               SchemaRegistry.keysetExpr(col("rec")).as("keyset"))
+               col("keyset"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("keyset"))
   }

@@ -76,12 +76,20 @@ object SchemaRegistry {
     * registry (keyset string → id). Unknown keysets get null — callers
     * should `observe` first. */
   def assignVersions(df: DataFrame, rawJsonCol: String,
-                     registry: SchemaRegistry): DataFrame = {
+                     registry: SchemaRegistry): DataFrame =
+    df.withColumn("schema_version",
+      lookupExpr(registry, keysetExpr(col(rawJsonCol))))
+
+  /** Variant over a pre-computed keyset column (avoids re-parsing the JSON
+    * when the keyset is needed downstream anyway). */
+  def assignVersionsByKeyset(df: DataFrame, keysetCol: String,
+                             registry: SchemaRegistry): DataFrame =
+    df.withColumn("schema_version", lookupExpr(registry, col(keysetCol)))
+
+  private def lookupExpr(registry: SchemaRegistry, keyset: Column): Column = {
     val pairs = registry.versions.toSeq.flatMap { case (id, ks) =>
       Seq(lit(ks.toSeq.sorted.mkString(",")), lit(id))
     }
-    val lookup = map(pairs: _*)
-    df.withColumn("schema_version",
-      element_at(lookup, keysetExpr(col(rawJsonCol))))
+    element_at(map(pairs: _*), keyset)
   }
 }
