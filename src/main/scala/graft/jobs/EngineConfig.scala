@@ -15,7 +15,8 @@ final case class TableConfig(
     businessClassName: String,
     stagingTableName: String,
     replicationSetName: String,
-    incremental: Boolean) {
+    incremental: Boolean,
+    keyColumn: Option[String] = None) {
 
   /** Warehouse table name = staging minus `_dl` (reference
     * `table_generator.py:54`). */
@@ -47,7 +48,8 @@ object EngineConfig {
         businessClassName = n.get("business_class_name").asText(),
         stagingTableName = n.get("staging_table_name").asText(),
         replicationSetName = n.get("replication_set_name").asText(),
-        incremental = Option(n.get("incremental")).exists(_.asBoolean()))
+        incremental = Option(n.get("incremental")).exists(_.asBoolean()),
+        keyColumn = Option(n.get("key_column")).map(_.asText()))
     }.toMap
     val saNode = mapper.readTree(subjectAreaJson)
     val subjectAreas = saNode.properties().asScala.map { e =>

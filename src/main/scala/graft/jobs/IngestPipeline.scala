@@ -23,7 +23,16 @@ object IngestPipeline {
   final case class IngestResult(
       registry: SchemaRegistry,
       silver: DataFrame,
-      countCheck: Validation.CountCheck)
+      declared: Option[Long]) {
+
+    /** Count reconciliation (A3) — executes a count job over the silver
+      * frame, so it is opt-in rather than a hidden second execution paid by
+      * every caller of `ingest`. */
+    def reconcile(): Validation.CountCheck = {
+      val actual = silver.count()
+      Validation.reconcile(actual, declared.getOrElse(actual))
+    }
+  }
 
   /** Ingest one business class from a raw NDJSON record column.
     *
@@ -44,20 +53,20 @@ object IngestPipeline {
 
     // 3. parse each record against the union-of-schemas column universe,
     //    reproducing the reference's per-version files + merged projection
-    //    (`bc_merged_csv`) without materializing per-version frames
+    //    (`bc_merged_csv`) without materializing per-version frames.
+    //    json_tuple parses the record ONCE per row (a generator producing
+    //    every column from the same Jackson pass, with get_json_object's
+    //    scalar-to-text semantics) — k get_json_object calls would pay k
+    //    full parses per record.
     val allCols = updated.withoutSeed.allColumns.toSeq.sorted
-    val parsed = tagged.select(
-      col("schema_version") +:
-        allCols.map(c => get_json_object(col(recordCol), s"$$['$c']").as(c)): _*)
+    val parsed = tagged
+      .select(col("schema_version"), json_tuple(col(recordCol), allCols: _*))
+      .toDF("schema_version" +: allCols: _*)
 
     // 4. cleanse: SQL-safe names, dupe resolution, sorted columns
     val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(parsed))
 
-    // 5. validation: actual rows vs declared count
-    val actual = cleansed.count()
-    val check = Validation.reconcile(actual, declared.getOrElse(actual))
-
-    IngestResult(updated, cleansed, check)
+    IngestResult(updated, cleansed, declared)
   }
 
   /** Staging→warehouse merge (reference stored-proc MERGE, J1). */

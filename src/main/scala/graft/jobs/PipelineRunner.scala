@@ -27,28 +27,70 @@ object PipelineRunner {
       durationSec: Double,
       error: Option[String])
 
+  /** Run every business class of a subject area.
+    *
+    * @param registryRoot when set, each class's schema registry is loaded
+    *   from `{root}/{bc}_schemas.json` before the run and saved back after a
+    *   successful load (the reference persists `{bc}_schemas.json` per
+    *   extract, `datalakewrapper.py:180-186`) — version ids stay stable
+    *   across runs no matter what order drift is rediscovered in.
+    *
+    * Load mode mirrors the reference's `--il` vs `--fl` dispatch
+    * (`datalakewrapper.py:252-257`, `workflow.ps1:266-267`): a table marked
+    * incremental (with a configured key column) anti-joins the incoming rows
+    * against the keys already in silver and APPENDS only the new ones; a
+    * full load overwrites silver. Bronze always appends (versioned history).
+    * `JobReport.rows` is the number of rows loaded by THIS run.
+    */
   def runSubjectArea(spark: SparkSession, config: EngineConfig,
                      subjectArea: String, lakeRoot: String,
-                     bronzeRoot: String, silverRoot: String): Seq[JobReport] =
+                     bronzeRoot: String, silverRoot: String,
+                     registryRoot: Option[String] = None): Seq[JobReport] =
     config.tablesFor(subjectArea).map { case (name, tc) =>
       val t0 = System.nanoTime()
       try {
         val raw = spark.read.text(s"$lakeRoot/${tc.businessClassName}.ndjson")
           .withColumnRenamed("value", "rec")
-        val result = IngestPipeline.ingest(spark, raw, "rec")
-        Sinks.writeVersioned(result.silver, s"$bronzeRoot/${tc.stagingTableName}")
-        Sinks.writeMerged(result.silver.drop("schema_version"),
-          s"$silverRoot/${tc.warehouseTableName}")
-        val rows = spark.read.parquet(s"$silverRoot/${tc.warehouseTableName}").count()
-        JobReport(name, tc.businessClassName, success = true, rows,
-          result.registry.withoutSeed.versions.size,
-          (System.nanoTime() - t0) / 1e9, None)
+        val registryPath = registryRoot.map(r =>
+          s"$r/${tc.businessClassName}_schemas.json")
+        val prior = registryPath.map(graft.schema.SchemaRegistry.loadOrSeed(spark, _))
+          .getOrElse(graft.schema.SchemaRegistry.seed)
+        val result = IngestPipeline.ingest(spark, raw, "rec", prior)
+
+        val silverPath = s"$silverRoot/${tc.warehouseTableName}"
+        val incrementalRun = tc.incremental && tc.keyColumn.isDefined &&
+          pathExists(spark, silverPath)
+        val loaded =
+          if (incrementalRun)
+            graft.operators.Incremental.notExtracted(result.silver,
+              spark.read.parquet(silverPath), tc.keyColumn.get)
+          else result.silver
+        // one computation feeds bronze, silver, and the row count
+        val data = loaded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          Sinks.writeVersioned(data, s"$bronzeRoot/${tc.stagingTableName}")
+          if (incrementalRun)
+            data.drop("schema_version").write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(silverPath)
+          else Sinks.writeMerged(data.drop("schema_version"), silverPath)
+          val rows = data.count()
+          registryPath.foreach(p =>
+            graft.schema.SchemaRegistry.save(spark, result.registry, p))
+          JobReport(name, tc.businessClassName, success = true, rows,
+            result.registry.withoutSeed.versions.size,
+            (System.nanoTime() - t0) / 1e9, None)
+        } finally data.unpersist()
       } catch {
         case e: Exception =>
           JobReport(name, tc.businessClassName, success = false, 0L, 0,
             (System.nanoTime() - t0) / 1e9, Some(e.getMessage))
       }
     }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** A8: append job reports to a metrics table (the reference's
     * `job_tracker` insert, `utilities/helpers/report_job.py:64-92`). */

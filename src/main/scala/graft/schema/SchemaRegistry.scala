@@ -58,6 +58,51 @@ object SchemaRegistry {
   /** The reference's seed registry (`{"0": []}`). */
   val seed: SchemaRegistry = SchemaRegistry(Map(0 -> Set.empty[String]))
 
+  /** Persist the registry as the reference's `{bc}_schemas.json` shape
+    * (`datalakewrapper.py:180-186`): `{"0": [], "1": ["ColA","ColB"], …}`,
+    * columns sorted. Written through the Hadoop filesystem so the path may
+    * use any supported scheme (file:, hdfs:, s3a:, …) — registry size is
+    * the number of schema versions, so a driver-side write is correct at
+    * any data scale. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           registry: SchemaRegistry, path: String): Unit = {
+    val json = registry.versions.toSeq.sortBy(_._1).map { case (id, ks) =>
+      ks.toSeq.sorted.map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString(s""""$id": [""", ", ", "]")
+    }.mkString("{", ", ", "}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted registry; None when the file does not exist. Version
+    * ids survive the round-trip, so a re-run over drifted data reuses prior
+    * ids no matter what order drift is rediscovered in. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Option[SchemaRegistry] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      import scala.jdk.CollectionConverters._
+      Some(SchemaRegistry(node.properties().asScala.map { e =>
+        e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText()).toSet
+      }.toMap))
+    }
+  }
+
+  /** Registry for a run: the persisted one when present, else the seed. */
+  def loadOrSeed(spark: org.apache.spark.sql.SparkSession,
+                 path: String): SchemaRegistry =
+    load(spark, path).getOrElse(seed)
+
   /** Canonical keyset string for a raw JSON record column: the record's
     * object keys, sorted and comma-joined. Pure built-ins (codegen'd). */
   def keysetExpr(rawJson: Column): Column =

@@ -18,7 +18,7 @@ class IngestPipelineSpec extends SparkSpec {
     val raw = batch.toDF("rec")
     val r = IngestPipeline.ingest(spark, raw, "rec", declared = Some(3L))
     assert(r.registry.withoutSeed.versions.size == 2)
-    assert(r.countCheck.matches)
+    assert(r.reconcile().matches)
     // dotted name formatted, all columns present and sorted
     assert(r.silver.columns.toSeq ==
       Seq("AccountingEntity", "FinanceCodeBlock_AccountingUnit",
