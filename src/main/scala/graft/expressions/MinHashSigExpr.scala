@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty inputs yield a signature of nulls (see signatureOf), so elements
+  // are nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -63,14 +65,22 @@ object MinHashSigExpr {
     (a, b)
   }
 
-  /** One-pass signature kernel (shared by interpreted eval and codegen). */
+  /** One-pass signature kernel (shared by interpreted eval and codegen).
+    *
+    * An input with no non-null hashes yields a signature of `numHashes`
+    * nulls — the same value the HOF formulation produces (`array_min` of an
+    * empty array is null), pinned by MinHashSigExprSpec. `hashedShingles`
+    * always emits ≥1 element, so the near-dup pipeline never takes this
+    * path; the contract matters for direct callers. */
   def signatureOf(hashed: ArrayData, numHashes: Int): GenericArrayData = {
     require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = hashed.numElements()
+    var any = false
     var i = 0
     while (i < n) {
       if (!hashed.isNullAt(i)) {
+        any = true
         val x = hashed.getLong(i)
         var k = 0
         while (k < numHashes) {
@@ -81,7 +91,8 @@ object MinHashSigExpr {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!any) new GenericArrayData(new Array[Any](numHashes))
+    else new GenericArrayData(mins)
   }
 
   /** Column-level entry point. */

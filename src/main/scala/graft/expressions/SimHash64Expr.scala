@@ -57,14 +57,17 @@ object SimHash64Expr {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val token: UTF8String = arr.getUTF8String(i)
-        val h = XxHash64Function.hash(token, StringType, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+      // null tokens vote with the unchanged seed (42L) — exactly what the
+      // HOF formulation computes, since Spark's xxhash64 leaves the seed
+      // untouched for a null child; kernel and executable spec agree on
+      // null-containing token arrays
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i): UTF8String, StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }

@@ -69,11 +69,14 @@ object PipelineRunner {
         val data = loaded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           Sinks.writeVersioned(data, s"$bronzeRoot/${tc.stagingTableName}")
+          // count BEFORE the silver write: appending to silverPath recaches
+          // every plan reading it — the incremental anti-join would re-list
+          // the freshly-appended files and count 0
+          val rows = data.count()
           if (incrementalRun)
             data.drop("schema_version").write
               .mode(org.apache.spark.sql.SaveMode.Append).parquet(silverPath)
           else Sinks.writeMerged(data.drop("schema_version"), silverPath)
-          val rows = data.count()
           registryPath.foreach(p =>
             graft.schema.SchemaRegistry.save(spark, result.registry, p))
           JobReport(name, tc.businessClassName, success = true, rows,

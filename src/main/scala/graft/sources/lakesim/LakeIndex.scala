@@ -72,9 +72,14 @@ object LakeIndex {
   def evalFilter(f: Filter, rec: Map[String, Any]): Boolean = f match {
     case EqualTo(a, v) => rec.get(a).orNull match {
       case null => false
-      case x => (numeric(x), numeric(v)) match {
-        case (Some(xd), Some(vd)) => xd == vd
-        case _ => x == v || x.toString == v.toString
+      case x => (integral(x), integral(v)) match {
+        // 64-bit-exact compare when both sides are integral (a Double
+        // detour would equate ids differing only below 2^-53 relative)
+        case (Some(xl), Some(vl)) => xl == vl
+        case _ => (numeric(x), numeric(v)) match {
+          case (Some(xd), Some(vd)) => xd == vd
+          case _ => x == v || x.toString == v.toString
+        }
       }
     }
     case GreaterThan(a, v)        => cmp(rec, a, v).exists(_ > 0)
@@ -86,11 +91,24 @@ object LakeIndex {
     case _                        => true
   }
 
-  private def cmp(rec: Map[String, Any], attr: String, v: Any): Option[Int] =
-    (rec.get(attr).flatMap(numeric), numeric(v)) match {
-      case (Some(x), Some(y)) => Some(java.lang.Double.compare(x, y))
-      case _ => None
+  private def cmp(rec: Map[String, Any], attr: String, v: Any): Option[Int] = {
+    val x = rec.get(attr).orNull
+    (integral(x), integral(v)) match {
+      case (Some(xl), Some(yl)) => Some(java.lang.Long.compare(xl, yl))
+      case _ => (Option(x).flatMap(numeric), numeric(v)) match {
+        case (Some(xd), Some(yd)) => Some(java.lang.Double.compare(xd, yd))
+        case _ => None
+      }
     }
+  }
+
+  private def integral(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _ => None
+  }
 
   private def numeric(v: Any): Option[Double] = v match {
     case d: Double => Some(d)

@@ -145,7 +145,10 @@ class LakeSimPartitionReader(p: LakeSimPartition)
       val node = mapper.readTree(lines.next())
       val values: Map[String, Any] = node.properties().asScala.map { e =>
         val v = e.getValue
+        // integral JSON numbers stay Long — routing them through Double
+        // would silently lose precision for 64-bit ids above 2^53
         e.getKey -> (if (v.isNull) null
+                     else if (v.isIntegralNumber) v.asLong()
                      else if (v.isNumber) v.asDouble()
                      else if (v.isBoolean) v.asBoolean()
                      else v.asText())
@@ -157,16 +160,19 @@ class LakeSimPartitionReader(p: LakeSimPartition)
             case v => f.dataType match {
               case StringType => UTF8String.fromString(v.toString)
               case LongType => v match {
+                case l: Long => l
                 case d: Double => d.toLong
                 case s: String => s.toLong
                 case b: Boolean => if (b) 1L else 0L
               }
               case IntegerType => v match {
+                case l: Long => l.toInt
                 case d: Double => d.toInt
                 case s: String => s.toInt
                 case b: Boolean => if (b) 1 else 0
               }
               case DoubleType => v match {
+                case l: Long => l.toDouble
                 case d: Double => d
                 case s: String => s.toDouble
                 case b: Boolean => if (b) 1.0 else 0.0

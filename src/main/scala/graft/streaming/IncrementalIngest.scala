@@ -9,9 +9,13 @@ import org.apache.spark.sql.types.StructType
   * loop (SURVEY.md §2.11): the extraction-history file becomes a history
   * table, the id set-difference becomes a per-batch left-anti join, and the
   * schedule/retry loop becomes a file-source stream with checkpointed
-  * offsets. Failed batches are retried by the engine and ids only enter the
-  * history after their rows are written — the reference's at-least-once,
-  * exactly-once-per-id contract (`datalakewrapper.py:180-195, 286-297`).
+  * offsets (`datalakewrapper.py:180-195, 286-297`).
+  *
+  * Exactly-once: both sink and history write to a `batch_id=N` directory in
+  * OVERWRITE mode, and the anti-join reads the history EXCLUDING the current
+  * batch's own directory — so a crash/retry anywhere between the two writes
+  * recomputes the identical `fresh` set and overwrites the same directories
+  * instead of appending duplicates.
   */
 object IncrementalIngest {
 
@@ -22,18 +26,22 @@ object IncrementalIngest {
     *
     * At scale: the history table holds only ids (narrow), so the anti-join
     * broadcasts while the history fits and shuffle-joins beyond that; the
-    * data path appends partition-parallel with no wide transform.
+    * data path appends partition-parallel with no wide transform. Run
+    * [[compact]] periodically to keep the per-batch file sets bounded.
     */
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, idCol: String, sinkPath: String,
                       historyPath: String, checkpointPath: String): Unit = {
     val stream = spark.readStream.schema(schema).parquet(sourcePath)
     val query = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         val history: DataFrame =
-          if (historyExists(session, historyPath))
+          if (tableExists(session, historyPath))
             session.read.parquet(historyPath)
+              // a replayed batch must not anti-join against its own
+              // previous attempt's ids, or the overwrite would empty it
+              .filter(col("batch_id") =!= batchId)
           else session.createDataFrame(
             session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(batch.schema.filter(_.name == idCol)))
@@ -42,8 +50,9 @@ object IncrementalIngest {
           .join(history.select(idCol), Seq(idCol), "left_anti")
           .cache()
         try {
-          fresh.write.mode("append").parquet(sinkPath)
-          fresh.select(idCol).write.mode("append").parquet(historyPath)
+          fresh.write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")
+          fresh.select(idCol).write.mode("overwrite")
+            .parquet(s"$historyPath/batch_id=$batchId")
         } finally fresh.unpersist()
         ()
       }
@@ -53,9 +62,35 @@ object IncrementalIngest {
     query.awaitTermination()
   }
 
-  private def historyExists(spark: SparkSession, path: String): Boolean = {
+  /** Compact a batch-partitioned table (sink or history) into one bounded
+    * file set under `batch_id=-1`, removing the per-batch directories it
+    * absorbed. Keeps the per-batch read cost and file count flat across
+    * arbitrarily many ingest runs; safe between runs (ids stay present
+    * throughout, and a replayed batch overwriting its now-empty directory
+    * cannot duplicate rows that moved into the compacted set). */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Unit = {
+    if (!tableExists(spark, path)) return
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    val batchDirs = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != "batch_id=-1")  // prior compaction: replaced via target swap
+      .map(_.getPath)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    spark.read.parquet(path).drop("batch_id").coalesce(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: new compacted snapshot in, absorbed per-batch dirs out
+    val target = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    batchDirs.foreach(fs.delete(_, true))
+  }
+
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.getPath.getName.startsWith("batch_id=") ||
+        s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -19,8 +19,11 @@ object Sessionize {
   def tagSessions(events: DataFrame, userCol: String, tsCol: String,
                   gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    val gap = unix_timestamp(col(tsCol)) -
-      unix_timestamp(lag(col(tsCol), 1).over(byUser))
+    // full-precision gap (epoch seconds incl. fractional part) so batch and
+    // session_window streaming split sessions identically on sub-second
+    // timestamps — unix_timestamp would truncate to whole seconds
+    val gap = col(tsCol).cast("double") -
+      lag(col(tsCol), 1).over(byUser).cast("double")
     val isNew = when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L)
     events.withColumn("session_id",
       sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -32,6 +32,15 @@ class MinHashSigExprSpec extends SparkSpec {
     assert(out.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("empty input yields an all-null signature, matching the HOF formulation") {
+    val row = Seq(Seq.empty[Long]).toDF("hs")
+      .select(MinHashSigExpr.minhashSig($"hs", 8).as("native"),
+        Dedup.minhashSignatureFromHashesHof($"hs", 8).as("hof"))
+      .collect().head
+    assert(row.getSeq[Any](0) == Seq.fill(8)(null))
+    assert(row.getSeq[Any](0) == row.getSeq[Any](1))
+  }
+
   test("null input yields null") {
     val df = Seq(Option.empty[Seq[Long]]).toDF("hs")
     val out = df.select(MinHashSigExpr.minhashSig($"hs", 8)).collect().head

@@ -21,15 +21,18 @@ class SimHash64ExprSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
   }
 
-  test("null input array yields null, null elements are skipped") {
+  test("null input array yields null; null tokens vote like the HOF formulation") {
     val df = Seq((Some(Seq("a", "b")), 1), (None, 2)).toDF("toks", "i")
     val out = df.select(SimHash64Expr.simhash64($"toks").as("s"))
       .collect().map(r => Option(r.get(0)))
     assert(out(0).isDefined && out(1).isEmpty)
-    // array with a null element: same hash as without it
-    val withNull = Seq(Seq[String]("a", null, "b"), Seq[String]("a", "b"))
-      .toDF("toks").select(SimHash64Expr.simhash64($"toks")).as[Long].collect()
-    assert(withNull(0) == withNull(1))
+    // a null token votes with the untouched xxhash64 seed (42) in BOTH
+    // formulations — kernel and executable spec agree on null elements
+    val withNull = Seq(Seq[String]("a", null, "b")).toDF("toks")
+      .select(SimHash64Expr.simhash64($"toks").as("native"),
+        Dedup.simhash64Hof($"toks").as("hof"))
+      .as[(Long, Long)].collect().head
+    assert(withNull._1 == withNull._2)
   }
 
   test("registered SQL function evaluates (extensions hook)") {

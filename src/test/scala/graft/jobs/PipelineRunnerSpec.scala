@@ -72,4 +72,59 @@ class PipelineRunnerSpec extends SparkSpec {
     // failed class reports its error and doesn't abort the area
     assert(reports.last.error.isDefined)
   }
+
+  val incTableJson =
+    """{
+      |  "gl_transaction_detail": {
+      |    "business_class_name": "FSM_GLTransactionDetail",
+      |    "staging_table_name": "luma_dl_gl_transaction_detail",
+      |    "replication_set_name": "GeneralLedgerRepSet",
+      |    "incremental": true,
+      |    "key_column": "GLTransactionDetail"
+      |  }
+      |}""".stripMargin
+
+  test("incremental re-run loads only new keys and keeps registry ids stable") {
+    val base = Files.createTempDirectory("graft_runner_inc").toString
+    val (lake, bronze, silver, reg) =
+      (s"$base/lake", s"$base/bronze", s"$base/silver", s"$base/registry")
+    Files.createDirectories(Paths.get(lake))
+    val lakeFile = Paths.get(s"$lake/FSM_GLTransactionDetail.ndjson")
+    Files.writeString(lakeFile, Seq(
+      """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""",
+      """{"GLTransactionDetail": 2, "TransactionAmount": 20.5, "JournalCode": "GJ"}"""
+    ).mkString("\n"))
+    val cfg = EngineConfig.fromJson(incTableJson,
+      """{"general_ledger": ["gl_transaction_detail"]}""")
+
+    val r1 = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake, bronze, silver, registryRoot = Some(reg))
+    assert(r1.head.success && r1.head.rows == 2)
+    val saved1 = graft.schema.SchemaRegistry.loadOrSeed(spark,
+      s"$reg/FSM_GLTransactionDetail_schemas.json")
+    val v1 = saved1.versionOf(Set("GLTransactionDetail", "TransactionAmount"))
+    assert(v1.isDefined)
+
+    // restart with a new extract drop: two already-loaded keys plus one new
+    // key with a NEW keyset whose sort order precedes the old ones — only
+    // stable ids keep v1 (a fresh lake dir, as a re-rewritten file would hit
+    // the session's file-status cache in this shared-session spec)
+    val lake2 = s"$base/lake2"
+    Files.createDirectories(Paths.get(lake2))
+    Files.writeString(Paths.get(s"$lake2/FSM_GLTransactionDetail.ndjson"), Seq(
+      """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""",
+      """{"GLTransactionDetail": 2, "TransactionAmount": 20.5, "JournalCode": "GJ"}""",
+      """{"GLTransactionDetail": 3, "Amount": 1.0}"""
+    ).mkString("\n"))
+    val r2 = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake2, bronze, silver, registryRoot = Some(reg))
+    // only the new key loads; silver holds the union without duplicates
+    assert(r2.head.success && r2.head.rows == 1)
+    assert(spark.read.option("mergeSchema", "true").parquet(
+      s"$silver/luma_gl_transaction_detail").count() == 3)
+    val saved2 = graft.schema.SchemaRegistry.loadOrSeed(spark,
+      s"$reg/FSM_GLTransactionDetail_schemas.json")
+    assert(saved2.versionOf(Set("GLTransactionDetail", "TransactionAmount")) == v1)
+    assert(saved2.withoutSeed.versions.size == 3)
+  }
 }

@@ -28,6 +28,19 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(r.allColumns == Set("a", "b", "c"))
   }
 
+  test("save/load round-trips version ids; loadOrSeed seeds when missing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
+    val path = s"$dir/FSM_Account_schemas.json"
+    assert(SchemaRegistry.loadOrSeed(spark, path) == SchemaRegistry.seed)
+    val r = SchemaRegistry.seed.observe(Seq(Set("b", "a"), Set("a")))
+    SchemaRegistry.save(spark, r, path)
+    val back = SchemaRegistry.load(spark, path)
+    assert(back.contains(r))
+    // a later observation on the loaded registry mints past the saved max,
+    // even for a keyset sorting before the existing ones
+    assert(back.get.observe(Seq(Set("0_first"))).versionOf(Set("0_first")).contains(3))
+  }
+
   test("discover + assign tags rows with their keyset version") {
     import spark.implicits._
     val df = Seq(

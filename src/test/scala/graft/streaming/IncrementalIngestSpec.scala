@@ -33,6 +33,35 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(history == Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("compaction bounds the file count across runs without changing content") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val (src, sink, hist, ckpt) =
+      (s"$base/src", s"$base/sink", s"$base/hist", s"$base/ckpt")
+    val schema = Seq((0L, "x")).toDF("dl_id", "payload").schema
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, s"p$i"), (i.toLong + 100, s"q$i")).toDF("dl_id", "payload")
+        .write.mode("append").parquet(src)
+      IncrementalIngest.runAvailableNow(spark, src, schema, "dl_id", sink, hist, ckpt)
+    }
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(hist)
+    IncrementalIngest.compact(spark, hist)
+    IncrementalIngest.compact(spark, sink)
+    assert(parquetFiles(hist) == 1 && parquetFiles(hist) < before)
+    assert(parquetFiles(sink) == 1)
+    // content unchanged; a further run still dedups against compacted history
+    assert(spark.read.parquet(sink).select("dl_id").as[Long].collect().sorted.length == 8)
+    Seq((4L, "replay"), (5L, "new")).toDF("dl_id", "payload")
+      .write.mode("append").parquet(src)
+    IncrementalIngest.runAvailableNow(spark, src, schema, "dl_id", sink, hist, ckpt)
+    val ids = spark.read.parquet(sink).select("dl_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 101L, 102L, 103L, 104L))
+  }
+
   test("tumblingAgg groups events into window buckets (batch = streaming semantics)") {
     val events = Seq(
       ("2024-01-01 00:01:00", "click", 1.0),
