@@ -206,19 +206,43 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** N-gram Jaccard near-dup within blocking groups: candidate pairs are
-    * limited to rows sharing `blockCol` (a cheap partitioner — language,
-    * source, length band), then exact token-n-gram Jaccard verifies. */
+  /** EXACT prefix-filter candidate pairs (the AllPairs/PPJoin principle):
+    * J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so A's last ⌈t·|A|⌉−1 elements (in
+    * the global sort order the hashed-gram arrays already carry) can be
+    * skipped — any qualifying pair MUST share an element inside both
+    * (⌊(1−t)·|A|⌋+1)-prefixes. No false negatives, and the join keys are
+    * rare prefix tokens instead of whole blocks, so the pair count scales
+    * with Σ prefix-bucket² rather than Σ block². */
+  def prefixFilterCandidates(grams: DataFrame, idCol: String,
+                             gramsCol: String, blockCol: String,
+                             threshold: Double): DataFrame = {
+    val prefixLen = (size(col(gramsCol)) -
+      ceil(lit(threshold) * size(col(gramsCol))).cast("int") + 1)
+    val pref = grams.select(col(blockCol), col(idCol),
+      explode(slice(col(gramsCol), lit(1), prefixLen)).as("pfx"))
+    val a = pref.toDF(blockCol, s"${idCol}_a", "pfx")
+    val b = pref.toDF(blockCol, s"${idCol}_b", "pfx")
+    a.join(b, Seq(blockCol, "pfx"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup within blocking groups: candidates come from
+    * the exact prefix filter (same result set as an all-pairs block join —
+    * the within-block m² blowup is gone), then exact token-n-gram Jaccard
+    * verifies. `blockCol` (language, source, length band) still bounds the
+    * candidate space and keeps prefix-token buckets local. */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            blockCol: String, n: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
     val grams = df.select(col(blockCol), col(idCol),
       hashedShingles(wordShingles(TextAnalysis.tokens(lower(col(textCol))), n)).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = grams.toDF(blockCol, s"${idCol}_a", "grams_a")
-    val b = grams.toDF(blockCol, s"${idCol}_b", "grams_b")
-    a.join(b, blockCol)
-      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+    val cands = prefixFilterCandidates(grams, idCol, "grams", blockCol, threshold)
+    val ga = grams.select(col(idCol).as(s"${idCol}_a"), col("grams").as("grams_a"))
+    val gb = grams.select(col(idCol).as(s"${idCol}_b"), col("grams").as("grams_b"))
+    cands.join(ga, s"${idCol}_a").join(gb, s"${idCol}_b")
       // jaccard ≥ t ⇒ gram-set sizes within ratio t: prune pre-intersect
       .filter(size(col("grams_a")).cast("double") >= lit(threshold) * size(col("grams_b")) &&
               size(col("grams_b")).cast("double") >= lit(threshold) * size(col("grams_a")))

@@ -141,16 +141,36 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs within blocking groups (same label).
+    *
+    * EXACT sub-blocking: cos(a,b) ≥ τ on unit vectors means
+    * ‖â−b̂‖² ≤ 2(1−τ) =: r², so every coordinate of the normalized vectors
+    * differs by at most r. Quantizing two coordinates into cells of width r
+    * means a qualifying pair's cells differ by at most 1 per axis — the
+    * b-side probes its 3×3 cell neighborhood and NO qualifying pair is
+    * missed (unlike hyperplane-LSH blocking, which trades recall). Each
+    * pair meets on exactly one (δ0, δ1), so no distinct is needed. The
+    * within-(label, cell) pair count replaces the within-label m² blowup;
+    * at larger scale, quantize more axes the same way.
+    *
     * Norms are computed once per vector before the pair join — the join
-    * evaluates only one dot product per pair instead of three. */
+    * evaluates only one dot product per pair instead of three.
+    */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
+    val r = math.sqrt(2.0 * math.max(1.0 - threshold, 1e-9))
+    def cell(i: Int): Column = floor(
+      element_at(col(vecCol), i + 1).cast("double") /
+        greatest(norm(col(vecCol)), lit(1e-12)) / lit(r)).cast("long")
     val normed = df.select(col(blockCol), col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"))
+      norm(col(vecCol)).as("nrm"), cell(0).as("c0"), cell(1).as("c1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = normed.toDF(blockCol, s"${idCol}_a", "vec_a", "norm_a")
-    val b = normed.toDF(blockCol, s"${idCol}_b", "vec_b", "norm_b")
-    a.join(b, blockCol)
+    val a = normed.toDF(blockCol, s"${idCol}_a", "vec_a", "norm_a", "k0", "k1")
+    val deltas = for (d0 <- Seq(-1L, 0L, 1L); d1 <- Seq(-1L, 0L, 1L)) yield (d0, d1)
+    val b = normed.toDF(blockCol, s"${idCol}_b", "vec_b", "norm_b", "c0", "c1")
+      .withColumn("d", explode(typedLit(deltas)))
+      .select(col(blockCol), col(s"${idCol}_b"), col("vec_b"), col("norm_b"),
+        (col("c0") + col("d._1")).as("k0"), (col("c1") + col("d._2")).as("k1"))
+    a.join(b, Seq(blockCol, "k0", "k1"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .withColumn("cosine_sim",
         dot(col("vec_a"), col("vec_b")) /

@@ -134,15 +134,17 @@ object TrainingData {
         col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
-  /** Frame-sampling batch shape: 5 evenly-spaced 16-byte windows per doc. */
+  /** Frame-sampling batch shape: 5 evenly-spaced 16-byte windows per doc,
+    * one output row per frame (id, index, byte count, content) — the
+    * deterministic offset math is oracle-checked in DuckDB. */
   def frameSampleQ(s: SparkSession, dir: String): DataFrame = {
     val media = docs(s, dir)
       .withColumn("payload", Multimodal.asPayload(col("text")))
     Multimodal.sampleFrames(media, "doc_id", "payload", n = 5, frameBytes = 16)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(length(col("frame"))).as("frame_bytes"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        col("frame").cast("string").as("frame_text"))
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +216,65 @@ object TrainingData {
         | SELECT doc_id, text, n_chars FROM documents
         | UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents) c
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // Exact restatement: jaccard over distinct char-7-shingle STRING sets
+    // equals the engine's hashed-shingle jaccard (no 64-bit collisions on
+    // this corpus — verified bit-identical), and the LSH candidate stage is
+    // exhaustive here (every qualifying pair shares a band; checked against
+    // this very all-pairs SQL at sf0.01 and sf0.001).
+    "q27_minhash_neardup" ->
+      """WITH c AS (
+        | SELECT doc_id, lower(text) AS t FROM documents
+        | UNION ALL SELECT doc_id + 100000 AS doc_id, lower(text) AS t FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+        |   i -> substring(t, CAST(i AS INT), 7))) AS sh
+        | FROM c),
+        |p AS (
+        | SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS inter,
+        |  len(a.sh) AS la, len(b.sh) AS lb
+        | FROM g a JOIN g b ON a.doc_id < b.doc_id
+        | WHERE len(a.sh) >= 0.95 * len(b.sh) AND len(b.sh) >= 0.95 * len(a.sh))
+        |SELECT doc_id_a, doc_id_b,
+        | CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.95
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // Word-3-gram jaccard within (lang, length-band) blocks — the engine's
+    // prefix-filter candidates are exact, so the all-pairs SQL matches.
+    "q29_ngram_jaccard" ->
+      """WITH c AS (
+        | SELECT doc_id, lang || '|' || CAST(n_chars // 32 AS VARCHAR) AS block,
+        |  regexp_extract_all(lower(text), '\S+') AS toks
+        | FROM (SELECT doc_id, lang, n_chars, text FROM documents
+        |       UNION ALL SELECT doc_id + 100000 AS doc_id, lang, n_chars, text
+        |       FROM documents) u),
+        |g AS (
+        | SELECT doc_id, block,
+        |  list_distinct(CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [array_to_string(toks, ' ')] END) AS grams
+        | FROM c),
+        |p AS (
+        | SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  len(list_intersect(a.grams, b.grams)) AS inter,
+        |  len(a.grams) AS la, len(b.grams) AS lb
+        | FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id)
+        |SELECT doc_id_a, doc_id_b,
+        | CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.9
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q34_frame_sample" ->
+      """WITH f AS (
+        | SELECT doc_id, text,
+        |  greatest((length(text) - 16) / 4.0, 1.0) AS step
+        | FROM documents)
+        |SELECT doc_id, i AS frame_idx,
+        | CAST(length(substring(text, CAST(floor(i * step + 1) AS INT), 16)) AS BIGINT) AS frame_bytes,
+        | substring(text, CAST(floor(i * step + 1) AS INT), 16) AS frame_text
+        |FROM f, range(0, 5) r(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q30_embedding_neardup" ->
       s"""WITH c AS (
          | SELECT vec_id, embedding, label FROM embeddings

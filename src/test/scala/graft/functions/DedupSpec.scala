@@ -79,6 +79,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L))) // only the exact dup survives 0.99
   }
 
+  test("prefix-filter candidates lose no qualifying pair and prune the join") {
+    // 40 docs in one block: 20 clone pairs (J=1) + unrelated noise
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 20).flatMap { i =>
+      val words = Seq.fill(12)(s"w${rnd.nextInt(40)}").mkString(" ")
+      Seq((i.toLong, words), (i.toLong + 100, words))
+    }
+    val df = docs.toDF("doc_id", "text").withColumn("blk", lit("b"))
+    val grams = df.select($"blk", $"doc_id",
+      Dedup.hashedShingles(Dedup.wordShingles(TextAnalysis.tokens(lower($"text")), 3)).as("g"))
+    val nCands = Dedup.prefixFilterCandidates(grams, "doc_id", "g", "blk", 0.9).count()
+    val allPairs = docs.size.toLong * (docs.size - 1) / 2
+    assert(nCands < allPairs) // pruned vs the all-pairs block join
+
+    // same final pairs as the all-pairs formulation
+    val viaPrefix = Dedup.ngramJaccardNearDups(df, "doc_id", "text", "blk",
+        n = 3, threshold = 0.9)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val a = grams.toDF("blk", "id_a", "g_a")
+    val b = grams.toDF("blk", "id_b", "g_b")
+    val bruteForce = a.join(b, "blk").filter($"id_a" < $"id_b")
+      .filter(Dedup.jaccardSorted($"g_a", $"g_b") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaPrefix == bruteForce)
+    assert((0 until 20).forall(i => viaPrefix.contains((i.toLong, i.toLong + 100))))
+  }
+
   test("jaccard is zero-guarded on empty arrays") {
     val out = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
       .select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect().head

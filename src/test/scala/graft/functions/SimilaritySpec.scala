@@ -111,4 +111,26 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("cosineNearDups cell blocking equals the all-pairs result (exact, no recall loss)") {
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f), s"l${i % 3}"))
+    // add clones so qualifying pairs exist across cell boundaries too
+    val data = base ++ base.take(25).map { case (id, v, l) =>
+      (id + 1000, v.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f), l) }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val viaCells = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.99)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val n = df.select($"label", $"vec_id", $"embedding",
+      Similarity.norm($"embedding").as("nrm"))
+    val a = n.toDF("label", "id_a", "v_a", "n_a")
+    val b = n.toDF("label", "id_b", "v_b", "n_b")
+    val bruteForce = a.join(b, "label").filter($"id_a" < $"id_b")
+      .filter(Similarity.dot($"v_a", $"v_b") /
+        greatest($"n_a" * $"n_b", lit(1e-12)) >= 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaCells == bruteForce)
+    assert(bruteForce.size >= 25) // the planted clone pairs are all there
+  }
 }
