@@ -104,6 +104,57 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
       .toSeq
 
+  /** Trained IVF centroids: Lloyd (k-means) iterations over a bounded,
+    * deterministic hash-ordered sample, initialized from the hash-sampled
+    * centroids [[ivfCentroids]] would return. The sample collect is the only
+    * driver-side data movement (sampleN rows, not the corpus), which is the
+    * standard coarse-quantizer training shape — FAISS trains IVF on a sample
+    * too. Empty cells keep their previous centroid; ties break to the lower
+    * centroid index, so training is fully deterministic. */
+  def ivfCentroidsTrained(df: DataFrame, vecCol: String, idCol: String,
+                          k: Int, iters: Int = 5,
+                          sampleN: Int = 4096): Seq[Seq[Double]] = {
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(pmod(xxhash64(col(idCol)), lit(1000003L)), col(idCol))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Mean squared distance of each sampled vector to its nearest centroid —
+    * the quantization error Lloyd iterations minimize (diagnostic). */
+  def quantizationError(vectors: Seq[Seq[Double]],
+                        centroids: Seq[Seq[Double]]): Double =
+    if (vectors.isEmpty) 0.0
+    else vectors.map { v =>
+      centroids.map(c => c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    }.sum / vectors.size
+
   /** Squared-L2 distances to every centroid (array, centroid order). */
   private def centroidDists(vec: Column, centroids: Seq[Seq[Double]]): Column =
     transform(typedLit(centroids), c =>

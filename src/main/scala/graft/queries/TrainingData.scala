@@ -114,12 +114,12 @@ object TrainingData {
     Similarity.annTopK(e, "embedding", "vec_id", query, 10, numPlanes = 4)
   }
 
-  /** IVF approximate top-10: coarse-quantized cells, 4-probe search. */
+  /** IVF approximate top-10: Lloyd-trained coarse cells, 4-probe search. */
   def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val query = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-    val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", 16)
+    val centroids = Similarity.ivfCentroidsTrained(e, "embedding", "vec_id", 16)
     Similarity.ivfTopK(e, "embedding", "vec_id", query, 10, centroids, nProbe = 4)
   }
 

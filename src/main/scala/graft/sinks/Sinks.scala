@@ -42,6 +42,24 @@ object Sinks {
   def replaceTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** K5: per-column insert root-cause analysis (reference
+    * `lambda_function.py:245-276`): when a bulk load fails, retry the write
+    * with each non-key column in isolation (alongside the keys) to identify
+    * which columns poison the sink, and return them with their errors.
+    * A driver loop over k columns by design — this is a failure diagnostic,
+    * not a data path; each probe write is still fully distributed. */
+  def perColumnRca(df: DataFrame, keys: Seq[String],
+                   writeFn: DataFrame => Unit): Map[String, String] =
+    df.columns.filterNot(keys.contains).flatMap { c =>
+      try {
+        writeFn(df.select((keys :+ c).map(df.col): _*))
+        None
+      } catch {
+        case e: Exception =>
+          Some(c -> Option(e.getMessage).getOrElse(e.toString).take(500))
+      }
+    }.toMap
+
   /** MSSQL-compatible value conversion, reproducing the reference's sink
     * type system (`metadata/types.py:88-102` + `lambda_function.py:184-199`):
     * booleans become 'True'/'False' text (varchar(5) semantics), doubles

@@ -16,6 +16,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftMergeExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

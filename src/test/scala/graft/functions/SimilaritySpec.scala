@@ -104,6 +104,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf1.nonEmpty && ivf1.head == brute.head)
   }
 
+  test("Lloyd-trained centroids cut quantization error and lift probe recall") {
+    // four well-separated clusters; hash-sampled centroids land arbitrarily
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 200).map { i =>
+      val center = i % 4
+      val base = Seq(
+        Seq(4.0f, 0.0f, 0.0f), Seq(-4.0f, 0.0f, 0.0f),
+        Seq(0.0f, 4.0f, 0.0f), Seq(0.0f, -4.0f, 0.0f))(center)
+      (i.toLong, base.map(_ + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = data.toDF("id", "v")
+    val untrained = Similarity.ivfCentroids(df, "v", "id", 4)
+    val trained = Similarity.ivfCentroidsTrained(df, "v", "id", 4, iters = 5)
+    assert(trained == Similarity.ivfCentroidsTrained(df, "v", "id", 4, iters = 5))
+    val vecs = data.map(_._2.map(_.toDouble))
+    val errU = Similarity.quantizationError(vecs, untrained)
+    val errT = Similarity.quantizationError(vecs, trained)
+    assert(errT < errU)
+    // single-probe recall vs brute force improves with trained cells
+    val q = Seq(4.0, 0.1, 0.0)
+    val brute = Similarity.bruteForceTopK(df, "v", "id", q, 20)
+      .select("id").as[Long].collect().toSet
+    def recall(cents: Seq[Seq[Double]]): Double = {
+      val got = Similarity.ivfTopK(df, "v", "id", q, 20, cents, nProbe = 1)
+        .select("id").as[Long].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    assert(recall(trained) >= recall(untrained))
+    assert(recall(trained) == 1.0) // the query's cluster is one trained cell
+  }
+
   test("cosineNearDups finds identical pairs within blocks only") {
     val df = vecs.toDF("vec_id", "embedding")
       .withColumn("label", when($"vec_id" < 3, 1).otherwise(2))

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+import graft.SparkSpec
+
+/** The §7.3 custom-Catalyst surface: `MERGE INTO` SQL over plain relations,
+  * rewritten by GraftMergeRule into the engine's Upsert. */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MERGE INTO temp view runs the upsert and replaces the target") {
+    Seq((1L, "old", 10.0), (2L, "keep", 20.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("warehouse")
+    Seq((1L, "new", 11.0), (3L, "ins", 30.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("staging")
+    spark.sql(
+      """MERGE INTO warehouse USING staging ON warehouse.k = staging.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("warehouse").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "new", 11.0), (2L, "keep", 20.0), (3L, "ins", 30.0)))
+  }
+
+  test("MERGE INTO a saved table overwrites it with the merged rows") {
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "amt")
+      .write.mode("overwrite").saveAsTable("graft_merge_target")
+    Seq((2L, 9.0), (3L, 3.0)).toDF("k", "amt")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO graft_merge_target USING merge_src
+        |ON graft_merge_target.k = merge_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("graft_merge_target").orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
+    spark.sql("DROP TABLE graft_merge_target")
+  }
+
+  test("compound keys come from the AND conjunction") {
+    Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "amt")
+      .createOrReplaceTempView("warehouse2")
+    Seq((1L, "b", 9.0), (2L, "c", 3.0)).toDF("k1", "k2", "amt")
+      .createOrReplaceTempView("staging2")
+    spark.sql(
+      """MERGE INTO warehouse2 USING staging2
+        |ON warehouse2.k1 = staging2.k1 AND warehouse2.k2 = staging2.k2
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("warehouse2").orderBy("k1", "k2")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 1.0), (1L, "b", 9.0), (2L, "c", 3.0)))
+  }
+
+  test("unsupported merge shapes fail loudly") {
+    Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("warehouse3")
+    Seq((1L, 2.0)).toDF("k", "amt").createOrReplaceTempView("staging3")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO warehouse3 USING staging3 ON warehouse3.k = staging3.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("graft MERGE INTO") ||
+      e.getMessage.toLowerCase.contains("merge"))
+  }
+
+  test("rule converts the logical plan shape (keys, tables)") {
+    Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("warehouse4")
+    Seq((1L, 2.0)).toDF("k", "amt").createOrReplaceTempView("staging4")
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      """MERGE INTO warehouse4 USING staging4 ON warehouse4.k = staging4.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val cmd = GraftMerge.convert(parsed.asInstanceOf[MergeIntoTable])
+      .asInstanceOf[GraftMergeCommand]
+    assert(cmd.targetTable == "warehouse4" && cmd.sourceTable == "staging4")
+    assert(cmd.keys == Seq("k"))
+  }
+}

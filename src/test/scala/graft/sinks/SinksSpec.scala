@@ -8,6 +8,25 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 
 class SinksSpec extends SparkSpec {
+
+  test("perColumnRca isolates the poison column behind a bulk-write failure") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "10.5", "ok", "2023-01-01"),
+      (2L, "oops", "ok", "2023-01-02"))
+      .toDF("id", "amount", "status", "day")
+    // simulated typed staging table: ANSI casts throw on executors for
+    // values the declared column type rejects, like a JDBC sink would
+    val colTypes = Map("id" -> "bigint", "amount" -> "double",
+      "status" -> "string", "day" -> "date")
+    val strictSink: org.apache.spark.sql.DataFrame => Unit = d =>
+      d.select(d.columns.map(c => col(c).cast(colTypes(c))): _*)
+        .write.format("noop").mode("overwrite").save()
+    intercept[Exception] { strictSink(df) } // the bulk write fails...
+    val rca = Sinks.perColumnRca(df, Seq("id"), strictSink)
+    assert(rca.keySet == Set("amount")) // ...and RCA isolates the one offender
+    assert(Sinks.perColumnRca(df.filter($"id" === 1), Seq("id"), strictSink).isEmpty)
+  }
   import spark.implicits._
 
   test("writeVersioned partitions by schema version (and inc id when set)") {
