@@ -88,7 +88,9 @@ object GraftMerge {
   private def notSupported(msg: String) =
     new UnsupportedOperationException(s"graft MERGE INTO: $msg")
 
-  private[plans] def convert(m: MergeIntoTable): LogicalPlan = {
+  /** Rewrite a parsed MergeIntoTable into the runnable command (also usable
+    * programmatically on sessions built without the extension). */
+  def convert(m: MergeIntoTable): LogicalPlan = {
     if (!isUpdateAll(m.matchedActions))
       throw notSupported("WHEN MATCHED must be exactly `THEN UPDATE SET *`")
     if (!isInsertAll(m.notMatchedActions))

@@ -141,6 +141,31 @@ object EtlOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** §7.3: the upsert driven through the actual `MERGE INTO` SQL statement —
+    * parsed by Spark's parser, rewritten by the GraftMerge rule logic, and
+    * executed against temp views. Same expected result as q13. */
+  def mergeSqlQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_q45_warehouse")
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) *
+          lit(1.1).cast(DecimalType(18, 2))).cast("double").as("o_totalprice"))
+      .createOrReplaceTempView("graft_q45_staging")
+    val parsed = s.sessionState.sqlParser.parsePlan(
+      """MERGE INTO graft_q45_warehouse USING graft_q45_staging
+        |ON graft_q45_warehouse.o_orderkey = graft_q45_staging.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.plans.GraftMerge
+      .convert(parsed.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable])
+      .asInstanceOf[graft.plans.GraftMergeCommand]
+      .run(s)
+    s.table("graft_q45_warehouse").orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
@@ -152,6 +177,7 @@ object EtlOps {
     "q19_watermark"      -> watermarkQ _,
     "q20_schema_drift"   -> schemaDriftQ _,
     "q21_count_reconcile" -> countReconcileQ _,
+    "q45_merge_sql"       -> mergeSqlQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +254,15 @@ object EtlOps {
         | CAST(MAX(l_linenumber) AS BIGINT) AS declared_count,
         | COUNT(*) = MAX(l_linenumber) AS count_match
         |FROM lineitem GROUP BY l_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q45_merge_sql" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY p DESC) AS rn FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS p FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'F' AS o_orderstatus,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |   1 AS p
+        |  FROM orders WHERE o_orderstatus = 'O') u) v
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
   )
 }

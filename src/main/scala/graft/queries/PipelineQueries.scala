@@ -82,6 +82,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema-registry persistence round-trip (reference `{bc}_schemas.json`,
+    * `datalakewrapper.py:180-186`): ingest the even-key records first and
+    * SAVE the registry, then load it back and ingest the full drifted set.
+    * The odd-key keyset sorts BEFORE the even-key one, so only stable
+    * persisted ids produce version 1 = even keyset — which is exactly what
+    * the oracle pins. */
+  def registryRoundTripQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val even = o.filter(col("o_orderkey") % 2 === 0)
+      .select(to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("rec"))
+    val full = o.select(
+      when(col("o_orderkey") % 2 === 0,
+        to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+      .otherwise(to_json(struct(col("o_custkey"), col("o_orderkey")))).as("rec"))
+    val regPath = java.nio.file.Files.createTempDirectory("graft_reg_q44")
+      .resolve("orders_schemas.json").toString
+    val first = graft.jobs.IngestPipeline.ingest(s, even, "rec")
+    graft.schema.SchemaRegistry.save(s, first.registry, regPath)
+    val loaded = graft.schema.SchemaRegistry.loadOrSeed(s, regPath)
+    graft.jobs.IngestPipeline.ingest(s, full, "rec", loaded).silver
+      .withColumn("schema_version", col("schema_version").cast("long"))
+      .withColumn("o_orderkey", col("o_orderkey").cast("long"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -97,6 +122,7 @@ object PipelineQueries {
     "q43_sessionize"      -> sessionizeQ _,
     "q36_ingest_pipeline" -> ingestPipelineQ _,
     "q37_lakesim_scan"    -> lakesimScanQ _,
+    "q44_registry_roundtrip" -> registryRoundTripQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +156,15 @@ object PipelineQueries {
         | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,
         | CAST(o_totalprice AS VARCHAR) AS o_totalprice,
         | CAST(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // version 1 = the EVEN keyset even though the odd keyset sorts first:
+    // only the persisted registry produces this assignment
+    "q44_registry_roundtrip" ->
+      """SELECT
+        | CASE WHEN o_orderkey % 2 <> 0 THEN CAST(o_custkey AS VARCHAR) END AS o_custkey,
+        | o_orderkey,
+        | CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_totalprice AS VARCHAR) END AS o_totalprice,
+        | CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
