@@ -107,6 +107,43 @@ object PipelineQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** FSM-cursor scan end-to-end (S6): the documents table re-laid out as a
+    * chain of cursor pages (count header + `_links` follow + zero-count
+    * terminal), scanned through the CursorSim source with filter + column
+    * pushdown, checked against DuckDB over the original table. */
+  def cursorScanQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .collect()
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_cursorsim").toString
+    val pages = docs.grouped(math.max(docs.length / 4, 1)).toSeq
+    pages.zipWithIndex.foreach { case (rows, i) =>
+      val next = if (i + 1 < pages.length) s"page${i + 1}.json" else "terminal.json"
+      val header =
+        s"""{"_count": ${rows.length}, "_links": [{"href": "page$i.json"}, {"href": "$next"}]}"""
+      val recs = rows.map(r =>
+        s"""{"_fields": {"doc_id": ${r.getLong(0)}, "lang": "${r.getString(1)}",
+           | "source": "${r.getString(2)}", "n_chars": ${r.getLong(3)}}}"""
+          .stripMargin.replace("\n", ""))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$lakeDir/page$i.json"),
+        (header +: recs).mkString("[", ",", "]"))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$lakeDir/terminal.json"),
+      """[{"_count": 0, "_links": [{"href": "terminal.json"}, {"href": "page0.json"}]}]""")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.format(classOf[graft.sources.lakesim.CursorSimSource].getName)
+      .schema(schema).option("path", lakeDir).option("start", "page0.json").load()
+      .filter(col("n_chars") <= 300 && col("source") === "src7")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -123,6 +160,7 @@ object PipelineQueries {
     "q36_ingest_pipeline" -> ingestPipelineQ _,
     "q37_lakesim_scan"    -> lakesimScanQ _,
     "q44_registry_roundtrip" -> registryRoundTripQ _,
+    "q46_cursor_scan"     -> cursorScanQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +189,9 @@ object PipelineQueries {
     "q37_lakesim_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q46_cursor_scan" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars <= 300 AND source = 'src7' ORDER BY doc_id""".stripMargin,
     "q36_ingest_pipeline" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,

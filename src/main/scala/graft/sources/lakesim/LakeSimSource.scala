@@ -126,6 +126,54 @@ class LakeSimReaderFactory extends PartitionReaderFactory {
     new LakeSimPartitionReader(p.asInstanceOf[LakeSimPartition])
 }
 
+/** Shared JSON-value → InternalRow conversion for the lakesim readers. */
+object JsonRecords {
+
+  /** Flatten a JSON object node to a value map. Integral JSON numbers stay
+    * Long — routing them through Double would silently lose precision for
+    * 64-bit ids above 2^53. */
+  def valueMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Any] =
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> (if (v.isNull) null
+                   else if (v.isIntegralNumber) v.asLong()
+                   else if (v.isNumber) v.asDouble()
+                   else if (v.isBoolean) v.asBoolean()
+                   else v.asText())
+    }.toMap
+
+  /** Project a value map onto the required schema. */
+  def toRow(values: Map[String, Any], required: StructType): InternalRow =
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+      values.get(f.name).orNull match {
+        case null => null
+        case v => f.dataType match {
+          case StringType => UTF8String.fromString(v.toString)
+          case LongType => v match {
+            case l: Long => l
+            case d: Double => d.toLong
+            case s: String => s.toLong
+            case b: Boolean => if (b) 1L else 0L
+          }
+          case IntegerType => v match {
+            case l: Long => l.toInt
+            case d: Double => d.toInt
+            case s: String => s.toInt
+            case b: Boolean => if (b) 1 else 0
+          }
+          case DoubleType => v match {
+            case l: Long => l.toDouble
+            case d: Double => d
+            case s: String => s.toDouble
+            case b: Boolean => if (b) 1.0 else 0.0
+          }
+          case BooleanType => v.asInstanceOf[Boolean]
+          case _ => null
+        }
+      }
+    })
+}
+
 /** Reads one page of one data object's NDJSON, applying the pushed filters
   * and projecting the required fields — the simulated "server side". */
 class LakeSimPartitionReader(p: LakeSimPartition)
@@ -142,46 +190,9 @@ class LakeSimPartitionReader(p: LakeSimPartition)
 
   override def next(): Boolean = {
     while (lines.hasNext) {
-      val node = mapper.readTree(lines.next())
-      val values: Map[String, Any] = node.properties().asScala.map { e =>
-        val v = e.getValue
-        // integral JSON numbers stay Long — routing them through Double
-        // would silently lose precision for 64-bit ids above 2^53
-        e.getKey -> (if (v.isNull) null
-                     else if (v.isIntegralNumber) v.asLong()
-                     else if (v.isNumber) v.asDouble()
-                     else if (v.isBoolean) v.asBoolean()
-                     else v.asText())
-      }.toMap
+      val values = JsonRecords.valueMap(mapper.readTree(lines.next()))
       if (p.pushed.forall(f => LakeIndex.evalFilter(f, values))) {
-        current = InternalRow.fromSeq(p.required.fields.toIndexedSeq.map { f =>
-          values.get(f.name).orNull match {
-            case null => null
-            case v => f.dataType match {
-              case StringType => UTF8String.fromString(v.toString)
-              case LongType => v match {
-                case l: Long => l
-                case d: Double => d.toLong
-                case s: String => s.toLong
-                case b: Boolean => if (b) 1L else 0L
-              }
-              case IntegerType => v match {
-                case l: Long => l.toInt
-                case d: Double => d.toInt
-                case s: String => s.toInt
-                case b: Boolean => if (b) 1 else 0
-              }
-              case DoubleType => v match {
-                case l: Long => l.toDouble
-                case d: Double => d
-                case s: String => s.toDouble
-                case b: Boolean => if (b) 1.0 else 0.0
-              }
-              case BooleanType => v.asInstanceOf[Boolean]
-              case _ => null
-            }
-          }
-        })
+        current = JsonRecords.toRow(values, p.required)
         return true
       }
     }
