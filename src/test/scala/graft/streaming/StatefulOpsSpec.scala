@@ -31,4 +31,43 @@ class StatefulOpsSpec extends SparkSpec {
       assert(after2.n_events == 3 && after2.total_value == 7.0)
     } finally query.stop()
   }
+
+  test("flatMapGroupsWithState sessions emit exactly once, on close") {
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[StatefulOps.TimedEvent]
+    val query = StatefulOps.startClosedSessions(input.toDS(), gapSeconds = 60,
+      "closed_sessions")
+    try {
+      // one burst for user 1; nothing closes while it could still continue
+      input.addData(
+        StatefulOps.TimedEvent(1L, ts(100), 1.0),
+        StatefulOps.TimedEvent(1L, ts(130), 2.0))
+      query.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0)
+
+      // a same-batch gap crossing closes the first session immediately
+      input.addData(
+        StatefulOps.TimedEvent(1L, ts(400), 5.0),
+        StatefulOps.TimedEvent(1L, ts(420), 1.0))
+      query.processAllAvailable()
+      val s1 = spark.table("closed_sessions")
+        .as[StatefulOps.ClosedSession].collect().toSeq
+      assert(s1.map(s => (s.user_id, s.session_start.getTime / 1000,
+        s.session_end.getTime / 1000, s.n_events, s.total_value)) ==
+        Seq((1L, 100L, 130L, 2L, 3.0)))
+
+      // advancing the watermark past end+gap times the open session out
+      input.addData(StatefulOps.TimedEvent(2L, ts(1000), 9.0))
+      query.processAllAvailable()
+      input.addData(StatefulOps.TimedEvent(2L, ts(1001), 1.0))
+      query.processAllAvailable()
+      val s2 = spark.table("closed_sessions")
+        .as[StatefulOps.ClosedSession].collect().toSeq
+        .filter(_.user_id == 1L)
+      assert(s2.map(s => (s.session_start.getTime / 1000,
+        s.session_end.getTime / 1000, s.n_events, s.total_value)).toSet ==
+        Set((100L, 130L, 2L, 3.0), (400L, 420L, 2L, 6.0)))
+    } finally query.stop()
+  }
 }
