@@ -21,13 +21,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Keep one row per exact text value (the minimum id wins — the
-    * reference-style deterministic keeper). */
+    * reference-style deterministic keeper).
+    *
+    * Formulated as a `min_by` aggregation rather than a window: a window
+    * must shuffle EVERY row then sort, while the aggregate combines
+    * map-side — on a clone-heavy corpus most duplicate rows never leave
+    * their input partition. Grouping by (xxhash64, text) keeps the 64-bit
+    * hash in front of the partitioner so giant text keys can't skew one
+    * reducer. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
-      .orderBy(col(idCol))
-    df.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn")
+    // the text rides in the grouping key; carrying it in the struct too
+    // would double the shuffled bytes per row
+    val others = df.columns.filterNot(_ == textCol)
+    df.groupBy(xxhash64(col(textCol)), col(textCol))
+      .agg(min_by(struct(others.map(col): _*), col(idCol)).as("_graft_row"))
+      .select(df.columns.map(c =>
+        if (c == textCol) col(textCol) else col(s"_graft_row.$c")): _*)
   }
 
   /** Character k-shingles of a string (k consecutive chars, step 1). */
@@ -70,6 +79,12 @@ object Dedup {
     * to `hashedShingles(charShingles(text, k))`. */
   def hashedCharShingles(text: Column, k: Int): Column =
     graft.expressions.HashedShinglesExpr.hashedShingles(text, k)
+
+  /** Fused word-n-gram hashing: token array → sorted distinct hashes in one
+    * native pass; identical output to `hashedShingles(wordShingles(toks, n))`
+    * on null-free token arrays (pinned by WordShingleHashExprSpec). */
+  def hashedWordShingles(toks: Column, n: Int): Column =
+    graft.expressions.WordShingleHashExpr.wordShingleHashes(toks, n)
 
   /** MinHash signature over pre-hashed shingles — native single-pass
     * expression (see `graft.expressions.MinHashSigExpr`). */
@@ -237,7 +252,7 @@ object Dedup {
                            blockCol: String, n: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
     val grams = df.select(col(blockCol), col(idCol),
-      hashedShingles(wordShingles(TextAnalysis.tokens(lower(col(textCol))), n)).as("grams"))
+      hashedWordShingles(TextAnalysis.tokens(lower(col(textCol))), n).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefixFilterCandidates(grams, idCol, "grams", blockCol, threshold)
     val ga = grams.select(col(idCol).as(s"${idCol}_a"), col("grams").as("grams_a"))
