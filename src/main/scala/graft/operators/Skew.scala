@@ -26,7 +26,12 @@ object Skew {
       pmod(xxhash64(col(distCol)), lit(saltN.toLong)))
     val replicated = small.withColumn("_graft_salt",
       explode(sequence(lit(0L), lit(saltN - 1L))))
-    salted.join(replicated, keys :+ "_graft_salt").drop("_graft_salt")
+    // a salted join IS a shuffle join — if the small side fit a broadcast,
+    // you would broadcast it unsalted instead. Without the hint Catalyst
+    // happily broadcasts the saltN-times-replicated side, paying a
+    // saltN-times-larger broadcast build for nothing.
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "_graft_salt")
+      .drop("_graft_salt")
   }
 
   /** Two-phase aggregation with an explicit salt — useful when a custom

@@ -166,6 +166,20 @@ object EtlOps {
     s.table("graft_q45_warehouse").orderBy(col("o_orderkey"))
   }
 
+  /** Skew-salted fact-fact join (§7.4): lineitem joined to orders on the
+    * order key with an explicit 16-way salt — result rows equal the plain
+    * inner join exactly, which is what the oracle states. */
+  def skewJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.operators.Skew.saltedJoin(l, o, Seq("l_orderkey"),
+        distCol = "l_linenumber", saltN = 16)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
@@ -178,6 +192,7 @@ object EtlOps {
     "q20_schema_drift"   -> schemaDriftQ _,
     "q21_count_reconcile" -> countReconcileQ _,
     "q45_merge_sql"       -> mergeSqlQ _,
+    "q47_skew_join"       -> skewJoinQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,5 +279,10 @@ object EtlOps {
         |   1 AS p
         |  FROM orders WHERE o_orderstatus = 'O') u) v
         |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q47_skew_join" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_quantity, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }
