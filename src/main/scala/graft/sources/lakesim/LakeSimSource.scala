@@ -180,11 +180,13 @@ class LakeSimPartitionReader(p: LakeSimPartition)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = {
-    val src = scala.io.Source.fromFile(p.file)
-    try src.getLines().toVector finally src.close()
-  }.slice(p.startRecord.toInt, p.startRecord.toInt + p.pageSize)
-    .filter(_.nonEmpty).iterator
+  // stream the page lazily: a page partition holds pageSize records, never
+  // the whole object in memory (a 10 GB object with 10k-row pages would
+  // otherwise materialize fully in EVERY page partition)
+  private val source = scala.io.Source.fromFile(p.file)
+  private val lines = source.getLines()
+    .slice(p.startRecord.toInt, p.startRecord.toInt + p.pageSize)
+    .filter(_.nonEmpty)
 
   private var current: InternalRow = _
 
@@ -200,5 +202,5 @@ class LakeSimPartitionReader(p: LakeSimPartition)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = source.close()
 }
