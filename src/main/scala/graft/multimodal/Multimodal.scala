@@ -64,4 +64,43 @@ object Multimodal {
     * partition set — the pre-decode layout step at scale. */
   def partitionForDecode(df: DataFrame, idCol: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(idCol))
+
+  final case class DecodedMeta(n_bytes: Long, format: String,
+                               width: Int, height: Int)
+
+  /** Partition-wise batch decode: the codec runs once per row INSIDE a
+    * partition iterator (the Scala analog of a batched decode UDF), so a
+    * real native decoder amortizes its per-partition init (model load,
+    * codec context) across the whole batch and the pipeline shape —
+    * schema, partitioning, batch iteration — doesn't change when one
+    * binds. The default codec is the deterministic stub. */
+  def decodePartitions(df: DataFrame, idCol: String, payloadCol: String,
+                       codec: Array[Byte] => DecodedMeta = stubCodec)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("meta", StructType(Seq(
+        StructField("n_bytes", LongType), StructField("format", StringType),
+        StructField("width", IntegerType), StructField("height", IntegerType))))))
+    val rdd = df.select(col(idCol), col(payloadCol)).rdd.mapPartitions { it =>
+      // per-partition codec init would go here (once, not per row)
+      it.map { r =>
+        val m = codec(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), Row(m.n_bytes, m.format, m.width, m.height))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB codec mirroring [[fakeDecodeMeta]] byte-for-byte (pinned by
+    * MultimodalSpec) — swap for a real header parser in deployment. */
+  def stubCodec(payload: Array[Byte]): DecodedMeta = {
+    val hex = payload.take(4).map("%02X".format(_)).mkString
+    val firstByte = if (payload.nonEmpty) payload(0) & 0xFF else 0
+    DecodedMeta(payload.length.toLong, hex,
+      firstByte % 64 * 16 + 16, firstByte % 48 * 16 + 16)
+  }
 }

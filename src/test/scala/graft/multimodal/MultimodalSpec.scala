@@ -23,6 +23,20 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.forall { case (w, h) => w >= 16 && h >= 16 })
   }
 
+  test("decodePartitions batch decode equals the expression-level stub") {
+    val viaExpr = media
+      .select($"media_id", Multimodal.fakeDecodeMeta($"payload").as("meta"))
+      .orderBy("media_id").collect().map(_.toString)
+    val viaPartitions = Multimodal.decodePartitions(media, "media_id", "payload")
+      .orderBy("media_id").collect().map(_.toString)
+    assert(viaPartitions.toSeq == viaExpr.toSeq)
+    // a custom codec binds without changing the pipeline shape
+    val custom = Multimodal.decodePartitions(media, "media_id", "payload",
+      b => Multimodal.DecodedMeta(b.length.toLong, "RAW", 1, 1))
+      .select($"meta.format").as[String].collect()
+    assert(custom.forall(_ == "RAW"))
+  }
+
   test("sampleFrames yields n frames of the requested byte width") {
     val frames = Multimodal.sampleFrames(media.filter($"media_id" === 1),
       "media_id", "payload", n = 5, frameBytes = 8)

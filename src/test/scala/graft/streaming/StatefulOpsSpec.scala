@@ -70,4 +70,23 @@ class StatefulOpsSpec extends SparkSpec {
         Set((100L, 130L, 2L, 3.0), (400L, 420L, 2L, 6.0)))
     } finally query.stop()
   }
+
+  test("dedupStream drops watermark-window duplicates with bounded state") {
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val query = EventStreams.dedupStream(
+        input.toDS().toDF("dl_id", "ts"), "dl_id", "ts", "30 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      input.addData((1L, ts(100)), (1L, ts(105)), (2L, ts(110)))
+      query.processAllAvailable()
+      input.addData((1L, ts(112)), (3L, ts(115))) // 1 is a within-window dup
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("dl_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
 }
