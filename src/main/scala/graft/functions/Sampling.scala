@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * `sample()`/reservoir approaches are nondeterministic under retries and
+  * repartitioning — poison for reproducible dataset builds. Hash sampling
+  * decides per ROW from a stable key: keep the row when its md5-hex prefix
+  * sorts below the rate-derived threshold. Properties that matter at
+  * 100 TB: no shuffle (a pure filter, pushed to the scan), identical
+  * results on any partitioning/cluster size, trivially portable to any
+  * engine with md5 (the DuckDB oracle states the same predicate), and
+  * composable — the same key always lands in the same side of the cut, so
+  * growing the rate strictly grows the sample.
+  */
+object Sampling {
+
+  /** Lowercase 8-hex-char threshold for a sampling rate in [0, 1]. */
+  def thresholdHex(rate: Double): String = {
+    val r = math.min(math.max(rate, 0.0), 1.0)
+    f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Uniform deterministic sample: keep rows with md5(key) prefix below
+    * the threshold. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < lit(thresholdHex(rate)))
+
+  /** The row's stable sampling coordinate (md5-hex prefix of the key). */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. keep 50% of
+    * English, 10% of everything else — the usual language/source
+    * rebalancing step in corpus curation). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(stratumCol) === stratum, lit(thresholdHex(rate)))
+    }.otherwise(lit(thresholdHex(defaultRate)))
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+}

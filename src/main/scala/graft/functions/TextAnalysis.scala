@@ -73,6 +73,12 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(array_join(tokens(lower(c)), " "))
 
+  /** Boilerplate cleanup for scraped corpora: markup tags → space, then
+    * whitespace collapsed and trimmed. Pure codegen'd regexps — the first
+    * pass every web-scrape ingest runs before analysis/dedup. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
   private val P = 1000000007L
 
   /** Order-sensitive rolling token hash (polynomial, mod 1e9+7). ANSI-safe:

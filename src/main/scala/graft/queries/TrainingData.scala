@@ -147,6 +147,25 @@ object TrainingData {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Deterministic stratified sampling (corpus rebalancing): keep 50% of
+    * en, 25% of es, 10% of the rest, decided per row by a stable md5
+    * coordinate — reproducible on any partitioning, stated identically in
+    * the oracle. */
+  def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Scrape cleanup: markup stripped, whitespace collapsed (tags injected
+    * around the document text so the strip path is exercised). */
+  def textCleanQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextAnalysis.cleanText(concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p>\n<br/>"))).as("cleaned"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_token_count"       -> tokenCountQ _,
     "q23_quality_score"     -> qualityQ _,
@@ -163,6 +182,8 @@ object TrainingData {
     "q32_ann_topk"          -> annTopKQ _,
     "q33_multimodal"        -> multimodalQ _,
     "q34_frame_sample"      -> frameSampleQ _,
+    "q48_stratified_sample" -> stratifiedSampleQ _,
+    "q49_text_clean"        -> textCleanQ _,
   )
 
   private val cosExpr =
@@ -265,6 +286,21 @@ object TrainingData {
         | CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.9
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang,
+        | substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        | CASE WHEN lang = 'en' THEN '80000000'
+        |      WHEN lang = 'es' THEN '40000000'
+        |      ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+    "q49_text_clean" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(
+        |   '<p class="x">' || text || '</p>' || chr(10) || '<br/>',
+        |   '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_frame_sample" ->
       """WITH f AS (
         | SELECT doc_id, text,

@@ -52,4 +52,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == out(2) && out(0) != out(1))
     assert(out.forall(h => h >= 0 && h < 1000000007L))
   }
+
+  test("cleanText strips markup and collapses whitespace") {
+    val out = Seq(
+      "<p class=\"x\">hello   <b>world</b></p>\n<br/>",
+      "  plain\t\ttext  ",
+      "a < b but 2 > 1")
+      .toDF("t").select(TextAnalysis.cleanText($"t")).as[String].collect()
+    assert(out(0) == "hello world")
+    assert(out(1) == "plain text")
+    assert(out(2) == "a 1") // '< b but 2 >' parses as a tag — regex, not HTML
+  }
 }
