@@ -180,6 +180,22 @@ object EtlOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** As-of join over the events stream: even-id events are the probe side,
+    * odd-id events (deduped to one quote per user/second) are the
+    * reference side; each probe picks up the latest quote at or before its
+    * timestamp. DuckDB states the same semantics natively with ASOF JOIN. */
+  def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val probes = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val quotes = e.filter(col("event_id") % 2 === 1)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("quote"))
+    graft.operators.AsofJoin(probes, quotes, Seq("user_id"), "ts", Seq("quote"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
@@ -193,6 +209,7 @@ object EtlOps {
     "q21_count_reconcile" -> countReconcileQ _,
     "q45_merge_sql"       -> mergeSqlQ _,
     "q47_skew_join"       -> skewJoinQ _,
+    "q50_asof_join"       -> asofJoinQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +301,18 @@ object EtlOps {
         | l_quantity, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q50_asof_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, date_trunc('second', ts) AS ts, value
+        | FROM events),
+        |probes AS (
+        | SELECT event_id, user_id, ts FROM e WHERE event_id % 2 = 0),
+        |quotes AS (
+        | SELECT user_id, ts, max(value) AS quote FROM e
+        | WHERE event_id % 2 = 1 GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts, q.quote
+        |FROM probes p ASOF LEFT JOIN quotes q
+        | ON p.user_id = q.user_id AND p.ts >= q.ts
+        |ORDER BY p.event_id""".stripMargin,
   )
 }
