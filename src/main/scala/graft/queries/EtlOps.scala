@@ -196,6 +196,24 @@ object EtlOps {
       .orderBy(col("event_id"))
   }
 
+  /** Bucketed range join: odd-id events open 2-hour windows, even-id
+    * events are points; each point attaches to every same-user window
+    * containing it. */
+  def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val intervals = e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("iv_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val points = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals,
+        Seq("user_id"), "ts", "start_ts", "end_ts", bucketSeconds = 7200L)
+      .select(col("iv_id"), col("event_id"), col("user_id"), col("ts"))
+      .orderBy(col("iv_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
@@ -210,6 +228,7 @@ object EtlOps {
     "q45_merge_sql"       -> mergeSqlQ _,
     "q47_skew_join"       -> skewJoinQ _,
     "q50_asof_join"       -> asofJoinQ _,
+    "q51_range_join"      -> rangeJoinQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +333,17 @@ object EtlOps {
         |FROM probes p ASOF LEFT JOIN quotes q
         | ON p.user_id = q.user_id AND p.ts >= q.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q51_range_join" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events),
+        |iv AS (
+        | SELECT event_id AS iv_id, user_id, ts AS start_ts,
+        |  ts + INTERVAL 2 HOUR AS end_ts
+        | FROM e WHERE event_id % 2 = 1),
+        |pt AS (SELECT event_id, user_id, ts FROM e WHERE event_id % 2 = 0)
+        |SELECT iv.iv_id, pt.event_id, pt.user_id, pt.ts
+        |FROM iv JOIN pt ON iv.user_id = pt.user_id
+        | AND pt.ts BETWEEN iv.start_ts AND iv.end_ts
+        |ORDER BY iv_id, event_id""".stripMargin,
   )
 }
