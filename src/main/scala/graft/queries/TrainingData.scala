@@ -192,6 +192,31 @@ object TrainingData {
       |   sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
       |   sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 1e-12)""".stripMargin
 
+  /** q32's oracle: the 4 seed-derived hyperplanes are data-independent
+    * constants, so the SQL inlines them verbatim and recomputes bucket
+    * codes + the hamming-1 probe set natively (DuckDB's sequential
+    * list_sum accumulation matches DotProductExpr bit-for-bit, so the
+    * sign tests agree). Built programmatically to avoid hand-copying 256
+    * doubles. */
+  private def annOracle: String = {
+    val planes = Similarity.hyperplanes(4, 64)
+    def planeDot(tbl: String, p: Seq[Double]): String = {
+      val lit = p.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_sum(list_transform(range(1, 65), i -> $tbl.embedding[i]::DOUBLE * ($lit)[i]))"
+    }
+    def code(tbl: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${planeDot(tbl, p)} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    s"""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT ${code("b")} AS qcode FROM b)
+       |SELECT a.vec_id, $cosExpr AS cosine_sim
+       |FROM embeddings a, b, probe
+       |WHERE ${code("a")} IN
+       | (qcode, xor(qcode, 1), xor(qcode, 2), xor(qcode, 4), xor(qcode, 8))
+       |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q22_token_count" ->
       """SELECT doc_id,
@@ -324,6 +349,7 @@ object TrainingData {
          |SELECT a.vec_id, $cosExpr AS cosine_sim
          |FROM embeddings a, b
          |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q32_ann_topk" -> annOracle,
     "q33_multimodal" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
