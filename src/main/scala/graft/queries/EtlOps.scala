@@ -214,6 +214,31 @@ object EtlOps {
       .orderBy(col("iv_id"), col("event_id"))
   }
 
+  /** Exact percentiles per group (linear interpolation — same formula in
+    * both engines). */
+  def percentilesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Pivot: event types to columns, decimal-summed per user (the
+    * spreadsheet-shaped rollup the reference's consumers export). */
+  def pivotQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("value", col("value").cast(DecimalType(18, 2)))
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value")))
+      .select(col("user_id") +: Seq("click", "view", "purchase", "signup", "error")
+        .map(t => col(t).cast("double").as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
@@ -229,6 +254,8 @@ object EtlOps {
     "q47_skew_join"       -> skewJoinQ _,
     "q50_asof_join"       -> asofJoinQ _,
     "q51_range_join"      -> rangeJoinQ _,
+    "q52_percentiles"     -> percentilesQ _,
+    "q53_pivot"           -> pivotQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,5 +372,19 @@ object EtlOps {
         |FROM iv JOIN pt ON iv.user_id = pt.user_id
         | AND pt.ts BETWEEN iv.start_ts AND iv.end_ts
         |ORDER BY iv_id, event_id""".stripMargin,
+    "q52_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q53_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
