@@ -33,6 +33,23 @@ object Upsert {
       .drop(srcCol, rnCol)
   }
 
+  /** Large-target upsert: identical result to [[apply]], but the target is
+    * never shuffled — matched target rows are removed with a LEFT ANTI
+    * join against the (small) source key set, which Catalyst executes as a
+    * broadcast when the source fits, then the source rows are appended.
+    * The shape for the reference's real workload: a daily staging batch
+    * (thousands of rows) merged into a warehouse table (billions) — the
+    * window formulation would shuffle the warehouse on the key; this
+    * streams it through a broadcast probe. Requires unique keys per source
+    * row (pre-dedup drifts with `tieBreak` upstream). */
+  def forLargeTarget(target: DataFrame, source: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    target.join(broadcast(source.select(keys.map(col): _*).distinct()),
+        keys, "left_anti")
+      .unionByName(source, allowMissingColumns = true)
+  }
+
   /** Per-column merge via full-outer join: matched rows take source values
     * column-wise (null source values fall back to target — the stored-proc
     * UPDATE-list semantics). */

@@ -33,6 +33,19 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq((1, "new", 11.0), (2, "keep", 20.0), (3, "ins", 30.0)))
   }
 
+  test("forLargeTarget equals the window upsert without shuffling the target") {
+    val target = Seq((1, "old", 10.0), (2, "keep", 20.0), (4, "t4", 40.0))
+      .toDF("k", "v", "amt")
+    val source = Seq((1, "new", 11.0), (3, "ins", 30.0)).toDF("k", "v", "amt")
+    val viaWindow = Upsert(target, source, Seq("k"))
+      .as[(Int, String, Double)].collect().toSet
+    val big = Upsert.forLargeTarget(target, source, Seq("k"))
+    assert(big.as[(Int, String, Double)].collect().toSet == viaWindow)
+    // the target side reaches the anti-join via broadcast, not an exchange
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+
   test("mergeColumns: per-column coalesce, null source values keep target") {
     val target = Seq((1, Some("t1"), Some(10.0))).toDF("k", "v", "amt")
     val source = Seq((1, Option.empty[String], Some(11.0))).toDF("k", "v", "amt")
