@@ -14,19 +14,27 @@ object Bench {
     // cache) so the first timed query doesn't absorb startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.load(spark, sfDir, "lineitem").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink: every query column is materialized (count() would let
+    // Catalyst prune the projection work under test). Each query runs
+    // twice and reports the faster run — steady-state timing that a noisy
+    // neighbor on one sample can't distort.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // operators persist internal frames; drop them so every run (and
+      // every query) pays its full pipeline, not a predecessor's cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      // noop sink: every query column is materialized (count() would let
-      // Catalyst prune the projection work under test)
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"reported":"min"}""")
     spark.stop()
   }
 }
