@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook registering this engine's native expressions
   * for SQL use:
@@ -11,21 +11,49 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   // or: spark.sql.extensions=graft.expressions.GraftExtensions
   *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT minhash_sig(hashed_shingles(text, 5), 64) FROM docs")
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64Expr(exprs.head)))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+
+  /** Every native expression, by SQL name. Integer parameters arrive as
+    * foldable literals (`minhash_sig(hs, 64)`). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
+    "minhash_sig" -> (exprs =>
+      MinHashSigExpr(exprs.head, intArg(exprs, 1, "minhash_sig"))),
+    "hashed_shingles" -> (exprs =>
+      HashedShinglesExpr(exprs.head, intArg(exprs, 1, "hashed_shingles"))),
+    "word_shingle_hash" -> (exprs =>
+      WordShingleHashExpr(exprs.head, intArg(exprs, 1, "word_shingle_hash"))),
+    "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
+    "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))))
+
+  private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    exprs.lift(i) match {
+      case Some(e) if e.foldable &&
+          Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType) =>
+        e.eval().toString.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal")
+    }
+  }
+
   /** Register on an already-built session (e.g. the driver-owned one). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs.head), "built-in")
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
