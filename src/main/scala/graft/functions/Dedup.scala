@@ -199,16 +199,46 @@ object Dedup {
     aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    * (pigeonhole for hamming ≤ 3), verified with bit_count(xor) ≤ maxDist. */
+  /** Portable 60-bit SimHash (md5-derived token hash) — the oracle-compat
+    * mode of [[simhash64]]: bit-identical restatement exists in DuckDB SQL,
+    * so simhash pipelines built on it get full hash-match correctness rows
+    * (q28/q38). Production default stays [[simhash64]] (xxhash64 is much
+    * cheaper per token); both run the same single-pass native kernel shape. */
+  def simhash60Portable(toks: Column): Column =
+    graft.expressions.SimHashPortableExpr.simhash60Portable(toks)
+
+  /** Built-in-expression formulation of [[simhash60Portable]]: identical
+    * output (pinned by SimHashPortableExprSpec), kept as the executable
+    * spec. The portable token hash is stated with public SQL functions
+    * only — conv(substring(md5(t),1,15),16,10). */
+  def simhash60PortableHof(toks: Column): Column = {
+    val clean = filter(toks, t => t.isNotNull)
+    val hashes = transform(clean, t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val bits = transform(sequence(lit(0), lit(59)), b => {
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when((call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of `numChunks` contiguous
+    * `chunkBits`-bit chunks (pigeonhole: hamming ≤ numChunks−1 guarantees
+    * one equal chunk), verified with bit_count(xor) ≤ maxDist. Defaults
+    * cover a 64-bit simhash; pass (4, 15) for the portable 60-bit variant. */
   def simhashNearDups(df: DataFrame, idCol: String, simCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3, numChunks: Int = 4,
+                      chunkBits: Int = 16): DataFrame = {
+    require(maxDist < numChunks,
+      s"pigeonhole needs maxDist < numChunks, got $maxDist >= $numChunks")
     // the chunk frame self-joins: persist so an expensive upstream simhash
     // computation is not replayed for both join sides
     val chunks = df.select(col(idCol), col(simCol),
-      posexplode(transform(sequence(lit(0), lit(3)), i =>
-        call_function("shiftright", col(simCol), i * lit(16))
-          .bitwiseAND(lit(0xFFFFL)))))
+      posexplode(transform(sequence(lit(0), lit(numChunks - 1)), i =>
+        call_function("shiftright", col(simCol), i * lit(chunkBits))
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .toDF(idCol, simCol, "chunk_idx", "chunk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunks.toDF(s"${idCol}_a", "sim_a", "chunk_idx", "chunk")

@@ -146,6 +146,63 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Oracle-portable Lloyd training: same algorithm as
+    * [[ivfCentroidsTrained]], but every arithmetic step is restatable in
+    * ANSI-ish SQL so an external engine reproduces the centroids
+    * BIT-FOR-BIT (the q42 correctness row):
+    *
+    *   - the bounded sample is ordered by (md5(id), id) — portable and
+    *     unbiased, vs the xxhash64 order of the production variant;
+    *   - iteration runs in ascending-id order, so per-cell mean sums
+    *     accumulate in the same sequence as a SQL `list(v ORDER BY id)` +
+    *     sequential `list_sum`;
+    *   - each new centroid coordinate is floor-quantized to 1e-6 —
+    *     `floor(sum/n * 1e6) / 1e6` is exact in both engines, absorbing
+    *     any accumulation-order residue;
+    *   - distance ties break to the lowest centroid index (strict `<`),
+    *     matching `ORDER BY dist, cell LIMIT 1`.
+    *
+    * Training quality is unaffected (quantization at 1e-6 is far below
+    * embedding noise); the production variant remains the default where no
+    * external restatement is needed. */
+  def ivfCentroidsTrainedPortable(df: DataFrame, vecCol: String, idCol: String,
+                                  k: Int, iters: Int = 3,
+                                  sampleN: Int = 4096): Seq[Seq[Double]] = {
+    val sample = df.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(i =>
+          math.floor(sums(c)(i) / counts(c) * 1e6) / 1e6)
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
   /** Mean squared distance of each sampled vector to its nearest centroid —
     * the quantization error Lloyd iterations minimize (diagnostic). */
   def quantizationError(vectors: Seq[Seq[Double]],

@@ -63,22 +63,30 @@ object TrainingData {
         shingleSize = 7, numHashes = 64, bands = 8, threshold = 0.95)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
 
+  /** Portable-hash simhash (md5-derived 60-bit token hash): the DuckDB
+    * oracle restates the identical hash, so this row is fully
+    * hash-matched. The xxhash64 production kernel (Dedup.simhash64) stays
+    * pinned against its HOF spec in DedupSpec. */
   def simhashQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select(col("doc_id"),
-        Dedup.simhash64(TextAnalysis.tokens(lower(col("text")))).as("simhash"))
+        Dedup.simhash60Portable(TextAnalysis.tokens(lower(col("text")))).as("simhash"))
     d.orderBy(col("doc_id"))
   }
 
   /** Blocking key (lang, length band): near-dups share language and nearly
     * the same length, so blocks stay small as the corpus grows — the pair
     * count scales with Σ block², not n². */
-  /** SimHash near-dup pairs on the clone corpus (native expression +
-    * 16-bit-chunk candidate pairing); clones surface at hamming 0. */
+  /** SimHash near-dup pairs on the clone corpus (portable 60-bit simhash +
+    * 15-bit-chunk candidate pairing — pigeonhole still exact for hamming
+    * ≤ 3 over 4 chunks); clones surface at hamming 0. The chunked candidate
+    * stage produces the same pair set as the oracle's all-pairs SQL. */
   def simhashNearDupQ(s: SparkSession, dir: String): DataFrame = {
     val hashed = cloneCorpus(s, dir).select(col("doc_id"),
-      Dedup.simhash64(TextAnalysis.tokens(lower(col("text")))).as("sh"))
-    Dedup.simhashNearDups(hashed, "doc_id", "sh", maxDist = 3)
+      Dedup.simhash60Portable(TextAnalysis.tokens(lower(col("text")))).as("sh"))
+    Dedup.simhashNearDups(hashed, "doc_id", "sh", maxDist = 3,
+        numChunks = 4, chunkBits = 15)
+      .withColumn("hamming", col("hamming").cast("int"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
@@ -114,12 +122,16 @@ object TrainingData {
     Similarity.annTopK(e, "embedding", "vec_id", query, 10, numPlanes = 4)
   }
 
-  /** IVF approximate top-10: Lloyd-trained coarse cells, 4-probe search. */
+  /** IVF approximate top-10: Lloyd-trained coarse cells, 4-probe search.
+    * Training uses the oracle-portable variant (md5-ordered sample,
+    * id-ordered accumulation, floor-quantized means), so the DuckDB oracle
+    * unrolls the SAME Lloyd iterations in SQL and the row hash-matches. */
   def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
     val query = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-    val centroids = Similarity.ivfCentroidsTrained(e, "embedding", "vec_id", 16)
+    val centroids = Similarity.ivfCentroidsTrainedPortable(
+      e, "embedding", "vec_id", k = 16, iters = 3)
     Similarity.ivfTopK(e, "embedding", "vec_id", query, 10, centroids, nProbe = 4)
   }
 
@@ -217,7 +229,99 @@ object TrainingData {
        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Portable token hash: identical value in both engines (the seam
+    * SimHashPortableExpr.hash60 implements natively). */
+  private val hash60Sql = "('0x' || substring(md5(t), 1, 15))::BIGINT"
+
+  /** Portable 60-bit simhash of a token-hash list column `hs`. */
+  private def simhashSql(hs: String): String =
+    s"""CAST(coalesce(list_sum(list_transform(range(0, 60), b ->
+       | CASE WHEN coalesce(list_sum(list_transform($hs,
+       |   h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |  THEN (1::BIGINT << b) ELSE 0::BIGINT END)), 0) AS BIGINT)""".stripMargin
+
+  /** q42's oracle: the ENTIRE portable Lloyd training unrolled in SQL —
+    * md5-ordered bounded sample, init = k lowest-id sample rows, `iters`
+    * assign+mean rounds with id-ordered sequential sums and floor-quantized
+    * centroids, then cell assignment over the full table and a 4-probe
+    * cosine top-10. Every arithmetic step mirrors
+    * Similarity.ivfCentroidsTrainedPortable/ivfTopK bit-for-bit (sequential
+    * list_sum ≡ left-to-right accumulation; ties → lowest cell). */
+  private def ivfOracle(k: Int = 16, iters: Int = 3, sampleN: Int = 4096,
+                        nProbe: Int = 4): String = {
+    def dist(vec: String, cent: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> ($vec[i]::DOUBLE - $cent[i]) * ($vec[i]::DOUBLE - $cent[i])))"
+    val iterCtes = (1 to iters).map { t =>
+      s"""a$t AS (
+         | SELECT vec_id, embedding, cell FROM (
+         |  SELECT s.vec_id, s.embedding, c.cell,
+         |   row_number() OVER (PARTITION BY s.vec_id
+         |     ORDER BY ${dist("s.embedding", "c.v")}, c.cell) AS rk
+         |  FROM s, c${t - 1} c) WHERE rk = 1),
+         |m$t AS (
+         | SELECT cell, count(*) AS n, list(embedding ORDER BY vec_id) AS vs
+         | FROM a$t GROUP BY cell),
+         |c$t AS (
+         | SELECT c.cell,
+         |  CASE WHEN m.cell IS NULL THEN c.v
+         |   ELSE list_transform(range(1, 65), i ->
+         |    floor(list_sum(list_transform(m.vs, v -> v[i]::DOUBLE)) / m.n * 1e6) / 1e6)
+         |  END AS v
+         | FROM c${t - 1} c LEFT JOIN m$t m ON c.cell = m.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH samp AS (
+       | SELECT vec_id, embedding,
+       |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       | FROM embeddings),
+       |s AS (SELECT vec_id, embedding FROM samp WHERE rn <= $sampleN),
+       |c0 AS (
+       | SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v
+       | FROM (SELECT vec_id, embedding FROM s ORDER BY vec_id LIMIT $k)),
+       |$iterCtes,
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       | SELECT c.cell FROM c$iters c, qv
+       | ORDER BY ${dist("qv.embedding", "c.v")}, c.cell LIMIT $nProbe),
+       |assign AS (
+       | SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${dist("e.embedding", "c.v")}, c.cell) AS rk
+       |  FROM embeddings e, c$iters c) WHERE rk = 1)
+       |SELECT a.vec_id, $cosExpr AS cosine_sim
+       |FROM assign a, qv b
+       |WHERE a.cell IN (SELECT cell FROM probe)
+       |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Portable simhash restated natively: md5-top-60-bit token hash, ±1
+    // votes per bit, sign pack — identical long to SimHashPortableExpr.
+    "q28_simhash" ->
+      s"""WITH h AS (
+         | SELECT doc_id, list_transform(regexp_extract_all(lower(text), '\\S+'),
+         |   t -> $hash60Sql) AS hs
+         | FROM documents)
+         |SELECT doc_id, ${simhashSql("hs")} AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // All-pairs hamming over the clone corpus: the engine's 15-bit-chunk
+    // candidate stage is pigeonhole-exact, so the exhaustive SQL matches.
+    "q38_simhash_neardup" ->
+      s"""WITH c AS (
+         | SELECT doc_id, lower(text) AS txt FROM documents
+         | UNION ALL SELECT doc_id + 100000, lower(text) FROM documents),
+         |h AS (
+         | SELECT doc_id, list_transform(regexp_extract_all(txt, '\\S+'),
+         |   t -> $hash60Sql) AS hs
+         | FROM c),
+         |sh AS (SELECT doc_id, ${simhashSql("hs")} AS sim FROM h)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         | CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q42_ivf_topk" -> ivfOracle(),
     "q22_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,

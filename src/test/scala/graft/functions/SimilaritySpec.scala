@@ -135,6 +135,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(trained) == 1.0) // the query's cluster is one trained cell
   }
 
+  test("portable Lloyd training: deterministic, quantized, still clusters") {
+    val rnd = new scala.util.Random(47)
+    val data = (0 until 200).map { i =>
+      val base = Seq(
+        Seq(4.0f, 0.0f, 0.0f), Seq(-4.0f, 0.0f, 0.0f),
+        Seq(0.0f, 4.0f, 0.0f), Seq(0.0f, -4.0f, 0.0f))(i % 4)
+      (i.toLong, base.map(_ + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = data.toDF("id", "v")
+    val p1 = Similarity.ivfCentroidsTrainedPortable(df, "v", "id", 4, iters = 3)
+    // deterministic across repartitionings (the oracle depends on it)
+    val p2 = Similarity.ivfCentroidsTrainedPortable(
+      df.repartition(7), "v", "id", 4, iters = 3)
+    assert(p1 == p2)
+    // every coordinate sits exactly on the 1e-6 floor grid
+    p1.flatten.foreach(x =>
+      assert(x == math.floor(x * 1e6) / 1e6, s"unquantized coord $x"))
+    // quantization is cosmetic: error comparable to hash-seeded centroids
+    val vecs = data.map(_._2.map(_.toDouble))
+    val untrained = Similarity.ivfCentroids(df, "v", "id", 4)
+    assert(Similarity.quantizationError(vecs, p1) <=
+      Similarity.quantizationError(vecs, untrained))
+  }
+
   test("cosineNearDups finds identical pairs within blocks only") {
     val df = vecs.toDF("vec_id", "embedding")
       .withColumn("label", when($"vec_id" < 3, 1).otherwise(2))

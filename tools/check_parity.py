@@ -5,6 +5,7 @@ Not part of the shipped Scala library. Usage:
     python3 tools/check_parity.py /tmp/verify_out /root/testdata/sf0.01
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -22,6 +23,9 @@ def main(out_dir: str, sf_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracles.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"skip {name} (no spark output)")
+            continue
         try:
             got = canon(con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
