@@ -33,8 +33,13 @@ object Dedup {
     // the text rides in the grouping key; carrying it in the struct too
     // would double the shuffled bytes per row
     val others = df.columns.filterNot(_ == textCol)
+    // ordering key (isnull, id): min_by would SKIP rows whose bare id is
+    // null, turning an all-null-id group into an all-null output row — the
+    // struct is never null, so a real row survives; non-null ids still win
+    // and order exactly as before
     df.groupBy(xxhash64(col(textCol)), col(textCol))
-      .agg(min_by(struct(others.map(col): _*), col(idCol)).as("_graft_row"))
+      .agg(min_by(struct(others.map(col): _*),
+        struct(col(idCol).isNull, col(idCol))).as("_graft_row"))
       .select(df.columns.map(c =>
         if (c == textCol) col(textCol) else col(s"_graft_row.$c")): _*)
   }

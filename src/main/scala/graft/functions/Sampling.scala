@@ -23,10 +23,18 @@ object Sampling {
     f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
   }
 
+  /** Keep-condition for one rate: rate ≥ 1 is an explicit keep-all —
+    * the hex threshold caps at "ffffffff" and the comparison is strict, so
+    * without the special case the ~2^-32 of keys hashing exactly to the cap
+    * would be dropped at rate 1.0. */
+  private def keep(key: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else hashBucket(key) < lit(thresholdHex(rate))
+
   /** Uniform deterministic sample: keep rows with md5(key) prefix below
-    * the threshold. */
+    * the threshold; rate ≥ 1.0 keeps every row. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
-    df.filter(hashBucket(col(keyCol)) < lit(thresholdHex(rate)))
+    df.filter(keep(col(keyCol), rate))
 
   /** The row's stable sampling coordinate (md5-hex prefix of the key). */
   def hashBucket(key: Column): Column =
@@ -38,10 +46,10 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
-    val threshold = rates.foldLeft(when(lit(false), lit(""))) {
+    val cond = rates.foldLeft(when(lit(false), lit(false))) {
       case (acc, (stratum, rate)) =>
-        acc.when(col(stratumCol) === stratum, lit(thresholdHex(rate)))
-    }.otherwise(lit(thresholdHex(defaultRate)))
-    df.filter(hashBucket(col(keyCol)) < threshold)
+        acc.when(col(stratumCol) === stratum, keep(col(keyCol), rate))
+    }.otherwise(keep(col(keyCol), defaultRate))
+    df.filter(cond)
   }
 }

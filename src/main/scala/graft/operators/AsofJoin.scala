@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * This operator is the scale-correct restatement: union both sides
   * tagged, sort once per key by (ts, side), and fill the right-side
   * payload forward with `last(_, ignoreNulls)` over rows-unbounded-
-  * preceding. ONE shuffle on the key, linear work per key, and AQE skew
-  * handling applies to the single exchange. Right rows must be unique per
-  * (key, ts) — pre-aggregate ambiguous duplicates (the same contract
-  * DuckDB's ASOF JOIN assumes).
+  * preceding. ONE shuffle on the key and linear work per key. Note that a
+  * window exchange is NOT covered by AQE skew splitting (that applies to
+  * join/rebalance partitions only): a pathologically hot key's whole
+  * history sorts and fills in one task — pre-bucket the inputs by key, or
+  * salt the key and seed each salt partition with the latest right row
+  * before its first left row. Right rows must be unique per (key, ts) —
+  * pre-aggregate ambiguous duplicates (the same contract DuckDB's ASOF
+  * JOIN assumes).
   */
 object AsofJoin {
 

@@ -33,20 +33,29 @@ object Upsert {
       .drop(srcCol, rnCol)
   }
 
-  /** Large-target upsert: identical result to [[apply]], but the target is
-    * never shuffled — matched target rows are removed with a LEFT ANTI
-    * join against the (small) source key set, which Catalyst executes as a
-    * broadcast when the source fits, then the source rows are appended.
-    * The shape for the reference's real workload: a daily staging batch
-    * (thousands of rows) merged into a warehouse table (billions) — the
-    * window formulation would shuffle the warehouse on the key; this
-    * streams it through a broadcast probe. Requires unique keys per source
-    * row (pre-dedup drifts with `tieBreak` upstream). */
+  /** Large-target upsert: the target is never shuffled — matched target
+    * rows are removed with a NULL-SAFE left-anti join against the (small)
+    * source key set, which Catalyst executes as a broadcast when the source
+    * fits, then the source rows are appended. The shape for the reference's
+    * real workload: a daily staging batch (thousands of rows) merged into a
+    * warehouse table (billions) — the window formulation would shuffle the
+    * warehouse on the key; this streams it through a broadcast probe.
+    *
+    * Same result as [[apply]] when keys are unique per row on BOTH sides;
+    * the null-key case matches [[apply]] too (the anti-join is `<=>`-based,
+    * so a null-key source row replaces null-key target rows, exactly like
+    * the window's null grouping). The one documented divergence: duplicate
+    * UNMATCHED target keys are all kept here (SQL MERGE semantics), while
+    * [[apply]]'s window dedups them to one row per key. Requires unique
+    * keys per source row (pre-dedup drifts with `tieBreak` upstream). */
   def forLargeTarget(target: DataFrame, source: DataFrame,
                      keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    target.join(broadcast(source.select(keys.map(col): _*).distinct()),
-        keys, "left_anti")
+    val marked = keys.map(k => s"_graft_sk_$k")
+    val srcKeys = source.select(keys.map(col): _*).distinct().toDF(marked: _*)
+    val cond = keys.zip(marked)
+      .map { case (k, m) => target(k) <=> srcKeys(m) }.reduce(_ && _)
+    target.join(broadcast(srcKeys), cond, "left_anti")
       .unionByName(source, allowMissingColumns = true)
   }
 

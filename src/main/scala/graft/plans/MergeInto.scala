@@ -117,26 +117,124 @@ class GraftMergeExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     e.injectResolutionRule(new GraftMergeRule(_))
 }
 
-/** The executable merge: upsert source into target, replace the target.
+/** The executable merge.
   *
-  * `localCheckpoint` materializes the merged rows on the executors before
-  * the target is replaced — it both breaks the self-read (overwriting a
-  * table the plan reads from) and the self-reference a re-registered temp
-  * view would otherwise carry. At warehouse scale the swap target would be
-  * a transactional table format; the SQL surface and plan rewrite carry
-  * over unchanged.
+  * Two execution paths, chosen by the target's physical layout:
+  *
+  * '''Partitioned catalog table — partition-pruned rewrite.''' The scale
+  * path (the reference's real workload: a small staging batch into a huge
+  * warehouse table). Affected partitions are the ones source rows land in,
+  * plus — when a partition column is not part of the merge key, so an
+  * update can MOVE a row across partitions — the partitions currently
+  * holding matched target rows (found with one broadcast-probe scan, no
+  * shuffle of the target). Only those partitions are read
+  * (partition-pruned scan), merged through [[Upsert.forLargeTarget]]
+  * (broadcast anti-join + append — the target side is never shuffled), and
+  * rewritten via dynamic partition overwrite. Untouched partitions'
+  * files are never read or rewritten. A partition whose every row was
+  * matched away (moved to another partition) is dropped explicitly, since
+  * dynamic overwrite cannot rewrite a partition with zero output rows.
+  *
+  * '''Temp view / unpartitioned table — full rewrite.''' `localCheckpoint`
+  * materializes the merged rows on the executors before the target is
+  * replaced — it both breaks the self-read (overwriting a table the plan
+  * reads from) and the self-reference a re-registered temp view would
+  * otherwise carry. Right for views and small demo tables; a real
+  * warehouse table should be partitioned, which selects the pruned path.
   */
 case class GraftMergeCommand(targetTable: String, sourceTable: String,
                              keys: Seq[String]) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val merged = Upsert(spark.table(targetTable), spark.table(sourceTable), keys)
-      .localCheckpoint()
-    if (spark.sessionState.catalog.getTempView(targetTable).isDefined)
-      merged.createOrReplaceTempView(targetTable)
-    else
-      merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
+    val isTempView =
+      spark.sessionState.catalog.getTempView(targetTable).isDefined
+    val partCols = if (isTempView) Nil else partitionColumns(spark)
+    if (partCols.nonEmpty) runPartitionPruned(spark, partCols)
+    else {
+      val merged = Upsert(spark.table(targetTable), spark.table(sourceTable), keys)
+        .localCheckpoint()
+      if (isTempView) merged.createOrReplaceTempView(targetTable)
+      else merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
+    }
     Nil
+  }
+
+  /** The analyzer may hand a 1-, 2- or 3-part target name. */
+  private def targetIdent(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.TableIdentifier =
+    spark.sessionState.sqlParser.parseMultipartIdentifier(targetTable) match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db), Some(cat))
+      case parts => throw new UnsupportedOperationException(
+        s"graft MERGE INTO: unsupported table name $targetTable ($parts)")
+    }
+
+  private def partitionColumns(spark: SparkSession): Seq[String] =
+    spark.sessionState.catalog.getTableMetadata(targetIdent(spark))
+      .partitionColumnNames
+
+  private def runPartitionPruned(spark: SparkSession,
+                                 partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val target = spark.table(targetTable)
+    val source = spark.table(sourceTable)
+    // partitions source rows land in (inserts + updated rows' new homes)
+    val newParts = source.select(partCols.map(col): _*).distinct()
+    // when every partition column is part of the merge key, a matched row
+    // cannot change partition — the source-side values already cover all
+    // affected partitions and the old-location probe scan is skipped
+    val partsInKey = partCols.forall(p => keys.exists(_.equalsIgnoreCase(p)))
+    val affected: Array[Row] =
+      if (partsInKey) newParts.collect()
+      else {
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        val oldParts = target.join(broadcast(srcKeys), keys)
+          .select(partCols.map(col): _*).distinct()
+        newParts.unionByName(oldParts).distinct().collect()
+      }
+    if (affected.isEmpty) return
+    val pruneCond = affected.map { r =>
+      partCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
+    }.reduce(_ || _)
+    val merged = Upsert
+      .forLargeTarget(target.filter(pruneCond), source, keys)
+      // align to the table's column order (insertInto is positional) and
+      // cut the plan's read of the partitions about to be overwritten
+      .select(target.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
+    finally prior match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    dropEmptiedPartitions(spark, partCols, affected,
+      merged.select(partCols.map(col): _*).distinct().collect())
+  }
+
+  /** Affected partitions that produced ZERO merged rows (every row moved
+    * elsewhere) are invisible to dynamic overwrite — drop them so stale
+    * rows don't survive. */
+  private def dropEmptiedPartitions(spark: SparkSession, partCols: Seq[String],
+                                    affected: Array[Row],
+                                    written: Array[Row]): Unit = {
+    val keep = written.map(_.toSeq).toSet
+    val emptied = affected.filterNot(r => keep.contains(r.toSeq))
+    if (emptied.isEmpty) return
+    val ident = targetIdent(spark)
+    val specs = emptied.map(r =>
+      partCols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(i)).map(_.toString)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+      }.toMap).toIndexedSeq
+    spark.sessionState.catalog.dropPartitions(ident, specs,
+      ignoreIfNotExists = true, purge = false, retainData = false)
   }
 }

@@ -65,25 +65,42 @@ object IncrementalIngest {
   /** Compact a batch-partitioned table (sink or history) into one bounded
     * file set under `batch_id=-1`, removing the per-batch directories it
     * absorbed. Keeps the per-batch read cost and file count flat across
-    * arbitrarily many ingest runs; safe between runs (ids stay present
-    * throughout, and a replayed batch overwriting its now-empty directory
-    * cannot duplicate rows that moved into the compacted set). */
+    * arbitrarily many ingest runs.
+    *
+    * The HIGHEST batch_id directory is never absorbed: if the last batch
+    * wrote sink+history but crashed before its checkpoint committed, the
+    * replay recomputes `fresh` by anti-joining history EXCLUDING its own
+    * batch directory — were that directory's ids already folded into
+    * `batch_id=-1`, the replay would see them as "already extracted",
+    * compute an empty `fresh`, and overwrite the batch directory with
+    * nothing: permanent row loss. Leaving the newest batch in place makes
+    * compaction safe at ANY point between runs, crashed or committed.
+    * Compact sink and history together (same committed batch set) so the
+    * two stay mutually consistent. */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Unit = {
     if (!tableExists(spark, path)) return
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs = fs.listStatus(p)
+    val idDirs = fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
         s.getPath.getName != "batch_id=-1")  // prior compaction: replaced via target swap
-      .map(_.getPath)
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
+      .sortBy(_._1)
+    if (idDirs.isEmpty) return
+    // the newest batch may be an uncommitted replay candidate — keep it
+    val absorb = idDirs.dropRight(1).map(_._2)
+    if (absorb.isEmpty) return
+    val prior = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
+    val sources = (if (fs.exists(prior)) Seq(prior) else Nil) ++ absorb
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    spark.read.parquet(path).drop("batch_id").coalesce(numFiles)
+    // read the absorbed directories directly (no partition column appears;
+    // the compacted set is batch-agnostic by construction)
+    spark.read.parquet(sources.map(_.toString): _*).coalesce(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap: new compacted snapshot in, absorbed per-batch dirs out
-    val target = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
-    batchDirs.foreach(fs.delete(_, true))
+    if (fs.exists(prior)) fs.delete(prior, true)
+    fs.rename(tmp, prior)
+    absorb.foreach(fs.delete(_, true))
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

@@ -18,6 +18,17 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L))
   }
 
+  test("exactDedup keeps a real row when every id in a group is null") {
+    val df = Seq((Some(1L), "a", 10), (None, "b", 20), (None, "b", 21))
+      .toDF("id", "text", "extra")
+    val out = Dedup.exactDedup(df, "text", "id")
+      .orderBy("text")
+      .select($"text", $"extra").as[(String, Int)].collect().toSeq
+    // the all-null-id group still yields one row with its payload intact
+    assert(out.map(_._1) == Seq("a", "b"))
+    assert(Set(20, 21).contains(out(1)._2))
+  }
+
   test("charShingles produces length-k windows; short strings yield one shingle") {
     val out = Seq("abcde", "ab").toDF("t")
       .select(Dedup.charShingles($"t", 3).as("s")).as[Seq[String]].collect()

@@ -34,4 +34,14 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("a") / 1000.0 - 0.5) < 0.08)
     assert(math.abs(out("b") / 1000.0 - 0.1) < 0.06)
   }
+
+  test("rate 1.0 keeps every row (no strict-threshold boundary loss)") {
+    val df = (1 to 500).map(_.toLong).toDF("k")
+    assert(Sampling.hashSample(df, "k", 1.0).count() == 500)
+    assert(Sampling.hashSample(df, "k", 1.5).count() == 500)
+    val strat = (1 to 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "s")
+    assert(Sampling.stratifiedSample(strat, "k", "s",
+      Map("a" -> 1.0), defaultRate = 1.0).count() == 500)
+  }
 }

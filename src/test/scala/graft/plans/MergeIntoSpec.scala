@@ -23,6 +23,7 @@ class MergeIntoSpec extends SparkSpec {
   }
 
   test("MERGE INTO a saved table overwrites it with the merged rows") {
+    freshTable("graft_merge_target")
     Seq((1L, 1.0), (2L, 2.0)).toDF("k", "amt")
       .write.mode("overwrite").saveAsTable("graft_merge_target")
     Seq((2L, 9.0), (3L, 3.0)).toDF("k", "amt")
@@ -36,6 +37,67 @@ class MergeIntoSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(out == Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
     spark.sql("DROP TABLE graft_merge_target")
+  }
+
+  /** saveAsTable leaves its managed location behind when a prior run died
+    * between directory creation and catalog registration — clear both. */
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.sessionState.conf.warehousePath.stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$name"))
+  }
+
+  test("partitioned table merge rewrites ONLY the affected partitions") {
+    freshTable("graft_merge_parted")
+    Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"), (4L, 30, "d"))
+      .toDF("k", "p", "v").write.mode("overwrite").partitionBy("p")
+      .saveAsTable("graft_merge_parted")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "graft_merge_parted")).location.getPath
+    def files(p: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$loc/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before20 = files(20)
+    val before30 = files(30)
+    assert(before20.nonEmpty && before30.nonEmpty)
+    // update k=1 (stays in p=10), insert k=5 into new partition p=40
+    Seq((1L, 10, "A"), (5L, 40, "e")).toDF("k", "p", "v")
+      .createOrReplaceTempView("merge_part_src")
+    spark.sql(
+      """MERGE INTO graft_merge_parted USING merge_part_src
+        |ON graft_merge_parted.k = merge_part_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("graft_merge_parted").orderBy("k")
+      .select($"k", $"p", $"v").as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq((1L, 10, "A"), (2L, 10, "b"), (3L, 20, "c"),
+      (4L, 30, "d"), (5L, 40, "e")))
+    // untouched partitions: same files, same modification times
+    assert(files(20) == before20)
+    assert(files(30) == before30)
+    spark.sql("DROP TABLE graft_merge_parted")
+  }
+
+  test("merge moving every row out of a partition drops it (no stale rows)") {
+    freshTable("graft_merge_move")
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p")
+      .saveAsTable("graft_merge_move")
+    // k=2 moves from p=20 to p=10: p=20 becomes empty and must vanish
+    Seq((2L, 10, "B")).toDF("k", "p", "v")
+      .createOrReplaceTempView("merge_move_src")
+    spark.sql(
+      """MERGE INTO graft_merge_move USING merge_move_src
+        |ON graft_merge_move.k = merge_move_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("graft_merge_move").orderBy("k")
+      .select($"k", $"p", $"v").as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq((1L, 10, "a"), (2L, 10, "B")))
+    spark.sql("DROP TABLE graft_merge_move")
   }
 
   test("compound keys come from the AND conjunction") {

@@ -49,10 +49,21 @@ class IncrementalIngestSpec extends SparkSpec {
       walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
     }
     val before = parquetFiles(hist)
+    def batchDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    val newestSink = batchDirs(sink).map(_.stripPrefix("batch_id=").toLong).max
+    val newestFiles = new java.io.File(s"$sink/batch_id=$newestSink")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
     IncrementalIngest.compact(spark, hist)
     IncrementalIngest.compact(spark, sink)
-    assert(parquetFiles(hist) == 1 && parquetFiles(hist) < before)
-    assert(parquetFiles(sink) == 1)
+    assert(parquetFiles(hist) < before)
+    // everything absorbed into batch_id=-1 EXCEPT the newest batch, which
+    // stays replayable (its checkpoint commit may not have landed)
+    assert(batchDirs(hist) == Set("batch_id=-1", s"batch_id=$newestSink"))
+    assert(batchDirs(sink) == Set("batch_id=-1", s"batch_id=$newestSink"))
+    assert(new java.io.File(s"$sink/batch_id=$newestSink")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap == newestFiles)
     // content unchanged; a further run still dedups against compacted history
     assert(spark.read.parquet(sink).select("dl_id").as[Long].collect().sorted.length == 8)
     Seq((4L, "replay"), (5L, "new")).toDF("dl_id", "payload")
