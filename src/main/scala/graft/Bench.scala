@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One timed noop-sink run. Failures are REPORTED, not swallowed: a
+    * crashing query must not masquerade as a fast one — the error rides in
+    * the result and the bench exits nonzero. */
+  def timeQuery(spark: SparkSession, sfDir: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Option[String]) = {
+    // operators persist internal frames; drop them so every run (and
+    // every query) pays its full pipeline, not a predecessor's cache
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,23 +36,19 @@ object Bench {
     // Catalyst prune the projection work under test). Each query runs
     // twice and reports the faster run — steady-state timing that a noisy
     // neighbor on one sample can't distort.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      // operators persist internal frames; drop them so every run (and
-      // every query) pays its full pipeline, not a predecessor's cache
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      val (t1, e1) = timeQuery(spark, sfDir, fn)
+      val (t2, e2) = timeQuery(spark, sfDir, fn)
+      name -> (math.min(t1, t2), e1.orElse(e2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"reported":"min"}""")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":2,"reported":"min"}""")
     spark.stop()
+    if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
 }

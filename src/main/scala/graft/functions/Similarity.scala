@@ -252,33 +252,74 @@ object Similarity {
     *
     * EXACT sub-blocking: cos(a,b) ≥ τ on unit vectors means
     * ‖â−b̂‖² ≤ 2(1−τ) =: r², so every coordinate of the normalized vectors
-    * differs by at most r. Quantizing two coordinates into cells of width r
-    * means a qualifying pair's cells differ by at most 1 per axis — the
-    * b-side probes its 3×3 cell neighborhood and NO qualifying pair is
+    * differs by at most r. Quantizing `nAxes` coordinates into cells of
+    * width r means a qualifying pair's cells differ by at most 1 per axis —
+    * the b-side probes its 3^k cell neighborhood and NO qualifying pair is
     * missed (unlike hyperplane-LSH blocking, which trades recall). Each
-    * pair meets on exactly one (δ0, δ1), so no distinct is needed. The
-    * within-(label, cell) pair count replaces the within-label m² blowup;
-    * at larger scale, quantize more axes the same way.
+    * pair meets on exactly one delta vector, so no distinct is needed. The
+    * within-(label, cell) pair count replaces the within-label m² blowup.
+    * Axes are the highest-variance normalized coordinates from a bounded
+    * driver-side sample (see [[chooseBlockAxes]]), so a corpus whose first
+    * dimensions are concentrated cannot recreate a hot cell.
     *
     * Norms are computed once per vector before the pair join — the join
     * evaluates only one dot product per pair instead of three.
     */
+  /** Blocking axes = the `nAxes` highest-variance coordinates of the
+    * NORMALIZED vectors. Fixed axes (0, 1) degrade silently when the first
+    * coordinates are concentrated or correlated (common with learned
+    * embeddings): most rows land in one (label, cell) and the within-cell
+    * join slides back toward m². Variance is the right spread proxy because
+    * cell width is fixed (r): the axis with the widest normalized spread
+    * splits the corpus into the most cells. Ties break to the lower dim. */
+  def chooseBlockAxes(vectors: Seq[Seq[Double]], nAxes: Int): Seq[Int] = {
+    if (vectors.isEmpty) return (0 until nAxes)
+    val dim = vectors.head.length
+    val normed = vectors.map { v =>
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }
+    val m = normed.size.toDouble
+    val variance = (0 until dim).map { i =>
+      val mean = normed.map(_(i)).sum / m
+      normed.map(v => (v(i) - mean) * (v(i) - mean)).sum / m
+    }
+    variance.zipWithIndex.sortBy { case (v, i) => (-v, i) }
+      .take(math.min(nAxes, dim)).map(_._2)
+  }
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     blockCol: String, threshold: Double): DataFrame = {
+                     blockCol: String, threshold: Double,
+                     nAxes: Int = 2, sampleN: Int = 2048): DataFrame = {
     val r = math.sqrt(2.0 * math.max(1.0 - threshold, 1e-9))
+    // axis choice is pure performance tuning: the 3^k neighborhood probe is
+    // exact on ANY axes, so the result set is identical whatever the sample
+    // returns — an unordered limit() is fine here
+    val axes = chooseBlockAxes(
+      df.select(col(vecCol)).limit(sampleN).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq, nAxes)
     def cell(i: Int): Column = floor(
       element_at(col(vecCol), i + 1).cast("double") /
         greatest(norm(col(vecCol)), lit(1e-12)) / lit(r)).cast("long")
-    val normed = df.select(col(blockCol), col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"), cell(0).as("c0"), cell(1).as("c1"))
+    val cCols = axes.indices.map(j => s"c$j")
+    val kCols = axes.indices.map(j => s"k$j")
+    val normed = df.select(
+      Seq(col(blockCol), col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")) ++
+        axes.zipWithIndex.map { case (ax, j) => cell(ax).as(s"c$j") }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = normed.toDF(blockCol, s"${idCol}_a", "vec_a", "norm_a", "k0", "k1")
-    val deltas = for (d0 <- Seq(-1L, 0L, 1L); d1 <- Seq(-1L, 0L, 1L)) yield (d0, d1)
-    val b = normed.toDF(blockCol, s"${idCol}_b", "vec_b", "norm_b", "c0", "c1")
+    val a = normed.toDF(
+      Seq(blockCol, s"${idCol}_a", "vec_a", "norm_a") ++ kCols: _*)
+    // 3^k probe deltas: each qualifying pair meets on exactly one delta
+    val deltas = axes.indices.foldLeft(Seq(Seq.empty[Long]))((acc, _) =>
+      acc.flatMap(d => Seq(-1L, 0L, 1L).map(d :+ _)))
+    val b = normed.toDF(
+      Seq(blockCol, s"${idCol}_b", "vec_b", "norm_b") ++ cCols: _*)
       .withColumn("d", explode(typedLit(deltas)))
-      .select(col(blockCol), col(s"${idCol}_b"), col("vec_b"), col("norm_b"),
-        (col("c0") + col("d._1")).as("k0"), (col("c1") + col("d._2")).as("k1"))
-    a.join(b, Seq(blockCol, "k0", "k1"))
+      .select(
+        Seq(col(blockCol), col(s"${idCol}_b"), col("vec_b"), col("norm_b")) ++
+          axes.indices.map(j =>
+            (col(s"c$j") + element_at(col("d"), j + 1)).as(s"k$j")): _*)
+    a.join(b, blockCol +: kCols)
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .withColumn("cosine_sim",
         dot(col("vec_a"), col("vec_b")) /

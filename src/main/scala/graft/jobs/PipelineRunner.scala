@@ -38,9 +38,20 @@ object PipelineRunner {
     * Load mode mirrors the reference's `--il` vs `--fl` dispatch
     * (`datalakewrapper.py:252-257`, `workflow.ps1:266-267`): a table marked
     * incremental (with a configured key column) anti-joins the incoming rows
-    * against the keys already in silver and APPENDS only the new ones; a
-    * full load overwrites silver. Bronze always appends (versioned history).
-    * `JobReport.rows` is the number of rows loaded by THIS run.
+    * against a narrow KEY-HISTORY table and APPENDS only the new ones; a
+    * full load overwrites silver (and resets the history). Bronze always
+    * appends (versioned history). `JobReport.rows` is the number of rows
+    * loaded by THIS run.
+    *
+    * The key history (`{silverRoot}/_keyhistory/{table}`) is the reference's
+    * extraction-history id file (`utilities/utilities.py:208-224`): ids
+    * only, so the anti-join's build side stays small — the warehouse table
+    * itself is never scanned for the diff. A silver table predating the
+    * history is backfilled from one silver key scan. History is appended
+    * AFTER the data writes, matching the reference's at-least-once ordering
+    * (`datalakewrapper.py:180-195`): a crash between the two re-loads rows
+    * on retry rather than losing them; the checkpointed
+    * `streaming.IncrementalIngest` is the exactly-once variant.
     */
   def runSubjectArea(spark: SparkSession, config: EngineConfig,
                      subjectArea: String, lakeRoot: String,
@@ -58,13 +69,19 @@ object PipelineRunner {
         val result = IngestPipeline.ingest(spark, raw, "rec", prior)
 
         val silverPath = s"$silverRoot/${tc.warehouseTableName}"
+        val historyPath = s"$silverRoot/_keyhistory/${tc.warehouseTableName}"
         val incrementalRun = tc.incremental && tc.keyColumn.isDefined &&
           pathExists(spark, silverPath)
         val loaded =
-          if (incrementalRun)
+          if (incrementalRun) {
+            val history =
+              if (pathExists(spark, historyPath))
+                spark.read.parquet(historyPath)
+              else // silver predates the key history: one-time backfill scan
+                spark.read.parquet(silverPath).select(tc.keyColumn.get)
             graft.operators.Incremental.notExtracted(result.silver,
-              spark.read.parquet(silverPath), tc.keyColumn.get)
-          else result.silver
+              history, tc.keyColumn.get)
+          } else result.silver
         // one computation feeds bronze, silver, and the row count
         val data = loaded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -77,6 +94,14 @@ object PipelineRunner {
             data.drop("schema_version").write
               .mode(org.apache.spark.sql.SaveMode.Append).parquet(silverPath)
           else Sinks.writeMerged(data.drop("schema_version"), silverPath)
+          // record THIS run's keys after the data lands (at-least-once);
+          // a full load resets the history to exactly its own keys
+          tc.keyColumn.foreach { k =>
+            data.select(k).distinct().write
+              .mode(if (incrementalRun) org.apache.spark.sql.SaveMode.Append
+                    else org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(historyPath)
+          }
           registryPath.foreach(p =>
             graft.schema.SchemaRegistry.save(spark, result.registry, p))
           JobReport(name, tc.businessClassName, success = true, rows,

@@ -159,6 +159,32 @@ class SimilaritySpec extends SparkSpec {
       Similarity.quantizationError(vecs, untrained))
   }
 
+  test("blocking axes track variance; concentrated-first-dims corpus still exact") {
+    // dim0 nearly constant, dims 2 and 3 spread: fixed (0,1) axes would put
+    // every row in one cell; variance choice must pick the spread dims
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 120).map { i =>
+      (i.toLong, Seq(0.9f + rnd.nextFloat() * 1e-4f, 0.1f,
+        rnd.nextFloat() * 2f - 1f, rnd.nextFloat() * 2f - 1f))
+    }
+    val axes = Similarity.chooseBlockAxes(
+      data.map(_._2.map(_.toDouble)), nAxes = 2)
+    assert(axes.toSet == Set(2, 3), s"picked $axes")
+    // and the pair set still equals all-pairs (exactness is axis-invariant)
+    val df = data.toDF("vec_id", "embedding").withColumn("label", lit(1))
+    val blocked = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.995)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    val e1 = df.toDF("vec_id_a", "vec_a", "label")
+    val e2 = df.toDF("vec_id_b", "vec_b", "label")
+    val allPairs = e1.join(e2, "label")
+      .filter($"vec_id_a" < $"vec_id_b")
+      .filter(Similarity.dot($"vec_a", $"vec_b") /
+        greatest(Similarity.norm($"vec_a") * Similarity.norm($"vec_b"),
+          lit(1e-12)) >= 0.995)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == allPairs)
+  }
+
   test("cosineNearDups finds identical pairs within blocks only") {
     val df = vecs.toDF("vec_id", "embedding")
       .withColumn("label", when($"vec_id" < 3, 1).otherwise(2))

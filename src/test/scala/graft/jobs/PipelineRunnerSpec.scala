@@ -127,4 +127,37 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(saved2.versionOf(Set("GLTransactionDetail", "TransactionAmount")) == v1)
     assert(saved2.withoutSeed.versions.size == 3)
   }
+
+  test("incremental diff reads the key history, not the silver table") {
+    val base = Files.createTempDirectory("graft_runner_hist").toString
+    val (lake, bronze, silver) = (s"$base/lake", s"$base/bronze", s"$base/silver")
+    Files.createDirectories(Paths.get(lake))
+    Files.writeString(Paths.get(s"$lake/FSM_GLTransactionDetail.ndjson"),
+      """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""")
+    val cfg = EngineConfig.fromJson(incTableJson,
+      """{"general_ledger": ["gl_transaction_detail"]}""")
+    val r1 = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake, bronze, silver)
+    assert(r1.head.success && r1.head.rows == 1)
+    // the run left a narrow id-only history beside the warehouse table
+    val hist = s"$silver/_keyhistory/luma_gl_transaction_detail"
+    assert(spark.read.parquet(hist).columns.toSeq == Seq("GLTransactionDetail"))
+    // plant key 99 in SILVER ONLY (never extracted per the history): if the
+    // runner diffed against silver it would skip 99; diffing against the
+    // history must load it
+    import spark.implicits._
+    Seq(("99", "99.0")).toDF("GLTransactionDetail", "TransactionAmount")
+      .write.mode("append").parquet(s"$silver/luma_gl_transaction_detail")
+    val lake2 = s"$base/lake2"
+    Files.createDirectories(Paths.get(lake2))
+    Files.writeString(Paths.get(s"$lake2/FSM_GLTransactionDetail.ndjson"), Seq(
+      """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""",
+      """{"GLTransactionDetail": 99, "TransactionAmount": 99.0}"""
+    ).mkString("\n"))
+    val r2 = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake2, bronze, silver)
+    assert(r2.head.success && r2.head.rows == 1)
+    // and the history now covers the loaded key
+    assert(spark.read.parquet(hist).as[String].collect().toSet == Set("1", "99"))
+  }
 }
