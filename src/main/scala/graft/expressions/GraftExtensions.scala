@@ -37,7 +37,9 @@ object GraftExtensions {
     "word_shingle_hash" -> (exprs =>
       WordShingleHashExpr(exprs.head, intArg(exprs, 1, "word_shingle_hash"))),
     "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
-    "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))))
+    "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
+    "simhash60_portable" -> (exprs => SimHashPortableExpr(exprs.head)),
+    "json_leaf_keys" -> (exprs => JsonLeafKeysExpr(exprs.head)))
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

@@ -69,6 +69,32 @@ object IngestPipeline {
     IngestResult(updated, cleansed, declared)
   }
 
+  /** Nested-record variant of [[ingest]] (SURVEY.md §1.1): drift identity
+    * is the set of dotted LEAF paths (native JsonLeafKeysExpr), the parse
+    * is ONE `from_json` against the union-of-keysets nested all-string
+    * schema, and silver carries the flattened `_`-joined leaf columns the
+    * reference's sinks expect (`utilities/utilities.py:109-115`) — so a
+    * truly-nested lake and the reference's pre-flattened dotted world land
+    * in the same warehouse shape. Callers who want the structs themselves
+    * can `Nested.unflatten` the silver frame losslessly. */
+  def ingestNested(spark: SparkSession, raw: DataFrame, recordCol: String,
+                   registry: SchemaRegistry = SchemaRegistry.seed,
+                   declared: Option[Long] = None): IngestResult = {
+    val updated = registry.observeSorted(
+      SchemaRegistry.discoverKeysetsNested(raw, recordCol))
+    val tagged = SchemaRegistry.assignVersionsNested(raw, recordCol, updated)
+    val allPaths = updated.withoutSeed.allColumns.toSeq.sorted
+    val readSchema = graft.operators.Nested.structFromPaths(allPaths)
+    val parsed = tagged.select(col("schema_version"),
+      from_json(col(recordCol), readSchema).as("_graft_rec"))
+    val flat = parsed.select(col("schema_version") +: allPaths.map { p =>
+      p.split('.').foldLeft(col("_graft_rec"))(_.getField(_))
+        .as(p.split('.').mkString("_"))
+    }: _*)
+    val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(flat))
+    IngestResult(updated, cleansed, declared)
+  }
+
   /** Staging→warehouse merge (reference stored-proc MERGE, J1). */
   def warehouseMerge(warehouse: DataFrame, staging: DataFrame,
                      keys: Seq[String]): DataFrame =

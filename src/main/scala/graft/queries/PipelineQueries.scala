@@ -148,6 +148,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Nested-NDJSON drift ingest (SURVEY §1.1): records carry a true nested
+    * `meta` object; odd keys add a nested field, minting a second leaf-path
+    * keyset. Silver is the flattened `_`-joined projection the oracle
+    * states over the original table. Keyset sort order: the odd keyset
+    * ("meta.cust,meta.status,o_orderkey") precedes the even one
+    * ("meta.cust,o_orderkey"), so odd = version 1. */
+  def nestedIngestQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val raw = o.select(
+      when(col("o_orderkey") % 2 === 0,
+        to_json(struct(col("o_orderkey"),
+          struct(col("o_custkey").as("cust")).as("meta"))))
+      .otherwise(to_json(struct(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"),
+          col("o_orderstatus").as("status")).as("meta")))).as("rec"))
+    IngestPipeline.ingestNested(s, raw, "rec").silver
+      .withColumn("schema_version", col("schema_version").cast("long"))
+      .withColumn("o_orderkey", col("o_orderkey").cast("long"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -165,6 +186,7 @@ object PipelineQueries {
     "q37_lakesim_scan"    -> lakesimScanQ _,
     "q44_registry_roundtrip" -> registryRoundTripQ _,
     "q46_cursor_scan"     -> cursorScanQ _,
+    "q54_nested_ingest"   -> nestedIngestQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +222,13 @@ object PipelineQueries {
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,
         | CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+        | CAST(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q54_nested_ingest" ->
+      """SELECT
+        | CAST(o_custkey AS VARCHAR) AS meta_cust,
+        | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS meta_status,
+        | o_orderkey,
         | CAST(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     // version 1 = the EVEN keyset even though the odd keyset sorts first:

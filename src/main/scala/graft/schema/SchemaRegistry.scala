@@ -117,6 +117,27 @@ object SchemaRegistry {
       .map(s => if (s.isEmpty) Set.empty[String] else s.split(",").toSet)
       .toSeq
 
+  /** NESTED canonical keyset: sorted comma-joined dotted LEAF paths (native
+    * JsonLeafKeysExpr — one Jackson parse per record). Same canonical form
+    * as the flat keyset, so the same registry/lookup machinery serves both:
+    * a flat record's leaf paths ARE its top-level keys. */
+  def nestedKeysetExpr(rawJson: Column): Column =
+    graft.expressions.JsonLeafKeysExpr.jsonLeafKeys(rawJson)
+
+  /** Distinct nested keysets (leaf-path sets) in a raw JSON column. */
+  def discoverKeysetsNested(df: DataFrame, rawJsonCol: String): Seq[Set[String]] =
+    df.select(nestedKeysetExpr(col(rawJsonCol)).as("ks")).distinct()
+      .collect().map(_.getString(0))
+      .map(s => if (s == null || s.isEmpty) Set.empty[String]
+                else s.split(",").toSet)
+      .toSeq
+
+  /** Tag each record with its nested-keyset schema version. */
+  def assignVersionsNested(df: DataFrame, rawJsonCol: String,
+                           registry: SchemaRegistry): DataFrame =
+    df.withColumn("schema_version",
+      lookupExpr(registry, nestedKeysetExpr(col(rawJsonCol))))
+
   /** Tag each record with its schema version via a broadcast lookup of the
     * registry (keyset string → id). Unknown keysets get null — callers
     * should `observe` first. */

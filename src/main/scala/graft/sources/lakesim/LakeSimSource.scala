@@ -56,14 +56,20 @@ class LakeSimSource extends TableProvider {
 }
 
 class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"lakesim($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeSimScanBuilder(path, tableSchema, pageSize)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LakeSimWriteBuilder(path, info.schema())
 }
 
 class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int)

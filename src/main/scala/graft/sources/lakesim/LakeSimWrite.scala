@@ -1,0 +1,165 @@
+package graft.sources.lakesim
+
+import java.io.{BufferedWriter, File, FileWriter}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DSv2 WRITE path for the simulated lake — the reference's push side
+  * (`utilities/aws/s3.py:6-28` uploads the extracted files back to object
+  * storage): each task writes one NDJSON object, the job commit publishes
+  * them plus a rebuilt `index.json`, so a written lake is immediately
+  * scannable (with range pruning) by [[LakeSimSource]].
+  *
+  * Commit protocol (the part that matters at scale):
+  *   - every task writes to a uniquely-named `_tmp-…` file and reports
+  *     (file, count, per-field numeric ranges) in its commit message —
+  *     nothing is visible until the driver commits;
+  *   - job commit renames temp files to `objN.ndjson` and writes the index
+  *     in one pass; a failed/speculative task's temp file is just deleted
+  *     (`abort`), so partial writes can never corrupt the lake;
+  *   - append mode keeps existing objects and extends the index; truncate
+  *     (SaveMode.Overwrite) removes exactly the objects the old index
+  *     listed, at COMMIT time — an aborted overwrite leaves the old lake
+  *     intact.
+  *
+  * The per-field ranges computed task-side are what makes the written lake
+  * split-prunable on read — the same metadata the reference's
+  * data-object-properties scan serves (`datalakewrapper.py:88-102`).
+  */
+final case class LakeSimCommit(tmpFile: String, count: Long,
+                               ranges: Map[String, (Double, Double)])
+    extends WriterCommitMessage
+
+class LakeSimWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateAll = false
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new LakeSimBatchWrite(path, schema, truncateAll)
+  }
+}
+
+class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = LakeSimWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    dir.mkdirs()
+    val hadIndex = new File(dir, "index.json").exists()
+    val existing =
+      if (hadIndex && !truncateAll) LakeIndex.load(path) else Seq.empty
+    if (truncateAll && hadIndex) {
+      LakeIndex.load(path).foreach(e => new File(dir, e.file).delete())
+      new File(dir, "index.json").delete()
+    }
+    val fresh = messages.collect { case m: LakeSimCommit if m.count > 0 => m }
+    val used = scala.collection.mutable.Set(existing.map(_.file): _*)
+    val published = fresh.map { m =>
+      val name = Iterator.from(used.size)
+        .map(i => s"obj$i.ndjson").find(!used.contains(_)).get
+      used += name
+      if (!new File(dir, m.tmpFile).renameTo(new File(dir, name)))
+        throw new java.io.IOException(
+          s"lakesim commit: cannot publish ${m.tmpFile} as $name")
+      ObjectEntry(name, m.count, m.ranges)
+    }
+    writeIndex(dir, existing ++ published)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: LakeSimCommit => new File(new File(path), m.tmpFile).delete()
+      case _ =>
+    }
+
+  private def writeIndex(dir: File, entries: Seq[ObjectEntry]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("objects")
+    entries.foreach { e =>
+      val o = arr.addObject()
+      o.put("file", e.file)
+      o.put("count", e.count)
+      val r = o.putObject("ranges")
+      e.ranges.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
+        val a = r.putArray(f); a.add(lo); a.add(hi)
+      }
+    }
+    java.nio.file.Files.writeString(
+      new File(dir, "index.json").toPath, mapper.writeValueAsString(root))
+  }
+}
+
+final case class LakeSimWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new LakeSimDataWriter(path, schema, partitionId, taskId)
+}
+
+/** One task = one candidate data object. Tracks numeric min/max per field
+  * while streaming rows out, so the index ranges cost nothing extra. */
+class LakeSimDataWriter(path: String, schema: StructType,
+                        partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val tmpName = s"_tmp-$partitionId-$taskId.ndjson"
+  private var out: BufferedWriter = _
+  private var count = 0L
+  private val lo = scala.collection.mutable.Map.empty[String, Double]
+  private val hi = scala.collection.mutable.Map.empty[String, Double]
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      new File(path).mkdirs()
+      out = new BufferedWriter(new FileWriter(new File(path, tmpName)))
+    }
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        // null fields are OMITTED — NDJSON records carry only present keys
+        case LongType =>
+          val v = row.getLong(i); node.put(f.name, v); range(f.name, v.toDouble)
+        case IntegerType =>
+          val v = row.getInt(i); node.put(f.name, v); range(f.name, v.toDouble)
+        case DoubleType =>
+          val v = row.getDouble(i); node.put(f.name, v); range(f.name, v)
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case other => throw new UnsupportedOperationException(
+          s"lakesim write: unsupported type ${other.simpleString} (${f.name})")
+      }
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.newLine()
+    count += 1
+  }
+
+  private def range(f: String, v: Double): Unit = {
+    lo.update(f, math.min(lo.getOrElse(f, v), v))
+    hi.update(f, math.max(hi.getOrElse(f, v), v))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    LakeSimCommit(tmpName, count,
+      lo.keys.map(f => f -> (lo(f), hi(f))).toMap)
+  }
+
+  override def abort(): Unit = {
+    close()
+    new File(new File(path), tmpName).delete()
+    ()
+  }
+
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
+}

@@ -1,0 +1,82 @@
+package graft.sources.lakesim
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** DSv2 write path: task-temp commit protocol, index publication, append vs
+  * truncate, and write→scan round-trip equality. */
+class LakeSimWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("id", LongType), StructField("region", StringType),
+    StructField("amount", DoubleType)))
+
+  def readLake(dir: String) =
+    spark.read.format(classOf[LakeSimSource].getName)
+      .schema(schema).option("path", dir).load()
+
+  test("write then scan returns exactly the written rows (round trip)") {
+    val dir = Files.createTempDirectory("lakesim_w").toString
+    val df = (1 to 25).map(i => (i.toLong, if (i % 2 == 0) "A" else "B",
+      i * 10.0)).toDF("id", "region", "amount")
+    df.repartition(3).write.format(classOf[LakeSimSource].getName)
+      .option("path", dir).mode("overwrite").save()
+    // the commit published objects + an index, no temp litter
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.contains("index.json"))
+    assert(names.count(_.endsWith(".ndjson")) == 3)
+    assert(!names.exists(_.startsWith("_tmp")))
+    val back = readLake(dir).as[(Long, String, Double)].collect().toSet
+    assert(back == df.as[(Long, String, Double)].collect().toSet)
+    // index counts cover every row
+    assert(LakeIndex.load(dir).map(_.count).sum == 25)
+  }
+
+  test("append extends the lake; overwrite truncates it") {
+    val dir = Files.createTempDirectory("lakesim_w2").toString
+    def write(ids: Range, mode: String): Unit =
+      ids.map(i => (i.toLong, "A", i * 1.0)).toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).mode(mode).save()
+    write(1 to 5, "overwrite")
+    write(6 to 9, "append")
+    assert(readLake(dir).select("id").as[Long].collect().toSet ==
+      (1 to 9).map(_.toLong).toSet)
+    assert(LakeIndex.load(dir).size == 2)
+    write(100 to 101, "overwrite")
+    assert(readLake(dir).select("id").as[Long].collect().toSet ==
+      Set(100L, 101L))
+    // truncated objects are physically gone, not just de-indexed
+    assert(new java.io.File(dir).list().count(_.endsWith(".ndjson")) == 1)
+  }
+
+  test("written index ranges drive split pruning on read-back") {
+    val dir = Files.createTempDirectory("lakesim_w3").toString
+    // two partitions with disjoint id ranges → two objects with tight ranges
+    val df = ((1 to 10) ++ (101 to 110)).map(i => (i.toLong, "A", i * 1.0))
+      .toDF("id", "region", "amount")
+      .repartitionByRange(2, $"id")
+    df.write.format(classOf[LakeSimSource].getName)
+      .option("path", dir).mode("overwrite").save()
+    val entries = LakeIndex.load(dir)
+    assert(entries.size == 2)
+    // a filter selecting only the high range must prune to one object
+    val pruned = LakeIndex.prune(entries,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 100L)))
+    assert(pruned.size == 1)
+    assert(readLake(dir).filter($"id" > 100).count() == 10)
+  }
+
+  test("empty partitions publish no objects") {
+    val dir = Files.createTempDirectory("lakesim_w4").toString
+    Seq((1L, "A", 1.0)).toDF("id", "region", "amount")
+      .repartition(8).write.format(classOf[LakeSimSource].getName)
+      .option("path", dir).mode("overwrite").save()
+    assert(new java.io.File(dir).list().count(_.endsWith(".ndjson")) == 1)
+    assert(readLake(dir).count() == 1)
+  }
+}
