@@ -42,6 +42,34 @@ object Sinks {
   def replaceTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** K3 proper: chunked JDBC batch insert (reference
+    * `lambda_function.py:211-243` + `db/database.py:30-41`). Spark's JDBC
+    * sink batches prepared statements per `batchSize` — the
+    * `fast_executemany` semantics — and writes partition-parallel, so the
+    * chunking the reference hand-rolls (C1) is the `batchsize` option.
+    * K4: `truncate = true` with `SaveMode.Overwrite` issues TRUNCATE/DELETE
+    * instead of DROP+CREATE, preserving the table's DDL exactly like the
+    * reference's `truncate table` (`lambda_function.py:205-209`).
+    * Exercised live against embedded Derby in DerbyJdbcSpec. */
+  def jdbcLoad(df: DataFrame, url: String, table: String,
+               mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+               truncate: Boolean = true,
+               props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode)
+      .option("truncate", truncate.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** S12: staging-schema introspection over a live JDBC connection — the
+    * reference's `exec sp_columns {table}` (`lambda_function.py:62-76`)
+    * restated as the JDBC metadata read (no rows are fetched; the dialect
+    * resolves the remote DDL into a StructType). */
+  def jdbcIntrospect(spark: org.apache.spark.sql.SparkSession, url: String,
+                     table: String,
+                     props: java.util.Properties = new java.util.Properties())
+      : StructType =
+    spark.read.jdbc(url, table, props).schema
+
   /** K5: per-column insert root-cause analysis (reference
     * `lambda_function.py:245-276`): when a bulk load fails, retry the write
     * with each non-key column in isolation (alongside the keys) to identify

@@ -44,6 +44,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"))
   }
 
+  test("config-lookup join broadcasts the config side (J2)") {
+    val facts = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+    val config = Seq(("O", "open"), ("F", "final"), ("P", "pending"))
+      .toDF("o_orderstatus", "status_name")
+    val plan = facts.join(broadcast(config), Seq("o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
+  test("as-of join runs on a SINGLE exchange (no join-then-prune blowup)") {
+    val quotes = Seq((1L, 100L, 9.5), (1L, 200L, 9.7), (2L, 150L, 4.2))
+      .toDF("sym", "ts", "px")
+    val trades = Seq((1L, 150L, 10), (1L, 250L, 20), (2L, 160L, 30))
+      .toDF("sym", "ts", "qty")
+    val joined = graft.operators.AsofJoin(trades, quotes, Seq("sym"), "ts", Seq("px"))
+    joined.collect()
+    // AQE prints the plan twice (final + initial) — pin the final only
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // one hash-partitioning exchange for the window; no join operator at all
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+    assert(!plan.contains("Join"))
+  }
+
+  test("pre-partitioned upsert does not re-shuffle an aligned frame") {
+    // both sides repartitioned on the key: the window's required
+    // distribution is already satisfied on the union? No — the union of two
+    // hash-partitioned frames is NOT co-partitioned, so the window must
+    // shuffle ONCE; the pin is that exactly one key exchange exists (the
+    // formulation never shuffles twice or per-side).
+    val t = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val s = t.limit(100)
+    val plan = graft.operators.Upsert(t, s, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    val keyExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("o_orderkey"))
+    assert(keyExchanges == 1, s"expected 1 key exchange, got $keyExchanges")
+  }
+
+  test("large-target upsert broadcasts the key probe, target never shuffles") {
+    val t = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val s = t.limit(50)
+    val plan = graft.operators.Upsert.forLargeTarget(t, s, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+    // the target side reaches the anti-join without a hash exchange
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize
