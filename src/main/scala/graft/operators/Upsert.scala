@@ -49,14 +49,33 @@ object Upsert {
     * [[apply]]'s window dedups them to one row per key. Requires unique
     * keys per source row (pre-dedup drifts with `tieBreak` upstream). */
   def forLargeTarget(target: DataFrame, source: DataFrame,
-                     keys: Seq[String]): DataFrame = {
+                     keys: Seq[String]): DataFrame =
+    removeMatched(target, source, keys)
+      .unionByName(source, allowMissingColumns = true)
+
+  /** Target rows whose key has NO match in the source (null-safe) — the
+    * broadcast-probe kernel shared by [[forLargeTarget]] and the MERGE
+    * DELETE execution. The target side streams; only the distinct source
+    * keys move. */
+  def removeMatched(target: DataFrame, source: DataFrame,
+                    keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val marked = keys.map(k => s"_graft_sk_$k")
     val srcKeys = source.select(keys.map(col): _*).distinct().toDF(marked: _*)
     val cond = keys.zip(marked)
       .map { case (k, m) => target(k) <=> srcKeys(m) }.reduce(_ && _)
     target.join(broadcast(srcKeys), cond, "left_anti")
-      .unionByName(source, allowMissingColumns = true)
+  }
+
+  /** Source rows whose key is absent from the target (null-safe) — the
+    * MERGE insert-only execution: the result APPENDS, nothing rewrites. */
+  def insertOnly(target: DataFrame, source: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val marked = keys.map(k => s"_graft_tk_$k")
+    val tgtKeys = target.select(keys.map(col): _*).distinct().toDF(marked: _*)
+    val cond = keys.zip(marked)
+      .map { case (k, m) => source(k) <=> tgtKeys(m) }.reduce(_ && _)
+    source.join(tgtKeys, cond, "left_anti")
   }
 
   /** Per-column merge via full-outer join: matched rows take source values

@@ -25,11 +25,12 @@ import graft.operators.Upsert
   *   WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * — into [[GraftMergeCommand]], which runs the engine's [[Upsert]]
-  * (source-wins window dedup, one shuffle on the key) and replaces the
-  * target in place. Unsupported merge shapes (conditional actions, DELETE,
-  * per-column SET lists, NOT MATCHED BY SOURCE) fail analysis loudly rather
-  * than silently changing semantics.
+  * — into [[GraftMergeCommand]]. Three action shapes are executable:
+  * upsert (`UPDATE SET *` + `INSERT *`), delete-matched (`WHEN MATCHED
+  * THEN DELETE` alone), and insert-if-absent (`WHEN NOT MATCHED THEN
+  * INSERT *` alone — pure append). Unsupported shapes (conditional
+  * actions, per-column SET lists, NOT MATCHED BY SOURCE) fail analysis
+  * loudly rather than silently changing semantics.
   */
 object GraftMerge {
 
@@ -88,17 +89,30 @@ object GraftMerge {
   private def notSupported(msg: String) =
     new UnsupportedOperationException(s"graft MERGE INTO: $msg")
 
+  /** Supported MERGE shapes → execution mode:
+    *
+    *   - `UPDATE SET * / INSERT *`  → upsert (take the source row)
+    *   - `WHEN MATCHED THEN DELETE` (alone) → delete matched target rows
+    *   - `WHEN NOT MATCHED THEN INSERT *` (alone) → insert-if-absent
+    *     (append-only — existing data is never rewritten)
+    */
+  private[plans] def modeOf(m: MergeIntoTable): String =
+    (m.matchedActions, m.notMatchedActions) match {
+      case (ma, na) if isUpdateAll(ma) && isInsertAll(na) => "upsert"
+      case (Seq(DeleteAction(None)), Seq()) => "delete"
+      case (Seq(), na) if isInsertAll(na) => "insert_only"
+      case _ => throw notSupported(
+        "supported shapes: UPDATE SET * + INSERT *; DELETE alone; INSERT * alone")
+    }
+
   /** Rewrite a parsed MergeIntoTable into the runnable command (also usable
     * programmatically on sessions built without the extension). */
   def convert(m: MergeIntoTable): LogicalPlan = {
-    if (!isUpdateAll(m.matchedActions))
-      throw notSupported("WHEN MATCHED must be exactly `THEN UPDATE SET *`")
-    if (!isInsertAll(m.notMatchedActions))
-      throw notSupported("WHEN NOT MATCHED must be exactly `THEN INSERT *`")
+    val mode = modeOf(m)
     if (m.notMatchedBySourceActions.nonEmpty)
       throw notSupported("WHEN NOT MATCHED BY SOURCE is not supported")
     GraftMergeCommand(tableName(m.targetTable), tableName(m.sourceTable),
-      keysOf(m.mergeCondition))
+      keysOf(m.mergeCondition), mode)
   }
 }
 
@@ -143,21 +157,41 @@ class GraftMergeExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   * warehouse table should be partitioned, which selects the pruned path.
   */
 case class GraftMergeCommand(targetTable: String, sourceTable: String,
-                             keys: Seq[String]) extends LeafRunnableCommand {
+                             keys: Seq[String], mode: String = "upsert")
+    extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
     val isTempView =
       spark.sessionState.catalog.getTempView(targetTable).isDefined
+    if (mode == "insert_only") { runInsertOnly(spark, isTempView); return Nil }
     val partCols = if (isTempView) Nil else partitionColumns(spark)
     if (partCols.nonEmpty) runPartitionPruned(spark, partCols)
     else {
-      val merged = Upsert(spark.table(targetTable), spark.table(sourceTable), keys)
-        .localCheckpoint()
+      val target = spark.table(targetTable)
+      val source = spark.table(sourceTable)
+      val merged = (mode match {
+        case "delete" => Upsert.removeMatched(target, source, keys)
+        case _ => Upsert(target, source, keys)
+      }).localCheckpoint()
       if (isTempView) merged.createOrReplaceTempView(targetTable)
       else merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
     }
     Nil
+  }
+
+  /** Insert-if-absent is pure APPEND: one narrow key-scan of the target
+    * builds the absence probe, fresh rows append, no partition is read or
+    * rewritten — the cheapest merge shape at any scale. */
+  private def runInsertOnly(spark: SparkSession, isTempView: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val target = spark.table(targetTable)
+    val fresh = Upsert.insertOnly(target, spark.table(sourceTable), keys)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    if (isTempView)
+      target.unionByName(fresh).localCheckpoint()
+        .createOrReplaceTempView(targetTable)
+    else fresh.write.mode(SaveMode.Append).insertInto(targetTable)
   }
 
   /** The analyzer may hand a 1-, 2- or 3-part target name. */
@@ -182,27 +216,32 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val target = spark.table(targetTable)
     val source = spark.table(sourceTable)
-    // partitions source rows land in (inserts + updated rows' new homes)
+    // partitions source rows land in (inserts + updated rows' new homes);
+    // a DELETE inserts nothing, so only matched rows' current homes count
     val newParts = source.select(partCols.map(col): _*).distinct()
     // when every partition column is part of the merge key, a matched row
     // cannot change partition — the source-side values already cover all
     // affected partitions and the old-location probe scan is skipped
     val partsInKey = partCols.forall(p => keys.exists(_.equalsIgnoreCase(p)))
     val affected: Array[Row] =
-      if (partsInKey) newParts.collect()
+      if (partsInKey && mode != "delete") newParts.collect()
       else {
         val srcKeys = source.select(keys.map(col): _*).distinct()
         val oldParts = target.join(broadcast(srcKeys), keys)
           .select(partCols.map(col): _*).distinct()
-        newParts.unionByName(oldParts).distinct().collect()
+        if (mode == "delete") oldParts.collect()
+        else newParts.unionByName(oldParts).distinct().collect()
       }
     if (affected.isEmpty) return
     val pruneCond = affected.map { r =>
       partCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
     }.reduce(_ || _)
-    val merged = Upsert
-      .forLargeTarget(target.filter(pruneCond), source, keys)
+    val pruned = target.filter(pruneCond)
+    val merged = (mode match {
+      case "delete" => Upsert.removeMatched(pruned, source, keys)
+      case _ => Upsert.forLargeTarget(pruned, source, keys)
+    })
       // align to the table's column order (insertInto is positional) and
       // cut the plan's read of the partitions about to be overwritten
       .select(target.columns.map(col).toIndexedSeq: _*)

@@ -115,13 +115,75 @@ class MergeIntoSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 1.0), (1L, "b", 9.0), (2L, "c", 3.0)))
   }
 
+  test("WHEN MATCHED THEN DELETE removes matched rows only") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("del_target")
+    Seq((2L, "x"), (9L, "y")).toDF("k", "v")
+      .createOrReplaceTempView("del_src")
+    spark.sql(
+      """MERGE INTO del_target USING del_src ON del_target.k = del_src.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("del_target").orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("DELETE on a partitioned table prunes and drops emptied partitions") {
+    freshTable("graft_merge_del")
+    Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"), (4L, 30, "d"))
+      .toDF("k", "p", "v").write.mode("overwrite").partitionBy("p")
+      .saveAsTable("graft_merge_del")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "graft_merge_del")).location.getPath
+    val before10 = new java.io.File(s"$loc/p=10")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // delete k=3: partition 20 empties out and must vanish; p=10 untouched
+    Seq((3L, 0, "")).toDF("k", "p", "v").createOrReplaceTempView("del_part_src")
+    spark.sql(
+      """MERGE INTO graft_merge_del USING del_part_src
+        |ON graft_merge_del.k = del_part_src.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("graft_merge_del").select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 4L))
+    assert(new java.io.File(s"$loc/p=10")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap == before10)
+    spark.sql("DROP TABLE graft_merge_del")
+  }
+
+  test("INSERT-only merge appends absent keys without touching existing files") {
+    freshTable("graft_merge_ins")
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").saveAsTable("graft_merge_ins")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "graft_merge_ins")).location.getPath
+    def mtimes(p: Int) = new java.io.File(s"$loc/p=$p")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val (b10, b20) = (mtimes(10), mtimes(20))
+    // k=1 exists (skipped, even with a different payload); k=5 is new
+    Seq((1L, 10, "CHANGED"), (5L, 20, "e")).toDF("k", "p", "v")
+      .createOrReplaceTempView("ins_src")
+    spark.sql(
+      """MERGE INTO graft_merge_ins USING ins_src ON graft_merge_ins.k = ins_src.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("graft_merge_ins").orderBy("k")
+      .select($"k", $"p", $"v").as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq((1L, 10, "a"), (2L, 20, "b"), (5L, 20, "e")))
+    // append-only: every pre-existing file is byte-identical in place
+    assert(mtimes(10) == b10)
+    assert((mtimes(20).toSet intersect b20.toSet) == b20.toSet)
+    spark.sql("DROP TABLE graft_merge_ins")
+  }
+
   test("unsupported merge shapes fail loudly") {
     Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("warehouse3")
     Seq((1L, 2.0)).toDF("k", "amt").createOrReplaceTempView("staging3")
     val e = intercept[Exception] {
       spark.sql(
         """MERGE INTO warehouse3 USING staging3 ON warehouse3.k = staging3.k
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+          |WHEN MATCHED AND staging3.amt > 1.0 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e.getMessage.contains("graft MERGE INTO") ||
       e.getMessage.toLowerCase.contains("merge"))
