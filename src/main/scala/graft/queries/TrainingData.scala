@@ -178,7 +178,27 @@ object TrainingData {
           lit("</p>\n<br/>"))).as("cleaned"))
       .orderBy(col("doc_id"))
 
+  /** The full curation pipeline COMPOSED end-to-end — what a training-data
+    * user actually runs: language filter → quality gate → exact dedup →
+    * deterministic 50% sample, over the clone corpus so the dedup stage
+    * does real work. Every stage is an existing operator; the oracle
+    * restates the whole chain (filters commute with dedup because both
+    * predicates are text-derived, so clone groups pass or fail together). */
+  def curationQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = cloneCorpus(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val filtered = scored
+      .filter(col("lang_pred") === "en" && col("quality") >= 0.55)
+    val deduped = Dedup.exactDedup(filtered, "text", "doc_id")
+    graft.functions.Sampling.hashSample(deduped, "doc_id", 0.5)
+      .select(col("doc_id"), col("len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_curation"          -> curationQ _,
     "q22_token_count"       -> tokenCountQ _,
     "q23_quality_score"     -> qualityQ _,
     "q24_langid"            -> langIdQ _,
@@ -322,6 +342,39 @@ object TrainingData {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q42_ivf_topk" -> ivfOracle(),
+    // The composed pipeline restated as one chain; filters before/after
+    // dedup commute (all predicates are text-derived), min() aggregates
+    // are exact on the identical clone rows.
+    "q55_curation" ->
+      """WITH c AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |m AS (
+        | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |    / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+        |    / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE AS stopword_ratio,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('the','and','of','is'))) AS s_en,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('el','la','de','los'))) AS s_es,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('der','und','die','das'))) AS s_de,
+        |  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN ('le','et','les','des'))) AS s_fr
+        | FROM c),
+        |f AS (
+        | SELECT doc_id, text, len,
+        |  0.5 * least(len::DOUBLE / 1000.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+        |   + 0.2 * stopword_ratio AS quality
+        | FROM m
+        | WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |  AND 0.5 * least(len::DOUBLE / 1000.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+        |   + 0.2 * stopword_ratio >= 0.55),
+        |d AS (
+        | SELECT min(doc_id) AS doc_id, min(len) AS len, min(quality) AS quality
+        | FROM f GROUP BY text)
+        |SELECT doc_id, len, quality FROM d
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |ORDER BY doc_id""".stripMargin,
     "q22_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
