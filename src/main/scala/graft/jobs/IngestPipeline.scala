@@ -48,20 +48,23 @@ object IngestPipeline {
     val updated = registry.observeSorted(
       SchemaRegistry.discoverKeysets(raw, recordCol))
 
-    // 2. tag rows with their schema version (broadcast map lookup)
-    val tagged = SchemaRegistry.assignVersions(raw, recordCol, updated)
-
-    // 3. parse each record against the union-of-schemas column universe,
-    //    reproducing the reference's per-version files + merged projection
-    //    (`bc_merged_csv`) without materializing per-version frames.
-    //    json_tuple parses the record ONCE per row (a generator producing
-    //    every column from the same Jackson pass, with get_json_object's
-    //    scalar-to-text semantics) — k get_json_object calls would pay k
-    //    full parses per record.
+    // 2+3 fused: ONE native Jackson pass per record yields the keyset (for
+    //    the broadcast version lookup) AND every column of the
+    //    union-of-schemas universe — the json_object_keys+sort+join stack
+    //    and the separate json_tuple generator each cost a full parse;
+    //    JsonKeysetTupleExpr replaces both (subexpression elimination keeps
+    //    the struct evaluated once per row across the projected fields).
     val allCols = updated.withoutSeed.allColumns.toSeq.sorted
-    val parsed = tagged
-      .select(col("schema_version"), json_tuple(col(recordCol), allCols: _*))
-      .toDF("schema_version" +: allCols: _*)
+    val fused = raw.select(
+      graft.expressions.JsonKeysetTupleExpr
+        .jsonKeysetTuple(col(recordCol), allCols).as("_graft_rec"))
+    val parsed = SchemaRegistry.assignVersionsByKeyset(
+        fused.select(col("_graft_rec._keyset").as("_graft_keyset") +:
+          allCols.map(c => col("_graft_rec").getField(c).as(c)): _*),
+        "_graft_keyset", updated)
+      .drop("_graft_keyset")
+      // backtick-quote: raw lake columns may carry dots (`A.B` ERP names)
+      .select(col("schema_version") +: allCols.map(c => col(s"`$c`")): _*)
 
     // 4. cleanse: SQL-safe names, dupe resolution, sorted columns
     val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(parsed))

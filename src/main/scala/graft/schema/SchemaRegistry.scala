@@ -108,12 +108,20 @@ object SchemaRegistry {
   def keysetExpr(rawJson: Column): Column =
     array_join(array_sort(json_object_keys(rawJson)), ",")
 
+  /** Native single-pass keyset (same canonical string as [[keysetExpr]],
+    * pinned by JsonKeysetTupleExprSpec) — skips the generic-array
+    * sort/join stack, one Jackson pass per record. */
+  def keysetExprNative(rawJson: Column): Column =
+    graft.expressions.JsonKeysetTupleExpr.jsonKeysetTuple(rawJson, Nil)
+      .getField("_keyset")
+
   /** Distinct keysets present in a column of raw JSON records. One
     * distinct-shuffle over short strings; safe to collect (cardinality =
-    * number of schema versions, not rows). */
+    * number of schema versions, not rows). Malformed records (null
+    * keyset) are ignored — they tag as version null downstream. */
   def discoverKeysets(df: DataFrame, rawJsonCol: String): Seq[Set[String]] =
-    df.select(keysetExpr(col(rawJsonCol)).as("ks")).distinct()
-      .collect().map(_.getString(0))
+    df.select(keysetExprNative(col(rawJsonCol)).as("ks")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null)
       .map(s => if (s.isEmpty) Set.empty[String] else s.split(",").toSet)
       .toSeq
 
