@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * yield a row of nulls (keyset null → version null), matching the
   * built-in pipeline's behavior.
   */
-case class JsonKeysetTupleExpr(child: Expression, fields: Seq[String])
+case class JsonKeysetTupleExpr(child: Expression, fields: Seq[String],
+                               nested: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = StructType(
@@ -44,7 +45,7 @@ case class JsonKeysetTupleExpr(child: Expression, fields: Seq[String])
           s"json_keyset_tuple requires string, got ${other.simpleString(100)}")
     }
 
-  @transient private lazy val kernel = new JsonKeysetTuple(fields.toArray)
+  @transient private lazy val kernel = new JsonKeysetTuple(fields.toArray, nested)
 
   override def nullSafeEval(input: Any): Any =
     kernel.evalRow(input.asInstanceOf[UTF8String])
@@ -61,8 +62,15 @@ case class JsonKeysetTupleExpr(child: Expression, fields: Seq[String])
   override def prettyName: String = "json_keyset_tuple"
 }
 
-/** Serializable single-pass kernel (shared by eval and codegen). */
-class JsonKeysetTuple(fields: Array[String]) extends Serializable {
+/** Serializable single-pass kernel (shared by eval and codegen).
+  *
+  * `nested = false`: keys/fields are TOP-LEVEL names (json_tuple world —
+  * the reference's pre-flattened records). `nested = true`: keys/fields
+  * are dotted LEAF paths (JsonLeafKeysExpr world — objects recurse;
+  * scalars, arrays, nulls and empty objects are leaves), so the nested
+  * drift ingest also pays exactly one parse per record. */
+class JsonKeysetTuple(fields: Array[String], nested: Boolean = false)
+    extends Serializable {
 
   @transient private lazy val factory = new JsonFactory()
   @transient private lazy val index: java.util.HashMap[String, Integer] = {
@@ -72,19 +80,21 @@ class JsonKeysetTuple(fields: Array[String]) extends Serializable {
     m
   }
 
+  private def nullRow: InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      new Array[Any](fields.length + 1))
+
   def evalRow(json: UTF8String): InternalRow = {
-    val values = new Array[Any](fields.length + 1)
     try {
       val parser = factory.createParser(json.toString)
       try {
-        if (parser.nextToken() != JsonToken.START_OBJECT)
-          return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        if (parser.nextToken() != JsonToken.START_OBJECT) return nullRow
+        val values = new Array[Any](fields.length + 1)
         val keys = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (parser.nextToken() == JsonToken.FIELD_NAME) {
-          val name = parser.currentName()
-          keys += name
-          val tok = parser.nextToken()
-          val idx = index.get(name)
+
+        def capture(path: String, tok: JsonToken): Unit = {
+          keys += path
+          val idx = index.get(path)
           if (idx != null) {
             values(idx + 1) = tok match {
               case JsonToken.VALUE_NULL => null
@@ -102,22 +112,57 @@ class JsonKeysetTuple(fields: Array[String]) extends Serializable {
             parser.skipChildren()
           }
         }
+
+        // walks an object body whose first post-'{' token is `firstTok`
+        def walk(prefix: String, firstTok: JsonToken): Unit = {
+          var tok = firstTok
+          while (tok == JsonToken.FIELD_NAME) {
+            val name = parser.currentName()
+            val path = if (prefix.isEmpty) name else s"$prefix.$name"
+            val vtok = parser.nextToken()
+            if (nested && vtok == JsonToken.START_OBJECT) {
+              val inner = parser.nextToken()
+              if (inner == JsonToken.END_OBJECT) {
+                keys += path // empty object = leaf, rendered as "{}"
+                val idx = index.get(path)
+                if (idx != null) values(idx + 1) = UTF8String.fromString("{}")
+              } else walk(path, inner)
+            } else capture(path, vtok)
+            tok = parser.nextToken()
+          }
+        }
+
+        // flat mode never descends: the walk's prefix stays ""
+        if (nested) walk("", parser.nextToken())
+        else {
+          var tok = parser.nextToken()
+          while (tok == JsonToken.FIELD_NAME) {
+            parser.nextToken()
+            capture(parser.currentName(), parser.currentToken())
+            tok = parser.nextToken()
+          }
+        }
         values(0) = UTF8String.fromString(keys.sorted.mkString(","))
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       } finally parser.close()
     } catch {
-      case _: Exception =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          new Array[Any](fields.length + 1))
+      case _: Exception => nullRow
     }
   }
 }
 
 object JsonKeysetTupleExpr {
 
-  /** Column-level entry point. */
+  /** Column-level entry point (flat top-level keys). */
   def jsonKeysetTuple(json: Column, fields: Seq[String]): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       JsonKeysetTupleExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(json), fields))
+
+  /** Nested variant: keyset and fields are dotted LEAF paths. */
+  def jsonLeafKeysetTuple(json: Column, fields: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      JsonKeysetTupleExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(json), fields,
+        nested = true))
 }

@@ -85,15 +85,18 @@ object IngestPipeline {
                    declared: Option[Long] = None): IngestResult = {
     val updated = registry.observeSorted(
       SchemaRegistry.discoverKeysetsNested(raw, recordCol))
-    val tagged = SchemaRegistry.assignVersionsNested(raw, recordCol, updated)
+    // same fused one-parse shape as the flat ingest: leaf keyset (version
+    // lookup) + every leaf value from a single streaming pass
     val allPaths = updated.withoutSeed.allColumns.toSeq.sorted
-    val readSchema = graft.operators.Nested.structFromPaths(allPaths)
-    val parsed = tagged.select(col("schema_version"),
-      from_json(col(recordCol), readSchema).as("_graft_rec"))
-    val flat = parsed.select(col("schema_version") +: allPaths.map { p =>
-      p.split('.').foldLeft(col("_graft_rec"))(_.getField(_))
-        .as(p.split('.').mkString("_"))
-    }: _*)
+    val fused = raw.select(
+      graft.expressions.JsonKeysetTupleExpr
+        .jsonLeafKeysetTuple(col(recordCol), allPaths).as("_graft_rec"))
+    val flat = SchemaRegistry.assignVersionsByKeyset(
+        fused.select(col("_graft_rec._keyset").as("_graft_keyset") +:
+          allPaths.map(p => col("_graft_rec").getField(p)
+            .as(p.split('.').mkString("_"))): _*),
+        "_graft_keyset", updated)
+      .drop("_graft_keyset")
     val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(flat))
     IngestResult(updated, cleansed, declared)
   }

@@ -132,9 +132,13 @@ object SchemaRegistry {
   def nestedKeysetExpr(rawJson: Column): Column =
     graft.expressions.JsonLeafKeysExpr.jsonLeafKeys(rawJson)
 
-  /** Distinct nested keysets (leaf-path sets) in a raw JSON column. */
+  /** Distinct nested keysets (leaf-path sets) in a raw JSON column —
+    * fused streaming kernel, identical canonical string to
+    * [[nestedKeysetExpr]] (pinned by JsonKeysetTupleExprSpec). */
   def discoverKeysetsNested(df: DataFrame, rawJsonCol: String): Seq[Set[String]] =
-    df.select(nestedKeysetExpr(col(rawJsonCol)).as("ks")).distinct()
+    df.select(graft.expressions.JsonKeysetTupleExpr
+        .jsonLeafKeysetTuple(col(rawJsonCol), Nil).getField("_keyset").as("ks"))
+      .distinct()
       .collect().map(_.getString(0))
       .map(s => if (s == null || s.isEmpty) Set.empty[String]
                 else s.split(",").toSet)

@@ -59,6 +59,32 @@ class JsonKeysetTupleExprSpec extends SparkSpec {
       ("3", "1.0E7", None, 1)))
   }
 
+  test("nested mode: leaf keyset matches JsonLeafKeysExpr; values match paths") {
+    val recs = Seq(
+      """{"a": {"b": 1, "c": 2}, "d": 3}""",
+      """{"d": 1, "a": {"c": 9, "b": 0}}""",
+      """{"empty": {}, "arr": [1, 2], "nul": null}""",
+      """{"deep": {"x": {"y": "v"}}}""",
+      """not json""").toDF("rec")
+    val out = recs.select(
+      JsonKeysetTupleExpr.jsonLeafKeysetTuple($"rec", Nil)
+        .getField("_keyset").as("native"),
+      JsonLeafKeysExpr.jsonLeafKeys($"rec").as("tree"))
+      .collect()
+    out.foreach(r =>
+      assert(Option(r.getString(0)) == Option(r.getString(1)),
+        s"native=${r.getString(0)} tree=${r.getString(1)}"))
+    val vals = recs.select(JsonKeysetTupleExpr.jsonLeafKeysetTuple($"rec",
+        Seq("a.b", "deep.x.y", "empty", "nul", "arr")).as("r"))
+      .select(col("r").getField("a.b"), col("r").getField("deep.x.y"),
+        col("r").getField("empty"), col("r").getField("nul"),
+        col("r").getField("arr"))
+      .collect().map(_.toSeq)
+    assert(vals(0) == Seq("1", null, null, null, null))
+    assert(vals(3) == Seq(null, "v", null, null, null))
+    assert(vals(2) == Seq(null, null, "{}", null, "[1,2]"))
+  }
+
   test("fused parse evaluates once per row (subexpression elimination)") {
     // a Range-backed frame so the projection survives into the physical
     // plan (a local relation constant-folds away entirely)
