@@ -95,12 +95,15 @@ object PipelineRunner {
               .mode(org.apache.spark.sql.SaveMode.Append).parquet(silverPath)
           else Sinks.writeMerged(data.drop("schema_version"), silverPath)
           // record THIS run's keys after the data lands (at-least-once);
-          // a full load resets the history to exactly its own keys
+          // a full load resets the history to exactly its own keys. A
+          // zero-row incremental run appends nothing — otherwise every
+          // no-op scheduled run would litter one empty file set
           tc.keyColumn.foreach { k =>
-            data.select(k).distinct().write
-              .mode(if (incrementalRun) org.apache.spark.sql.SaveMode.Append
-                    else org.apache.spark.sql.SaveMode.Overwrite)
-              .parquet(historyPath)
+            if (!incrementalRun || rows > 0)
+              data.select(k).distinct().write
+                .mode(if (incrementalRun) org.apache.spark.sql.SaveMode.Append
+                      else org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(historyPath)
           }
           registryPath.foreach(p =>
             graft.schema.SchemaRegistry.save(spark, result.registry, p))

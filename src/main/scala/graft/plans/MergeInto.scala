@@ -156,6 +156,12 @@ class GraftMergeExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   * otherwise carry. Right for views and small demo tables; a real
   * warehouse table should be partitioned, which selects the pruned path.
   */
+object GraftMergeCommand {
+  /** Above this many affected partitions the pruned plan's literal filter
+    * costs more than it saves — the command falls back to a full rewrite. */
+  val MaxPrunedPartitions = 4096
+}
+
 case class GraftMergeCommand(targetTable: String, sourceTable: String,
                              keys: Seq[String], mode: String = "upsert")
     extends LeafRunnableCommand {
@@ -233,6 +239,19 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
         else newParts.unionByName(oldParts).distinct().collect()
       }
     if (affected.isEmpty) return
+    // the prune predicate is an OR-of-ANDs over collected partition values;
+    // past a few thousand literals the predicate itself becomes the cost —
+    // at that point the merge touches most of the table anyway, so fall
+    // back to the full-rewrite plan instead of building a giant filter
+    if (affected.length > GraftMergeCommand.MaxPrunedPartitions) {
+      val merged = (mode match {
+        case "delete" =>
+          Upsert.removeMatched(spark.table(targetTable), source, keys)
+        case _ => Upsert(spark.table(targetTable), source, keys)
+      }).localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
+      return
+    }
     val pruneCond = affected.map { r =>
       partCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _)
