@@ -58,9 +58,13 @@ object TrainingData {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** 32 hashes / 8 bands (r=4): at the 0.95 threshold the banding miss
+    * probability per qualifying pair is (1−0.95⁴)⁸ ≈ 1.4e-6 — candidates
+    * stay empirically exhaustive against the all-pairs oracle at both test
+    * SFs, at half the signature compute of the former 64-hash config. */
   def minhashQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(cloneCorpus(s, dir), "doc_id", "text",
-        shingleSize = 7, numHashes = 64, bands = 8, threshold = 0.95)
+        shingleSize = 7, numHashes = 32, bands = 8, threshold = 0.95)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
 
   /** Portable-hash simhash (md5-derived 60-bit token hash): the DuckDB
