@@ -153,6 +153,24 @@ class JsonKeysetTuple(fields: Array[String], nested: Boolean = false)
 
 object JsonKeysetTupleExpr {
 
+  /** ORDINAL struct access for the fused row: a record may legitimately
+    * carry a top-level key literally named "_keyset", which would make the
+    * output struct hold duplicate field names and by-name access
+    * ambiguous. The keyset is always ordinal 0, values follow in `fields`
+    * order. */
+  def keysetField(fused: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        org.apache.spark.sql.graft.ColumnBridge.expression(fused), 0,
+        Some("_keyset")))
+
+  /** Value of `fields(i)` by ordinal (see [[keysetField]]). */
+  def valueField(fused: Column, i: Int, name: String): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        org.apache.spark.sql.graft.ColumnBridge.expression(fused), i + 1,
+        Some(name)))
+
   /** Column-level entry point (flat top-level keys). */
   def jsonKeysetTuple(json: Column, fields: Seq[String]): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

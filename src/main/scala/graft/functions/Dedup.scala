@@ -235,9 +235,12 @@ object Dedup {
     * cover a 64-bit simhash; pass (4, 15) for the portable 60-bit variant. */
   def simhashNearDups(df: DataFrame, idCol: String, simCol: String,
                       maxDist: Int = 3, numChunks: Int = 4,
-                      chunkBits: Int = 16): DataFrame = {
+                      chunkBits: Int = 16, simBits: Int = 64): DataFrame = {
     require(maxDist < numChunks,
       s"pigeonhole needs maxDist < numChunks, got $maxDist >= $numChunks")
+    require(numChunks * chunkBits >= simBits,
+      s"chunk grid covers only ${numChunks * chunkBits} of $simBits simhash " +
+        "bits - uncovered bits would silently lose qualifying pairs")
     // the chunk frame self-joins: persist so an expensive upstream simhash
     // computation is not replayed for both join sides
     val chunks = df.select(col(idCol), col(simCol),

@@ -58,9 +58,15 @@ object IngestPipeline {
     val fused = raw.select(
       graft.expressions.JsonKeysetTupleExpr
         .jsonKeysetTuple(col(recordCol), allCols).as("_graft_rec"))
+    // ordinal struct access: immune to a record key named "_keyset"
     val parsed = SchemaRegistry.assignVersionsByKeyset(
-        fused.select(col("_graft_rec._keyset").as("_graft_keyset") +:
-          allCols.map(c => col("_graft_rec").getField(c).as(c)): _*),
+        fused.select(
+          graft.expressions.JsonKeysetTupleExpr.keysetField(col("_graft_rec"))
+            .as("_graft_keyset") +:
+          allCols.zipWithIndex.map { case (c, i) =>
+            graft.expressions.JsonKeysetTupleExpr
+              .valueField(col("_graft_rec"), i, c).as(c)
+          }: _*),
         "_graft_keyset", updated)
       .drop("_graft_keyset")
       // backtick-quote: raw lake columns may carry dots (`A.B` ERP names)
@@ -92,9 +98,14 @@ object IngestPipeline {
       graft.expressions.JsonKeysetTupleExpr
         .jsonLeafKeysetTuple(col(recordCol), allPaths).as("_graft_rec"))
     val flat = SchemaRegistry.assignVersionsByKeyset(
-        fused.select(col("_graft_rec._keyset").as("_graft_keyset") +:
-          allPaths.map(p => col("_graft_rec").getField(p)
-            .as(p.split('.').mkString("_"))): _*),
+        fused.select(
+          graft.expressions.JsonKeysetTupleExpr.keysetField(col("_graft_rec"))
+            .as("_graft_keyset") +:
+          allPaths.zipWithIndex.map { case (p, i) =>
+            graft.expressions.JsonKeysetTupleExpr
+              .valueField(col("_graft_rec"), i, p)
+              .as(p.split('.').mkString("_"))
+          }: _*),
         "_graft_keyset", updated)
       .drop("_graft_keyset")
     val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(flat))

@@ -74,13 +74,17 @@ object PipelineRunner {
           pathExists(spark, silverPath)
         val loaded =
           if (incrementalRun) {
-            val history =
-              if (pathExists(spark, historyPath))
-                spark.read.parquet(historyPath)
-              else // silver predates the key history: one-time backfill scan
-                spark.read.parquet(silverPath).select(tc.keyColumn.get)
+            if (!pathExists(spark, historyPath)) {
+              // silver predates the key history: PERSIST the backfill —
+              // diffing against an unsaved scan would leave later runs an
+              // incomplete history and re-append every pre-history row
+              spark.read.parquet(silverPath).select(tc.keyColumn.get)
+                .distinct().write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(historyPath)
+            }
             graft.operators.Incremental.notExtracted(result.silver,
-              history, tc.keyColumn.get)
+              spark.read.parquet(historyPath), tc.keyColumn.get)
           } else result.silver
         // one computation feeds bronze, silver, and the row count
         val data = loaded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -155,6 +155,12 @@ class GraftMergeExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   * reads from) and the self-reference a re-registered temp view would
   * otherwise carry. Right for views and small demo tables; a real
   * warehouse table should be partitioned, which selects the pruned path.
+  *
+  * Contract (standard SQL MERGE): merge keys unique per row on BOTH
+  * sides. Under it every execution path returns the same rows. With
+  * duplicate unmatched target keys the paths differ deliberately: the
+  * partitioned kernels keep them (SQL semantics), the full-rewrite window
+  * dedups them (the reference's stored-proc behavior).
   */
 object GraftMergeCommand {
   /** Above this many affected partitions the pruned plan's literal filter
@@ -223,33 +229,42 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
     val target = spark.table(targetTable)
     val source = spark.table(sourceTable)
     // partitions source rows land in (inserts + updated rows' new homes);
-    // a DELETE inserts nothing, so only matched rows' current homes count
-    val newParts = source.select(partCols.map(col): _*).distinct()
+    // a DELETE inserts nothing (and its source need not even CARRY the
+    // partition columns), so this is only built for the upsert mode
+    def newParts = source.select(partCols.map(col): _*).distinct()
+    // old locations of matched rows, NULL-SAFELY: the execution kernels
+    // match keys with <=>, so the probe must too — a null-key match would
+    // otherwise sit in a partition the prune never rewrites
+    def oldParts = {
+      val marked = keys.map(k => s"_graft_pk_$k")
+      val srcKeys = source.select(keys.map(col): _*).distinct().toDF(marked: _*)
+      val cond = keys.zip(marked)
+        .map { case (k, m) => target(k) <=> srcKeys(m) }.reduce(_ && _)
+      target.join(broadcast(srcKeys), cond)
+        .select(partCols.map(col): _*).distinct()
+    }
     // when every partition column is part of the merge key, a matched row
     // cannot change partition — the source-side values already cover all
     // affected partitions and the old-location probe scan is skipped
     val partsInKey = partCols.forall(p => keys.exists(_.equalsIgnoreCase(p)))
     val affected: Array[Row] =
-      if (partsInKey && mode != "delete") newParts.collect()
-      else {
-        val srcKeys = source.select(keys.map(col): _*).distinct()
-        val oldParts = target.join(broadcast(srcKeys), keys)
-          .select(partCols.map(col): _*).distinct()
-        if (mode == "delete") oldParts.collect()
-        else newParts.unionByName(oldParts).distinct().collect()
-      }
+      if (mode == "delete") oldParts.collect()
+      else if (partsInKey) newParts.collect()
+      else newParts.unionByName(oldParts).distinct().collect()
     if (affected.isEmpty) return
     // the prune predicate is an OR-of-ANDs over collected partition values;
     // past a few thousand literals the predicate itself becomes the cost —
     // at that point the merge touches most of the table anyway, so fall
-    // back to the full-rewrite plan instead of building a giant filter
+    // back to a full rewrite. insertInto(Overwrite) truncates and refills
+    // the table IN PLACE, preserving its partition layout and metadata
+    // (saveAsTable would silently recreate it unpartitioned).
     if (affected.length > GraftMergeCommand.MaxPrunedPartitions) {
       val merged = (mode match {
         case "delete" =>
           Upsert.removeMatched(spark.table(targetTable), source, keys)
-        case _ => Upsert(spark.table(targetTable), source, keys)
-      }).localCheckpoint()
-      merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
+        case _ => Upsert.forLargeTarget(spark.table(targetTable), source, keys)
+      }).select(target.columns.map(col).toIndexedSeq: _*).localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
       return
     }
     val pruneCond = affected.map { r =>

@@ -89,7 +89,7 @@ object TrainingData {
     val hashed = cloneCorpus(s, dir).select(col("doc_id"),
       Dedup.simhash60Portable(TextAnalysis.tokens(lower(col("text")))).as("sh"))
     Dedup.simhashNearDups(hashed, "doc_id", "sh", maxDist = 3,
-        numChunks = 4, chunkBits = 15)
+        numChunks = 4, chunkBits = 15, simBits = 60)
       .withColumn("hamming", col("hamming").cast("int"))
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }

@@ -112,8 +112,8 @@ object SchemaRegistry {
     * pinned by JsonKeysetTupleExprSpec) — skips the generic-array
     * sort/join stack, one Jackson pass per record. */
   def keysetExprNative(rawJson: Column): Column =
-    graft.expressions.JsonKeysetTupleExpr.jsonKeysetTuple(rawJson, Nil)
-      .getField("_keyset")
+    graft.expressions.JsonKeysetTupleExpr.keysetField(
+      graft.expressions.JsonKeysetTupleExpr.jsonKeysetTuple(rawJson, Nil))
 
   /** Distinct keysets present in a column of raw JSON records. One
     * distinct-shuffle over short strings; safe to collect (cardinality =
@@ -136,8 +136,9 @@ object SchemaRegistry {
     * fused streaming kernel, identical canonical string to
     * [[nestedKeysetExpr]] (pinned by JsonKeysetTupleExprSpec). */
   def discoverKeysetsNested(df: DataFrame, rawJsonCol: String): Seq[Set[String]] =
-    df.select(graft.expressions.JsonKeysetTupleExpr
-        .jsonLeafKeysetTuple(col(rawJsonCol), Nil).getField("_keyset").as("ks"))
+    df.select(graft.expressions.JsonKeysetTupleExpr.keysetField(
+        graft.expressions.JsonKeysetTupleExpr
+          .jsonLeafKeysetTuple(col(rawJsonCol), Nil)).as("ks"))
       .distinct()
       .collect().map(_.getString(0))
       .map(s => if (s == null || s.isEmpty) Set.empty[String]

@@ -85,6 +85,20 @@ class JsonKeysetTupleExprSpec extends SparkSpec {
     assert(vals(2) == Seq(null, null, "{}", null, "[1,2]"))
   }
 
+  test("a record key literally named _keyset cannot shadow the keyset") {
+    // ordinal struct access keeps the pipeline alive when the data itself
+    // carries a "_keyset" column (duplicate field names in the struct)
+    val raw = Seq("""{"_keyset": 7, "k": 1}""", """{"k": 2}""").toDF("rec")
+    val result = graft.jobs.IngestPipeline.ingest(spark, raw, "rec")
+    val silver = result.silver.orderBy("k")
+    assert(silver.columns.contains("_keyset"))
+    val rows = silver.select($"k", $"_keyset")
+      .as[(String, Option[String])].collect().toSeq
+    assert(rows == Seq(("1", Some("7")), ("2", None)))
+    assert(result.registry.withoutSeed.versions.values.toSet ==
+      Set(Set("_keyset", "k"), Set("k")))
+  }
+
   test("fused parse evaluates once per row (subexpression elimination)") {
     // a Range-backed frame so the projection survives into the physical
     // plan (a local relation constant-folds away entirely)

@@ -64,7 +64,7 @@ class SimHashPortableExprSpec extends SparkSpec {
     val hashed = docs.select($"doc_id",
       Dedup.simhash60Portable(TextAnalysis.tokens(lower($"text"))).as("sh"))
     val pairs = Dedup.simhashNearDups(hashed, "doc_id", "sh",
-        maxDist = 3, numChunks = 4, chunkBits = 15)
+        maxDist = 3, numChunks = 4, chunkBits = 15, simBits = 60)
       .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))

@@ -160,4 +160,42 @@ class PipelineRunnerSpec extends SparkSpec {
     // and the history now covers the loaded key
     assert(spark.read.parquet(hist).as[String].collect().toSet == Set("1", "99"))
   }
+
+  test("silver predating the history backfills it PERSISTENTLY (no re-append)") {
+    val base = Files.createTempDirectory("graft_runner_bf").toString
+    val (lake, bronze, silver) = (s"$base/lake", s"$base/bronze", s"$base/silver")
+    Files.createDirectories(Paths.get(lake))
+    // pre-existing silver from an older deployment, no key history
+    import spark.implicits._
+    Seq(("1", "10.5"), ("2", "20.5"))
+      .toDF("GLTransactionDetail", "TransactionAmount")
+      .write.parquet(s"$silver/luma_gl_transaction_detail")
+    val cfg = EngineConfig.fromJson(incTableJson,
+      """{"general_ledger": ["gl_transaction_detail"]}""")
+    // run 1: lake has one old key and one new key
+    Files.writeString(Paths.get(s"$lake/FSM_GLTransactionDetail.ndjson"), Seq(
+      """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""",
+      """{"GLTransactionDetail": 3, "TransactionAmount": 30.5}"""
+    ).mkString("\n"))
+    val r1 = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake, bronze, silver)
+    assert(r1.head.success && r1.head.rows == 1)
+    // the backfill was persisted: history = pre-existing keys + the new one
+    val hist = s"$silver/_keyhistory/luma_gl_transaction_detail"
+    assert(spark.read.parquet(hist).as[String].collect().toSet ==
+      Set("1", "2", "3"))
+    // run 2 over the SAME old keys must load nothing (the bug re-appended
+    // every pre-history row on each run)
+    val lake2 = s"$base/lake2"
+    Files.createDirectories(Paths.get(lake2))
+    Files.writeString(Paths.get(s"$lake2/FSM_GLTransactionDetail.ndjson"), Seq(
+      """{"GLTransactionDetail": 1, "TransactionAmount": 10.5}""",
+      """{"GLTransactionDetail": 2, "TransactionAmount": 20.5}"""
+    ).mkString("\n"))
+    val r2 = PipelineRunner.runSubjectArea(spark, cfg, "general_ledger",
+      lake2, bronze, silver)
+    assert(r2.head.success && r2.head.rows == 0)
+    assert(spark.read.parquet(s"$silver/luma_gl_transaction_detail")
+      .count() == 3)
+  }
 }

@@ -15,7 +15,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     return df.reset_index(drop=True)
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -23,8 +23,13 @@ def main(out_dir: str, sf_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracles.items()):
+        if only is not None and name not in only:
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            print(f"skip {name} (no spark output)")
+            # a full run with a missing dump means the query CRASHED in
+            # Verify -- that is a failure, not a skip
+            print(f"FAIL {name}: no spark output")
+            failures += 1
             continue
         try:
             got = canon(con.sql(
@@ -56,4 +61,5 @@ def main(out_dir: str, sf_dir: str) -> int:
     return failures
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
