@@ -203,6 +203,45 @@ object Similarity {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** DISTRIBUTED Lloyd training — the sample-free 100 TB path: every
+    * iteration assigns all rows to their nearest centroid with the same
+    * codegen'd [[ivfCell]] expression the query path uses, then reduces
+    * per-cell dimension means with ordinary aggregates (64 `avg`s combine
+    * map-side; the shuffle carries k×dim doubles, nothing else). Only the
+    * k×dim centroid matrix ever reaches the driver. Use this when the
+    * corpus is too skewed for a bounded sample to see every mode;
+    * [[ivfCentroidsTrained]] (driver sample) is cheaper when a sample
+    * suffices, and the portable variant serves oracle parity. Mean
+    * accumulation order is partition-dependent, so training is
+    * deterministic in structure but not bit-reproducible across cluster
+    * layouts — acceptable for a production quantizer, not for an oracle. */
+  def ivfCentroidsTrainedDistributed(df: DataFrame, vecCol: String,
+                                     idCol: String, k: Int,
+                                     iters: Int = 3): Seq[Seq[Double]] = {
+    val first = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    if (first.isEmpty) return Seq.empty
+    val dim = first.head.length
+    var centroids = first
+    for (_ <- 0 until iters) {
+      val dims = (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1).cast("double")).as(s"d$i"))
+      val means = df
+        .withColumn("_graft_cell", ivfCell(col(vecCol), centroids))
+        .groupBy(col("_graft_cell")).agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)))
+        .toMap
+      // empty cells keep their previous centroid (same rule as the
+      // sample-based trainers); cells are 1-based
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        means.getOrElse(c + 1, old)
+      }
+    }
+    centroids
+  }
+
   /** Mean squared distance of each sampled vector to its nearest centroid —
     * the quantization error Lloyd iterations minimize (diagnostic). */
   def quantizationError(vectors: Seq[Seq[Double]],
