@@ -23,19 +23,24 @@ object Sinks {
     * builds by hand with versioned filenames + inc-id folders. */
   def writeVersioned(df: DataFrame, path: String,
                      versionCol: String = "schema_version",
-                     incId: Option[Long] = None): Unit = {
+                     incId: Option[Long] = None,
+                     format: String = "parquet"): Unit = {
     val withInc = incId.map(id => df.withColumn("inc_id", lit(id))).getOrElse(df)
     val parts = versionCol +: incId.map(_ => "inc_id").toSeq
-    withInc.write.partitionBy(parts: _*).mode(SaveMode.Append).parquet(path)
+    withInc.write.partitionBy(parts: _*).mode(SaveMode.Append)
+      .format(format).option("header", "true").save(path)
   }
 
   /** K2: merged sink. The reference emits ONE merged CSV per business class;
     * at scale a single file is a driver bottleneck, so single-file output is
-    * opt-in and the default keeps the write parallel. */
+    * opt-in and the default keeps the write parallel. `format = "csv"`
+    * reproduces the reference's interchange files exactly (headered). */
   def writeMerged(df: DataFrame, path: String,
-                  singleFile: Boolean = false): Unit = {
+                  singleFile: Boolean = false,
+                  format: String = "parquet"): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite).parquet(path)
+    out.write.mode(SaveMode.Overwrite)
+      .format(format).option("header", "true").save(path)
   }
 
   /** K4: truncate-then-load semantics = overwrite mode on a managed table. */

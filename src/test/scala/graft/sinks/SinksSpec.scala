@@ -55,6 +55,23 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/merged").count() == 100)
   }
 
+  test("csv interchange format round-trips through both sinks (K1/K2)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a", 2), (2L, "b", 2), (3L, "c", 3))
+      .toDF("k", "v", "schema_version")
+    Sinks.writeVersioned(df, s"$base/versioned", format = "csv")
+    assert(new java.io.File(s"$base/versioned/schema_version=2").exists())
+    val backV = spark.read.option("header", "true").csv(s"$base/versioned")
+    assert(backV.count() == 3)
+    Sinks.writeMerged(df, s"$base/merged", singleFile = true, format = "csv")
+    val files = new java.io.File(s"$base/merged")
+      .listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val back = spark.read.option("header", "true").csv(s"$base/merged")
+      .select($"k".cast("long"), $"v").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("mssqlCompat: bools to True/False text, doubles to decimal(18,2), sentinels filled") {
     val df = Seq(
       (Some(true), Some(1.555), Some("x"), Some(Timestamp.valueOf("2023-01-01 00:00:00"))),
