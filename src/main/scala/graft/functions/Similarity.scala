@@ -218,19 +218,23 @@ object Similarity {
   def ivfCentroidsTrainedDistributed(df: DataFrame, vecCol: String,
                                      idCol: String, k: Int,
                                      iters: Int = 3): Seq[Seq[Double]] = {
-    val first = df.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(k).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-    if (first.isEmpty) return Seq.empty
-    val dim = first.head.length
-    var centroids = first
+    // init from the hash-ordered k rows (ivfCentroids) — id order would
+    // clump every initial centroid into whichever mode was ingested first,
+    // exactly the failure case this sample-free path exists for
+    var centroids = ivfCentroids(df, vecCol, idCol, k)
+    if (centroids.isEmpty) return Seq.empty
+    val dim = centroids.head.length
+    // dirty rows (null / wrong-dimension vectors) are excluded from
+    // training rather than crashing it; the query path filters them too
+    val clean = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
     for (_ <- 0 until iters) {
       val dims = (0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast("double")).as(s"d$i"))
-      val means = df
+      val means = clean
         .withColumn("_graft_cell", ivfCell(col(vecCol), centroids))
         .groupBy(col("_graft_cell")).agg(dims.head, dims.tail: _*)
         .collect()
+        .filterNot(_.isNullAt(0))
         .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)))
         .toMap
       // empty cells keep their previous centroid (same rule as the

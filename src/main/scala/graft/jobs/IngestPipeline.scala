@@ -58,19 +58,29 @@ object IngestPipeline {
     val fused = raw.select(
       graft.expressions.JsonKeysetTupleExpr
         .jsonKeysetTuple(col(recordCol), allCols).as("_graft_rec"))
-    // ordinal struct access: immune to a record key named "_keyset"
+    // ordinal struct access + a keyset alias uniquified AGAINST THE DATA:
+    // records may legitimately carry keys named "_keyset" or even
+    // "_graft_keyset" — none of them can shadow the internal column.
+    // ("schema_version" as a record key IS superseded by the version
+    // column — the one reserved output name, as in the reference.)
+    val ksAlias = Iterator.iterate("_graft_keyset")(_ + "_")
+      .find(a => !allCols.contains(a)).get
     val parsed = SchemaRegistry.assignVersionsByKeyset(
         fused.select(
           graft.expressions.JsonKeysetTupleExpr.keysetField(col("_graft_rec"))
-            .as("_graft_keyset") +:
+            .as(ksAlias) +:
           allCols.zipWithIndex.map { case (c, i) =>
             graft.expressions.JsonKeysetTupleExpr
               .valueField(col("_graft_rec"), i, c).as(c)
           }: _*),
-        "_graft_keyset", updated)
-      .drop("_graft_keyset")
-      // backtick-quote: raw lake columns may carry dots (`A.B` ERP names)
-      .select(col("schema_version") +: allCols.map(c => col(s"`$c`")): _*)
+        ksAlias, updated)
+      .drop(ksAlias)
+      // backtick-quote: raw lake columns may carry dots (`A.B` ERP names);
+      // a record field named schema_version was superseded above — selecting
+      // it again would duplicate the column
+      .select(col("schema_version") +:
+        allCols.filterNot(_ == "schema_version")
+          .map(c => col(s"`$c`")): _*)
 
     // 4. cleanse: SQL-safe names, dupe resolution, sorted columns
     val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(parsed))
@@ -97,17 +107,20 @@ object IngestPipeline {
     val fused = raw.select(
       graft.expressions.JsonKeysetTupleExpr
         .jsonLeafKeysetTuple(col(recordCol), allPaths).as("_graft_rec"))
+    val flatNames = allPaths.map(_.split('.').mkString("_"))
+    val ksAlias = Iterator.iterate("_graft_keyset")(_ + "_")
+      .find(a => !flatNames.contains(a)).get
     val flat = SchemaRegistry.assignVersionsByKeyset(
         fused.select(
           graft.expressions.JsonKeysetTupleExpr.keysetField(col("_graft_rec"))
-            .as("_graft_keyset") +:
+            .as(ksAlias) +:
           allPaths.zipWithIndex.map { case (p, i) =>
             graft.expressions.JsonKeysetTupleExpr
               .valueField(col("_graft_rec"), i, p)
               .as(p.split('.').mkString("_"))
           }: _*),
-        "_graft_keyset", updated)
-      .drop("_graft_keyset")
+        ksAlias, updated)
+      .drop(ksAlias)
     val cleansed = UnionBySchema.sortColumns(Cleanse.cleanNames(flat))
     IngestResult(updated, cleansed, declared)
   }

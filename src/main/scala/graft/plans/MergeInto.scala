@@ -206,6 +206,20 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
     else fresh.write.mode(SaveMode.Append).insertInto(targetTable)
   }
 
+  /** Pin `spark.sql.sources.partitionOverwriteMode` around a write —
+    * both merge write paths depend on a SPECIFIC mode regardless of what
+    * the session happens to be configured with. */
+  private def withOverwriteMode(spark: SparkSession, m: String)(f: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, m)
+    try f
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The analyzer may hand a 1-, 2- or 3-part target name. */
   private def targetIdent(spark: SparkSession)
       : org.apache.spark.sql.catalyst.TableIdentifier =
@@ -264,7 +278,12 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
           Upsert.removeMatched(spark.table(targetTable), source, keys)
         case _ => Upsert.forLargeTarget(spark.table(targetTable), source, keys)
       }).select(target.columns.map(col).toIndexedSeq: _*).localCheckpoint()
-      merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
+      // the full rewrite depends on STATIC overwrite (truncate everything,
+      // refill): under a session-level dynamic mode a partition fully
+      // drained by the merge would keep its stale rows
+      withOverwriteMode(spark, "static") {
+        merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
+      }
       return
     }
     val pruneCond = affected.map { r =>
@@ -280,13 +299,8 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
       // cut the plan's read of the partitions about to be overwritten
       .select(target.columns.map(col).toIndexedSeq: _*)
       .localCheckpoint()
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
-    finally prior match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None => spark.conf.unset(modeKey)
+    withOverwriteMode(spark, "dynamic") {
+      merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
     }
     dropEmptiedPartitions(spark, partCols, affected,
       merged.select(partCols.map(col): _*).distinct().collect())

@@ -27,8 +27,9 @@ object Sinks {
                      format: String = "parquet"): Unit = {
     val withInc = incId.map(id => df.withColumn("inc_id", lit(id))).getOrElse(df)
     val parts = versionCol +: incId.map(_ => "inc_id").toSeq
-    withInc.write.partitionBy(parts: _*).mode(SaveMode.Append)
-      .format(format).option("header", "true").save(path)
+    val w = withInc.write.partitionBy(parts: _*).mode(SaveMode.Append)
+      .format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
   }
 
   /** K2: merged sink. The reference emits ONE merged CSV per business class;
@@ -39,8 +40,8 @@ object Sinks {
                   singleFile: Boolean = false,
                   format: String = "parquet"): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite)
-      .format(format).option("header", "true").save(path)
+    val w = out.write.mode(SaveMode.Overwrite).format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
   }
 
   /** K4: truncate-then-load semantics = overwrite mode on a managed table. */

@@ -22,6 +22,10 @@ def main(out_dir: str, sf_dir: str, only=None) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    if only is not None:
+        for name in sorted(only - set(oracles)):
+            print(f"FAIL {name}: unknown query name in filter")
+            failures += 1
     for name, sql in sorted(oracles.items()):
         if only is not None and name not in only:
             continue
