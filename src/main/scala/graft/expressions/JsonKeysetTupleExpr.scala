@@ -142,7 +142,11 @@ class JsonKeysetTuple(fields: Array[String], nested: Boolean = false)
             tok = parser.nextToken()
           }
         }
-        values(0) = UTF8String.fromString(keys.sorted.mkString(","))
+        // sorted DISTINCT keys: the registry stores keysets as sets, and
+        // the readTree-based JsonLeafKeysExpr collapses duplicate keys —
+        // a record like {"a":1,"a":2} must canonicalize to "a" through
+        // every kernel or its version lookup silently resolves to null
+        values(0) = UTF8String.fromString(keys.distinct.sorted.mkString(","))
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       } finally parser.close()
     } catch {

@@ -338,8 +338,11 @@ object Similarity {
     // axis choice is pure performance tuning: the 3^k neighborhood probe is
     // exact on ANY axes, so the result set is identical whatever the sample
     // returns — an unordered limit() is fine here
+    // null vectors must not reach the driver-side getSeq (SQL null
+    // propagation handles them in the distributed plan; the sample can't)
     val axes = chooseBlockAxes(
-      df.select(col(vecCol)).limit(sampleN).collect()
+      df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+        .limit(sampleN).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq, nAxes)
     def cell(i: Int): Column = floor(
       element_at(col(vecCol), i + 1).cast("double") /

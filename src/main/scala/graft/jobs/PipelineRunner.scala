@@ -94,21 +94,29 @@ object PipelineRunner {
           // every plan reading it — the incremental anti-join would re-list
           // the freshly-appended files and count 0
           val rows = data.count()
+          // the run's distinct keys, MATERIALIZED before the silver append:
+          // a persist alone is not enough — if cached partitions are lost
+          // after the append, recomputation re-runs the anti-join against
+          // silver that now CONTAINS this run's rows, yielding an empty key
+          // set, so the keys never enter history and the rows re-append as
+          // duplicates on every later run. localCheckpoint cuts the lineage
+          // to the pre-append result (and fails loudly, not silently, if
+          // its blocks are lost). Computed only when it will be written: a
+          // zero-row incremental run appends nothing — otherwise every
+          // no-op scheduled run would litter one empty file set.
+          val runKeys = tc.keyColumn
+            .filter(_ => !incrementalRun || rows > 0)
+            .map(k => data.select(k).distinct().localCheckpoint())
           if (incrementalRun)
             data.drop("schema_version").write
               .mode(org.apache.spark.sql.SaveMode.Append).parquet(silverPath)
           else Sinks.writeMerged(data.drop("schema_version"), silverPath)
           // record THIS run's keys after the data lands (at-least-once);
-          // a full load resets the history to exactly its own keys. A
-          // zero-row incremental run appends nothing — otherwise every
-          // no-op scheduled run would litter one empty file set
-          tc.keyColumn.foreach { k =>
-            if (!incrementalRun || rows > 0)
-              data.select(k).distinct().write
-                .mode(if (incrementalRun) org.apache.spark.sql.SaveMode.Append
-                      else org.apache.spark.sql.SaveMode.Overwrite)
-                .parquet(historyPath)
-          }
+          // a full load resets the history to exactly its own keys
+          runKeys.foreach(_.write
+            .mode(if (incrementalRun) org.apache.spark.sql.SaveMode.Append
+                  else org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(historyPath))
           registryPath.foreach(p =>
             graft.schema.SchemaRegistry.save(spark, result.registry, p))
           JobReport(name, tc.businessClassName, success = true, rows,

@@ -244,8 +244,16 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
     val source = spark.table(sourceTable)
     // partitions source rows land in (inserts + updated rows' new homes);
     // a DELETE inserts nothing (and its source need not even CARRY the
-    // partition columns), so this is only built for the upsert mode
-    def newParts = source.select(partCols.map(col): _*).distinct()
+    // partition columns), so this is only built for the upsert mode.
+    // Cast through the TARGET's partition-column types: the emptied-
+    // partition check compares these collected values against rows
+    // collected from the target-typed merged frame by boxed equality, and
+    // an INT staging column vs a BIGINT warehouse column would otherwise
+    // classify every just-rewritten partition as emptied and drop it.
+    val targetSchema = target.schema
+    def newParts = source.select(partCols.map(c =>
+      col(c).cast(targetSchema(targetSchema.fieldIndex(c)).dataType).as(c)): _*)
+      .distinct()
     // old locations of matched rows, NULL-SAFELY: the execution kernels
     // match keys with <=>, so the probe must too — a null-key match would
     // otherwise sit in a partition the prune never rewrites

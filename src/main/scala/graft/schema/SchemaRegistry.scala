@@ -104,9 +104,12 @@ object SchemaRegistry {
     load(spark, path).getOrElse(seed)
 
   /** Canonical keyset string for a raw JSON record column: the record's
-    * object keys, sorted and comma-joined. Pure built-ins (codegen'd). */
+    * DISTINCT object keys, sorted and comma-joined. Pure built-ins
+    * (codegen'd). Distinct matters: registry storage is set-based, so a
+    * duplicate-key record must canonicalize to the same string as its
+    * deduped keyset or its version lookup returns null. */
   def keysetExpr(rawJson: Column): Column =
-    array_join(array_sort(json_object_keys(rawJson)), ",")
+    array_join(array_sort(array_distinct(json_object_keys(rawJson))), ",")
 
   /** Native single-pass keyset (same canonical string as [[keysetExpr]],
     * pinned by JsonKeysetTupleExprSpec) — skips the generic-array
@@ -145,11 +148,20 @@ object SchemaRegistry {
                 else s.split(",").toSet)
       .toSeq
 
-  /** Tag each record with its nested-keyset schema version. */
+  /** Tag each record with its nested-keyset schema version.
+    *
+    * Uses the SAME streaming kernel as [[discoverKeysetsNested]] /
+    * `ingestNested` — not [[nestedKeysetExpr]]'s readTree kernel, whose
+    * duplicate-key collapse (last object wins) can canonicalize a
+    * pathological record differently than the kernel that discovered it,
+    * resolving its version to null. One kernel is canonical end-to-end. */
   def assignVersionsNested(df: DataFrame, rawJsonCol: String,
                            registry: SchemaRegistry): DataFrame =
     df.withColumn("schema_version",
-      lookupExpr(registry, nestedKeysetExpr(col(rawJsonCol))))
+      lookupExpr(registry,
+        graft.expressions.JsonKeysetTupleExpr.keysetField(
+          graft.expressions.JsonKeysetTupleExpr
+            .jsonLeafKeysetTuple(col(rawJsonCol), Nil))))
 
   /** Tag each record with its schema version via a broadcast lookup of the
     * registry (keyset string → id). Unknown keysets get null — callers

@@ -21,9 +21,10 @@ import org.apache.spark.sql.types._
   *     in one pass; a failed/speculative task's temp file is just deleted
   *     (`abort`), so partial writes can never corrupt the lake;
   *   - append mode keeps existing objects and extends the index; truncate
-  *     (SaveMode.Overwrite) removes exactly the objects the old index
-  *     listed, at COMMIT time — an aborted overwrite leaves the old lake
-  *     intact.
+  *     (SaveMode.Overwrite) publishes the new objects under fresh names
+  *     FIRST, swaps the index, and only then removes the objects the old
+  *     index listed — the index write is the commit point, so an overwrite
+  *     aborted anywhere before it leaves the old lake fully intact.
   *
   * The per-field ranges computed task-side are what makes the written lake
   * split-prunable on read — the same metadata the reference's
@@ -53,14 +54,14 @@ class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
     val dir = new File(path)
     dir.mkdirs()
     val hadIndex = new File(dir, "index.json").exists()
-    val existing =
-      if (hadIndex && !truncateAll) LakeIndex.load(path) else Seq.empty
-    if (truncateAll && hadIndex) {
-      LakeIndex.load(path).foreach(e => new File(dir, e.file).delete())
-      new File(dir, "index.json").delete()
-    }
+    val old = if (hadIndex) LakeIndex.load(path) else Seq.empty
+    val existing = if (truncateAll) Seq.empty else old
     val fresh = messages.collect { case m: LakeSimCommit if m.count > 0 => m }
-    val used = scala.collection.mutable.Set(existing.map(_.file): _*)
+    // publish new objects under names that collide with NOTHING currently
+    // on disk — under truncate the OLD objects are still live until the
+    // index swap below, so their names are reserved too; a rename failure
+    // here aborts with the old index and old objects fully intact
+    val used = scala.collection.mutable.Set(old.map(_.file): _*)
     val published = fresh.map { m =>
       val name = Iterator.from(used.size)
         .map(i => s"obj$i.ndjson").find(!used.contains(_)).get
@@ -70,7 +71,10 @@ class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
           s"lakesim commit: cannot publish ${m.tmpFile} as $name")
       ObjectEntry(name, m.count, m.ranges)
     }
+    // the index write is the commit's swap point: readers see either the
+    // old object set or the new one, never a half-deleted mix
     writeIndex(dir, existing ++ published)
+    if (truncateAll) old.foreach(e => new File(dir, e.file).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

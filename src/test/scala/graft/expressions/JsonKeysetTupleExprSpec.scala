@@ -30,6 +30,27 @@ class JsonKeysetTupleExprSpec extends SparkSpec {
     }
   }
 
+  test("duplicate keys canonicalize to their DISTINCT sorted keyset (flat + nested)") {
+    import graft.schema.SchemaRegistry
+    // registry storage is set-based: {"a":1,"a":2} must resolve to the
+    // same version as {"a":1} through every kernel
+    val flat = Seq("""{"a": 1, "a": 2}""").toDF("rec")
+    assert(flat.select(SchemaRegistry.keysetExprNative($"rec"))
+      .head().getString(0) == "a")
+    assert(flat.select(SchemaRegistry.keysetExpr($"rec"))
+      .head().getString(0) == "a")
+    // nested, with DIVERGENT duplicate objects: discovery and version
+    // assignment must agree on one canonical form (the streaming kernel),
+    // or the record's version silently resolves to null
+    val nested = Seq("""{"a": {"x": 1}, "a": {"y": 2}}""",
+      """{"a": {"x": 1}}""").toDF("rec")
+    val reg = SchemaRegistry.seed.observeSorted(
+      SchemaRegistry.discoverKeysetsNested(nested, "rec"))
+    val versions = SchemaRegistry.assignVersionsNested(nested, "rec", reg)
+      .select("schema_version").collect().map(r => Option(r.get(0)))
+    assert(versions.forall(_.isDefined), versions.toSeq.toString)
+  }
+
   test("values match json_tuple byte-for-byte (numbers, nested, arrays, dups)") {
     val native = records.toDF("rec").select(
       JsonKeysetTupleExpr.jsonKeysetTuple($"rec", fields).as("r"))

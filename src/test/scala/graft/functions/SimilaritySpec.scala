@@ -217,6 +217,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("cosineNearDups tolerates null vectors (axis sample must skip them)") {
+    // nulls FIRST so the bounded driver sample is guaranteed to see them —
+    // the unfiltered sample used to NPE on getSeq before any job ran
+    val rows: Seq[(Long, Option[Seq[Float]], Int)] =
+      Seq((100L, None, 1), (101L, None, 1)) ++
+        Seq((0L, Some(Seq(1.0f, 0.0f)), 1), (1L, Some(Seq(1.0f, 1e-5f)), 1),
+          (2L, Some(Seq(0.0f, 1.0f)), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.999)
+      .select("vec_id_a", "vec_id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+
   test("cosineNearDups cell blocking equals the all-pairs result (exact, no recall loss)") {
     val rnd = new scala.util.Random(23)
     val base = (0 until 60).map(i =>

@@ -176,6 +176,29 @@ class MergeIntoSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_merge_ins")
   }
 
+  test("INT staging vs BIGINT warehouse partition column keeps rewritten partitions") {
+    freshTable("graft_merge_typed")
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").saveAsTable("graft_merge_typed")
+    // staging's p is INT; with p in the merge key the affected-partition
+    // list comes ONLY from the source side, so without the target-type
+    // cast the emptied-partition check compared boxed Int(10) to the
+    // written Long(10), classified every rewritten partition as emptied,
+    // and dropped it — silent data loss
+    Seq((1, 10, "A"), (3, 30, "c")).toDF("k", "p", "v")
+      .createOrReplaceTempView("merge_typed_src")
+    spark.sql(
+      """MERGE INTO graft_merge_typed USING merge_typed_src
+        |ON graft_merge_typed.k = merge_typed_src.k
+        |   AND graft_merge_typed.p = merge_typed_src.p
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("graft_merge_typed").orderBy("k")
+      .select($"k", $"p", $"v").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 10L, "A"), (2L, 20L, "b"), (3L, 30L, "c")))
+    spark.sql("DROP TABLE graft_merge_typed")
+  }
+
   test("unsupported merge shapes fail loudly") {
     Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("warehouse3")
     Seq((1L, 2.0)).toDF("k", "amt").createOrReplaceTempView("staging3")

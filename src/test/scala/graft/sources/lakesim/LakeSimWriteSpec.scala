@@ -54,6 +54,43 @@ class LakeSimWriteSpec extends SparkSpec {
     assert(new java.io.File(dir).list().count(_.endsWith(".ndjson")) == 1)
   }
 
+  test("a truncate commit failing before the index swap leaves the old lake intact") {
+    val dir = Files.createTempDirectory("lakesim_w5").toString
+    (1 to 5).map(i => (i.toLong, "A", i * 1.0)).toDF("id", "region", "amount")
+      .coalesce(1).write.format(classOf[LakeSimSource].getName)
+      .option("path", dir).mode("overwrite").save()
+    val oldIndex = Files.readString(new java.io.File(dir, "index.json").toPath)
+    // drive the commit directly with a message naming a temp file that
+    // does not exist: the publish rename fails BEFORE the index swap
+    val bw = new LakeSimBatchWrite(dir, schema, truncateAll = true)
+    intercept[java.io.IOException] {
+      bw.commit(Array(LakeSimCommit("_tmp-missing.ndjson", 3, Map.empty)))
+    }
+    // old objects and old index both survive; the lake still reads whole
+    assert(Files.readString(new java.io.File(dir, "index.json").toPath)
+      == oldIndex)
+    assert(readLake(dir).select("id").as[Long].collect().toSet ==
+      (1 to 5).map(_.toLong).toSet)
+  }
+
+  test("truncate publishes new objects under names that never collide with live ones") {
+    val dir = Files.createTempDirectory("lakesim_w6").toString
+    def write(ids: Range): Unit =
+      ids.map(i => (i.toLong, "A", i * 1.0)).toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).mode("overwrite").save()
+    write(1 to 5)
+    val oldNames = LakeIndex.load(dir).map(_.file).toSet
+    write(6 to 7)
+    // the replacement object was published under a FRESH name — renaming
+    // over a still-live old object would destroy it before the index swap
+    val newNames = LakeIndex.load(dir).map(_.file).toSet
+    assert((newNames intersect oldNames).isEmpty)
+    assert(readLake(dir).select("id").as[Long].collect().toSet == Set(6L, 7L))
+    // and the old objects are gone after the commit completed
+    assert(new java.io.File(dir).list().count(_.endsWith(".ndjson")) == 1)
+  }
+
   test("written index ranges drive split pruning on read-back") {
     val dir = Files.createTempDirectory("lakesim_w3").toString
     // two partitions with disjoint id ranges → two objects with tight ranges
