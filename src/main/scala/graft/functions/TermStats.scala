@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for training-data curation: term/document
+  * frequencies, BM25-style term salience, and global heavy hitters.
+  *
+  * Scale posture: everything is one explode followed by hash aggregations
+  * that combine map-side — a stopword appearing in every document becomes
+  * ONE partial count per input partition, never a shuffled row per
+  * occurrence. The document-frequency table is vocabulary-sized; it joins
+  * the term-frequency table on the term key (AQE picks broadcast when the
+  * vocabulary is small, shuffle-hash when it isn't). The only driver-side
+  * value is the corpus row count + average length (a 1-row aggregate,
+  * broadcast back via crossJoin).
+  *
+  * Numeric contract: the salience score uses the RATIONAL BM25 idf
+  * `(N − df + 0.5) / (df + 0.5)` by default-off `logIdf = true` — with
+  * `logIdf = false` every arithmetic step is +, −, ×, ÷ on doubles (IEEE,
+  * bit-identical across engines), which is what the DuckDB oracle needs.
+  * The log is monotone, so per-document term RANKING is identical either
+  * way; production callers keep the textbook `ln` form.
+  */
+object TermStats {
+
+  /** One row per (doc, token occurrence): lowercased whitespace tokens. */
+  def termPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+
+  /** Per-(doc, term) counts — the classic TF table. */
+  def termFrequencies(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    termPairs(df, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency, derived from the TF table (already one
+    * row per (doc, term), so a plain count is the distinct-doc count). */
+  def docFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Top-`k` most salient terms per document by BM25 scoring
+    * (k1, b are the standard Robertson defaults). Ties break on the term
+    * itself so the output is deterministic. Output: (id, term, tf, score),
+    * one row per kept term. */
+  def bm25TopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   logIdf: Boolean = true): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = docFrequencies(tf)
+    val lens = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("len"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(lens.agg(avg(col("len")).as("avg_len")))
+    val idfRaw = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (logIdf) log(idfRaw + lit(1.0)) else idfRaw
+    val core = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len")))
+    val scored = tf.join(dfreq, "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * core)
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"))
+  }
+
+  /** Global heavy hitters: the `k` most frequent tokens with their total
+    * occurrence count and document frequency. The occurrence count
+    * combines map-side; the doc frequency rides the (doc, term) table.
+    * Ties break on the term. */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame =
+    termFrequencies(df, idCol, textCol)
+      .groupBy("term")
+      .agg(sum("tf").as("occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("term"))
+      .limit(k)
+}

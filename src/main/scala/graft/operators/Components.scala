@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a near-duplicate pair list — the
+  * step that turns pairwise dedup output (MinHash / SimHash / n-gram /
+  * cosine candidates, `functions/Dedup.scala`) into CLUSTERS, so a curation
+  * pipeline can keep one canonical document per duplicate group even when
+  * similarity is only transitive (A~B, B~C, but A and C never paired).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+  * a constant number of hash-partitioned aggregations and joins on the edge
+  * list (no driver-side graph state, nothing collected), and the edge set
+  * converges to per-component stars pointing at the component minimum in
+  * O(log n) rounds even on adversarial path graphs. A plain min-label
+  * propagation needs O(diameter) rounds — a 10⁶-long clone chain would take
+  * 10⁶ shuffles; this takes ~20.
+  *
+  *   - large-star(u): every neighbor v > u re-points to m(u) = min(Γ(u) ∪
+  *     {u}) — long chains halve;
+  *   - small-star(u): every neighbor v < u plus u itself re-point to
+  *     m(u) = min of the smaller neighborhood — stars flatten.
+  *
+  * Scale posture: per round, 2 aggregations + 2 joins, all keyed on node id
+  * (longs — no skew from wide payloads; a hot component minimum is bounded
+  * by its component size, which LSH bucket caps already bound upstream).
+  * Convergence is detected EXACTLY (set equality: same count, empty
+  * except), never by a lossy fingerprint. Each round's edge set is
+  * materialized with `localCheckpoint` — each star references its input
+  * TWICE (symmetrization), so without lineage truncation the logical plan
+  * doubles per round and the optimizer itself becomes the bottleneck.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as a pair list.
+    * Returns one row per node appearing in `pairs`: (`id`, `cluster_id`)
+    * where `cluster_id` is the MINIMUM node id of the component — the
+    * deterministic canonical-representative convention the dedup keepers
+    * already use (`Dedup.exactDedup` keeps the min id).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 30): DataFrame = {
+    var e = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = e.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val grown = largeStar(e).localCheckpoint()
+      val shrunk = smallStar(grown).localCheckpoint()
+      // exact set equality (both sides are distinct sets): equal counts
+      // plus an empty one-sided difference
+      converged = shrunk.count() == e.count() && shrunk.except(e).isEmpty
+      e = shrunk
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+    // at the fixpoint every edge points from a node to its component min;
+    // min() collapses any residual multi-edges. Roots carry no out-edge —
+    // they label themselves via the left join.
+    val labels = e.groupBy("u").agg(min("v").as("cluster_id"))
+      .withColumnRenamed("u", "id")
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** large-star: for each node u, re-point every LARGER neighbor at
+    * m(u) = min(Γ(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: for each node u, re-point every SMALLER neighbor and u
+    * itself at the minimum of the smaller neighborhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val lt = sym.filter(col("v") < col("u"))
+    val mins = lt.groupBy("u").agg(min("v").as("m"))
+    val toNeighbors = lt.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    val toSelf = mins.select(col("u"), col("m").as("v"))
+    toNeighbors.union(toSelf).distinct()
+  }
+
+  /** Label every row of `df` with its duplicate-cluster id: nodes absent
+    * from the pair list are their own singleton cluster. The join against
+    * the component labels is keyed on the id — at warehouse scale the
+    * label side is bounded by the number of pair-participating docs, not
+    * the corpus. */
+  def assignClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String, bCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+  }
+
+  /** Keep ONE row per duplicate cluster (minimum id wins — the same
+    * convention as `Dedup.exactDedup`), dropping every other member. */
+  def keepClusterRepresentatives(df: DataFrame, idCol: String,
+                                 pairs: DataFrame, aCol: String,
+                                 bCol: String): DataFrame =
+    assignClusters(df, idCol, pairs, aCol, bCol)
+      .filter(col(idCol).cast("long") === col("cluster_id"))
+      .drop("cluster_id")
+}

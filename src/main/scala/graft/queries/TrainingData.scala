@@ -201,8 +201,50 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup pairs → dedup CLUSTERS via distributed connected components
+    * (large-star/small-star). The corpus is three generations of each doc
+    * and the pair list is a CHAIN (i ↔ i+100000 ↔ i+200000, plus any
+    * exact-text pairs among the originals): generation 0 and 2 are never
+    * paired directly, so the cluster labels require genuine transitive
+    * closure — which the oracle recomputes independently with a recursive
+    * CTE, not by rederiving the id arithmetic. */
+  def dedupClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val ids = d.select(col("doc_id"))
+      .unionByName(d.select((col("doc_id") + 100000).as("doc_id")))
+      .unionByName(d.select((col("doc_id") + 200000).as("doc_id")))
+    val chain = d.select(col("doc_id").as("a"),
+        (col("doc_id") + 100000).as("b"))
+      .unionByName(d.select((col("doc_id") + 100000).as("a"),
+        (col("doc_id") + 200000).as("b")))
+    val sameText = d.toDF("a", "ta")
+      .join(d.toDF("b", "tb"), col("ta") === col("tb") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val pairs = chain.unionByName(sameText)
+    graft.operators.Components.assignClusters(ids, "doc_id", pairs, "a", "b")
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 BM25-salient terms per document. `logIdf = false` keeps every
+    * arithmetic step transcendental-free (+,−,×,÷ on doubles are IEEE
+    * bit-identical across engines; ln is not guaranteed correctly rounded
+    * and differs between libm and the JVM) — the ranking is unchanged
+    * because ln is monotone. */
+  def bm25TermsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TermStats.bm25TopTerms(docs(s, dir), "doc_id", "text",
+        k = 3, logIdf = false)
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+
+  /** Global heavy hitters: top-20 tokens by occurrence count. */
+  def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TermStats.heavyHitters(docs(s, dir), "doc_id", "text", 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_curation"          -> curationQ _,
+    "q56_dedup_clusters"    -> dedupClustersQ _,
+    "q57_bm25_terms"        -> bm25TermsQ _,
+    "q58_heavy_hitters"     -> heavyHittersQ _,
     "q22_token_count"       -> tokenCountQ _,
     "q23_quality_score"     -> qualityQ _,
     "q24_langid"            -> langIdQ _,
@@ -346,6 +388,67 @@ object TrainingData {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q42_ivf_topk" -> ivfOracle(),
+    // BM25 restated step-for-step: identical token sets, identical
+    // arithmetic shape (constants written as the same unfolded literals —
+    // (1.2 + 1.0), not 2.2 — so both engines IEEE-add the same doubles).
+    // Every fractional literal carries ::DOUBLE: DuckDB parses bare
+    // decimals as DECIMAL and would otherwise run exact decimal arithmetic
+    // (1 ulp off the engine's IEEE doubles) until a double operand joins.
+    "q57_bm25_terms" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |lens AS (
+        | SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS len
+        | FROM documents),
+        |stats AS (
+        | SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
+        |        (SELECT avg(len) FROM lens) AS avg_len),
+        |scored AS (
+        | SELECT t.doc_id, t.term, t.tf,
+        |  ((s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |  (t.tf * (1.2::DOUBLE + 1.0::DOUBLE) / (t.tf + 1.2::DOUBLE *
+        |    ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * l.len / s.avg_len))) AS score
+        | FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id), stats s),
+        |r AS (
+        | SELECT doc_id, term, tf, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        | FROM scored)
+        |SELECT doc_id, term, tf, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+    "q58_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS occurrences,
+        | count(*) AS doc_freq
+        |FROM tf GROUP BY term
+        |ORDER BY occurrences DESC, term LIMIT 20""".stripMargin,
+    // Independent transitive closure: min-label reachability via a
+    // recursive CTE over the SAME chain + exact-text pair list.
+    "q56_dedup_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |ids AS (
+        | SELECT doc_id FROM base
+        | UNION ALL SELECT doc_id + 100000 FROM base
+        | UNION ALL SELECT doc_id + 200000 FROM base),
+        |pairs AS (
+        | SELECT doc_id AS a, doc_id + 100000 AS b FROM base
+        | UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM base
+        | UNION ALL
+        | SELECT x.doc_id, y.doc_id FROM base x JOIN base y
+        |  ON x.text = y.text AND x.doc_id < y.doc_id),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT doc_id, doc_id FROM ids
+        | UNION
+        | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // The composed pipeline restated as one chain; filters before/after
     // dedup commute (all predicates are text-derived), min() aggregates
     // are exact on the identical clone rows.
