@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over a near-duplicate pair list — the
   * step that turns pairwise dedup output (MinHash / SimHash / n-gram /
@@ -27,11 +26,15 @@ import org.apache.spark.storage.StorageLevel
   * Scale posture: per round, 2 aggregations + 2 joins, all keyed on node id
   * (longs — no skew from wide payloads; a hot component minimum is bounded
   * by its component size, which LSH bucket caps already bound upstream).
-  * Convergence is detected EXACTLY (set equality: same count, empty
-  * except), never by a lossy fingerprint. Each round's edge set is
-  * materialized with `localCheckpoint` — each star references its input
-  * TWICE (symmetrization), so without lineage truncation the logical plan
-  * doubles per round and the optimizer itself becomes the bottleneck.
+  * Convergence is detected EXACTLY (set equality via one symmetric-
+  * difference aggregation — both sides are distinct sets, so they are equal
+  * iff every edge of their union appears exactly twice), never by a lossy
+  * fingerprint. Each round materializes ONE `localCheckpoint` (the round's
+  * output): the stars reference their input twice (symmetrization), but
+  * within a single query Spark's ReuseExchange computes the shared shuffle
+  * once, and the checkpoint at the round boundary stops the logical plan
+  * from doubling round over round — without it the optimizer itself becomes
+  * the bottleneck.
   */
 object Components {
 
@@ -48,17 +51,21 @@ object Components {
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // verts recomputes from the checkpointed initial edge set (two cheap
+    // scans) — persisting it here would leak the cache entry past return,
+    // since the caller's action is the only thing that ever reads it
     val verts = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = e.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val grown = largeStar(e).localCheckpoint()
-      val shrunk = smallStar(grown).localCheckpoint()
-      // exact set equality (both sides are distinct sets): equal counts
-      // plus an empty one-sided difference
-      converged = shrunk.count() == e.count() && shrunk.except(e).isEmpty
+      // one checkpoint per round: the star shuffles shared inside the
+      // single shrunk query are computed once (ReuseExchange)
+      val shrunk = smallStar(largeStar(e)).localCheckpoint()
+      // exact set equality in ONE job: both sides are distinct sets, so
+      // equal iff every (u,v) of the union appears exactly twice
+      converged = shrunk.union(e).groupBy("u", "v").count()
+        .filter(col("count") =!= 2).isEmpty
       e = shrunk
       round += 1
     }
@@ -75,7 +82,10 @@ object Components {
   }
 
   /** large-star: for each node u, re-point every LARGER neighbor at
-    * m(u) = min(Γ(u) ∪ {u}). */
+    * m(u) = min(Γ(u) ∪ {u}). The output may carry duplicate edges — the
+    * composing [[smallStar]] is duplicate-insensitive (min aggregations)
+    * and its trailing distinct restores the set property, so a distinct
+    * here would only add a shuffle per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
@@ -84,7 +94,6 @@ object Components {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** small-star: for each node u, re-point every SMALLER neighbor and u
