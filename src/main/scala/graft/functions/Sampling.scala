@@ -52,4 +52,28 @@ object Sampling {
     }.otherwise(keep(col(keyCol), defaultRate))
     df.filter(cond)
   }
+
+  /** Deterministic EXACT-k per-group sample — "give me (up to) k docs per
+    * language/source/shard", the fixed-budget counterpart of the rate-based
+    * [[stratifiedSample]]. Each group keeps the k rows whose stable md5
+    * coordinate sorts lowest (ties broken by key), so the pick is uniform-ish
+    * in the key, reproducible under retries and repartitioning, and — unlike
+    * a rate — guaranteed to return exactly min(k, |group|) rows per group.
+    *
+    * One shuffle on the group column (the window partition). A hot group is
+    * not a skew hazard at 100 TB IF k is small: rank-k selection could be
+    * done with a per-partition pre-trim (keep the k lowest coordinates per
+    * partition before the shuffle); Spark's window has no such combiner, so
+    * for mega-groups compose with [[hashSample]] first to knock the group
+    * down to O(k·fanout) candidates cheaply, then apply this for the exact
+    * budget. */
+  def perGroupSample(df: DataFrame, keyCol: String, groupCol: String,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    df.withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= k)
+      .drop("_graft_rk")
+  }
 }

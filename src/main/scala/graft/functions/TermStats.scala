@@ -80,4 +80,48 @@ object TermStats {
       .agg(sum("tf").as("occurrences"), count(lit(1)).as("doc_freq"))
       .orderBy(col("occurrences").desc, col("term"))
       .limit(k)
+
+  /** Adjacent-token pairs of each document, in order: (id, w1, w2). */
+  def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val n = greatest(size(toks) - 1, lit(0))
+    df.select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Collocations: bigrams ranked by pointwise mutual information. PMI =
+    * log( p(ab) / (p(a)·p(b)) ) = log( N·c(ab) / (c(a)·c(b)) ); the log is
+    * monotone, so ranking uses the RATIONAL inner term — every step is
+    * IEEE ×/÷ on exact-integer-valued doubles, bit-identical across engines
+    * (ln is not guaranteed correctly rounded and differs between libm and
+    * the JVM). `minCount` drops rare pairs whose PMI is spuriously high —
+    * the standard collocation-extraction guard. Unigram counts are taken on
+    * the bigram event space — c(a) counts a as a FIRST element, c(b) counts
+    * b as a SECOND — so numerator and denominator probabilities are over the
+    * same N draws.
+    *
+    * Scale: two map-side-combining aggregations (pair counts, unigram
+    * counts) + one join keyed on w1/w2 — vocabulary-sized tables, fact
+    * table never re-shuffled wider than its distinct pairs. */
+  def collocations(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   minCount: Long = 5): DataFrame = {
+    val pairs = bigramPairs(df, idCol, textCol)
+    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val firsts = pairs.groupBy("w1").agg(count(lit(1)).as("c_a"))
+    val seconds = pairs.groupBy("w2").agg(count(lit(1)).as("c_b"))
+    val total = pairs.agg(count(lit(1)).cast("double").as("n_pairs"))
+    pairCounts
+      .join(firsts, "w1")
+      .join(seconds, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_ratio",
+        col("n_pairs") * col("c_ab").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

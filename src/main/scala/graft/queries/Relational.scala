@@ -172,6 +172,26 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Bloom-pruned fact⋈dim join: a bloom filter of the selective order keys
+    * (built with the native BloomFilterAggregate, blob-sized independent of
+    * row count) prefilters the lineitem scan BEFORE any exchange — the
+    * manual runtime row filter for when the dim side is too big to
+    * broadcast but its key set fits in bloom bits. The join clears the
+    * bloom's false positives, so the result is exactly the plain join. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_totalprice") > lit(300000.0))
+      .select(col("o_orderkey"))
+    val l = Tables.load(s, dir, "lineitem")
+    graft.operators.BloomPrune.join(l, "l_orderkey", o, "o_orderkey",
+        expectedItems = 100000)
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Semi-structured extraction: JSON props parsed per event, aggregated
     * per event type. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
@@ -199,6 +219,7 @@ object Relational {
     "q39_cube"            -> cubeAgg _,
     "q40_exists_subquery" -> existsSubquery _,
     "q41_json_extract"    -> jsonExtract _,
+    "q59_bloom_join"      -> bloomJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +299,13 @@ object Relational {
         | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bloom prefilter is pure pruning — the oracle is the PLAIN join
+    "q59_bloom_join" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
   )
 }

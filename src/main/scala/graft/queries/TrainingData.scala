@@ -240,6 +240,28 @@ object TrainingData {
   def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
     graft.functions.TermStats.heavyHitters(docs(s, dir), "doc_id", "text", 20)
 
+  /** Exact-k-per-language deterministic sample — the fixed-budget corpus
+    * rebalancer (50 docs per language, stable md5 pick). */
+  def groupSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.perGroupSample(docs(s, dir), "doc_id", "lang", 50)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Z-order clustering key over (n_chars, doc_id) — the multi-column
+    * data-skipping sort key (ZOrderSpec pins the file-pruning effect on the
+    * lake write path; this pins the interleave arithmetic cross-engine). */
+  def zorderKeyQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        graft.operators.ZOrder.zValue(
+          Seq(col("n_chars"), col("doc_id")), 16).as("zkey"))
+      .orderBy(col("doc_id"))
+
+  /** Collocations: top-20 bigrams by (log-free) pointwise mutual
+    * information with a min-count guard. */
+  def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TermStats.collocations(docs(s, dir), "doc_id", "text",
+      k = 20, minCount = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_curation"          -> curationQ _,
     "q56_dedup_clusters"    -> dedupClustersQ _,
@@ -262,6 +284,9 @@ object TrainingData {
     "q34_frame_sample"      -> frameSampleQ _,
     "q48_stratified_sample" -> stratifiedSampleQ _,
     "q49_text_clean"        -> textCleanQ _,
+    "q60_group_sample"      -> groupSampleQ _,
+    "q61_zorder_key"        -> zorderKeyQ _,
+    "q62_collocations"      -> collocationsQ _,
   )
 
   private val cosExpr =
@@ -575,6 +600,39 @@ object TrainingData {
         | CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) AS jaccard
         |FROM p WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.9
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "q60_group_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    // bit interleave restated with plain shifts/masks: column 0 (n_chars)
+    // owns even bits, column 1 (doc_id) odd bits, 16 bits each
+    "q61_zorder_key" ->
+      """SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+        |  ((((n_chars & 65535) >> i) & 1)::BIGINT << (2 * i)) +
+        |  ((((doc_id & 65535) >> i) & 1)::BIGINT << (2 * i + 1)))) AS BIGINT) AS zkey
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // rational PMI with the engine's exact arithmetic shape:
+    // (n_pairs · c_ab) / (c_a · c_b), all counts exact-integer doubles
+    "q62_collocations" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |bg AS (
+        | SELECT unnest(list_transform(range(1, len(t)),
+        |   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        | FROM toks),
+        |pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |pc AS (SELECT w1, w2, count(*) AS c_ab FROM pairs
+        |       GROUP BY w1, w2 HAVING count(*) >= 5),
+        |fa AS (SELECT w1, count(*) AS c_a FROM pairs GROUP BY w1),
+        |sb AS (SELECT w2, count(*) AS c_b FROM pairs GROUP BY w2),
+        |n AS (SELECT count(*)::DOUBLE AS n_pairs FROM pairs)
+        |SELECT pc.w1, pc.w2, c_ab,
+        | n.n_pairs * CAST(c_ab AS DOUBLE) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS pmi_ratio
+        |FROM pc JOIN fa USING (w1) JOIN sb USING (w2), n
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
     "q48_stratified_sample" ->
       """SELECT doc_id, lang,
         | substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket

@@ -44,4 +44,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(strat, "k", "s",
       Map("a" -> 1.0), defaultRate = 1.0).count() == 500)
   }
+
+  test("perGroupSample keeps exactly min(k, |group|) rows per group") {
+    val sizes = Sampling.perGroupSample(df, "id", "stratum", 300)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // both strata have 1000 rows → exactly 300 each
+    assert(sizes == Map("a" -> 300L, "b" -> 300L))
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "stratum")
+    assert(Sampling.perGroupSample(tiny, "id", "stratum", 10).count() == 3)
+  }
+
+  test("perGroupSample is deterministic under repartitioning and prefix-stable in k") {
+    val s100 = Sampling.perGroupSample(df, "id", "stratum", 100)
+      .select("id").as[Long].collect().toSet
+    val reshuffled = Sampling.perGroupSample(df.repartition(13), "id", "stratum", 100)
+      .select("id").as[Long].collect().toSet
+    assert(s100 == reshuffled)
+    // the k=100 pick is a prefix of the k=250 pick (same sort coordinate)
+    val s250 = Sampling.perGroupSample(df, "id", "stratum", 250)
+      .select("id").as[Long].collect().toSet
+    assert(s100.subsetOf(s250))
+  }
+
+  test("perGroupSample drops its helper column") {
+    val out = Sampling.perGroupSample(df, "id", "stratum", 5)
+    assert(out.columns.toSeq == df.columns.toSeq)
+  }
 }

@@ -47,4 +47,39 @@ class TermStatsSpec extends SparkSpec {
     assert(hh.map(_._2) == hh.map(_._2).sorted.reverse)
     assert(hh.length == 3)
   }
+
+  test("bigramPairs emits adjacent in-order pairs; short docs emit none") {
+    val d = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val pairs = TermStats.bigramPairs(d, "doc_id", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(pairs == Set((1L, "a", "b"), (1L, "b", "c")))
+  }
+
+  test("collocations ranks repeated pairs above chance pairings") {
+    // "new york" always co-occurs; "the" pairs with everything
+    val d = (1 to 20).map(i =>
+      (i.toLong, s"the city of new york hosts the game $i")).toDF("doc_id", "text")
+    val top = TermStats.collocations(d, "doc_id", "text", k = 5, minCount = 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(top.nonEmpty)
+    val topPairs = top.map(t => (t._1, t._2))
+    assert(topPairs.contains(("new", "york")))
+    // "the" appears as w1 of two different pairs → diluted, ranks below
+    val pmiOf = top.map(t => ((t._1, t._2), t._4)).toMap
+    assert(pmiOf(("new", "york")) >= pmiOf.getOrElse(("the", "city"), 0.0))
+    // hand-check the rational PMI of a deterministic pair:
+    // every doc contributes 8 bigrams → N = 160; c(new york) = 20,
+    // c(new as w1) = 20, c(york as w2) = 20 → 160·20/(20·20) = 8.0
+    assert(pmiOf(("new", "york")) == 8.0)
+  }
+
+  test("collocations minCount suppresses one-off pairs") {
+    val d = Seq((1L, "rare pair rare pair x y"), (2L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val out = TermStats.collocations(d, "doc_id", "text", k = 10, minCount = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.forall(_._3 >= 2))
+    assert(out.map(t => (t._1, t._2)).contains(("rare", "pair")))
+    assert(!out.map(t => (t._1, t._2)).contains(("x", "y")))
+  }
 }
