@@ -44,6 +44,53 @@ object Dedup {
         if (c == textCol) col(textCol) else col(s"_graft_row.$c")): _*)
   }
 
+  /** Incremental corpus dedup: drop every `batch` row whose fingerprint
+    * already exists in `corpus`, and dedup the batch against itself (min id
+    * keeps). The daily-crawl shape: the corpus is 1000× the batch, so the
+    * batch must NEVER force a corpus-wide shuffle.
+    *
+    *   1. the corpus's fingerprint column compresses to a bloom filter — a
+    *      scan-only aggregation (no shuffle beyond one blob per partition);
+    *   2. the bloom prefilters the corpus to ~fpp false positives plus true
+    *      matches of the BATCH side... inverted: each batch row checks the
+    *      corpus bloom locally; only might-be-dup batch rows (tiny) reach
+    *      the exact anti-join, and the anti-join's corpus side prunes to
+    *      rows whose fingerprint might be in the BATCH's bloom — both scans
+    *      stay shuffle-free until the joined remnant is batch-sized;
+    *   3. an exact left-anti join on the fingerprint removes true dups —
+    *      bloom false positives survive to the join and are cleared there,
+    *      so the result is exactly the naive anti-join.
+    *
+    * Fingerprints should be content hashes ([[graft.functions.TextAnalysis
+    * .fingerprint]] / `md5`); collisions there are content-dedup semantics,
+    * not an artifact of this operator. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, fpCol: String,
+                       idCol: String,
+                       corpusItems: Long = 10000000L): DataFrame = {
+    // null fingerprints mean "couldn't fingerprint", not "identical" —
+    // they bypass both the batch collapse and the corpus check
+    val nullFp = batch.filter(col(fpCol).isNull)
+    val inBatch = exactDedup(batch.filter(col(fpCol).isNotNull), fpCol, idCol)
+    // corpus bloom → batch rows that MIGHT be known (candidates), the rest
+    // are definitively new and skip the join entirely
+    val corpusBloom = graft.operators.BloomPrune.buildFilter(
+      corpus.filter(col(fpCol).isNotNull), fpCol, corpusItems)
+    val mightKnow = graft.operators.BloomPrune.mightContain(corpusBloom, col(fpCol))
+    val definitelyNew = inBatch.filter(!mightKnow)
+    val candidates = inBatch.filter(mightKnow)
+    // the exact check: candidates (batch-sized at most) anti-join the
+    // corpus, whose scan is bloom-pruned by the CANDIDATES' fingerprints —
+    // at a 1000:1 corpus:batch ratio almost no corpus row survives to the
+    // join build
+    val confirmed = graft.operators.BloomPrune
+      .prune(corpus.select(col(fpCol)), fpCol, candidates, fpCol,
+        expectedItems = math.max(corpusItems / 1000, 1000))
+      .withColumnRenamed(fpCol, "_graft_known_fp")
+    val stillNew = candidates.join(confirmed,
+      col(fpCol) === col("_graft_known_fp"), "left_anti")
+    nullFp.unionByName(definitelyNew).unionByName(stillNew)
+  }
+
   /** Character k-shingles of a string (k consecutive chars, step 1). */
   def charShingles(c: Column, k: Int): Column =
     transform(sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing: assign documents, in a stable key order, to
+  * consecutive training shards of ~`budget` tokens each — the step that
+  * turns a curated corpus into fixed-size training files. A document lands
+  * in the shard its EXCLUSIVE running total falls in (`floor(prefix /
+  * budget)`), so shard boundaries never split a document and each shard
+  * overflows its budget by at most one document.
+  *
+  * The global running sum is the scale hazard: `sum() OVER (ORDER BY key)`
+  * with no partition key funnels the whole table through ONE task — the
+  * classic silent single-node collapse. This operator computes the same
+  * prefix sum distributed:
+  *
+  *   1. range-repartition by the key (a distributed sort — contiguous,
+  *      ordered key ranges per partition; unique keys make the prefix sum
+  *      boundary-independent);
+  *   2. per-partition weight totals aggregate to the driver (ONE long per
+  *      partition — map-side combined, nothing else moves);
+  *   3. exclusive partition offsets broadcast back as a tiny join table,
+  *      and a window PARTITIONED BY the range id adds the within-partition
+  *      prefix — every task scans only its own slice.
+  *
+  * Cost: the range exchange plus one hash exchange on the partition id
+  * (Spark's window requires hash clustering even on already-range-grouped
+  * data). Both are fully parallel — vs the single-task global window, which
+  * is not a cost, it is a cliff. Results are exactly the single-window
+  * formulation's (integer arithmetic, unique key order). */
+object Sharding {
+
+  /** Adds `cum_weight` (exclusive prefix sum of `weightCol` in `keyCol`
+    * order) and `shard_id` (= cum_weight div budget). Weights must be
+    * non-negative; the key must be unique. */
+  def packShards(df: DataFrame, keyCol: String, weightCol: String,
+                 budget: Long, numPartitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(numPartitions, col(keyCol))
+      .withColumn("_graft_pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids: they feed BOTH the offset agg
+                         // and the final plan, and must agree
+    val sums = ranged.groupBy(col("_graft_pid"))
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive offsets: total weight of every range strictly before pid
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val o = acc; acc += s; (pid, o)
+    }.toSeq
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("_graft_pid", "_graft_offset")
+    val w = Window.partitionBy(col("_graft_pid")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsetsDf), "_graft_pid")
+      .withColumn("cum_weight",
+        col("_graft_offset") + sum(col(weightCol).cast("long")).over(w)
+          - col(weightCol).cast("long"))
+      // integer div, not floor(double /): exact past 2^53 total weight
+      .withColumn("shard_id", expr(s"cum_weight div $budget"))
+      .drop("_graft_pid", "_graft_offset")
+  }
+
+  /** Shard manifest: per-shard document count, total weight, and key range
+    * — what a downstream trainer reads to schedule file loads. */
+  def shardManifest(packed: DataFrame, keyCol: String,
+                    weightCol: String): DataFrame =
+    packed.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("total_weight"),
+        min(col(keyCol)).as("first_key"), max(col(keyCol)).as("last_key"))
+      .orderBy(col("shard_id"))
+}

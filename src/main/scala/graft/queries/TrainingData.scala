@@ -262,6 +262,36 @@ object TrainingData {
     graft.functions.TermStats.collocations(docs(s, dir), "doc_id", "text",
       k = 20, minCount = 5)
 
+  /** Incremental corpus dedup: a batch of half re-crawled dups (even ids,
+    * verbatim text) and half genuinely new docs (odd ids, suffixed text)
+    * dedups against the full documents corpus by md5 fingerprint — only the
+    * new docs survive. The bloom prefilter is pruning only; the oracle is
+    * the plain dedup-then-anti-join. */
+  def incrementalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.select(col("doc_id"), md5(col("text")).as("fp"))
+    val batch = d.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" fresh "),
+            (col("doc_id") + 200000).cast("string")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    graft.functions.Dedup.incrementalDedup(batch, corpus, "fp", "doc_id",
+        corpusItems = 100000)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget shard packing over the documents corpus (distributed
+    * prefix sum; the oracle restates the single-window formulation the
+    * operator provably equals). */
+  def shardPackQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sharding.packShards(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", budget = 50000)
+      .select(col("doc_id"), col("cum_weight"), col("shard_id"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_curation"          -> curationQ _,
     "q56_dedup_clusters"    -> dedupClustersQ _,
@@ -287,6 +317,8 @@ object TrainingData {
     "q60_group_sample"      -> groupSampleQ _,
     "q61_zorder_key"        -> zorderKeyQ _,
     "q62_collocations"      -> collocationsQ _,
+    "q63_incremental_dedup" -> incrementalDedupQ _,
+    "q64_shard_pack"        -> shardPackQ _,
   )
 
   private val cosExpr =
@@ -633,6 +665,31 @@ object TrainingData {
         | n.n_pairs * CAST(c_ab AS DOUBLE) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS pmi_ratio
         |FROM pc JOIN fa USING (w1) JOIN sb USING (w2), n
         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+    // bloom prefilter is pruning only → oracle = dedup-then-anti-join
+    "q63_incremental_dedup" ->
+      """WITH corpus AS (SELECT md5(text) AS fp FROM documents),
+        |batch AS (
+        | SELECT doc_id + 100000 AS doc_id, md5(text) AS fp
+        | FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL
+        | SELECT doc_id + 200000 AS doc_id,
+        |  md5(text || ' fresh ' || CAST(doc_id + 200000 AS VARCHAR)) AS fp
+        | FROM documents WHERE doc_id % 2 = 1),
+        |deduped AS (SELECT min(doc_id) AS doc_id, fp FROM batch GROUP BY fp)
+        |SELECT doc_id, fp FROM deduped
+        |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+    // the operator's distributed prefix sum provably equals this window
+    "q64_shard_pack" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |   AS BIGINT) AS cum_weight
+        | FROM documents)
+        |SELECT doc_id, cum_weight,
+        | CAST(cum_weight // 50000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q48_stratified_sample" ->
       """SELECT doc_id, lang,
         | substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket

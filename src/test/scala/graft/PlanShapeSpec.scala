@@ -98,6 +98,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bloom prune filters the probe scan BEFORE any exchange") {
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val l = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val plan = graft.operators.BloomPrune.prune(l, "l_orderkey",
+        o, "o_orderkey", expectedItems = 1000)
+      .queryExecution.executedPlan.toString
+    // the pruned frame is a might_contain FILTER over the scan — no join,
+    // no exchange; whatever the caller composes next sees pre-pruned rows
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize

@@ -122,4 +122,34 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect().head
     assert(out == 0.0)
   }
+
+  test("incrementalDedup equals the naive dedup-then-anti-join") {
+    val corpus = (1 to 300).map(i => (i.toLong, s"known text $i"))
+      .toDF("doc_id", "text").withColumn("fp", md5($"text"))
+    // batch: 100 dups of corpus docs, 100 new docs, plus an internal clone
+    val batch = ((1 to 100).map(i => (i + 1000L, s"known text $i")) ++
+      (1 to 100).map(i => (i + 2000L, s"fresh text $i")) ++
+      Seq((3000L, "fresh text 1")))
+      .toDF("doc_id", "text").withColumn("fp", md5($"text"))
+    val naive = Dedup.exactDedup(batch, "fp", "doc_id")
+      .join(corpus.select($"fp"), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val out = Dedup.incrementalDedup(batch, corpus, "fp", "doc_id",
+        corpusItems = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == naive)
+    // all fresh docs survive (min-id keeper for the internal clone pair)
+    assert(out == (1 to 100).map(_ + 2000L).toSet)
+  }
+
+  test("incrementalDedup keeps null-fingerprint rows and tolerates corpus nulls") {
+    val corpus = Seq((1L, Some("a")), (2L, None))
+      .toDF("doc_id", "fp")
+    val batch = Seq((10L, Some("a")), (11L, None), (12L, Some("b")))
+      .toDF("doc_id", "fp")
+    val out = Dedup.incrementalDedup(batch, corpus, "fp", "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    // 10 is a known dup; 11 (null fp) and 12 (new) survive
+    assert(out == Set(11L, 12L))
+  }
 }

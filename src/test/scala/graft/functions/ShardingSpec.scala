@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toLong))
+    .toDF("id", "toks")
+
+  test("packShards equals the single-window global prefix sum") {
+    val naive = docs.withColumn("cum_weight",
+        sum($"toks").over(Window.orderBy($"id")
+          .rowsBetween(Window.unboundedPreceding, 0)) - $"toks")
+      .withColumn("shard_id", expr("cum_weight div 100"))
+      .select("id", "cum_weight", "shard_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val packed = Sharding.packShards(docs, "id", "toks", budget = 100,
+        numPartitions = 7)
+      .select("id", "cum_weight", "shard_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packed == naive)
+  }
+
+  test("shards are consecutive, start at 0, and never split a document") {
+    val packed = Sharding.packShards(docs, "id", "toks", budget = 100,
+      numPartitions = 5).orderBy("id")
+      .select("id", "toks", "cum_weight", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val shards = packed.map(_._4)
+    assert(shards.head == 0L)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b - a <= 1 && b >= a })
+    // every document's weight is wholly inside its shard's running range
+    packed.foreach { case (_, toks, cum, shard) =>
+      assert(cum / 100 == shard)
+      assert(cum >= shard * 100 && cum < (shard + 1) * 100)
+      assert(toks > 0)
+    }
+  }
+
+  test("result is independent of input partitioning and numPartitions") {
+    def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+      Sharding.packShards(df, "id", "toks", 100, n)
+        .select("id", "shard_id").as[(Long, Long)].collect().toSet
+    val a = run(docs, 3)
+    assert(run(docs.repartition(17), 11) == a)
+    assert(run(docs.coalesce(1), 1) == a)
+  }
+
+  test("shardManifest totals reconcile with the input") {
+    val packed = Sharding.packShards(docs, "id", "toks", 200, 4)
+    val manifest = Sharding.shardManifest(packed, "id", "toks")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest.map(_._2).sum == 500)
+    assert(manifest.map(_._3).sum ==
+      docs.agg(sum("toks")).as[Long].head())
+    // key ranges are disjoint and ordered
+    val ranges = manifest.sortBy(_._1).map(m => (m._4, m._5))
+    ranges.zip(ranges.tail).foreach { case ((_, lastA), (firstB, _)) =>
+      assert(lastA < firstB)
+    }
+  }
+}
