@@ -39,7 +39,26 @@ object GraftExtensions {
     "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
     "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
     "simhash60_portable" -> (exprs => SimHashPortableExpr(exprs.head)),
-    "json_leaf_keys" -> (exprs => JsonLeafKeysExpr(exprs.head)))
+    "json_leaf_keys" -> (exprs => JsonLeafKeysExpr(exprs.head)),
+    // fused one-pass ingest parse: json_keyset_tuple(raw, 'a', 'b', ...)
+    // returns struct(_keyset, a, b, ...); the _nested variant keysets on
+    // dotted leaf paths (drift-aware nested ingest)
+    "json_keyset_tuple" -> (exprs =>
+      JsonKeysetTupleExpr(exprs.head,
+        exprs.tail.zipWithIndex.map { case (e, i) =>
+          strArg(e, i, "json_keyset_tuple") }, nested = false)),
+    "json_keyset_tuple_nested" -> (exprs =>
+      JsonKeysetTupleExpr(exprs.head,
+        exprs.tail.zipWithIndex.map { case (e, i) =>
+          strArg(e, i, "json_keyset_tuple_nested") }, nested = true)))
+
+  private def strArg(e: Expression, i: Int, fn: String): String = {
+    import org.apache.spark.sql.types.StringType
+    if (e.foldable && e.dataType == StringType && e.eval() != null)
+      e.eval().toString
+    else throw new IllegalArgumentException(
+      s"$fn: argument ${i + 2} must be a string literal field name")
+  }
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
