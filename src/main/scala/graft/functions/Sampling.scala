@@ -76,4 +76,41 @@ object Sampling {
       .filter(col("_graft_rk") <= k)
       .drop("_graft_rk")
   }
+
+  /** Rebalance to a TARGET MIXTURE: the largest deterministic sample whose
+    * strata hit the given proportions exactly (up to floor rounding) — "make
+    * the corpus 50% en / 25% es / 25% de" for training-mix control.
+    *
+    * The feasible scale is set by the scarcest stratum: K = min_s(n_s/p_s),
+    * each stratum keeps k_s = floor(K·p_s) rows (provably ≤ n_s), picked by
+    * the stable md5 coordinate as in [[perGroupSample]]. Strata outside
+    * `targets` are dropped; a target stratum with NO rows makes the mixture
+    * infeasible at any size → empty result. Driver-side data: one (stratum,
+    * count) row per target stratum.
+    *
+    * Deterministic end-to-end (counts are exact, the pick is hash-ordered),
+    * so the same corpus always yields the same mixture — and the arithmetic
+    * (÷, min, ×, floor on doubles) restates exactly in SQL for the q65
+    * oracle. */
+  def mixtureSample(df: DataFrame, keyCol: String, stratumCol: String,
+                    targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be positive proportions")
+    val inTargets = df.filter(col(stratumCol).isin(targets.keys.toSeq: _*))
+    val counts = inTargets.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale =
+      if (targets.keys.exists(s => !counts.contains(s))) 0.0
+      else targets.map { case (s, p) => counts(s).toDouble / p }.min
+    val ks = targets.map { case (s, p) => s -> math.floor(scale * p).toLong }
+    val kExpr = targets.keys.foldLeft(when(lit(false), lit(0L))) { (acc, s) =>
+      acc.when(col(stratumCol) === s, lit(ks(s)))
+    }.otherwise(lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    inTargets.withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= kExpr)
+      .drop("_graft_rk")
+  }
 }

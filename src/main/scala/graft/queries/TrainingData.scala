@@ -292,6 +292,16 @@ object TrainingData {
       .select(col("doc_id"), col("cum_weight"), col("shard_id"))
       .orderBy(col("doc_id"))
 
+  /** Target-mixture rebalance: the largest deterministic sample that is
+    * 50% en / 25% es / 25% de (exact-k per stratum, scarcest stratum sets
+    * the scale). Proportions are dyadic so ÷, min, ×, floor restate
+    * bit-identically in the oracle. */
+  def mixtureSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.mixtureSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_curation"          -> curationQ _,
     "q56_dedup_clusters"    -> dedupClustersQ _,
@@ -319,6 +329,7 @@ object TrainingData {
     "q62_collocations"      -> collocationsQ _,
     "q63_incremental_dedup" -> incrementalDedupQ _,
     "q64_shard_pack"        -> shardPackQ _,
+    "q65_mixture_sample"    -> mixtureSampleQ _,
   )
 
   private val cosExpr =
@@ -678,6 +689,28 @@ object TrainingData {
         |deduped AS (SELECT min(doc_id) AS doc_id, fp FROM batch GROUP BY fp)
         |SELECT doc_id, fp FROM deduped
         |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+    // feasible scale K = min_s(n_s/p_s); keep floor(K·p_s) per stratum by
+    // the md5 coordinate — identical ÷/min/×/floor double arithmetic
+    "q65_mixture_sample" ->
+      """WITH counts AS (
+        | SELECT lang, count(*)::DOUBLE AS n FROM documents
+        | WHERE lang IN ('en', 'es', 'de') GROUP BY lang),
+        |kk AS (
+        | SELECT CASE WHEN (SELECT count(*) FROM counts) < 3 THEN 0.0::DOUBLE
+        |  ELSE (SELECT min(n / CASE lang WHEN 'en' THEN 0.5::DOUBLE
+        |                                 WHEN 'es' THEN 0.25::DOUBLE
+        |                                 ELSE 0.25::DOUBLE END) FROM counts)
+        | END AS k),
+        |ranked AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        | FROM documents WHERE lang IN ('en', 'es', 'de'))
+        |SELECT doc_id, lang FROM ranked, kk
+        |WHERE rk <= CAST(floor(kk.k * CASE lang WHEN 'en' THEN 0.5::DOUBLE
+        |                                        WHEN 'es' THEN 0.25::DOUBLE
+        |                                        ELSE 0.25::DOUBLE END) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     // the operator's distributed prefix sum provably equals this window
     "q64_shard_pack" ->

@@ -70,4 +70,33 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.perGroupSample(df, "id", "stratum", 5)
     assert(out.columns.toSeq == df.columns.toSeq)
   }
+
+  test("mixtureSample hits the target proportions, scaled by the scarcest stratum") {
+    // 1000 a-rows, 1000 b-rows; ask for a 75/25 mix → a is scarcest:
+    // K = 1000/0.75 = 1333.3…, keep floor(K·0.75)=1000 a, floor(K·0.25)=333 b
+    val out = Sampling.mixtureSample(df, "id", "stratum",
+        Map("a" -> 0.75, "b" -> 0.25))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 1000L, "b" -> 333L))
+  }
+
+  test("mixtureSample drops non-target strata and is deterministic") {
+    val three = ((1 to 600).map(i => (i.toLong, "a")) ++
+      (601 to 800).map(i => (i.toLong, "b")) ++
+      (801 to 900).map(i => (i.toLong, "c"))).toDF("id", "stratum")
+    val targets = Map("a" -> 0.5, "b" -> 0.5)
+    val out = Sampling.mixtureSample(three, "id", "stratum", targets)
+    assert(out.filter($"stratum" === "c").count() == 0)
+    // b is scarcest: K = 400 → 200 of each
+    val sizes = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("a" -> 200L, "b" -> 200L))
+    val again = Sampling.mixtureSample(three.repartition(7), "id", "stratum", targets)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("mixtureSample with an empty target stratum is empty (infeasible mix)") {
+    assert(Sampling.mixtureSample(df, "id", "stratum",
+      Map("a" -> 0.5, "zz" -> 0.5)).count() == 0)
+  }
 }
