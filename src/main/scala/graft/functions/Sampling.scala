@@ -97,8 +97,10 @@ object Sampling {
     require(targets.nonEmpty && targets.values.forall(_ > 0.0),
       "targets must be positive proportions")
     val inTargets = df.filter(col(stratumCol).isin(targets.keys.toSeq: _*))
+    // get(0).toString, not getString: a non-string stratum column (int
+    // codes) matches via isin coercion and must not crash the collect
     val counts = inTargets.groupBy(col(stratumCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val scale =
       if (targets.keys.exists(s => !counts.contains(s))) 0.0
       else targets.map { case (s, p) => counts(s).toDouble / p }.min

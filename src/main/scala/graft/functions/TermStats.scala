@@ -107,12 +107,18 @@ object TermStats {
     * table never re-shuffled wider than its distinct pairs. */
   def collocations(df: DataFrame, idCol: String, textCol: String, k: Int,
                    minCount: Long = 5): DataFrame = {
-    val pairs = bigramPairs(df, idCol, textCol)
-    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    val firsts = pairs.groupBy("w1").agg(count(lit(1)).as("c_a"))
-    val seconds = pairs.groupBy("w2").agg(count(lit(1)).as("c_b"))
-    val total = pairs.agg(count(lit(1)).cast("double").as("n_pairs"))
+    // ONE corpus scan: the unfiltered pair-count table is the sufficient
+    // statistic — unigram counts and the grand total are sums over it, so
+    // the expensive tokenize+explode never re-runs per branch. The table is
+    // vocabulary²-bounded (distinct pairs, not occurrences); persisted
+    // because four aggregations read it.
+    val pairCounts0 = bigramPairs(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCounts = pairCounts0.filter(col("c_ab") >= minCount)
+    val firsts = pairCounts0.groupBy("w1").agg(sum("c_ab").as("c_a"))
+    val seconds = pairCounts0.groupBy("w2").agg(sum("c_ab").as("c_b"))
+    val total = pairCounts0.agg(sum("c_ab").cast("double").as("n_pairs"))
     pairCounts
       .join(firsts, "w1")
       .join(seconds, "w2")

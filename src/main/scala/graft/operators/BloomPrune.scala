@@ -32,16 +32,36 @@ import org.apache.spark.sql.types.BinaryType
 object BloomPrune {
 
   /** Bloom filter of `keyCol`, built distributed, returned as the serialized
-    * blob. `expectedItems` sizes the filter for the target `fpp`. */
+    * blob. `expectedItems` sizes the filter for the target `fpp`.
+    *
+    * BloomFilterAggregate SILENTLY clamps both its item and bit parameters
+    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M / 67.1M) — a large build would otherwise get ~1 bit per
+    * key and an fpp near 1 with no error, paying full build cost for zero
+    * pruning. The confs are raised to this build's request for the duration
+    * of the aggregation and restored after. */
   def buildFilter(build: DataFrame, keyCol: String,
                   expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
+    require(expectedItems > 0, "expectedItems must be positive")
     // numBits formula of BloomFilter.optimalNumOfBits (public sketch API)
     val numBits = math.max(64L,
       (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(expression(col(keyCol)))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = build.select(column(agg).as("bf")).head()
+    val conf = build.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val row =
+      try {
+        conf.set(itemsKey, math.max(oldItems.toLong, expectedItems).toString)
+        conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
+        build.select(column(agg).as("bf")).head()
+      } finally {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
   }
 
@@ -68,15 +88,19 @@ object BloomPrune {
     * that might match. */
   def join(probe: DataFrame, probeKey: String,
            build: DataFrame, buildKey: String,
-           expectedItems: Long, fpp: Double = 0.03): DataFrame =
-    prune(probe, probeKey, build, buildKey, expectedItems, fpp)
-      .join(build, col(probeKey) === col(buildKey))
+           expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    // frame-qualified refs: col(...) === col(...) would be ambiguous (or a
+    // trivially-true self-reference) when both sides name the key alike
+    val pruned = prune(probe, probeKey, build, buildKey, expectedItems, fpp)
+    pruned.join(build, pruned(probeKey) === build(buildKey))
+  }
 
   /** Bloom-pruned left-semi join (EXISTS): the probe rows with at least one
     * build-side match — same exactness argument as [[join]]. */
   def semiJoin(probe: DataFrame, probeKey: String,
                build: DataFrame, buildKey: String,
-               expectedItems: Long, fpp: Double = 0.03): DataFrame =
-    prune(probe, probeKey, build, buildKey, expectedItems, fpp)
-      .join(build, col(probeKey) === col(buildKey), "left_semi")
+               expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val pruned = prune(probe, probeKey, build, buildKey, expectedItems, fpp)
+    pruned.join(build, pruned(probeKey) === build(buildKey), "left_semi")
+  }
 }

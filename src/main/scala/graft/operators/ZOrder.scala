@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (caller maps raw values into `0 until 2^bits` — ranks, bucketed
   * timestamps, dictionary codes). Bit interleave uses only integer
   * shifts/masks (codegen'd, whole-stage), and is restatable in any engine
-  * with bit ops — the q59 oracle recomputes it in SQL.
+  * with bit ops — the q61 oracle recomputes it in SQL.
   *
   * At 100 TB: `cluster` range-repartitions by the z-value — a skew-safe
   * total ordering (range boundaries from a sample), so writers emit
@@ -50,8 +50,11 @@ object ZOrder {
   def bucketize(c: Column, min: Double, max: Double, bits: Int = 16): Column = {
     val buckets = (1L << bits).toDouble
     val span = math.max(max - min, Double.MinPositiveValue)
-    least(floor((c.cast("double") - lit(min)) / lit(span) * lit(buckets)),
-      lit((1L << bits) - 1L)).cast("long")
+    // clamp BOTH ends: a below-min value (stale driver-known min) would
+    // floor to a negative bucket that zValue's bit mask wraps to the TOP of
+    // the range, silently clustering it with the max rows
+    greatest(least(floor((c.cast("double") - lit(min)) / lit(span) * lit(buckets)),
+      lit((1L << bits) - 1L)), lit(0L)).cast("long")
   }
 
   /** Cluster `df` for writing: range-repartition + local sort by the

@@ -31,10 +31,13 @@ object LakeOptimize {
               targetRows: Long, zorderBy: Seq[Column] = Nil,
               zBits: Int = 16): (Int, Int) = {
     require(targetRows > 0, "targetRows must be positive")
-    val before = LakeIndex.load(dir).size
+    val entries = LakeIndex.load(dir)
+    val before = entries.size
     val df = spark.read.format(classOf[LakeSimSource].getName)
       .schema(schema).option("path", dir).load()
-    val rows = df.count()
+    // row count comes from the index's per-object declared counts — no
+    // counting scan; the rewrite job is the only read of the data
+    val rows = entries.map(_.count).sum
     val numFiles = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
     val arranged =
       if (zorderBy.nonEmpty)

@@ -71,9 +71,12 @@ object StreamAsof {
             else rights = (t, e.value) :: rights
           }
           val wm = state.getCurrentWatermarkMs()
-          // finalize every left at-or-before the watermark: its right-side
-          // history is complete. (wm == 0 before the first watermark — no
-          // event can be at-or-before it, nothing emits, nothing is lost.)
+          // finalize every left at-or-before the watermark. INCLUSIVE is
+          // safe because Spark's stateful late-row filter is itself
+          // inclusive: an event with ts <= wm is dropped before reaching
+          // this function (pinned by StreamAsofSpec's boundary test), so
+          // no right at-or-before an emitted left can arrive afterwards.
+          // (wm == 0 before the first watermark — nothing emits early.)
           val (ready, pending) = lefts.partition(_._1 <= wm)
           val sortedRights = rights.sortBy { case (t, v) => (t, v) }
           val out = ready.sortBy(_._1).map { case (lt, lv) =>
@@ -86,6 +89,8 @@ object StreamAsof {
           }
           // compact rights: anything at-or-before BOTH the watermark and
           // every pending left collapses to the single latest such right
+          // (safe for the same inclusive-late-filter reason: no new right
+          // can tie a timestamp at-or-below the watermark)
           val bound = (wm :: pending.map(_._1)).min
           val (old, live) = sortedRights.partition(_._1 <= bound)
           val kept = (old.lastOption.toList ++ live)
@@ -94,6 +99,7 @@ object StreamAsof {
             state.update(AsofState(pending, kept))
             // re-fire when the watermark reaches the earliest pending left,
             // so its emission doesn't wait for new traffic on this key
+            // (pending lefts have ts > wm, so the timestamp is valid)
             if (pending.nonEmpty) {
               val next = pending.map(_._1).min
               if (next > wm) state.setTimeoutTimestamp(next)

@@ -99,4 +99,14 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureSample(df, "id", "stratum",
       Map("a" -> 0.5, "zz" -> 0.5)).count() == 0)
   }
+
+  test("mixtureSample accepts a non-string stratum column") {
+    val coded = ((1 to 400).map(i => (i.toLong, 1)) ++
+      (401 to 600).map(i => (i.toLong, 2))).toDF("id", "lang_id")
+    val out = Sampling.mixtureSample(coded, "id", "lang_id",
+        Map("1" -> 0.5, "2" -> 0.5))
+      .groupBy("lang_id").count().as[(Int, Long)].collect().toMap
+    // 2 is scarcest: K = 400 → 200 of each
+    assert(out == Map(1 -> 200L, 2 -> 200L))
+  }
 }

@@ -51,4 +51,38 @@ class BloomPruneSpec extends SparkSpec {
       .select("pk", "pv", "bv").as[(Long, String, String)].collect().toSet
     assert(out == Set((1L, "a", "x")))
   }
+
+  test("join resolves when both sides name the key identically") {
+    val p = Seq((1L, "a"), (2L, "b")).toDF("k", "pv")
+    val b = Seq((1L, "x"), (9L, "y")).toDF("k", "bv")
+    val joined = BloomPrune.join(p, "k", b, "k", 10)
+      .select("pv", "bv").as[(String, String)].collect().toSet
+    assert(joined == Set(("a", "x")))
+    val semi = BloomPrune.semiJoin(p, "k", b, "k", 10)
+      .select("pv").as[String].collect().toSet
+    assert(semi == Set("a"))
+  }
+
+  test("a build larger than the runtime-filter conf caps still gets its requested bits") {
+    // shrink the caps: an un-raised build would be clamped to 512 bits for
+    // 2000 keys (~0.25 bits/key → fpp ≈ 1) and prune nothing
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldI, oldB) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      spark.conf.set(itemsKey, "100")
+      spark.conf.set(bitsKey, "512")
+      val keys = (1 to 2000).map(_.toLong).toDF("k")
+      val bf = BloomPrune.buildFilter(keys, "k", expectedItems = 2000,
+        fpp = 0.01)
+      val nonMembers = (100001 to 102000).map(_.toLong).toDF("k")
+      val fp = nonMembers.filter(BloomPrune.mightContain(bf, $"k")).count()
+      assert(fp <= 100, s"conf cap degraded the filter: $fp/2000 false positives")
+      // and the conf mutation was restored
+      assert(spark.conf.get(itemsKey) == "100" && spark.conf.get(bitsKey) == "512")
+    } finally {
+      spark.conf.set(itemsKey, oldI)
+      spark.conf.set(bitsKey, oldB)
+    }
+  }
 }

@@ -89,6 +89,31 @@ class StreamAsofSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("Spark's late filter is INCLUSIVE at the watermark — the premise of inclusive emission") {
+    // asofJoin emits lefts with ts <= wm. That is only race-free if no
+    // event at ts <= wm can arrive afterwards. This pins Spark's actual
+    // boundary: an event arriving AT the current watermark is dropped as
+    // late before reaching the state function — if this ever flips to a
+    // strict < filter, emission must flip to strict < too.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[AsofInput]
+    val query = StreamAsof.start(input.toDS(), "0 seconds", "asof_boundary")
+    try {
+      input.addData(AsofInput(9L, ts(100), "r", 0.0))
+      query.processAllAvailable() // wm := 100
+      input.addData(AsofInput(1L, ts(100), "l", 1.0)) // AT the watermark
+      query.processAllAvailable()
+      // flush far past everything; a buffered left would emit via timeout
+      input.addData(AsofInput(9L, ts(300), "r", 0.0))
+      query.processAllAvailable()
+      input.addData(AsofInput(9L, ts(400), "r", 0.0))
+      query.processAllAvailable()
+      assert(spark.table("asof_boundary").filter($"key" === 1L).count() == 0,
+        "an event AT the watermark reached the state function — late filter" +
+          " is no longer inclusive; make StreamAsof emission strict")
+    } finally query.stop()
+  }
+
   test("timeout emits buffered lefts when the watermark advances on other keys") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[AsofInput]
