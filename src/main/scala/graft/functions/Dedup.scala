@@ -70,11 +70,14 @@ object Dedup {
     // null fingerprints mean "couldn't fingerprint", not "identical" —
     // they bypass both the batch collapse and the corpus check
     val nullFp = batch.filter(col(fpCol).isNull)
-    // persisted: the deduped batch feeds THREE consumers (the candidates'
-    // bloom build, the definitely-new branch, the anti-join) — unpersisted,
-    // the batch would re-scan and re-shuffle once per branch
+    // materialized: the deduped batch feeds THREE consumers (the
+    // candidates' bloom build, the definitely-new branch, the anti-join) —
+    // unmaterialized, the batch would re-scan and re-shuffle once per
+    // branch. localCheckpoint (not persist): its blocks are reclaimed by
+    // the ContextCleaner once unreferenced, so per-batch calls in a
+    // long-lived session don't accumulate cache entries
     val inBatch = exactDedup(batch.filter(col(fpCol).isNotNull), fpCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // corpus bloom → batch rows that MIGHT be known (candidates), the rest
     // are definitively new and skip the join entirely
     val corpusBloom = graft.operators.BloomPrune.buildFilter(

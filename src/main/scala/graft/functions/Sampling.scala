@@ -96,17 +96,22 @@ object Sampling {
                     targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0.0),
       "targets must be positive proportions")
-    val inTargets = df.filter(col(stratumCol).isin(targets.keys.toSeq: _*))
-    // get(0).toString, not getString: a non-string stratum column (int
-    // codes) matches via isin coercion and must not crash the collect
-    val counts = inTargets.groupBy(col(stratumCol)).count().collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    // string-cast equality END TO END: the filter, the count keys, and the
+    // per-stratum k lookup all compare Spark's string rendering of the
+    // stratum against the target keys — one consistent semantic for
+    // non-string stratum columns (int codes match "1"; a double column's
+    // "1.0" must be keyed as "1.0"), never a filter/count mismatch that
+    // would silently zero the mixture
+    val stratumStr = col(stratumCol).cast("string")
+    val inTargets = df.filter(stratumStr.isin(targets.keys.toSeq: _*))
+    val counts = inTargets.groupBy(stratumStr.as("_graft_s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val scale =
       if (targets.keys.exists(s => !counts.contains(s))) 0.0
       else targets.map { case (s, p) => counts(s).toDouble / p }.min
     val ks = targets.map { case (s, p) => s -> math.floor(scale * p).toLong }
     val kExpr = targets.keys.foldLeft(when(lit(false), lit(0L))) { (acc, s) =>
-      acc.when(col(stratumCol) === s, lit(ks(s)))
+      acc.when(stratumStr === s, lit(ks(s)))
     }.otherwise(lit(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))

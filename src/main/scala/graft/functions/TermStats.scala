@@ -110,11 +110,12 @@ object TermStats {
     // ONE corpus scan: the unfiltered pair-count table is the sufficient
     // statistic — unigram counts and the grand total are sums over it, so
     // the expensive tokenize+explode never re-runs per branch. The table is
-    // vocabulary²-bounded (distinct pairs, not occurrences); persisted
-    // because four aggregations read it.
+    // vocabulary²-bounded (distinct pairs, not occurrences); materialized
+    // with localCheckpoint because four aggregations read it (and unlike a
+    // persist, checkpoint blocks are reclaimed once unreferenced).
     val pairCounts0 = bigramPairs(df, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val pairCounts = pairCounts0.filter(col("c_ab") >= minCount)
     val firsts = pairCounts0.groupBy("w1").agg(sum("c_ab").as("c_a"))
     val seconds = pairCounts0.groupBy("w2").agg(sum("c_ab").as("c_b"))

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 import org.apache.spark.sql.types.BinaryType
@@ -13,9 +12,9 @@ import org.apache.spark.sql.types.BinaryType
   * pre-shuffled/bucketed probe side, or pushed ahead of an expensive probe
   * pipeline (decode, dedup) that runs BEFORE the join.
   *
-  * Shape: the build side aggregates its join keys into one bloom filter with
-  * the native codegen'd [[BloomFilterAggregate]] (partial filters build
-  * map-side and OR-merge — one tiny shuffle row per partition); the single
+  * Shape: the build side aggregates its join keys into one bloom filter
+  * (distributed tree aggregation — partial filters build map-side and
+  * OR-merge; one blob per partition moves); the single
   * binary blob (`numBits/8` bytes, independent of build-side row count) is
   * the only thing that reaches the driver, and is inlined as a literal into
   * a [[BloomFilterMightContain]] predicate on the probe side, where it
@@ -34,35 +33,31 @@ object BloomPrune {
   /** Bloom filter of `keyCol`, built distributed, returned as the serialized
     * blob. `expectedItems` sizes the filter for the target `fpp`.
     *
-    * BloomFilterAggregate SILENTLY clamps both its item and bit parameters
-    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
-    * (defaults 4M / 67.1M) — a large build would otherwise get ~1 bit per
-    * key and an fpp near 1 with no error, paying full build cost for zero
-    * pruning. The confs are raised to this build's request for the duration
-    * of the aggregation and restored after. */
+    * Built with the PUBLIC `util.sketch.BloomFilter` via a tree aggregation
+    * over the xxhash64 image of the key — the same domain
+    * [[BloomFilterMightContain]] probes (it evaluates XxHash64 and calls
+    * `mightContainLong`), and the same serialization (`BloomFilter.readFrom`).
+    * Neither BloomFilterAggregate NOR Spark 4's `stat.bloomFilter` (which
+    * delegates to it — verified in the shipped bytecode) is usable here:
+    * the aggregate silently clamps its sizing to the runtime-filter confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+    * defaults 4M / 67.1M), so a 100M-key build would get ~1 bit per key
+    * and an fpp near 1 with no error — full build cost, zero pruning.
+    * The tree aggregate honors the requested size exactly, needs no
+    * session-conf mutation (which would race concurrent builds), and
+    * returns a valid empty filter for an empty build side. */
   def buildFilter(build: DataFrame, keyCol: String,
                   expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
-    // numBits formula of BloomFilter.optimalNumOfBits (public sketch API)
-    val numBits = math.max(64L,
-      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(expression(col(keyCol)))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val conf = build.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
-    val row =
-      try {
-        conf.set(itemsKey, math.max(oldItems.toLong, expectedItems).toString)
-        conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
-        build.select(column(agg).as("bf")).head()
-      } finally {
-        conf.set(itemsKey, oldItems)
-        conf.set(bitsKey, oldBits)
-      }
-    if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
+    import org.apache.spark.util.sketch.BloomFilter
+    val hashes = build.select(xxhash64(col(keyCol)).as("_graft_h"))
+      .rdd.map(_.getLong(0))
+    val bf = hashes.treeAggregate(BloomFilter.create(expectedItems, fpp))(
+      (b, v) => { b.putLong(v); b },
+      (a, b) => { a.mergeInPlace(b); a })
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
   }
 
   /** Predicate: `keyCol` might be in the serialized bloom filter. Codegen'd
