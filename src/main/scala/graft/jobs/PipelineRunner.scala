@@ -89,11 +89,14 @@ object PipelineRunner {
         // one computation feeds bronze, silver, and the row count
         val data = loaded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          Sinks.writeVersioned(data, s"$bronzeRoot/${tc.stagingTableName}")
-          // count BEFORE the silver write: appending to silverPath recaches
-          // every plan reading it — the incremental anti-join would re-list
-          // the freshly-appended files and count 0
-          val rows = data.count()
+          // the row count OBSERVES the bronze write (zero-pass A8 metrics)
+          // instead of running its own count job — and still lands BEFORE
+          // the silver write: appending to silverPath recaches every plan
+          // reading it, so a later count would re-list the freshly-appended
+          // files and see this run's own rows
+          val (observed, obs) = Metrics.observed(data, tc.stagingTableName)
+          Sinks.writeVersioned(observed, s"$bronzeRoot/${tc.stagingTableName}")
+          val rows = Metrics.rows(obs)
           // the run's distinct keys, MATERIALIZED before the silver append:
           // a persist alone is not enough — if cached partitions are lost
           // after the append, recomputation re-runs the anti-join against
