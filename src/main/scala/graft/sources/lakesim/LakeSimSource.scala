@@ -74,10 +74,11 @@ class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int)
 
 class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var countStars: Int = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition(LakeIndex.supportedFilter)
@@ -90,9 +91,62 @@ class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) answered from the index's declared per-object counts — the
+    * reference's `dl_instance_count` exists precisely so the lake can state
+    * cardinality without shipping records (A2); a bare count never reads a
+    * data object. Accepted ONLY with no pushed filters and no grouping
+    * (pushdown order guarantees filters arrive first): a filter makes the
+    * per-object counts an upper bound, not an answer. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val allCountStar = agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (pushed.isEmpty && agg.groupByExpressions().isEmpty && allCountStar) {
+      countStars = agg.aggregateExpressions().length
+      true
+    } else false
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
   override def build(): Scan =
-    new LakeSimScan(path, tableSchema, required, pushed, pageSize)
+    if (countStars > 0) new LakeSimCountScan(path, countStars)
+    else new LakeSimScan(path, tableSchema, required, pushed, pageSize)
 }
+
+/** Metadata-only scan for a completely-pushed COUNT(*): one partition, one
+  * row, the sum of the index's declared object counts. Zero data I/O. */
+class LakeSimCountScan(path: String, countStars: Int) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    (0 until countStars).map(i => StructField(s"count_star_$i", LongType, false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"lakesim path=$path aggPushed=count(*)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeSimCountPartition(LakeIndex.load(path).map(_.count).sum, countStars))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val part = p.asInstanceOf[LakeSimCountPartition]
+          private var served = false
+          override def next(): Boolean = { val r = !served; served = true; r }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(Seq.fill(part.countStars)(part.total))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class LakeSimCountPartition(total: Long, countStars: Int)
+    extends InputPartition
 
 class LakeSimScan(path: String, tableSchema: StructType,
                   required: StructType, pushed: Array[Filter], pageSize: Int)
