@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Contamination, Dedup, LineDedup, Pii, QualityFilters, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
@@ -302,7 +302,74 @@ object TrainingData {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination report: docs with doc_id % 7 == 0 play the
+    * held-out benchmark; every corpus doc reports its distinct word-8-gram
+    * count, how many shingles the benchmark shares, and the contamination
+    * flag. Benchmark members themselves surface at contam_frac = 1. */
+  def decontamQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Contamination.overlapReport(d, "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction + audit counts. Deterministic PII (an email, a phone, an
+    * IPv4 derived from doc_id) is appended to each document so the redaction
+    * path does real work; counts are taken on the original text. */
+  def piiRedactQ(s: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com call "),
+      (col("doc_id") % 700 + 300).cast("string"), lit("-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 203.0."), (col("doc_id") % 256).cast("string"),
+      lit(".77")).as("text"))
+    withPii.select(col("doc_id"),
+        Pii.redact(col("text")).as("redacted"),
+        Pii.emailCount(col("text")).cast("long").as("n_email"),
+        Pii.phoneCount(col("text")).cast("long").as("n_phone"),
+        Pii.ipv4Count(col("text")).cast("long").as("n_ip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide line-level exact dedup over the clone corpus: every clone's
+    * lines are repeats of the original's, so clones keep 0 lines; originals
+    * lose exactly the lines some earlier document already used. */
+  def lineDedupQ(s: SparkSession, dir: String): DataFrame =
+    LineDedup.dedupLines(cloneCorpus(s, dir), "doc_id", "text", lineTokens = 5)
+      .orderBy(col("doc_id"))
+
+  /** Hashed-linear-model quality scoring (fasttext-style inference with
+    * fixed deterministic weights): mean token logit + keep flag. */
+  def qualityClassifierQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        QualityFilters.linearScore(col("text")).as("logit"))
+      .withColumn("keep", col("logit") > 0.0)
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition metrics + keep flag. All ratios are exact
+    * integer counts divided once at the end, so the doubles restate
+    * bit-identically; the top-bigram count is an integer, so the engine's
+    * O(m log m) run-length walk and the oracle's all-pairs recount agree
+    * exactly. */
+  def repetitionQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    docs(s, dir).select(col("doc_id"),
+        QualityFilters.dupTokenFrac(toks).as("dup_token_frac"),
+        QualityFilters.dupLineFrac(lower(col("text")), 5).as("dup_line_frac"),
+        QualityFilters.topBigramFrac(toks).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= lit(0.2) && col("top_bigram_frac") <= lit(0.2))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_decontam"          -> decontamQ _,
+    "q67_pii_redact"        -> piiRedactQ _,
+    "q68_line_dedup"        -> lineDedupQ _,
+    "q69_quality_classifier" -> qualityClassifierQ _,
+    "q70_repetition"        -> repetitionQ _,
     "q55_curation"          -> curationQ _,
     "q56_dedup_clusters"    -> dedupClustersQ _,
     "q57_bm25_terms"        -> bm25TermsQ _,
