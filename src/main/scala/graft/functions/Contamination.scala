@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct word n-gram shingles of a text column (lowercased). */
+  /** Distinct word n-gram shingles over an already-materialized lowercased
+    * token-array column. The slicing lambda in wordShingles CAPTURES the
+    * token array: pass a bound attribute, not an inline tokenization
+    * expression (HOFs re-evaluate captures per element — O(m²)). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(Dedup.wordShingles(toks, n))
+
+  /** Distinct word n-gram shingles of a text column (lowercased). Prefer
+    * [[shinglesFromTokens]] over a materialized token column in hot paths. */
   def shingles(textCol: Column, n: Int): Column =
-    array_distinct(Dedup.wordShingles(TextAnalysis.tokens(lower(textCol)), n))
+    shinglesFromTokens(TextAnalysis.tokens(lower(textCol)), n)
 
   /** Per-document benchmark-overlap report: for every corpus document, the
     * number of distinct n-gram shingles, the number shared with `bench`,
@@ -32,11 +40,13 @@ object Contamination {
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8): DataFrame = {
     val benchShingles = bench
-      .select(explode(shingles(col(benchTextCol), n)).as("_g_sh"))
+      .select(TextAnalysis.tokens(lower(col(benchTextCol))).as("_g_toks"))
+      .select(explode(shinglesFromTokens(col("_g_toks"), n)).as("_g_sh"))
       .distinct()
       .withColumn("_g_hit", lit(1))
-    val docShingles = corpus.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("_g_sh"))
+    val docShingles = corpus
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_g_toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("_g_toks"), n)).as("_g_sh"))
     docShingles
       .join(broadcast(benchShingles), Seq("_g_sh"), "left")
       .groupBy(col(idCol))
@@ -48,14 +58,27 @@ object Contamination {
   }
 
   /** The decontaminated corpus: documents whose benchmark-overlap fraction
-    * is at most `maxFrac` (0.0 = drop on any shared shingle). */
+    * is at most `maxFrac` (0.0 = drop on any shared shingle).
+    *
+    * Shaped as a LEFT ANTI join against only the CONTAMINATED id set: that
+    * set is typically tiny (benchmark leakage is rare), so AQE converts
+    * the anti join to broadcast at runtime and the corpus never shuffles —
+    * a left join against the full one-row-per-document report would
+    * sort-merge the whole corpus. (No forced broadcast hint: a pathological
+    * fully-contaminated corpus must degrade to a shuffle, not OOM the
+    * driver.)
+    * Documents absent from the report (null/empty text) are kept, matching
+    * the previous left-join + coalesce(0.0) semantics. The corpus plan is
+    * still evaluated twice (once under the report, once as the join
+    * probe) — persist the corpus frame at the call site when it is not a
+    * plain scan. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8, maxFrac: Double = 0.0): DataFrame = {
-    val report = overlapReport(corpus, idCol, textCol, bench, benchTextCol, n)
-      .select(col(idCol), col("contam_frac"))
-    corpus.join(report, Seq(idCol), "left")
-      .filter(coalesce(col("contam_frac"), lit(0.0)) <= maxFrac)
-      .drop("contam_frac")
+    val contaminatedIds =
+      overlapReport(corpus, idCol, textCol, bench, benchTextCol, n)
+        .filter(col("contam_frac") > maxFrac)
+        .select(col(idCol))
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 }

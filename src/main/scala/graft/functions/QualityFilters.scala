@@ -33,28 +33,37 @@ object QualityFilters {
     ((pmod(hash60(t), lit(buckets.toLong)) * lit(2654435761L)) % lit(4096L)
       - lit(2048L)).cast("double") / lit(2048.0)
 
-  /** Mean token logit under the hashed linear model — the document's
-    * quality score. Empty documents score 0. Accumulation is sequential
-    * (left-to-right over the token order). */
-  def linearScore(textCol: Column, buckets: Int = 1024): Column = {
-    val toks = TextAnalysis.tokens(lower(textCol))
+  /** Mean token logit over an already-lowercased token-array column.
+    * Empty documents score 0. Accumulation is sequential (left-to-right
+    * over the token order). Safe with inline token expressions too: the
+    * array is the `aggregate` ARGUMENT (evaluated once per row), never
+    * captured inside the lambda. */
+  def linearScoreFromTokens(toks: Column, buckets: Int = 1024): Column =
     aggregate(toks, lit(0.0), (acc, t) => acc + tokenWeight(t, buckets)) /
       greatest(size(toks), lit(1)).cast("double")
-  }
+
+  /** Mean token logit under the hashed linear model — the document's
+    * quality score. */
+  def linearScore(textCol: Column, buckets: Int = 1024): Column =
+    linearScoreFromTokens(TextAnalysis.tokens(lower(textCol)), buckets)
 
   /** Fraction of tokens that are repeats of an earlier token. */
   def dupTokenFrac(toks: Column): Column =
     (size(toks) - size(array_distinct(toks))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
 
-  /** Fraction of fixed-width lines that are repeats within the document. */
-  def dupLineFrac(textCol: Column, lineTokens: Int = 5): Column = {
-    val ls = LineDedup.lines(textCol, lineTokens)
+  /** Fraction of fixed-width lines that are repeats within the document.
+    * `toks` must be a MATERIALIZED token-array column (see
+    * [[LineDedup.linesFromTokens]] — the line lambda captures it, and a
+    * captured inline tokenization re-runs per lambda element, O(m²)). */
+  def dupLineFrac(toks: Column, lineTokens: Int = 5): Column = {
+    val ls = LineDedup.linesFromTokens(toks, lineTokens)
     (size(ls) - size(array_distinct(ls))).cast("double") /
       greatest(size(ls), lit(1)).cast("double")
   }
 
-  /** Adjacent-token bigrams; fewer than two tokens → empty. */
+  /** Adjacent-token bigrams; fewer than two tokens → empty. `toks` must be
+    * a materialized column — the slicing lambda captures it. */
   def bigrams(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),

@@ -307,7 +307,9 @@ object TrainingData {
     * count, how many shingles the benchmark shares, and the contamination
     * flag. Benchmark members themselves surface at contam_frac = 1. */
   def decontamQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // corpus and benchmark branch off the same frame — persist so the
+    // parquet scan + shingle prep runs once (multi-branch recompute trap)
+    val d = docs(s, dir).persist()
     Contamination.overlapReport(d, "doc_id", "text",
         d.filter(col("doc_id") % 7 === 0), "text", n = 8)
       .orderBy(col("doc_id"))
@@ -353,19 +355,54 @@ object TrainingData {
     * bit-identically; the top-bigram count is an integer, so the engine's
     * O(m log m) run-length walk and the oracle's all-pairs recount agree
     * exactly. */
-  def repetitionQ(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col("text")))
-    docs(s, dir).select(col("doc_id"),
-        QualityFilters.dupTokenFrac(toks).as("dup_token_frac"),
-        QualityFilters.dupLineFrac(lower(col("text")), 5).as("dup_line_frac"),
-        QualityFilters.topBigramFrac(toks).as("top_bigram_frac"))
+  def repetitionQ(s: SparkSession, dir: String): DataFrame =
+    // tokenize ONCE into a bound column: the line/bigram lambdas capture
+    // the token array, and HOFs re-evaluate captured expressions per
+    // element — an inline tokens() here was measured O(m²) per document
+    // (16.6s at sf0.1; ~1s materialized)
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+      .select(col("doc_id"),
+        QualityFilters.dupTokenFrac(col("_toks")).as("dup_token_frac"),
+        QualityFilters.dupLineFrac(col("_toks"), 5).as("dup_line_frac"),
+        QualityFilters.topBigramFrac(col("_toks")).as("top_bigram_frac"))
       .withColumn("keep",
         col("dup_line_frac") <= lit(0.2) && col("top_bigram_frac") <= lit(0.2))
+      .orderBy(col("doc_id"))
+
+  /** The round-6 curation operators COMPOSED end-to-end — PII redaction →
+    * corpus-wide line-level dedup → quality-classifier + repetition gates →
+    * benchmark decontamination (exercising `decontaminate` itself, strict
+    * maxFrac = 0.0) — over the clone corpus so every stage does real work:
+    * clones lose all their lines to the originals, benchmark members (and
+    * any doc sharing an 8-gram with one) are dropped. The oracle restates
+    * the whole chain stage-for-stage. */
+  def curationFullQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // three branches: 2× corpus union + bench
+    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    val redacted = corpus.select(col("doc_id"),
+      Pii.redact(col("text")).as("text"))
+    val survivors = LineDedup.dedupLines(redacted, "doc_id", "text", 5)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val gated = survivors
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(lower(col("text"))).as("_toks"))
+      .withColumn("logit", QualityFilters.linearScoreFromTokens(col("_toks")))
+      .withColumn("top_bigram_frac", QualityFilters.topBigramFrac(col("_toks")))
+      .filter(col("logit") > lit(-0.05) && col("top_bigram_frac") <= lit(0.5))
+      .persist() // probed twice: overlap report + anti-join survivor side
+    Contamination.decontaminate(gated, "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0), "text", n = 8, maxFrac = 0.0)
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        col("logit"))
       .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_decontam"          -> decontamQ _,
+    "q71_curation_full"     -> curationFullQ _,
     "q67_pii_redact"        -> piiRedactQ _,
     "q68_line_dedup"        -> lineDedupQ _,
     "q69_quality_classifier" -> qualityClassifierQ _,
@@ -496,7 +533,168 @@ object TrainingData {
        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
 
+  /** DuckDB restatement of the PII pass: the SAME pattern literals
+    * (interpolated from [[Pii]], so the two engines can never drift) in the
+    * same replacement order. */
+  private def piiRedactSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       |   '${Pii.emailPattern}', '<EMAIL>', 'g'),
+       |  '${Pii.phonePattern}', '<PHONE>', 'g'),
+       | '${Pii.ipv4Pattern}', '<IP>', 'g')""".stripMargin
+
+  /** Fixed-width token lines of a token-list expression (plain strings). */
+  private def lineListSql(toks: String, lt: Int = 5): String =
+    s"""list_transform(range(0, CAST(ceil(len($toks) / $lt.0) AS BIGINT)),
+       |  i -> array_to_string($toks[i*$lt+1 : i*$lt+$lt], ' '))""".stripMargin
+
+  /** Fixed-width token lines as (line_idx, line) structs (posexplode). */
+  private def lineStructsSql(toks: String, lt: Int = 5): String =
+    s"""list_transform(range(0, CAST(ceil(len($toks) / $lt.0) AS BIGINT)),
+       |  i -> struct_pack(line_idx := i,
+       |    line := array_to_string($toks[i*$lt+1 : i*$lt+$lt], ' ')))""".stripMargin
+
+  /** Distinct word n-gram shingles with the short-document fallback (one
+    * all-tokens shingle), mirroring Dedup.wordShingles. */
+  private def shinglesSql(toks: String, n: Int = 8): String =
+    s"""list_distinct(CASE WHEN len($toks) >= $n
+       |  THEN list_transform(range(1, len($toks) - ${n - 2}),
+       |    i -> array_to_string($toks[i : i+${n - 1}], ' '))
+       |  ELSE [array_to_string($toks, ' ')] END)""".stripMargin
+
+  /** The hashed-linear-model mean logit of a token list (q69/q71): the
+    * portable 60-bit hash into 1024 buckets, Knuth mix onto dyadic
+    * rationals, sequential list_sum ≡ the engine's left-to-right
+    * aggregate(). */
+  private def logitSql(toks: String): String =
+    s"""coalesce(list_sum(list_transform($toks, t ->
+       |   ((($hash60Sql % 1024) * 2654435761) % 4096 - 2048)::DOUBLE
+       |    / 2048.0::DOUBLE)), 0.0::DOUBLE)
+       | / greatest(len($toks), 1)::DOUBLE""".stripMargin
+
+  /** Adjacent-token bigram list (q70/q71). */
+  private def bigramsSql(toks: String): String =
+    s"""CASE WHEN len($toks) >= 2 THEN list_transform(range(1, len($toks)),
+       |  i -> $toks[i] || ' ' || $toks[i+1]) ELSE []::VARCHAR[] END""".stripMargin
+
+  /** Most-frequent-bigram fraction: the oracle recounts ALL-PAIRS (each
+    * distinct bigram refiltered against the list), deliberately a different
+    * algorithm than the engine's sorted run-length walk — the exact integer
+    * counts must still agree. */
+  private def topBigramFracSql(bg: String): String =
+    s"""coalesce(list_max(list_transform(list_distinct($bg),
+       |  b -> len(list_filter($bg, x -> x = b)))), 0)::DOUBLE
+       | / greatest(len($bg), 1)::DOUBLE""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Benchmark decontamination report: distinct 8-gram shingles per doc,
+    // hits against the benchmark's (doc_id % 7 = 0) distinct shingle union.
+    "q66_decontam" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         | FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tk),
+         |bs AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+         |ds AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |agg AS (
+         | SELECT ds.doc_id, count(*) AS n_shingles, count(bs.g) AS n_hits
+         | FROM ds LEFT JOIN bs ON ds.g = bs.g GROUP BY ds.doc_id)
+         |SELECT doc_id, n_shingles, n_hits,
+         | n_hits::DOUBLE / n_shingles::DOUBLE AS contam_frac,
+         | n_hits > 0 AS contaminated
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // PII injection restated, then the same three-regex redact + counts.
+    "q67_pii_redact" ->
+      s"""WITH p AS (
+         | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.example.com call ' || CAST(doc_id % 700 + 300 AS VARCHAR) ||
+         |  '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |  ' from 203.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' AS text
+         | FROM documents)
+         |SELECT doc_id, ${piiRedactSql("text")} AS redacted,
+         | CAST(len(regexp_extract_all(text, '${Pii.emailPattern}')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(text, '${Pii.phonePattern}')) AS BIGINT) AS n_phone,
+         | CAST(len(regexp_extract_all(text, '${Pii.ipv4Pattern}')) AS BIGINT) AS n_ip
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // Corpus-wide first-occurrence line dedup over the clone corpus; the
+    // window's (doc_id, line_idx) order is total, so row_number is exact.
+    "q68_line_dedup" ->
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |tk AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM c),
+         |ln AS (SELECT doc_id, unnest(${lineStructsSql("toks")}) AS s FROM tk),
+         |l2 AS (SELECT doc_id, s.line_idx AS line_idx, s.line AS line FROM ln),
+         |k AS (SELECT doc_id, line_idx, line,
+         |  row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS keep
+         | FROM l2)
+         |SELECT doc_id, count(*) AS n_lines,
+         | count(*) FILTER (WHERE keep) AS n_kept,
+         | coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE keep), '') AS kept_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q69_quality_classifier" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         | FROM documents)
+         |SELECT doc_id, ${logitSql("toks")} AS logit,
+         | ${logitSql("toks")} > 0.0::DOUBLE AS keep
+         |FROM tk ORDER BY doc_id""".stripMargin,
+    // Gopher repetition rules: exact integer counts divided once — the
+    // doubles restate bit-identically whatever the counting algorithm.
+    "q70_repetition" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         | FROM documents),
+         |m AS (SELECT doc_id, toks,
+         |  ${lineListSql("toks")} AS ls,
+         |  ${bigramsSql("toks")} AS bg
+         | FROM tk),
+         |f AS (SELECT doc_id,
+         |  (len(toks) - len(list_distinct(toks)))::DOUBLE
+         |   / greatest(len(toks), 1)::DOUBLE AS dup_token_frac,
+         |  (len(ls) - len(list_distinct(ls)))::DOUBLE
+         |   / greatest(len(ls), 1)::DOUBLE AS dup_line_frac,
+         |  ${topBigramFracSql("bg")} AS top_bigram_frac
+         | FROM m)
+         |SELECT doc_id, dup_token_frac, dup_line_frac, top_bigram_frac,
+         | dup_line_frac <= 0.2::DOUBLE AND top_bigram_frac <= 0.2::DOUBLE AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // The whole round-6 curation chain restated stage-for-stage: PII redact
+    // → first-occurrence line dedup → logit/repetition gates → strict
+    // 8-gram decontamination (NOT IN the contaminated id set ≡ left anti).
+    "q71_curation_full" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |c AS (SELECT doc_id, text FROM d
+         |      UNION ALL SELECT doc_id + 100000, text FROM d),
+         |red AS (SELECT doc_id, ${piiRedactSql("text")} AS text FROM c),
+         |tk AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM red),
+         |ln AS (SELECT doc_id, unnest(${lineStructsSql("toks")}) AS s FROM tk),
+         |l2 AS (SELECT doc_id, s.line_idx AS line_idx, s.line AS line FROM ln),
+         |k AS (SELECT doc_id, line_idx, line,
+         |  row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS keep
+         | FROM l2),
+         |surv AS (
+         | SELECT doc_id,
+         |  coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE keep), '') AS text
+         | FROM k GROUP BY doc_id
+         | HAVING count(*) FILTER (WHERE keep) > 0),
+         |tk2 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         |        FROM surv),
+         |bgx AS (SELECT doc_id, toks, ${bigramsSql("toks")} AS bg FROM tk2),
+         |gate AS (SELECT doc_id, toks, len(toks) AS n_toks,
+         |  ${logitSql("toks")} AS logit,
+         |  ${topBigramFracSql("bg")} AS top_bigram_frac
+         | FROM bgx),
+         |g2 AS (SELECT * FROM gate
+         |       WHERE logit > -0.05::DOUBLE AND top_bigram_frac <= 0.5::DOUBLE),
+         |bs AS (SELECT DISTINCT unnest(${shinglesSql("toks")}) AS g
+         |       FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS toks
+         |             FROM d WHERE doc_id % 7 = 0)),
+         |contam AS (SELECT DISTINCT x.doc_id
+         | FROM (SELECT doc_id, unnest(${shinglesSql("toks")}) AS g FROM g2) x
+         | JOIN bs ON x.g = bs.g)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens, logit
+         |FROM g2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin,
     // Portable simhash restated natively: md5-top-60-bit token hash, ±1
     // votes per bit, sign pack — identical long to SimHashPortableExpr.
     "q28_simhash" ->
