@@ -310,8 +310,16 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
     withOverwriteMode(spark, "dynamic") {
       merged.write.mode(SaveMode.Overwrite).insertInto(targetTable)
     }
+    // written values go through the SAME target-typed cast as newParts: the
+    // merged frame is unionByName-coerced, so a widened partition column
+    // collects differently-typed boxes than the affected list. Scala's
+    // cooperative equality happens to save Int-vs-Long, but not every
+    // representation pair (java.math.BigDecimal vs Long compares false) —
+    // normalize instead of relying on that
     dropEmptiedPartitions(spark, partCols, affected,
-      merged.select(partCols.map(col): _*).distinct().collect())
+      merged.select(partCols.map(c =>
+        col(c).cast(targetSchema(targetSchema.fieldIndex(c)).dataType).as(c)): _*)
+        .distinct().collect())
   }
 
   /** Affected partitions that produced ZERO merged rows (every row moved

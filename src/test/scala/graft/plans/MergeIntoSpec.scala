@@ -199,6 +199,30 @@ class MergeIntoSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_merge_typed")
   }
 
+  test("BIGINT staging vs INT warehouse partition column keeps rewritten partitions") {
+    freshTable("graft_merge_narrow")
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").saveAsTable("graft_merge_narrow")
+    // the REVERSE widening of the test above: the warehouse partition
+    // column is INT and staging's is BIGINT, so the unionByName-coerced
+    // merged frame carries p as BIGINT and the WRITTEN partition values
+    // collect as Long boxes while the affected list holds Int — the
+    // emptied-partition compare must stay value-based (normalized through
+    // the target's types), or the rewritten partitions get dropped
+    Seq((1L, 10L, "A"), (3L, 30L, "c")).toDF("k", "p", "v")
+      .createOrReplaceTempView("merge_narrow_src")
+    spark.sql(
+      """MERGE INTO graft_merge_narrow USING merge_narrow_src
+        |ON graft_merge_narrow.k = merge_narrow_src.k
+        |   AND graft_merge_narrow.p = merge_narrow_src.p
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.table("graft_merge_narrow").orderBy("k")
+      .select($"k", $"p", $"v").as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq((1L, 10, "A"), (2L, 20, "b"), (3L, 30, "c")))
+    spark.sql("DROP TABLE graft_merge_narrow")
+  }
+
   test("unsupported merge shapes fail loudly") {
     Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("warehouse3")
     Seq((1L, 2.0)).toDF("k", "amt").createOrReplaceTempView("staging3")
