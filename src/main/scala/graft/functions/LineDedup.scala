@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Line-level exact deduplication (the "exact substring dedup" pass of
@@ -45,7 +44,17 @@ object LineDedup {
   /** Per-document line-dedup report: (idCol, n_lines, n_kept, kept_text)
     * where a line is kept iff this document holds its corpus-wide first
     * occurrence (ordered by (id, line index) — fully deterministic).
-    * Documents with empty text produce no output row. */
+    * Documents with empty text produce no output row.
+    *
+    * Scale shape: the first-occurrence winners come from
+    * `groupBy(line).agg(min(struct(id, idx)))` — a PARTIALLY-AGGREGATING
+    * shuffle, so the heaviest boilerplate line sends at most one row per
+    * input partition across the wire (a window by line would move and
+    * sort EVERY copy onto one task, and windows are not AQE-skew-
+    * splittable). No join-back either: the winner rows ARE the kept
+    * lines, so the report is winners re-keyed by document joined to
+    * per-document totals summed off the same within-doc frame — both
+    * sides one narrow row per document on an unskewed id key. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  lineTokens: Int = 5): DataFrame = {
     // tokenize into a real column first: the line lambda then slices a
@@ -56,17 +65,37 @@ object LineDedup {
       .select(col(idCol),
         posexplode(linesFromTokens(col("_toks"), lineTokens))
           .as(Seq("line_idx", "line")))
-    // a window, not a min_by-join: every exploded row needs its keep flag
-    // back, so the shuffle-by-line is inherent and the window does it once
-    val firstOcc = Window.partitionBy(col("line"))
-      .orderBy(col(idCol), col("line_idx"))
-    exploded.withColumn("_keep", row_number().over(firstOcc) === 1)
+    // two chained ALL-PRIMITIVE-buffer aggregations (min over int/long,
+    // min_by over (int, long)) — a single min(struct(id, idx)) would be
+    // semantically identical but its struct buffer falls out of
+    // HashAggregate into SortAggregate, which re-sorts the whole exploded
+    // corpus on both sides of the exchange. Stage 1 collapses within-doc
+    // repeats (making stage 2's min_by ordering key unique, so its
+    // tie-keep-first never fires) and carries the per-(line, doc)
+    // occurrence count, so the per-document totals derive from THIS frame
+    // — one corpus scan serves the whole diamond. perDoc is persisted
+    // because counts and winners both consume it (Spark shares no
+    // subplans); it is the smallest frame that serves both.
+    val perDoc = exploded
+      .groupBy(col("line"), col(idCol))
+      .agg(min(col("line_idx")).as("line_idx"),
+        count(lit(1)).as("_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = perDoc.groupBy(col(idCol))
+      .agg(sum(col("_cnt")).as("n_lines"))
+    val winners = perDoc
+      .groupBy(col("line"))
+      .agg(min(col(idCol)).as(idCol),
+        min_by(col("line_idx"), col(idCol)).as("line_idx"))
+    val kept = winners
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+      .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(when(col("_keep"),
-            struct(col("line_idx"), col("line"))))),
+          array_sort(collect_list(struct(col("line_idx"), col("line")))),
           s => s.getField("line")), " ").as("kept_text"))
+    counts.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 }
