@@ -81,6 +81,29 @@ object TermStats {
       .orderBy(col("occurrences").desc, col("term"))
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against the corpus' own top-K
+    * token vocabulary — the tokenizer-coverage / domain-shift signal a
+    * curation pipeline tracks before committing to a vocab size. Output:
+    * (id, n_tokens, n_oov, oov_rate), one row per non-empty document.
+    *
+    * Scale: the vocabulary is K rows — broadcast; the exploded corpus
+    * never shuffles for the membership probe, and the only shuffle is the
+    * per-document aggregation on the unique id key. The corpus is scanned
+    * twice (vocabulary derivation + probe) — persist `df` at the call
+    * site when it is not a plain scan. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val vocab = heavyHitters(df, idCol, textCol, vocabSize)
+      .select(col("term")).withColumn("_in_vocab", lit(1))
+    termPairs(df, idCol, textCol)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Adjacent-token pairs of each document, in order: (id, w1, w2). */
   def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))

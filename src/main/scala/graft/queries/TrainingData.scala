@@ -400,9 +400,28 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking: 32-token windows, stride 24 (sliding
+    * overlap) — multiple chunks per document at this corpus' lengths,
+    * with a ragged final window. */
+  def chunkingQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Chunking.chunkDocuments(docs(s, dir), "doc_id", "text",
+        maxTokens = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Tokenizer-coverage: per-document OOV rate against the corpus' own
+    * top-50 token vocabulary (persisted — vocabulary derivation and the
+    * membership probe both scan the corpus). */
+  def oovRateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist()
+    graft.functions.TermStats.oovRate(d, "doc_id", "text", vocabSize = 50)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_decontam"          -> decontamQ _,
     "q71_curation_full"     -> curationFullQ _,
+    "q72_chunking"          -> chunkingQ _,
+    "q73_oov_rate"          -> oovRateQ _,
     "q67_pii_redact"        -> piiRedactQ _,
     "q68_line_dedup"        -> lineDedupQ _,
     "q69_quality_classifier" -> qualityClassifierQ _,
@@ -695,6 +714,44 @@ object TrainingData {
          |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens, logit
          |FROM g2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
          |ORDER BY doc_id""".stripMargin,
+    // Fixed-budget sliding windows restated with the same start grid and
+    // inclusive slices; chunk count = 1 for short docs, else
+    // ceil((m - max) / stride) + 1.
+    "q72_chunking" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         | FROM documents),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(0,
+         |   CASE WHEN len(toks) = 0 THEN 0
+         |        WHEN len(toks) <= 32 THEN 1
+         |        ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END),
+         |  i -> struct_pack(chunk_idx := i,
+         |    chunk_text := array_to_string(toks[i*24+1 : i*24+32], ' '),
+         |    n_tokens := least(32, len(toks) - i*24)))) AS s
+         | FROM tk)
+         |SELECT doc_id, CAST(s.chunk_idx AS INT) AS chunk_idx,
+         | s.chunk_text AS chunk_text, CAST(s.n_tokens AS BIGINT) AS n_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // OOV against the deterministic top-50 vocabulary (q58's heavy-hitter
+    // ordering: occurrences DESC, term — the tie cut is exact either side).
+    "q73_oov_rate" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         | FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, term),
+         |hh AS (SELECT term FROM (
+         | SELECT term, CAST(sum(tf) AS BIGINT) AS occurrences
+         | FROM tf GROUP BY term
+         | ORDER BY occurrences DESC, term LIMIT 50)),
+         |agg AS (
+         | SELECT t.doc_id, count(*) AS n_tokens,
+         |  count(CASE WHEN h.term IS NULL THEN 1 END) AS n_oov
+         | FROM toks t LEFT JOIN hh h ON t.term = h.term
+         | GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         | n_oov::DOUBLE / n_tokens::DOUBLE AS oov_rate
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // Portable simhash restated natively: md5-top-60-bit token hash, ±1
     // votes per bit, sign pack — identical long to SimHashPortableExpr.
     "q28_simhash" ->

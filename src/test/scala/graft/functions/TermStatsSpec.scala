@@ -82,4 +82,26 @@ class TermStatsSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).contains(("rare", "pair")))
     assert(!out.map(t => (t._1, t._2)).contains(("x", "y")))
   }
+
+  test("oovRate scores against the corpus' own top-k vocabulary") {
+    // occurrences: common ×6 (3 docs × 2), mid ×3, rare ×1 each → top-2
+    // vocabulary = {common, mid}
+    val d = Seq(
+      (1L, "common common mid rare1"),
+      (2L, "common common mid rare2"),
+      (3L, "common common mid"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TermStats.oovRate(d, "doc_id", "text", vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(!out.contains(4L)) // empty doc: no row
+    // vocabSize covering every term → zero OOV everywhere
+    val full = TermStats.oovRate(d, "doc_id", "text", vocabSize = 100)
+      .agg(sum($"n_oov")).as[Long].collect().head
+    assert(full == 0L)
+  }
 }
