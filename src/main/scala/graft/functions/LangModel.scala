@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model surprisal scoring — the CCNet-style "perplexity
+  * bucket" quality signal, restated portably: the corpus' own unigram
+  * counts are the model, and each document scores the mean per-token
+  * surprisal. A document of rare tokens (gibberish, boilerplate hashes,
+  * wrong-language text) scores high; common fluent text scores low —
+  * downstream curation keeps a middle band or thresholds the tail.
+  *
+  * Portability: true surprisal is -log2(cnt/N), but `ln` is not correctly
+  * rounded and differs between libm and the JVM, so the metric quantizes
+  * each factor to its BIT LENGTH — `bits(t) = len(bin(N)) - len(bin(cnt))`,
+  * an exact integer both engines compute identically (floor(log2 x) + 1 via
+  * the unpadded binary string). The per-document mean divides the exact
+  * integer bit sum once at the end, so the double restates bit-identically
+  * in a DuckDB oracle.
+  *
+  * Scale shape (100 TB): one (doc, term) map-side-combining aggregation,
+  * one (term) aggregation for the model, one equi-join back on term (the
+  * model is vocabulary-sized — AQE broadcasts it when it fits), and the
+  * corpus total rides in as a broadcast single-row frame. No driver-side
+  * data beyond that one row.
+  */
+object LangModel {
+
+  /** Corpus unigram model: `(term, cnt)` over whitespace-lowercase tokens. */
+  def unigramCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-document mean bit-length surprisal against the corpus' own unigram
+    * counts: `(id, n_tokens, sum_bits, mean_bits)`. Empty documents report
+    * zero tokens and 0.0 mean. */
+  def surprisalReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tf feeds BOTH the model derivation (counts → total) and the scoring
+    // join — persist it so the tokenize+explode+aggregate chain runs once
+    // (the multi-branch recompute trap)
+    val tf = df.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val scored = tf.join(counts, "term")
+      .crossJoin(broadcast(total))
+      // bits(t) = len(bin(N)) - len(bin(cnt)) = floor(log2 N) - floor(log2 cnt)
+      .withColumn("bits",
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+  }
+}

@@ -120,4 +120,28 @@ object Sampling {
       .filter(col("_graft_rk") <= kExpr)
       .drop("_graft_rk")
   }
+
+  /** Deterministic disjoint split (train/val/test): each row lands in
+    * exactly one labeled split by comparing its stable md5 coordinate
+    * against cumulative hex thresholds — shuffle-free, reproducible under
+    * retries and repartitioning, and stable as the corpus grows (a row's
+    * split never changes when other rows arrive, unlike `randomSplit`).
+    * The LAST split takes the remainder, so fractions that sum to 1.0
+    * cover every row (including keys hashing to the "ffffffff" cap that a
+    * strict `<` would orphan).
+    *
+    * Returns the frame with a `split` label column appended. The same
+    * CASE over md5 prefixes restates verbatim in SQL (q77's oracle). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._2).forall(_ > 0.0), "fractions must be positive")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val coord = hashBucket(col(keyCol))
+    val cond = splits.init.zip(cum.init)
+      .foldLeft(when(lit(false), lit(""))) { case (acc, ((label, _), c)) =>
+        acc.when(coord < lit(thresholdHex(c)), lit(label))
+      }.otherwise(lit(splits.last._1))
+    df.withColumn("split", cond)
+  }
 }

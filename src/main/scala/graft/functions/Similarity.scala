@@ -373,4 +373,42 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("cosine_sim"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding space with the portable Lloyd quantizer, then within each
+    * cluster drop every vector that has a LOWER-id neighbor at cosine ≥
+    * threshold (keep the first, drop the rest — the greedy min-id rule).
+    * Unlike [[cosineNearDups]] this needs no caller-provided blocking
+    * column: the learned cells ARE the blocks, which is the whole point at
+    * 100 TB — candidate pairs are bounded by Σ cell² instead of n², and k
+    * scales with the corpus so cells stay machine-sized. Near-dup pairs
+    * split across a cell boundary are missed (SemDeDup's documented
+    * trade-off); exact duplicates always share a cell because identical
+    * vectors produce identical distance rows and the tie breaks to the same
+    * lowest index.
+    *
+    * Returns `(id, cell, keep)` for every input row. Every arithmetic step
+    * (portable centroids, sequential-accumulation cosine) restates
+    * bit-for-bit in SQL, so the whole operator is oracle-checkable. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double, iters: Int = 3,
+                    sampleN: Int = 4096): DataFrame = {
+    val centroids = ivfCentroidsTrainedPortable(df, vecCol, idCol, k,
+      iters, sampleN)
+    // assigned feeds both self-join sides and the final flag join — persist
+    // so the scan + k×64-dim distance battery runs once
+    val assigned = df.select(col(idCol), col(vecCol))
+      .withColumn("cell", ivfCell(col(vecCol), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.toDF(s"${idCol}_a", "vec_a", "cell")
+    val b = assigned.toDF(s"${idCol}_b", "vec_b", "cell")
+    val dropped = a.join(b, "cell")
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col(s"${idCol}_b").as(idCol)).distinct()
+      .withColumn("_graft_dup", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("_graft_dup").isNull.as("keep"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact substring-span deduplication report (the bounded, span-level
+  * counterpart of document dedup — cf. "Deduplicating Training Data Makes
+  * Language Models Better", Lee et al. 2022): every n-token window (stride
+  * 1) of every document is hashed, and a window is *duplicated* when the
+  * identical token span occurs anywhere else in the corpus — another
+  * document or a second position of the same document. Per document the
+  * report carries its window count, duplicated-window count, and the
+  * duplicated fraction that a span-removal pass would cut.
+  *
+  * Scale shape (100 TB): spans never materialize as strings beyond the
+  * per-row hash lambda — only 8-byte hashes are exploded. Both aggregations
+  * ((doc, hash) then (hash)) combine map-side; the totals join is an
+  * equi-join on the span hash that AQE sizes at runtime. Nothing driver-side.
+  *
+  * The span hash is the portable md5-top-60-bit seam
+  * (`SimHashPortableExpr.hash60`'s SQL form), so a DuckDB oracle restates
+  * the whole report bit-for-bit; with 60-bit hashes a corpus of 10¹²
+  * windows sees ~0.4 collisions (birthday bound), and a collision only
+  * flags one extra window — acceptable for a curation gate.
+  */
+object SpanDedup {
+
+  /** Portable 60-bit span hash (md5 top 15 hex digits), non-negative. */
+  private def hash60(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** All n-token window hashes (stride 1) of a token-array column.
+    * IMPORTANT: pass a *bound* column (materialize the token array into a
+    * real column first) — higher-order-function lambdas re-evaluate
+    * captured expressions per element, so an inline `tokens(text)` here is
+    * O(m²) per document. Documents shorter than n yield no windows. */
+  def spanHashes(toks: Column, n: Int): Column = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => hash60(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Per-document duplicated-span report: `(id, n_spans, n_dup_spans,
+    * dup_span_frac, keep)`. Documents with fewer than n tokens have zero
+    * windows and are kept (frac 0). `keep` = dup_span_frac <= maxDupFrac. */
+  def spanReport(df: DataFrame, idCol: String, textCol: String, n: Int,
+                 maxDupFrac: Double = 0.5): DataFrame = {
+    val spans = df
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), explode(spanHashes(col("_toks"), n)).as("h"))
+    // (doc, hash) pre-aggregation is the map-side combine: repeated spans
+    // within one document collapse before the hash-keyed shuffle
+    val perDoc = spans.groupBy(col(idCol), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = perDoc.groupBy(col("h")).agg(sum(col("cnt")).as("total"))
+    val agg = perDoc.join(totals, "h")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("total") >= 2, col("cnt")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+    // short documents produce no windows — restore them via a left join
+    // from the (column-pruned) id scan so every input row reports
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast("double") /
+          greatest(col("n_spans"), lit(1L)).cast("double"))
+      .withColumn("keep", col("dup_span_frac") <= lit(maxDupFrac))
+  }
+}

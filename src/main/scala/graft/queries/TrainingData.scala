@@ -417,7 +417,52 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact substring-span dedup report (Lee et al. style) over the clone
+    * corpus: every 8-token window of a clone is duplicated by construction,
+    * so clones (and their originals) surface at dup_span_frac = 1; the
+    * within-doc repetition path is exercised by any document that repeats
+    * an 8-gram. */
+  def spanDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // two branches: corpus union sides
+    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    graft.functions.SpanDedup.spanReport(corpus, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM surprisal scoring against the corpus' own token counts
+    * (bit-length-quantized so the doubles restate exactly). */
+  def surprisalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // model derivation + report join branches
+    graft.functions.LangModel.surprisalReport(d, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup over the embedding clone corpus: portable-Lloyd cells are the
+    * blocks, clones land in their original's cell at cosine 1 and drop
+    * (keep = false); the oracle unrolls the training like q42's. */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val corpus = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000))
+      .persist() // trainer sample + assignment branches
+    Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        k = 16, threshold = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Deterministic 80/10/10 train/val/test split on the stable md5
+    * coordinate — every row in exactly one split, stable as the corpus
+    * grows. */
+  def hashSplitQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_span_dedup"        -> spanDedupQ _,
+    "q75_surprisal"         -> surprisalQ _,
+    "q76_semantic_dedup"    -> semanticDedupQ _,
+    "q77_hash_split"        -> hashSplitQ _,
     "q66_decontam"          -> decontamQ _,
     "q71_curation_full"     -> curationFullQ _,
     "q72_chunking"          -> chunkingQ _,
@@ -497,23 +542,26 @@ object TrainingData {
        |   h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
        |  THEN (1::BIGINT << b) ELSE 0::BIGINT END)), 0) AS BIGINT)""".stripMargin
 
-  /** q42's oracle: the ENTIRE portable Lloyd training unrolled in SQL —
-    * md5-ordered bounded sample, init = k lowest-id sample rows, `iters`
-    * assign+mean rounds with id-ordered sequential sums and floor-quantized
-    * centroids, then cell assignment over the full table and a 4-probe
-    * cosine top-10. Every arithmetic step mirrors
-    * Similarity.ivfCentroidsTrainedPortable/ivfTopK bit-for-bit (sequential
-    * list_sum ≡ left-to-right accumulation; ties → lowest cell). */
-  private def ivfOracle(k: Int = 16, iters: Int = 3, sampleN: Int = 4096,
-                        nProbe: Int = 4): String = {
-    def dist(vec: String, cent: String): String =
-      s"list_sum(list_transform(range(1, 65), i -> ($vec[i]::DOUBLE - $cent[i]) * ($vec[i]::DOUBLE - $cent[i])))"
+  /** Squared-L2 distance between an embedding and a centroid list (SQL). */
+  private def distSql(vec: String, cent: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($vec[i]::DOUBLE - $cent[i]) * ($vec[i]::DOUBLE - $cent[i])))"
+
+  /** The portable Lloyd training unrolled as a CTE chain over a relation
+    * `$src(vec_id, embedding)`: md5-ordered bounded sample, init = k
+    * lowest-id sample rows, `iters` assign+mean rounds with id-ordered
+    * sequential sums and floor-quantized centroids. Leaves `c$iters` as the
+    * trained centroid relation and `$src` untouched for downstream CTEs.
+    * Every arithmetic step mirrors Similarity.ivfCentroidsTrainedPortable
+    * bit-for-bit (sequential list_sum ≡ left-to-right accumulation;
+    * ties → lowest cell). Shared by the q42 and q76 oracles. */
+  private def lloydCtes(src: String, k: Int, iters: Int,
+                        sampleN: Int): String = {
     val iterCtes = (1 to iters).map { t =>
       s"""a$t AS (
          | SELECT vec_id, embedding, cell FROM (
          |  SELECT s.vec_id, s.embedding, c.cell,
          |   row_number() OVER (PARTITION BY s.vec_id
-         |     ORDER BY ${dist("s.embedding", "c.v")}, c.cell) AS rk
+         |     ORDER BY ${distSql("s.embedding", "c.v")}, c.cell) AS rk
          |  FROM s, c${t - 1} c) WHERE rk = 1),
          |m$t AS (
          | SELECT cell, count(*) AS n, list(embedding ORDER BY vec_id) AS vs
@@ -526,16 +574,25 @@ object TrainingData {
          |  END AS v
          | FROM c${t - 1} c LEFT JOIN m$t m ON c.cell = m.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH samp AS (
+    s"""samp AS (
        | SELECT vec_id, embedding,
        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       | FROM embeddings),
+       | FROM $src),
        |s AS (SELECT vec_id, embedding FROM samp WHERE rn <= $sampleN),
        |c0 AS (
        | SELECT row_number() OVER (ORDER BY vec_id) AS cell,
        |  list_transform(embedding, x -> x::DOUBLE) AS v
        | FROM (SELECT vec_id, embedding FROM s ORDER BY vec_id LIMIT $k)),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  /** q42's oracle: the Lloyd chain over the embeddings table, then cell
+    * assignment over the full table and a 4-probe cosine top-10 (mirrors
+    * Similarity.ivfTopK). */
+  private def ivfOracle(k: Int = 16, iters: Int = 3, sampleN: Int = 4096,
+                        nProbe: Int = 4): String = {
+    def dist(vec: String, cent: String): String = distSql(vec, cent)
+    s"""WITH ${lloydCtes("embeddings", k, iters, sampleN)},
        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
        |probe AS (
        | SELECT c.cell FROM c$iters c, qv
@@ -551,6 +608,34 @@ object TrainingData {
        |WHERE a.cell IN (SELECT cell FROM probe)
        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
   }
+
+  /** q76's oracle: the Lloyd chain over the embedding CLONE corpus, cell
+    * assignment over the full corpus, then the SemDeDup greedy min-id rule
+    * — a vector keeps iff no lower-id same-cell neighbor sits at cosine ≥
+    * threshold (mirrors Similarity.semanticDedup; same cosExpr
+    * accumulation, ties → lowest cell). */
+  private def semanticDedupOracle(k: Int = 16, iters: Int = 3,
+                                  sampleN: Int = 4096,
+                                  threshold: Double = 0.99): String =
+    s"""WITH corp AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+       |${lloydCtes("corp", k, iters, sampleN)},
+       |assign AS (
+       | SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${distSql("e.embedding", "c.v")}, c.cell) AS rk
+       |  FROM corp e, c$iters c) WHERE rk = 1),
+       |dropped AS (
+       | SELECT DISTINCT b.vec_id
+       | FROM assign a JOIN assign b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       | WHERE $cosExpr >= $threshold::DOUBLE)
+       |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       | d.vec_id IS NULL AS keep
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   /** DuckDB restatement of the PII pass: the SAME pattern literals
     * (interpolated from [[Pii]], so the two engines can never drift) in the
@@ -778,6 +863,67 @@ object TrainingData {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q42_ivf_topk" -> ivfOracle(),
+    "q76_semantic_dedup" -> semanticDedupOracle(),
+    // Duplicated 8-token windows (stride 1) over the clone corpus: the
+    // same portable span hash, (doc, hash) → (hash) counts, a window is
+    // duplicated when its hash totals ≥ 2 anywhere in the corpus.
+    "q74_span_dedup" ->
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         |       FROM c),
+         |sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+         |  THEN list_transform(range(1, len(toks) - 6), i ->
+         |   ('0x' || substring(md5(array_to_string(toks[i : i+7], ' ')), 1, 15))::BIGINT)
+         |  ELSE []::BIGINT[] END) AS h
+         | FROM tk),
+         |pd AS (SELECT doc_id, h, count(*) AS cnt FROM sp GROUP BY doc_id, h),
+         |tot AS (SELECT h, sum(cnt) AS total FROM pd GROUP BY h),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN total >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_spans
+         | FROM pd JOIN tot USING (h) GROUP BY doc_id),
+         |r AS (SELECT c.doc_id,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+         | FROM c LEFT JOIN agg USING (doc_id))
+         |SELECT doc_id, n_spans, n_dup_spans,
+         | n_dup_spans::DOUBLE / greatest(n_spans, 1)::DOUBLE AS dup_span_frac,
+         | n_dup_spans::DOUBLE / greatest(n_spans, 1)::DOUBLE <= 0.5::DOUBLE AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // Bit-length surprisal against the corpus' own unigram counts: exact
+    // integer bits (unpadded-binary lengths agree between engines), one
+    // double division at the end.
+    "q75_surprisal" ->
+      s"""WITH tp AS (
+         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+         | FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tp
+         |       GROUP BY doc_id, term),
+         |cnts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+         |         GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * (length(bin(n_total)) - length(bin(cnt)))) AS BIGINT)
+         |    AS sum_bits
+         | FROM tf JOIN cnts USING (term), tot GROUP BY doc_id),
+         |r AS (SELECT d.doc_id,
+         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits
+         | FROM documents d LEFT JOIN agg USING (doc_id))
+         |SELECT doc_id, n_tokens, sum_bits,
+         | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // The identical md5-prefix CASE, thresholds interpolated from the SAME
+    // thresholdHex the engine uses (cumulative 0.8, 0.8+0.1).
+    "q77_hash_split" ->
+      s"""SELECT doc_id, lang,
+         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < '${graft.functions.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < '${graft.functions.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // BM25 restated step-for-step: identical token sets, identical
     // arithmetic shape (constants written as the same unfolded literals —
     // (1.2 + 1.0), not 2.2 — so both engines IEEE-add the same doubles).

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(docs: Seq[(Long, String)]) =
+    LangModel.surprisalReport(docs.toDF("id", "text"), "id", "text")
+      .select($"id", $"n_tokens", $"sum_bits", $"mean_bits")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  /** floor(log2 x) + 1, the unpadded-binary length both engines compute. */
+  private def bitLen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+
+  test("surprisal equals the hand-computed bit-length model") {
+    // corpus: "a" ×4, "b" ×2, "c" ×1, "d" ×1 → N = 8 (bitLen 4)
+    val docs = Seq(1L -> "a a b c", 2L -> "a a b d")
+    val counts = Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L)
+    val n = counts.values.sum
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val bits = toks.map(t => bitLen(n) - bitLen(counts(t)))
+      id -> (toks.size.toLong, bits.sum, bits.sum.toDouble / toks.size)
+    }.toMap
+    assert(report(docs) == want)
+  }
+
+  test("rare tokens score strictly higher than common ones") {
+    // 16 "the" + 1 "xyzzy": bits(the) = bitLen(17) - bitLen(16) = 0,
+    // bits(xyzzy) = bitLen(17) - bitLen(1) = 4
+    val docs = Seq(1L -> Seq.fill(16)("the").mkString(" "), 2L -> "xyzzy")
+    val got = report(docs)
+    assert(got(1L)._3 == 0.0)
+    assert(got(2L)._3 == 4.0)
+  }
+
+  test("empty and whitespace-only documents report zero") {
+    val got = report(Seq(1L -> "", 2L -> "   ", 3L -> "word"))
+    assert(got(1L) == ((0L, 0L, 0.0)))
+    assert(got(2L) == ((0L, 0L, 0.0)))
+    assert(got(3L)._1 == 1L)
+  }
+
+  test("case folding: tokens count case-insensitively") {
+    // "The the THE" is one term with count 3 — every token gets the same bits
+    val got = report(Seq(1L -> "The the THE"))
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == 3 * (bitLen(3) - bitLen(3)))
+  }
+}

@@ -109,4 +109,37 @@ class SamplingSpec extends SparkSpec {
     // 2 is scarcest: K = 400 → 200 of each
     assert(out == Map(1 -> 200L, 2 -> 200L))
   }
+
+  test("hashSplit: every row in exactly one split, fractions roughly hold") {
+    val out = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == 2000L)
+    val sizes = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes.values.sum == 2000L)
+    // binomial(2000, 0.8) is within ±5σ ≈ ±90 of 1600 essentially always
+    assert(math.abs(sizes("train") - 1600L) < 120,
+      s"train split ${sizes("train")} too far from 1600")
+  }
+
+  test("hashSplit is deterministic and stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = Sampling.hashSplit(df.limit(500), "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val full = Sampling.hashSplit(df.repartition(7), "id", splits)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    // a row's split never changes when more rows arrive or layout changes
+    small.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("hashSplit matches the hashBucket thresholds exactly") {
+    val splits = Seq("lo" -> 0.25, "hi" -> 0.75)
+    val t = Sampling.thresholdHex(0.25)
+    val got = Sampling.hashSplit(df, "id", splits)
+      .withColumn("b", Sampling.hashBucket($"id"))
+      .select($"split", $"b").as[(String, String)].collect()
+    got.foreach { case (s, b) =>
+      assert(if (b < t) s == "lo" else s == "hi")
+    }
+  }
 }

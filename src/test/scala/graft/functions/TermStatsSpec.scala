@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.functions.sum
 import graft.SparkSpec
 
 /** Term statistics: TF/DF tables, BM25 top terms, heavy hitters. */
