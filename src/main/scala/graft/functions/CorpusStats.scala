@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus observability — the "data card" numbers every large-scale
+  * training-data pipeline publishes alongside its shards: per-slice volume
+  * and length statistics, duplication rates per source, and tokenizer
+  * vocabulary coverage. All plain aggregations that combine map-side; the
+  * only ordered step (vocabulary ranking) runs on a k-bounded frame.
+  */
+object CorpusStats {
+
+  /** Per (source, lang) slice: document count, token volume, char volume,
+    * and exact n_chars percentiles (linear interpolation — the same formula
+    * DuckDB's quantile_cont uses, so the doubles restate exactly). */
+  def corpusStats(df: DataFrame, sourceCol: String, langCol: String,
+                  textCol: String, charsCol: String): DataFrame =
+    df.select(col(sourceCol), col(langCol), col(charsCol),
+        TextAnalysis.tokenCount(col(textCol)).as("_tok"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        sum(col(charsCol)).as("n_chars_total"),
+        expr(s"percentile($charsCol, 0.5)").as("p50_chars"),
+        expr(s"percentile($charsCol, 0.95)").as("p95_chars"))
+
+  /** Exact-duplicate rate per source: a document is a duplicate when some
+    * LOWER-id document carries byte-identical text (the [[Dedup.exactDedup]]
+    * min-id keeper rule). One min_by-style aggregation on the text hash plus
+    * one id-keyed join — no window, skew-safe. */
+  def dupRateBySource(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val keepers = Dedup.exactDedup(df, textCol, idCol)
+      .select(col(idCol)).withColumn("_graft_keep", lit(1))
+    df.select(col(idCol), col(sourceCol))
+      .join(keepers, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("_graft_keep")).as("n_unique"))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** Tokenizer-style vocabulary coverage: the top-k corpus terms by
+    * occurrence (ties → term order), each with its cumulative share of all
+    * token occurrences — "how much of the corpus do V vocabulary entries
+    * cover". The distributed part is one map-side-combining count; the
+    * ordered prefix sum runs over only the k retained rows. Counts are
+    * exact integers divided once by the exact total, so the doubles
+    * restate bit-identically. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val counts = df.select(
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    counts.orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"),
+        (col("cum_cnt").cast("double") / col("n_total").cast("double"))
+          .as("cum_coverage"))
+  }
+}

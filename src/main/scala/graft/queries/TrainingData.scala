@@ -458,7 +458,31 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Data-card slice statistics: volume + exact length percentiles per
+    * (source, lang). */
+  def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CorpusStats.corpusStats(docs(s, dir),
+        "source", "lang", "text", "n_chars")
+      .orderBy(col("source"), col("lang"))
+
+  /** Exact-duplicate rate per source over the clone corpus (clones keep the
+    * source of their original, so every source shows dup_rate = 0.5). */
+  def dupRateBySourceQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // corpus union branches
+    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    graft.functions.CorpusStats.dupRateBySource(corpus, "doc_id", "text", "source")
+      .orderBy(col("source"))
+  }
+
+  /** Top-100 vocabulary with cumulative corpus coverage. */
+  def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CorpusStats.vocabCoverage(docs(s, dir), "doc_id", "text", 100)
+      .orderBy(col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_corpus_stats"      -> corpusStatsQ _,
+    "q79_dup_rate_source"   -> dupRateBySourceQ _,
+    "q80_vocab_coverage"    -> vocabCoverageQ _,
     "q74_span_dedup"        -> spanDedupQ _,
     "q75_surprisal"         -> surprisalQ _,
     "q76_semantic_dedup"    -> semanticDedupQ _,
@@ -914,6 +938,47 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Data-card slices: integer volumes plus quantile_cont ≡ percentile
+    // (identical linear interpolation, q52 precedent).
+    "q78_corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        | quantile_cont(n_chars, 0.5) AS p50_chars,
+        | quantile_cont(n_chars, 0.95) AS p95_chars
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+    // The min-id keeper rule restated: a doc is unique iff it carries the
+    // lowest id of its byte-identical text group.
+    "q79_dup_rate_source" ->
+      """WITH c AS (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL SELECT doc_id + 100000, text, source FROM documents),
+        |k AS (SELECT doc_id, source,
+        |  doc_id = min(doc_id) OVER (PARTITION BY text) AS keep
+        | FROM c)
+        |SELECT source, count(*) AS n_docs,
+        | count(CASE WHEN keep THEN 1 END) AS n_unique,
+        | count(*) - count(CASE WHEN keep THEN 1 END) AS n_dups,
+        | (count(*) - count(CASE WHEN keep THEN 1 END))::DOUBLE
+        |   / count(*)::DOUBLE AS dup_rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // Deterministic top-k vocabulary (occurrences DESC, term) with an
+    // exact-integer prefix sum divided once by the exact total.
+    "q80_vocab_coverage" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |cnts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+        |r AS (SELECT term, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, term
+        |    ROWS UNBOUNDED PRECEDING) AS cum_cnt
+        | FROM cnts)
+        |SELECT CAST(rank AS INT) AS rank, term, CAST(cnt AS BIGINT) AS cnt,
+        | cum_cnt::DOUBLE / n_total::DOUBLE AS cum_coverage
+        |FROM r, tot WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // The identical md5-prefix CASE, thresholds interpolated from the SAME
     // thresholdHex the engine uses (cumulative 0.8, 0.8+0.1).
     "q77_hash_split" ->
