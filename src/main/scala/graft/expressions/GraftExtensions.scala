@@ -36,6 +36,8 @@ object GraftExtensions {
       HashedShinglesExpr(exprs.head, intArg(exprs, 1, "hashed_shingles"))),
     "word_shingle_hash" -> (exprs =>
       WordShingleHashExpr(exprs.head, intArg(exprs, 1, "word_shingle_hash"))),
+    "span_hash" -> (exprs =>
+      SpanHashExpr(exprs.head, intArg(exprs, 1, "span_hash"))),
     "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
     "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
     "simhash60_portable" -> (exprs => SimHashPortableExpr(exprs.head)),

@@ -44,12 +44,31 @@ object SpanDedup {
 
   /** Per-document duplicated-span report: `(id, n_spans, n_dup_spans,
     * dup_span_frac, keep)`. Documents with fewer than n tokens have zero
-    * windows and are kept (frac 0). `keep` = dup_span_frac <= maxDupFrac. */
+    * windows and are kept (frac 0). `keep` = dup_span_frac <= maxDupFrac.
+    * This is the oracle-portable (md5) path; [[spanReportFast]] is the
+    * production kernel. */
   def spanReport(df: DataFrame, idCol: String, textCol: String, n: Int,
-                 maxDupFrac: Double = 0.5): DataFrame = {
-    val spans = df
-      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
-      .select(col(idCol), explode(spanHashes(col("_toks"), n)).as("h"))
+                 maxDupFrac: Double = 0.5): DataFrame =
+    reportFrom(df, idCol,
+      df.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+        .select(col(idCol), explode(spanHashes(col("_toks"), n)).as("h")),
+      maxDupFrac)
+
+  /** Production span report: the fused single-pass xxhash64 kernel
+    * (`span_hash`, graft.expressions.SpanHashExpr) instead of the md5 +
+    * hex-decode-per-window portable path — same report, pinned equal by
+    * SpanHashExprSpec. */
+  def spanReportFast(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     maxDupFrac: Double = 0.5): DataFrame =
+    reportFrom(df, idCol,
+      df.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+        .select(col(idCol),
+          explode(graft.expressions.SpanHashExpr.spanHashes(col("_toks"), n))
+            .as("h")),
+      maxDupFrac)
+
+  private def reportFrom(df: DataFrame, idCol: String, spans: DataFrame,
+                         maxDupFrac: Double): DataFrame = {
     // (doc, hash) pre-aggregation is the map-side combine: repeated spans
     // within one document collapse before the hash-keyed shuffle
     val perDoc = spans.groupBy(col(idCol), col("h"))
