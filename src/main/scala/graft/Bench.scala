@@ -34,12 +34,15 @@ object Bench {
     graft.sources.Tables.load(spark, sfDir, "lineitem").count()
     // noop sink: every query column is materialized (count() would let
     // Catalyst prune the projection work under test). Each query runs
-    // twice and reports the faster run — steady-state timing that a noisy
-    // neighbor on one sample can't distort.
+    // three times and reports the fastest run — the round-7 bench showed
+    // min-of-2 still absorbs multi-second machine stalls (q03/q42 read
+    // 14-17s there but probe at 0.6-1.0s in isolation); a stall long
+    // enough to poison three consecutive runs is much rarer.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (t1, e1) = timeQuery(spark, sfDir, fn)
       val (t2, e2) = timeQuery(spark, sfDir, fn)
-      name -> (math.min(t1, t2), e1.orElse(e2))
+      val (t3, e3) = timeQuery(spark, sfDir, fn)
+      name -> (math.min(t1, math.min(t2, t3)), e1.orElse(e2).orElse(e3))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -47,7 +50,7 @@ object Bench {
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":2,"reported":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}""")
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

@@ -39,6 +39,12 @@ object GraftExtensions {
     "span_hash" -> (exprs =>
       SpanHashExpr(exprs.head, intArg(exprs, 1, "span_hash"))),
     "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
+    "kmv_sketch" -> (exprs =>
+      KmvSketchAgg(exprs.head, intArg(exprs, 1, "kmv_sketch"))
+        .toAggregateExpression()),
+    "kmv_merge" -> (exprs =>
+      KmvMergeAgg(exprs.head, intArg(exprs, 1, "kmv_merge"))
+        .toAggregateExpression()),
     "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
     "simhash60_portable" -> (exprs => SimHashPortableExpr(exprs.head)),
     "json_leaf_keys" -> (exprs => JsonLeafKeysExpr(exprs.head)),

@@ -64,6 +64,51 @@ object Sharding {
       .drop("_graft_pid", "_graft_offset")
   }
 
+  /** GPT-style sequence packing: concatenate the chunk token stream in
+    * `keyCol` order and cut every `capacity` tokens. Unlike [[packShards]]
+    * (document-preserving shard assignment), chunks STRADDLE sequence
+    * boundaries — every training sequence is exactly `capacity` tokens
+    * except the last, which is what a pretraining dataloader consumes.
+    *
+    * Output: one row per (chunk, sequence) overlap — the input row plus
+    * `cum_weight` (the chunk's exclusive global token offset), `seq_id`,
+    * and `seq_tokens` (this chunk's token share inside that sequence).
+    * A chunk of weight w lands in sequences floor(start/C)..floor((start+
+    * w−1)/C) — the explode fans out ⌈w/C⌉+1 rows at most, so row growth
+    * is bounded by the chunk/capacity ratio, not data size.
+    *
+    * Scale shape: the global token offset is [[packShards]]'s distributed
+    * prefix sum (range exchange + per-partition window — no single-task
+    * global window); the explode is per-row. Weights must be positive and
+    * the key unique. */
+  def packSequences(df: DataFrame, keyCol: String, weightCol: String,
+                    capacity: Long, numPartitions: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val packed = packShards(df.filter(col(weightCol) > 0), keyCol, weightCol,
+      capacity, numPartitions).drop("shard_id")
+    packed
+      .withColumn("_last", col("cum_weight") + col(weightCol).cast("long") - 1)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"cum_weight div $capacity"),
+          expr(s"_last div $capacity"))))
+      .withColumn("seq_tokens",
+        least(col("_last"), (col("seq_id") + 1) * capacity - 1) -
+          greatest(col("cum_weight"), col("seq_id") * capacity) + 1)
+      .drop("_last")
+  }
+
+  /** Per-sequence manifest off [[packSequences]] output: chunk/document
+    * counts, token fill (== capacity except the final sequence), and the
+    * contributing document range — what the dataloader consumes to map
+    * sequences back to provenance. */
+  def sequenceManifest(packed: DataFrame, docCol: String): DataFrame =
+    packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col(docCol)).as("n_docs"),
+        sum(col("seq_tokens")).as("n_tokens"),
+        min(col(docCol)).as("first_doc"),
+        max(col(docCol)).as("last_doc"))
+
   /** Shard manifest: per-shard document count, total weight, and key range
     * — what a downstream trainer reads to schedule file loads. */
   def shardManifest(packed: DataFrame, keyCol: String,

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.expressions.{KmvMergeAgg, KmvSketchAgg}
+
+/** Mergeable cardinality sketches for corpus observability at 100 TB:
+  * "how many distinct tokens / urls / fingerprints per source" without an
+  * exact-distinct shuffle, with per-shard sketches that union into corpus
+  * totals by array merge alone.
+  *
+  * The KMV sketch (bottom-k distinct md5-hash60 values) is chosen over
+  * HyperLogLog because it is DETERMINISTIC given the hash function: an
+  * external engine restates the exact sketch with `row_number() ≤ k` over
+  * distinct hashes, so the whole estimator is oracle-checkable — same
+  * portability seam as the simhash/span-hash operators (see
+  * [[graft.expressions.SimHashPortableExpr]]).
+  *
+  * Reference scope: the reference tracks volume only as exact extract row
+  * counts (`utilities/utilities.py:69-82` reconciliation); cardinality
+  * telemetry at corpus scale is beyond-reference, part of this engine's
+  * training-data extension surface.
+  */
+object Sketches {
+
+  /** 2^60 as an exactly-representable double — the hash-space width. */
+  val Hash60Width: Double = 1152921504606846976.0
+
+  /** Portable 60-bit value hash (md5 top 15 hex digits), non-negative.
+    * DuckDB: `('0x' || substring(md5(t), 1, 15))::BIGINT`. */
+  def hash60(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Aggregate: the sorted array of the `k` smallest distinct values of a
+    * bigint hash column. Partial state is ≤ k longs — map-side combined. */
+  def kmvSketch(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketchAgg(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** Aggregate: union of sketch arrays into one bottom-k sketch —
+    * identical to sketching the union of the underlying inputs. */
+  def kmvMerge(sketch: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvMergeAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a sketch: exact size when the sketch is
+    * not full, else `(k−1) / (h_k / 2^60)`. Every step is IEEE double
+    * arithmetic on deterministic operands — engine-portable. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sketch, k).cast("double") / lit(Hash60Width)))
+
+  /** Per-group distinct-cardinality report over a value column: one row
+    * per group with the sketch size, the KMV estimate, and (for
+    * demonstration/validation — drop it at scale) the exact distinct hash
+    * count. Scale shape: the sketch aggregates with bounded partial state;
+    * the exact count is the one shuffle-heavy column and exists so the
+    * report itself exhibits the estimator's error. */
+  def distinctReport(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     k: Int): DataFrame = {
+    val hashed = df.select(
+      groupCols.map(col) :+ hash60(col(valueCol)).as("_h"): _*)
+    hashed.groupBy(groupCols.map(col): _*)
+      .agg(kmvSketch(col("_h"), k).as("_sk"),
+        countDistinct(col("_h")).as("n_exact"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("_sk")).as("sketch_size"),
+        kmvEstimate(col("_sk"), k).as("est_distinct"),
+        col("n_exact")): _*)
+  }
+}

@@ -154,4 +154,43 @@ object TermStats {
       .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Sparse TF-IDF retrieval: the top-`k` documents for a bag-of-words
+    * query via an inverted-index join — the term-partitioned sparse dot
+    * product. The query's term list (tiny) broadcasts against the
+    * vocabulary-sized document-frequency table, and only postings of
+    * query terms ever move: at 100 TB the corpus-wide TF table is
+    * term-partitioned, the probe touches |query| keys of it, and the
+    * score aggregation shuffles one narrow row per candidate document.
+    *
+    * Numeric contract: per-term contributions are SCALED INTEGERS —
+    * `floor(qtf · tf · idf · 2^20)` with the rational BM25-style idf
+    * `(N − df + 0.5)/(df + 0.5)` — so the distributed sum is
+    * order-independent (long addition commutes; double addition does not)
+    * and the whole ranking restates exactly in an external engine.
+    * Output: (id, score_scaled, n_terms), score-descending, ties on id. */
+  def sparseTopK(df: DataFrame, idCol: String, textCol: String,
+                 queryText: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qTerms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toDouble).toSeq
+    val qDf = qTerms.toDF("term", "qtf")
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = docFrequencies(tf)
+    val nDocs = df.count().toDouble // 1-value driver aggregate — bounded
+    // vocabulary ∩ query: at most |query| rows — broadcast to the postings
+    val qSide = dfreq.join(broadcast(qDf), "term")
+      .select(col("term"), col("qtf"), col("df"))
+    tf.join(broadcast(qSide), "term")
+      .withColumn("_contrib",
+        floor(col("qtf") * col("tf").cast("double") *
+          ((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          lit(1048576.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_contrib")).as("score_scaled"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_scaled").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -479,7 +479,72 @@ object TrainingData {
     graft.functions.CorpusStats.vocabCoverage(docs(s, dir), "doc_id", "text", 100)
       .orderBy(col("rank"))
 
+  /** Per-source distinct-token cardinality via the mergeable KMV sketch
+    * (k = 256, custom bounded-buffer Catalyst aggregate) next to the exact
+    * distinct count it estimates — the sketch is deterministic given the
+    * md5 hash60, so the oracle restates it with a row_number() ≤ k. */
+  def kmvDistinctQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.distinctReport(
+        docs(s, dir).select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term")),
+        Seq("source"), "term", k = 256)
+      .orderBy(col("source"))
+
+  /** Dataset-versioning churn audit: old = the corpus; new = the corpus
+    * with every 7th doc dropped, every 5th doc's text revised, and 50
+    * fresh ids appended — one status row per id on either side, via the
+    * join-free tagged-union diff. */
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // old + both new branches
+    val oldSnap = d.select(col("doc_id"), col("text"))
+    val newSnap = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Training-sequence packing: disjoint 32-token chunks concatenated in
+    * (doc, chunk) order and cut every 512 tokens — the GPT-style
+    * dataloader prep. Manifest rows prove every sequence fills to exactly
+    * 512 (the last one ragged) and track document provenance. */
+  def seqPackQ(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.functions.Chunking.chunkDocuments(docs(s, dir),
+        "doc_id", "text", maxTokens = 32, stride = 32)
+      .withColumn("_key", col("doc_id") * 10000 + col("chunk_idx"))
+    val packed = graft.functions.Sharding.packSequences(chunks, "_key",
+      "n_tokens", capacity = 512)
+    graft.functions.Sharding.sequenceManifest(packed, "doc_id")
+      .orderBy(col("seq_id"))
+  }
+
+  /** Int8 embedding-quantization audit: global per-dimension calibration,
+    * level assignment, exact integer level checksum + order-free
+    * reconstruction-error maxima per dimension. */
+  def quantizeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").persist() // calibrate + audit
+    graft.functions.Quantize.quantReport(e, "embedding", levels = 255)
+      .orderBy(col("dim"))
+  }
+
+  /** Sparse TF-IDF retrieval: "more documents like doc 0" through the
+    * inverted-index join, scores as order-independent scaled integers. */
+  def sparseRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // query text + postings + doc count
+    val queryText = d.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+    graft.functions.TermStats.sparseTopK(d, "doc_id", "text", queryText, 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_kmv_distinct"      -> kmvDistinctQ _,
+    "q82_snapshot_diff"     -> snapshotDiffQ _,
+    "q83_seq_pack"          -> seqPackQ _,
+    "q84_quantize_int8"     -> quantizeQ _,
+    "q85_sparse_retrieval"  -> sparseRetrievalQ _,
     "q78_corpus_stats"      -> corpusStatsQ _,
     "q79_dup_rate_source"   -> dupRateBySourceQ _,
     "q80_vocab_coverage"    -> vocabCoverageQ _,
@@ -938,6 +1003,121 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The KMV sketch restated exactly: bottom-256 distinct md5-hash60
+    // values per source (row_number ≤ k), estimate (k−1)/(h_k/2^60) with
+    // the same IEEE double shape the engine computes.
+    "q81_kmv_distinct" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        | FROM documents),
+        |h AS (SELECT DISTINCT source,
+        |  ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS m FROM h)
+        |SELECT source,
+        | CAST(least(min(m), 256) AS INT) AS sketch_size,
+        | CASE WHEN min(m) < 256 THEN min(m)::DOUBLE
+        |      ELSE CAST(255 AS DOUBLE) /
+        |        (max(CASE WHEN rn = 256 THEN h END)::DOUBLE
+        |          / 1152921504606846976.0::DOUBLE) END AS est_distinct,
+        | CAST(min(m) AS BIGINT) AS n_exact
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // Status classification restated as the full outer join the engine's
+    // tagged-union aggregation is equivalent to (md5 fingerprints collide
+    // only adversarially).
+    "q82_snapshot_diff" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN o.text = n.text THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // The q72 chunking CTE at stride 32 (disjoint), a single-window
+    // prefix sum (the engine's distributed prefix sum is pinned equal to
+    // this form by ShardingSpec), then the straddle explode.
+    "q83_seq_pack" ->
+      """WITH tk AS (
+        | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        | FROM documents),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(0,
+        |   CASE WHEN len(toks) = 0 THEN 0
+        |        WHEN len(toks) <= 32 THEN 1
+        |        ELSE CAST(ceil((len(toks) - 32) / 32.0) AS BIGINT) + 1 END),
+        |  i -> struct_pack(chunk_idx := i,
+        |    n_tokens := least(32, len(toks) - i*32)))) AS s
+        | FROM tk),
+        |c2 AS (SELECT doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(s.n_tokens AS BIGINT) AS n_tokens FROM ch),
+        |p AS (SELECT doc_id, chunk_idx, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+        | FROM c2),
+        |x AS (SELECT doc_id, st, st + n_tokens - 1 AS fin,
+        |  unnest(generate_series(CAST(st // 512 AS BIGINT),
+        |    CAST((st + n_tokens - 1) // 512 AS BIGINT))) AS seq_id
+        | FROM p)
+        |SELECT seq_id, count(*) AS n_chunks,
+        | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(least(fin, (seq_id + 1) * 512 - 1)
+        |   - greatest(st, seq_id * 512) + 1) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    // Quantization audit restated: same calibration, same level formula,
+    // only order-independent aggregates (min/max/integer sum) so double
+    // accumulation order never matters.
+    "q84_quantize_int8" ->
+      """WITH x0 AS (
+        | SELECT unnest(list_transform(generate_series(1, len(embedding)),
+        |   i -> struct_pack(dim := i - 1,
+        |     x := CAST(embedding[i] AS DOUBLE)))) AS s
+        | FROM embeddings),
+        |x AS (SELECT CAST(s.dim AS INT) AS dim, s.x AS x FROM x0),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+        |j AS (SELECT x.dim, x, mn, mx,
+        |  (mx - mn) / 255.0::DOUBLE AS scale FROM x JOIN st USING (dim)),
+        |qq AS (SELECT dim, x, mn, mx, scale,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(floor((x - mn) / scale + 0.5::DOUBLE) AS BIGINT)
+        |       END AS q
+        | FROM j)
+        |SELECT dim, min(mn) AS mn, max(mx) AS mx,
+        | CAST(sum(q) AS BIGINT) AS sum_q,
+        | count(CASE WHEN q = 255 THEN 1 END) AS n_sat,
+        | max(abs(mn + q::DOUBLE * scale - x)) AS max_abs_err
+        |FROM qq GROUP BY dim ORDER BY dim""".stripMargin,
+    // The inverted-index sparse dot product with the same scaled-integer
+    // contributions (floor(qtf·tf·idf·2^20) — long sums commute, so the
+    // shuffled aggregation order is irrelevant on both sides).
+    "q85_sparse_retrieval" ->
+      """WITH q AS (
+        | SELECT term, count(*)::DOUBLE AS qtf FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id = 0) GROUP BY term),
+        |toks AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        | FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(floor(qtf * tf::DOUBLE *
+        |    ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+        |    1048576.0::DOUBLE) AS BIGINT) AS c
+        | FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_scaled,
+        | count(*) AS n_terms
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_scaled DESC, doc_id LIMIT 10""".stripMargin,
     // Data-card slices: integer volumes plus quantile_cont ≡ percentile
     // (identical linear interpolation, q52 precedent).
     "q78_corpus_stats" ->

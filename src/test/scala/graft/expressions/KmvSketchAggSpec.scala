@@ -1,0 +1,90 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Sketches
+
+class KmvSketchAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteBottomK(values: Seq[Long], k: Int): Seq[Long] =
+    values.distinct.sorted.take(k)
+
+  test("sketch equals the brute-force bottom-k distinct set") {
+    val vals = (1 to 2000).map(i => (i * 2654435761L) % 100003L)
+    val df = vals.toDF("h")
+    val got = df.agg(Sketches.kmvSketch($"h", 64).as("sk"))
+      .head().getSeq[Long](0)
+    assert(got == bruteBottomK(vals, 64))
+  }
+
+  test("result is partitioning-independent (merge path exercised)") {
+    val vals = (1 to 5000).map(i => (i * 48271L) % 65537L)
+    val one = vals.toDF("h").coalesce(1)
+      .agg(Sketches.kmvSketch($"h", 128)).head().getSeq[Long](0)
+    val many = vals.toDF("h").repartition(16)
+      .agg(Sketches.kmvSketch($"h", 128)).head().getSeq[Long](0)
+    assert(one == many)
+  }
+
+  test("under-full sketch is exhaustive and the estimate is exact") {
+    val df = Seq(5L, 1L, 5L, 9L, 1L).toDF("h")
+    val r = df.agg(Sketches.kmvSketch($"h", 16).as("sk"))
+      .select($"sk", Sketches.kmvEstimate($"sk", 16).as("est")).head()
+    assert(r.getSeq[Long](0) == Seq(1L, 5L, 9L))
+    assert(r.getDouble(1) == 3.0)
+  }
+
+  test("estimator lands within 20% on 100k distinct hash60 values") {
+    val k = 256
+    val df = spark.range(100000).select(
+      Sketches.hash60(col("id").cast("string")).as("h"))
+    val est = df.agg(Sketches.kmvSketch($"h", k).as("sk"))
+      .select(Sketches.kmvEstimate($"sk", k)).head().getDouble(0)
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.2, s"estimate $est")
+  }
+
+  test("kmv_merge of per-group sketches equals the direct global sketch") {
+    val vals = (1 to 3000).map(i => ((i % 7).toString, (i * 69621L) % 32749L))
+    val df = vals.toDF("g", "h")
+    val direct = df.agg(Sketches.kmvSketch($"h", 64)).head().getSeq[Long](0)
+    val merged = df.groupBy($"g").agg(Sketches.kmvSketch($"h", 64).as("sk"))
+      .agg(Sketches.kmvMerge($"sk", 64)).head().getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("nulls are skipped; empty input yields an empty sketch") {
+    val df = Seq(Some(3L), None, Some(7L)).toDF("h")
+    assert(df.agg(Sketches.kmvSketch($"h", 8)).head().getSeq[Long](0)
+      == Seq(3L, 7L))
+    val empty = spark.emptyDataset[Long].toDF("h")
+    assert(empty.agg(Sketches.kmvSketch($"h", 8)).head().getSeq[Long](0)
+      .isEmpty)
+  }
+
+  test("SQL registration: kmv_sketch / kmv_merge usable from spark.sql") {
+    GraftExtensions.register(spark)
+    Seq(1L, 2L, 2L, 3L).toDF("h").createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT kmv_sketch(h, 4) AS sk FROM kmv_in").head().getSeq[Long](0)
+    assert(viaSql == Seq(1L, 2L, 3L))
+    val merged = spark.sql(
+      "SELECT kmv_merge(sk, 4) FROM (SELECT kmv_sketch(h, 4) AS sk " +
+        "FROM kmv_in GROUP BY h % 2)").head().getSeq[Long](0)
+    assert(merged == Seq(1L, 2L, 3L))
+  }
+
+  test("distinctReport groups and estimates per key") {
+    // source s0 sees the 25 even tok ids, s1 the 25 odd ones
+    val df = (1 to 400).map(i => (s"s${i % 2}", s"tok${i % 50}"))
+      .toDF("source", "term")
+    val rep = Sketches.distinctReport(df, Seq("source"), "term", k = 256)
+      .orderBy("source").collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      assert(r.getAs[Int]("sketch_size") == 25)
+      assert(r.getAs[Double]("est_distinct") == 25.0) // under-full → exact
+      assert(r.getAs[Long]("n_exact") == 25L)
+    }
+  }
+}

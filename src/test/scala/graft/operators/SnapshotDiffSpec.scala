@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    (1L, "alpha", "x"), (2L, "beta", "y"), (3L, "gamma", "z"),
+    (4L, "delta", "w")).toDF("id", "text", "tag")
+  private val newSnap = Seq(
+    (1L, "alpha", "x"),        // unchanged
+    (2L, "beta2", "y"),        // changed (first col)
+    (3L, "gamma", "zz"),       // changed (second col)
+    (5L, "epsilon", "v")       // added; 4 removed
+  ).toDF("id", "text", "tag")
+
+  test("classifies added / removed / changed / unchanged") {
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "id", Seq("text", "tag"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("matches the naive full-outer-join formulation") {
+    val o = oldSnap.toDF("id", "t_o", "g_o")
+    val n = newSnap.toDF("id", "t_n", "g_n")
+    val naive = o.join(n, Seq("id"), "full_outer")
+      .select($"id",
+        org.apache.spark.sql.functions.when($"t_o".isNull, "added")
+          .when($"t_n".isNull, "removed")
+          .when($"t_o" === $"t_n" && $"g_o" === $"g_n", "unchanged")
+          .otherwise("changed").as("status"))
+      .as[(Long, String)].collect().toMap
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "id", Seq("text", "tag"))
+      .as[(Long, String)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("column-boundary ambiguity does not collide fingerprints") {
+    val o = Seq((1L, "ab", "c")).toDF("id", "a", "b")
+    val n = Seq((1L, "a", "bc")).toDF("id", "a", "b")
+    val got = SnapshotDiff.diff(o, n, "id", Seq("a", "b"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed"))
+  }
+
+  test("summary counts per status") {
+    val got = SnapshotDiff.summary(oldSnap, newSnap, "id", Seq("text", "tag"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+}
