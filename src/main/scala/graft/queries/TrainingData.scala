@@ -539,7 +539,16 @@ object TrainingData {
     graft.functions.TermStats.sparseTopK(d, "doc_id", "text", queryText, 10)
   }
 
+  /** TextRank keyword salience: fixed-point integer PageRank over the
+    * corpus term co-occurrence graph (bigram count ≥ 5, symmetrized), 3
+    * iterations — the iterative-join graph workload, hash-comparable
+    * across engines because every step is integer arithmetic. */
+  def textRankQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.textRank(docs(s, dir), "doc_id", "text",
+      minCount = 5, iters = 3, k = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_textrank"          -> textRankQ _,
     "q81_kmv_distinct"      -> kmvDistinctQ _,
     "q82_snapshot_diff"     -> snapshotDiffQ _,
     "q83_seq_pack"          -> seqPackQ _,
@@ -1003,6 +1012,50 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Fixed-point PageRank unrolled: the q62 bigram CTE thresholded at 5,
+    // symmetrized by UNION (dedup), then three integer-arithmetic rank
+    // iterations — rank div deg contributions, (sum·17) div 20 damping.
+    "q86_textrank" ->
+      """WITH toks AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        | FROM documents),
+        |bg AS (
+        | SELECT unnest(list_transform(range(1, len(t)),
+        |   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        | FROM toks),
+        |pc AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg
+        |       GROUP BY p.w1, p.w2 HAVING count(*) >= 5),
+        |e AS (SELECT w1 AS src, w2 AS dst FROM pc
+        |      UNION SELECT w2, w1 FROM pc),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n0 AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n0),
+        |s1 AS (SELECT e.dst AS node,
+        |        CAST(sum(CAST(r.rank // d.deg AS BIGINT)) AS BIGINT) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n0.node,
+        |        CAST(150000 + coalesce(s1.s, 0) * 17 // 20 AS BIGINT)
+        |          AS rank
+        |       FROM n0 LEFT JOIN s1 USING (node)),
+        |s2 AS (SELECT e.dst AS node,
+        |        CAST(sum(CAST(r.rank // d.deg AS BIGINT)) AS BIGINT) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n0.node,
+        |        CAST(150000 + coalesce(s2.s, 0) * 17 // 20 AS BIGINT)
+        |          AS rank
+        |       FROM n0 LEFT JOIN s2 USING (node)),
+        |s3 AS (SELECT e.dst AS node,
+        |        CAST(sum(CAST(r.rank // d.deg AS BIGINT)) AS BIGINT) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n0.node,
+        |        CAST(150000 + coalesce(s3.s, 0) * 17 // 20 AS BIGINT)
+        |          AS rank
+        |       FROM n0 LEFT JOIN s3 USING (node))
+        |SELECT node AS term, rank FROM r3
+        |ORDER BY rank DESC, term LIMIT 100""".stripMargin,
     // The KMV sketch restated exactly: bottom-256 distinct md5-hash60
     // values per source (row_number ≤ k), estimate (k−1)/(h_k/2^60) with
     // the same IEEE double shape the engine computes.
