@@ -67,4 +67,35 @@ object CorpusStats {
         (col("cum_cnt").cast("double") / col("n_total").cast("double"))
           .as("cum_coverage"))
   }
+
+  /** Robust per-group length-outlier gate: median + MAD (median absolute
+    * deviation) per group, keep rows with deviation ≤ zMax·MAD — the
+    * outlier rule that survives the heavy-tailed length distributions a
+    * mean/stddev z-score is wrecked by (one book among tweets drags the
+    * mean; it cannot drag the median).
+    *
+    * Scale shape: two grouped exact percentiles (group count is
+    * source-bounded, so the per-group state is fine) joined back
+    * broadcast; the corpus itself never shuffles. The input is scanned
+    * twice (median pass + deviation pass) — persist at the call site.
+    *
+    * Numeric contract: percentile interpolation is linear (≡ DuckDB
+    * quantile_cont, the q52/q78 seam); integer lengths make the median a
+    * multiple of 0.5, deviations |int − k·0.5| are again multiples of 0.5,
+    * so every interpolated double is EXACT and the keep flag restates
+    * bit-for-bit externally. */
+  def lengthOutlierReport(df: DataFrame, idCol: String, groupCol: String,
+                          lenCol: String, zMax: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($lenCol, 0.5)").as("med"))
+    val withDev = df.select(col(idCol), col(groupCol), col(lenCol))
+      .join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(lenCol) - col("med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), groupCol)
+      .withColumn("keep", col("dev") <= lit(zMax) * col("mad"))
+      .select(col(idCol), col(groupCol), col(lenCol),
+        col("med"), col("mad"), col("keep"))
+  }
 }

@@ -547,7 +547,18 @@ object TrainingData {
     graft.operators.PageRank.textRank(docs(s, dir), "doc_id", "text",
       minCount = 5, iters = 3, k = 100)
 
+  /** Robust per-source length-outlier gate: median + MAD with a 3×MAD
+    * keep rule — heavy-tail-safe, and exact because every interpolated
+    * percentile lands on a multiple of 0.5. */
+  def robustOutlierQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // median pass + deviation pass
+    graft.functions.CorpusStats.lengthOutlierReport(
+        d, "doc_id", "source", "n_chars", zMax = 3.0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_robust_outliers"   -> robustOutlierQ _,
     "q86_textrank"          -> textRankQ _,
     "q81_kmv_distinct"      -> kmvDistinctQ _,
     "q82_snapshot_diff"     -> snapshotDiffQ _,
@@ -1012,6 +1023,20 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Median/MAD restated with quantile_cont (≡ percentile, the q52/q78
+    // seam); integer lengths keep every interpolated value exact.
+    "q87_robust_outliers" ->
+      """WITH med AS (
+        | SELECT source, quantile_cont(n_chars, 0.5::DOUBLE) AS med
+        | FROM documents GROUP BY source),
+        |m2 AS (SELECT d.doc_id, d.source, d.n_chars, med.med,
+        |  abs(d.n_chars - med.med) AS dev
+        | FROM documents d JOIN med USING (source)),
+        |mad AS (SELECT source, quantile_cont(dev, 0.5::DOUBLE) AS mad
+        | FROM m2 GROUP BY source)
+        |SELECT m2.doc_id, m2.source, m2.n_chars, m2.med, mad.mad,
+        | m2.dev <= 3.0::DOUBLE * mad.mad AS keep
+        |FROM m2 JOIN mad USING (source) ORDER BY m2.doc_id""".stripMargin,
     // Fixed-point PageRank unrolled: the q62 bigram CTE thresholded at 5,
     // symmetrized by UNION (dedup), then three integer-arithmetic rank
     // iterations — rank div deg contributions, (sum·17) div 20 damping.

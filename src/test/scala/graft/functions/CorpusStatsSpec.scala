@@ -51,4 +51,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1) == ((2, "cat", 2L, 0.75)))
     assert(out(2) == ((3, "dog", 1L, 0.875))) // tie dog/sat → term order
   }
+
+  test("lengthOutlierReport: median/MAD gate, hand-computed") {
+    // group g: lengths 10,10,12,14,100 → med 12, devs 2,2,0,2,88 → mad 2
+    // keep iff dev <= 6 → the 100 is the only outlier
+    val d = Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 12L),
+      (4L, "g", 14L), (5L, "g", 100L)).toDF("doc_id", "source", "len")
+    val out = CorpusStats.lengthOutlierReport(d, "doc_id", "source", "len")
+      .select($"doc_id", $"med", $"mad", $"keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((12.0, 2.0, true)))
+    assert(out(5L) == ((12.0, 2.0, false)))
+  }
+
+  test("lengthOutlierReport: even group count interpolates the median") {
+    // lengths 10,11,20,21 → med 15.5, devs 5.5,4.5,4.5,5.5 → mad 5.0
+    // keep iff dev <= 15 → all kept
+    val d = Seq((1L, "g", 10L), (2L, "g", 11L), (3L, "g", 20L),
+      (4L, "g", 21L)).toDF("doc_id", "source", "len")
+    val out = CorpusStats.lengthOutlierReport(d, "doc_id", "source", "len")
+      .select($"med", $"mad", $"keep")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out.forall(_ == ((15.5, 5.0, true))))
+  }
+
+  test("lengthOutlierReport: a constant group has MAD 0 and keeps all") {
+    val d = Seq((1L, "g", 7L), (2L, "g", 7L)).toDF("doc_id", "source", "len")
+    val out = CorpusStats.lengthOutlierReport(d, "doc_id", "source", "len")
+      .select($"mad", $"keep").as[(Double, Boolean)].collect()
+    assert(out.forall(_ == ((0.0, true))))
+  }
 }
