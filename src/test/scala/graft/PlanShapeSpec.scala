@@ -112,6 +112,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("kmv sketch aggregates partially before the exchange (map-side)") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "h")
+    val plan = df.groupBy($"g")
+      .agg(graft.functions.Sketches.kmvSketch($"h", 16))
+      .queryExecution.executedPlan.toString
+    // bounded partial state per partition, merged after one exchange —
+    // the sketch must never ship raw values
+    assert(plan.contains("partial_kmv_sketch"), plan)
+    assert(plan.contains("merge_kmv_sketch") || plan.contains("kmv_sketch"),
+      plan)
+  }
+
+  test("snapshot diff runs join-free on one id exchange") {
+    val o = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val n = Seq((1L, "a"), (3L, "c")).toDF("id", "text")
+    val plan = graft.operators.SnapshotDiff.diff(o, n, "id", Seq("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val idExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("id"))
+    assert(idExchanges == 1, s"expected 1 id exchange:\n$plan")
+  }
+
+  test("sparse retrieval broadcasts the query side, postings never re-shuffle wide") {
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val out = graft.functions.TermStats.sparseTopK(
+      d, "doc_id", "text", "spark table scan", 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // top-k, no global sort
+  }
+
+  test("sequence packing never funnels through a single-partition window") {
+    val chunks = (1 to 200).map(i => (i.toLong, (i % 9 + 1).toLong))
+      .toDF("key", "w")
+    val plan = graft.functions.Sharding
+      .packSequences(chunks, "key", "w", capacity = 40, numPartitions = 5)
+      .queryExecution.executedPlan.toString
+    // the prefix sum must be the distributed form: the window PARTITIONED
+    // BY the range-partition id — never an unpartitioned (SinglePartition)
+    // global window. (The range exchange itself sits behind packShards'
+    // localCheckpoint, so it does not appear in this plan.)
+    assert(plan.contains("windowspecdefinition(_graft_pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize
