@@ -239,6 +239,51 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Cross-corpus MinHash-LSH near-dup join: candidate pairs BETWEEN two
+    * corpora, never within either side — "probe the new crawl against the
+    * standing corpus" (or an eval benchmark against training data at
+    * fuzzy, not exact-n-gram, granularity; cf. [[Contamination]]).
+    *
+    * Why not union + [[minhashNearDups]]: the self-join generates
+    * within-corpus pairs too, so a heavily self-duplicated crawl pays a
+    * quadratic candidate bill for pairs the probe question never asked
+    * about. Here each side bands independently and the band join is
+    * BIPARTITE — candidates are left×right per bucket only, each side
+    * capped at `maxBucket` like [[lshCandidates]]. Output:
+    * (idCol_a ∈ left, idCol_b ∈ right, jaccard ≥ threshold). */
+  def crossCorpusNearDups(left: DataFrame, right: DataFrame, idCol: String,
+                          textCol: String, shingleSize: Int = 5,
+                          numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8,
+                          maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def shingled(df: DataFrame) = df.select(col(idCol),
+        hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(s: DataFrame) = lshBands(
+      s.withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes)),
+      idCol, "sig", bands, rowsPerBand)
+    def capped(b: DataFrame) = b.withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_sig"))))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val sl = shingled(left)
+    val sr = shingled(right)
+    val cands = capped(banded(sl)).toDF(s"${idCol}_a", "band_idx", "band_sig")
+      .join(capped(banded(sr)).toDF(s"${idCol}_b", "band_idx", "band_sig"),
+        Seq("band_idx", "band_sig"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b")).distinct()
+    val sa = sl.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))
+    val sb = sr.select(col(idCol).as(s"${idCol}_b"), col("hs").as("hs_b"))
+    cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
+      .filter(
+        size(col("hs_a")).cast("double") >= lit(threshold) * size(col("hs_b")) &&
+        size(col("hs_b")).cast("double") >= lit(threshold) * size(col("hs_a")))
+      .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over a token array — native single-pass Catalyst
     * expression (see `graft.expressions.SimHash64Expr`). */
   def simhash64(toks: Column): Column =

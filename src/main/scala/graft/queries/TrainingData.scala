@@ -557,7 +557,21 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus near-dup probe: the corpus vs a simulated "new crawl"
+    * (its exact clones) through the bipartite LSH band join — every doc
+    * must surface against its clone at jaccard 1, plus any genuine
+    * cross pair at ≥ 0.95 (the q27 machinery, but no within-side pairs
+    * are ever generated). */
+  def crossCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // both probe sides derive from it
+    val crawl = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    Dedup.crossCorpusNearDups(d, crawl, "doc_id", "text",
+        shingleSize = 7, threshold = 0.95)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
     "q86_textrank"          -> textRankQ _,
     "q81_kmv_distinct"      -> kmvDistinctQ _,
@@ -1023,6 +1037,33 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Exhaustive cross-pairs recount (the q27 oracle pattern, bipartite):
+    // every (left, right) pair at exact Jaccard ≥ 0.95 on distinct char
+    // 7-shingles — the engine's LSH candidates must cover them all.
+    "q88_cross_corpus" ->
+      """WITH l AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |r AS (SELECT doc_id + 100000 AS doc_id, lower(text) AS t
+        |      FROM documents),
+        |gl AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+        |   i -> substring(t, CAST(i AS INT), 7))) AS sh
+        | FROM l),
+        |gr AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+        |   i -> substring(t, CAST(i AS INT), 7))) AS sh
+        | FROM r),
+        |p AS (
+        | SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  len(list_intersect(a.sh, b.sh)) AS inter,
+        |  len(a.sh) AS la, len(b.sh) AS lb
+        | FROM gl a JOIN gr b
+        |  ON len(a.sh) >= 0.95 * len(b.sh) AND len(b.sh) >= 0.95 * len(a.sh))
+        |SELECT doc_id_a, doc_id_b,
+        | CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) AS jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.95
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     // Median/MAD restated with quantile_cont (≡ percentile, the q52/q78
     // seam); integer lengths keep every interpolated value exact.
     "q87_robust_outliers" ->

@@ -152,4 +152,42 @@ class DedupSpec extends SparkSpec {
     // 10 is a known dup; 11 (null fp) and 12 (new) survive
     assert(out == Set(11L, 12L))
   }
+
+  test("crossCorpusNearDups finds only cross pairs, never within-side ones") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (3L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "yet another unrelated document body entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(left, right, "doc_id", "text",
+        shingleSize = 5, threshold = 0.9)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // 1-2 is a WITHIN-left dup and must not appear; both left dups pair
+    // with right's 10
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("crossCorpusNearDups equals the exhaustive bipartite recount") {
+    val mk = (i: Long) => s"document body number ${i % 4} with shared phrasing"
+    val left = (1L to 12L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    val right = (101L to 112L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    def shingles(t: String): Set[String] =
+      (if (t.length <= 5) Seq(t)
+       else t.toLowerCase.sliding(5).toSeq).toSet
+    val naive = for {
+      (a, ta) <- (1L to 12L).map(i => (i, mk(i)))
+      (b, tb) <- (101L to 112L).map(i => (i, mk(i)))
+      sa = shingles(ta); sb = shingles(tb)
+      j = sa.intersect(sb).size.toDouble / (sa ++ sb).size
+      if j >= 0.9
+    } yield (a, b)
+    val got = Dedup.crossCorpusNearDups(left, right, "doc_id", "text",
+        shingleSize = 5, threshold = 0.9)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(got == naive.toSet)
+  }
 }
