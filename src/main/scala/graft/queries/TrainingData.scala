@@ -570,7 +570,27 @@ object TrainingData {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  /** Composed dataloader prep: robust outlier gate → disjoint chunking →
+    * sequence packing — the final mile from curated corpus to training
+    * sequences, chained so the gate's survivors feed the packer's global
+    * token order (the q71 composition pattern for the round-8 surface). */
+  def dataloaderPrepQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // gate stats + survivor text branches
+    val kept = graft.functions.CorpusStats
+      .lengthOutlierReport(d, "doc_id", "source", "n_chars", zMax = 3.0)
+      .filter(col("keep")).select(col("doc_id"))
+    val survivors = d.join(kept, "doc_id")
+    val chunks = graft.functions.Chunking.chunkDocuments(survivors,
+        "doc_id", "text", maxTokens = 32, stride = 32)
+      .withColumn("_key", col("doc_id") * 10000 + col("chunk_idx"))
+    val packed = graft.functions.Sharding.packSequences(chunks, "_key",
+      "n_tokens", capacity = 512)
+    graft.functions.Sharding.sequenceManifest(packed, "doc_id")
+      .orderBy(col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
     "q86_textrank"          -> textRankQ _,
@@ -1037,6 +1057,45 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The q87 gate CTEs feeding the q83 packing CTEs stage-for-stage —
+    // the composed chain restated in one query.
+    "q89_dataloader_prep" ->
+      """WITH med AS (
+        | SELECT source, quantile_cont(n_chars, 0.5::DOUBLE) AS med
+        | FROM documents GROUP BY source),
+        |m2 AS (SELECT d.doc_id, d.source, d.n_chars, d.text, med.med,
+        |  abs(d.n_chars - med.med) AS dev
+        | FROM documents d JOIN med USING (source)),
+        |mad AS (SELECT source, quantile_cont(dev, 0.5::DOUBLE) AS mad
+        | FROM m2 GROUP BY source),
+        |surv AS (SELECT m2.doc_id, m2.text
+        | FROM m2 JOIN mad USING (source)
+        | WHERE m2.dev <= 3.0::DOUBLE * mad.mad),
+        |tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        | FROM surv),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(0,
+        |   CASE WHEN len(toks) = 0 THEN 0
+        |        WHEN len(toks) <= 32 THEN 1
+        |        ELSE CAST(ceil((len(toks) - 32) / 32.0) AS BIGINT) + 1 END),
+        |  i -> struct_pack(chunk_idx := i,
+        |    n_tokens := least(32, len(toks) - i*32)))) AS s
+        | FROM tk),
+        |c2 AS (SELECT doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(s.n_tokens AS BIGINT) AS n_tokens FROM ch),
+        |p AS (SELECT doc_id, chunk_idx, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+        | FROM c2),
+        |x AS (SELECT doc_id, st, st + n_tokens - 1 AS fin,
+        |  unnest(generate_series(CAST(st // 512 AS BIGINT),
+        |    CAST((st + n_tokens - 1) // 512 AS BIGINT))) AS seq_id
+        | FROM p)
+        |SELECT seq_id, count(*) AS n_chunks,
+        | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(least(fin, (seq_id + 1) * 512 - 1)
+        |   - greatest(st, seq_id * 512) + 1) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // Exhaustive cross-pairs recount (the q27 oracle pattern, bipartite):
     // every (left, right) pair at exact Jaccard ≥ 0.95 on distinct char
     // 7-shingles — the engine's LSH candidates must cover them all.
