@@ -589,7 +589,20 @@ object TrainingData {
       .orderBy(col("seq_id"))
   }
 
+  /** Winnowed substring fingerprints over the clone corpus: every
+    * fingerprint of a cloned document is shared by construction, and the
+    * winnowed set is a provably-bounded subset of the full span set
+    * (density ~2/(w+1), recall floor at runs ≥ w+n−1 tokens). */
+  def winnowQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // corpus union branches
+    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    graft.functions.SpanDedup.winnowReport(corpus, "doc_id", "text",
+        n = 8, w = 4)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_winnow"            -> winnowQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
@@ -1057,6 +1070,34 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The q74 span CTEs plus the winnow selection: min of every 4-wide
+    // hash window, deduplicated per document, then the same
+    // document-frequency sharing count.
+    "q90_winnow" ->
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         |       FROM c),
+         |sp AS (SELECT doc_id, CASE WHEN len(toks) >= 8
+         |  THEN list_transform(range(1, len(toks) - 6), i ->
+         |   ('0x' || substring(md5(array_to_string(toks[i : i+7], ' ')), 1, 15))::BIGINT)
+         |  ELSE []::BIGINT[] END AS h
+         | FROM tk),
+         |fp0 AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(h) >= 4
+         |   THEN list_transform(range(0, len(h) - 3), i -> list_min(h[i+1 : i+4]))
+         |   WHEN len(h) > 0 THEN [list_min(h)]
+         |   ELSE []::BIGINT[] END)) AS fp
+         | FROM sp),
+         |dfq AS (SELECT fp, count(*) AS nd FROM fp0 GROUP BY fp),
+         |agg AS (SELECT doc_id, count(*) AS n_fps,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_fps
+         | FROM fp0 JOIN dfq USING (fp) GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
+         | CAST(coalesce(n_shared_fps, 0) AS BIGINT) AS n_shared_fps
+         |FROM c LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // The q87 gate CTEs feeding the q83 packing CTEs stage-for-stage —
     // the composed chain restated in one query.
     "q89_dataloader_prep" ->

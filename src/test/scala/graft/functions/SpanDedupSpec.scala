@@ -68,4 +68,49 @@ class SpanDedupSpec extends SparkSpec {
     val got = report(Seq(1L -> "p q p q p q"), 2)
     assert(got(1L) == ((5L, 5L)))
   }
+
+  test("winnowFromSpans selects window minima, deduplicated") {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val df = Seq(1).toDF("x")
+      .withColumn("spans", typedLit(Seq(5L, 3L, 9L, 1L, 7L)))
+    // w=2 windows: (5,3)(3,9)(9,1)(1,7) → mins 3,3,1,1 → distinct [3,1]
+    val got = df.select(SpanDedup.winnowFromSpans(col("spans"), 2))
+      .head().getSeq[Long](0)
+    assert(got == Seq(3L, 1L))
+    // fewer spans than the window → the single overall minimum
+    val short = Seq(1).toDF("x")
+      .withColumn("spans", typedLit(Seq(8L, 6L)))
+    assert(short.select(SpanDedup.winnowFromSpans(col("spans"), 4))
+      .head().getSeq[Long](0) == Seq(6L))
+    val empty = Seq(1).toDF("x")
+      .withColumn("spans", typedLit(Seq.empty[Long]))
+    assert(empty.select(SpanDedup.winnowFromSpans(col("spans"), 4))
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("winnowing guarantee: a shared run of w+n-1 tokens shares a fingerprint") {
+    val shared = (1 to 11).map(i => s"tok$i").mkString(" ") // w+n-1 = 4+8-1
+    val docs = Seq(
+      (1L, s"aaa bbb ccc ddd eee fff ggg hhh iii $shared"),
+      (2L, s"$shared zzz yyy xxx www vvv uuu ttt sss rrr"),
+      (3L, "totally unrelated words qqq ppp ooo nnn mmm lll kkk jjj"))
+      .toDF("doc_id", "text")
+    val rep = SpanDedup.winnowReport(docs, "doc_id", "text", n = 8, w = 4)
+      .select($"doc_id", $"n_fps", $"n_shared_fps")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep(1L)._2 >= 1L && rep(2L)._2 >= 1L) // the run surfaces
+    assert(rep(3L)._2 == 0L)
+  }
+
+  test("winnowed set is a bounded subset of the span set") {
+    val text = (1 to 200).map(i => s"w${(i * 37) % 91}").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val nSpans = 200 - 8 + 1
+    val nFps = SpanDedup.winnowReport(df, "doc_id", "text", n = 8, w = 4)
+      .select($"n_fps").as[Long].head()
+    assert(nFps > 0 && nFps < nSpans)
+    // expected density 2/(w+1) = 0.4; allow generous slack
+    assert(nFps.toDouble / nSpans < 0.7)
+  }
 }
