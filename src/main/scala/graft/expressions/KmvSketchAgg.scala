@@ -158,10 +158,11 @@ case class KmvMergeAgg(
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       val n = arr.numElements()
-      var live = true
-      while (live && i < n) { // sketches arrive ascending — early stop
-        live = KmvSketchAgg.insert(buffer, arr.getLong(i), k) ||
-          buffer.size < k
+      // no early stop here: sketches produced by KmvSketchAgg arrive
+      // ascending, but a SQL caller may pass any array<bigint> — an
+      // ascending-order assumption would silently drop values
+      while (i < n) {
+        KmvSketchAgg.insert(buffer, arr.getLong(i), k)
         i += 1
       }
     }
