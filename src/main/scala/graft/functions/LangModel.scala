@@ -61,4 +61,44 @@ object LangModel {
         col("sum_bits").cast("double") /
           greatest(col("n_tokens"), lit(1L)).cast("double"))
   }
+
+  /** Bigram (first-order) surprisal: each adjacent pair scores the
+    * CONDITIONAL bit length `bits(b|a) = len(bin(Σ_x c(a,x))) −
+    * len(bin(c(a,b)))` — the quantized −log2 P(b|a). Sharper than the
+    * unigram signal: "of the" is cheap even though "of" and "the" are
+    * individually common everywhere, while an unnatural pairing of two
+    * common words stays expensive. No backoff is needed because the model
+    * is the corpus itself — every document's pairs appear in the counts
+    * (c ≥ 1 by construction).
+    *
+    * Output: `(id, n_pairs, sum_bits, mean_bits)`; documents with fewer
+    * than 2 tokens report zero pairs, mean 0. Same shuffle shape as the
+    * unigram report, keyed by (w1, w2): per-doc pair counts persist to
+    * serve both the model derivation and the scoring join. */
+  def bigramSurprisalReport(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val bf = TermStats.bigramPairs(df, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCounts = bf.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("bf")).as("c_ab"))
+    // Σ_x c(a, x): occurrences of `a` as a bigram FIRST — the exact
+    // conditional denominator (doc-final tokens never open a pair)
+    val firstCounts = pairCounts.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val scored = bf.join(pairCounts, Seq("w1", "w2"))
+      .join(firstCounts, "w1")
+      .withColumn("bits",
+        (length(bin(col("c_a"))) - length(bin(col("c_ab")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("bf")).as("n_pairs"),
+        sum(col("bf") * col("bits")).as("sum_bits"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double") /
+          greatest(col("n_pairs"), lit(1L)).cast("double"))
+  }
 }

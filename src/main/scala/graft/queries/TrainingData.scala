@@ -601,7 +601,15 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram conditional surprisal against the corpus' own pair counts —
+    * the first-order refinement of q75's unigram signal. */
+  def bigramSurprisalQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.LangModel.bigramSurprisalReport(docs(s, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_bigram_surprisal"  -> bigramSurprisalQ _,
     "q90_winnow"            -> winnowQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
@@ -1069,6 +1077,34 @@ object TrainingData {
          | FROM documents d LEFT JOIN agg USING (doc_id))
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // The q62 bigram CTE + the q75 bit-length seam, conditioned: bits =
+    // len(bin(Σ_x c(a,x))) − len(bin(c(a,b))).
+    "q91_bigram_surprisal" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+         | FROM documents),
+         |bg AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+         | FROM toks),
+         |bf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS bf
+         |       FROM bg GROUP BY doc_id, p.w1, p.w2),
+         |pc AS (SELECT w1, w2, CAST(sum(bf) AS BIGINT) AS c_ab FROM bf
+         |       GROUP BY w1, w2),
+         |fc AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc
+         |       GROUP BY w1),
+         |agg AS (SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_pairs,
+         |  CAST(sum(bf * (length(bin(c_a)) - length(bin(c_ab)))) AS BIGINT)
+         |    AS sum_bits
+         | FROM bf JOIN pc USING (w1, w2) JOIN fc USING (w1)
+         | GROUP BY doc_id),
+         |r AS (SELECT d.doc_id,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits
+         | FROM documents d LEFT JOIN agg USING (doc_id))
+         |SELECT doc_id, n_pairs, sum_bits,
+         | sum_bits::DOUBLE / greatest(n_pairs, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
     // The q74 span CTEs plus the winnow selection: min of every 4-wide
     // hash window, deduplicated per document, then the same

@@ -49,4 +49,34 @@ class LangModelSpec extends SparkSpec {
     assert(got(1L)._1 == 3L)
     assert(got(1L)._2 == 3 * (bitLen(3) - bitLen(3)))
   }
+
+  test("bigram surprisal: hand-computed conditional bits") {
+    // corpus pairs: (a,b)×2 from doc1, (a,c)×1, (c,a)×1 from doc2
+    // c_a = c(a,b)+c(a,c) = 3; c_c = c(c,a) = 1
+    // bits(b|a) = bitLen(3) - bitLen(2) = 0
+    // bits(c|a) = bitLen(3) - bitLen(1) = 1
+    // bits(a|c) = bitLen(1) - bitLen(1) = 0
+    val docs = Seq(1L -> "a b a b", 2L -> "a c a")
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramSurprisalReport(docs, "doc_id", "text")
+      .select($"doc_id", $"n_pairs", $"sum_bits", $"mean_bits")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1 pairs: ab, ba, ab → wait: "a b a b" → (a,b),(b,a),(a,b)
+    // recount: c(a,b)=2, c(b,a)=1, c(a,c)=1, c(c,a)=1
+    // c_a = 3, c_b = 1, c_c = 1
+    // doc1: 2×bits(b|a) + 1×bits(a|b) = 2×(bitLen(3)-bitLen(2)) +
+    //       (bitLen(1)-bitLen(1)) = 0
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    // doc2: bits(c|a) + bits(a|c) = (bitLen(3)-bitLen(1)) + 0 = 1
+    assert(got(2L) == ((2L, 1L, 0.5)))
+  }
+
+  test("bigram surprisal: sub-2-token documents report zero pairs") {
+    val docs = Seq(1L -> "solo", 2L -> "", 3L -> "two words")
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramSurprisalReport(docs, "doc_id", "text")
+      .select($"doc_id", $"n_pairs").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
 }
