@@ -411,4 +411,32 @@ object Similarity {
       .select(col(idCol), col("cell"),
         col("_graft_dup").isNull.as("keep"))
   }
+
+  /** Deterministic ±1 sign matrix for Johnson–Lindenstrauss projection:
+    * entry (j, i) is +1 iff the portable 60-bit md5 hash of "i:j" is even
+    * — no PRNG, no stored model, any engine regenerates the identical
+    * matrix from the formula (the thresholdHex/hash60 reproducibility
+    * seam). Rows are output dims, columns input dims (1-based i). */
+  def signMatrix(inDim: Int, outDim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map(j => (1 to inDim).map(i =>
+      if (graft.expressions.SimHashPortableExpr
+            .hash60(s"$i:$j".getBytes("UTF-8")) % 2 == 0) 1.0 else -1.0).toSeq)
+
+  /** Sign (Achlioptas-style) random projection of a float vector onto
+    * `signs.size` dims: y_j = Σ_i x_i·s_ji as a STATIC left-to-right
+    * addition chain — pure arithmetic, whole-stage-codegen'd (no
+    * higher-order functions), and the sequential order restates exactly
+    * as `x[1]·s + x[2]·s + …` in an external engine.
+    *
+    * Why at 100 TB: a 64-dim float embedding store projected to 8 dims
+    * cuts ANN scan bytes 8×, and the JL lemma bounds the distance
+    * distortion; pair with [[Quantize.quantizeVectors]] for the full
+    * compression ladder. The matrix is deterministic, so re-projection of
+    * new data needs no model artifact. */
+  def signProject(vec: Column, signs: Seq[Seq[Double]]): Column =
+    array(signs.map { row =>
+      row.zipWithIndex.map { case (sgn, i) =>
+        element_at(vec, i + 1).cast("double") * lit(sgn)
+      }.reduceLeft(_ + _)
+    }: _*)
 }

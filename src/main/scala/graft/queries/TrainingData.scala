@@ -608,7 +608,22 @@ object TrainingData {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Deterministic JL sign projection 64 → 8 dims, exploded to scalars —
+    * the ANN-compression preprocessing step, hash-derived matrix, no
+    * model artifact; the oracle regenerates the identical matrix from the
+    * same formula and restates each output dim as the same left-to-right
+    * addition chain. */
+  def randomProjectionQ(s: SparkSession, dir: String): DataFrame = {
+    val signs = Similarity.signMatrix(inDim = 64, outDim = 8)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(Similarity.signProject(col("embedding"), signs))
+          .as(Seq("pdim", "pval")))
+      .orderBy(col("vec_id"), col("pdim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_sign_projection"   -> randomProjectionQ _,
     "q91_bigram_surprisal"  -> bigramSurprisalQ _,
     "q90_winnow"            -> winnowQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
@@ -1078,6 +1093,21 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The identical hash-derived sign matrix interpolated as explicit
+    // left-associated addition chains (reduceLeft ≡ SQL left assoc).
+    "q92_sign_projection" -> {
+      val signs = graft.functions.Similarity.signMatrix(64, 8)
+      val structs = signs.zipWithIndex.map { case (row, j) =>
+        val chain = row.zipWithIndex.map { case (sgn, i) =>
+          s"embedding[${i + 1}]::DOUBLE * ${sgn}::DOUBLE"
+        }.mkString(" + ")
+        s"struct_pack(pdim := $j, pval := ($chain))"
+      }.mkString(", ")
+      s"""WITH x AS (SELECT vec_id, unnest([$structs]) AS s
+         |           FROM embeddings)
+         |SELECT vec_id, CAST(s.pdim AS INT) AS pdim, s.pval AS pval
+         |FROM x ORDER BY vec_id, pdim""".stripMargin
+    },
     // The q62 bigram CTE + the q75 bit-length seam, conditioned: bits =
     // len(bin(Σ_x c(a,x))) − len(bin(c(a,b))).
     "q91_bigram_surprisal" ->

@@ -251,4 +251,33 @@ class SimilaritySpec extends SparkSpec {
     assert(viaCells == bruteForce)
     assert(bruteForce.size >= 25) // the planted clone pairs are all there
   }
+
+  test("signMatrix is deterministic ±1 with both signs present") {
+    val m = Similarity.signMatrix(64, 8)
+    assert(m.size == 8 && m.forall(_.size == 64))
+    assert(m.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(m.flatten.toSet == Set(1.0, -1.0)) // not degenerate
+    assert(m == Similarity.signMatrix(64, 8)) // reproducible
+  }
+
+  test("signProject: linearity, negation symmetry, hand-computed dims") {
+    val signs = Seq(Seq(1.0, -1.0, 1.0), Seq(-1.0, -1.0, 1.0))
+    val df = Seq((1L, Seq(1.0f, 2.0f, 4.0f)), (2L, Seq(-1.0f, -2.0f, -4.0f)))
+      .toDF("id", "v")
+    val got = df.select($"id", Similarity.signProject($"v", signs).as("y"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(1.0 - 2.0 + 4.0, -1.0 - 2.0 + 4.0))
+    assert(got(2L) == got(1L).map(-_)) // projection is linear
+  }
+
+  test("signProject: identical vectors project identically (clone recall)") {
+    val signs = Similarity.signMatrix(16, 4)
+    val v = Seq.fill(16)(0.25f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(x => -x)))
+      .toDF("id", "v")
+    val got = df.select($"id", Similarity.signProject($"v", signs).as("y"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(3L) == got(1L).map(-_))
+  }
 }
