@@ -53,6 +53,47 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) /
         (element_at(sketch, k).cast("double") / lit(Hash60Width)))
 
+  /** Count-min sketch cells over an item-occurrence frame (one row per
+    * occurrence): `d` deterministic hash rows × `w` buckets, each cell the
+    * total count of items landing in it. The sketch is a TINY (≤ d·w)-row
+    * frame — merge sketches of two corpora by unioning cells and summing;
+    * at 100 TB the sketch build is ONE map-side-combining aggregation with
+    * a d·w-bounded key space (vs the vocabulary-sized shuffle an exact
+    * count table needs), and any item's frequency is answerable from the
+    * summary without touching the corpus again.
+    *
+    * Determinism: row r's bucket is `hash60(r || ':' || item) mod w` on
+    * the md5 seam — no seed, so an external engine rebuilds the identical
+    * cells. */
+  def countMinCells(occurrences: DataFrame, itemCol: String,
+                    d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
+    occurrences
+      .select(explode(sequence(lit(0), lit(d - 1))).as("depth"),
+        col(itemCol).as("_it"))
+      .withColumn("bucket",
+        pmod(hash60(concat_ws(":", col("depth"), col("_it"))), lit(w.toLong)))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from count-min cells: for each distinct item in
+    * `items(itemCol)`, the minimum of its d cells — an overestimate of
+    * the true count (never under; error bounded by N·e/w with prob
+    * 1−e^−d). The probe side is |items|·d rows joined against the tiny
+    * cell frame — broadcast. */
+  def countMinEstimate(cells: DataFrame, items: DataFrame, itemCol: String,
+                       d: Int = 4, w: Int = 1024): DataFrame =
+    items.select(col(itemCol)).distinct()
+      .select(col(itemCol),
+        explode(sequence(lit(0), lit(d - 1))).as("depth"))
+      .withColumn("bucket",
+        pmod(hash60(concat_ws(":", col("depth"), col(itemCol))),
+          lit(w.toLong)))
+      .join(broadcast(cells), Seq("depth", "bucket"))
+      .groupBy(col(itemCol))
+      .agg(min(col("c")).as("est_count"))
+
   /** Per-group distinct-cardinality report over a value column: one row
     * per group with the sketch size, the KMV estimate, and (for
     * demonstration/validation — drop it at scale) the exact distinct hash

@@ -622,7 +622,25 @@ object TrainingData {
       .orderBy(col("vec_id"), col("pdim"))
   }
 
+  /** Count-min sketch demo: build the 4×1024 cell frame over corpus
+    * tokens, then point-estimate the exact top-20 heavy hitters from the
+    * sketch alone — estimates never undercount and stay tight for heavy
+    * terms. */
+  def countMinQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .persist() // cells + exact-count branches
+    val cells = graft.functions.Sketches.countMinCells(toks, "term")
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20)
+    graft.functions.Sketches.countMinEstimate(cells, top, "term")
+      .join(top, "term")
+      .select(col("term"), col("cnt"), col("est_count"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_countmin"          -> countMinQ _,
     "q92_sign_projection"   -> randomProjectionQ _,
     "q91_bigram_surprisal"  -> bigramSurprisalQ _,
     "q90_winnow"            -> winnowQ _,
@@ -1093,6 +1111,31 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The identical 4×1024 cell construction (md5 seam, depth-salted
+    // bucket hash), exact top-20 probe, min-over-depth estimate.
+    "q93_countmin" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |cells AS (
+        | SELECT depth,
+        |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
+        |    1, 15))::BIGINT % 1024 AS bucket,
+        |  count(*) AS c
+        | FROM toks, (SELECT unnest(generate_series(0, 3)) AS depth)
+        | GROUP BY depth, bucket),
+        |top AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |        ORDER BY cnt DESC, term LIMIT 20),
+        |probe AS (
+        | SELECT term, depth,
+        |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
+        |    1, 15))::BIGINT % 1024 AS bucket
+        | FROM top, (SELECT unnest(generate_series(0, 3)) AS depth)),
+        |est AS (SELECT term, min(c) AS est_count
+        |        FROM probe JOIN cells USING (depth, bucket) GROUP BY term)
+        |SELECT t.term, t.cnt, e.est_count
+        |FROM top t JOIN est e USING (term)
+        |ORDER BY cnt DESC, term""".stripMargin,
     // The identical hash-derived sign matrix interpolated as explicit
     // left-associated addition chains (reduceLeft ≡ SQL left assoc).
     "q92_sign_projection" -> {

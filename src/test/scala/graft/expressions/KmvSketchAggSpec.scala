@@ -74,6 +74,33 @@ class KmvSketchAggSpec extends SparkSpec {
     assert(merged == Seq(1L, 2L, 3L))
   }
 
+  test("count-min estimates never undercount and are exact sans collision") {
+    val occurrences = (1 to 500).map(i => s"t${i % 7}").toDF("term")
+    val exact = occurrences.groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val cells = Sketches.countMinCells(occurrences, "term", d = 4, w = 1024)
+    val est = Sketches.countMinEstimate(cells, occurrences.distinct(),
+        "term", d = 4, w = 1024)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) => assert(est(t) >= c) }
+    // 7 items in 1024 buckets across 4 rows: some row is collision-free
+    // for every item, so the min-estimate is exact
+    assert(est == exact)
+  }
+
+  test("count-min cells merge: union-then-sum equals cells of the union") {
+    val a = (1 to 200).map(i => s"w${i % 5}").toDF("term")
+    val b = (1 to 300).map(i => s"w${i % 9}").toDF("term")
+    val merged = Sketches.countMinCells(a, "term")
+      .unionByName(Sketches.countMinCells(b, "term"))
+      .groupBy($"depth", $"bucket")
+      .agg(sum($"c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = Sketches.countMinCells(a.unionByName(b), "term")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct)
+  }
+
   test("distinctReport groups and estimates per key") {
     // source s0 sees the 25 even tok ids, s1 the 25 odd ones
     val df = (1 to 400).map(i => (s"s${i % 2}", s"tok${i % 50}"))
