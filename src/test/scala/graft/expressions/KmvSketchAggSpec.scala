@@ -74,6 +74,29 @@ class KmvSketchAggSpec extends SparkSpec {
     assert(merged == Seq(1L, 2L, 3L))
   }
 
+  test("property: buffer insert and merge equal brute bottom-k (seeded sweep)") {
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(42)
+    def build(vals: Seq[Long], k: Int): java.util.TreeSet[java.lang.Long] = {
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      vals.foreach(v => KmvSketchAgg.insert(buf, v, k))
+      buf
+    }
+    (1 to 50).foreach { _ =>
+      val k = 2 + rnd.nextInt(63)
+      // skewed value space so duplicates and near-bottom churn both occur
+      val vals = Seq.fill(rnd.nextInt(300))(rnd.nextLong() % 1000)
+      val brute = vals.distinct.sorted.take(k)
+      assert(build(vals, k).asScala.toList.map(_.longValue) == brute)
+      // any split, merged, equals the direct build
+      val (a, b) = vals.splitAt(if (vals.isEmpty) 0 else rnd.nextInt(vals.size))
+      val agg = KmvSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+      val merged = agg.merge(build(a, k), build(b, k))
+      assert(merged.asScala.toList.map(_.longValue) == brute)
+    }
+  }
+
   test("count-min estimates never undercount and are exact sans collision") {
     val occurrences = (1 to 500).map(i => s"t${i % 7}").toDF("term")
     val exact = occurrences.groupBy("term").count()
