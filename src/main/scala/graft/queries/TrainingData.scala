@@ -639,7 +639,24 @@ object TrainingData {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Corpus-composition clustering: portable-Lloyd cells × label counts —
+    * "what mixture of sources/domains does each embedding cluster hold",
+    * the analysis behind mixture reweighting decisions. Training and
+    * assignment reuse the q42/q76 machinery, so the oracle unrolls the
+    * identical Lloyd chain. */
+  def clusterCompositionQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .persist() // trainer sample + assignment branches
+    val centroids = Similarity.ivfCentroidsTrainedPortable(
+      e, "embedding", "vec_id", k = 16, iters = 3)
+    e.withColumn("cell", Similarity.ivfCell(col("embedding"), centroids))
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("cell"), col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_cluster_composition" -> clusterCompositionQ _,
     "q93_countmin"          -> countMinQ _,
     "q92_sign_projection"   -> randomProjectionQ _,
     "q91_bigram_surprisal"  -> bigramSurprisalQ _,
@@ -1111,6 +1128,21 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The q42/q76 Lloyd chain, assignment over the full table, then the
+    // (cell, label) composition counts.
+    "q94_cluster_composition" -> {
+      s"""WITH ${lloydCtes("embeddings", 16, 3, 4096)},
+         |assign AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cell,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${distSql("e.embedding", "c.v")}, c.cell) AS rk
+         |  FROM embeddings e, c3 c) WHERE rk = 1)
+         |SELECT CAST(a.cell AS INT) AS cell, e.label, count(*) AS n_vecs
+         |FROM assign a JOIN embeddings e USING (vec_id)
+         |GROUP BY a.cell, e.label
+         |ORDER BY cell, label""".stripMargin
+    },
     // The identical 4×1024 cell construction (md5 seam, depth-salted
     // bucket hash), exact top-20 probe, min-over-depth estimate.
     "q93_countmin" ->
