@@ -68,6 +68,30 @@ object CorpusStats {
           .as("cum_coverage"))
   }
 
+  /** Tokenizer-fertility slice: per group (typically language), the
+    * BPE-ish-token-per-word and character-per-BPE-token ratios — the
+    * numbers that decide whether a tokenizer underserves a language
+    * (high fertility → more sequence budget burned per word). Exact
+    * integer volumes divided once at the end, so the doubles restate
+    * bit-identically. */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).as("_ws"),
+        TextAnalysis.bpeTokenCount(col(textCol)).as("_bpe"),
+        length(col(textCol)).cast("long").as("_chars"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ws")).as("n_words"),
+        sum(col("_bpe")).as("n_bpe_tokens"),
+        sum(col("_chars")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") /
+          greatest(col("n_bpe_tokens"), lit(1L)).cast("double"))
+
   /** Robust per-group length-outlier gate: median + MAD (median absolute
     * deviation) per group, keep rows with deviation ≤ zMax·MAD — the
     * outlier rule that survives the heavy-tailed length distributions a

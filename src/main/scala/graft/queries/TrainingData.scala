@@ -655,7 +655,15 @@ object TrainingData {
       .orderBy(col("cell"), col("label"))
   }
 
+  /** Per-language tokenizer fertility — BPE tokens per word and chars per
+    * BPE token, the underserved-language diagnostic. */
+  def fertilityQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CorpusStats.tokenizerFertility(docs(s, dir),
+        "lang", "text")
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_tokenizer_fertility" -> fertilityQ _,
     "q94_cluster_composition" -> clusterCompositionQ _,
     "q93_countmin"          -> countMinQ _,
     "q92_sign_projection"   -> randomProjectionQ _,
@@ -1128,6 +1136,23 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Exact integer volumes (the q22 token regexes) divided once.
+    "q95_tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |   AS n_words,
+        | CAST(sum(len(regexp_extract_all(lower(text),
+        |   '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | CAST(sum(len(regexp_extract_all(lower(text),
+        |   '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT)::DOUBLE
+        |  / greatest(CAST(sum(len(regexp_extract_all(text, '\S+')))
+        |   AS BIGINT), 1)::DOUBLE AS fertility,
+        | CAST(sum(length(text)) AS BIGINT)::DOUBLE
+        |  / greatest(CAST(sum(len(regexp_extract_all(lower(text),
+        |   '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT), 1)::DOUBLE
+        |   AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // The q42/q76 Lloyd chain, assignment over the full table, then the
     // (cell, label) composition counts.
     "q94_cluster_composition" -> {
