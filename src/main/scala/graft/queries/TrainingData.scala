@@ -662,7 +662,32 @@ object TrainingData {
         "lang", "text")
       .orderBy(col("lang"))
 
+  /** Compression-quality audit: brute-force top-10 in the 8-dim
+    * sign-projected space, flagged against the exact 64-dim top-10 — the
+    * recall@10 a team reads before committing to 8× scan-byte
+    * compression. Both rankings and the overlap are fully deterministic
+    * (projection chains + sequential-accumulation cosine). */
+  def projectedRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val signs = Similarity.signMatrix(inDim = 64, outDim = 8)
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("p", Similarity.signProject(col("embedding"), signs))
+      .persist() // query rows + exact + projected branches
+    val qFull = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val qProj = e.filter(col("vec_id") === 0).select(col("p"))
+      .head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qFull, 10)
+      .select(col("vec_id"), lit(true).as("in_exact"))
+    Similarity.bruteForceTopK(e, "p", "vec_id", qProj, 10)
+      .withColumnRenamed("cosine_sim", "proj_sim")
+      .join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("proj_sim"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("proj_sim").desc, col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_projected_recall"  -> projectedRecallQ _,
     "q95_tokenizer_fertility" -> fertilityQ _,
     "q94_cluster_composition" -> clusterCompositionQ _,
     "q93_countmin"          -> countMinQ _,
@@ -1136,6 +1161,35 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Projected-space cosine with the interpolated sign chains, the q31
+    // exact-space CTE, and the deterministic overlap flag.
+    "q96_projected_recall" -> {
+      val signs = graft.functions.Similarity.signMatrix(64, 8)
+      val chains = signs.map { row =>
+        row.zipWithIndex.map { case (sgn, i) =>
+          s"embedding[${i + 1}]::DOUBLE * ${sgn}::DOUBLE"
+        }.mkString(" + ")
+      }.map(c => s"($c)").mkString(", ")
+      s"""WITH pr AS (SELECT vec_id, [$chains] AS p FROM embeddings),
+         |qp AS (SELECT p FROM pr WHERE vec_id = 0),
+         |sims AS (SELECT pr.vec_id,
+         |  list_sum(list_transform(range(1, 9), i -> pr.p[i] * qp.p[i]))
+         |   / greatest(
+         |    sqrt(list_sum(list_transform(range(1, 9), i -> pr.p[i] * pr.p[i]))) *
+         |    sqrt(list_sum(list_transform(range(1, 9), i -> qp.p[i] * qp.p[i]))),
+         |    1e-12) AS proj_sim
+         | FROM pr, qp),
+         |ptop AS (SELECT vec_id, proj_sim FROM sims
+         |         ORDER BY proj_sim DESC, vec_id LIMIT 10),
+         |b AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |etop AS (SELECT a.vec_id, $cosExpr AS cosine_sim
+         |         FROM embeddings a, b
+         |         ORDER BY cosine_sim DESC, a.vec_id LIMIT 10)
+         |SELECT p.vec_id, p.proj_sim,
+         | e.vec_id IS NOT NULL AS in_exact_topk
+         |FROM ptop p LEFT JOIN etop e USING (vec_id)
+         |ORDER BY proj_sim DESC, p.vec_id""".stripMargin
+    },
     // Exact integer volumes (the q22 token regexes) divided once.
     "q95_tokenizer_fertility" ->
       """SELECT lang, count(*) AS n_docs,
