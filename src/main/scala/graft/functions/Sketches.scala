@@ -34,7 +34,14 @@ object Sketches {
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Aggregate: the sorted array of the `k` smallest distinct values of a
-    * bigint hash column. Partial state is ≤ k longs — map-side combined. */
+    * bigint hash column. Partial state is ≤ k longs — map-side combined.
+    *
+    * Operational note for MANY groups (e.g. per-document sketches):
+    * object aggregates fall back to sort-based aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` in-memory
+    * keys (default 128); raise it when the group count per partition is
+    * large and memory allows — the sketch buffers are k longs each, so
+    * thousands of in-flight groups are cheap. */
   def kmvSketch(hash: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(hash), k).toAggregateExpression())
