@@ -686,7 +686,18 @@ object TrainingData {
       .orderBy(col("proj_sim").desc, col("vec_id"))
   }
 
+  /** Saturated-KMV estimate: distinct document fingerprints corpus-wide
+    * (500 > k = 256, so unlike q81's small vocabulary this exercises the
+    * REAL `(k−1)/(h_k/2^60)` estimator branch under the gate, not just
+    * the exhaustive-sketch fallback). */
+  def kmvSaturatedQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.distinctReport(
+      docs(s, dir).select(
+        TextAnalysis.fingerprint(col("text")).cast("string").as("fp")),
+      Seq.empty, "fp", k = 256)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_kmv_saturated"     -> kmvSaturatedQ _,
     "q96_projected_recall"  -> projectedRecallQ _,
     "q95_tokenizer_fertility" -> fertilityQ _,
     "q94_cluster_composition" -> clusterCompositionQ _,
@@ -1161,6 +1172,24 @@ object TrainingData {
          |SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The q81 sketch construction, ungrouped and SATURATED (500 distinct
+    // fingerprints > k): the CASE takes the true estimator branch.
+    "q97_kmv_saturated" ->
+      """WITH fps AS (
+        | SELECT md5(array_to_string(regexp_extract_all(lower(text), '\S+'),
+        |   ' ')) AS fp
+        | FROM documents),
+        |h AS (SELECT DISTINCT
+        |  ('0x' || substring(md5(fp), 1, 15))::BIGINT AS h FROM fps),
+        |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+        |  count(*) OVER () AS m FROM h)
+        |SELECT CAST(least(min(m), 256) AS INT) AS sketch_size,
+        | CASE WHEN min(m) < 256 THEN min(m)::DOUBLE
+        |      ELSE CAST(255 AS DOUBLE) /
+        |        (max(CASE WHEN rn = 256 THEN h END)::DOUBLE
+        |          / 1152921504606846976.0::DOUBLE) END AS est_distinct,
+        | CAST(min(m) AS BIGINT) AS n_exact
+        |FROM r""".stripMargin,
     // Projected-space cosine with the interpolated sign chains, the q31
     // exact-space CTE, and the deterministic overlap flag.
     "q96_projected_recall" -> {
