@@ -50,7 +50,15 @@ object Bench {
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}"""
+    println(json)
+    // the full per-query JSON also lands in a FILE: the stdout tail gets
+    // truncated in round artifacts (BENCH_r07 lost its first ~35 queries),
+    // which makes head-of-suite regressions invisible round-over-round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench_out write failed: ${e.getMessage}") }
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

@@ -52,10 +52,12 @@ object CorpusStats {
     * restate bit-identically. */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // localCheckpoint, not persist: two consumers (total + top-k), and
+    // the blocks are ContextCleaner-reclaimed — no cache residue
     val counts = df.select(
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("term"))

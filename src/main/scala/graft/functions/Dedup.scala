@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, designed for the
@@ -186,11 +185,25 @@ object Dedup {
     */
   def lshCandidates(bandsDf: DataFrame, idCol: String,
                     maxBucket: Int = 64): DataFrame = {
-    val sized = bandsDf.withColumn("_bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_idx"), col("band_sig"))))
+    // Bucket sizing is a partial-aggregating groupBy + semi-join, NOT a
+    // window: `count() OVER (PARTITION BY band_idx, band_sig)` would move
+    // and sort EVERY member of a hot bucket onto ONE task before the cap
+    // could drop it — a degenerate band (saturated shingle space,
+    // empty-text signatures) funnels its whole population into a single
+    // reducer at 100 TB. The aggregate combines map-side (one row per
+    // input partition per hot key reaches the reducer), the cap decision
+    // happens on the tiny (band, sig, n) frame, and the semi-join hashes
+    // on the same keys the candidate self-join shuffles on anyway. Same
+    // hazard class LineDedup.dedupLines documents and avoids.
+    val surviving = bandsDf
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)
-      .drop("_bucket_n")
+      .select(col("band_idx"), col("band_sig"))
+    // the using-columns join moves (band_idx, band_sig) to the front —
+    // restore the (id, band_idx, band_sig) order the positional renames need
+    val sized = bandsDf.join(surviving, Seq("band_idx", "band_sig"), "left_semi")
+      .select(col(idCol), col("band_idx"), col("band_sig"))
     val a = sized.toDF(s"${idCol}_a", "band_idx", "band_sig")
     val b = sized.toDF(s"${idCol}_b", "band_idx", "band_sig")
     a.join(b, Seq("band_idx", "band_sig"))
@@ -216,15 +229,22 @@ object Dedup {
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     // shingled feeds three plan branches (banding + both verify sides);
-    // persist so the shingle/hash pipeline runs once, not once per branch
+    // materialize so the shingle/hash pipeline runs once, not once per
+    // branch. localCheckpoint, NOT persist: its blocks are reclaimed by
+    // the ContextCleaner once the frame is unreferenced, so repeated
+    // library calls in a long-lived session don't accumulate cache
+    // entries the caller never asked for (persist() here would leak —
+    // the function has no seam to unpersist after the result is used)
     val shingled = df.select(col(idCol),
       hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val signed = shingled.withColumn("sig",
-      minhashSignatureFromHashes(col("hs"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(
-      lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol)
+      .localCheckpoint()
+    // the band frame feeds TWO branches (bucket-size agg + semi-join);
+    // checkpoint the narrow (id, band_idx, band_sig) rows so the minhash
+    // signature — the expensive compute — runs exactly once
+    val banded = lshBands(
+      shingled.withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes)),
+      idCol, "sig", bands, rowsPerBand).localCheckpoint()
+    val cands = lshCandidates(banded, idCol)
     // verify on hashed shingle sets: same Jaccard value modulo (negligible)
     // 64-bit collisions, at a fraction of the compare/shuffle cost
     val sa = shingled.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))
@@ -257,16 +277,27 @@ object Dedup {
                           threshold: Double = 0.8,
                           maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // localCheckpoint, not persist: ContextCleaner-reclaimed, so library
+    // calls leave no cache residue behind (see minhashNearDups)
     def shingled(df: DataFrame) = df.select(col(idCol),
         hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    // checkpointed: capped() reads each band frame twice (size agg +
+    // semi-join), and the signature must not be computed twice for that
     def banded(s: DataFrame) = lshBands(
       s.withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes)),
-      idCol, "sig", bands, rowsPerBand)
-    def capped(b: DataFrame) = b.withColumn("_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_sig"))))
-      .filter(col("_n") <= maxBucket).drop("_n")
+      idCol, "sig", bands, rowsPerBand).localCheckpoint()
+    // agg + semi-join cap, not a window — see lshCandidates for why a
+    // window here is a one-task funnel on a hot band at scale
+    def capped(b: DataFrame) = b.join(
+      b.groupBy(col("band_idx"), col("band_sig"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= maxBucket)
+        .select(col("band_idx"), col("band_sig")),
+      Seq("band_idx", "band_sig"), "left_semi")
+      // using-columns joins front-load the join keys; restore the order
+      // the downstream positional renames rely on
+      .select(col(idCol), col("band_idx"), col("band_sig"))
     val sl = shingled(left)
     val sr = shingled(right)
     val cands = capped(banded(sl)).toDF(s"${idCol}_a", "band_idx", "band_sig")
@@ -340,14 +371,16 @@ object Dedup {
     require(numChunks * chunkBits >= simBits,
       s"chunk grid covers only ${numChunks * chunkBits} of $simBits simhash " +
         "bits - uncovered bits would silently lose qualifying pairs")
-    // the chunk frame self-joins: persist so an expensive upstream simhash
-    // computation is not replayed for both join sides
+    // the chunk frame self-joins: materialize so an expensive upstream
+    // simhash computation is not replayed for both join sides.
+    // localCheckpoint (ContextCleaner-reclaimed), not persist — no cache
+    // residue after the caller drops the result
     val chunks = df.select(col(idCol), col(simCol),
       posexplode(transform(sequence(lit(0), lit(numChunks - 1)), i =>
         call_function("shiftright", col(simCol), i * lit(chunkBits))
           .bitwiseAND(lit((1L << chunkBits) - 1)))))
       .toDF(idCol, simCol, "chunk_idx", "chunk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = chunks.toDF(s"${idCol}_a", "sim_a", "chunk_idx", "chunk")
     val b = chunks.toDF(s"${idCol}_b", "sim_b", "chunk_idx", "chunk")
     a.join(b, Seq("chunk_idx", "chunk"))
@@ -388,9 +421,11 @@ object Dedup {
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            blockCol: String, n: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
+    // localCheckpoint, not persist: three consumers (prefix filter + both
+    // verify sides), zero cache residue after the result is dropped
     val grams = df.select(col(blockCol), col(idCol),
       hashedWordShingles(TextAnalysis.tokens(lower(col(textCol))), n).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cands = prefixFilterCandidates(grams, idCol, "grams", blockCol, threshold)
     val ga = grams.select(col(idCol).as(s"${idCol}_a"), col("grams").as("grams_a"))
     val gb = grams.select(col(idCol).as(s"${idCol}_b"), col("grams").as("grams_b"))

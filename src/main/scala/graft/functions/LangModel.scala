@@ -37,12 +37,13 @@ object LangModel {
     * zero tokens and 0.0 mean. */
   def surprisalReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // tf feeds BOTH the model derivation (counts → total) and the scoring
-    // join — persist it so the tokenize+explode+aggregate chain runs once
-    // (the multi-branch recompute trap)
+    // join — materialize it so the tokenize+explode+aggregate chain runs
+    // once (the multi-branch recompute trap). localCheckpoint, not
+    // persist: ContextCleaner-reclaimed, no cache residue across calls
     val tf = df.select(col(idCol),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     val scored = tf.join(counts, "term")
@@ -77,10 +78,11 @@ object LangModel {
     * serve both the model derivation and the scoring join. */
   def bigramSurprisalReport(df: DataFrame, idCol: String,
                             textCol: String): DataFrame = {
+    // localCheckpoint, not persist: see surprisalReport
     val bf = TermStats.bigramPairs(df, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("bf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val pairCounts = bf.groupBy(col("w1"), col("w2"))
       .agg(sum(col("bf")).as("c_ab"))
     // Σ_x c(a, x): occurrences of `a` as a bigram FIRST — the exact

@@ -73,14 +73,15 @@ object LineDedup {
     // repeats (making stage 2's min_by ordering key unique, so its
     // tie-keep-first never fires) and carries the per-(line, doc)
     // occurrence count, so the per-document totals derive from THIS frame
-    // — one corpus scan serves the whole diamond. perDoc is persisted
+    // — one corpus scan serves the whole diamond. perDoc is materialized
     // because counts and winners both consume it (Spark shares no
     // subplans); it is the smallest frame that serves both.
     val perDoc = exploded
       .groupBy(col("line"), col(idCol))
       .agg(min(col("line_idx")).as("line_idx"),
         count(lit(1)).as("_cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // ContextCleaner-reclaimed, unlike persist: no
+                         // cache residue left behind by library calls
     val counts = perDoc.groupBy(col(idCol))
       .agg(sum(col("_cnt")).as("n_lines"))
     val winners = perDoc

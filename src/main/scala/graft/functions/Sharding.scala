@@ -32,14 +32,26 @@ import org.apache.spark.sql.functions._
   * formulation's (integer arithmetic, unique key order). */
 object Sharding {
 
+  /** Range-partition width for the distributed sort: an explicit positive
+    * request wins; otherwise follow the WIDER of the input's current
+    * partitioning and the session's shuffle parallelism. A hardcoded
+    * default (the old literal 32) would silently funnel a 100 TB sort
+    * through 32 tasks whenever the caller forgot to override it. */
+  def autoPartitions(df: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(df.rdd.getNumPartitions,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Adds `cum_weight` (exclusive prefix sum of `weightCol` in `keyCol`
     * order) and `shard_id` (= cum_weight div budget). Weights must be
-    * non-negative; the key must be unique. */
+    * non-negative; the key must be unique. `numPartitions <= 0` (the
+    * default) derives the range width from the input — see
+    * [[autoPartitions]]. */
   def packShards(df: DataFrame, keyCol: String, weightCol: String,
-                 budget: Long, numPartitions: Int = 32): DataFrame = {
+                 budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(numPartitions, col(keyCol))
+    val ranged = df.repartitionByRange(autoPartitions(df, numPartitions), col(keyCol))
       .withColumn("_graft_pid", spark_partition_id())
       .localCheckpoint() // pin partition ids: they feed BOTH the offset agg
                          // and the final plan, and must agree
@@ -82,7 +94,7 @@ object Sharding {
     * global window); the explode is per-row. Weights must be positive and
     * the key unique. */
   def packSequences(df: DataFrame, keyCol: String, weightCol: String,
-                    capacity: Long, numPartitions: Int = 32): DataFrame = {
+                    capacity: Long, numPartitions: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val packed = packShards(df.filter(col(weightCol) > 0), keyCol, weightCol,
       capacity, numPartitions).drop("shard_id")

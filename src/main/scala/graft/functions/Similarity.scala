@@ -349,10 +349,12 @@ object Similarity {
         greatest(norm(col(vecCol)), lit(1e-12)) / lit(r)).cast("long")
     val cCols = axes.indices.map(j => s"c$j")
     val kCols = axes.indices.map(j => s"k$j")
+    // localCheckpoint, not persist: both join sides read it, and the
+    // blocks are ContextCleaner-reclaimed — no cache residue across calls
     val normed = df.select(
       Seq(col(blockCol), col(idCol), col(vecCol), norm(col(vecCol)).as("nrm")) ++
         axes.zipWithIndex.map { case (ax, j) => cell(ax).as(s"c$j") }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = normed.toDF(
       Seq(blockCol, s"${idCol}_a", "vec_a", "norm_a") ++ kCols: _*)
     // 3^k probe deltas: each qualifying pair meets on exactly one delta
@@ -395,11 +397,12 @@ object Similarity {
                     sampleN: Int = 4096): DataFrame = {
     val centroids = ivfCentroidsTrainedPortable(df, vecCol, idCol, k,
       iters, sampleN)
-    // assigned feeds both self-join sides and the final flag join — persist
-    // so the scan + k×64-dim distance battery runs once
+    // assigned feeds both self-join sides and the final flag join —
+    // materialize so the scan + k×64-dim distance battery runs once.
+    // localCheckpoint: ContextCleaner-reclaimed, no cache residue
     val assigned = df.select(col(idCol), col(vecCol))
       .withColumn("cell", ivfCell(col(vecCol), centroids))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = assigned.toDF(s"${idCol}_a", "vec_a", "cell")
     val b = assigned.toDF(s"${idCol}_b", "vec_b", "cell")
     val dropped = a.join(b, "cell")

@@ -88,7 +88,11 @@ object Sketches {
     * `items(itemCol)`, the minimum of its d cells — an overestimate of
     * the true count (never under; error bounded by N·e/w with prob
     * 1−e^−d). The probe side is |items|·d rows joined against the tiny
-    * cell frame — broadcast. */
+    * cell frame — broadcast. The join is LEFT with an absent cell read as
+    * count 0 (a bucket missing from the cell frame had no occurrences),
+    * so an item the corpus never saw reports `est_count = 0` rather than
+    * vanishing from the output — and min-over-all-d-cells is the true CMS
+    * estimate, not min-over-the-cells-that-happened-to-collide. */
   def countMinEstimate(cells: DataFrame, items: DataFrame, itemCol: String,
                        d: Int = 4, w: Int = 1024): DataFrame =
     items.select(col(itemCol)).distinct()
@@ -97,9 +101,9 @@ object Sketches {
       .withColumn("bucket",
         pmod(hash60(concat_ws(":", col("depth"), col(itemCol))),
           lit(w.toLong)))
-      .join(broadcast(cells), Seq("depth", "bucket"))
+      .join(broadcast(cells), Seq("depth", "bucket"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("c")).as("est_count"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
 
   /** Per-group distinct-cardinality report over a value column: one row
     * per group with the sketch size, the KMV estimate, and (for

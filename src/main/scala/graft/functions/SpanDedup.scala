@@ -102,12 +102,15 @@ object SpanDedup {
   def winnowReport(df: DataFrame, idCol: String, textCol: String, n: Int,
                    w: Int): DataFrame = {
     // fps feeds two branches (frequency derivation + the sharing join) —
-    // persist so the tokenize/hash/winnow pipeline runs once
+    // materialize so the tokenize/hash/winnow pipeline runs once.
+    // localCheckpoint, not persist: blocks are ContextCleaner-reclaimed
+    // once the frame is unreferenced, so repeated calls in a long-lived
+    // session leave no cache residue
     val fps = df
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
       .select(col(idCol), spanHashes(col("_toks"), n).as("_spans"))
       .select(col(idCol), explode(winnowFromSpans(col("_spans"), w)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val docFreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
     val agg = fps.join(docFreq, "fp")
       .groupBy(col(idCol))

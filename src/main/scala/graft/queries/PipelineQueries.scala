@@ -169,6 +169,41 @@ object PipelineQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TRUE streaming ingest under the oracle gate (§2.11): the documents
+    * table is staged into a landing directory in two waves, each ingested
+    * by the checkpointed AvailableNow incremental stream — a real
+    * `writeStream` + `foreachBatch` run, not a batch restatement. Wave 1
+    * lands the even doc_ids (micro-batch 0); wave 2 redelivers EVERY doc
+    * and the id-history anti-join keeps only the odd ones (micro-batch 1);
+    * a third run with no new files must be a no-op. The final frame reads
+    * the sink back WITH its batch_id partition column, so the oracle pins
+    * the payload AND which incremental wave each row landed in — and any
+    * replay duplication or loss breaks the hash. */
+  def streamIngestQ(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q98")
+    val src = s"$base/landing"
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def run(): Unit = graft.streaming.IncrementalIngest.runAvailableNow(
+      s, src, docs.schema, "doc_id", s"$base/sink", s"$base/history",
+      s"$base/ckpt")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    run()
+    docs.write.mode("append").parquet(src) // evens again + the odds
+    run()
+    run() // no new files: replay safety — the sink must not change
+    val out = s.read.parquet(s"$base/sink")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("batch_id").cast("long").as("batch_id"))
+      .orderBy(col("doc_id"))
+      // materialize before the staging directories are removed
+      .localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    out
+  }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -187,6 +222,7 @@ object PipelineQueries {
     "q44_registry_roundtrip" -> registryRoundTripQ _,
     "q46_cursor_scan"     -> cursorScanQ _,
     "q54_nested_ingest"   -> nestedIngestQ _,
+    "q98_stream_ingest"   -> streamIngestQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +267,14 @@ object PipelineQueries {
         | o_orderkey,
         | CAST(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the incremental-wave assignment: evens land in micro-batch 0,
+    // odds survive the history anti-join into micro-batch 1; replay adds
+    // nothing — any duplication or loss breaks the hash
+    "q98_stream_ingest" ->
+      """SELECT doc_id, source, n_chars,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |   AS batch_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // version 1 = the EVEN keyset even though the odd keyset sorts first:
     // only the persisted registry produces this assignment
     "q44_registry_roundtrip" ->

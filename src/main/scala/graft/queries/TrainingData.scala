@@ -514,7 +514,12 @@ object TrainingData {
   def seqPackQ(s: SparkSession, dir: String): DataFrame = {
     val chunks = graft.functions.Chunking.chunkDocuments(docs(s, dir),
         "doc_id", "text", maxTokens = 32, stride = 32)
-      .withColumn("_key", col("doc_id") * 10000 + col("chunk_idx"))
+      // collision-free packing key: stride 2^32 >> any physical chunk
+      // count (a 2^32-chunk doc needs ~2^37 tokens, beyond the 2 GiB
+      // string ceiling), so key order == (doc_id, chunk_idx) order and
+      // packShards' unique-key requirement holds; the old 10000 stride
+      // collided at >=10000 chunks (~320k tokens)
+      .withColumn("_key", col("doc_id") * lit(4294967296L) + col("chunk_idx"))
     val packed = graft.functions.Sharding.packSequences(chunks, "_key",
       "n_tokens", capacity = 512)
     graft.functions.Sharding.sequenceManifest(packed, "doc_id")
@@ -582,7 +587,12 @@ object TrainingData {
     val survivors = d.join(kept, "doc_id")
     val chunks = graft.functions.Chunking.chunkDocuments(survivors,
         "doc_id", "text", maxTokens = 32, stride = 32)
-      .withColumn("_key", col("doc_id") * 10000 + col("chunk_idx"))
+      // collision-free packing key: stride 2^32 >> any physical chunk
+      // count (a 2^32-chunk doc needs ~2^37 tokens, beyond the 2 GiB
+      // string ceiling), so key order == (doc_id, chunk_idx) order and
+      // packShards' unique-key requirement holds; the old 10000 stride
+      // collided at >=10000 chunks (~320k tokens)
+      .withColumn("_key", col("doc_id") * lit(4294967296L) + col("chunk_idx"))
     val packed = graft.functions.Sharding.packSequences(chunks, "_key",
       "n_tokens", capacity = 512)
     graft.functions.Sharding.sequenceManifest(packed, "doc_id")
@@ -696,7 +706,48 @@ object TrainingData {
         TextAnalysis.fingerprint(col("text")).cast("string").as("fp")),
       Seq.empty, "fp", k = 256)
 
+  /** Corpus data card v2 — the q89 composition pattern over the round-8
+    * observability surface: ONE per-source report joining the exact
+    * volume counts + tokenizer fertility (q95 machinery), the KMV
+    * distinct-token estimate (q81), and each source's top term with its
+    * count-min frequency estimate probed from the CORPUS-WIDE 4×1024
+    * sketch (q93). Every number rides the md5 portability seams, so the
+    * whole card restates in SQL — the one-stop report a data team reads
+    * per crawl drop. */
+  def dataCardQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // fertility + token branches
+    // toks feeds THREE branches (KMV sketch, count-min cells, per-source
+    // term frequencies) — localCheckpoint so tokenize+explode runs once
+    val toks = d.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .localCheckpoint()
+    val fert = graft.functions.CorpusStats.tokenizerFertility(d, "source", "text")
+    val kmv = graft.functions.Sketches.distinctReport(
+        toks, Seq("source"), "term", k = 256)
+      .withColumnRenamed("n_exact", "n_distinct_terms")
+    val cells = graft.functions.Sketches.countMinCells(toks, "term")
+    val tf = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    // deterministic argmax: highest count, lexicographically smallest
+    // term on ties — min over the (-cnt, term) struct
+    val top = tf.groupBy(col("source"))
+      .agg(min_by(col("term"), struct((-col("cnt")).as("nc"), col("term")))
+          .as("top_term"),
+        max(col("cnt")).as("top_cnt"))
+    val est = graft.functions.Sketches.countMinEstimate(
+        cells, top.select(col("top_term").as("term")), "term")
+      .withColumnRenamed("term", "top_term")
+      .withColumnRenamed("est_count", "top_term_est")
+    fert.join(kmv, "source").join(top, "source").join(est, "top_term")
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("fertility"), col("chars_per_token"),
+        col("sketch_size"), col("est_distinct"), col("n_distinct_terms"),
+        col("top_term"), col("top_cnt"), col("top_term_est"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_data_card"         -> dataCardQ _,
     "q97_kmv_saturated"     -> kmvSaturatedQ _,
     "q96_projected_recall"  -> projectedRecallQ _,
     "q95_tokenizer_fertility" -> fertilityQ _,
@@ -948,6 +999,66 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The composed card: q95's fertility sums + q81's KMV restatement +
+    // q93's cell/probe construction + a deterministic per-source argmax,
+    // joined per source.
+    "q99_data_card" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |fert AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |    AS n_words,
+        |  CAST(sum(len(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        | FROM documents GROUP BY source),
+        |h AS (SELECT DISTINCT source,
+        |  ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM toks),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS m FROM h),
+        |kmv AS (SELECT source,
+        |  CAST(least(min(m), 256) AS INT) AS sketch_size,
+        |  CASE WHEN min(m) < 256 THEN min(m)::DOUBLE
+        |       ELSE CAST(255 AS DOUBLE) /
+        |         (max(CASE WHEN rn = 256 THEN h END)::DOUBLE
+        |           / 1152921504606846976.0::DOUBLE) END AS est_distinct,
+        |  CAST(min(m) AS BIGINT) AS n_distinct_terms
+        | FROM r GROUP BY source),
+        |cells AS (
+        | SELECT depth,
+        |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
+        |    1, 15))::BIGINT % 1024 AS bucket,
+        |  count(*) AS c
+        | FROM toks, (SELECT unnest(generate_series(0, 3)) AS depth)
+        | GROUP BY depth, bucket),
+        |tf AS (SELECT source, term, count(*) AS cnt
+        |       FROM toks GROUP BY source, term),
+        |top AS (SELECT source, term AS top_term, cnt AS top_cnt FROM (
+        |  SELECT source, term, cnt, row_number() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, term) AS rk FROM tf)
+        | WHERE rk = 1),
+        |pr AS (
+        | SELECT term, depth,
+        |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
+        |    1, 15))::BIGINT % 1024 AS bucket
+        | FROM (SELECT DISTINCT top_term AS term FROM top),
+        |      (SELECT unnest(generate_series(0, 3)) AS depth)),
+        |est AS (SELECT term, min(coalesce(c, 0)) AS top_term_est
+        |        FROM pr LEFT JOIN cells USING (depth, bucket)
+        |        GROUP BY term)
+        |SELECT f.source, f.n_docs, f.n_words, f.n_bpe_tokens,
+        | f.n_bpe_tokens::DOUBLE / greatest(f.n_words, 1)::DOUBLE
+        |   AS fertility,
+        | f.n_chars::DOUBLE / greatest(f.n_bpe_tokens, 1)::DOUBLE
+        |   AS chars_per_token,
+        | k.sketch_size, k.est_distinct, k.n_distinct_terms,
+        | t.top_term, t.top_cnt, e.top_term_est
+        |FROM fert f JOIN kmv k USING (source) JOIN top t USING (source)
+        | JOIN est e ON e.term = t.top_term
+        |ORDER BY source""".stripMargin,
     // Benchmark decontamination report: distinct 8-gram shingles per doc,
     // hits against the benchmark's (doc_id % 7 = 0) distinct shingle union.
     "q66_decontam" ->
@@ -1271,8 +1382,8 @@ object TrainingData {
         |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
         |    1, 15))::BIGINT % 1024 AS bucket
         | FROM top, (SELECT unnest(generate_series(0, 3)) AS depth)),
-        |est AS (SELECT term, min(c) AS est_count
-        |        FROM probe JOIN cells USING (depth, bucket) GROUP BY term)
+        |est AS (SELECT term, min(coalesce(c, 0)) AS est_count
+        |        FROM probe LEFT JOIN cells USING (depth, bucket) GROUP BY term)
         |SELECT t.term, t.cnt, e.est_count
         |FROM top t JOIN est e USING (term)
         |ORDER BY cnt DESC, term""".stripMargin,

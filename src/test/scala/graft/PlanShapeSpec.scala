@@ -161,6 +161,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("lsh bucket cap is aggregation-based — no Window in the near-dup plan") {
+    // a window cap (count() OVER (PARTITION BY band_idx, band_sig)) moves
+    // every member of a hot bucket onto ONE task before the cap can drop
+    // it; the agg + semi-join shape combines map-side. The full candidate
+    // derivation sits downstream of the banded localCheckpoint, so any
+    // Window node would appear in this executed plan.
+    val df = (1 to 40).map(i =>
+      (i.toLong, s"document number ${i % 7} shares phrasing with others"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.minhashNearDups(df, "doc_id", "text",
+      shingleSize = 4, numHashes = 16, bands = 4, threshold = 0.5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    val cross = graft.functions.Dedup.crossCorpusNearDups(df,
+      df.withColumn("doc_id", $"doc_id" + 100L), "doc_id", "text",
+      shingleSize = 4, numHashes = 16, bands = 4, threshold = 0.5)
+    cross.collect()
+    val crossPlan = cross.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!crossPlan.contains("Window"), crossPlan)
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize

@@ -190,4 +190,39 @@ class DedupSpec extends SparkSpec {
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
     assert(got == naive.toSet)
   }
+
+  test("lsh bucket cap engages on a saturated band bucket") {
+    // 70 identical docs: every band's bucket holds all 70 members, so at
+    // maxBucket = 64 every bucket is dropped and NO candidate survives —
+    // the degenerate-band guard. Raising the cap past the population
+    // re-admits the bucket and yields the full C(70,2) pair set.
+    val clones = (1 to 70).map(i => (i.toLong, "identical saturated text"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(
+      clones.select($"doc_id", Dedup.minhashSignature(
+        Dedup.charShingles(lower($"text"), 4), 16).as("sig")),
+      "doc_id", "sig", bands = 4, rowsPerBand = 4)
+    assert(Dedup.lshCandidates(bands, "doc_id", maxBucket = 64).count() == 0L)
+    assert(Dedup.lshCandidates(bands, "doc_id", maxBucket = 70).count() ==
+      70L * 69 / 2)
+  }
+
+  test("near-dup operators leave no cache entries behind") {
+    // library materialization is localCheckpoint (ContextCleaner-owned),
+    // never persist: a long-lived session calling these repeatedly must
+    // not accumulate cache blocks the caller never asked for
+    spark.catalog.clearCache()
+    val df = corpus.toDF("doc_id", "text")
+    Dedup.minhashNearDups(df, "doc_id", "text", shingleSize = 5,
+      numHashes = 32, bands = 8, threshold = 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    Dedup.crossCorpusNearDups(df, df.withColumn("doc_id", $"doc_id" + 100L),
+      "doc_id", "text", shingleSize = 5, numHashes = 32, bands = 8,
+      threshold = 0.5).collect()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    val blocked = df.withColumn("lang", lit("en"))
+    Dedup.ngramJaccardNearDups(blocked, "doc_id", "text", "lang",
+      n = 2, threshold = 0.9).collect()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }

@@ -49,6 +49,25 @@ class ShardingSpec extends SparkSpec {
     assert(run(docs.coalesce(1), 1) == a)
   }
 
+  test("default range width follows the input, never a hardcoded literal") {
+    // a 48-partition input gets a 48-wide range exchange under the
+    // default — the old literal 32 would silently bottleneck a wide sort
+    val wide = docs.repartition(48)
+    assert(Sharding.autoPartitions(wide, 0) == 48)
+    assert(wide.repartitionByRange(Sharding.autoPartitions(wide, 0), $"id")
+      .rdd.getNumPartitions == 48)
+    // a narrow input still gets the session's shuffle parallelism
+    assert(Sharding.autoPartitions(docs.coalesce(1), 0) ==
+      spark.sessionState.conf.numShufflePartitions)
+    // an explicit request always wins
+    assert(Sharding.autoPartitions(wide, 7) == 7)
+    // and the auto-width packing equals the explicit-width packing
+    val auto = Sharding.packShards(wide, "id", "toks", 100)
+      .select("id", "shard_id").as[(Long, Long)].collect().toSet
+    assert(auto == Sharding.packShards(docs, "id", "toks", 100, 7)
+      .select("id", "shard_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("shardManifest totals reconcile with the input") {
     val packed = Sharding.packShards(docs, "id", "toks", 200, 4)
     val manifest = Sharding.shardManifest(packed, "id", "toks")

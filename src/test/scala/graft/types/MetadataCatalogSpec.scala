@@ -48,6 +48,30 @@ class MetadataCatalogSpec extends AnyFunSuite {
     assert(MetadataCatalog.sparkType(meta("AccountingEntity")) == StringType)
   }
 
+  test("varchar boundary: exactly 8000 stays sized, 8001 promotes to MAX") {
+    // types.py:78-84 — the 8000-byte SQL Server varchar ceiling
+    assert(MetadataCatalog.mssqlType(
+      ColumnMeta("a", "string", maxLength = Some(8000))) == "varchar(8000)")
+    assert(MetadataCatalog.mssqlType(
+      ColumnMeta("a", "string", maxLength = Some(8001))) == "varchar(MAX)")
+    // date (not just date-time) format is temporal too (types.py:66-67)
+    assert(MetadataCatalog.mssqlType(
+      ColumnMeta("a", "string", format = Some("date"))) == "datetime2")
+    // unknown json type degrades to varchar(MAX), never throws
+    assert(MetadataCatalog.mssqlType(ColumnMeta("a", "array")) == "varchar(MAX)")
+  }
+
+  test("createTableDdl emits the exact reference DDL shape (db/sql.py:7-22)") {
+    val ddl = MetadataCatalog.createTableDdl("t", Seq(
+      ColumnMeta("Amount", "number"), ColumnMeta("Flag", "boolean")))
+    assert(ddl ==
+      """CREATE TABLE [t] (
+        |  [id] int IDENTITY(1,1),
+        |  [Amount] decimal(18,2) NULL,
+        |  [Flag] varchar(5) NULL
+        |)""".stripMargin)
+  }
+
   test("struct type and DDL include every column plus identity key") {
     val st = MetadataCatalog.toStructType(metas)
     assert(st.fieldNames.toSeq == metas.map(_.name))
