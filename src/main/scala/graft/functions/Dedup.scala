@@ -228,28 +228,28 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // shingled feeds three plan branches (banding + both verify sides);
-    // materialize so the shingle/hash pipeline runs once, not once per
-    // branch. localCheckpoint, NOT persist: its blocks are reclaimed by
-    // the ContextCleaner once the frame is unreferenced, so repeated
-    // library calls in a long-lived session don't accumulate cache
-    // entries the caller never asked for (persist() here would leak —
-    // the function has no seam to unpersist after the result is used)
-    val shingled = df.select(col(idCol),
-      hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
-      .localCheckpoint()
-    // the band frame feeds TWO branches (bucket-size agg + semi-join);
-    // checkpoint the narrow (id, band_idx, band_sig) rows so the minhash
-    // signature — the expensive compute — runs exactly once
-    val banded = lshBands(
-      shingled.withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes)),
-      idCol, "sig", bands, rowsPerBand).localCheckpoint()
-    val cands = lshCandidates(banded, idCol)
+    // ONE cached frame carries both expensive computes — the hashed
+    // shingles AND the minhash signature: it feeds four plan branches
+    // (the bucket-size agg + semi-join sides of the cap, and both verify
+    // sides), each of which re-derives only cheap projections (a band
+    // slice/explode, a column select) from the cache. Columnar persist,
+    // not localCheckpoint, because the rows are WIDE (a ~kiloword hash
+    // array per document): InMemoryRelation stores them compressed
+    // columnar, while an RDD checkpoint would copy raw 8 KB+ rows —
+    // measured 1.7× slower end-to-end. The function materializes its
+    // (small) result below and unpersists before returning, so no cache
+    // residue outlives the call.
+    val signed = df.select(col(idCol),
+        hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(
+      lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol)
     // verify on hashed shingle sets: same Jaccard value modulo (negligible)
     // 64-bit collisions, at a fraction of the compare/shuffle cost
-    val sa = shingled.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))
-    val sb = shingled.select(col(idCol).as(s"${idCol}_b"), col("hs").as("hs_b"))
-    cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
+    val sa = signed.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))
+    val sb = signed.select(col(idCol).as(s"${idCol}_b"), col("hs").as("hs_b"))
+    val result = cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
       // necessary condition jaccard ≥ t ⇒ |A|/|B| ≥ t: prune before the
       // expensive set intersection
       .filter(size(col("hs_a")).cast("double") >= lit(threshold) * size(col("hs_b")) &&
@@ -257,6 +257,12 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+      // materialize the pair list (tiny next to the corpus), then drop
+      // the heavyweight shingle cache — the ProbeMinhash pattern moved
+      // into the library so callers inherit the cleanup
+      .localCheckpoint()
+    signed.unpersist(blocking = true)
+    result
   }
 
   /** Cross-corpus MinHash-LSH near-dup join: candidate pairs BETWEEN two
@@ -277,16 +283,16 @@ object Dedup {
                           threshold: Double = 0.8,
                           maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // localCheckpoint, not persist: ContextCleaner-reclaimed, so library
-    // calls leave no cache residue behind (see minhashNearDups)
+    // one columnar-persisted frame per side holding shingle hashes AND
+    // signature (see minhashNearDups for why persist beats an RDD
+    // checkpoint on these wide rows): the cap's two band readings and
+    // the verify side all re-derive cheap projections from the cache;
+    // both caches are dropped below once the result is materialized
     def shingled(df: DataFrame) = df.select(col(idCol),
         hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
-      .localCheckpoint()
-    // checkpointed: capped() reads each band frame twice (size agg +
-    // semi-join), and the signature must not be computed twice for that
-    def banded(s: DataFrame) = lshBands(
-      s.withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes)),
-      idCol, "sig", bands, rowsPerBand).localCheckpoint()
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(s: DataFrame) = lshBands(s, idCol, "sig", bands, rowsPerBand)
     // agg + semi-join cap, not a window — see lshCandidates for why a
     // window here is a one-task funnel on a hot band at scale
     def capped(b: DataFrame) = b.join(
@@ -306,13 +312,17 @@ object Dedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b")).distinct()
     val sa = sl.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))
     val sb = sr.select(col(idCol).as(s"${idCol}_b"), col("hs").as("hs_b"))
-    cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
+    val result = cands.join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
       .filter(
         size(col("hs_a")).cast("double") >= lit(threshold) * size(col("hs_b")) &&
         size(col("hs_b")).cast("double") >= lit(threshold) * size(col("hs_a")))
       .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+      .localCheckpoint() // materialize the small pair list first...
+    sl.unpersist(blocking = true) // ...then release both shingle caches
+    sr.unpersist(blocking = true)
+    result
   }
 
   /** 64-bit SimHash over a token array — native single-pass Catalyst
@@ -421,20 +431,24 @@ object Dedup {
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                            blockCol: String, n: Int = 3,
                            threshold: Double = 0.8): DataFrame = {
-    // localCheckpoint, not persist: three consumers (prefix filter + both
-    // verify sides), zero cache residue after the result is dropped
+    // columnar persist for the wide gram arrays (three consumers: prefix
+    // filter + both verify sides); released below once the result is
+    // materialized, so no cache residue outlives the call
     val grams = df.select(col(blockCol), col(idCol),
       hashedWordShingles(TextAnalysis.tokens(lower(col(textCol))), n).as("grams"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefixFilterCandidates(grams, idCol, "grams", blockCol, threshold)
     val ga = grams.select(col(idCol).as(s"${idCol}_a"), col("grams").as("grams_a"))
     val gb = grams.select(col(idCol).as(s"${idCol}_b"), col("grams").as("grams_b"))
-    cands.join(ga, s"${idCol}_a").join(gb, s"${idCol}_b")
+    val result = cands.join(ga, s"${idCol}_a").join(gb, s"${idCol}_b")
       // jaccard ≥ t ⇒ gram-set sizes within ratio t: prune pre-intersect
       .filter(size(col("grams_a")).cast("double") >= lit(threshold) * size(col("grams_b")) &&
               size(col("grams_b")).cast("double") >= lit(threshold) * size(col("grams_a")))
       .withColumn("jaccard", jaccardSorted(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+      .localCheckpoint() // small pair list; then drop the gram cache
+    grams.unpersist(blocking = true)
+    result
   }
 }
