@@ -86,8 +86,11 @@ object QualityFilters {
       },
       acc => acc.getField("best"))
 
-  /** Most-frequent-bigram fraction of all bigrams (0 when < 2 tokens). */
+  /** Most-frequent-bigram fraction of all bigrams (0 when < 2 tokens).
+    * The denominator is `size(toks) − 1` directly — building the bigram
+    * array a second time just to take its size would double the O(m)
+    * array work per row. */
   def topBigramFrac(toks: Column): Column =
     topBigramCount(toks).cast("double") /
-      greatest(size(bigrams(toks)), lit(1)).cast("double")
+      greatest(size(toks) - 1, lit(1)).cast("double")
 }

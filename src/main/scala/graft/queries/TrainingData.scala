@@ -746,7 +746,34 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** Split-leakage audit: near-duplicate pairs that straddle a
+    * train/val/test boundary leak training signal into evaluation — the
+    * check a team runs before trusting held-out numbers (and the reason
+    * dedup must precede splitting). Composition: [[graft.functions
+    * .Sampling.hashSplit]] assigns the deterministic md5-cut 80/10/10
+    * split, the q27 minhash machinery finds near-dup pairs over the
+    * clone corpus (clones hash to different splits than their
+    * originals, so leaks exist by construction), and the report emits
+    * every pair with both split labels and the leak flag. The oracle
+    * recounts the pairs exhaustively and restates the md5 cut. */
+  def splitLeakageQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    val split = graft.functions.Sampling.hashSplit(
+      corpus.select(col("doc_id")), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    Dedup.minhashNearDups(corpus, "doc_id", "text",
+        shingleSize = 7, numHashes = 32, bands = 8, threshold = 0.95)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .join(split.toDF("doc_id_a", "split_a"), "doc_id_a")
+      .join(split.toDF("doc_id_b", "split_b"), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("split_a"),
+        col("split_b"), (col("split_a") =!= col("split_b")).as("leaks"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_split_leakage"    -> splitLeakageQ _,
     "q99_data_card"         -> dataCardQ _,
     "q97_kmv_saturated"     -> kmvSaturatedQ _,
     "q96_projected_recall"  -> projectedRecallQ _,
@@ -999,6 +1026,42 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The q27 exhaustive-pair recount joined to the q77 md5-cut split on
+    // both pair sides; a pair leaks when its sides' splits differ.
+    "q100_split_leakage" ->
+      s"""WITH c AS (
+         | SELECT doc_id, lower(text) AS t FROM documents
+         | UNION ALL SELECT doc_id + 100000 AS doc_id, lower(text) AS t
+         | FROM documents),
+         |g AS (
+         | SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+         |   i -> substring(t, CAST(i AS INT), 7))) AS sh
+         | FROM c),
+         |p AS (
+         | SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  len(list_intersect(a.sh, b.sh)) AS inter,
+         |  len(a.sh) AS la, len(b.sh) AS lb
+         | FROM g a JOIN g b ON a.doc_id < b.doc_id
+         | WHERE len(a.sh) >= 0.95 * len(b.sh)
+         |   AND len(b.sh) >= 0.95 * len(a.sh)),
+         |prs AS (
+         | SELECT doc_id_a, doc_id_b FROM p
+         | WHERE CAST(inter AS DOUBLE) / greatest(la + lb - inter, 1) >= 0.95),
+         |sp AS (
+         | SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < '${graft.functions.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |        < '${graft.functions.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM c)
+         |SELECT doc_id_a, doc_id_b, sa.split AS split_a, sb.split AS split_b,
+         | sa.split <> sb.split AS leaks
+         |FROM prs
+         | JOIN sp sa ON sa.doc_id = doc_id_a
+         | JOIN sp sb ON sb.doc_id = doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     // The composed card: q95's fertility sums + q81's KMV restatement +
     // q93's cell/probe construction + a deterministic per-source argmax,
     // joined per source.
