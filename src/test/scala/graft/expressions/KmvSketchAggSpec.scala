@@ -111,6 +111,20 @@ class KmvSketchAggSpec extends SparkSpec {
     assert(est == exact)
   }
 
+  test("count-min probe of an unseen item reports est_count 0, not no row") {
+    val occurrences = (1 to 500).map(i => s"t${i % 7}").toDF("term")
+    val cells = Sketches.countMinCells(occurrences, "term", d = 4, w = 1024)
+    // "zzz_never_seen" hashes to cells the sparse frame never built —
+    // the left join must surface it at 0 rather than dropping it, and
+    // an absent cell reads as count 0 in the min (the true CMS answer)
+    val probe = Seq("t1", "zzz_never_seen").toDF("term")
+    val est = Sketches.countMinEstimate(cells, probe, "term", d = 4, w = 1024)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == Set("t1", "zzz_never_seen"))
+    assert(est("zzz_never_seen") == 0L)
+    assert(est("t1") > 0L)
+  }
+
   test("count-min cells merge: union-then-sum equals cells of the union") {
     val a = (1 to 200).map(i => s"w${i % 5}").toDF("term")
     val b = (1 to 300).map(i => s"w${i % 9}").toDF("term")
