@@ -45,6 +45,9 @@ object GraftExtensions {
     "kmv_merge" -> (exprs =>
       KmvMergeAgg(exprs.head, intArg(exprs, 1, "kmv_merge"))
         .toAggregateExpression()),
+    "top_k" -> (exprs =>
+      TopKAgg(exprs(0), exprs(1), intArg(exprs, 2, "top_k"))
+        .toAggregateExpression()),
     "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
     "simhash60_portable" -> (exprs => SimHashPortableExpr(exprs.head)),
     "json_leaf_keys" -> (exprs => JsonLeafKeysExpr(exprs.head)),

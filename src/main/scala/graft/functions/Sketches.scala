@@ -52,6 +52,17 @@ object Sketches {
     ColumnBridge.column(
       KmvMergeAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
 
+  /** Aggregate: the k highest-weighted (item, weight) pairs as an
+    * array<struct<item,weight>> ordered (weight DESC, item ASC).
+    * Partial state is ≤ k entries per group per partition — the bounded
+    * alternative to collect_list-then-sort, whose partial state is the
+    * whole group (see [[graft.expressions.TopKAgg]]). Pre-aggregate to
+    * one row per item first. */
+  def topK(item: Column, weight: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.expressions.TopKAgg(ColumnBridge.expression(item),
+        ColumnBridge.expression(weight), k).toAggregateExpression())
+
   /** Distinct-count estimate from a sketch: exact size when the sketch is
     * not full, else `(k−1) / (h_k / 2^60)`. Every step is IEEE double
     * arithmetic on deterministic operands — engine-portable. */

@@ -772,7 +772,25 @@ object TrainingData {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  /** Top-3 terms per source via the bounded mergeable top-k aggregate —
+    * partial state is ≤ k entries per group per partition (vs
+    * collect_list buffering the whole per-source vocabulary on every map
+    * task); ties break deterministically on (weight DESC, term ASC), so
+    * the oracle's row_number restatement matches exactly. */
+  def topTermsQ(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("source"))
+      .agg(graft.functions.Sketches.topK(col("term"), col("cnt"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rk", "s")))
+      .select(col("source"), (col("rk") + 1).cast("long").as("rank"),
+        col("s.item").as("term"), col("s.weight").as("cnt"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_top_terms"        -> topTermsQ _,
     "q100_split_leakage"    -> splitLeakageQ _,
     "q99_data_card"         -> dataCardQ _,
     "q97_kmv_saturated"     -> kmvSaturatedQ _,
@@ -1026,6 +1044,19 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The aggregate's (weight DESC, item ASC) order restated as the
+    // row_number window it provably equals (TopKAggSpec).
+    "q101_top_terms" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |tf AS (SELECT source, term, count(*) AS cnt
+        |       FROM toks GROUP BY source, term),
+        |r AS (SELECT source, term, cnt, row_number() OVER (
+        |        PARTITION BY source ORDER BY cnt DESC, term) AS rank
+        |      FROM tf)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, term, cnt
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     // The q27 exhaustive-pair recount joined to the q77 md5-cut split on
     // both pair sides; a pair leaks when its sides' splits differ.
     "q100_split_leakage" ->

@@ -124,6 +124,18 @@ class PlanShapeSpec extends SparkSpec {
       plan)
   }
 
+  test("top_k aggregates partially before the exchange (map-side)") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "z", 3L))
+      .toDF("g", "item", "w")
+    val plan = df.groupBy($"g")
+      .agg(graft.functions.Sketches.topK($"item", $"w", 5))
+      .queryExecution.executedPlan.toString
+    // ≤ k entries per group per partition cross the exchange — the
+    // aggregate must never ship the whole group like collect_list would
+    assert(plan.contains("partial_top_k"), plan)
+    assert(plan.contains("merge_top_k") || plan.contains("top_k"), plan)
+  }
+
   test("snapshot diff runs join-free on one id exchange") {
     val o = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
     val n = Seq((1L, "a"), (3L, "c")).toDF("id", "text")
