@@ -76,6 +76,70 @@ object Sharding {
       .drop("_graft_pid", "_graft_offset")
   }
 
+  /** Per-GROUP shard packing: [[packShards]] with the prefix sum
+    * restarting at 0 inside every group — "pack each source/language
+    * into its own ~budget-token shards", and (filtered on `cum_weight <
+    * B`) the equal-token-budget stratified sample a mixture builder
+    * takes from each stratum.
+    *
+    * Scale shape, same discipline as [[packShards]]: ONE range exchange
+    * on (group, key) — group boundaries may split across partitions,
+    * that's fine; per-(partition, group) weight totals aggregate to the
+    * driver (bounded by `numPartitions × |groups|` rows — groups are
+    * source/language-granular by contract, not high-cardinality keys);
+    * exclusive per-group offsets broadcast back; the within-partition
+    * window is PARTITIONED BY (range id, group) so no task ever holds
+    * more than one partition's slice of one group — a plain
+    * `PARTITION BY group` window would move every hot-group row to one
+    * task, the exact funnel packShards exists to avoid.
+    *
+    * Group values must be non-null (the offset join is an equi-join);
+    * the (group, key) pair must be unique and weights non-negative. */
+  def packShardsBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   weightCol: String, budget: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty, "use packShards for the ungrouped form")
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(autoPartitions(df, numPartitions),
+        groupCols.map(col) :+ col(keyCol): _*)
+      .withColumn("_graft_pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids (see packShards)
+    val gExprs = groupCols.map(col)
+    val sums = ranged.groupBy(col("_graft_pid") +: gExprs: _*)
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("s"))
+      .collect()
+    // exclusive offsets per (pid, group): total weight of the SAME group
+    // in every range strictly before pid
+    val rows = sums.map { r =>
+      (r.getInt(0), groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq,
+        r.getLong(1 + groupCols.size))
+    }
+    val offsets = rows.groupBy(_._2).iterator.flatMap { case (_, grp) =>
+      var acc = 0L
+      grp.sortBy(_._1).map { case (pid, g, s) =>
+        val o = acc; acc += s; (pid, g, o)
+      }
+    }.toSeq
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map { case (pid, g, o) =>
+        org.apache.spark.sql.Row.fromSeq(pid +: g :+ o) }, 1),
+      org.apache.spark.sql.types.StructType(
+        ranged.schema("_graft_pid") +:
+          groupCols.map(ranged.schema(_)) :+
+          org.apache.spark.sql.types.StructField("_graft_offset",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+    val w = Window.partitionBy(col("_graft_pid") +: gExprs: _*)
+      .orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsetsDf), "_graft_pid" +: groupCols)
+      .withColumn("cum_weight",
+        col("_graft_offset") + sum(col(weightCol).cast("long")).over(w)
+          - col(weightCol).cast("long"))
+      .withColumn("shard_id", expr(s"cum_weight div $budget"))
+      .drop("_graft_pid", "_graft_offset")
+  }
+
   /** GPT-style sequence packing: concatenate the chunk token stream in
     * `keyCol` order and cut every `capacity` tokens. Unlike [[packShards]]
     * (document-preserving shard assignment), chunks STRADDLE sequence

@@ -789,7 +789,21 @@ object TrainingData {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Per-source char-budget packing via the GROUPED distributed prefix
+    * sum — each source's running total restarts at zero, so the shard
+    * ids are per-stratum; filtering `cum_weight < B` would be the
+    * equal-budget stratified sample a mixture builder takes. The oracle
+    * restates the per-group single-window formulation the operator
+    * provably equals (ShardingSpec). */
+  def groupedPackQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sharding.packShardsBy(
+        docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        Seq("source"), "doc_id", "n_chars", budget = 15000)
+      .select(col("source"), col("doc_id"), col("cum_weight"), col("shard_id"))
+      .orderBy(col("source"), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
     "q100_split_leakage"    -> splitLeakageQ _,
     "q99_data_card"         -> dataCardQ _,
@@ -1044,6 +1058,15 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The grouped prefix sum restated as the per-group window it equals.
+    "q102_grouped_pack" ->
+      """SELECT source, doc_id,
+        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS cum_weight,
+        | CAST((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING) - n_chars) // 15000 AS BIGINT)
+        |   AS shard_id
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     // The aggregate's (weight DESC, item ASC) order restated as the
     // row_number window it provably equals (TopKAggSpec).
     "q101_top_terms" ->

@@ -68,6 +68,35 @@ class ShardingSpec extends SparkSpec {
       .select("id", "shard_id").as[(Long, Long)].collect().toSet)
   }
 
+  test("packShardsBy equals the per-group single-window prefix sum") {
+    val rnd = new scala.util.Random(7)
+    val grouped = (1 to 600).map(i =>
+      (s"src${rnd.nextInt(4)}", i.toLong, (rnd.nextInt(9) + 1).toLong))
+      .toDF("src", "id", "toks")
+    val got = Sharding.packShardsBy(grouped, Seq("src"), "id", "toks", 50)
+      .select("src", "id", "cum_weight", "shard_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = grouped
+      .withColumn("cum_weight", sum($"toks").over(w) - $"toks")
+      .withColumn("shard_id", expr("cum_weight div 50"))
+      .select("src", "id", "cum_weight", "shard_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // every group's prefix restarts at zero
+    val firsts = got.groupBy(_._1).map { case (_, rows) =>
+      rows.minBy(_._2)._3 }
+    assert(firsts.forall(_ == 0L))
+    // independent of input partitioning and range width
+    val again = Sharding.packShardsBy(grouped.repartition(17), Seq("src"),
+        "id", "toks", 50, numPartitions = 5)
+      .select("src", "id", "cum_weight", "shard_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again == want)
+  }
+
   test("shardManifest totals reconcile with the input") {
     val packed = Sharding.packShards(docs, "id", "toks", 200, 4)
     val manifest = Sharding.shardManifest(packed, "id", "toks")
