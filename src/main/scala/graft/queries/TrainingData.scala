@@ -802,7 +802,29 @@ object TrainingData {
       .select(col("source"), col("doc_id"), col("cum_weight"), col("shard_id"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** Deterministic epoch shuffle + pack: a training run wants a
+    * DIFFERENT but REPRODUCIBLE corpus order each epoch. The order key
+    * is md5("epoch:doc_id") — a stateless pseudo-random permutation —
+    * with the zero-padded chunk index appended so chunks stay contiguous
+    * within their document; the chunk stream then packs into 512-token
+    * sequences in that order through the distributed prefix sum.
+    * Re-running the same epoch reproduces bit-identically; changing the
+    * epoch literal reshuffles everything. */
+  def epochShufflePackQ(s: SparkSession, dir: String): DataFrame = {
+    val epoch = 3
+    val chunks = graft.functions.Chunking.chunkDocuments(docs(s, dir),
+        "doc_id", "text", maxTokens = 32, stride = 32)
+      .withColumn("_key", concat(
+        md5(concat_ws(":", lit(epoch), col("doc_id"))),
+        lpad(col("chunk_idx").cast("string"), 10, "0")))
+    val packed = graft.functions.Sharding.packSequences(chunks, "_key",
+      "n_tokens", capacity = 512)
+    graft.functions.Sharding.sequenceManifest(packed, "doc_id")
+      .orderBy(col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
     "q100_split_leakage"    -> splitLeakageQ _,
@@ -1058,6 +1080,39 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q83's chunk construction, reordered by the identical
+    // md5-epoch-permutation key, same manifest aggregation.
+    "q103_epoch_shuffle" ->
+      """WITH tk AS (
+        | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        | FROM documents),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(0,
+        |   CASE WHEN len(toks) = 0 THEN 0
+        |        WHEN len(toks) <= 32 THEN 1
+        |        ELSE CAST(ceil((len(toks) - 32) / 32.0) AS BIGINT) + 1 END),
+        |  i -> struct_pack(chunk_idx := i,
+        |    n_tokens := least(32, len(toks) - i*32)))) AS s
+        | FROM tk),
+        |c2 AS (SELECT doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(s.n_tokens AS BIGINT) AS n_tokens FROM ch),
+        |k AS (SELECT doc_id, chunk_idx, n_tokens,
+        |  md5('3:' || CAST(doc_id AS VARCHAR)) ||
+        |    lpad(CAST(chunk_idx AS VARCHAR), 10, '0') AS key
+        | FROM c2),
+        |p AS (SELECT doc_id, chunk_idx, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY key
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+        | FROM k),
+        |x AS (SELECT doc_id, st, st + n_tokens - 1 AS fin,
+        |  unnest(generate_series(CAST(st // 512 AS BIGINT),
+        |    CAST((st + n_tokens - 1) // 512 AS BIGINT))) AS seq_id
+        | FROM p)
+        |SELECT seq_id, count(*) AS n_chunks,
+        | count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(least(fin, (seq_id + 1) * 512 - 1)
+        |   - greatest(st, seq_id * 512) + 1) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     // The grouped prefix sum restated as the per-group window it equals.
     "q102_grouped_pack" ->
       """SELECT source, doc_id,
