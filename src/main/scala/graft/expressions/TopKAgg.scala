@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * motivation as [[KmvSketchAgg]]: bounded, deterministic, composable.
   *
   * Contract: one input row per item (pre-aggregate weights first, e.g.
-  * `groupBy(group, item).count`); duplicate items are retained as
-  * separate entries, exactly as a window restatement over the same rows
-  * would rank them. Null items or weights are skipped.
+  * `groupBy(group, item).count`). If the contract is violated, duplicate
+  * items with DISTINCT weights are retained as separate entries, while
+  * identical (item, weight) pairs collapse to one (the buffer is a set)
+  * — which a row_number restatement would NOT collapse, so window parity
+  * holds only for pre-aggregated input. Null items or weights are
+  * skipped.
   *
   * Buffer: a `java.util.TreeSet` ordered worst-first, so eviction on a
   * full buffer is `pollFirst()` and the steady-state update on a
@@ -75,13 +78,12 @@ case class TopKAgg(
   override def merge(buffer: java.util.TreeSet[TopKAgg.Entry],
                      other: java.util.TreeSet[TopKAgg.Entry])
       : java.util.TreeSet[TopKAgg.Entry] = {
-    // descending walk (best first): once an entry fails to enter a full
-    // buffer, every later (worse) entry fails too
+    // descending walk (best first): insert returns false only against a
+    // FULL buffer, and then every later (worse) entry fails too — stop
     val it = other.descendingIterator()
     var live = true
     while (live && it.hasNext) {
-      val e = it.next()
-      live = TopKAgg.insert(buffer, e, k) || buffer.size < k
+      live = TopKAgg.insert(buffer, it.next(), k)
     }
     buffer
   }

@@ -183,27 +183,36 @@ object Dedup {
     * selective bands when genuinely near-identical. This is the standard
     * production guard for LSH dedup at scale.
     */
-  def lshCandidates(bandsDf: DataFrame, idCol: String,
-                    maxBucket: Int = 64): DataFrame = {
-    // Bucket sizing is a partial-aggregating groupBy + semi-join, NOT a
-    // window: `count() OVER (PARTITION BY band_idx, band_sig)` would move
-    // and sort EVERY member of a hot bucket onto ONE task before the cap
-    // could drop it — a degenerate band (saturated shingle space,
-    // empty-text signatures) funnels its whole population into a single
-    // reducer at 100 TB. The aggregate combines map-side (one row per
-    // input partition per hot key reaches the reducer), the cap decision
-    // happens on the tiny (band, sig, n) frame, and the semi-join hashes
-    // on the same keys the candidate self-join shuffles on anyway. Same
-    // hazard class LineDedup.dedupLines documents and avoids.
+  /** Band rows whose (band_idx, band_sig) bucket holds ≤ `maxBucket`
+    * members — the degenerate-band guard shared by [[lshCandidates]] and
+    * [[crossCorpusNearDups]].
+    *
+    * Bucket sizing is a partial-aggregating groupBy + semi-join, NOT a
+    * window: `count() OVER (PARTITION BY band_idx, band_sig)` would move
+    * and sort EVERY member of a hot bucket onto ONE task before the cap
+    * could drop it — a degenerate band (saturated shingle space,
+    * empty-text signatures) funnels its whole population into a single
+    * reducer at 100 TB. The aggregate combines map-side (one row per
+    * input partition per hot key reaches the reducer), the cap decision
+    * happens on the tiny (band, sig, n) frame, and the semi-join hashes
+    * on the same keys the candidate join shuffles on anyway. Same hazard
+    * class LineDedup.dedupLines documents and avoids. PlanShapeSpec pins
+    * this plan window-free. */
+  def capBuckets(bandsDf: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val surviving = bandsDf
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") <= maxBucket)
       .select(col("band_idx"), col("band_sig"))
     // the using-columns join moves (band_idx, band_sig) to the front —
-    // restore the (id, band_idx, band_sig) order the positional renames need
-    val sized = bandsDf.join(surviving, Seq("band_idx", "band_sig"), "left_semi")
+    // restore the (id, band_idx, band_sig) order positional renames need
+    bandsDf.join(surviving, Seq("band_idx", "band_sig"), "left_semi")
       .select(col(idCol), col("band_idx"), col("band_sig"))
+  }
+
+  def lshCandidates(bandsDf: DataFrame, idCol: String,
+                    maxBucket: Int = 64): DataFrame = {
+    val sized = capBuckets(bandsDf, idCol, maxBucket)
     val a = sized.toDF(s"${idCol}_a", "band_idx", "band_sig")
     val b = sized.toDF(s"${idCol}_b", "band_idx", "band_sig")
     a.join(b, Seq("band_idx", "band_sig"))
@@ -293,17 +302,8 @@ object Dedup {
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(s: DataFrame) = lshBands(s, idCol, "sig", bands, rowsPerBand)
-    // agg + semi-join cap, not a window — see lshCandidates for why a
-    // window here is a one-task funnel on a hot band at scale
-    def capped(b: DataFrame) = b.join(
-      b.groupBy(col("band_idx"), col("band_sig"))
-        .agg(count(lit(1)).as("_n"))
-        .filter(col("_n") <= maxBucket)
-        .select(col("band_idx"), col("band_sig")),
-      Seq("band_idx", "band_sig"), "left_semi")
-      // using-columns joins front-load the join keys; restore the order
-      // the downstream positional renames rely on
-      .select(col(idCol), col("band_idx"), col("band_sig"))
+    // the shared agg + semi-join cap — never a window (see capBuckets)
+    def capped(b: DataFrame) = capBuckets(b, idCol, maxBucket)
     val sl = shingled(left)
     val sr = shingled(right)
     val cands = capped(banded(sl)).toDF(s"${idCol}_a", "band_idx", "band_sig")

@@ -36,11 +36,27 @@ object Sharding {
     * request wins; otherwise follow the WIDER of the input's current
     * partitioning and the session's shuffle parallelism. A hardcoded
     * default (the old literal 32) would silently funnel a 100 TB sort
-    * through 32 tasks whenever the caller forgot to override it. */
-  def autoPartitions(df: DataFrame, requested: Int): Int =
+    * through 32 tasks whenever the caller forgot to override it.
+    *
+    * The input width is read via `df.rdd` ONLY when the physical plan is
+    * exchange-free (a scan/project/filter chain — RDD construction runs
+    * no job there). If the plan contains an exchange, `df.rdd` under AQE
+    * would EXECUTE every upstream shuffle just to count partitions, and
+    * that work would then run again when the caller materializes — so we
+    * answer with the shuffle parallelism instead, which is what an
+    * AQE-coalesced exchange output is sized to anyway. */
+  def autoPartitions(df: DataFrame, requested: Int): Int = {
     if (requested > 0) requested
-    else math.max(df.rdd.getNumPartitions,
-      df.sparkSession.sessionState.conf.numShufflePartitions)
+    else {
+      val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+      val hasExchange = df.queryExecution.sparkPlan.find {
+        case _: org.apache.spark.sql.execution.exchange.Exchange => true
+        case _ => false
+      }.isDefined
+      if (hasExchange) conf
+      else math.max(df.rdd.getNumPartitions, conf)
+    }
+  }
 
   /** Adds `cum_weight` (exclusive prefix sum of `weightCol` in `keyCol`
     * order) and `shard_id` (= cum_weight div budget). Weights must be

@@ -181,27 +181,34 @@ object PipelineQueries {
     * replay duplication or loss breaks the hash. */
   def streamIngestQ(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q98")
-    val src = s"$base/landing"
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    def run(): Unit = graft.streaming.IncrementalIngest.runAvailableNow(
-      s, src, docs.schema, "doc_id", s"$base/sink", s"$base/history",
-      s"$base/ckpt")
-    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
-    run()
-    docs.write.mode("append").parquet(src) // evens again + the odds
-    run()
-    run() // no new files: replay safety — the sink must not change
-    val out = s.read.parquet(s"$base/sink")
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        col("batch_id").cast("long").as("batch_id"))
-      .orderBy(col("doc_id"))
-      // materialize before the staging directories are removed
-      .localCheckpoint()
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    out
+    try {
+      val src = s"$base/landing"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def run(): Unit = graft.streaming.IncrementalIngest.runAvailableNow(
+        s, src, docs.schema, "doc_id", s"$base/sink", s"$base/history",
+        s"$base/ckpt")
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      run()
+      docs.write.mode("append").parquet(src) // evens again + the odds
+      run()
+      run() // no new files: replay safety — the sink must not change
+      s.read.parquet(s"$base/sink")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("batch_id").cast("long").as("batch_id"))
+        .orderBy(col("doc_id"))
+        // materialize before the finally-block removes the staging dirs
+        .localCheckpoint()
+    } finally {
+      // even on failure, never leave a corpus copy behind in tmp; the
+      // walk stream holds directory handles and must be closed
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
   }
 
   /** Gap-based sessionization (30-minute gap) over the events stream. */

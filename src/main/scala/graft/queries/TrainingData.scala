@@ -514,12 +514,15 @@ object TrainingData {
   def seqPackQ(s: SparkSession, dir: String): DataFrame = {
     val chunks = graft.functions.Chunking.chunkDocuments(docs(s, dir),
         "doc_id", "text", maxTokens = 32, stride = 32)
-      // collision-free packing key: stride 2^32 >> any physical chunk
-      // count (a 2^32-chunk doc needs ~2^37 tokens, beyond the 2 GiB
-      // string ceiling), so key order == (doc_id, chunk_idx) order and
-      // packShards' unique-key requirement holds; the old 10000 stride
+      // collision-PROOF packing key: fixed-width decimal doc_id (19
+      // digits holds any non-negative Long) + 10-digit chunk index, so
+      // string order == (doc_id, chunk_idx) order at ANY id scale — an
+      // arithmetic stride (doc_id * 2^32 + chunk_idx) would wrap for
+      // snowflake-style ids >= 2^31, and the original 10000 stride
       // collided at >=10000 chunks (~320k tokens)
-      .withColumn("_key", col("doc_id") * lit(4294967296L) + col("chunk_idx"))
+      .withColumn("_key", concat(
+        lpad(col("doc_id").cast("string"), 19, "0"),
+        lpad(col("chunk_idx").cast("string"), 10, "0")))
     val packed = graft.functions.Sharding.packSequences(chunks, "_key",
       "n_tokens", capacity = 512)
     graft.functions.Sharding.sequenceManifest(packed, "doc_id")
@@ -587,12 +590,15 @@ object TrainingData {
     val survivors = d.join(kept, "doc_id")
     val chunks = graft.functions.Chunking.chunkDocuments(survivors,
         "doc_id", "text", maxTokens = 32, stride = 32)
-      // collision-free packing key: stride 2^32 >> any physical chunk
-      // count (a 2^32-chunk doc needs ~2^37 tokens, beyond the 2 GiB
-      // string ceiling), so key order == (doc_id, chunk_idx) order and
-      // packShards' unique-key requirement holds; the old 10000 stride
+      // collision-PROOF packing key: fixed-width decimal doc_id (19
+      // digits holds any non-negative Long) + 10-digit chunk index, so
+      // string order == (doc_id, chunk_idx) order at ANY id scale — an
+      // arithmetic stride (doc_id * 2^32 + chunk_idx) would wrap for
+      // snowflake-style ids >= 2^31, and the original 10000 stride
       // collided at >=10000 chunks (~320k tokens)
-      .withColumn("_key", col("doc_id") * lit(4294967296L) + col("chunk_idx"))
+      .withColumn("_key", concat(
+        lpad(col("doc_id").cast("string"), 19, "0"),
+        lpad(col("chunk_idx").cast("string"), 10, "0")))
     val packed = graft.functions.Sharding.packSequences(chunks, "_key",
       "n_tokens", capacity = 512)
     graft.functions.Sharding.sequenceManifest(packed, "doc_id")

@@ -50,12 +50,19 @@ class ShardingSpec extends SparkSpec {
   }
 
   test("default range width follows the input, never a hardcoded literal") {
-    // a 48-partition input gets a 48-wide range exchange under the
-    // default — the old literal 32 would silently bottleneck a wide sort
-    val wide = docs.repartition(48)
+    // an exchange-free 48-partition input (a materialized frame — the
+    // scan-chain case) gets a 48-wide range exchange under the default;
+    // the old literal 32 would silently bottleneck a wide sort
+    val wide = docs.repartition(48).localCheckpoint()
     assert(Sharding.autoPartitions(wide, 0) == 48)
     assert(wide.repartitionByRange(Sharding.autoPartitions(wide, 0), $"id")
       .rdd.getNumPartitions == 48)
+    // an input whose plan still CONTAINS an exchange answers with the
+    // shuffle parallelism instead: reading its width via df.rdd would
+    // execute every upstream shuffle once for the count and again for
+    // the caller's materialization
+    assert(Sharding.autoPartitions(docs.repartition(48), 0) ==
+      spark.sessionState.conf.numShufflePartitions)
     // a narrow input still gets the session's shuffle parallelism
     assert(Sharding.autoPartitions(docs.coalesce(1), 0) ==
       spark.sessionState.conf.numShufflePartitions)
