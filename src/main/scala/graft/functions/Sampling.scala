@@ -60,21 +60,20 @@ object Sampling {
     * in the key, reproducible under retries and repartitioning, and — unlike
     * a rate — guaranteed to return exactly min(k, |group|) rows per group.
     *
-    * One shuffle on the group column (the window partition). A hot group is
-    * not a skew hazard at 100 TB IF k is small: rank-k selection could be
-    * done with a per-partition pre-trim (keep the k lowest coordinates per
-    * partition before the shuffle); Spark's window has no such combiner, so
-    * for mega-groups compose with [[hashSample]] first to knock the group
-    * down to O(k·fanout) candidates cheaply, then apply this for the exact
-    * budget. */
+    * Scale shape: the per-group rank is [[Sharding.groupedPrefixSum]]
+    * with weight 1 — range exchange on (group, coordinate), broadcast
+    * offsets, windows partitioned by the RANGE id — so a hot group never
+    * funnels onto one task the way a `PARTITION BY group` window would
+    * (the hazard class this library outlaws everywhere else). */
   def perGroupSample(df: DataFrame, keyCol: String, groupCol: String,
                      k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(hashBucket(col(keyCol)), col(keyCol))
-    df.withColumn("_graft_rk", row_number().over(w))
-      .filter(col("_graft_rk") <= k)
-      .drop("_graft_rk")
+    val coords = df
+      .withColumn("_graft_coord", hashBucket(col(keyCol)))
+      .withColumn("_graft_one", lit(1L))
+    Sharding.groupedPrefixSum(coords, Seq(groupCol),
+        Seq("_graft_coord", keyCol), "_graft_one")
+      .filter(col("cum_weight") < k)
+      .drop("cum_weight", "_graft_coord", "_graft_one")
   }
 
   /** Rebalance to a TARGET MIXTURE: the largest deterministic sample whose
@@ -113,12 +112,16 @@ object Sampling {
     val kExpr = targets.keys.foldLeft(when(lit(false), lit(0L))) { (acc, s) =>
       acc.when(stratumStr === s, lit(ks(s)))
     }.otherwise(lit(0L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(hashBucket(col(keyCol)), col(keyCol))
-    inTargets.withColumn("_graft_rk", row_number().over(w))
-      .filter(col("_graft_rk") <= kExpr)
-      .drop("_graft_rk")
+    // per-stratum rank via the distributed grouped prefix sum — a
+    // PARTITION BY stratum window would move each whole stratum (data-
+    // sized at a real mixture) onto a single task; see perGroupSample
+    val coords = inTargets
+      .withColumn("_graft_coord", hashBucket(col(keyCol)))
+      .withColumn("_graft_one", lit(1L))
+    Sharding.groupedPrefixSum(coords, Seq(stratumCol),
+        Seq("_graft_coord", keyCol), "_graft_one")
+      .filter(col("cum_weight") < kExpr)
+      .drop("cum_weight", "_graft_coord", "_graft_one")
   }
 
   /** Deterministic disjoint split (train/val/test): each row lands in

@@ -92,14 +92,14 @@ object Sharding {
       .drop("_graft_pid", "_graft_offset")
   }
 
-  /** Per-GROUP shard packing: [[packShards]] with the prefix sum
-    * restarting at 0 inside every group — "pack each source/language
-    * into its own ~budget-token shards", and (filtered on `cum_weight <
-    * B`) the equal-token-budget stratified sample a mixture builder
-    * takes from each stratum.
+  /** Exclusive per-GROUP prefix sum of `weightCol` over the `orderCols`
+    * order, restarting at 0 inside every group — the distributed grouped
+    * ranking/accumulation primitive behind [[packShardsBy]] and the
+    * exact-k samplers (with weight 1, `cum_weight` IS the 0-based rank
+    * within the group).
     *
     * Scale shape, same discipline as [[packShards]]: ONE range exchange
-    * on (group, key) — group boundaries may split across partitions,
+    * on (group, order) — group boundaries may split across partitions,
     * that's fine; per-(partition, group) weight totals aggregate to the
     * driver (bounded by `numPartitions × |groups|` rows — groups are
     * source/language-granular by contract, not high-cardinality keys);
@@ -110,15 +110,15 @@ object Sharding {
     * task, the exact funnel packShards exists to avoid.
     *
     * Group values must be non-null (the offset join is an equi-join);
-    * the (group, key) pair must be unique and weights non-negative. */
-  def packShardsBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
-                   weightCol: String, budget: Long,
-                   numPartitions: Int = 0): DataFrame = {
-    require(budget > 0, "budget must be positive")
+    * the (group, orderCols) tuple must be unique and weights
+    * non-negative. Appends `cum_weight`. */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[String], weightCol: String,
+                       numPartitions: Int = 0): DataFrame = {
     require(groupCols.nonEmpty, "use packShards for the ungrouped form")
     val spark = df.sparkSession
     val ranged = df.repartitionByRange(autoPartitions(df, numPartitions),
-        groupCols.map(col) :+ col(keyCol): _*)
+        (groupCols ++ orderCols).map(col): _*)
       .withColumn("_graft_pid", spark_partition_id())
       .localCheckpoint() // pin partition ids (see packShards)
     val gExprs = groupCols.map(col)
@@ -146,14 +146,29 @@ object Sharding {
           org.apache.spark.sql.types.StructField("_graft_offset",
             org.apache.spark.sql.types.LongType, nullable = false)))
     val w = Window.partitionBy(col("_graft_pid") +: gExprs: _*)
-      .orderBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     ranged.join(broadcast(offsetsDf), "_graft_pid" +: groupCols)
       .withColumn("cum_weight",
         col("_graft_offset") + sum(col(weightCol).cast("long")).over(w)
           - col(weightCol).cast("long"))
+      // the using-columns join front-loads its keys; restore the input's
+      // column order with cum_weight appended
+      .select(df.columns.map(col) :+ col("cum_weight"): _*)
+  }
+
+  /** Per-GROUP shard packing: [[packShards]] with the prefix sum
+    * restarting at 0 inside every group — "pack each source/language
+    * into its own ~budget-token shards", and (filtered on `cum_weight <
+    * B`) the equal-token-budget stratified sample a mixture builder
+    * takes from each stratum. See [[groupedPrefixSum]] for the scale
+    * shape and contracts. */
+  def packShardsBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   weightCol: String, budget: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    groupedPrefixSum(df, groupCols, Seq(keyCol), weightCol, numPartitions)
       .withColumn("shard_id", expr(s"cum_weight div $budget"))
-      .drop("_graft_pid", "_graft_offset")
   }
 
   /** GPT-style sequence packing: concatenate the chunk token stream in
