@@ -200,6 +200,19 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("per-group sampling ranks via the range-partitioned prefix sum") {
+    // the rank window must be partitioned by the RANGE id (+ group) —
+    // never by the group alone, which would funnel a hot stratum onto
+    // one task; the window sits downstream of groupedPrefixSum's
+    // localCheckpoint, so it is visible in this executed plan
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val out = graft.functions.Sampling.perGroupSample(df, "id", "g", 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("windowspecdefinition(_graft_pid"), plan)
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize
