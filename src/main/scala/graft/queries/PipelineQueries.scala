@@ -179,9 +179,24 @@ object PipelineQueries {
     * the sink back WITH its batch_id partition column, so the oracle pins
     * the payload AND which incremental wave each row landed in — and any
     * replay duplication or loss breaks the hash. */
-  def streamIngestQ(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_q98")
-    try {
+  /** Run `body` against a fresh temp directory, deleting the tree even on
+    * failure (the walk stream holds directory handles and must close). */
+  private def withTempDir(prefix: String)(body: java.nio.file.Path => DataFrame)
+      : DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    try body(base)
+    finally {
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
+  def streamIngestQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q98") { base =>{
       val src = s"$base/landing"
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -197,19 +212,53 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("batch_id").cast("long").as("batch_id"))
         .orderBy(col("doc_id"))
-        // materialize before the finally-block removes the staging dirs
+        // materialize before withTempDir removes the staging dirs
         .localCheckpoint()
-    } finally {
-      // even on failure, never leave a corpus copy behind in tmp; the
-      // walk stream holds directory handles and must be closed
-      val walk = java.nio.file.Files.walk(base)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
+    }}
+
+  /** The STATEFUL streaming path under the oracle gate: watermark-bounded
+    * streaming dedup (`dropDuplicatesWithinWatermark` + state store +
+    * file-sink exactly-once log), complementing q98's stateless ingest.
+    * Wave 1 delivers every third document TWICE (exact duplicate rows in
+    * one micro-batch — within-batch dedup); wave 2 redelivers the full
+    * corpus, so the wave-1 docs re-arrive a micro-batch later and must
+    * be dropped by RESTORED state (the constant event time keeps the
+    * watermark below every fingerprint, so nothing evicts mid-test); a
+    * third run with no new files is a no-op. Texts are made unique per
+    * doc_id so the md5 fingerprint collapses ONLY the staged duplicates
+    * — the surviving row set is deterministic and the oracle is just the
+    * distinct corpus. */
+  def streamDedupQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q104") { base =>
+      val src = s"$base/landing"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(col("doc_id").cast("string"), lit(":"), col("text")).as("text"))
+        .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      def run(): Unit = {
+        val q = graft.streaming.StreamDedup
+          .dedupByFingerprint(
+            s.readStream.schema(docs.schema).parquet(src),
+            "ts", "text", watermarkDelay = "30 days")
+          .writeStream.format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val third = docs.filter(col("doc_id") % 3 === 0)
+      third.write.mode("append").parquet(src)
+      third.write.mode("append").parquet(src) // exact duplicate rows
+      run()
+      docs.write.mode("append").parquet(src) // full corpus: thirds re-arrive
+      run()
+      run() // no new files: the replay must leave the sink unchanged
+      s.read.parquet(s"$base/sink")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
     }
-  }
 
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
@@ -230,6 +279,7 @@ object PipelineQueries {
     "q46_cursor_scan"     -> cursorScanQ _,
     "q54_nested_ingest"   -> nestedIngestQ _,
     "q98_stream_ingest"   -> streamIngestQ _,
+    "q104_stream_dedup"   -> streamDedupQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +324,11 @@ object PipelineQueries {
         | o_orderkey,
         | CAST(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 2 END AS BIGINT) AS schema_version
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // streaming dedup: every staged duplicate (within-batch AND
+    // cross-batch via restored state) collapses, so the sink is exactly
+    // the distinct corpus
+    "q104_stream_dedup" ->
+      """SELECT doc_id, source FROM documents ORDER BY doc_id""",
     // the incremental-wave assignment: evens land in micro-batch 0,
     // odds survive the history anti-join into micro-batch 1; replay adds
     // nothing — any duplication or loss breaks the hash
