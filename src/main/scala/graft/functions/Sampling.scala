@@ -64,16 +64,26 @@ object Sampling {
     * with weight 1 — range exchange on (group, coordinate), broadcast
     * offsets, windows partitioned by the RANGE id — so a hot group never
     * funnels onto one task the way a `PARTITION BY group` window would
-    * (the hazard class this library outlaws everywhere else). */
+    * (the hazard class this library outlaws everywhere else). Only the
+    * NARROW (group, key, coordinate) projection rides the rank machinery
+    * (and its materialization); full rows rejoin by key at the end, so
+    * keys must be unique. The group column must be LOW-cardinality
+    * (languages/sources — groupedPrefixSum holds numPartitions×|groups|
+    * offset rows on the driver); for per-document tops use
+    * [[graft.functions.Sketches.topK]] instead. Null groups sample like
+    * any other group. */
   def perGroupSample(df: DataFrame, keyCol: String, groupCol: String,
                      k: Int): DataFrame = {
-    val coords = df
+    val narrow = df.select(col(groupCol), col(keyCol))
       .withColumn("_graft_coord", hashBucket(col(keyCol)))
       .withColumn("_graft_one", lit(1L))
-    Sharding.groupedPrefixSum(coords, Seq(groupCol),
+    val winners = Sharding.groupedPrefixSum(narrow, Seq(groupCol),
         Seq("_graft_coord", keyCol), "_graft_one")
       .filter(col("cum_weight") < k)
-      .drop("cum_weight", "_graft_coord", "_graft_one")
+      .select(col(keyCol))
+    df.join(winners, Seq(keyCol), "left_semi")
+      // using-columns joins front-load the key; restore the input order
+      .select(df.columns.map(col): _*)
   }
 
   /** Rebalance to a TARGET MIXTURE: the largest deterministic sample whose
@@ -114,14 +124,18 @@ object Sampling {
     }.otherwise(lit(0L))
     // per-stratum rank via the distributed grouped prefix sum — a
     // PARTITION BY stratum window would move each whole stratum (data-
-    // sized at a real mixture) onto a single task; see perGroupSample
-    val coords = inTargets
+    // sized at a real mixture) onto a single task. Only the narrow
+    // (stratum, key, coordinate) projection rides the rank machinery;
+    // full rows rejoin by (unique) key — see perGroupSample
+    val narrow = inTargets.select(col(stratumCol), col(keyCol))
       .withColumn("_graft_coord", hashBucket(col(keyCol)))
       .withColumn("_graft_one", lit(1L))
-    Sharding.groupedPrefixSum(coords, Seq(stratumCol),
+    val winners = Sharding.groupedPrefixSum(narrow, Seq(stratumCol),
         Seq("_graft_coord", keyCol), "_graft_one")
       .filter(col("cum_weight") < kExpr)
-      .drop("cum_weight", "_graft_coord", "_graft_one")
+      .select(col(keyCol))
+    inTargets.join(winners, Seq(keyCol), "left_semi")
+      .select(df.columns.map(col): _*)
   }
 
   /** Deterministic disjoint split (train/val/test): each row lands in

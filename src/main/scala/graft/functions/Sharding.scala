@@ -109,13 +109,18 @@ object Sharding {
     * `PARTITION BY group` window would move every hot-group row to one
     * task, the exact funnel packShards exists to avoid.
     *
-    * Group values must be non-null (the offset join is an equi-join);
-    * the (group, orderCols) tuple must be unique and weights
-    * non-negative. Appends `cum_weight`. */
+    * Null group values form their own group (the offset join is
+    * null-safe); the (group, orderCols) tuple must be unique and weights
+    * non-negative. Group cardinality must be LOW (languages, sources —
+    * not per-document keys): the driver holds numPartitions × |groups|
+    * offset rows. Appends `cum_weight`; the input must not already carry
+    * a `cum_weight` column. */
   def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[String], weightCol: String,
                        numPartitions: Int = 0): DataFrame = {
     require(groupCols.nonEmpty, "use packShards for the ungrouped form")
+    require(!df.columns.contains("cum_weight"),
+      "input already has a cum_weight column - rename it first")
     val spark = df.sparkSession
     val ranged = df.repartitionByRange(autoPartitions(df, numPartitions),
         (groupCols ++ orderCols).map(col): _*)
@@ -145,16 +150,23 @@ object Sharding {
           groupCols.map(ranged.schema(_)) :+
           org.apache.spark.sql.types.StructField("_graft_offset",
             org.apache.spark.sql.types.LongType, nullable = false)))
-    val w = Window.partitionBy(col("_graft_pid") +: gExprs: _*)
-      .orderBy(orderCols.map(col): _*)
+    // ranged-qualified group refs: after the join both sides carry the
+    // group columns, and bare names would be ambiguous
+    val w = Window.partitionBy(col("_graft_pid") +: groupCols.map(ranged(_)): _*)
+      .orderBy(orderCols.map(ranged(_)): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged.join(broadcast(offsetsDf), "_graft_pid" +: groupCols)
+    // NULL-SAFE join on the group columns: a null group is still a group
+    // (an equi-join would silently drop its rows); pid is never null
+    val cond = (ranged("_graft_pid") === offsetsDf("_graft_pid")) +:
+      groupCols.map(g => ranged(g) <=> offsetsDf(g))
+    ranged.join(broadcast(offsetsDf), cond.reduce(_ && _))
+      .drop(offsetsDf("_graft_pid"))
       .withColumn("cum_weight",
         col("_graft_offset") + sum(col(weightCol).cast("long")).over(w)
           - col(weightCol).cast("long"))
-      // the using-columns join front-loads its keys; restore the input's
-      // column order with cum_weight appended
-      .select(df.columns.map(col) :+ col("cum_weight"): _*)
+      // project back to the input's columns (LEFT side) + cum_weight —
+      // also drops the offset frame's duplicate group columns
+      .select(df.columns.map(ranged(_)) :+ col("cum_weight"): _*)
   }
 
   /** Per-GROUP shard packing: [[packShards]] with the prefix sum

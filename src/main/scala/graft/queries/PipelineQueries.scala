@@ -169,16 +169,6 @@ object PipelineQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  /** TRUE streaming ingest under the oracle gate (§2.11): the documents
-    * table is staged into a landing directory in two waves, each ingested
-    * by the checkpointed AvailableNow incremental stream — a real
-    * `writeStream` + `foreachBatch` run, not a batch restatement. Wave 1
-    * lands the even doc_ids (micro-batch 0); wave 2 redelivers EVERY doc
-    * and the id-history anti-join keeps only the odd ones (micro-batch 1);
-    * a third run with no new files must be a no-op. The final frame reads
-    * the sink back WITH its batch_id partition column, so the oracle pins
-    * the payload AND which incremental wave each row landed in — and any
-    * replay duplication or loss breaks the hash. */
   /** Run `body` against a fresh temp directory, deleting the tree even on
     * failure (the walk stream holds directory handles and must close). */
   private def withTempDir(prefix: String)(body: java.nio.file.Path => DataFrame)
@@ -195,8 +185,18 @@ object PipelineQueries {
     }
   }
 
+  /** TRUE streaming ingest under the oracle gate (§2.11): the documents
+    * table is staged into a landing directory in two waves, each ingested
+    * by the checkpointed AvailableNow incremental stream — a real
+    * `writeStream` + `foreachBatch` run, not a batch restatement. Wave 1
+    * lands the even doc_ids (micro-batch 0); wave 2 redelivers EVERY doc
+    * and the id-history anti-join keeps only the odd ones (micro-batch 1);
+    * a third run with no new files must be a no-op. The final frame reads
+    * the sink back WITH its batch_id partition column, so the oracle pins
+    * the payload AND which incremental wave each row landed in — and any
+    * replay duplication or loss breaks the hash. */
   def streamIngestQ(s: SparkSession, dir: String): DataFrame =
-    withTempDir("graft_q98") { base =>{
+    withTempDir("graft_q98") { base =>
       val src = s"$base/landing"
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -214,7 +214,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
         // materialize before withTempDir removes the staging dirs
         .localCheckpoint()
-    }}
+    }
 
   /** The STATEFUL streaming path under the oracle gate: watermark-bounded
     * streaming dedup (`dropDuplicatesWithinWatermark` + state store +

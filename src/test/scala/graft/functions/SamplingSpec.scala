@@ -71,6 +71,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.columns.toSeq == df.columns.toSeq)
   }
 
+  test("perGroupSample treats a null group as its own group") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None),
+      (4L, None), (5L, None)).toDF("id", "g")
+    val out = Sampling.perGroupSample(df, "id", "g", 2)
+      .select("g").as[Option[String]].collect().toSeq
+    // 2 from group "a" and 2 from the null group — null rows are
+    // sampled, never silently dropped by the rank machinery's joins
+    assert(out.count(_.contains("a")) == 2)
+    assert(out.count(_.isEmpty) == 2)
+  }
+
   test("mixtureSample hits the target proportions, scaled by the scarcest stratum") {
     // 1000 a-rows, 1000 b-rows; ask for a 75/25 mix → a is scarcest:
     // K = 1000/0.75 = 1333.3…, keep floor(K·0.75)=1000 a, floor(K·0.25)=333 b
