@@ -235,7 +235,8 @@ object Dedup {
     * for pairs with similarity ≥ threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, numHashes: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.8,
+                      maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
     // ONE cached frame carries both expensive computes — the hashed
     // shingles AND the minhash signature: it feeds four plan branches
@@ -253,7 +254,7 @@ object Dedup {
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(
-      lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol)
+      lshBands(signed, idCol, "sig", bands, rowsPerBand), idCol, maxBucket)
     // verify on hashed shingle sets: same Jaccard value modulo (negligible)
     // 64-bit collisions, at a fraction of the compare/shuffle cost
     val sa = signed.select(col(idCol).as(s"${idCol}_a"), col("hs").as("hs_a"))

@@ -40,6 +40,18 @@ object Sampling {
   def hashBucket(key: Column): Column =
     substring(md5(key.cast("string")), 1, 8)
 
+  /** Coordinate that FAILS FAST on a null key. The exact-k samplers
+    * recover full rows through an equi-semi-join on the key, so a row
+    * with a null key would silently vanish from the sample (null never
+    * equi-matches); md5(null) is null, so the coalesce fires the error
+    * exactly on null keys — a distributed runtime guard with no extra
+    * pass over the data. */
+  private def coordOrFail(keyCol: String, op: String): Column =
+    coalesce(hashBucket(col(keyCol)),
+      raise_error(lit(s"$op: sampling key column '$keyCol' contains a " +
+        "null - keys must be non-null and unique; filter or fill null " +
+        "keys before sampling")).cast("string"))
+
   /** Stratified deterministic sample: per-stratum rates (e.g. keep 50% of
     * English, 10% of everything else — the usual language/source
     * rebalancing step in corpus curation). */
@@ -67,7 +79,9 @@ object Sampling {
     * (the hazard class this library outlaws everywhere else). Only the
     * NARROW (group, key, coordinate) projection rides the rank machinery
     * (and its materialization); full rows rejoin by key at the end, so
-    * keys must be unique. The group column must be LOW-cardinality
+    * keys must be unique AND non-null (a null key can't equi-rejoin — the
+    * coordinate guard fails fast rather than silently dropping the row).
+    * The group column must be LOW-cardinality
     * (languages/sources — groupedPrefixSum holds numPartitions×|groups|
     * offset rows on the driver); for per-document tops use
     * [[graft.functions.Sketches.topK]] instead. Null groups sample like
@@ -75,7 +89,7 @@ object Sampling {
   def perGroupSample(df: DataFrame, keyCol: String, groupCol: String,
                      k: Int): DataFrame = {
     val narrow = df.select(col(groupCol), col(keyCol))
-      .withColumn("_graft_coord", hashBucket(col(keyCol)))
+      .withColumn("_graft_coord", coordOrFail(keyCol, "perGroupSample"))
       .withColumn("_graft_one", lit(1L))
     val winners = Sharding.groupedPrefixSum(narrow, Seq(groupCol),
         Seq("_graft_coord", keyCol), "_graft_one")
@@ -128,7 +142,7 @@ object Sampling {
     // (stratum, key, coordinate) projection rides the rank machinery;
     // full rows rejoin by (unique) key — see perGroupSample
     val narrow = inTargets.select(col(stratumCol), col(keyCol))
-      .withColumn("_graft_coord", hashBucket(col(keyCol)))
+      .withColumn("_graft_coord", coordOrFail(keyCol, "mixtureSample"))
       .withColumn("_graft_one", lit(1L))
     val winners = Sharding.groupedPrefixSum(narrow, Seq(stratumCol),
         Seq("_graft_coord", keyCol), "_graft_one")

@@ -14,6 +14,23 @@ import graft.streaming.EventStreams
   */
 object PipelineQueries {
 
+  /** Driver-side row cap for the lake/cursor FIXTURE builders below: the
+    * fixtures collect the documents table to lay it out as NDJSON objects
+    * / cursor pages — test-scale plumbing for the DISTRIBUTED scan under
+    * test, not a data path. The limit+1 collect is bounded by
+    * construction, so pointing a fixture builder at real data fails
+    * loudly instead of OOMing the driver. */
+  private[queries] val MaxFixtureRows = 100000
+
+  private[queries] def collectFixture(df: DataFrame, what: String) = {
+    val rows = df.limit(MaxFixtureRows + 1).collect()
+    require(rows.length <= MaxFixtureRows,
+      s"$what: fixture builder collects the input driver-side and is " +
+      s"capped at $MaxFixtureRows rows - it exists to exercise the scan " +
+      "path at test scale, not to ingest real data")
+    rows
+  }
+
   /** Tumbling 1-hour windowed aggregation over events — the identical
     * expression runs under readStream+watermark in EventStreams. */
   def eventWindowQ(s: SparkSession, dir: String): DataFrame =
@@ -50,10 +67,9 @@ object PipelineQueries {
     * distributed path under test. */
   def lakesimScanQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val docs = Tables.load(s, dir, "documents")
+    val docs = collectFixture(Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
-      .collect()
+      .orderBy(col("doc_id")), "lakesimScanQ")
     val lakeDir = java.nio.file.Files.createTempDirectory("graft_lakesim").toString
     val objects = docs.grouped(math.max(docs.length / 5, 1)).zipWithIndex.toSeq
     val index = objects.map { case (rows, i) =>
@@ -117,10 +133,9 @@ object PipelineQueries {
     * pushdown, checked against DuckDB over the original table. */
   def cursorScanQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val docs = Tables.load(s, dir, "documents")
+    val docs = collectFixture(Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
-      .collect()
+      .orderBy(col("doc_id")), "cursorScanQ")
     val lakeDir = java.nio.file.Files.createTempDirectory("graft_cursorsim").toString
     val pages = docs.grouped(math.max(docs.length / 4, 1)).toSeq
     pages.zipWithIndex.foreach { case (rows, i) =>
@@ -145,6 +160,48 @@ object PipelineQueries {
       .schema(schema).option("path", lakeDir).option("start", "page0.json").load()
       .filter(col("n_chars") <= 300 && col("source") === "src7")
       .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSv2 lake WRITE path end-to-end (S10 push side) under the oracle:
+    * the documents table is pushed through [[graft.sources.lakesim
+    * .LakeSimWrite]]'s real `BatchWrite` commit protocol — task temp
+    * files, driver-side publish, index swap — in three waves that
+    * exercise BOTH modes:
+    *
+    *   1. overwrite a decoy subset (doc_id ≤ 100) — seeds a lake whose
+    *      objects must later disappear;
+    *   2. TRUNCATE-overwrite with the even-id half — the decoy objects
+    *      are gone only if the index swap + old-object delete ran;
+    *   3. APPEND the odd-id half — the even objects survive only if
+    *      append extended the index instead of replacing it.
+    *
+    * Final lake = even ∪ odd = exactly the original table, scanned back
+    * through [[LakeSimSource]] with the q37 pruning filter (the written
+    * index's task-side ranges drive the split pruning), so the DuckDB
+    * oracle over the ORIGINAL table pins the whole write→index→scan
+    * loop: a stale decoy row, a lost append, or a bad written range all
+    * hash-mismatch. No parquet shortcut anywhere — the lake content
+    * exists only via the V2 writer. */
+  def lakesimWriteQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_lakewrite").toString
+    docs.filter(col("doc_id") <= 100).repartition(2)
+      .write.format(fmt).option("path", lakeDir).mode("overwrite").save()
+    docs.filter(col("doc_id") % 2 === 0).repartition(4)
+      .write.format(fmt).option("path", lakeDir).mode("overwrite").save()
+    docs.filter(col("doc_id") % 2 === 1).repartition(3)
+      .write.format(fmt).option("path", lakeDir).mode("append").save()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.format(fmt)
+      .schema(schema).option("path", lakeDir).option("pageSize", "200").load()
+      .filter(col("n_chars") > 300 && col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
 
@@ -280,6 +337,7 @@ object PipelineQueries {
     "q54_nested_ingest"   -> nestedIngestQ _,
     "q98_stream_ingest"   -> streamIngestQ _,
     "q104_stream_dedup"   -> streamDedupQ _,
+    "q105_lakesim_write"  -> lakesimWriteQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,6 +369,11 @@ object PipelineQueries {
     "q46_cursor_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars <= 300 AND source = 'src7' ORDER BY doc_id""".stripMargin,
+    // the truncate+append write waves reconstruct the table exactly, so
+    // the oracle is the original table under the same pruning filter
+    "q105_lakesim_write" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
     "q36_ingest_pipeline" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,

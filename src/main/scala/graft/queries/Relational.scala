@@ -52,15 +52,18 @@ object Relational {
   }
 
   /** TPC-H Q3-style: selective dim filter, two joins, agg, top-k.
-    * customer/orders are small relative to lineitem → broadcast both sides
-    * at bench scale; at 100 TB orders⋈lineitem becomes a shuffle join on the
-    * shared orderkey, which AQE handles. */
+    * customer/orders scale linearly with the data, so join selection is left
+    * to AQE: at bench scale their post-filter stats are under the broadcast
+    * threshold and AQE picks broadcast joins; at 100 TB the same plan
+    * degrades gracefully to shuffle joins on the shared keys. A forced
+    * broadcast() hint here would override those size checks and OOM the
+    * driver at scale, so only genuinely constant-size dims ever get hints. */
   def joinTopK(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec("l_extendedprice") * (one - dec("l_discount"))).cast("double").as("revenue"))
       .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
@@ -69,15 +72,18 @@ object Relational {
   }
 
   /** TPC-H Q5-style star join down the region→nation→customer→orders→lineitem
-    * chain; all dims broadcast, one shuffle for the final groupBy. */
+    * chain. nation/region are genuinely constant-size (25/5 rows at every
+    * scale factor) so they keep explicit broadcast hints; customer/orders
+    * scale with the data, so their join strategy is AQE's call — broadcast
+    * while their runtime stats fit, shuffle join beyond that. */
   def nationRevenue(s: SparkSession, dir: String): DataFrame = {
     val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables.load(s, dir, "nation")
     val c = Tables.load(s, dir, "customer")
     val o = Tables.load(s, dir, "orders")
     val l = Tables.load(s, dir, "lineitem")
-    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))

@@ -744,12 +744,18 @@ object TrainingData {
         cells, top.select(col("top_term").as("term")), "term")
       .withColumnRenamed("term", "top_term")
       .withColumnRenamed("est_count", "top_term_est")
-    fert.join(kmv, "source").join(top, "source").join(est, "top_term")
+    // materialize the (per-source, tiny) card first, THEN release the
+    // docs cache — the minhashNearDups discipline: no cache residue
+    // outlives the call (DedupSpec pins cacheManager.isEmpty)
+    val card = fert.join(kmv, "source").join(top, "source").join(est, "top_term")
       .select(col("source"), col("n_docs"), col("n_words"),
         col("n_bpe_tokens"), col("fertility"), col("chars_per_token"),
         col("sketch_size"), col("est_distinct"), col("n_distinct_terms"),
         col("top_term"), col("top_cnt"), col("top_term_est"))
       .orderBy(col("source"))
+      .localCheckpoint()
+    d.unpersist(blocking = true)
+    card
   }
 
   /** Split-leakage audit: near-duplicate pairs that straddle a
@@ -768,8 +774,16 @@ object TrainingData {
     val split = graft.functions.Sampling.hashSplit(
       corpus.select(col("doc_id")), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // The bucket cap must NOT bite here: this query is gated against an
+    // EXHAUSTIVE all-pairs oracle, so a text repeated more than
+    // maxBucket/2 times in the base corpus (×2 after cloning) would have
+    // its qualifying pairs capped away on the Spark side while the
+    // oracle still counts them — data-dependent divergence at other
+    // scale factors. The audit variant trades the cap for oracle
+    // exactness; production callers keep the default capped entry point.
     Dedup.minhashNearDups(corpus, "doc_id", "text",
-        shingleSize = 7, numHashes = 32, bands = 8, threshold = 0.95)
+        shingleSize = 7, numHashes = 32, bands = 8, threshold = 0.95,
+        maxBucket = 1 << 16)
       .select(col("doc_id_a"), col("doc_id_b"))
       .join(split.toDF("doc_id_a", "split_a"), "doc_id_a")
       .join(split.toDF("doc_id_b", "split_b"), "doc_id_b")

@@ -44,8 +44,28 @@ class LakeSimWriteBuilder(path: String, schema: StructType)
   }
 }
 
+/** SINGLE-WRITER contract: the index-swap commit protocol serializes
+  * readers against ONE writer (readers see the old or new object set,
+  * never a mix), but two concurrent writers can interleave their
+  * load-index → publish → write-index sequences and silently lose one
+  * writer's objects (or resurrect truncated ones). There is no lock
+  * file — external coordination (one writer job per lake at a time) is
+  * the caller's job. As a safety net the job SNAPSHOTS the index when
+  * the write starts and re-reads it at the commit point: a concurrent
+  * commit in between fails THIS job with a clear error before it can
+  * publish over the other writer's index, leaving the lake exactly as
+  * the other writer committed it. */
 class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
     extends BatchWrite {
+
+  // driver-side, at job start (build time) — the baseline the commit
+  // compares against to detect an interleaved writer
+  private val indexAtStart: Option[String] = readIndexContent()
+
+  private def readIndexContent(): Option[String] = {
+    val f = new File(new File(path), "index.json")
+    if (f.exists()) Some(java.nio.file.Files.readString(f.toPath)) else None
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = LakeSimWriterFactory(path, schema)
@@ -53,6 +73,12 @@ class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     dir.mkdirs()
+    if (readIndexContent() != indexAtStart)
+      throw new java.io.IOException(
+        s"lakesim commit: concurrent writer detected on $path - " +
+        "index.json changed since this write job started; the lake is " +
+        "single-writer by contract (coordinate jobs externally). This " +
+        "job aborts without publishing; the other writer's commit stands.")
     val hadIndex = new File(dir, "index.json").exists()
     val old = if (hadIndex) LakeIndex.load(path) else Seq.empty
     val existing = if (truncateAll) Seq.empty else old

@@ -33,6 +33,27 @@ class PlanShapeSpec extends SparkSpec {
         b.linesIterator.take(8).exists(_.contains("lineitem"))))
   }
 
+  test("q03/q04 leave join selection on row-scaling tables to AQE (no forced hints)") {
+    // A broadcast() hint on orders/customer would override Spark's size
+    // checks and force the driver to materialize a table that grows with
+    // the scale factor — driver-OOM-by-construction at 100×. Only the
+    // constant-size dims (nation: 25 rows, region: 5 rows) may carry
+    // explicit hints; everything else is AQE's runtime decision.
+    def hintedRelations(name: String): Seq[String] = {
+      val analyzed = graft.queries.Relational.queries(name)(spark, sfDir)
+        .queryExecution.analyzed
+      analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.child.collectLeaves().map(_.toString).mkString
+      }
+    }
+    assert(hintedRelations("q03_join_topk").isEmpty)
+    val q04Hints = hintedRelations("q04_nation_revenue")
+    assert(q04Hints.size == 2)
+    assert(q04Hints.forall(r => r.contains("nation") || r.contains("region")))
+    assert(!q04Hints.exists(r => r.contains("orders") || r.contains("customer")))
+  }
+
   test("salted join never broadcasts the replicated side") {
     val l = graft.sources.Tables.load(spark, sfDir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")

@@ -71,6 +71,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.columns.toSeq == df.columns.toSeq)
   }
 
+  test("perGroupSample fails fast on a null sampling KEY (would silently vanish)") {
+    // the rank machinery rejoins full rows via an equi-semi-join on the
+    // key, so a null key can never come back — the coordinate guard must
+    // raise, not drop the row
+    val df = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "b"))
+      .toDF("id", "g")
+    val ex = intercept[Exception] {
+      Sampling.perGroupSample(df, "id", "g", 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("perGroupSample") && m.contains("non-null")))
+    val ex2 = intercept[Exception] {
+      Sampling.mixtureSample(df.withColumn("g", lit("a")), "id", "g",
+        Map("a" -> 1.0)).collect()
+    }
+    assert(messages(ex2).exists(m =>
+      m.contains("mixtureSample") && m.contains("non-null")))
+  }
+
   test("perGroupSample treats a null group as its own group") {
     val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None),
       (4L, None), (5L, None)).toDF("id", "g")

@@ -104,6 +104,25 @@ class ShardingSpec extends SparkSpec {
     assert(again == want)
   }
 
+  test("groupedPrefixSum fails fast on a high-cardinality group column") {
+    // per-document groups would collect numPartitions × |groups| offset
+    // rows to the driver — the guard must turn that latent OOM into an
+    // actionable error (cap is conf-tunable so the test stays tiny)
+    val perDoc = (1L to 200L).toDF("id").withColumn("w", lit(1L))
+    spark.conf.set("spark.graft.sharding.maxOffsetRows", "50")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Sharding.groupedPrefixSum(perDoc, Seq("id"), Seq("id"), "w", 4)
+      }
+      assert(ex.getMessage.contains("maxOffsetRows") &&
+        ex.getMessage.contains("Sketches.topK"))
+    } finally spark.conf.unset("spark.graft.sharding.maxOffsetRows")
+    // low-cardinality groups stay well under the default cap and work
+    val grouped = perDoc.withColumn("g", ($"id" % 3).cast("string"))
+    assert(Sharding.groupedPrefixSum(grouped, Seq("g"), Seq("id"), "w", 4)
+      .count() == 200)
+  }
+
   test("shardManifest totals reconcile with the input") {
     val packed = Sharding.packShards(docs, "id", "toks", 200, 4)
     val manifest = Sharding.shardManifest(packed, "id", "toks")

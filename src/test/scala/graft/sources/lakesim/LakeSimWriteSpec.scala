@@ -73,6 +73,29 @@ class LakeSimWriteSpec extends SparkSpec {
       (1 to 5).map(_.toLong).toSet)
   }
 
+  test("a commit detects a concurrent writer and aborts without publishing") {
+    val dir = Files.createTempDirectory("lakesim_w7").toString
+    def write(ids: Range, mode: String): Unit =
+      ids.map(i => (i.toLong, "A", i * 1.0)).toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).mode(mode).save()
+    write(1 to 5, "overwrite")
+    // job A starts (snapshots the index at build time)...
+    val jobA = new LakeSimBatchWrite(dir, schema, truncateAll = false)
+    // ...then writer B commits in between...
+    write(6 to 9, "append")
+    val indexAfterB = Files.readString(new java.io.File(dir, "index.json").toPath)
+    // ...so A's commit must fail loudly, leaving B's commit standing
+    val ex = intercept[java.io.IOException] {
+      jobA.commit(Array.empty)
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    assert(Files.readString(new java.io.File(dir, "index.json").toPath)
+      == indexAfterB)
+    assert(readLake(dir).select("id").as[Long].collect().toSet ==
+      (1 to 9).map(_.toLong).toSet)
+  }
+
   test("truncate publishes new objects under names that never collide with live ones") {
     val dir = Files.createTempDirectory("lakesim_w6").toString
     def write(ids: Range): Unit =
