@@ -71,16 +71,19 @@ object CorpusStats {
   }
 
   /** Tokenizer-fertility slice: per group (typically language), the
-    * BPE-ish-token-per-word and character-per-BPE-token ratios — the
-    * numbers that decide whether a tokenizer underserves a language
-    * (high fertility → more sequence budget burned per word). Exact
-    * integer volumes divided once at the end, so the doubles restate
+    * subword-token-per-word and character-per-token ratios — the numbers
+    * that decide whether a tokenizer underserves a language (high
+    * fertility → more sequence budget burned per word). Token counts
+    * come from the REAL embedded BPE vocabulary
+    * ([[TextAnalysis.bpeTokenCountVocab]]), so fertility measures an
+    * actual subword segmentation, not a regex proxy. Exact integer
+    * volumes divided once at the end, so the doubles restate
     * bit-identically. */
   def tokenizerFertility(df: DataFrame, groupCol: String,
                          textCol: String): DataFrame =
     df.select(col(groupCol),
         TextAnalysis.tokenCount(col(textCol)).as("_ws"),
-        TextAnalysis.bpeTokenCount(col(textCol)).as("_bpe"),
+        TextAnalysis.bpeTokenCountVocab(col(textCol)).as("_bpe"),
         length(col(textCol)).cast("long").as("_chars"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),

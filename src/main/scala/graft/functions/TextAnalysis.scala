@@ -18,10 +18,21 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
-  /** BPE-ish token count: alphanumeric runs and single punctuation marks
-    * each count as one token (a cheap proxy for subword tokenizers). */
+  /** BPE-ish token count HEURISTIC: alphanumeric runs and single
+    * punctuation marks each count as one token (a cheap regex proxy —
+    * q22's explicit heuristic count). For numbers that measure a real
+    * subword vocabulary use [[bpeTokenCountVocab]]. */
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** REAL subword token count: greedy longest-match segmentation against
+    * the embedded BPE vocabulary (`graft/bpe_vocab.txt`) via a codegen'd
+    * native expression — fertility computed with this measures an actual
+    * vocabulary, not the regex proxy. See
+    * [[graft.expressions.BpeTokenCountExpr]] for the exact (oracle-
+    * restatable) semantics. */
+  def bpeTokenCountVocab(c: Column): Column =
+    graft.expressions.BpeTokenCountExpr.bpeTokenCountVocab(c)
 
   /** Ratio of punctuation characters to all characters. */
   def punctRatio(c: Column): Column =

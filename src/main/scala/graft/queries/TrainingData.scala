@@ -964,6 +964,45 @@ object TrainingData {
     * Every arithmetic step mirrors Similarity.ivfCentroidsTrainedPortable
     * bit-for-bit (sequential list_sum ≡ left-to-right accumulation;
     * ties → lowest cell). Shared by the q42 and q76 oracles. */
+  /** DuckDB CTE block restating [[graft.expressions.BpeTokenCountExpr]]'s
+    * greedy longest-match subword count per `groupCol` over `documents`
+    * — the SAME embedded vocabulary (BpeTokenCountExpr.vocabulary is the
+    * single source of truth; the VALUES list is generated from it), the
+    * same token classes, the same maximal-munch rule stated as a
+    * recursive CTE: per distinct alnum run, repeatedly strip the longest
+    * vocabulary unit prefixing the rest (all 36 single chars are units,
+    * so the recursion always terminates with rest = ''). Non-alnum
+    * pieces count 1. Yields `bpe_counts(groupCol, n_bpe_tokens)`; the
+    * enclosing WITH must be RECURSIVE. */
+  private def bpeCtes(groupCol: String): String = {
+    val values = graft.expressions.BpeTokenCountExpr.vocabulary
+      .map(v => s"('$v')").mkString(",")
+    s"""bpe_vocab(v) AS (VALUES $values),
+       |bpe_pieces AS (
+       | SELECT $groupCol, unnest(regexp_extract_all(lower(text),
+       |   '[a-z0-9]+|[^a-z0-9\\s]')) AS piece
+       | FROM documents),
+       |bpe_words(w) AS (
+       | SELECT DISTINCT piece FROM bpe_pieces
+       | WHERE regexp_matches(piece, '^[a-z0-9]')),
+       |bpe_split(w, rest, cnt) AS (
+       | SELECT w, w, 0 FROM bpe_words
+       | UNION ALL
+       | SELECT w,
+       |  substr(rest, (SELECT max(length(v)) FROM bpe_vocab
+       |                WHERE starts_with(rest, v)) + 1),
+       |  cnt + 1
+       | FROM bpe_split WHERE rest <> ''),
+       |bpe_wc AS (SELECT w AS piece, cnt AS n_units FROM bpe_split
+       |           WHERE rest = ''),
+       |bpe_counts AS (
+       | SELECT p.$groupCol,
+       |  CAST(sum(CASE WHEN regexp_matches(p.piece, '^[a-z0-9]')
+       |    THEN wc.n_units ELSE 1 END) AS BIGINT) AS n_bpe_tokens
+       | FROM bpe_pieces p LEFT JOIN bpe_wc wc USING (piece)
+       | GROUP BY p.$groupCol)""".stripMargin
+  }
+
   private def lloydCtes(src: String, k: Int, iters: Int,
                         sampleN: Int): String = {
     val iterCtes = (1 to iters).map { t =>
@@ -1195,17 +1234,20 @@ object TrainingData {
     // q93's cell/probe construction + a deterministic per-source argmax,
     // joined per source.
     "q99_data_card" ->
-      """WITH toks AS (
-        | SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+      s"""WITH RECURSIVE ${bpeCtes("source")},
+        |toks AS (
+        | SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
         | FROM documents),
         |fert AS (
-        | SELECT source, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
-        |    AS n_words,
-        |  CAST(sum(len(regexp_extract_all(lower(text),
-        |    '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
-        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
-        | FROM documents GROUP BY source),
+        | SELECT b.source, b.n_docs, b.n_words,
+        |  coalesce(c.n_bpe_tokens, 0) AS n_bpe_tokens, b.n_chars
+        | FROM (
+        |  SELECT source, count(*) AS n_docs,
+        |   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+        |     AS n_words,
+        |   CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source) b
+        | LEFT JOIN bpe_counts c USING (source)),
         |h AS (SELECT DISTINCT source,
         |  ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM toks),
         |r AS (SELECT source, h,
@@ -1523,22 +1565,26 @@ object TrainingData {
          |ORDER BY proj_sim DESC, p.vec_id""".stripMargin
     },
     // Exact integer volumes (the q22 token regexes) divided once.
+    // fertility measured against the REAL embedded vocabulary: the bpe
+    // CTEs restate the greedy longest-match segmentation over the same
+    // generated lookup table the Spark expression compiles into a trie
     "q95_tokenizer_fertility" ->
-      """SELECT lang, count(*) AS n_docs,
-        | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
-        |   AS n_words,
-        | CAST(sum(len(regexp_extract_all(lower(text),
-        |   '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
-        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        | CAST(sum(len(regexp_extract_all(lower(text),
-        |   '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT)::DOUBLE
-        |  / greatest(CAST(sum(len(regexp_extract_all(text, '\S+')))
-        |   AS BIGINT), 1)::DOUBLE AS fertility,
-        | CAST(sum(length(text)) AS BIGINT)::DOUBLE
-        |  / greatest(CAST(sum(len(regexp_extract_all(lower(text),
-        |   '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT), 1)::DOUBLE
-        |   AS chars_per_token
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""WITH RECURSIVE ${bpeCtes("lang")},
+         |base AS (
+         | SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |    AS n_words,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         | FROM documents GROUP BY lang)
+         |SELECT b.lang, b.n_docs, b.n_words,
+         | coalesce(c.n_bpe_tokens, 0) AS n_bpe_tokens, b.n_chars,
+         | coalesce(c.n_bpe_tokens, 0)::DOUBLE
+         |  / greatest(b.n_words, 1)::DOUBLE AS fertility,
+         | b.n_chars::DOUBLE
+         |  / greatest(coalesce(c.n_bpe_tokens, 0), 1)::DOUBLE
+         |   AS chars_per_token
+         |FROM base b LEFT JOIN bpe_counts c USING (lang)
+         |ORDER BY lang""".stripMargin,
     // The q42/q76 Lloyd chain, assignment over the full table, then the
     // (cell, label) composition counts.
     "q94_cluster_composition" -> {

@@ -52,16 +52,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2) == ((3, "dog", 1L, 0.875))) // tie dog/sat → term order
   }
 
-  test("tokenizerFertility: hand-computed ratios per group") {
-    // "ab cd." → words 2, bpe tokens 3 (ab, cd, .), chars 6
-    // "x,y"    → words 1, bpe tokens 4 (x, ',', y) = 3, chars 3
+  test("tokenizerFertility: hand-computed ratios per group (real vocab)") {
+    // greedy longest-match against the embedded vocabulary:
+    // "ab cd." → words 2; units: "ab"(in vocab)=1, "cd"→c,d=2, "."=1 → 4
+    // "x,y"    → words 1; units: x=1, ","=1, y=1 → 3
     val d = Seq((1L, "en", "ab cd."), (2L, "de", "x,y"))
       .toDF("doc_id", "lang", "text")
     val got = CorpusStats.tokenizerFertility(d, "lang", "text")
       .select($"lang", $"n_words", $"n_bpe_tokens", $"fertility")
       .as[(String, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(got("en") == ((2L, 3L, 1.5)))
+    assert(got("en") == ((2L, 4L, 2.0)))
     assert(got("de") == ((1L, 3L, 3.0)))
   }
 
