@@ -317,6 +317,49 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Streaming near-dup against a persisted STANDING BAND INDEX — the
+    * incremental LSH shape a continuous crawl pipeline runs
+    * ([[graft.streaming.StreamNearDup]]). Wave 1 lands the full corpus
+    * (all accepted — the index is empty). Wave 2 lands one derived doc
+    * per original: every third doc as an EXACT CLONE (identical text,
+    * shifted id — signatures identical, so its bands must collide with
+    * the STORED wave-1 bands and the stored-shingle Jaccard is 1.0 →
+    * dropped), the rest as a HALF-TEXT doc (Jaccard ≈ 0.5 against its
+    * original, and the 0.95 size-ratio prefilter kills candidacy →
+    * kept, unless exhaustively ≥ 0.95-similar to some wave-1 doc, which
+    * the oracle recounts all-pairs). A third run with no new files must
+    * leave the accepted sink unchanged. Wave-1 text is NEVER re-read in
+    * wave 2 — the drop decision rides the persisted band + shingle
+    * state only. */
+  def streamNearDupQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q106") { base =>
+      val src = s"$base/landing"
+      val docs = Tables.load(s, dir, "documents")
+      val wave1 = docs.select(col("doc_id"), col("text"))
+      val wave2 = docs.select((col("doc_id") + 100000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(substring_index_half(col("text"), col("n_chars")))
+          .as("text"))
+      def run(): Unit = graft.streaming.StreamNearDup.runAvailableNow(
+        s, src, wave1.schema, "doc_id", "text",
+        s"$base/state", s"$base/ckpt")
+      wave1.write.mode("append").parquet(src)
+      run()
+      wave2.write.mode("append").parquet(src)
+      run()
+      run() // no new files: replay must leave the accepted set unchanged
+      s.read.parquet(s"$base/state/accepted")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
+  /** First half of the text — `floor(n_chars/2)` chars, stated with
+    * `floor` so the Spark and DuckDB integer semantics agree exactly. */
+  private def substring_index_half(text: org.apache.spark.sql.Column,
+      nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.substr(lit(1), floor(nChars / lit(2)).cast("int"))
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -338,6 +381,7 @@ object PipelineQueries {
     "q98_stream_ingest"   -> streamIngestQ _,
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
+    "q106_stream_neardup" -> streamNearDupQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +418,34 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // batch restatement of the sequential wave filter: wave 1 is fully
+    // accepted (empty index); a wave-2 doc is dropped iff it is
+    // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive
+    // formulation) to SOME wave-1 doc
+    "q106_stream_neardup" ->
+      """WITH w1 AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |w2 AS (SELECT doc_id + 100000 AS doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN lower(text)
+        |       ELSE lower(substring(text, 1, CAST(floor(n_chars / 2) AS INT)))
+        |  END AS t
+        | FROM documents),
+        |g1 AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+        |   i -> substring(t, CAST(i AS INT), 7))) AS sh FROM w1),
+        |g2 AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(t) - 6, 1) + 1),
+        |   i -> substring(t, CAST(i AS INT), 7))) AS sh FROM w2),
+        |dropped AS (
+        | SELECT DISTINCT b.doc_id FROM g2 b JOIN g1 a
+        |  ON len(a.sh) >= 0.95 * len(b.sh) AND len(b.sh) >= 0.95 * len(a.sh)
+        |   AND CAST(len(list_intersect(b.sh, a.sh)) AS DOUBLE)
+        |    / greatest(len(a.sh) + len(b.sh) - len(list_intersect(b.sh, a.sh)), 1)
+        |    >= 0.95)
+        |SELECT doc_id FROM w1
+        |UNION ALL
+        |SELECT doc_id FROM w2
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "q36_ingest_pipeline" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END AS o_orderstatus,

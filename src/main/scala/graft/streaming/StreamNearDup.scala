@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Dedup
+
+/** Incremental streaming near-dup filter — the LSH shape a crawl pipeline
+  * runs continuously: each micro-batch is minhash-banded and probed
+  * against a PERSISTED STANDING BAND INDEX of everything accepted so far;
+  * batch docs near-duplicating an indexed doc are dropped, survivors are
+  * appended to both the accepted sink and the index. The standing corpus
+  * is never re-shingled and never re-shuffled — wave N's work is
+  * O(batch) + one bucket join against stored band rows (the
+  * [[graft.functions.Dedup.crossCorpusNearDups]] bipartite probe, with
+  * the index side precomputed once per doc instead of per wave).
+  *
+  * State layout under `statePath` (all batch_id-keyed for exactly-once,
+  * the [[IncrementalIngest]] overwrite discipline):
+  *   - `accepted/batch_id=N/` — accepted input rows (the sink);
+  *   - `bands/batch_id=N/`    — (id, band_idx, band_sig) of accepted docs;
+  *   - `shingles/batch_id=N/` — (id, hs) hashed shingle sets of accepted
+  *     docs, the verification material for exact-Jaccard confirmation of
+  *     band collisions (signatures alone would make the drop decision
+  *     probabilistic).
+  *
+  * Dedup is AGAINST THE INDEX ONLY — within-batch pairs are deliberately
+  * not compared (the probe question is "is this new doc already in the
+  * corpus?", the crossCorpus semantics; run a batch
+  * [[graft.functions.Dedup.minhashNearDups]] over a wave first if
+  * intra-wave dedup is also wanted).
+  *
+  * Replay safety: a replayed batch reads the index EXCLUDING its own
+  * batch_id directories and overwrites them — crash anywhere between the
+  * three writes recomputes the identical accepted set.
+  */
+object StreamNearDup {
+
+  def runAvailableNow(spark: SparkSession, sourcePath: String,
+                      schema: StructType, idCol: String, textCol: String,
+                      statePath: String, checkpointPath: String,
+                      shingleSize: Int = 7, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.95,
+                      maxBucket: Int = 1 << 16): Unit = {
+    val rowsPerBand = numHashes / bands
+    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        // one persisted frame carries shingles + signature (the
+        // minhashNearDups cache discipline — wide rows, columnar persist)
+        val signed = batch.select(col(idCol),
+            Dedup.hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
+          .withColumn("sig",
+            Dedup.minhashSignatureFromHashes(col("hs"), numHashes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val batchBands = Dedup.lshBands(
+            signed.select(col(idCol), col("sig")), idCol, "sig",
+            bands, rowsPerBand)
+          val standingBands = readState(session, s"$statePath/bands", batchId,
+            StructType(Seq(
+              batch.schema(idCol),
+              org.apache.spark.sql.types.StructField("band_idx",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("band_sig",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType)))), idCol)
+          val standingHs = readState(session, s"$statePath/shingles", batchId,
+            StructType(Seq(
+              batch.schema(idCol),
+              org.apache.spark.sql.types.StructField("hs",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType)))), idCol)
+          // bipartite band probe, both sides agg-capped (never a window)
+          val cands = Dedup.capBuckets(batchBands, idCol, maxBucket)
+            .toDF(s"${idCol}_new", "band_idx", "band_sig")
+            .join(Dedup.capBuckets(standingBands, idCol, maxBucket)
+              .toDF(s"${idCol}_old", "band_idx", "band_sig"),
+              Seq("band_idx", "band_sig"))
+            .select(col(s"${idCol}_new"), col(s"${idCol}_old")).distinct()
+          // exact-Jaccard confirmation against the STORED shingle sets —
+          // the standing corpus text is never touched
+          val dropped = cands
+            .join(signed.select(col(idCol).as(s"${idCol}_new"),
+              col("hs").as("hs_new")), s"${idCol}_new")
+            .join(standingHs.select(col(idCol).as(s"${idCol}_old"),
+              col("hs").as("hs_old")), s"${idCol}_old")
+            .filter(
+              size(col("hs_new")).cast("double") >= lit(threshold) * size(col("hs_old")) &&
+              size(col("hs_old")).cast("double") >= lit(threshold) * size(col("hs_new")))
+            .filter(Dedup.jaccardSorted(col("hs_new"), col("hs_old")) >= threshold)
+            .select(col(s"${idCol}_new").as(idCol)).distinct()
+          val accepted = batch.join(dropped, Seq(idCol), "left_anti")
+            .select(batch.columns.map(col): _*)
+            .cache()
+          try {
+            accepted.write.mode("overwrite")
+              .parquet(s"$statePath/accepted/batch_id=$batchId")
+            batchBands.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+              .write.mode("overwrite")
+              .parquet(s"$statePath/bands/batch_id=$batchId")
+            signed.select(col(idCol), col("hs"))
+              .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+              .write.mode("overwrite")
+              .parquet(s"$statePath/shingles/batch_id=$batchId")
+          } finally accepted.unpersist()
+        } finally signed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The standing state excluding the current batch's own directories —
+    * a replayed batch must not probe (or anti-join) against its previous
+    * attempt's output. */
+  private def readState(spark: SparkSession, path: String, batchId: Long,
+                        empty: StructType, idCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(path).filter(col("batch_id") =!= batchId)
+        .drop("batch_id")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+  }
+}
