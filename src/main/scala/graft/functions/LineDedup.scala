@@ -99,4 +99,56 @@ object LineDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Boilerplate line removal (the CCNet/C4-style pass): a NEWLINE line is
+    * boilerplate when it appears in ≥ `minDocs` DISTINCT documents within
+    * its scope (scope = site/source — nav menus, cookie banners, copyright
+    * footers recur within a site, not across the corpus; pass no scope
+    * columns for corpus-global detection). Unlike [[dedupLines]] — which
+    * keeps each line's FIRST occurrence — this drops EVERY occurrence of a
+    * frequent line: boilerplate carries no training signal even once.
+    *
+    * Returns (idCol, n_lines, n_boiler, clean_text) with clean_text the
+    * surviving lines rejoined by '\n' in original order. A document whose
+    * every line is boilerplate survives with clean_text = "".
+    *
+    * Scale shape: distinct-doc counts per (scope, line) come from two
+    * chained partially-aggregating shuffles (dedup within doc, then
+    * count), so the heaviest boilerplate line crosses the wire once per
+    * input partition, never as its full occurrence list. The flagging
+    * join's build side holds only lines PAST the threshold (boilerplate
+    * vocabulary — small by construction), so AQE broadcasts it at real
+    * scale; reassembly is one per-document aggregation whose state is
+    * bounded by the document itself. No window anywhere. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       scopeCols: Seq[String] = Seq.empty,
+                       minDocs: Int = 10): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would flag every line as boilerplate")
+    val scope = scopeCols.map(col)
+    val exploded = df.select(
+      (col(idCol) +: scope :+
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line"))): _*)
+    // per-(scope, line): number of distinct docs. Stage 1 collapses
+    // within-doc repeats (partial agg), stage 2 counts docs (partial agg);
+    // count(DISTINCT id) in one step would carry per-task id sets for the
+    // hottest lines instead of pre-collapsed rows.
+    val boiler = exploded.select((scope :+ col("line") :+ col(idCol)): _*)
+      .distinct()
+      .groupBy((scope :+ col("line")): _*)
+      .agg(count(lit(1)).as("_graft_ndocs"))
+      .filter(col("_graft_ndocs") >= minDocs)
+      .select((scope :+ col("line") :+ lit(true).as("_graft_boiler")): _*)
+    val flagged = exploded.join(boiler, scopeCols :+ "line", "left")
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_graft_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        // collect_list skips null inputs: boilerplate rows contribute
+        // nothing, kept rows carry (idx, line) for order-preserving
+        // reassembly — per-document state only
+        array_join(transform(
+          array_sort(collect_list(when(col("_graft_boiler").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
 }

@@ -152,6 +152,59 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic WEIGHTED sample without replacement — "pick k docs,
+    * favoring the high-quality / long / rare ones" with integer weights.
+    *
+    * Lottery formulation: a row with weight w holds w tickets; ticket i's
+    * value is the stable md5 coordinate of `key:i`; the row's priority is
+    * its minimum ticket and the k smallest priorities win (ties broken by
+    * key). P(priority < x) = 1 − (1 − x)^w, strictly increasing in w, so
+    * this is Efraimidis–Spirakis A-Res with the min-of-w-uniforms key
+    * transform in place of u^(1/w) — same weighted-order-statistics
+    * machinery, but integer-exact and ENGINE-PORTABLE: no pow/ln whose
+    * last-ulp differences between libm and the JVM could flip a rank
+    * cross-engine (the hazard the BM25 oracle documents). The q107 oracle
+    * restates the identical tickets with range+md5 in SQL.
+    *
+    * Scale shape: only the narrow (key, weight) projection is exploded
+    * (×avg(w) rows of two columns); min(ticket) partially aggregates
+    * map-side, and the global top-k is a TakeOrdered (per-partition heads,
+    * never a full sort). Full rows rejoin by key, so keys must be unique
+    * and non-null, and weights non-null and ≥ 1 — both guarded with a
+    * distributed fail-fast rather than a silent drop. `maxWeight` bounds
+    * the ticket blow-up; rescale weights (they only matter relatively)
+    * rather than raising it. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, maxWeight: Long = 1000L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wGuard = when(col(weightCol).isNull || col(weightCol) < 1,
+        raise_error(concat(lit(s"weightedSample: weight column '$weightCol' " +
+          "must be non-null and >= 1, got "), col(weightCol).cast("string")))
+          .cast("long"))
+      .when(col(weightCol) > maxWeight,
+        raise_error(concat(lit(s"weightedSample: weight exceeds maxWeight=" +
+          s"$maxWeight (rescale weights - only ratios matter): "),
+          col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val keyStr = coalesce(col(keyCol).cast("string"),
+      raise_error(lit(s"weightedSample: key column '$keyCol' contains a " +
+        "null - keys must be non-null and unique")).cast("string"))
+    val winners = df.select(keyStr.as("_graft_key"), wGuard.as("_graft_w"))
+      .select(col("_graft_key"),
+        explode(sequence(lit(0L), col("_graft_w") - 1)).as("_graft_i"))
+      .select(col("_graft_key"),
+        substring(md5(concat(col("_graft_key"), lit(":"),
+          col("_graft_i").cast("string"))), 1, 8).as("_graft_ticket"))
+      .groupBy(col("_graft_key"))
+      .agg(min(col("_graft_ticket")).as("_graft_priority"))
+      .orderBy(col("_graft_priority"), col("_graft_key"))
+      .limit(k)
+      .select(col("_graft_key").as(keyCol))
+    df.join(winners.select(col(keyCol).cast(df.schema(keyCol).dataType)
+        .as(keyCol)), Seq(keyCol), "left_semi")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic disjoint split (train/val/test): each row lands in
     * exactly one labeled split by comparing its stable md5 coordinate
     * against cumulative hex thresholds — shuffle-free, reproducible under

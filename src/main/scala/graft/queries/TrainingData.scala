@@ -843,7 +843,68 @@ object TrainingData {
       .orderBy(col("seq_id"))
   }
 
+  /** Deterministic weighted sample: longer docs carry more lottery tickets
+    * (w = 1 + n_chars mod 8 — integer arithmetic only, so the weight
+    * derivation restates exactly in SQL), k = 100 winners by smallest
+    * min-ticket. The oracle re-runs the identical ticket lottery with
+    * range + md5. */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("w", lit(1L) + (col("n_chars") % 8))
+    graft.functions.Sampling.weightedSample(d, "doc_id", "w", k = 100)
+      .select(col("doc_id"), col("lang"), col("w"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
+    * into every page (plus a per-doc unique ref line) must vanish — a line
+    * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
+    * and every occurrence is dropped (unlike q68's keep-first line dedup).
+    * The per-doc ref lines and the real text survive untouched. */
+  def boilerplateQ(s: SparkSession, dir: String): DataFrame = {
+    val withBoiler = docs(s, dir).select(col("doc_id"), col("source"),
+      concat(
+        lit("NAVIGATION MENU "), col("source"), lit("\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("SUBSCRIBE to the "), col("source"),
+            lit(" newsletter\n"))).otherwise(lit("")),
+        col("text"), lit("\n"),
+        lit("ref "), col("doc_id").cast("string"), lit("\n"),
+        lit("Copyright "), col("source"),
+        lit(" - all rights reserved")).as("text"))
+    graft.functions.LineDedup.stripBoilerplate(withBoiler, "doc_id", "text",
+        scopeCols = Seq("source"), minDocs = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL canonicalization + dedup: every doc gets a messy fetch URL
+    * (scheme/host case, explicit :443, trailing slash, shuffled params,
+    * utm/gclid junk, fragment) whose canonical form collapses to
+    * (host = id mod 7) × (item = id mod 50); the dedup keeps the lowest
+    * doc_id per canonical URL with the collapse count. The oracle restates
+    * the canonicalization algorithm step-for-step, not its answers. */
+  def urlDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val messy = docs(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Example"))
+          .otherwise(lit("https://www.example")),
+        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/articles/item"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("?b=2&a=1&utm_source=feed&gclid=XYZ"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 5 === 0, lit("#section-2"))
+          .otherwise(lit(""))).as("url"))
+    graft.functions.Urls.dedupByUrl(messy, "doc_id", "url")
+      .orderBy(col("canonical_url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_url_dedup"        -> urlDedupQ _,
+    "q108_boilerplate"      -> boilerplateQ _,
+    "q107_weighted_sample"  -> weightedSampleQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -1139,6 +1200,100 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The identical ticket lottery: w tickets per doc via range, the same
+    // md5("key:i") coordinates, min-ticket priority, top-100 with the same
+    // STRING tiebreak on the key the engine uses.
+    "q107_weighted_sample" ->
+      """WITH w AS (
+        | SELECT doc_id, lang, 1 + (n_chars % 8) AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(range(0, w)) AS i FROM w),
+        |pri AS (SELECT doc_id,
+        |  min(substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(i AS VARCHAR)), 1, 8)) AS priority
+        | FROM t GROUP BY doc_id),
+        |win AS (SELECT doc_id FROM pri
+        | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
+        |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
+        |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same boilerplate injection, same per-(source, line) distinct-doc
+    // threshold, same drop-every-occurrence semantics and ordered
+    // newline reassembly.
+    "q108_boilerplate" ->
+      """WITH d2 AS (
+        | SELECT doc_id, source,
+        |  'NAVIGATION MENU ' || source || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'SUBSCRIBE to the ' || source || ' newsletter' || chr(10)
+        |       ELSE '' END ||
+        |  text || chr(10) ||
+        |  'ref ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'Copyright ' || source || ' - all rights reserved' AS text
+        | FROM documents),
+        |ls AS (SELECT doc_id, source,
+        |  string_split(text, chr(10)) AS lines FROM d2),
+        |ln AS (SELECT doc_id, source, lines,
+        |  unnest(range(1, len(lines) + 1)) AS i FROM ls),
+        |l2 AS (SELECT doc_id, source, CAST(i - 1 AS INT) AS line_idx,
+        |  lines[i] AS line FROM ln),
+        |b AS (SELECT source, line
+        | FROM (SELECT source, line, count(DISTINCT doc_id) AS nd
+        |       FROM l2 GROUP BY source, line)
+        | WHERE nd >= 10)
+        |SELECT doc_id, count(*) AS n_lines,
+        | count(*) FILTER (WHERE b.line IS NOT NULL) AS n_boiler,
+        | coalesce(string_agg(CASE WHEN b.line IS NULL THEN l2.line END,
+        |   chr(10) ORDER BY line_idx), '') AS clean_text
+        |FROM l2 LEFT JOIN b USING (source, line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The canonicalization ALGORITHM restated generically (regexp parts,
+    // default-port strip, trailing-slash strip, tracking-param filter,
+    // bytewise param sort) over the same messy URL construction.
+    "q109_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example'
+        |       ELSE 'https://www.example' END
+        |  || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |  || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+        |  || '/articles/item' || CAST(doc_id % 50 AS VARCHAR)
+        |  || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0
+        |       THEN '?b=2&a=1&utm_source=feed&gclid=XYZ'
+        |       ELSE '?a=1&b=2' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+        | FROM documents),
+        |parts AS (
+        | SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostraw,
+        |  regexp_replace(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
+        |    AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        | FROM u),
+        |kf AS (
+        | SELECT doc_id, scheme, hostraw, path,
+        |  list_sort(list_filter(string_split(query, '&'),
+        |   p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |    AND NOT (p = 'gclid' OR starts_with(p, 'gclid='))
+        |    AND NOT (p = 'fbclid' OR starts_with(p, 'fbclid='))
+        |    AND NOT (p = 'ref' OR starts_with(p, 'ref=')))) AS kept
+        | FROM parts),
+        |canon AS (
+        | SELECT doc_id,
+        |  scheme || '://' ||
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |       ELSE hostraw END
+        |  || path ||
+        |  CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |       ELSE '' END AS canonical_url
+        | FROM kf)
+        |SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS n_dupes
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
     // q83's chunk construction, reordered by the identical
     // md5-epoch-permutation key, same manifest aggregation.
     "q103_epoch_shuffle" ->

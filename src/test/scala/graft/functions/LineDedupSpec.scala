@@ -74,4 +74,62 @@ class LineDedupSpec extends SparkSpec {
     assert(got(1L) == 2L) // both its lines are first occurrences
     assert(got(2L) == 1L) // loses "z z z z z" to doc 1, keeps "m m m m m"
   }
+
+  // --- stripBoilerplate ---
+
+  test("stripBoilerplate drops EVERY occurrence of frequent lines in-scope") {
+    // FOOTER appears in all three docs of source a (≥ minDocs=2) →
+    // boilerplate, removed everywhere; unique lines survive in order
+    val docs = Seq(
+      (1L, "a", "intro one\nFOOTER\nbody one"),
+      (2L, "a", "FOOTER\nbody two"),
+      (3L, "a", "FOOTER"),                 // all-boiler doc survives empty
+      (4L, "b", "FOOTER\nbody four"))      // source b: only 1 doc has it
+      .toDF("doc_id", "source", "text")
+    val got = LineDedup.stripBoilerplate(docs, "doc_id", "text",
+        scopeCols = Seq("source"), minDocs = 2)
+      .select($"doc_id", $"n_lines", $"n_boiler", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((3L, 1L, "intro one\nbody one")))
+    assert(got(2L) == ((2L, 1L, "body two")))
+    assert(got(3L) == ((1L, 1L, "")))
+    // same line below threshold in source b: kept (scope isolates sites)
+    assert(got(4L) == ((2L, 0L, "FOOTER\nbody four")))
+  }
+
+  test("stripBoilerplate without scope columns detects corpus-globally") {
+    val docs = Seq(
+      (1L, "a", "SHARED\nunique one"),
+      (2L, "b", "SHARED\nunique two"))
+      .toDF("doc_id", "source", "text")
+    // global: SHARED spans 2 docs across sources → boilerplate
+    val global = LineDedup.stripBoilerplate(docs, "doc_id", "text",
+        scopeCols = Seq.empty, minDocs = 2)
+      .select($"doc_id", $"n_boiler").as[(Long, Long)].collect().toMap
+    assert(global == Map(1L -> 1L, 2L -> 1L))
+    // scoped by source: 1 doc per source → nothing flagged
+    val scoped = LineDedup.stripBoilerplate(docs, "doc_id", "text",
+        scopeCols = Seq("source"), minDocs = 2)
+      .select($"doc_id", $"n_boiler").as[(Long, Long)].collect().toMap
+    assert(scoped == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("stripBoilerplate counts DISTINCT docs, not occurrences") {
+    // REPEAT appears twice in ONE doc: occurrence count 2, doc count 1 —
+    // must NOT be flagged at minDocs=2
+    val docs = Seq((1L, "a", "REPEAT\nmiddle\nREPEAT"))
+      .toDF("doc_id", "source", "text")
+    val got = LineDedup.stripBoilerplate(docs, "doc_id", "text",
+        Seq("source"), minDocs = 2)
+      .select($"n_boiler", $"clean_text").as[(Long, String)].collect().head
+    assert(got == ((0L, "REPEAT\nmiddle\nREPEAT")))
+  }
+
+  test("stripBoilerplate rejects a degenerate threshold") {
+    val docs = Seq((1L, "a", "x")).toDF("doc_id", "source", "text")
+    intercept[IllegalArgumentException] {
+      LineDedup.stripBoilerplate(docs, "doc_id", "text", Seq("source"), 1)
+    }
+  }
 }

@@ -175,4 +175,63 @@ class SamplingSpec extends SparkSpec {
       assert(if (b < t) s == "lo" else s == "hi")
     }
   }
+
+  // --- weightedSample (deterministic weighted lottery) ---
+
+  /** The lottery restated naively on the driver: md5-hex 8-char prefix of
+    * "key:i" per ticket, min ticket, top-k by (priority, key-string). */
+  private def naiveWeighted(rows: Seq[(Long, Long)], k: Int): Set[Long] = {
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    rows.map { case (id, w) =>
+      id -> (0L until w).map(i => md5hex8(s"$id:$i")).min
+    }.sortBy { case (id, p) => (p, id.toString) }.take(k).map(_._1).toSet
+  }
+
+  test("weightedSample matches the naive lottery restatement exactly") {
+    val rows = (1L to 300L).map(id => (id, 1L + id % 5))
+    val got = Sampling.weightedSample(
+        rows.toDF("id", "w"), "id", "w", k = 40)
+      .select($"id").as[Long].collect().toSet
+    assert(got == naiveWeighted(rows, 40))
+  }
+
+  test("weightedSample is deterministic under repartitioning and exact-k") {
+    val d = (1L to 1000L).toDF("id").withColumn("w", lit(1L) + $"id" % 8)
+    val a = Sampling.weightedSample(d, "id", "w", 100)
+      .select($"id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(d.repartition(13), "id", "w", 100)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b && a.size == 100)
+  }
+
+  test("weightedSample favors heavy rows in proportion to weight") {
+    // half the corpus at weight 1, half at weight 10: a winner is ~10×
+    // likelier to be heavy, so a 200-of-2000 sample is overwhelmingly
+    // heavy (binomial tail: <1e-12 chance of heavy ≤ 2× light)
+    val d = (1L to 2000L).toDF("id")
+      .withColumn("w", when($"id" <= 1000L, 1L).otherwise(10L))
+    val heavy = Sampling.weightedSample(d, "id", "w", 200)
+      .filter($"id" > 1000L).count()
+    assert(heavy > 2 * (200 - heavy), s"heavy=$heavy of 200")
+  }
+
+  test("weightedSample fails fast on null keys and invalid weights") {
+    val nullKey = Seq((Some(1L), 2L), (None, 3L))
+      .toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedSample(nullKey, "id", "w", 1).collect()
+    }
+    val zeroW = Seq((1L, 1L), (2L, 0L)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedSample(zeroW, "id", "w", 1).collect()
+    }
+    val hugeW = Seq((1L, 1L), (2L, 5000L)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedSample(hugeW, "id", "w", 1).collect()
+    }
+  }
 }
