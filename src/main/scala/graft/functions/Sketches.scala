@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.{KmvMergeAgg, KmvSketchAgg}
+import graft.expressions.{KmvMergeAgg, KmvSketchAgg, QuantileSketchAgg}
 
 /** Mergeable cardinality sketches for corpus observability at 100 TB:
   * "how many distinct tokens / urls / fingerprints per source" without an
@@ -115,6 +115,74 @@ object Sketches {
       .join(broadcast(cells), Seq("depth", "bucket"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+
+  /** Aggregate: bounded mergeable quantile sketch — the distinct-value
+    * histogram restricted to the `capacity` smallest-hash values, each
+    * with its EXACT total weight, emitted value-ascending as
+    * `array<struct<value,count>>`. Deterministic under any partitioning
+    * (a pure set function — unlike GK/KLL, whose summaries depend on
+    * arrival order), exact when the group has ≤ capacity distinct
+    * values, and restatable in SQL even when saturated (`row_number() ≤
+    * capacity` over hash-ordered distinct values). `hash` must be
+    * [[hash60]] of the value's string rendering; see
+    * [[graft.expressions.QuantileSketchAgg]]. */
+  def quantileSketch(hash: Column, value: Column, weight: Column,
+                     capacity: Int): Column =
+    ColumnBridge.column(
+      QuantileSketchAgg(ColumnBridge.expression(hash),
+        ColumnBridge.expression(value), ColumnBridge.expression(weight),
+        capacity).toAggregateExpression())
+
+  /** Quantile estimate from a sketch column given a MATERIALIZED total
+    * (a bound attribute, not an inline aggregate — higher-order functions
+    * re-evaluate captured expressions per element, so an inline total
+    * turns the O(capacity) scan into O(capacity²)): the smallest sketch
+    * value whose running count reaches `ceil(q · total)` (floored at rank
+    * 1 so q = 0 means the minimum). Empty sketch → null. */
+  def sketchQuantile(sketch: Column, total: Column, q: Double): Column = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val target = greatest(lit(1L),
+      ceil(lit(q) * total.cast("double")).cast("long"))
+    aggregate(sketch,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, s) => struct(
+        (acc.getField("cum") + s.getField("count")).as("cum"),
+        coalesce(acc.getField("ans"),
+          when(acc.getField("cum") + s.getField("count") >= target,
+            s.getField("value"))).as("ans"))).getField("ans")
+  }
+
+  /** Per-group quantile report via [[quantileSketch]]: one row per group
+    * with the sketch size, the in-sketch mass, and one column per
+    * requested (name, q). ONE map-side-combining aggregation with ≤
+    * capacity entries of partial state per group per partition — the
+    * scale path where `percentile()`'s exact per-group value buffer
+    * (state ∝ distinct values) stops fitting. Quantiles are exact
+    * whenever `sketch_size < capacity` (then the sketch is the full
+    * histogram). */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     qs: Seq[(String, Double)], capacity: Int): DataFrame = {
+    require(qs.nonEmpty, "need at least one (name, quantile)")
+    val prepared = df.select(
+      groupCols.map(col) ++ Seq(
+        hash60(col(valueCol).cast("string")).as("_graft_h"),
+        col(valueCol).cast("long").as("_graft_v")): _*)
+    val sk = prepared.groupBy(groupCols.map(col): _*)
+      .agg(quantileSketch(col("_graft_h"), col("_graft_v"), lit(1L),
+        capacity).as("_graft_sk"))
+      // projection boundary: total must be a bound attribute before any
+      // sketchQuantile lambda captures it (see sketchQuantile note)
+      .withColumn("_graft_total",
+        aggregate(col("_graft_sk"), lit(0L),
+          (acc, s) => acc + s.getField("count")))
+    sk.select(
+      groupCols.map(col) ++ Seq(
+        size(col("_graft_sk")).cast("long").as("sketch_size"),
+        col("_graft_total").as("sketch_mass")) ++
+        qs.map { case (name, q) =>
+          sketchQuantile(col("_graft_sk"), col("_graft_total"), q).as(name)
+        }: _*)
+  }
 
   /** Per-group distinct-cardinality report over a value column: one row
     * per group with the sketch size, the KMV estimate, and (for

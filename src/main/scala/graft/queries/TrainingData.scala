@@ -901,7 +901,22 @@ object TrainingData {
       .orderBy(col("canonical_url"))
   }
 
+  /** Per-source length quantiles via the bounded mergeable quantile
+    * sketch (bottom-capacity-by-hash distinct-value histogram): one
+    * map-side-combining aggregation with ≤ 256 entries of partial state
+    * per group — the scale path where exact `percentile()` (q52, state ∝
+    * distinct values per group) stops fitting. The oracle restates the
+    * FULL estimator — hash-ranked distinct-value sample, exact counts,
+    * ceil(q·mass) rank — so it stays correct even when a group
+    * saturates. */
+  def quantileSketchQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.groupQuantiles(docs(s, dir), Seq("source"),
+        "n_chars", Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)),
+        capacity = 256)
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_quantile_sketch"  -> quantileSketchQ _,
     "q109_url_dedup"        -> urlDedupQ _,
     "q108_boilerplate"      -> boilerplateQ _,
     "q107_weighted_sample"  -> weightedSampleQ _,
@@ -1200,6 +1215,36 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The whole sketch estimator restated: bottom-256 distinct values by
+    // the portable hash60 with exact counts, quantile = smallest value
+    // whose running count reaches ceil(q·mass) (::DOUBLE so both engines
+    // IEEE-multiply; floored at rank 1).
+    "q110_quantile_sketch" ->
+      """WITH vc AS (SELECT source, n_chars AS v, count(*) AS c
+        |            FROM documents GROUP BY source, n_chars),
+        |h AS (SELECT source, v, c,
+        |  ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM vc),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY hv) AS r FROM h),
+        |sk AS (SELECT source, v, c FROM rk WHERE r <= 256),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS sketch_size,
+        |        CAST(sum(c) AS BIGINT) AS sketch_mass
+        |        FROM sk GROUP BY source),
+        |cum AS (SELECT sk.source, v,
+        |        sum(c) OVER (PARTITION BY sk.source ORDER BY v) AS cw,
+        |        t.sketch_mass AS mass
+        | FROM sk JOIN tot t USING (source)),
+        |q AS (SELECT source,
+        |  min(CASE WHEN cw >= greatest(1, CAST(ceil(0.5::DOUBLE *
+        |    mass::DOUBLE) AS BIGINT)) THEN v END) AS p50,
+        |  min(CASE WHEN cw >= greatest(1, CAST(ceil(0.9::DOUBLE *
+        |    mass::DOUBLE) AS BIGINT)) THEN v END) AS p90,
+        |  min(CASE WHEN cw >= greatest(1, CAST(ceil(0.99::DOUBLE *
+        |    mass::DOUBLE) AS BIGINT)) THEN v END) AS p99
+        | FROM cum GROUP BY source)
+        |SELECT t.source, t.sketch_size, t.sketch_mass, q.p50, q.p90, q.p99
+        |FROM tot t JOIN q USING (source) ORDER BY source""".stripMargin,
     // The identical ticket lottery: w tickets per doc via range, the same
     // md5("key:i") coordinates, min-ticket priority, top-100 with the same
     // STRING tiebreak on the key the engine uses.

@@ -21,10 +21,14 @@ import graft.functions.Dedup
   * the [[IncrementalIngest]] overwrite discipline):
   *   - `accepted/batch_id=N/` — accepted input rows (the sink);
   *   - `bands/batch_id=N/`    — (id, band_idx, band_sig) of accepted docs;
-  *   - `shingles/batch_id=N/` — (id, hs) hashed shingle sets of accepted
-  *     docs, the verification material for exact-Jaccard confirmation of
-  *     band collisions (signatures alone would make the drop decision
-  *     probabilistic).
+  *   - `shingles/batch_id=N/` — (id, hs, n_hs) hashed shingle sets of
+  *     accepted docs, the verification material for exact-Jaccard
+  *     confirmation of band collisions (signatures alone would make the
+  *     drop decision probabilistic). `n_hs` is stored as its OWN column
+  *     so the size-ratio prefilter reads a narrow (id, n_hs) projection —
+  *     parquet column pruning keeps the array pages untouched for every
+  *     candidate the ratio kills, and only surviving pairs pull the
+  *     stored sets for the Jaccard check.
   *
   * Dedup is AGAINST THE INDEX ONLY — within-batch pairs are deliberately
   * not compared (the probe question is "is this new doc already in the
@@ -73,7 +77,9 @@ object StreamNearDup {
               batch.schema(idCol),
               org.apache.spark.sql.types.StructField("hs",
                 org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.LongType)))), idCol)
+                  org.apache.spark.sql.types.LongType)),
+              org.apache.spark.sql.types.StructField("n_hs",
+                org.apache.spark.sql.types.IntegerType))), idCol)
           // bipartite band probe, both sides agg-capped (never a window)
           val cands = Dedup.capBuckets(batchBands, idCol, maxBucket)
             .toDF(s"${idCol}_new", "band_idx", "band_sig")
@@ -81,16 +87,26 @@ object StreamNearDup {
               .toDF(s"${idCol}_old", "band_idx", "band_sig"),
               Seq("band_idx", "band_sig"))
             .select(col(s"${idCol}_new"), col(s"${idCol}_old")).distinct()
+          // size-ratio prefilter on NARROW columns first: the batch side's
+          // sizes come off the persisted signed frame, the standing side's
+          // off the stored n_hs column (array pages never read) — only
+          // pairs surviving the ratio pull actual shingle sets
+          val sizedCands = cands
+            .join(signed.select(col(idCol).as(s"${idCol}_new"),
+              size(col("hs")).as("n_new")), s"${idCol}_new")
+            .join(standingHs.select(col(idCol).as(s"${idCol}_old"),
+              col("n_hs").as("n_old")), s"${idCol}_old")
+            .filter(
+              col("n_new").cast("double") >= lit(threshold) * col("n_old") &&
+              col("n_old").cast("double") >= lit(threshold) * col("n_new"))
+            .select(col(s"${idCol}_new"), col(s"${idCol}_old"))
           // exact-Jaccard confirmation against the STORED shingle sets —
           // the standing corpus text is never touched
-          val dropped = cands
+          val dropped = sizedCands
             .join(signed.select(col(idCol).as(s"${idCol}_new"),
               col("hs").as("hs_new")), s"${idCol}_new")
             .join(standingHs.select(col(idCol).as(s"${idCol}_old"),
               col("hs").as("hs_old")), s"${idCol}_old")
-            .filter(
-              size(col("hs_new")).cast("double") >= lit(threshold) * size(col("hs_old")) &&
-              size(col("hs_old")).cast("double") >= lit(threshold) * size(col("hs_new")))
             .filter(Dedup.jaccardSorted(col("hs_new"), col("hs_old")) >= threshold)
             .select(col(s"${idCol}_new").as(idCol)).distinct()
           val accepted = batch.join(dropped, Seq(idCol), "left_anti")
@@ -102,7 +118,7 @@ object StreamNearDup {
             batchBands.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
               .write.mode("overwrite")
               .parquet(s"$statePath/bands/batch_id=$batchId")
-            signed.select(col(idCol), col("hs"))
+            signed.select(col(idCol), col("hs"), size(col("hs")).as("n_hs"))
               .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
               .write.mode("overwrite")
               .parquet(s"$statePath/shingles/batch_id=$batchId")
