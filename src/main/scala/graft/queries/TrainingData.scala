@@ -915,7 +915,46 @@ object TrainingData {
         capacity = 256)
       .orderBy(col("source"))
 
+  /** Hybrid retrieval via reciprocal-rank fusion: the TF-IDF
+    * inverted-index channel (q85 machinery) and a character-7-shingle
+    * Jaccard channel each rank the corpus against doc 0, and the two
+    * top-20 lists fuse with RRF (k = 60) — the standard hybrid-search
+    * combiner, integer-rank-based so the fusion arithmetic restates
+    * bit-identically in SQL. Docs in only one list contribute that
+    * list's term alone. Both row_number windows run over ≤ 20 rows
+    * (post-TakeOrdered), never the corpus. */
+  def hybridRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).persist() // query doc + corpus channels share it
+    val corpus = d.filter(col("doc_id") =!= 0)
+    val queryText = d.filter(col("doc_id") === 0)
+      .select(col("text")).head().getString(0)
+    val sparse = graft.functions.TermStats
+      .sparseTopK(corpus, "doc_id", "text", queryText, 20)
+      .withColumn("rank_tfidf", row_number().over(
+        Window.orderBy(col("score_scaled").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_tfidf"))
+    val qhs = d.filter(col("doc_id") === 0)
+      .select(Dedup.hashedCharShingles(lower(col("text")), 7).as("qhs"))
+    val dense = corpus
+      .select(col("doc_id"),
+        Dedup.hashedCharShingles(lower(col("text")), 7).as("hs"))
+      .crossJoin(broadcast(qhs))
+      .select(col("doc_id"), Dedup.jaccardSorted(col("hs"), col("qhs")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(20)
+      .withColumn("rank_char", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_char"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_tfidf"), col("rank_char"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_char")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_hybrid_retrieval" -> hybridRetrievalQ _,
     "q110_quantile_sketch"  -> quantileSketchQ _,
     "q109_url_dedup"        -> urlDedupQ _,
     "q108_boilerplate"      -> boilerplateQ _,
@@ -1215,6 +1254,55 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Both channels restated (q85's TF-IDF over the corpus-minus-query,
+    // q27's shingle Jaccard against doc 0), then the identical
+    // rank-based RRF arithmetic — 1.0/(60+rank) in the same fixed
+    // sparse-then-char addition order.
+    "q111_hybrid_retrieval" ->
+      """WITH q AS (
+        | SELECT term, count(*)::DOUBLE AS qtf FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id = 0) GROUP BY term),
+        |toks AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents WHERE doc_id <> 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        | FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents
+        |      WHERE doc_id <> 0),
+        |sc AS (SELECT doc_id,
+        |  CAST(floor(qtf * tf::DOUBLE *
+        |    ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+        |    1048576.0::DOUBLE) AS BIGINT) AS c
+        | FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN n),
+        |sp0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_scaled
+        | FROM sc GROUP BY doc_id
+        | ORDER BY score_scaled DESC, doc_id LIMIT 20),
+        |sp AS (SELECT doc_id, row_number() OVER
+        |  (ORDER BY score_scaled DESC, doc_id) AS rank_tfidf FROM sp0),
+        |qsh AS (SELECT list_distinct(list_transform(
+        |  range(1, greatest(length(lower(text)) - 6, 1) + 1),
+        |  i -> substring(lower(text), CAST(i AS INT), 7))) AS qs
+        | FROM documents WHERE doc_id = 0),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(length(lower(text)) - 6, 1) + 1),
+        |  i -> substring(lower(text), CAST(i AS INT), 7))) AS sh
+        | FROM documents WHERE doc_id <> 0),
+        |sims AS (SELECT doc_id,
+        |  len(list_intersect(sh, qs))::DOUBLE /
+        |   greatest(len(sh) + len(qs) - len(list_intersect(sh, qs)), 1)
+        |   AS sim
+        | FROM g CROSS JOIN qsh),
+        |ch0 AS (SELECT doc_id, sim FROM sims
+        | ORDER BY sim DESC, doc_id LIMIT 20),
+        |ch AS (SELECT doc_id, row_number() OVER
+        |  (ORDER BY sim DESC, doc_id) AS rank_char FROM ch0)
+        |SELECT doc_id, rank_tfidf, rank_char,
+        | coalesce(1.0::DOUBLE / (60 + rank_tfidf), 0.0::DOUBLE) +
+        |  coalesce(1.0::DOUBLE / (60 + rank_char), 0.0::DOUBLE) AS rrf
+        |FROM sp FULL OUTER JOIN ch USING (doc_id)
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
     // The whole sketch estimator restated: bottom-256 distinct values by
     // the portable hash60 with exact counts, quantile = smallest value
     // whose running count reaches ceil(q·mass) (::DOUBLE so both engines
