@@ -226,6 +226,48 @@ object PipelineQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Co-located bucketed join under the oracle gate: customer and orders
+    * are REWRITTEN as catalog tables bucketed on the customer key
+    * ([[graft.sinks.Sinks.writeBucketed]], 16 buckets, matching counts),
+    * then joined and aggregated per market segment THROUGH the bucketed
+    * read path — at 100 TB this join runs with no Exchange on either side
+    * (pinned by BucketedJoinSpec; at bench scale AQE may still choose to
+    * broadcast the small side, which is also shuffle-free). The oracle is
+    * the same join over the raw parquet — bucketing must change the
+    * LAYOUT, never the answer. The bucketed copies live under a
+    * deterministic temp-dir database recreated per run (the write is the
+    * point: the shuffle is paid once at write time). */
+  def bucketedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = s"${System.getProperty("java.io.tmpdir")}/graft_q112_db"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q112 LOCATION '$dbDir'")
+    // a PREVIOUS session's table files may survive at the fixed location
+    // while this session's catalog has no such table — drop both the
+    // catalog entry and any orphaned directory so the write never trips
+    // LOCATION_ALREADY_EXISTS
+    Seq("customer_b", "orders_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_q112.$t")
+      val p = new org.apache.hadoop.fs.Path(s"$dbDir/$t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice").cast(DecimalType(18, 2))
+        .as("o_totalprice"))
+    graft.sinks.Sinks.writeBucketed(c, "graft_q112.customer_b", 16,
+      Seq("c_custkey"), Seq("c_custkey"))
+    graft.sinks.Sinks.writeBucketed(o, "graft_q112.orders_b", 16,
+      Seq("o_custkey"), Seq("o_custkey"))
+    s.table("graft_q112.orders_b")
+      .join(s.table("graft_q112.customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Run `body` against a fresh temp directory, deleting the tree even on
     * failure (the walk stream holds directory handles and must close). */
   private def withTempDir(prefix: String)(body: java.nio.file.Path => DataFrame)
@@ -382,6 +424,7 @@ object PipelineQueries {
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
+    "q112_bucketed_join"  -> bucketedJoinQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +456,13 @@ object PipelineQueries {
     "q46_cursor_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars <= 300 AND source = 'src7' ORDER BY doc_id""".stripMargin,
+    // bucketing must change the layout, never the answer: the oracle is
+    // the same join/aggregate over the raw parquet tables
+    "q112_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the truncate+append write waves reconstruct the table exactly, so
     // the oracle is the original table under the same pruning filter
     "q105_lakesim_write" ->

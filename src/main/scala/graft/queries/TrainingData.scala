@@ -925,7 +925,8 @@ object TrainingData {
     * (post-TakeOrdered), never the corpus. */
   def hybridRetrievalQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(s, dir).persist() // query doc + corpus channels share it
+    // only (doc_id, text) feed either channel — cache the narrow frame
+    val d = docs(s, dir).select(col("doc_id"), col("text")).persist()
     val corpus = d.filter(col("doc_id") =!= 0)
     val queryText = d.filter(col("doc_id") === 0)
       .select(col("text")).head().getString(0)

@@ -48,6 +48,33 @@ object Sinks {
   def replaceTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** Co-located bucketed table write: rows are hash-distributed into
+    * `numBuckets` files by `bucketCols` (and sorted within each bucket by
+    * `sortCols`), so every FUTURE join or aggregation on the bucket key
+    * reads shuffle-free — at 100 TB the repeated fact⋈dim join on a
+    * shared key is usually the dominant exchange, and bucketing pays that
+    * shuffle ONCE at write time instead of on every query. Two tables
+    * bucketed on their join key with the same numBuckets sort-merge-join
+    * with no Exchange on either side (pinned by BucketedJoinSpec);
+    * mismatched-but-divisible bucket counts still avoid the shuffle when
+    * `spark.sql.bucketing.coalesceBucketsInJoin.enabled` is on.
+    *
+    * Sizing: pick numBuckets so one bucket ≈ one task's worth of data at
+    * the TARGET scale (buckets are the parallelism ceiling for bucket-wise
+    * reads). Spark's native bucketing is hash-based and Hive-incompatible;
+    * the table must be a catalog table (`saveAsTable`), not a bare path. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCols: Seq[String],
+                    sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: need at least one bucket column")
+    require(numBuckets >= 1, s"writeBucketed: numBuckets must be >= 1, got $numBuckets")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+             else w
+    ws.saveAsTable(table)
+  }
+
   /** K3 proper: chunked JDBC batch insert (reference
     * `lambda_function.py:211-243` + `db/database.py:30-41`). Spark's JDBC
     * sink batches prepared statements per `batchSize` — the
