@@ -127,42 +127,49 @@ object BpeTokenCountExpr {
   @inline private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** End index (exclusive) of the longest vocabulary unit prefixing `t`
+    * at `i`, or -1 when `t(i)` is outside [a-z0-9]. The shared trie-walk
+    * kernel behind [[countTokens]] and [[BpeSegmentsExpr]] — single
+    * chars are always vocabulary members, so an alnum position always
+    * advances by ≥ 1. */
+  private[expressions] def longestUnitEnd(t: String, i: Int): Int = {
+    if (classify(t.charAt(i)) < 0) return -1
+    val ch = children
+    val term = terminal
+    val len = t.length
+    var node = 0
+    var j = i
+    var lastEnd = i + 1
+    var walking = true
+    while (walking && j < len) {
+      val k = classify(t.charAt(j))
+      if (k < 0) walking = false
+      else {
+        val child = ch(node * R + k)
+        if (child == -1) walking = false
+        else {
+          node = child
+          j += 1
+          if (term(node)) lastEnd = j
+        }
+      }
+    }
+    lastEnd
+  }
+
   /** Codegen kernel: subword token count of one document. */
   def countTokens(s: UTF8String): Long = {
     val t = s.toString.toLowerCase(java.util.Locale.ROOT)
     val len = t.length
-    val ch = children
-    val term = terminal
     var i = 0
     var n = 0L
     while (i < len) {
       val c = t.charAt(i)
       if (isSpace(c)) i += 1
       else {
-        val k0 = classify(c)
-        if (k0 < 0) { n += 1; i += 1 } // symbol: one token, like the oracle
-        else {
-          // greedy longest vocabulary prefix from i (single char always hits)
-          var node = 0
-          var j = i
-          var lastEnd = i + 1
-          var walking = true
-          while (walking && j < len) {
-            val k = classify(t.charAt(j))
-            if (k < 0) walking = false
-            else {
-              val child = ch(node * R + k)
-              if (child == -1) walking = false
-              else {
-                node = child
-                j += 1
-                if (term(node)) lastEnd = j
-              }
-            }
-          }
-          n += 1
-          i = lastEnd
-        }
+        val end = longestUnitEnd(t, i)
+        if (end < 0) { n += 1; i += 1 } // symbol: one token, like the oracle
+        else { n += 1; i = end }
       }
     }
     n

@@ -954,7 +954,40 @@ object TrainingData {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** One DISTRIBUTED BPE-TRAINING ITERATION: segment the corpus with the
+    * current vocabulary (the embedded q95 merges table) and count
+    * adjacent-unit pairs — the top pair IS the next merge a BPE trainer
+    * would add. Scale shape: segmentation runs once per DISTINCT alnum
+    * run, not per occurrence (the run vocabulary grows far slower than
+    * the corpus — the groupBy(piece) partial agg is the whole trick);
+    * pair mining explodes the bounded unit sequences of those distinct
+    * runs with their corpus counts, and the global top-20 is a
+    * TakeOrdered. The oracle re-derives the segmentation with the q95
+    * recursive CTE extended to carry (unit, prev) and emit pairs. */
+  def bpeMergeCandidatesQ(s: SparkSession, dir: String): DataFrame = {
+    val pieceCounts = docs(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("piece"))
+      .filter(col("piece").rlike("^[a-z0-9]")) // symbols never merge
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+    val pairs = pieceCounts
+      .withColumn("units",
+        graft.expressions.BpeSegmentsExpr.bpeSegments(col("piece")))
+      .filter(size(col("units")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("units")) - 1),
+        i => struct(element_at(col("units"), i).as("unit_a"),
+          element_at(col("units"), i + 1).as("unit_b")))).as("p"))
+      .select(col("p.unit_a").as("unit_a"), col("p.unit_b").as("unit_b"),
+        col("cnt"))
+    pairs.groupBy(col("unit_a"), col("unit_b"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("unit_a"), col("unit_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_bpe_merge_mine"   -> bpeMergeCandidatesQ _,
     "q111_hybrid_retrieval" -> hybridRetrievalQ _,
     "q110_quantile_sketch"  -> quantileSketchQ _,
     "q109_url_dedup"        -> urlDedupQ _,
@@ -1090,9 +1123,14 @@ object TrainingData {
     * so the recursion always terminates with rest = ''). Non-alnum
     * pieces count 1. Yields `bpe_counts(groupCol, n_bpe_tokens)`; the
     * enclosing WITH must be RECURSIVE. */
-  private def bpeCtes(groupCol: String): String = {
-    val values = graft.expressions.BpeTokenCountExpr.vocabulary
+  /** The embedded vocabulary as SQL VALUES rows — generated from the SAME
+    * object the Spark kernels read, one source of truth (q95/q99/q113). */
+  private def bpeVocabValues: String =
+    graft.expressions.BpeTokenCountExpr.vocabulary
       .map(v => s"('$v')").mkString(",")
+
+  private def bpeCtes(groupCol: String): String = {
+    val values = bpeVocabValues
     s"""bpe_vocab(v) AS (VALUES $values),
        |bpe_pieces AS (
        | SELECT $groupCol, unnest(regexp_extract_all(lower(text),
@@ -1255,6 +1293,35 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q95's recursive longest-match segmentation extended to carry
+    // (unit, prev) per step and emit adjacent pairs, weighted by the
+    // distinct-run corpus counts — the same one-iteration BPE trainer.
+    "q113_bpe_merge_mine" ->
+      s"""WITH RECURSIVE bpe_vocab(v) AS (VALUES $bpeVocabValues),
+         |pieces0 AS (
+         | SELECT unnest(regexp_extract_all(lower(text),
+         |   '[a-z0-9]+|[^a-z0-9\\s]')) AS piece
+         | FROM documents),
+         |pc AS (SELECT piece, count(*) AS cnt FROM pieces0
+         |       WHERE regexp_matches(piece, '^[a-z0-9]')
+         |       GROUP BY piece),
+         |steps(w, rest, unit, prev) AS (
+         | SELECT piece, piece, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         | FROM pc
+         | UNION ALL
+         | SELECT w,
+         |  substr(rest, (SELECT max(length(v)) FROM bpe_vocab
+         |                WHERE starts_with(rest, v)) + 1),
+         |  substr(rest, 1, (SELECT max(length(v)) FROM bpe_vocab
+         |                   WHERE starts_with(rest, v))),
+         |  unit
+         | FROM steps WHERE rest <> ''),
+         |wpairs AS (SELECT w, prev AS unit_a, unit AS unit_b
+         |           FROM steps WHERE prev IS NOT NULL)
+         |SELECT unit_a, unit_b, CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM wpairs JOIN pc ON wpairs.w = pc.piece
+         |GROUP BY unit_a, unit_b
+         |ORDER BY cnt DESC, unit_a, unit_b LIMIT 20""".stripMargin,
     // Both channels restated (q85's TF-IDF over the corpus-minus-query,
     // q27's shingle Jaccard against doc 0), then the identical
     // rank-based RRF arithmetic — 1.0/(60+rank) in the same fixed
