@@ -239,6 +239,16 @@ object EtlOps {
       .orderBy(col("user_id"))
   }
 
+  /** Key-skew audit over the events user key — measure BEFORE salting:
+    * the hottest keys, their table share, the uniform-key ratio, and the
+    * salt factor for a 1000-rows-per-task target (small target so the
+    * factor is exercised at test scale; at 100 TB the default 4M target
+    * applies). One partial-agg shuffle; totals broadcast onto top-k. */
+  def skewAuditQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewAudit.keySkewReport(
+      Tables.load(s, dir, "events"), Seq("user_id"), k = 20,
+      targetRowsPerTask = 1000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
@@ -256,9 +266,23 @@ object EtlOps {
     "q51_range_join"      -> rangeJoinQ _,
     "q52_percentiles"     -> percentilesQ _,
     "q53_pivot"           -> pivotQ _,
+    "q114_skew_audit"     -> skewAuditQ _,
   )
 
   val oracles: Map[String, String] = Map(
+    // identical counts, shares, uniform ratios (all-double, same
+    // multiply-then-divide order) and ceil salt factors
+    "q114_skew_audit" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT user_id, cnt,
+        | cnt::DOUBLE / total::DOUBLE AS share,
+        | cnt::DOUBLE * n_keys::DOUBLE / total::DOUBLE AS skew_ratio,
+        | CAST(ceil(cnt::DOUBLE / 1000.0::DOUBLE) AS BIGINT) AS salt_factor
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
     "q12_union_by_name" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM (
         | SELECT o_custkey, o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus, o_totalprice

@@ -986,7 +986,34 @@ object TrainingData {
       .limit(20)
   }
 
+  /** Sketch MERGEABILITY under the gate: per-(source, corpus-half) KMV
+    * sketches union via [[graft.functions.Sketches.kmvMerge]] into
+    * per-source sketches whose estimates must equal sketching the whole
+    * source directly — merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B), the
+    * property that lets 100 TB of per-shard sketches roll up by array
+    * merge alone (and snapshots merge across days without re-reading
+    * either corpus). The oracle is therefore q81's WHOLE-CORPUS
+    * formulation — any merge-order or trim bug breaks the hash. */
+  def sketchMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+        (col("doc_id") % 2).as("half"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .select(col("source"), col("half"),
+        graft.functions.Sketches.hash60(col("term")).as("h"))
+    val halves = toks.groupBy(col("source"), col("half"))
+      .agg(graft.functions.Sketches.kmvSketch(col("h"), 256).as("sk"))
+    halves.groupBy(col("source"))
+      .agg(graft.functions.Sketches.kmvMerge(col("sk"), 256).as("sk"),
+        count(lit(1)).as("n_parts"))
+      .select(col("source"), col("n_parts"),
+        size(col("sk")).as("sketch_size"),
+        graft.functions.Sketches.kmvEstimate(col("sk"), 256)
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_sketch_merge"     -> sketchMergeQ _,
     "q113_bpe_merge_mine"   -> bpeMergeCandidatesQ _,
     "q111_hybrid_retrieval" -> hybridRetrievalQ _,
     "q110_quantile_sketch"  -> quantileSketchQ _,
@@ -1293,6 +1320,29 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B): the oracle is q81's
+    // whole-corpus bottom-k per source (no halves anywhere), plus the
+    // half count the engine derives from non-empty (source, half) groups.
+    "q115_sketch_merge" ->
+      """WITH toks AS (
+        | SELECT source, doc_id % 2 AS half,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        | FROM documents),
+        |parts AS (SELECT source, CAST(count(DISTINCT half) AS BIGINT)
+        |          AS n_parts FROM toks GROUP BY source),
+        |h AS (SELECT DISTINCT source,
+        |  ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS m FROM h)
+        |SELECT r.source, p.n_parts,
+        | CAST(least(min(m), 256) AS INT) AS sketch_size,
+        | CASE WHEN min(m) < 256 THEN min(m)::DOUBLE
+        |      ELSE CAST(255 AS DOUBLE) /
+        |        (max(CASE WHEN rn = 256 THEN h END)::DOUBLE
+        |          / 1152921504606846976.0::DOUBLE) END AS est_distinct
+        |FROM r JOIN parts p USING (source)
+        |GROUP BY r.source, p.n_parts ORDER BY r.source""".stripMargin,
     // q95's recursive longest-match segmentation extended to carry
     // (unit, prev) per step and emit adjacent pairs, weighted by the
     // distinct-run corpus counts — the same one-iteration BPE trainer.
