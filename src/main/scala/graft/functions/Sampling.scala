@@ -205,6 +205,50 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training data: every
+    * row gets `k` pseudo-random partners ("negatives") drawn from the rest
+    * of the corpus — reproducible, shuffle-light, and collision-free by
+    * construction. Rows are ranked on a hash ring (md5 coordinate — a
+    * stateless pseudo-random permutation); anchor at rank r takes the rows
+    * at ranks (r + off_j) mod N for k evenly-spread offsets
+    * off_j = 1 + ⌊j·N/(k+1)⌋. Because every offset is a fixed rotation,
+    * each row serves as negative exactly k times (balanced usage — no
+    * coupon-collector hot spots), no row partners itself (guarded), and
+    * the whole assignment restates in SQL for the q116 oracle.
+    *
+    * Scale shape: the ring rank is the distributed grouped prefix sum
+    * (range exchange, never a global window); the partner lookup is one
+    * equi shuffle join on rank after a k-fold explode of narrow
+    * (id, rank) rows. Driver state: the row count and k offsets. */
+  def ringNegatives(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "ringNegatives: k must be >= 1")
+    val narrow = df.select(col(idCol))
+      .withColumn("_graft_coord", coordOrFail(idCol, "ringNegatives"))
+      .withColumn("_graft_g", lit(0))
+      .withColumn("_graft_one", lit(1L))
+    val ranked = Sharding.groupedPrefixSum(narrow, Seq("_graft_g"),
+        Seq("_graft_coord", idCol), "_graft_one")
+      .select(col(idCol), col("cum_weight").as("_graft_rank"))
+      .localCheckpoint() // anchors + partner side both read it
+    val n = ranked.count()
+    require(n > k,
+      s"ringNegatives: need more than k=$k rows, got $n")
+    val offsets = (1 to k).map(j => 1L + j.toLong * n / (k + 1))
+    require(offsets.distinct.size == k && offsets.forall(_ % n != 0L),
+      s"ringNegatives: k=$k too large for n=$n - offsets collide or wrap " +
+        "to self; lower k")
+    val offFrame = explode(array(offsets.zipWithIndex.map { case (off, i) =>
+      struct(lit((i + 1).toLong).as("neg_idx"), lit(off).as("off"))
+    }: _*)).as("_graft_o")
+    ranked.select(col(idCol).as("anchor_id"), col("_graft_rank"), offFrame)
+      .select(col("anchor_id"), col("_graft_o.neg_idx").as("neg_idx"),
+        pmod(col("_graft_rank") + col("_graft_o.off"), lit(n))
+          .as("_graft_rank"))
+      .join(ranked.select(col(idCol).as("neg_id"), col("_graft_rank")),
+        Seq("_graft_rank"))
+      .select(col("anchor_id"), col("neg_idx"), col("neg_id"))
+  }
+
   /** Deterministic disjoint split (train/val/test): each row lands in
     * exactly one labeled split by comparing its stable md5 coordinate
     * against cumulative hex thresholds — shuffle-free, reproducible under

@@ -1012,7 +1012,17 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** Contrastive negatives: 4 deterministic hash-ring partners per doc —
+    * balanced (every doc serves as negative exactly 4 times), self-free,
+    * reproducible under any partitioning, and rank-derived so the whole
+    * assignment restates in SQL. The engine ranks via the distributed
+    * prefix sum (window-free); the oracle may window. */
+  def ringNegativesQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.ringNegatives(docs(s, dir), "doc_id", k = 4)
+      .orderBy(col("anchor_id"), col("neg_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_ring_negatives"   -> ringNegativesQ _,
     "q115_sketch_merge"     -> sketchMergeQ _,
     "q113_bpe_merge_mine"   -> bpeMergeCandidatesQ _,
     "q111_hybrid_retrieval" -> hybridRetrievalQ _,
@@ -1320,6 +1330,23 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical ring: md5-coordinate rank (the oracle may window),
+    // the same integer offsets 1 + (j·N)//5, modular partner lookup
+    "q116_ring_negatives" ->
+      """WITH rk AS (
+        | SELECT doc_id, row_number() OVER (ORDER BY
+        |   substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) - 1
+        |   AS rank
+        | FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |j AS (SELECT unnest(range(1, 5)) AS neg_idx),
+        |t AS (SELECT a.doc_id AS anchor_id, j.neg_idx,
+        |  (a.rank + 1 + (j.neg_idx * n.n) // 5) % n.n AS trank
+        | FROM rk a CROSS JOIN j CROSS JOIN n)
+        |SELECT t.anchor_id, CAST(t.neg_idx AS BIGINT) AS neg_idx,
+        | b.doc_id AS neg_id
+        |FROM t JOIN rk b ON b.rank = t.trank
+        |ORDER BY anchor_id, neg_idx""".stripMargin,
     // merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B): the oracle is q81's
     // whole-corpus bottom-k per source (no halves anywhere), plus the
     // half count the engine derives from non-empty (source, half) groups.

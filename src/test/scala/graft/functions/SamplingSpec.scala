@@ -219,6 +219,40 @@ class SamplingSpec extends SparkSpec {
     assert(heavy > 2 * (200 - heavy), s"heavy=$heavy of 200")
   }
 
+  // --- ringNegatives ---
+
+  test("ringNegatives: k per anchor, balanced usage, never self") {
+    val d = (1L to 200L).toDF("id")
+    val out = Sampling.ringNegatives(d, "id", 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 200 * 4)
+    // exactly k rows per anchor, with neg_idx 1..k
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == Seq(1L, 2L, 3L, 4L))
+    }
+    // fixed rotations → every doc serves as a negative exactly k times
+    val usage = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(usage.size == 200 && usage.values.forall(_ == 4))
+    // no self-pairs
+    assert(out.forall { case (a, _, b) => a != b })
+  }
+
+  test("ringNegatives is deterministic under repartitioning") {
+    val d = (1L to 300L).toDF("id")
+    val a = Sampling.ringNegatives(d, "id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.ringNegatives(d.repartition(11), "id", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("ringNegatives rejects infeasible k") {
+    val d = (1L to 3L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.ringNegatives(d, "id", 3)
+    }
+  }
+
   test("weightedSample fails fast on null keys and invalid weights") {
     val nullKey = Seq((Some(1L), 2L), (None, 3L))
       .toDF("id", "w")
