@@ -156,9 +156,10 @@ object Sampling {
     * favoring the high-quality / long / rare ones" with integer weights.
     *
     * Lottery formulation: a row with weight w holds w tickets; ticket i's
-    * value is the stable md5 coordinate of `key:i`; the row's priority is
-    * its minimum ticket and the k smallest priorities win (ties broken by
-    * key). P(priority < x) = 1 − (1 − x)^w, strictly increasing in w, so
+    * value is the portable numeric [[Sketches.hash60]] of `key:i`; the
+    * row's priority is its minimum ticket and the k smallest priorities
+    * win (ties broken by key).
+    * P(priority < x) = 1 − (1 − x)^w, strictly increasing in w, so
     * this is Efraimidis–Spirakis A-Res with the min-of-w-uniforms key
     * transform in place of u^(1/w) — same weighted-order-statistics
     * machinery, but integer-exact and ENGINE-PORTABLE: no pow/ln whose
@@ -168,9 +169,13 @@ object Sampling {
     *
     * Scale shape: only the narrow (key, weight) projection is exploded
     * (×avg(w) rows of two columns); min(ticket) partially aggregates
-    * map-side, and the global top-k is a TakeOrdered (per-partition heads,
-    * never a full sort). Full rows rejoin by key, so keys must be unique
-    * and non-null, and weights non-null and ≥ 1 — both guarded with a
+    * map-side — the ticket is the NUMERIC hash60 precisely so the min
+    * buffer stays primitive and the aggregation stays HashAggregate (a
+    * string ticket demotes to SortAggregate, which sorts the whole
+    * exploded frame per partition; pinned by PlanShapeSpec) — and the
+    * global top-k is a TakeOrdered (per-partition heads, never a full
+    * sort). Full rows rejoin by key, so keys must be unique and
+    * non-null, and weights non-null and ≥ 1 — both guarded with a
     * distributed fail-fast rather than a silent drop. `maxWeight` bounds
     * the ticket blow-up; rescale weights (they only matter relatively)
     * rather than raising it. */
@@ -193,8 +198,8 @@ object Sampling {
       .select(col("_graft_key"),
         explode(sequence(lit(0L), col("_graft_w") - 1)).as("_graft_i"))
       .select(col("_graft_key"),
-        substring(md5(concat(col("_graft_key"), lit(":"),
-          col("_graft_i").cast("string"))), 1, 8).as("_graft_ticket"))
+        Sketches.hash60(concat(col("_graft_key"), lit(":"),
+          col("_graft_i").cast("string"))).as("_graft_ticket"))
       .groupBy(col("_graft_key"))
       .agg(min(col("_graft_ticket")).as("_graft_priority"))
       .orderBy(col("_graft_priority"), col("_graft_key"))

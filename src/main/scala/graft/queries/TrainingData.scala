@@ -1479,15 +1479,15 @@ object TrainingData {
         |SELECT t.source, t.sketch_size, t.sketch_mass, q.p50, q.p90, q.p99
         |FROM tot t JOIN q USING (source) ORDER BY source""".stripMargin,
     // The identical ticket lottery: w tickets per doc via range, the same
-    // md5("key:i") coordinates, min-ticket priority, top-100 with the same
-    // STRING tiebreak on the key the engine uses.
+    // numeric hash60 of "key:i", min-ticket priority, top-100 with the
+    // same STRING tiebreak on the key the engine uses.
     "q107_weighted_sample" ->
       """WITH w AS (
         | SELECT doc_id, lang, 1 + (n_chars % 8) AS w FROM documents),
         |t AS (SELECT doc_id, unnest(range(0, w)) AS i FROM w),
         |pri AS (SELECT doc_id,
-        |  min(substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
-        |    CAST(i AS VARCHAR)), 1, 8)) AS priority
+        |  min(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(i AS VARCHAR)), 1, 15))::BIGINT) AS priority
         | FROM t GROUP BY doc_id),
         |win AS (SELECT doc_id FROM pri
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)

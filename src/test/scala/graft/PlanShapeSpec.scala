@@ -242,4 +242,45 @@ class PlanShapeSpec extends SparkSpec {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     assert(plan.linesIterator.exists(_.trim.matches("""^(\+-|:-)?\s*\*\(\d+\).*""")))
   }
+
+  test("weightedSample: min-ticket agg combines map-side, top-k is a TakeOrdered") {
+    // the lottery must never materialize a global sort of the corpus:
+    // per-key min-ticket partially aggregates before its exchange, and
+    // the k winners come from TakeOrderedAndProject (per-partition heads)
+    val df = (1L to 500L).toDF("id").withColumn("w", lit(1L) + $"id" % 4)
+    val winners = graft.functions.Sampling.weightedSample(df, "id", "w", 20)
+    winners.collect()
+    val plan = winners.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort "), s"unexpected global sort:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && aggIdx > exchangeIdx,
+      s"no partial aggregate below the exchange:\n$plan")
+  }
+
+  test("stripBoilerplate and the skew audit stay window-free") {
+    val docs = (1 to 100).map(i => (i.toLong, s"s${i % 3}",
+      s"HEADER s${i % 3}\nbody $i")).toDF("doc_id", "source", "text")
+    val bp = graft.functions.LineDedup.stripBoilerplate(
+      docs, "doc_id", "text", Seq("source"), 10)
+    bp.collect()
+    assert(!bp.queryExecution.executedPlan.toString.contains("Window"),
+      "boilerplate strip must not window")
+    val audit = graft.operators.SkewAudit.keySkewReport(docs, Seq("source"))
+    audit.collect()
+    assert(!audit.queryExecution.executedPlan.toString.contains("Window"),
+      "skew audit must not window")
+  }
+
+  test("BPE pair mining aggregates distinct runs partially before its exchange") {
+    val df = graft.queries.TrainingData.queries("q113_bpe_merge_mine")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // piece-count and pair-count stages both partial-agg; top-20 is a
+    // TakeOrdered, never a global sort of the pair space
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -178,16 +178,18 @@ class SamplingSpec extends SparkSpec {
 
   // --- weightedSample (deterministic weighted lottery) ---
 
-  /** The lottery restated naively on the driver: md5-hex 8-char prefix of
-    * "key:i" per ticket, min ticket, top-k by (priority, key-string). */
+  /** The lottery restated naively on the driver: hash60 (md5 top 15 hex
+    * as a long) of "key:i" per ticket, min ticket, top-k by
+    * (priority, key-string). */
   private def naiveWeighted(rows: Seq[(Long, Long)], k: Int): Set[Long] = {
-    def md5hex8(s: String): String = {
+    def hash60(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
-      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
     }
     rows.map { case (id, w) =>
-      id -> (0L until w).map(i => md5hex8(s"$id:$i")).min
+      id -> (0L until w).map(i => hash60(s"$id:$i")).min
     }.sortBy { case (id, p) => (p, id.toString) }.take(k).map(_._1).toSet
   }
 
