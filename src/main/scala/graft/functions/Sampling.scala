@@ -210,6 +210,55 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Sub-linear BUDGET ALLOCATION across strata: give stratum s
+    * k_s = ⌊budget · √n_s / Σ√n⌋ rows — the square-root rule that damps
+    * head-heavy corpora (a 100× bigger source gets 10× the rows, not
+    * 100×), the standard compromise between proportional sampling
+    * (reproduces the skew) and uniform-per-stratum (starves the head).
+    * Selection within a stratum is the stable md5 pick of
+    * [[perGroupSample]]; a stratum whose allocation exceeds its size
+    * keeps everything (the rank filter caps at n_s naturally).
+    *
+    * Portability: √n is floored to an INTEGER weight before the
+    * allocation arithmetic, so Σ√ is an exact integer sum (order-free —
+    * a double Σ√ would make the result depend on summation order across
+    * strata) and k_s = budget·⌊√n_s⌋ ÷ Σ is pure integer division —
+    * restating bit-identically in SQL (q118). IEEE sqrt is correctly
+    * rounded, so ⌊√n⌋ agrees across engines.
+    *
+    * Scale shape: identical to [[mixtureSample]] — driver holds one
+    * (stratum, count) row per stratum (low-cardinality contract), the
+    * rank rides the range-partitioned grouped prefix sum, full rows
+    * rejoin by unique non-null key. */
+  def sqrtAllocatedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                          budget: Long): DataFrame = {
+    require(budget >= 1, s"sqrtAllocatedSample: budget must be >= 1")
+    val stratumStr = col(stratumCol).cast("string")
+    val counts = df.groupBy(stratumStr.as("_graft_s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sq = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble)).toLong
+    }
+    val total = sq.values.sum
+    require(total > 0, "sqrtAllocatedSample: empty input")
+    require(sq.values.forall(w => w == 0L || budget <= Long.MaxValue / w),
+      s"sqrtAllocatedSample: budget=$budget overflows the integer " +
+        "allocation - rescale the budget")
+    val ks = sq.map { case (s, w) => s -> budget * w / total }
+    val kExpr = ks.foldLeft(when(lit(false), lit(0L))) { case (acc, (s, k)) =>
+      acc.when(stratumStr === s, lit(k))
+    }.otherwise(lit(0L))
+    val narrow = df.select(col(stratumCol), col(keyCol))
+      .withColumn("_graft_coord", coordOrFail(keyCol, "sqrtAllocatedSample"))
+      .withColumn("_graft_one", lit(1L))
+    val winners = Sharding.groupedPrefixSum(narrow, Seq(stratumCol),
+        Seq("_graft_coord", keyCol), "_graft_one")
+      .filter(col("cum_weight") < kExpr)
+      .select(col(keyCol))
+    df.join(winners, Seq(keyCol), "left_semi")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic NEGATIVE SAMPLING for contrastive training data: every
     * row gets `k` pseudo-random partners ("negatives") drawn from the rest
     * of the corpus — reproducible, shuffle-light, and collision-free by

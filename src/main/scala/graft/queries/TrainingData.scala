@@ -1021,7 +1021,43 @@ object TrainingData {
     graft.functions.Sampling.ringNegatives(docs(s, dir), "doc_id", k = 4)
       .orderBy(col("anchor_id"), col("neg_idx"))
 
+  /** Model-free text→vector→retrieval: feature-hashed 64-dim embeddings
+    * (hashing trick — no trained artifact, the vector is a deterministic
+    * function of the text) and exact cosine top-10 against doc 0. The
+    * vectorization is one (doc, bucket) partial-agg combine + a
+    * dim-bounded reassembly; the ranking is a TakeOrdered. Integer-
+    * valued counts + the md5 hash seam make the vectors AND the cosine
+    * ranking restate exactly in SQL. */
+  def featureHashRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val vecs = graft.functions.FeatureHash
+      .vectorize(d, "doc_id", col("toks"), dim = 64)
+      .localCheckpoint() // query vector + corpus side both read it
+    val q = vecs.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
+    vecs.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        graft.functions.FeatureHash.cosine(col("vec"), col("qvec"))
+          .as("cosine_sim"))
+      .filter(col("cosine_sim").isNotNull)
+      .orderBy(col("cosine_sim").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Square-root budget allocation across languages: 300 docs split
+    * k_s = ⌊300·⌊√n_s⌋/Σ⌊√n⌋⌋ — the head-damping rebalance policy
+    * between proportional and uniform. Pure integer allocation
+    * arithmetic + the stable md5 pick, restated verbatim in SQL. */
+  def sqrtAllocationQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.sqrtAllocatedSample(
+        docs(s, dir), "doc_id", "lang", budget = 300L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_sqrt_allocation"  -> sqrtAllocationQ _,
+    "q117_feature_hash"     -> featureHashRetrievalQ _,
     "q116_ring_negatives"   -> ringNegativesQ _,
     "q115_sketch_merge"     -> sketchMergeQ _,
     "q113_bpe_merge_mine"   -> bpeMergeCandidatesQ _,
@@ -1330,6 +1366,57 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical integer allocation (floor-sqrt weights, exact
+    // integer sum and division) over the same md5-ranked pick
+    "q118_sqrt_allocation" ->
+      """WITH counts AS (
+        | SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |wts AS (SELECT lang,
+        |  CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS w FROM counts),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM wts),
+        |ks AS (SELECT lang, (300 * w) // total AS k
+        |       FROM wts CROSS JOIN tot),
+        |ranked AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS rk
+        | FROM documents)
+        |SELECT doc_id, lang FROM ranked JOIN ks USING (lang)
+        |WHERE rk <= k ORDER BY doc_id""".stripMargin,
+    // the identical feature hashing (hash60 buckets, sign hash on
+    // t||'#'), per-doc dense 64-vectors, the same dot/sqrt/divide
+    // cosine shape — products and sums are integer-valued doubles, so
+    // only sqrt and the final division round, identically
+    "q117_feature_hash" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+         | FROM documents),
+         |cells AS (SELECT doc_id,
+         |  ('0x' || substring(md5(t), 1, 15))::BIGINT % 64 AS b,
+         |  CASE WHEN ('0x' || substring(md5(t || '#'), 1, 15))::BIGINT % 2 = 0
+         |       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+         | FROM toks),
+         |cv AS (SELECT doc_id, b, sum(s) AS v FROM cells GROUP BY doc_id, b),
+         |cl AS (SELECT doc_id, list(struct_pack(b := b, v := v)) AS cs
+         |       FROM cv GROUP BY doc_id),
+         |vecs AS (SELECT doc_id, list_transform(range(0, 64), i ->
+         |  coalesce(list_sum(list_transform(
+         |    list_filter(cs, c -> c.b = i), c -> c.v)), 0.0::DOUBLE)) AS vec
+         | FROM cl),
+         |q AS (SELECT vec AS qvec FROM vecs WHERE doc_id = 0),
+         |sims AS (SELECT v.doc_id,
+         |  ${dot("v.vec", "q.qvec")} /
+         |   (sqrt(${dot("v.vec", "v.vec")}) * sqrt(${dot("q.qvec", "q.qvec")}))
+         |   AS cosine_sim
+         | FROM vecs v CROSS JOIN q
+         | WHERE v.doc_id <> 0 AND ${dot("v.vec", "v.vec")} > 0
+         |   AND ${dot("q.qvec", "q.qvec")} > 0)
+         |SELECT doc_id, cosine_sim FROM sims
+         |ORDER BY cosine_sim DESC, doc_id LIMIT 10""".stripMargin
+    },
     // the identical ring: md5-coordinate rank (the oracle may window),
     // the same integer offsets 1 + (j·N)//5, modular partner lookup
     "q116_ring_negatives" ->

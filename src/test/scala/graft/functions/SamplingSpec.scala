@@ -221,6 +221,29 @@ class SamplingSpec extends SparkSpec {
     assert(heavy > 2 * (200 - heavy), s"heavy=$heavy of 200")
   }
 
+  // --- sqrtAllocatedSample ---
+
+  test("sqrtAllocatedSample: floor-sqrt integer allocation, exact per-stratum k") {
+    // 400/100/25 rows → ⌊√⌋ = 20/10/5, Σ = 35; budget 70 → k = 40/20/10
+    val d = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))).toDF("id", "g")
+    val got = Sampling.sqrtAllocatedSample(d, "id", "g", 70L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 40L, "b" -> 20L, "c" -> 10L))
+  }
+
+  test("sqrtAllocatedSample caps at stratum size and damps the head") {
+    // tiny stratum with outsized allocation keeps everything it has
+    val d = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 903).map(i => (i.toLong, "tiny"))).toDF("id", "g")
+    // ⌊√⌋ = 30/1, Σ = 31; budget 620 → big 600, tiny 20 → capped at 3
+    val got = Sampling.sqrtAllocatedSample(d, "id", "g", 620L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got == Map("big" -> 600L, "tiny" -> 3L))
+    // sub-linear: big is 300× larger but gets 200× the rows, not 300×
+  }
+
   // --- ringNegatives ---
 
   test("ringNegatives: k per anchor, balanced usage, never self") {
