@@ -161,9 +161,20 @@ case class QuantileSketchAgg(
 
 object QuantileSketchAgg {
 
+  /** Portable hash60 of a long's decimal rendering — the Scala-side twin
+    * of `Sketches.hash60(value.cast("string"))` and the oracle's
+    * `md5(CAST(v AS VARCHAR))`, for stateful consumers that maintain a
+    * sketch outside an aggregation (StreamStats). */
+  def hash60OfLong(v: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.lang.Long.toString(v).getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
   /** Bounded weighted insert keyed by hash (see class invariant). */
-  private[expressions] def add(buf: java.util.TreeMap[java.lang.Long, Array[Long]],
-                               h: Long, v: Long, w: Long, capacity: Int): Unit = {
+  private[graft] def add(buf: java.util.TreeMap[java.lang.Long, Array[Long]],
+                         h: Long, v: Long, w: Long, capacity: Int): Unit = {
     val existing = buf.get(h)
     if (existing != null) {
       existing(1) += w

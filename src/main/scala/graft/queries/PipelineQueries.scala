@@ -268,6 +268,42 @@ object PipelineQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** STREAMING quantile monitor under the oracle gate: the documents
+    * table arrives in two disjoint waves (evens, then odds) and
+    * [[graft.streaming.StreamStats]] maintains per-source quantile
+    * sketches as flatMapGroupsWithState STATE across the checkpointed
+    * runs — wave 2's report must reflect wave-1 state restored from the
+    * state store, and a third no-new-files run must leave the sink
+    * unchanged. Because the sketch is a pure set function, the final
+    * per-source quantiles are provably identical to the one-shot batch
+    * aggregate — so the oracle is exactly q110's whole-corpus
+    * restatement. */
+  def streamStatsQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q119") { base =>
+      val src = s"$base/landing"
+      val docs = Tables.load(s, dir, "documents")
+      val narrow = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      def run(): Unit = graft.streaming.StreamStats.runAvailableNow(
+        s, src, narrow.drop("doc_id").schema, "source", "n_chars",
+        s"$base/sink", s"$base/ckpt")
+      narrow.filter(col("doc_id") % 2 === 0).drop("doc_id")
+        .write.mode("append").parquet(src)
+      run()
+      narrow.filter(col("doc_id") % 2 === 1).drop("doc_id")
+        .write.mode("append").parquet(src)
+      run()
+      run() // no new files: replay must leave the sink unchanged
+      val sink = s.read.parquet(s"$base/sink")
+      val latest = sink.groupBy(col("g")).agg(max(col("batch_id")).as("batch_id"))
+      sink.join(latest, Seq("g", "batch_id"))
+        .select(col("g").as("source"), col("sketch_size"), col("sketch_mass"),
+          element_at(col("quantiles"), 1).as("p50"),
+          element_at(col("quantiles"), 2).as("p90"),
+          element_at(col("quantiles"), 3).as("p99"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+    }
+
   /** Run `body` against a fresh temp directory, deleting the tree even on
     * failure (the walk stream holds directory handles and must close). */
   private def withTempDir(prefix: String)(body: java.nio.file.Path => DataFrame)
@@ -425,6 +461,7 @@ object PipelineQueries {
     "q105_lakesim_write"  -> lakesimWriteQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
+    "q119_stream_stats"   -> streamStatsQ _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +493,35 @@ object PipelineQueries {
     "q46_cursor_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars <= 300 AND source = 'src7' ORDER BY doc_id""".stripMargin,
+    // the streamed per-source sketch state is a pure set function of
+    // everything ingested, so the final monitor rows equal the one-shot
+    // batch sketch — q110's whole-corpus restatement verbatim
+    "q119_stream_stats" ->
+      """WITH vc AS (SELECT source, n_chars AS v, count(*) AS c
+        |            FROM documents GROUP BY source, n_chars),
+        |h AS (SELECT source, v, c,
+        |  ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS hv
+        | FROM vc),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY hv) AS r FROM h),
+        |sk AS (SELECT source, v, c FROM rk WHERE r <= 256),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS sketch_size,
+        |        CAST(sum(c) AS BIGINT) AS sketch_mass
+        |        FROM sk GROUP BY source),
+        |cum AS (SELECT sk.source, v,
+        |        sum(c) OVER (PARTITION BY sk.source ORDER BY v) AS cw,
+        |        t.sketch_mass AS mass
+        | FROM sk JOIN tot t USING (source)),
+        |q AS (SELECT source,
+        |  min(CASE WHEN cw >= greatest(1, CAST(ceil(0.5::DOUBLE *
+        |    mass::DOUBLE) AS BIGINT)) THEN v END) AS p50,
+        |  min(CASE WHEN cw >= greatest(1, CAST(ceil(0.9::DOUBLE *
+        |    mass::DOUBLE) AS BIGINT)) THEN v END) AS p90,
+        |  min(CASE WHEN cw >= greatest(1, CAST(ceil(0.99::DOUBLE *
+        |    mass::DOUBLE) AS BIGINT)) THEN v END) AS p99
+        | FROM cum GROUP BY source)
+        |SELECT t.source, t.sketch_size, t.sketch_mass, q.p50, q.p90, q.p99
+        |FROM tot t JOIN q USING (source) ORDER BY source""".stripMargin,
     // bucketing must change the layout, never the answer: the oracle is
     // the same join/aggregate over the raw parquet tables
     "q112_bucketed_join" ->
