@@ -15,11 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics (chosen to be ORACLE-RESTATABLE — a DuckDB recursive CTE over
   * the same vocabulary table computes the identical count, see the q95
   * oracle in TrainingData):
-  *   - lowercase the text, then scan the same token classes the heuristic
-  *     uses: maximal `[a-z0-9]+` runs and single non-alnum non-whitespace
-  *     characters (whitespace = the ASCII regex `\s` set);
-  *   - each non-alnum character counts 1 (byte-fallback behavior for
-  *     symbols outside the vocabulary);
+  *   - lowercase the text, then scan maximal `[a-z0-9]+` runs and single
+  *     non-alnum non-whitespace CODE POINTS (whitespace = RE2's `\s` =
+  *     `[\t\n\f\r ]`, matching the DuckDB side the gate compares against
+  *     — narrower than Java's `\s`, see [[isSpace]]);
+  *   - each non-alnum code point counts 1 (byte-fallback behavior for
+  *     symbols outside the vocabulary; a surrogate pair is ONE symbol);
   *   - each alnum run is segmented GREEDY LONGEST-MATCH: repeatedly take
   *     the longest vocabulary unit prefixing the rest of the run — the
   *     maximal-munch application of a learned BPE vocabulary (vs the rank-
@@ -122,10 +123,12 @@ object BpeTokenCountExpr {
     (ch, term)
   }
 
-  // ASCII regex \s — the exact whitespace class both the heuristic regex
-  // and the oracle's RE2 patterns use
+  // RE2's \s class — [\t\n\f\r ] — which is what the DuckDB oracle's
+  // patterns use. NOTE it is NARROWER than Java regex \s: vertical tab
+  // (\u000B) is not whitespace here, so it counts as a symbol token on
+  // both engines (the correctness gate compares against the RE2 side).
   @inline private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** End index (exclusive) of the longest vocabulary unit prefixing `t`
     * at `i`, or -1 when `t(i)` is outside [a-z0-9]. The shared trie-walk
@@ -168,8 +171,14 @@ object BpeTokenCountExpr {
       if (isSpace(c)) i += 1
       else {
         val end = longestUnitEnd(t, i)
-        if (end < 0) { n += 1; i += 1 } // symbol: one token, like the oracle
-        else { n += 1; i = end }
+        if (end < 0) {
+          // symbol: one token per CODE POINT, like the oracle's RE2
+          // `[^a-z0-9\s]` — a surrogate PAIR (emoji, supplementary CJK)
+          // is one symbol, not two
+          n += 1
+          i += (if (Character.isHighSurrogate(c) && i + 1 < len &&
+            Character.isLowSurrogate(t.charAt(i + 1))) 2 else 1)
+        } else { n += 1; i = end }
       }
     }
     n

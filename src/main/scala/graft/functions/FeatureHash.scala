@@ -28,8 +28,11 @@ object FeatureHash {
     when(pmod(Sketches.hash60(concat(t, lit("#"))), lit(2L)) === 0L,
       lit(1.0)).otherwise(lit(-1.0))
 
-  /** Per-document feature-hashed vectors: one row per input id with a
-    * dense `array<double>` of length `dim`.
+  /** Per-document feature-hashed vectors: one row per id that has at
+    * least one token, with a dense `array<double>` of length `dim`.
+    * Token-less documents (empty/whitespace-only text) produce NO row —
+    * there is nothing to embed and a zero vector has no cosine; filter
+    * or route them before vectorizing (FeatureHashSpec pins the drop).
     *
     * Scale shape: explode → one partially-aggregating shuffle on
     * (id, bucket) → one id-keyed reassembly whose per-doc state is ≤ dim

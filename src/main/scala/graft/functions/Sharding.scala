@@ -113,9 +113,9 @@ object Sharding {
     * null-safe); the (group, orderCols) tuple must be unique and weights
     * non-negative. Group cardinality must be LOW (languages, sources —
     * not per-document keys): the driver holds numPartitions × |groups|
-    * offset rows, ENFORCED — the offset frame is counted (a cheap
-    * re-aggregation of the checkpointed range frame) before anything is
-    * collected, and the call fails with an actionable error past
+    * offset rows, ENFORCED — the collect is limit(cap+1)-bounded (one
+    * job, nothing past the cap can ever land driver-side) and the call
+    * fails with an actionable error past
     * `spark.graft.sharding.maxOffsetRows` (default 1,000,000) instead
     * of silently ballooning the driver. Appends `cum_weight`; the input
     * must not already carry a `cum_weight` column. */
@@ -133,22 +133,23 @@ object Sharding {
     val gExprs = groupCols.map(col)
     val offsetFrame = ranged.groupBy(col("_graft_pid") +: gExprs: _*)
       .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("s"))
-    // guard BEFORE collect: a high-cardinality group column (per-document
-    // keys) would pull numPartitions × |groups| rows to the driver — count
-    // the (map-side-combined, checkpoint-backed) aggregate first and fail
-    // fast with a pointer at the per-key alternatives
+    // guarded collect: a high-cardinality group column (per-document
+    // keys) would pull numPartitions × |groups| rows to the driver. The
+    // limit(cap+1) bounds what can EVER land driver-side and costs one
+    // job (a separate count-then-collect would run the aggregation
+    // twice); one spare row past the cap proves the overflow
     val maxOffsetRows = spark.conf
       .getOption("spark.graft.sharding.maxOffsetRows").map(_.toLong)
       .getOrElse(1000000L)
-    val nOffsets = offsetFrame.count()
-    require(nOffsets <= maxOffsetRows,
+    val sums = offsetFrame
+      .limit(math.min(maxOffsetRows, Int.MaxValue - 2L).toInt + 1).collect()
+    require(sums.length <= maxOffsetRows,
       s"groupedPrefixSum: ${groupCols.mkString("(", ",", ")")} yields " +
-      s"$nOffsets (partition, group) offset rows > the driver-side cap " +
-      s"of $maxOffsetRows (spark.graft.sharding.maxOffsetRows). The " +
+      s"more than the driver-side cap of $maxOffsetRows (partition, " +
+      "group) offset rows (spark.graft.sharding.maxOffsetRows). The " +
       "group column must be LOW-cardinality (languages/sources); for " +
       "per-key tops/ranks use Sketches.topK or a groupBy aggregate " +
       "instead of a grouped prefix sum.")
-    val sums = offsetFrame.collect()
     // exclusive offsets per (pid, group): total weight of the SAME group
     // in every range strictly before pid
     val rows = sums.map { r =>

@@ -41,7 +41,11 @@ object Urls {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/+$", "")
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query must come from the PRE-FRAGMENT part: a bare "\?([^#]*)"
+    // would also match a '?' sitting inside the fragment and resurrect
+    // fragment text as a query string
+    val query = regexp_extract(regexp_replace(url, "#.*$", ""),
+      "\\?(.*)$", 1)
     val kept = array_sort(filter(split(query, "&"), p =>
       p =!= "" && !p.startsWith("utm_") &&
         !TrackingParams.map(t => p === t || p.startsWith(t + "="))

@@ -946,12 +946,17 @@ object TrainingData {
       .withColumn("rank_char", row_number().over(
         Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank_char"))
-    sparse.join(dense, Seq("doc_id"), "full_outer")
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("rank_tfidf"), col("rank_char"),
         (coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("rank_char")), lit(0.0)))
           .as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
+      // materialize the ≤ 40 fused rows, then release the corpus cache —
+      // no cache residue outlives the call (the dataCardQ discipline)
+      .localCheckpoint()
+    d.unpersist()
+    fused
   }
 
   /** One DISTRIBUTED BPE-TRAINING ITERATION: segment the corpus with the
@@ -1636,7 +1641,8 @@ object TrainingData {
         |  regexp_replace(regexp_extract(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
         |    AS path,
-        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1)
+        |    AS query
         | FROM u),
         |kf AS (
         | SELECT doc_id, scheme, hostraw, path,

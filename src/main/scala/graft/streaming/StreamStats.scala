@@ -57,6 +57,10 @@ object StreamStats {
     import spark.implicits._
     require(qs.nonEmpty, "need at least one quantile")
     val stream = spark.readStream.schema(schema).parquet(sourcePath)
+      // null values are SKIPPED, matching the batch aggregate's
+      // semantics (QuantileSketchAgg.update) — without the filter the
+      // non-nullable encoder would kill the whole monitor on one null
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .as[(String, Long)]

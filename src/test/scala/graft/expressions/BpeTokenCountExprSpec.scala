@@ -8,13 +8,15 @@ class BpeTokenCountExprSpec extends SparkSpec {
   import spark.implicits._
 
   /** Reference greedy longest-match, written independently of the trie
-    * kernel: regex pre-tokenize exactly like the heuristic, then per
-    * alnum run strip the longest vocabulary prefix via a linear scan
-    * over the vocab set. */
+    * kernel: regex pre-tokenize with RE2's whitespace class (the DuckDB
+    * oracle side — [\t\n\f\r ], NOT Java's \s which adds ), then
+    * per alnum run strip the longest vocabulary prefix via a linear scan
+    * over the vocab set. Java regex matches code points, so a surrogate
+    * pair is one symbol piece — the kernel must agree. */
   private def naive(text: String): Long = {
     val vocab = BpeTokenCountExpr.vocabulary.toSet
     val maxLen = vocab.map(_.length).max
-    val pieces = "[a-z0-9]+|[^a-z0-9\\s]".r
+    val pieces = "[a-z0-9]+|[^a-z0-9\\t\\n\\f\\r ]".r
       .findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
     pieces.map { p =>
       if (!p.head.isLetterOrDigit || p.head > 'z') 1L
@@ -45,7 +47,10 @@ class BpeTokenCountExprSpec extends SparkSpec {
       "The quick brown fox jumps over the lazy dog.",
       "internationalization", "ab cd.", "x,y", "", "   ",
       "a1b2c3 42  12x", "THE THE the", "don't stop-believing!",
-      "héllo wörld", "punctuation... everywhere?!")
+      "héllo wörld", "punctuation... everywhere?!",
+      // a surrogate pair (emoji) is ONE symbol token, not two; vertical
+      // tab is a SYMBOL under RE2 \s, not whitespace
+      "ok 😀 fine", "a\u000Bb")
     texts.foreach { t =>
       val got = Seq(t).toDF("t")
         .select(TextAnalysis.bpeTokenCountVocab($"t")).as[Long].head()

@@ -46,6 +46,10 @@ class UrlsSpec extends SparkSpec {
   test("fragment drops") {
     assert(canon("https://a.com/x#sec", "https://a.com/x?a=1#sec") ==
       Seq("https://a.com/x", "https://a.com/x?a=1"))
+    // a '?' INSIDE the fragment is fragment text, not a query — it must
+    // not resurrect as a query string (and so must not collide with the
+    // genuinely different resource /x?b=2)
+    assert(canon("https://a.com/x#sec?b=2") == Seq("https://a.com/x"))
   }
 
   test("null and unparseable inputs canonicalize to null, not a guess") {
