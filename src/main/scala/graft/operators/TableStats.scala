@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** ANALYZE-style column statistics in ONE scan: per column the row/null
+  * counts, a KMV NDV estimate, and typed min/max bounds — the statistics a
+  * cost-based optimizer (join ordering, broadcast decisions, filter
+  * selectivity) and a data-quality gate both feed on.
+  *
+  * Scale shape: a single aggregation pass over the table computes EVERY
+  * column's sketch and bounds together (partial state per partition: k
+  * longs + min/max per column — bounded, map-side combined); the driver
+  * receives ONE row which unpivots to the per-column report. No
+  * per-column rescans, no driver data.
+  *
+  * Bounds are computed on the TYPED column (a lexicographic min over
+  * string renderings would say "10" < "9") and rendered to string only
+  * for the uniform report schema. NDV rides the portable md5 hash60 seam,
+  * so the whole report restates in SQL (q120). Columns whose string
+  * rendering differs across engines (double, timestamp) should be
+  * projected to a stable form first.
+  */
+object TableStats {
+
+  def columnStats(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "columnStats: need at least one column")
+    val aggs =
+      count(lit(1)).as("_graft_n") +:
+        cols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"_graft_nn_$c"),
+            Sketches.kmvSketch(
+              Sketches.hash60(col(c).cast("string")), k).as(s"_graft_sk_$c"),
+            min(col(c)).as(s"_graft_min_$c"),
+            max(col(c)).as(s"_graft_max_$c"))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("_graft_n").as("n_rows"),
+          (col("_graft_n") - col(s"_graft_nn_$c")).as("n_nulls"),
+          Sketches.kmvEstimate(col(s"_graft_sk_$c"), k).as("ndv_est"),
+          col(s"_graft_min_$c").cast("string").as("min_val"),
+          col(s"_graft_max_$c").cast("string").as("max_val"))
+      }: _*)).as("_graft_s"))
+      .select(col("_graft_s.*"))
+  }
+}

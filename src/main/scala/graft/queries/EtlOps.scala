@@ -239,6 +239,19 @@ object EtlOps {
       .orderBy(col("user_id"))
   }
 
+  /** One-scan ANALYZE over lineitem's integer/string columns: row/null
+    * counts, KMV NDV estimates, typed min/max — the CBO feed. Every
+    * column's statistics come from a SINGLE aggregation pass (bounded
+    * per-column partial state), never per-column rescans. Doubles and
+    * timestamps are excluded: their string renderings differ across
+    * engines (the operator doc says to pre-project them). */
+  def tableStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableStats.columnStats(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))
+      .orderBy(col("column_name"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -267,9 +280,35 @@ object EtlOps {
     "q52_percentiles"     -> percentilesQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
+    "q120_table_stats"    -> tableStatsQ _,
   )
 
+  /** One column's stats row restated (q81's KMV pattern per column). */
+  private def statsColSql(c: String): String =
+    s"""SELECT '$c' AS column_name,
+       | (SELECT count(*) FROM lineitem) AS n_rows,
+       | (SELECT count(*) FROM lineitem WHERE $c IS NULL) AS n_nulls,
+       | (SELECT CASE WHEN min(m) < 256 THEN min(m)::DOUBLE
+       |   ELSE CAST(255 AS DOUBLE) /
+       |     (max(CASE WHEN rn = 256 THEN h END)::DOUBLE
+       |       / 1152921504606846976.0::DOUBLE) END
+       |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+       |               count(*) OVER () AS m
+       |        FROM (SELECT DISTINCT ('0x' ||
+       |                substring(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT
+       |                AS h
+       |              FROM lineitem WHERE $c IS NOT NULL))) AS ndv_est,
+       | (SELECT CAST(min($c) AS VARCHAR) FROM lineitem) AS min_val,
+       | (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_val""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // typed bounds, per-column KMV NDV (q81's pattern), one UNION ALL
+    // branch per column
+    "q120_table_stats" ->
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+        .map(statsColSql).mkString("\nUNION ALL\n") +
+        "\nORDER BY column_name"),
     // identical counts, shares, uniform ratios (all-double, same
     // multiply-then-divide order) and ceil salt factors
     "q114_skew_audit" ->
