@@ -184,6 +184,31 @@ object Sketches {
         }: _*)
   }
 
+  /** Set-overlap estimates from two KMV sketches — the join-size
+    * estimator: bottom-k(A) ∪ bottom-k(B) trimmed to k IS bottom-k(A∪B)
+    * (bottom-k is a pure set function), so `|S ∩ skA ∩ skB| / |S|` is
+    * the standard KMV Jaccard estimate and
+    * `est_intersection = J · est_union` estimates the DISTINCT-key
+    * overlap — the number a planner needs to size an equi-join or pick
+    * a broadcast side WITHOUT touching either table again (the sketches
+    * come from [[distinctReport]]-style passes or a stats table built by
+    * [[graft.operators.TableStats]]). Every step is deterministic
+    * integer/IEEE arithmetic on deterministic operands — the q121 oracle
+    * restates the estimator verbatim, not just its answer.
+    *
+    * O(k²) membership probes per sketch pair (array_contains over sorted
+    * arrays) — one pair is one row; estimating a whole catalog's
+    * join graph is |tables|² such rows, trivially small. */
+  def kmvOverlap(skA: Column, skB: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(skA, skB)), 1, k)
+    val unionEst = kmvEstimate(merged, k)
+    val inter = size(filter(merged, h =>
+      array_contains(skA, h) && array_contains(skB, h)))
+    val j = inter.cast("double") / size(merged).cast("double")
+    struct(unionEst.as("est_union"), j.as("est_jaccard"),
+      (j * unionEst).as("est_intersection"))
+  }
+
   /** Per-group distinct-cardinality report over a value column: one row
     * per group with the sketch size, the KMV estimate, and (for
     * demonstration/validation — drop it at scale) the exact distinct hash

@@ -252,6 +252,36 @@ object EtlOps {
           "l_returnflag", "l_linestatus"))
       .orderBy(col("column_name"))
 
+  /** Sketch-based join-size estimation: the distinct-custkey overlap
+    * between orders and customer estimated from two 256-entry KMV
+    * sketches ALONE (no re-scan at estimation time), with the exact
+    * intersection alongside so the report exhibits the estimator's
+    * error. The planner question this answers at 100 TB: "how many
+    * distinct keys survive this equi-join?" from a stats table instead
+    * of a trial join. */
+  def joinEstimateQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val ska = Tables.load(s, dir, "orders")
+      .select(Sketches.hash60(col("o_custkey").cast("string")).as("h"))
+      .agg(Sketches.kmvSketch(col("h"), 256).as("ska"))
+    val skb = Tables.load(s, dir, "customer")
+      .select(Sketches.hash60(col("c_custkey").cast("string")).as("h"))
+      .agg(Sketches.kmvSketch(col("h"), 256).as("skb"))
+    val exact = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+      .join(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k")).distinct(), Seq("k"))
+      .agg(count(lit(1)).as("n_exact_intersection"))
+    ska.crossJoin(broadcast(skb)).crossJoin(broadcast(exact))
+      .select(Sketches.kmvOverlap(col("ska"), col("skb"), 256).as("ov"),
+        col("n_exact_intersection"))
+      .select(col("ov.est_union").as("est_union"),
+        col("ov.est_jaccard").as("est_jaccard"),
+        col("ov.est_intersection").as("est_intersection"),
+        col("n_exact_intersection"))
+      .orderBy(col("est_union"))
+  }
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -281,6 +311,7 @@ object EtlOps {
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
+    "q121_join_estimate"  -> joinEstimateQ _,
   )
 
   /** One column's stats row restated (q81's KMV pattern per column). */
@@ -302,6 +333,42 @@ object EtlOps {
        | (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_val""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the estimator restated verbatim: per-side bottom-256 sketches,
+    // bottom-256 of their union, membership Jaccard, J x est_union -
+    // plus the exact distinct intersection
+    "q121_join_estimate" ->
+      """WITH ha AS (SELECT DISTINCT ('0x' ||
+        |  substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM orders),
+        |sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+        |  AS rn FROM ha) WHERE rn <= 256),
+        |hb AS (SELECT DISTINCT ('0x' ||
+        |  substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM customer),
+        |sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+        |  AS rn FROM hb) WHERE rn <= 256),
+        |su AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+        |  AS rn FROM (SELECT h FROM sa UNION SELECT h FROM sb))
+        | WHERE rn <= 256),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS sz, max(h) AS hmax
+        |      FROM su),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS ni
+        |      FROM su JOIN sa USING (h) JOIN sb USING (h)),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_intersection
+        |      FROM (SELECT DISTINCT o_custkey AS k FROM orders)
+        |      JOIN (SELECT DISTINCT c_custkey AS k FROM customer)
+        |      USING (k)),
+        |e AS (SELECT
+        |  CASE WHEN m.sz < 256 THEN m.sz::DOUBLE
+        |       ELSE CAST(255 AS DOUBLE) /
+        |         (m.hmax::DOUBLE / 1152921504606846976.0::DOUBLE) END
+        |    AS est_union,
+        |  i.ni::DOUBLE / m.sz::DOUBLE AS est_jaccard
+        | FROM m, i)
+        |SELECT e.est_union, e.est_jaccard,
+        | e.est_jaccard * e.est_union AS est_intersection,
+        | x.n_exact_intersection
+        |FROM e, x ORDER BY est_union""".stripMargin,
     // typed bounds, per-column KMV NDV (q81's pattern), one UNION ALL
     // branch per column
     "q120_table_stats" ->

@@ -138,6 +138,32 @@ class KmvSketchAggSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("kmvOverlap: identity, disjoint, and a saturated accuracy check") {
+    import org.apache.spark.sql.functions.col
+    def sketchOf(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(_.toLong).toDF("v")
+        .select(Sketches.hash60(col("v").cast("string")).as("h"))
+        .agg(Sketches.kmvSketch(col("h"), 256).as("sk"))
+    def overlap(a: Range, b: Range): (Double, Double, Double) =
+      sketchOf(a).crossJoin(sketchOf(b).withColumnRenamed("sk", "skb"))
+        .select(Sketches.kmvOverlap(col("sk"), col("skb"), 256).as("ov"))
+        .select(col("ov.est_union"), col("ov.est_jaccard"),
+          col("ov.est_intersection"))
+        .as[(Double, Double, Double)].collect().head
+    // identity: J = 1, intersection estimate = union estimate
+    val (u1, j1, i1) = overlap(1 to 5000, 1 to 5000)
+    assert(j1 == 1.0 && i1 == u1)
+    // disjoint: J = 0
+    val (_, j0, i0) = overlap(1 to 5000, 6001 to 11000)
+    assert(j0 == 0.0 && i0 == 0.0)
+    // true J = 5000/15000, intersection 5000: saturated estimate lands
+    // in the neighborhood (deterministic — a fixed fact, not flaky)
+    val (u, j, i) = overlap(1 to 10000, 5001 to 15000)
+    assert(math.abs(u - 15000.0) / 15000.0 < 0.2, s"union $u")
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard $j")
+    assert(math.abs(i - 5000.0) / 5000.0 < 0.35, s"intersection $i")
+  }
+
   test("distinctReport groups and estimates per key") {
     // source s0 sees the 25 even tok ids, s1 the 25 odd ones
     val df = (1 to 400).map(i => (s"s${i % 2}", s"tok${i % 50}"))
