@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) near-duplicate detection with deletion-neighborhood
+  * blocking — the record-linkage counterpart of the token-level families in
+  * [[Dedup]]: names, titles, and short identifiers that differ by one typo.
+  *
+  * Candidate generation is the SymSpell construction: every string emits
+  * itself plus each of its single-character-deletion variants; two strings
+  * within Levenshtein distance 1 ALWAYS share a variant (equal strings share
+  * themselves; a same-length substitution pair shares the string with the
+  * differing position deleted; an insert/delete pair shares the shorter
+  * string), so an equi-join on the variant hash is a COMPLETE blocking
+  * scheme for d=1 — pinned by a spec against all-pairs. Candidates are then
+  * verified with the exact codegen'd `levenshtein`, so hash collisions and
+  * over-generation cost time, never correctness.
+  *
+  * Scale shape: each row fans out to len+1 narrow (hash, id) rows — the
+  * string itself never rides the variant exchange, only its xxhash64.
+  * Degenerate hot variants (a constant or near-constant column) are dropped
+  * by the same partial-aggregating bucket cap the LSH families use (the
+  * [[Dedup.capBuckets]] shape): `groupBy(hash).count` + semi-join, never a
+  * window that would funnel a hot bucket onto one task. Verification
+  * re-reads the two texts via equi-joins on id. Intended for SHORT strings
+  * (names/titles): the fan-out is len+1 rows per input row.
+  */
+object FuzzyDedup {
+
+  /** The string plus each single-deletion variant, hashed. */
+  private def deletionHashes(t: Column): Column =
+    array_distinct(concat(
+      array(xxhash64(t)),
+      transform(sequence(lit(1), length(t)),
+        i => xxhash64(concat(t.substr(lit(1), i - lit(1)),
+                             t.substr(i + lit(1), length(t)))))))
+
+  /** Levenshtein-distance-(<=1) pairs: (id_a, id_b, dist) with id_a < id_b,
+    * exact-verified. `maxBucket` caps degenerate variant buckets (agg-based,
+    * see class doc); below the cap, recall is exact — pinned by spec. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxBucket: Int = 256): DataFrame = {
+    require(maxBucket >= 2, "nearDupPairs: maxBucket must admit a pair")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("t"))
+      .filter(col("t").isNotNull)
+    val variants = base
+      .select(col("id"), explode(deletionHashes(col("t"))).as("h"))
+    // partial-aggregating cap: the hot-variant decision happens on the tiny
+    // (h, n) frame; a window over h would sort every member onto one task
+    val surviving = variants.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("h"))
+    val capped = variants.join(surviving, Seq("h"), "left_semi")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair can share several variants; verify once
+    pairs
+      .join(base.select(col("id").as("id_a"), col("t").as("_ta")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("t").as("_tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Keep-min-id dedup: every id appearing as the larger member of a
+    * verified pair is dropped; survivors keep their full row. */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            maxBucket: Int = 256): DataFrame = {
+    val dupIds = nearDupPairs(df, idCol, textCol, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+}
