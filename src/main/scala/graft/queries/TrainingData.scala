@@ -1060,7 +1060,44 @@ object TrainingData {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Fuzzy (Levenshtein ≤ 1) record-linkage pairs over deterministic
+    * typo'd entity names: each doc gets a name from a 40-entity vocabulary
+    * and a doc_id-derived perturbation (delete last char / append /
+    * substitute first char / unchanged). The engine runs the
+    * deletion-neighborhood (SymSpell) blocking of
+    * [[graft.functions.FuzzyDedup]] — complete for d ≤ 1, spec-pinned —
+    * while the oracle is the EXHAUSTIVE all-pairs levenshtein join, so any
+    * blocking miss breaks the hash. maxBucket is raised far above the
+    * densest variant bucket at every tested SF so the degenerate-bucket cap
+    * can never diverge from the exhaustive oracle (the q100 ADVICE lesson).
+    * The pair set itself grows quadratically with the corpus (the typo
+    * vocabulary is fixed at 40 entities), so the query emits a per-distance
+    * FINGERPRINT — pair count plus id sums and the id-product sum — rather
+    * than the raw pairs: any missing or extra pair still breaks the hash,
+    * but the output stays a handful of rows at every SF. */
+  def fuzzyPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val named = docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("entity "), (col("doc_id") % 40).cast("string")).as("b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          expr("substring(b, 1, length(b) - 1)"))
+        .when(col("doc_id") % 5 === 2, concat(col("b"), lit("x")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("x"), expr("substring(b, 2, length(b))")))
+        .otherwise(col("b")).as("name"))
+    graft.functions.FuzzyDedup.nearDupPairs(named, "doc_id", "name",
+        maxBucket = 4096)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_a"),
+        sum(col("id_b")).as("sum_b"),
+        sum(col("id_a") * col("id_b")).as("sum_ab"))
+      .orderBy(col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_fuzzy_pairs"      -> fuzzyPairsQ _,
     "q118_sqrt_allocation"  -> sqrtAllocationQ _,
     "q117_feature_hash"     -> featureHashRetrievalQ _,
     "q116_ring_negatives"   -> ringNegativesQ _,
@@ -1371,6 +1408,30 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // EXHAUSTIVE all-pairs levenshtein over the same deterministic typo
+    // construction — the engine's deletion-neighborhood blocking must
+    // reproduce it exactly or the hash breaks
+    "q122_fuzzy_pairs" ->
+      """WITH b0 AS (
+        | SELECT doc_id,
+        |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'x'
+        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM b0),
+        |p AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 1)
+        |SELECT dist, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a,
+        | CAST(sum(id_b) AS BIGINT) AS sum_b,
+        | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
     // the identical integer allocation (floor-sqrt weights, exact
     // integer sum and division) over the same md5-ranked pick
     "q118_sqrt_allocation" ->

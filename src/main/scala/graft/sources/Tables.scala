@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog of the benchmark/test parquet tables.
   *
@@ -18,17 +19,29 @@ object Tables {
 
   /** Read one table from a scale-factor directory (e.g. /root/testdata/sf0.01).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; it is read as a nanos-since-epoch long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and converted to a microsecond
-    * TimestampType with integer division (a double division would lose
-    * precision above 2^53 ns).
+    * `events.ts` has been generated with two different parquet encodings
+    * across data drops, and this loader normalizes BOTH to a UTC-instant
+    * `TimestampType` so every downstream query sees one type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as a
+    *    nanos-since-epoch long (`spark.sql.legacy.parquet.nanosAsLong`) and
+    *    converted with integer division (a double division would lose
+    *    precision above 2^53 ns);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+    *    `TIMESTAMP_NTZ`; cast to `TimestampType`, which interprets the naive
+    *    value in the session time zone (UTC in Verify/tests — identical
+    *    wall-clock to what DuckDB's oracle reads from the same file).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
