@@ -58,6 +58,7 @@ object GraftExtensions {
       JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>
           strArg(e, i, "json_keyset_tuple") }, nested = false)),
+    "jaro_winkler" -> (exprs => JaroWinklerExpr(exprs(0), exprs(1))),
     "json_keyset_tuple_nested" -> (exprs =>
       JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>

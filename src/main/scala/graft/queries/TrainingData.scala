@@ -1075,8 +1075,12 @@ object TrainingData {
     * FINGERPRINT — pair count plus id sums and the id-product sum — rather
     * than the raw pairs: any missing or extra pair still breaks the hash,
     * but the output stays a handful of rows at every SF. */
-  def fuzzyPairsQ(s: SparkSession, dir: String): DataFrame = {
-    val named = docs(s, dir)
+  /** Deterministic typo'd entity names shared by the record-linkage
+    * queries (q122/q123): a 40-entity vocabulary with a doc_id-derived
+    * perturbation (delete last char / append / substitute first char /
+    * unchanged), restated verbatim in both oracles. */
+  private def typoNames(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"),
         concat(lit("entity "), (col("doc_id") % 40).cast("string")).as("b"))
       .select(col("doc_id"),
@@ -1086,8 +1090,10 @@ object TrainingData {
         .when(col("doc_id") % 5 === 3,
           concat(lit("x"), expr("substring(b, 2, length(b))")))
         .otherwise(col("b")).as("name"))
-    graft.functions.FuzzyDedup.nearDupPairs(named, "doc_id", "name",
-        maxBucket = 4096)
+
+  def fuzzyPairsQ(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FuzzyDedup.nearDupPairs(typoNames(s, dir),
+        "doc_id", "name", maxBucket = 4096)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("id_a")).as("sum_a"),
@@ -1096,7 +1102,29 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
+  /** Sorted-neighborhood record linkage scored with the native
+    * Jaro-Winkler expression (the scoring function Spark lacks; DuckDB's
+    * `jaro_winkler_similarity` is the oracle — the kernel was fuzz-pinned
+    * bit-exact against it over 50k pairs, so the query can GROUP BY the
+    * raw double score). The engine ranks via the distributed packShards
+    * prefix sum (one range exchange + broadcast offsets — never a global
+    * window) and pairs neighbors with a pure equi-join on exploded
+    * successor ranks; the oracle restates the same windowed semantics
+    * with `row_number() OVER (ORDER BY name, doc_id)` and a rank-band
+    * self-join. Output is the per-score fingerprint (count + id sums), so
+    * any membership or score difference breaks the hash while the row
+    * count stays O(#distinct scores) at every SF. */
+  def sortedNeighborhoodQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Linkage.sortedNeighborhoodPairs(typoNames(s, dir),
+        "doc_id", "name", window = 5, minScore = 0.84)
+      .groupBy(col("jw_score"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_a"),
+        sum(col("id_b")).as("sum_b"))
+      .orderBy(col("jw_score"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_sorted_neighborhood" -> sortedNeighborhoodQ _,
     "q122_fuzzy_pairs"      -> fuzzyPairsQ _,
     "q118_sqrt_allocation"  -> sqrtAllocationQ _,
     "q117_feature_hash"     -> featureHashRetrievalQ _,
@@ -1408,6 +1436,33 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same sorted-neighborhood semantics via a row_number window and
+    // a rank-band self-join; jaro_winkler_similarity is bit-identical to
+    // the engine's native kernel (fuzz-pinned), so grouping by the raw
+    // double score is exact
+    "q123_sorted_neighborhood" ->
+      """WITH b0 AS (
+        | SELECT doc_id,
+        |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'x'
+        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM b0),
+        |r AS (
+        | SELECT doc_id, name,
+        |  row_number() OVER (ORDER BY name, doc_id) - 1 AS rn FROM n),
+        |p AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  jaro_winkler_similarity(a.name, c.name) AS jw_score
+        | FROM r a JOIN r c ON c.rn > a.rn AND c.rn <= a.rn + 5
+        | WHERE jaro_winkler_similarity(a.name, c.name) >= 0.84)
+        |SELECT jw_score, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a,
+        | CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin,
     // EXHAUSTIVE all-pairs levenshtein over the same deterministic typo
     // construction — the engine's deletion-neighborhood blocking must
     // reproduce it exactly or the hash breaks
