@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * [[Dedup]]: names, titles, and short identifiers that differ by one typo.
   *
   * Candidate generation is the SymSpell construction: every string emits
-  * itself plus each of its single-character-deletion variants; two strings
-  * within Levenshtein distance 1 ALWAYS share a variant (equal strings share
-  * themselves; a same-length substitution pair shares the string with the
-  * differing position deleted; an insert/delete pair shares the shorter
-  * string), so an equi-join on the variant hash is a COMPLETE blocking
-  * scheme for d=1 — pinned by a spec against all-pairs. Candidates are then
-  * verified with the exact codegen'd `levenshtein`, so hash collisions and
-  * over-generation cost time, never correctness.
+  * itself plus its variants of up to `maxDist` single-character deletions;
+  * two strings within Levenshtein distance d ALWAYS share a depth-d variant
+  * (at d=1: equal strings share themselves, a substitution pair shares the
+  * string with the differing position deleted, an insert/delete pair shares
+  * the shorter string; the depth-2 case composes these), so an equi-join on
+  * the variant hash is a COMPLETE blocking scheme for distance ≤ maxDist —
+  * pinned by specs against all-pairs at both supported depths. Candidates
+  * are then verified with the exact codegen'd `levenshtein`, so hash
+  * collisions and over-generation cost time, never correctness.
   *
   * Scale shape: each row fans out to len+1 narrow (hash, id) rows — the
   * string itself never rides the variant exchange, only its xxhash64.
@@ -28,25 +29,56 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyDedup {
 
-  /** The string plus each single-deletion variant, hashed. */
-  private def deletionHashes(t: Column): Column =
-    array_distinct(concat(
-      array(xxhash64(t)),
-      transform(sequence(lit(1), length(t)),
-        i => xxhash64(concat(t.substr(lit(1), i - lit(1)),
-                             t.substr(i + lit(1), length(t)))))))
+  /** One single-character deletion at position `i` (1-based). */
+  private def del1(t: Column, i: Column): Column =
+    concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t)))
 
-  /** Levenshtein-distance-(<=1) pairs: (id_a, id_b, dist) with id_a < id_b,
-    * exact-verified. `maxBucket` caps degenerate variant buckets (agg-based,
-    * see class doc); below the cap, recall is exact — pinned by spec. */
+  /** Two deletions at positions `i < j` of the ORIGINAL string, as one
+    * three-slice concat — equivalent to deleting i then j−1 from the
+    * intermediate, without materializing it. */
+  private def del2(t: Column, i: Column, j: Column): Column =
+    concat(t.substr(lit(1), i - lit(1)),
+      t.substr(i + lit(1), j - i - lit(1)),
+      t.substr(j + lit(1), length(t)))
+
+  /** The string plus every variant of up to `maxDeletes` (1 or 2)
+    * single-character deletions, hashed. The depth-2 layer is guarded to
+    * len ≥ 2: `sequence(a, b)` with a > b counts DOWN in Spark, so the
+    * unguarded form would mint phantom variants on short strings. */
+  private def deletionHashes(t: Column, maxDeletes: Int): Column = {
+    val depth1 = concat(
+      array(xxhash64(t)),
+      transform(sequence(lit(1), length(t)), i => xxhash64(del1(t, i))))
+    val all =
+      if (maxDeletes < 2) depth1
+      else concat(depth1,
+        when(length(t) >= 2,
+          flatten(transform(sequence(lit(1), length(t) - 1), i =>
+            transform(sequence(i + lit(1), length(t)), j =>
+              xxhash64(del2(t, i, j))))))
+        .otherwise(array().cast("array<bigint>")))
+    array_distinct(all)
+  }
+
+  /** Levenshtein-distance-(<= maxDist) pairs: (id_a, id_b, dist) with
+    * id_a < id_b, exact-verified. `maxDist` is 1 or 2: the deletion
+    * neighborhood of depth d is a COMPLETE blocking scheme for edit
+    * distance d (the SymSpell theorem — delete distance is bounded by
+    * edit distance on both sides), spec-pinned against all-pairs at both
+    * depths. Depth 2 fans each row out to O(len²/2) variants — still
+    * narrow (hash, id) rows, but reserve it for genuinely short keys.
+    * `maxBucket` caps degenerate variant buckets (agg-based, see class
+    * doc); below the cap, recall is exact — pinned by spec. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxBucket: Int = 256): DataFrame = {
+                   maxBucket: Int = 256, maxDist: Int = 1): DataFrame = {
     require(maxBucket >= 2, "nearDupPairs: maxBucket must admit a pair")
+    require(maxDist == 1 || maxDist == 2,
+      "nearDupPairs: maxDist must be 1 or 2")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("t"))
       .filter(col("t").isNotNull)
     val variants = base
-      .select(col("id"), explode(deletionHashes(col("t"))).as("h"))
+      .select(col("id"), explode(deletionHashes(col("t"), maxDist)).as("h"))
     // partial-aggregating cap: the hot-variant decision happens on the tiny
     // (h, n) frame; a window over h would sort every member onto one task
     val surviving = variants.groupBy(col("h"))
@@ -63,15 +95,15 @@ object FuzzyDedup {
       .join(base.select(col("id").as("id_a"), col("t").as("_ta")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("t").as("_tb")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
   /** Keep-min-id dedup: every id appearing as the larger member of a
     * verified pair is dropped; survivors keep their full row. */
   def dedup(df: DataFrame, idCol: String, textCol: String,
-            maxBucket: Int = 256): DataFrame = {
-    val dupIds = nearDupPairs(df, idCol, textCol, maxBucket)
+            maxBucket: Int = 256, maxDist: Int = 1): DataFrame = {
+    val dupIds = nearDupPairs(df, idCol, textCol, maxBucket, maxDist)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -1102,6 +1102,22 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
+  /** The depth-2 SymSpell blocking under the oracle gate: same typo
+    * corpus as q122, but pairs up to Levenshtein distance 2 — the
+    * distance class that catches delete-vs-append siblings of one entity
+    * (d=2 from each other though d=1 from their base). The oracle is the
+    * exhaustive all-pairs lev ≤ 2 join, so a single blocking miss at
+    * depth 2 breaks the hash; output is the per-distance fingerprint. */
+  def fuzzyPairsD2Q(s: SparkSession, dir: String): DataFrame =
+    graft.functions.FuzzyDedup.nearDupPairs(typoNames(s, dir),
+        "doc_id", "name", maxBucket = 1 << 16, maxDist = 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_a"),
+        sum(col("id_b")).as("sum_b"),
+        sum(col("id_a") * col("id_b")).as("sum_ab"))
+      .orderBy(col("dist"))
+
   /** Sorted-neighborhood record linkage scored with the native
     * Jaro-Winkler expression (the scoring function Spark lacks; DuckDB's
     * `jaro_winkler_similarity` is the oracle — the kernel was fuzz-pinned
@@ -1124,6 +1140,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_fuzzy_d2"         -> fuzzyPairsD2Q _,
     "q123_sorted_neighborhood" -> sortedNeighborhoodQ _,
     "q122_fuzzy_pairs"      -> fuzzyPairsQ _,
     "q118_sqrt_allocation"  -> sqrtAllocationQ _,
@@ -1436,6 +1453,28 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exhaustive all-pairs levenshtein <= 2 over the q122 typo corpus
+    "q124_fuzzy_d2" ->
+      """WITH b0 AS (
+        | SELECT doc_id,
+        |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'x'
+        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM b0),
+        |p AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 2)
+        |SELECT dist, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a,
+        | CAST(sum(id_b) AS BIGINT) AS sum_b,
+        | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
     // the same sorted-neighborhood semantics via a row_number window and
     // a rank-band self-join; jaro_winkler_similarity is bit-identical to
     // the engine's native kernel (fuzz-pinned), so grouping by the raw

@@ -6,8 +6,9 @@ import graft.SparkSpec
 class FuzzyDedupSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Driver-side reference: exhaustive all-pairs Levenshtein ≤ 1. */
-  private def allPairsRef(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+  /** Driver-side reference: exhaustive all-pairs Levenshtein ≤ maxDist. */
+  private def allPairsRef(rows: Seq[(Long, String)],
+                          maxDist: Int = 1): Set[(Long, Long, Long)] = {
     def lev(a: String, b: String): Int = {
       val d = Array.ofDim[Int](a.length + 1, b.length + 1)
       for (i <- 0 to a.length) d(i)(0) = i
@@ -22,14 +23,14 @@ class FuzzyDedupSpec extends SparkSpec {
       (ia, ta) <- rows
       (ib, tb) <- rows
       if ia < ib
-      dist = lev(ta, tb) if dist <= 1
+      dist = lev(ta, tb) if dist <= maxDist
     } yield (ia, ib, dist.toLong)).toSet
   }
 
-  private def pairsOf(rows: Seq[(Long, String)],
-                      maxBucket: Int = 256): Set[(Long, Long, Long)] =
+  private def pairsOf(rows: Seq[(Long, String)], maxBucket: Int = 256,
+                      maxDist: Int = 1): Set[(Long, Long, Long)] =
     FuzzyDedup.nearDupPairs(rows.toDF("doc_id", "name"), "doc_id", "name",
-        maxBucket)
+        maxBucket, maxDist)
       .as[(Long, Long, Long)].collect().toSet
 
   test("deletion-neighborhood blocking is COMPLETE: equality to all-pairs " +
@@ -96,6 +97,61 @@ class FuzzyDedupSpec extends SparkSpec {
     val kept = FuzzyDedup.dedup(df, "doc_id", "name")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
+  }
+
+  test("depth-2 blocking is COMPLETE for distance <= 2: equality to " +
+      "all-pairs on a double-typo corpus") {
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abcd"
+    def mutate(b: String): String = rnd.nextInt(3) match {
+      case 0 if b.nonEmpty => // substitution
+        val p = rnd.nextInt(b.length)
+        b.updated(p, alphabet(rnd.nextInt(alphabet.length)))
+      case 1 if b.nonEmpty => // deletion
+        val p = rnd.nextInt(b.length)
+        b.substring(0, p) + b.substring(p + 1)
+      case _ => // insertion
+        val p = rnd.nextInt(b.length + 1)
+        b.substring(0, p) + alphabet(rnd.nextInt(alphabet.length)) +
+          b.substring(p)
+    }
+    val bases = Seq.fill(8)((1 to (4 + rnd.nextInt(4)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = (0 until 90).map { i =>
+      var t = bases(rnd.nextInt(bases.length))
+      (0 until rnd.nextInt(3)).foreach(_ => t = mutate(t)) // 0-2 edits
+      (i.toLong, t)
+    }
+    val want = allPairsRef(rows, maxDist = 2)
+    assert(want.exists(_._3 == 2L), "corpus must contain distance-2 pairs")
+    assert(pairsOf(rows, maxBucket = 8192, maxDist = 2) == want)
+  }
+
+  test("depth-2 pairs double substitutions and insert+substitute combos " +
+      "that depth-1 misses; distance-3 never surfaces") {
+    val rows = Seq(
+      1L -> "martha", 2L -> "narthx", // two substitutions: d=2
+      3L -> "marthaxy",               // two insertions vs 1: d=2
+      4L -> "artha",                  // deletion: d=1 vs 1, d=2 w/ others
+      5L -> "zzzzzz")                 // far from everything
+    val d1 = pairsOf(rows, maxDist = 1)
+    assert(!d1.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+    val d2 = pairsOf(rows, maxBucket = 1024, maxDist = 2)
+    assert(d2.contains((1L, 2L, 2L)) && d2.contains((1L, 3L, 2L)) &&
+      d2.contains((1L, 4L, 1L)))
+    assert(!d2.exists { case (a, b, _) => a == 5L || b == 5L })
+    assert(d2 == allPairsRef(rows, maxDist = 2))
+  }
+
+  test("depth-2 short-string edges: empty and single-char strings pair " +
+      "by their true distance, no phantom variants") {
+    val rows = Seq(1L -> "", 2L -> "a", 3L -> "ab", 4L -> "abcd")
+    val d2 = pairsOf(rows, maxDist = 2)
+    // lev: (""/"a")=1, (""/"ab")=2, ("a"/"ab")=1, ("a"/"abcd")=3 out,
+    // ("ab"/"abcd")=2, (""/"abcd")=4 out
+    assert(d2 == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (3L, 4L, 2L)))
+    assert(d2 == allPairsRef(rows, maxDist = 2))
   }
 
   test("null texts yield no pairs and do not crash") {
