@@ -326,4 +326,23 @@ object Sampling {
       }.otherwise(lit(splits.last._1))
     df.withColumn("split", cond)
   }
+
+  /** Leakage-SAFE train/val/test split: assign splits at near-duplicate
+    * CLUSTER granularity, so a document and all its near-copies land in
+    * the SAME split by construction — the constructive counterpart of the
+    * q100 split-leakage audit (which measures what per-document splitting
+    * leaks). `pairs` is any near-dup pair frame ([[graft.functions
+    * .FuzzyDedup]], `Dedup.minhashNearDups`, …); rows it never mentions
+    * are singleton clusters of their own id. Appends `cluster_id` (the
+    * component's minimum id) and `split` (the md5 cut of the CLUSTER id —
+    * same portable-hash seam as [[hashSplit]], restated verbatim in the
+    * q125 oracle). Fractions land cluster-wise, so realized row
+    * proportions track the targets only as closely as cluster sizes
+    * allow — that skew is inherent to leakage-safe splitting, not a bug. */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       splits: Seq[(String, Double)]): DataFrame =
+    hashSplit(
+      graft.operators.Components.assignClusters(df, idCol, pairs, aCol, bCol),
+      "cluster_id", splits)
 }

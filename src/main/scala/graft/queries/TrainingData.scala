@@ -1102,6 +1102,42 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
+  /** The q122 typo construction over a 200-entity vocabulary of
+    * md5-DERIVED tokens ("e" + 6 hex chars) — unlike the q122 names
+    * ("entity 5" / "entity 6" are themselves lev-1 neighbors, so that
+    * corpus deliberately fuses into dense near-cliques), random hex
+    * tokens sit ≥ 3 edits apart, so clusters stay entity-sized and
+    * SPARSE, the shape a real near-dup graph has — and the q125 oracle's
+    * recursive-CTE closure stays linear-ish at every SF. */
+  private def typoNamesSparse(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("e"),
+          substring(md5((col("doc_id") % 200).cast("string")), 1, 6)).as("b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          expr("substring(b, 1, length(b) - 1)"))
+        .when(col("doc_id") % 5 === 2, concat(col("b"), lit("x")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("x"), expr("substring(b, 2, length(b))")))
+        .otherwise(col("b")).as("name"))
+
+  /** Leakage-safe split over the sparse typo corpus: fuzzy near-dup
+    * pairs → connected components (the q56 machinery) → md5 cut of the
+    * CLUSTER id, so every typo variant of an entity lands in one split —
+    * the constructive fix for what q100 audits. The oracle recomputes
+    * the components with a recursive CTE over the exhaustive lev ≤ 1
+    * pair set and restates the md5 cut verbatim on the cluster id. */
+  def clusterSafeSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val named = typoNamesSparse(s, dir)
+    val pairs = graft.functions.FuzzyDedup.nearDupPairs(named,
+      "doc_id", "name", maxBucket = 1 << 16)
+    graft.functions.Sampling.clusterSafeSplit(named, "doc_id", pairs,
+        "id_a", "id_b", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The depth-2 SymSpell blocking under the oracle gate: same typo
     * corpus as q122, but pairs up to Levenshtein distance 2 — the
     * distance class that catches delete-vs-append siblings of one entity
@@ -1140,6 +1176,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_cluster_safe_split" -> clusterSafeSplitQ _,
     "q124_fuzzy_d2"         -> fuzzyPairsD2Q _,
     "q123_sorted_neighborhood" -> sortedNeighborhoodQ _,
     "q122_fuzzy_pairs"      -> fuzzyPairsQ _,
@@ -1453,6 +1490,40 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // components via recursive CTE over the exhaustive lev<=1 pair set,
+    // then the md5 cut restated on the CLUSTER id (q77's seam)
+    "q125_cluster_safe_split" ->
+      s"""WITH RECURSIVE b0 AS (
+         | SELECT doc_id,
+         |  'e' || substring(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 6) AS b
+         | FROM documents),
+         |n AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+         |       WHEN doc_id % 5 = 2 THEN b || 'x'
+         |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+         |       ELSE b END AS name
+         | FROM b0),
+         |p AS (
+         | SELECT a.doc_id AS id_a, c.doc_id AS id_b
+         | FROM n a JOIN n c ON a.doc_id < c.doc_id
+         | WHERE levenshtein(a.name, c.name) <= 1),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, lbl) AS (
+         | SELECT doc_id, doc_id FROM n
+         | UNION
+         | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+         |cl AS (
+         | SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         | FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+         |        < '${graft.functions.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |      WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+         |        < '${graft.functions.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
     // exhaustive all-pairs levenshtein <= 2 over the q122 typo corpus
     "q124_fuzzy_d2" ->
       """WITH b0 AS (

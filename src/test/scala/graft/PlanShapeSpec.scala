@@ -221,6 +221,22 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("fuzzy-dedup hot-variant cap is aggregation-based — no Window " +
+      "anywhere in the pair plan") {
+    // same hazard class as the LSH cap: a window count over the variant
+    // hash would sort every member of a degenerate variant (constant
+    // column) onto one task; the agg + semi-join shape combines map-side
+    val df = (1 to 60).map(i => (i.toLong, s"name${i % 9}"))
+      .toDF("doc_id", "name")
+    val pairs = graft.functions.FuzzyDedup.nearDupPairs(
+      df, "doc_id", "name", maxBucket = 64, maxDist = 2)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("per-group sampling ranks via the range-partitioned prefix sum") {
     // the rank window must be partitioned by the RANGE id (+ group) —
     // never by the group alone, which would funnel a hot stratum onto

@@ -293,4 +293,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(hugeW, "id", "w", 1).collect()
     }
   }
+
+  test("clusterSafeSplit: pair-connected rows NEVER straddle a split " +
+      "boundary; singletons split like hashSplit of their own id") {
+    import spark.implicits._
+    // 3 chained clusters {1,2,3}, {10,11}, and singletons 20, 21
+    val df = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.clusterSafeSplit(df, "id", pairs, "id_a", "id_b",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // transitive members share cluster AND split
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L && byId(3L)._2 == 1L)
+    assert(Set(byId(1L)._3, byId(2L)._3, byId(3L)._3).size == 1)
+    assert(byId(10L)._2 == 10L && byId(11L)._2 == 10L &&
+      byId(10L)._3 == byId(11L)._3)
+    // a singleton's cluster is itself, so its split IS hashSplit's
+    val solo = Sampling.hashSplit(Seq(20L, 21L).toDF("id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    assert(byId(20L)._3 == solo(20L) && byId(21L)._3 == solo(21L))
+  }
 }
