@@ -38,7 +38,11 @@ object Bench {
     // min-of-2 still absorbs multi-second machine stalls (q03/q42 read
     // 14-17s there but probe at 0.6-1.0s in isolation); a stall long
     // enough to poison three consecutive runs is much rarer.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-loop filter (the driver sets no such env; full suite runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (t1, e1) = timeQuery(spark, sfDir, fn)
       val (t2, e2) = timeQuery(spark, sfDir, fn)
       val (t3, e3) = timeQuery(spark, sfDir, fn)

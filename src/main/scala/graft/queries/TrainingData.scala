@@ -1102,18 +1102,21 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
-  /** The q122 typo construction over a 200-entity vocabulary of
+  /** The q122 typo construction over a 199-entity vocabulary of
     * md5-DERIVED tokens ("e" + 6 hex chars) — unlike the q122 names
     * ("entity 5" / "entity 6" are themselves lev-1 neighbors, so that
     * corpus deliberately fuses into dense near-cliques), random hex
     * tokens sit ≥ 3 edits apart, so clusters stay entity-sized and
     * SPARSE, the shape a real near-dup graph has — and the q125 oracle's
-    * recursive-CTE closure stays linear-ish at every SF. */
+    * recursive-CTE closure stays linear-ish at every SF. The modulus is
+    * PRIME (and in particular coprime to the 5 perturbation classes):
+    * with a multiple of 5, every doc of one entity would draw the same
+    * perturbation and the corpus would degenerate to exact clones. */
   private def typoNamesSparse(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
         concat(lit("e"),
-          substring(md5((col("doc_id") % 200).cast("string")), 1, 6)).as("b"))
+          substring(md5((col("doc_id") % 199).cast("string")), 1, 6)).as("b"))
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 1,
           expr("substring(b, 1, length(b) - 1)"))
@@ -1138,14 +1141,19 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
-  /** The depth-2 SymSpell blocking under the oracle gate: same typo
-    * corpus as q122, but pairs up to Levenshtein distance 2 — the
-    * distance class that catches delete-vs-append siblings of one entity
-    * (d=2 from each other though d=1 from their base). The oracle is the
-    * exhaustive all-pairs lev ≤ 2 join, so a single blocking miss at
-    * depth 2 breaks the hash; output is the per-distance fingerprint. */
+  /** The depth-2 SymSpell blocking under the oracle gate: the SPARSE
+    * typo corpus, pairs up to Levenshtein distance 2 — the distance
+    * class that catches delete-vs-append siblings of one entity (d=2
+    * from each other though d=1 from their base). Sparse rather than the
+    * q122 corpus because at depth 2 the "entity N" names' own lev-1
+    * adjacency makes nearly every pair a candidate — a corpus-sized
+    * quadratic pair set is a stress test of nothing but patience; hex
+    * tokens keep depth-2's REAL work (within-entity variant pairing)
+    * while the pair set stays entity-local. The oracle is the exhaustive
+    * all-pairs lev ≤ 2 join, so a single blocking miss at depth 2 breaks
+    * the hash; output is the per-distance fingerprint. */
   def fuzzyPairsD2Q(s: SparkSession, dir: String): DataFrame =
-    graft.functions.FuzzyDedup.nearDupPairs(typoNames(s, dir),
+    graft.functions.FuzzyDedup.nearDupPairs(typoNamesSparse(s, dir),
         "doc_id", "name", maxBucket = 1 << 16, maxDist = 2)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -1495,7 +1503,7 @@ object TrainingData {
     "q125_cluster_safe_split" ->
       s"""WITH RECURSIVE b0 AS (
          | SELECT doc_id,
-         |  'e' || substring(md5(CAST(doc_id % 200 AS VARCHAR)), 1, 6) AS b
+         |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
          | FROM documents),
          |n AS (
          | SELECT doc_id,
@@ -1528,7 +1536,8 @@ object TrainingData {
     "q124_fuzzy_d2" ->
       """WITH b0 AS (
         | SELECT doc_id,
-        |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
+        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
+        | FROM documents),
         |n AS (
         | SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
