@@ -1162,6 +1162,26 @@ object TrainingData {
         sum(col("id_a") * col("id_b")).as("sum_ab"))
       .orderBy(col("dist"))
 
+  /** The TWO-PASS linkage union under the oracle gate: sorted-neighborhood
+    * candidates ∪ deletion-neighborhood (lev ≤ 1) candidates, each
+    * unordered pair scored once with the native Jaro-Winkler and
+    * thresholded — the production shape that covers the sort pass's
+    * leading-character blind spot (the x-prefixed perturbation class in
+    * this corpus sorts an entity's variants far apart; the d ≤ 1 pass
+    * recovers them). The oracle restates BOTH candidate branches (the
+    * rank-band self-join and the exhaustive lev ≤ 1 join — valid because
+    * deletion-neighborhood blocking is complete for d ≤ 1, spec-pinned)
+    * and unions them with SQL UNION's dedup semantics, mirroring the
+    * engine's distinct(). */
+  def linkageUnionQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Linkage.linkagePairs(typoNamesSparse(s, dir),
+        "doc_id", "name", window = 5, minScore = 0.84, maxBucket = 1 << 16)
+      .groupBy(col("jw_score"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_a"),
+        sum(col("id_b")).as("sum_b"))
+      .orderBy(col("jw_score"))
+
   /** Sorted-neighborhood record linkage scored with the native
     * Jaro-Winkler expression (the scoring function Spark lacks; DuckDB's
     * `jaro_winkler_similarity` is the oracle — the kernel was fuzz-pinned
@@ -1184,6 +1204,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_linkage_union"    -> linkageUnionQ _,
     "q125_cluster_safe_split" -> clusterSafeSplitQ _,
     "q124_fuzzy_d2"         -> fuzzyPairsD2Q _,
     "q123_sorted_neighborhood" -> sortedNeighborhoodQ _,
@@ -1498,6 +1519,46 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both candidate branches restated: the rank-band self-join (sorted
+    // neighborhood) and the exhaustive lev<=1 join (= the engine's
+    // deletion-neighborhood blocking, complete for d<=1); UNION dedups
+    // like the engine's distinct(), then each unordered pair scores once
+    "q126_linkage_union" ->
+      """WITH b0 AS (
+        | SELECT doc_id,
+        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'x'
+        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM b0),
+        |r AS (
+        | SELECT doc_id, name,
+        |  row_number() OVER (ORDER BY name, doc_id) - 1 AS rn FROM n),
+        |sn AS (
+        | SELECT least(a.doc_id, c.doc_id) AS id_a,
+        |        greatest(a.doc_id, c.doc_id) AS id_b
+        | FROM r a JOIN r c ON c.rn > a.rn AND c.rn <= a.rn + 5
+        | WHERE jaro_winkler_similarity(a.name, c.name) >= 0.84),
+        |dn AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 1),
+        |cand AS (SELECT id_a, id_b FROM sn UNION SELECT id_a, id_b FROM dn),
+        |p AS (
+        | SELECT cand.id_a, cand.id_b,
+        |  jaro_winkler_similarity(na.name, nb.name) AS jw_score
+        | FROM cand
+        | JOIN n na ON na.doc_id = cand.id_a
+        | JOIN n nb ON nb.doc_id = cand.id_b
+        | WHERE jaro_winkler_similarity(na.name, nb.name) >= 0.84)
+        |SELECT jw_score, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a,
+        | CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin,
     // components via recursive CTE over the exhaustive lev<=1 pair set,
     // then the md5 cut restated on the CLUSTER id (q77's seam)
     "q125_cluster_safe_split" ->
