@@ -99,6 +99,53 @@ object FuzzyDedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Bipartite (cross-corpus) fuzzy pairs: batch rows within Levenshtein
+    * `maxDist` of a CORPUS row — "does today's crawl contain a typo'd
+    * copy of anything we already hold", without ever generating
+    * corpus×corpus (or batch×batch) candidates. Same deletion-variant
+    * construction on each side, joined corpus-variant ⋈ batch-variant;
+    * with |batch| ≪ |corpus| the exchange is one narrow (hash, id) frame
+    * per side and the corpus side's variants stream through the join —
+    * nothing corpus-sized is ever paired against itself. Output:
+    * `(corpus_id, batch_id, dist)`, exact-verified. `maxBucket` caps the
+    * JOINT variant bucket (corpus + batch members together), same
+    * agg + semi-join shape as [[nearDupPairs]]. */
+  def crossNearDupPairs(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        maxBucket: Int = 256, maxDist: Int = 1): DataFrame = {
+    require(maxBucket >= 2, "crossNearDupPairs: maxBucket must admit a pair")
+    require(maxDist == 1 || maxDist == 2,
+      "crossNearDupPairs: maxDist must be 1 or 2")
+    def narrow(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+          col(textCol).cast("string").as("t"))
+        .filter(col("t").isNotNull)
+    val (cBase, bBase) = (narrow(corpus), narrow(batch))
+    def variants(base: DataFrame) = base
+      .select(col("id"), explode(deletionHashes(col("t"), maxDist)).as("h"))
+    val (cv, bv) = (variants(cBase), variants(bBase))
+    // the cap counts BOTH sides of a variant bucket: a degenerate value
+    // shared corpus-wide must not explode just because the batch also
+    // contains it once
+    val surviving = cv.select(col("h")).unionAll(bv.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("h"))
+    val pairs = cv.join(surviving, Seq("h"), "left_semi").as("a")
+      .join(bv.join(surviving, Seq("h"), "left_semi").as("b"), Seq("h"))
+      .select(col("a.id").as("corpus_id"), col("b.id").as("batch_id"))
+      .distinct()
+    pairs
+      .join(cBase.select(col("id").as("corpus_id"), col("t").as("_tc")),
+        Seq("corpus_id"))
+      .join(bBase.select(col("id").as("batch_id"), col("t").as("_tb")),
+        Seq("batch_id"))
+      .withColumn("dist", levenshtein(col("_tc"), col("_tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("corpus_id"), col("batch_id"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Keep-min-id dedup: every id appearing as the larger member of a
     * verified pair is dropped; survivors keep their full row. */
   def dedup(df: DataFrame, idCol: String, textCol: String,

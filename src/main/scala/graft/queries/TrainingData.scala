@@ -1162,6 +1162,26 @@ object TrainingData {
         sum(col("id_a") * col("id_b")).as("sum_ab"))
       .orderBy(col("dist"))
 
+  /** The bipartite fuzzy probe under the oracle gate: even doc_ids play
+    * the standing corpus, odd doc_ids the incoming batch, and the engine
+    * must find exactly the cross-side lev ≤ 1 pairs — the oracle is the
+    * exhaustive bipartite join, so a within-side leak (extra pairs) or a
+    * blocking miss (missing pairs) both break the hash. Per-distance
+    * fingerprint output, O(1) rows at every SF. */
+  def fuzzyIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val named = typoNamesSparse(s, dir)
+    graft.functions.FuzzyDedup.crossNearDupPairs(
+        named.filter(col("doc_id") % 2 === 0),
+        named.filter(col("doc_id") % 2 === 1),
+        "doc_id", "name", maxBucket = 1 << 16)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("corpus_id")).as("sum_corpus"),
+        sum(col("batch_id")).as("sum_batch"),
+        sum(col("corpus_id") * col("batch_id")).as("sum_cross"))
+      .orderBy(col("dist"))
+  }
+
   /** The TWO-PASS linkage union under the oracle gate: sorted-neighborhood
     * candidates ∪ deletion-neighborhood (lev ≤ 1) candidates, each
     * unordered pair scored once with the native Jaro-Winkler and
@@ -1204,6 +1224,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_fuzzy_incremental" -> fuzzyIncrementalQ _,
     "q126_linkage_union"    -> linkageUnionQ _,
     "q125_cluster_safe_split" -> clusterSafeSplitQ _,
     "q124_fuzzy_d2"         -> fuzzyPairsD2Q _,
@@ -1519,6 +1540,30 @@ object TrainingData {
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exhaustive bipartite lev<=1 join: even ids (corpus) x odd ids
+    // (batch) only - a within-side pair on either side breaks the hash
+    "q127_fuzzy_incremental" ->
+      """WITH b0 AS (
+        | SELECT doc_id,
+        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'x'
+        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM b0),
+        |p AS (
+        | SELECT a.doc_id AS corpus_id, c.doc_id AS batch_id,
+        |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+        | FROM n a JOIN n c ON a.doc_id % 2 = 0 AND c.doc_id % 2 = 1
+        | WHERE levenshtein(a.name, c.name) <= 1)
+        |SELECT dist, count(*) AS n_pairs,
+        | CAST(sum(corpus_id) AS BIGINT) AS sum_corpus,
+        | CAST(sum(batch_id) AS BIGINT) AS sum_batch,
+        | CAST(sum(corpus_id * batch_id) AS BIGINT) AS sum_cross
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
     // both candidate branches restated: the rank-band self-join (sorted
     // neighborhood) and the exhaustive lev<=1 join (= the engine's
     // deletion-neighborhood blocking, complete for d<=1); UNION dedups

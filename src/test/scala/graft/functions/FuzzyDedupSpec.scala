@@ -154,6 +154,51 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(d2 == allPairsRef(rows, maxDist = 2))
   }
 
+  test("bipartite probe equals the exhaustive cross reference and never " +
+      "emits within-side pairs") {
+    val corpus = Seq(1L -> "alpha", 2L -> "alphx", 3L -> "beta",
+      4L -> "gamma")
+    val batch = Seq(10L -> "alpha", 11L -> "alpa", 12L -> "delta",
+      13L -> "bketa")
+    def lev(a: String, b: String): Int = {
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) d(i)(0) = i
+      for (j <- 0 to b.length) d(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (md <- Seq(1, 2)) {
+      val want = (for {
+        (ci, ct) <- corpus
+        (bi, bt) <- batch
+        dist = lev(ct, bt) if dist <= md
+      } yield (ci, bi, dist.toLong)).toSet
+      val got = FuzzyDedup.crossNearDupPairs(
+          corpus.toDF("doc_id", "name"), batch.toDF("doc_id", "name"),
+          "doc_id", "name", maxBucket = 1024, maxDist = md)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"maxDist=$md")
+      // within-side near-dups (1,2 in corpus) must never surface
+      assert(!got.exists { case (a, b, _) => a == 2L && b == 1L })
+    }
+  }
+
+  test("bipartite cap counts the JOINT bucket across both sides") {
+    // 9 corpus clones + 1 batch clone: joint bucket 10 > cap 8, so the
+    // batch copy pairs with nothing; raising the cap restores all 9
+    val corpus = (1L to 9L).map(i => i -> "aaaa")
+    val batch = Seq(100L -> "aaaa")
+    def run(cap: Int) = FuzzyDedup.crossNearDupPairs(
+        corpus.toDF("doc_id", "name"), batch.toDF("doc_id", "name"),
+        "doc_id", "name", maxBucket = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(8).isEmpty)
+    assert(run(16) == (1L to 9L).map(i => (i, 100L, 0L)).toSet)
+  }
+
   test("null texts yield no pairs and do not crash") {
     val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("alphx")))
       .toDF("doc_id", "name")
