@@ -42,9 +42,15 @@ object FuzzyDedup {
       t.substr(j + lit(1), length(t)))
 
   /** The string plus every variant of up to `maxDeletes` (1 or 2)
-    * single-character deletions, hashed. The depth-2 layer is guarded to
-    * len ≥ 2: `sequence(a, b)` with a > b counts DOWN in Spark, so the
-    * unguarded form would mint phantom variants on short strings. */
+    * single-character deletions, hashed — the SymSpell blocking key set.
+    * Public because the streaming probe persists these as its standing
+    * index (compute once per accepted doc, never per wave). The depth-2
+    * layer is guarded to len ≥ 2: `sequence(a, b)` with a > b counts
+    * DOWN in Spark, so the unguarded form would mint phantom variants on
+    * short strings. */
+  def variantHashes(t: Column, maxDeletes: Int): Column =
+    deletionHashes(t, maxDeletes)
+
   private def deletionHashes(t: Column, maxDeletes: Int): Column = {
     val depth1 = concat(
       array(xxhash64(t)),

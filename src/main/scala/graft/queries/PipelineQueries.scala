@@ -432,6 +432,36 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Streaming FUZZY dedup through the REAL runner under the oracle
+    * gate: wave 1 (even doc_ids of the sparse typo corpus) seeds the
+    * standing variant index, wave 2 (odd ids) probes it — rows within
+    * lev ≤ 1 of an accepted wave-1 name drop via STORED state (wave-1
+    * names are no longer in the stream), then a no-data replay must
+    * leave the accepted set unchanged. The oracle restates the greedy
+    * two-wave semantics: all of wave 1, plus wave-2 rows with NO wave-1
+    * row within distance 1 (the deletion-neighborhood blocking is
+    * complete for d ≤ 1, so the engine's index probe equals the
+    * exhaustive NOT EXISTS). */
+  def streamFuzzyQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q128") { base =>
+      val src = s"$base/landing"
+      val named = TrainingData.typoNamesSparse(s, dir)
+      val wave1 = named.filter(col("doc_id") % 2 === 0)
+      val wave2 = named.filter(col("doc_id") % 2 === 1)
+      def run(): Unit = graft.streaming.StreamFuzzyDedup.runAvailableNow(
+        s, src, wave1.schema, "doc_id", "name",
+        s"$base/state", s"$base/ckpt")
+      wave1.write.mode("append").parquet(src)
+      run()
+      wave2.write.mode("append").parquet(src)
+      run()
+      run() // no new files: replay must leave the accepted set unchanged
+      s.read.parquet(s"$base/state/accepted")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** First half of the text — `floor(n_chars/2)` chars, stated with
     * `floor` so the Spark and DuckDB integer semantics agree exactly. */
   private def substring_index_half(text: org.apache.spark.sql.Column,
@@ -460,6 +490,7 @@ object PipelineQueries {
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
+    "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
     "q119_stream_stats"   -> streamStatsQ _,
   )
@@ -538,6 +569,25 @@ object PipelineQueries {
     // accepted (empty index); a wave-2 doc is dropped iff it is
     // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive
     // formulation) to SOME wave-1 doc
+    "q128_stream_fuzzy" ->
+      """WITH b0 AS (
+        | SELECT doc_id,
+        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'x'
+        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM b0)
+        |SELECT doc_id FROM n WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT c.doc_id FROM n c
+        |WHERE c.doc_id % 2 = 1 AND NOT EXISTS (
+        | SELECT 1 FROM n a
+        | WHERE a.doc_id % 2 = 0 AND levenshtein(a.name, c.name) <= 1)
+        |ORDER BY doc_id""".stripMargin,
     "q106_stream_neardup" ->
       """WITH w1 AS (SELECT doc_id, lower(text) AS t FROM documents),
         |w2 AS (SELECT doc_id + 100000 AS doc_id,

@@ -1112,7 +1112,7 @@ object TrainingData {
     * PRIME (and in particular coprime to the 5 perturbation classes):
     * with a multiple of 5, every doc of one entity would draw the same
     * perturbation and the corpus would degenerate to exact clones. */
-  private def typoNamesSparse(s: SparkSession, dir: String): DataFrame =
+  private[queries] def typoNamesSparse(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
         concat(lit("e"),

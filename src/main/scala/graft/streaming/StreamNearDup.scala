@@ -132,18 +132,8 @@ object StreamNearDup {
     query.awaitTermination()
   }
 
-  /** The standing state excluding the current batch's own directories —
-    * a replayed batch must not probe (or anti-join) against its previous
-    * attempt's output. */
+  /** See [[StreamState.readExcluding]] (shared with the other runners). */
   private def readState(spark: SparkSession, path: String, batchId: Long,
-                        empty: StructType, idCol: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(
-        _.getPath.getName.startsWith("batch_id=")))
-      spark.read.parquet(path).filter(col("batch_id") =!= batchId)
-        .drop("batch_id")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
-  }
+                        empty: StructType, idCol: String): DataFrame =
+    StreamState.readExcluding(spark, path, batchId, empty)
 }
