@@ -570,24 +570,14 @@ object PipelineQueries {
     // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive
     // formulation) to SOME wave-1 doc
     "q128_stream_fuzzy" ->
-      """WITH b0 AS (
-        | SELECT doc_id,
-        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
-        | FROM documents),
-        |n AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-        |       WHEN doc_id % 5 = 2 THEN b || 'x'
-        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-        |       ELSE b END AS name
-        | FROM b0)
-        |SELECT doc_id FROM n WHERE doc_id % 2 = 0
+      (s"WITH ${TrainingData.sparseTypoCte}\n" +
+      """SELECT doc_id FROM n WHERE doc_id % 2 = 0
         |UNION ALL
         |SELECT c.doc_id FROM n c
         |WHERE c.doc_id % 2 = 1 AND NOT EXISTS (
         | SELECT 1 FROM n a
         | WHERE a.doc_id % 2 = 0 AND levenshtein(a.name, c.name) <= 1)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     "q106_stream_neardup" ->
       """WITH w1 AS (SELECT doc_id, lower(text) AS t FROM documents),
         |w2 AS (SELECT doc_id + 100000 AS doc_id,

@@ -1539,22 +1539,42 @@ object TrainingData {
        |  b -> len(list_filter($bg, x -> x = b)))), 0)::DOUBLE
        | / greatest(len($bg), 1)::DOUBLE""".stripMargin
 
+  /** Shared DuckDB CTE prelude for the SPARSE typo corpus — the SQL twin
+    * of [[typoNamesSparse]], interpolated into every oracle that reads
+    * it so the two restatements can never drift apart. Emits CTEs `b0`
+    * and `n(doc_id, name)`. */
+  private[queries] val sparseTypoCte: String =
+    """b0 AS (
+      | SELECT doc_id,
+      |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
+      | FROM documents),
+      |n AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+      |       WHEN doc_id % 5 = 2 THEN b || 'x'
+      |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+      |       ELSE b END AS name
+      | FROM b0)""".stripMargin
+
+  /** The DENSE 40-entity twin of [[typoNames]] (q122/q123). */
+  private[queries] val denseTypoCte: String =
+    """b0 AS (
+      | SELECT doc_id,
+      |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
+      |n AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+      |       WHEN doc_id % 5 = 2 THEN b || 'x'
+      |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
+      |       ELSE b END AS name
+      | FROM b0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // exhaustive bipartite lev<=1 join: even ids (corpus) x odd ids
     // (batch) only - a within-side pair on either side breaks the hash
     "q127_fuzzy_incremental" ->
-      """WITH b0 AS (
-        | SELECT doc_id,
-        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
-        | FROM documents),
-        |n AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-        |       WHEN doc_id % 5 = 2 THEN b || 'x'
-        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-        |       ELSE b END AS name
-        | FROM b0),
-        |p AS (
+      (s"WITH $sparseTypoCte,\n" +
+      """p AS (
         | SELECT a.doc_id AS corpus_id, c.doc_id AS batch_id,
         |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
         | FROM n a JOIN n c ON a.doc_id % 2 = 0 AND c.doc_id % 2 = 1
@@ -1563,24 +1583,14 @@ object TrainingData {
         | CAST(sum(corpus_id) AS BIGINT) AS sum_corpus,
         | CAST(sum(batch_id) AS BIGINT) AS sum_batch,
         | CAST(sum(corpus_id * batch_id) AS BIGINT) AS sum_cross
-        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin),
     // both candidate branches restated: the rank-band self-join (sorted
     // neighborhood) and the exhaustive lev<=1 join (= the engine's
     // deletion-neighborhood blocking, complete for d<=1); UNION dedups
     // like the engine's distinct(), then each unordered pair scores once
     "q126_linkage_union" ->
-      """WITH b0 AS (
-        | SELECT doc_id,
-        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
-        | FROM documents),
-        |n AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-        |       WHEN doc_id % 5 = 2 THEN b || 'x'
-        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-        |       ELSE b END AS name
-        | FROM b0),
-        |r AS (
+      (s"WITH $sparseTypoCte,\n" +
+      """r AS (
         | SELECT doc_id, name,
         |  row_number() OVER (ORDER BY name, doc_id) - 1 AS rn FROM n),
         |sn AS (
@@ -1603,22 +1613,12 @@ object TrainingData {
         |SELECT jw_score, count(*) AS n_pairs,
         | CAST(sum(id_a) AS BIGINT) AS sum_a,
         | CAST(sum(id_b) AS BIGINT) AS sum_b
-        |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin,
+        |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin),
     // components via recursive CTE over the exhaustive lev<=1 pair set,
     // then the md5 cut restated on the CLUSTER id (q77's seam)
     "q125_cluster_safe_split" ->
-      s"""WITH RECURSIVE b0 AS (
-         | SELECT doc_id,
-         |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
-         | FROM documents),
-         |n AS (
-         | SELECT doc_id,
-         |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-         |       WHEN doc_id % 5 = 2 THEN b || 'x'
-         |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-         |       ELSE b END AS name
-         | FROM b0),
-         |p AS (
+      (s"WITH RECURSIVE $sparseTypoCte,\n" +
+      s"""p AS (
          | SELECT a.doc_id AS id_a, c.doc_id AS id_b
          | FROM n a JOIN n c ON a.doc_id < c.doc_id
          | WHERE levenshtein(a.name, c.name) <= 1),
@@ -1637,21 +1637,11 @@ object TrainingData {
          |      WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
          |        < '${graft.functions.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
          |      ELSE 'test' END AS split
-         |FROM cl ORDER BY doc_id""".stripMargin,
-    // exhaustive all-pairs levenshtein <= 2 over the q122 typo corpus
+         |FROM cl ORDER BY doc_id""".stripMargin),
+    // exhaustive all-pairs levenshtein <= 2 over the sparse typo corpus
     "q124_fuzzy_d2" ->
-      """WITH b0 AS (
-        | SELECT doc_id,
-        |  'e' || substring(md5(CAST(doc_id % 199 AS VARCHAR)), 1, 6) AS b
-        | FROM documents),
-        |n AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-        |       WHEN doc_id % 5 = 2 THEN b || 'x'
-        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-        |       ELSE b END AS name
-        | FROM b0),
-        |p AS (
+      (s"WITH $sparseTypoCte,\n" +
+      """p AS (
         | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
         | FROM n a JOIN n c ON a.doc_id < c.doc_id
@@ -1660,23 +1650,14 @@ object TrainingData {
         | CAST(sum(id_a) AS BIGINT) AS sum_a,
         | CAST(sum(id_b) AS BIGINT) AS sum_b,
         | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
-        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin),
     // the same sorted-neighborhood semantics via a row_number window and
     // a rank-band self-join; jaro_winkler_similarity is bit-identical to
     // the engine's native kernel (fuzz-pinned), so grouping by the raw
     // double score is exact
     "q123_sorted_neighborhood" ->
-      """WITH b0 AS (
-        | SELECT doc_id,
-        |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
-        |n AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-        |       WHEN doc_id % 5 = 2 THEN b || 'x'
-        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-        |       ELSE b END AS name
-        | FROM b0),
-        |r AS (
+      (s"WITH $denseTypoCte,\n" +
+      """r AS (
         | SELECT doc_id, name,
         |  row_number() OVER (ORDER BY name, doc_id) - 1 AS rn FROM n),
         |p AS (
@@ -1687,22 +1668,13 @@ object TrainingData {
         |SELECT jw_score, count(*) AS n_pairs,
         | CAST(sum(id_a) AS BIGINT) AS sum_a,
         | CAST(sum(id_b) AS BIGINT) AS sum_b
-        |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin,
+        |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin),
     // EXHAUSTIVE all-pairs levenshtein over the same deterministic typo
     // construction — the engine's deletion-neighborhood blocking must
     // reproduce it exactly or the hash breaks
     "q122_fuzzy_pairs" ->
-      """WITH b0 AS (
-        | SELECT doc_id,
-        |  'entity ' || CAST(doc_id % 40 AS VARCHAR) AS b FROM documents),
-        |n AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
-        |       WHEN doc_id % 5 = 2 THEN b || 'x'
-        |       WHEN doc_id % 5 = 3 THEN 'x' || substring(b, 2, length(b))
-        |       ELSE b END AS name
-        | FROM b0),
-        |p AS (
+      (s"WITH $denseTypoCte,\n" +
+      """p AS (
         | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
         | FROM n a JOIN n c ON a.doc_id < c.doc_id
@@ -1711,7 +1683,7 @@ object TrainingData {
         | CAST(sum(id_a) AS BIGINT) AS sum_a,
         | CAST(sum(id_b) AS BIGINT) AS sum_b,
         | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
-        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin),
     // the identical integer allocation (floor-sqrt weights, exact
     // integer sum and division) over the same md5-ranked pick
     "q118_sqrt_allocation" ->
