@@ -1182,6 +1182,45 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
+  /** Linkage blocking-quality card: the report a team reads before
+    * trusting a blocking setup — per-pass verified pair counts (sorted-
+    * neighborhood vs deletion-neighborhood at the same score threshold),
+    * their intersection, and their union, each with id-sum fingerprints.
+    * A pass whose count collapses, or an intersection near the union
+    * (the second pass adds nothing), is the signal to retune. Both
+    * passes and all four set algebra rows restate in SQL. */
+  def linkageCardQ(s: SparkSession, dir: String): DataFrame = {
+    val named = typoNamesSparse(s, dir)
+    val theta = 0.84
+    val sn = graft.functions.Linkage.sortedNeighborhoodPairs(
+        named, "doc_id", "name", window = 5, minScore = theta)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val dn = graft.functions.FuzzyDedup.nearDupPairs(named,
+        "doc_id", "name", maxBucket = 1 << 16)
+      .join(named.select(col("doc_id").as("id_a"), col("name").as("_na")),
+        Seq("id_a"))
+      .join(named.select(col("doc_id").as("id_b"), col("name").as("_nb")),
+        Seq("id_b"))
+      .filter(graft.expressions.JaroWinklerExpr
+        .jaroWinkler(col("_na"), col("_nb")) >= theta)
+      .select(col("id_a"), col("id_b"))
+    val both = sn.join(dn, Seq("id_a", "id_b"), "left_semi")
+    val all = sn.unionByName(dn).distinct()
+    def row(tag: String, df: DataFrame) = df.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("id_a")), lit(0L)).as("sum_a"),
+        coalesce(sum(col("id_b")), lit(0L)).as("sum_b"))
+      .select(lit(tag).as("pass"), col("n_pairs"), col("sum_a"),
+        col("sum_b"))
+    row("deletion_neighborhood", dn)
+      .unionByName(row("intersection", both))
+      .unionByName(row("sorted_neighborhood", sn))
+      .unionByName(row("union", all))
+      .orderBy(col("pass"))
+  }
+
   /** The TWO-PASS linkage union under the oracle gate: sorted-neighborhood
     * candidates ∪ deletion-neighborhood (lev ≤ 1) candidates, each
     * unordered pair scored once with the native Jaro-Winkler and
@@ -1224,6 +1263,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_linkage_card"     -> linkageCardQ _,
     "q127_fuzzy_incremental" -> fuzzyIncrementalQ _,
     "q126_linkage_union"    -> linkageUnionQ _,
     "q125_cluster_safe_split" -> clusterSafeSplitQ _,
@@ -1570,6 +1610,44 @@ object TrainingData {
       | FROM b0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both passes + the set algebra restated; the dn branch is the
+    // exhaustive lev<=1 join (complete-blocking equivalence) with the
+    // same jw threshold the engine applies
+    "q129_linkage_card" ->
+      (s"WITH $sparseTypoCte,\n" +
+      """r AS (
+        | SELECT doc_id, name,
+        |  row_number() OVER (ORDER BY name, doc_id) - 1 AS rn FROM n),
+        |sn AS (
+        | SELECT DISTINCT least(a.doc_id, c.doc_id) AS id_a,
+        |        greatest(a.doc_id, c.doc_id) AS id_b
+        | FROM r a JOIN r c ON c.rn > a.rn AND c.rn <= a.rn + 5
+        | WHERE jaro_winkler_similarity(a.name, c.name) >= 0.84),
+        |dn AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 1
+        |  AND jaro_winkler_similarity(a.name, c.name) >= 0.84),
+        |b AS (SELECT id_a, id_b FROM sn
+        |      INTERSECT SELECT id_a, id_b FROM dn),
+        |u AS (SELECT id_a, id_b FROM sn UNION SELECT id_a, id_b FROM dn)
+        |SELECT * FROM (
+        | SELECT 'deletion_neighborhood' AS pass, count(*) AS n_pairs,
+        |  CAST(coalesce(sum(id_a), 0) AS BIGINT) AS sum_a,
+        |  CAST(coalesce(sum(id_b), 0) AS BIGINT) AS sum_b FROM dn
+        | UNION ALL
+        | SELECT 'intersection', count(*),
+        |  CAST(coalesce(sum(id_a), 0) AS BIGINT),
+        |  CAST(coalesce(sum(id_b), 0) AS BIGINT) FROM b
+        | UNION ALL
+        | SELECT 'sorted_neighborhood', count(*),
+        |  CAST(coalesce(sum(id_a), 0) AS BIGINT),
+        |  CAST(coalesce(sum(id_b), 0) AS BIGINT) FROM sn
+        | UNION ALL
+        | SELECT 'union', count(*),
+        |  CAST(coalesce(sum(id_a), 0) AS BIGINT),
+        |  CAST(coalesce(sum(id_b), 0) AS BIGINT) FROM u)
+        |ORDER BY pass""".stripMargin),
     // exhaustive bipartite lev<=1 join: even ids (corpus) x odd ids
     // (batch) only - a within-side pair on either side breaks the hash
     "q127_fuzzy_incremental" ->
