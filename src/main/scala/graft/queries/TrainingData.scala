@@ -1182,6 +1182,25 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
+  /** Golden-record consolidation: fuzzy pairs → connected components →
+    * ONE canonical row per entity cluster (master-data dedup, the thing
+    * a warehouse merge ultimately serves): cluster id, canonical name
+    * (deterministic min), member count, id fingerprint. The oracle
+    * recomputes the closure with the q125 recursive CTE and aggregates
+    * per cluster. */
+  def goldenRecordsQ(s: SparkSession, dir: String): DataFrame = {
+    val named = typoNamesSparse(s, dir)
+    val pairs = graft.functions.FuzzyDedup.nearDupPairs(named,
+      "doc_id", "name", maxBucket = 1 << 16)
+    graft.operators.Components.assignClusters(named, "doc_id", pairs,
+        "id_a", "id_b")
+      .groupBy(col("cluster_id"))
+      .agg(min(col("name")).as("canonical_name"),
+        count(lit(1)).as("n_members"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Linkage blocking-quality card: the report a team reads before
     * trusting a blocking setup — per-pass verified pair counts (sorted-
     * neighborhood vs deletion-neighborhood at the same score threshold),
@@ -1263,6 +1282,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_golden_records"   -> goldenRecordsQ _,
     "q129_linkage_card"     -> linkageCardQ _,
     "q127_fuzzy_incremental" -> fuzzyIncrementalQ _,
     "q126_linkage_union"    -> linkageUnionQ _,
@@ -1610,6 +1630,27 @@ object TrainingData {
       | FROM b0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the q125 closure, aggregated per cluster
+    "q130_golden_records" ->
+      (s"WITH RECURSIVE $sparseTypoCte,\n" +
+      """p AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 1),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        | SELECT doc_id, doc_id FROM n
+        | UNION
+        | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+        |cl AS (
+        | SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        | FROM reach GROUP BY id)
+        |SELECT cluster_id, min(name) AS canonical_name,
+        | count(*) AS n_members,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM cl JOIN n USING (doc_id)
+        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
     // both passes + the set algebra restated; the dn branch is the
     // exhaustive lev<=1 join (complete-blocking equivalence) with the
     // same jw threshold the engine applies

@@ -237,6 +237,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("bipartite fuzzy probe and phonetic blocking stay window-free " +
+      "with semi-join caps") {
+    val corpus = (1 to 30).map(i => (i.toLong, s"name${i % 5}"))
+      .toDF("doc_id", "name")
+    val batch = (100 to 110).map(i => (i.toLong, s"name${i % 5}"))
+      .toDF("doc_id", "name")
+    val cross = graft.functions.FuzzyDedup.crossNearDupPairs(
+      corpus, batch, "doc_id", "name", maxBucket = 64)
+    cross.collect()
+    val p1 = cross.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p1.contains("Window"), p1)
+    assert(p1.contains("LeftSemi"), p1)
+    val phon = graft.functions.Linkage.phoneticPairs(
+      corpus, "doc_id", "name", minScore = 0.0, maxBucket = 64)
+    phon.collect()
+    val p2 = phon.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p2.contains("Window"), p2)
+    assert(p2.contains("LeftSemi"), p2)
+  }
+
   test("per-group sampling ranks via the range-partitioned prefix sum") {
     // the rank window must be partitioned by the RANGE id (+ group) —
     // never by the group alone, which would funnel a hot stratum onto
