@@ -27,17 +27,22 @@ object TableStats {
 
   def columnStats(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "columnStats: need at least one column")
+    // pre-project every hash into the codegen'd SELECT so the sketch
+    // agg's child is a plain field read rather than an md5 expression
+    // re-evaluated inside the (object) aggregation operator
+    val projected = df.select(
+      cols.map(col) ++ cols.map(c =>
+        Sketches.hash60(col(c).cast("string")).as(s"_graft_h_$c")): _*)
     val aggs =
       count(lit(1)).as("_graft_n") +:
         cols.flatMap { c =>
           Seq(
             count(col(c)).as(s"_graft_nn_$c"),
-            Sketches.kmvSketch(
-              Sketches.hash60(col(c).cast("string")), k).as(s"_graft_sk_$c"),
+            Sketches.kmvSketch(col(s"_graft_h_$c"), k).as(s"_graft_sk_$c"),
             min(col(c)).as(s"_graft_min_$c"),
             max(col(c)).as(s"_graft_max_$c"))
         }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = projected.agg(aggs.head, aggs.tail: _*)
     one.select(explode(array(cols.map { c =>
         struct(
           lit(c).as("column_name"),
