@@ -105,6 +105,75 @@ object FuzzyDedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** TOKEN-level near-dup pairs: rows whose token sequences (titles,
+    * sentences, paths) are within token edit distance 1 — "the same
+    * sentence minus/plus/with-one-changed word", a duplicate class char
+    * n-grams blur and char-level lev misprices (one word = many chars).
+    * Same SymSpell construction one level up: every row emits the hash
+    * of its token array plus each single-TOKEN-deletion variant's hash;
+    * two sequences within token-distance 1 always share a variant, so
+    * the equi-join is complete for d ≤ 1.
+    *
+    * Verification is exact and UDF-free: token-lev ≤ 1 iff the length
+    * difference is ≤ 1 AND common-prefix + common-suffix token counts
+    * cover max(len)−1 — the classic banded-alignment identity, computed
+    * with `transform`/`array_position` and restated verbatim with
+    * DuckDB's `list_transform`/`list_position` in the q131 oracle.
+    * Output: (id_a, id_b, dist) with dist ∈ {0, 1} (0 = identical
+    * sequences). `maxBucket` as in [[nearDupPairs]]. */
+  def tokenNearDupPairs(df: DataFrame, idCol: String, tokensCol: String,
+                        maxBucket: Int = 256): DataFrame = {
+    require(maxBucket >= 2, "tokenNearDupPairs: maxBucket must admit a pair")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(tokensCol).as("toks")).filter(col("toks").isNotNull)
+    def removeAt(a: Column, i: Column): Column =
+      concat(slice(a, lit(1), i - lit(1)),
+        slice(a, i + lit(1), size(a) - i))
+    val variantArr = concat(
+      array(xxhash64(col("toks"))),
+      when(size(col("toks")) >= 1,
+        transform(sequence(lit(1), size(col("toks"))),
+          i => xxhash64(removeAt(col("toks"), i))))
+      .otherwise(array().cast("array<bigint>")))
+    val variants = base.select(col("id"),
+      explode(array_distinct(variantArr)).as("h"))
+    val surviving = variants.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("h"))
+    val capped = variants.join(surviving, Seq("h"), "left_semi")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // prefix/suffix cover check on the two token arrays
+    def prefixLen(a: Column, b: Column): Column = {
+      val m = least(size(a), size(b))
+      val z = transform(sequence(lit(1), m),
+        i => element_at(a, i) <=> element_at(b, i))
+      val pos = array_position(z, false)
+      when(m <= 0, lit(0)).otherwise(
+        when(pos === 0, m).otherwise(pos - lit(1)))
+    }
+    def suffixLen(a: Column, b: Column): Column =
+      prefixLen(reverse(a), reverse(b))
+    pairs
+      .join(base.select(col("id").as("id_a"), col("toks").as("_ta")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("toks").as("_tb")),
+        Seq("id_b"))
+      .withColumn("_ok",
+        abs(size(col("_ta")) - size(col("_tb"))) <= 1 &&
+          (prefixLen(col("_ta"), col("_tb")) +
+            suffixLen(col("_ta"), col("_tb"))) >=
+            greatest(size(col("_ta")), size(col("_tb"))) - lit(1))
+      .filter(col("_ok"))
+      .withColumn("dist",
+        when(col("_ta") === col("_tb"), lit(0L)).otherwise(lit(1L)))
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Bipartite (cross-corpus) fuzzy pairs: batch rows within Levenshtein
     * `maxDist` of a CORPUS row — "does today's crawl contain a typo'd
     * copy of anything we already hold", without ever generating

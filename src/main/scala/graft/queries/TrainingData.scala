@@ -1182,6 +1182,45 @@ object TrainingData {
       .orderBy(col("dist"))
   }
 
+  /** Deterministic token-sequence titles for q131: a 4-word base drawn
+    * from small per-position vocabularies, with a doc_id-derived edit
+    * (drop 2nd word / append / substitute 1st), restated verbatim as
+    * DuckDB list expressions. */
+  private def titleTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 199).as("e"))
+      .select(col("doc_id"), col("e"), array(
+        concat(lit("w"), (col("e") % 13).cast("string")),
+        concat(lit("w"), (col("e") % 17).cast("string")),
+        concat(lit("w"), (col("e") % 19).cast("string")),
+        concat(lit("w"), (col("e") % 23).cast("string"))).as("b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          array(element_at(col("b"), 1), element_at(col("b"), 3),
+            element_at(col("b"), 4)))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("b"), array(lit("zz"))))
+        .when(col("doc_id") % 5 === 3,
+          concat(array(concat(lit("q"), (col("e") % 11).cast("string"))),
+            slice(col("b"), 2, 3)))
+        .otherwise(col("b")).as("toks"))
+
+  /** Token-level near-dup under the oracle gate: titles within token
+    * edit distance 1 (word dropped / appended / substituted) found by
+    * token-deletion-variant blocking, verified with the prefix+suffix
+    * cover identity — the oracle recomputes the EXHAUSTIVE all-pairs
+    * predicate with DuckDB list functions, so a blocking miss or a
+    * verification divergence both break the hash. */
+  def tokenFuzzyQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.FuzzyDedup.tokenNearDupPairs(titleTokens(s, dir),
+        "doc_id", "toks", maxBucket = 1 << 16)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id_a")).as("sum_a"),
+        sum(col("id_b")).as("sum_b"),
+        sum(col("id_a") * col("id_b")).as("sum_ab"))
+      .orderBy(col("dist"))
+
   /** Golden-record consolidation: fuzzy pairs → connected components →
     * ONE canonical row per entity cluster (master-data dedup, the thing
     * a warehouse merge ultimately serves): cluster id, canonical name
@@ -1282,6 +1321,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_token_fuzzy"      -> tokenFuzzyQ _,
     "q130_golden_records"   -> goldenRecordsQ _,
     "q129_linkage_card"     -> linkageCardQ _,
     "q127_fuzzy_incremental" -> fuzzyIncrementalQ _,
@@ -1630,6 +1670,46 @@ object TrainingData {
       | FROM b0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exhaustive all-pairs token-lev<=1 via the prefix+suffix cover
+    // identity (list_position over per-position equality), the same
+    // predicate the engine verifies candidates with
+    "q131_token_fuzzy" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN [b[1], b[3], b[4]]
+        |       WHEN doc_id % 5 = 2 THEN list_append(b, 'zz')
+        |       WHEN doc_id % 5 = 3 THEN list_prepend(
+        |         'q' || CAST((doc_id % 199) % 11 AS VARCHAR), b[2:4])
+        |       ELSE b END AS toks
+        | FROM (SELECT doc_id,
+        |   ['w' || CAST((doc_id % 199) % 13 AS VARCHAR),
+        |    'w' || CAST((doc_id % 199) % 17 AS VARCHAR),
+        |    'w' || CAST((doc_id % 199) % 19 AS VARCHAR),
+        |    'w' || CAST((doc_id % 199) % 23 AS VARCHAR)] AS b
+        |   FROM documents)),
+        |p AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CASE WHEN a.toks = c.toks THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(1 AS BIGINT) END AS dist
+        | FROM t a JOIN t c ON a.doc_id < c.doc_id
+        | WHERE abs(len(a.toks) - len(c.toks)) <= 1
+        |  AND (CASE WHEN least(len(a.toks), len(c.toks)) <= 0 THEN 0
+        |        ELSE coalesce(nullif(list_position(list_transform(
+        |          range(1, least(len(a.toks), len(c.toks)) + 1),
+        |          i -> a.toks[i] IS NOT DISTINCT FROM c.toks[i]), false),
+        |          0) - 1, least(len(a.toks), len(c.toks))) END)
+        |    + (CASE WHEN least(len(a.toks), len(c.toks)) <= 0 THEN 0
+        |        ELSE coalesce(nullif(list_position(list_transform(
+        |          range(1, least(len(a.toks), len(c.toks)) + 1),
+        |          i -> a.toks[len(a.toks)-i+1]
+        |            IS NOT DISTINCT FROM c.toks[len(c.toks)-i+1]), false),
+        |          0) - 1, least(len(a.toks), len(c.toks))) END)
+        |    >= greatest(len(a.toks), len(c.toks)) - 1)
+        |SELECT dist, count(*) AS n_pairs,
+        | CAST(sum(id_a) AS BIGINT) AS sum_a,
+        | CAST(sum(id_b) AS BIGINT) AS sum_b,
+        | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
+        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
     // the q125 closure, aggregated per cluster
     "q130_golden_records" ->
       (s"WITH RECURSIVE $sparseTypoCte,\n" +

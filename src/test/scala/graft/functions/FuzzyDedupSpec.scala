@@ -199,6 +199,70 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(run(16) == (1L to 9L).map(i => (i, 100L, 0L)).toSet)
   }
 
+  test("token-level pairs equal the all-pairs DP reference on a seeded " +
+      "title corpus") {
+    def tokLev(a: Seq[String], b: Seq[String]): Int = {
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) d(i)(0) = i
+      for (j <- 0 to b.length) d(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val bases = Seq.fill(10)(
+      Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))))
+    val rows = (0 until 150).map { i =>
+      val b = bases(rnd.nextInt(bases.size))
+      val t = rnd.nextInt(4) match {
+        case 0 => b
+        case 1 if b.nonEmpty => // drop a token
+          val p = rnd.nextInt(b.size); b.patch(p, Nil, 1)
+        case 2 => // insert a token
+          val p = rnd.nextInt(b.size + 1)
+          b.patch(p, Seq(vocab(rnd.nextInt(vocab.size))), 0)
+        case _ if b.nonEmpty => // substitute a token
+          val p = rnd.nextInt(b.size)
+          b.updated(p, vocab(rnd.nextInt(vocab.size)))
+        case _ => b
+      }
+      (i.toLong, t)
+    }
+    val want = (for {
+      (ia, ta) <- rows
+      (ib, tb) <- rows
+      if ia < ib
+      dist = tokLev(ta, tb) if dist <= 1
+    } yield (ia, ib, dist.toLong)).toSet
+    assert(want.exists(_._3 == 0L) && want.exists(_._3 == 1L))
+    val got = FuzzyDedup.tokenNearDupPairs(
+        rows.toDF("doc_id", "toks"), "doc_id", "toks", maxBucket = 8192)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("token-level edge cases: empty sequences, single tokens, and " +
+      "token-vs-char distance divergence") {
+    val rows = Seq(
+      1L -> Seq("alpha", "beta"),
+      2L -> Seq("alpha"),               // one deletion: d1
+      3L -> Seq("alpha", "beta", "c"),  // one insertion vs 1: d1
+      4L -> Seq.empty[String],          // d1 vs 2 (single delete)
+      5L -> Seq("alphax", "betax"))     // 2 CHAR edits but 2 TOKEN subs
+    val got = FuzzyDedup.tokenNearDupPairs(
+        rows.toDF("doc_id", "toks"), "doc_id", "toks")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)))
+    assert(got.contains((2L, 4L, 1L)))
+    // [alphax, betax] is 2 token-substitutions from [alpha, beta]:
+    // char-close, token-far - must NOT pair
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L })
+    assert(!got.contains((1L, 4L, 2L)) && got.forall(_._3 <= 1L))
+  }
+
   test("null texts yield no pairs and do not crash") {
     val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("alphx")))
       .toDF("doc_id", "name")
