@@ -126,17 +126,8 @@ object FuzzyDedup {
     require(maxBucket >= 2, "tokenNearDupPairs: maxBucket must admit a pair")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(tokensCol).as("toks")).filter(col("toks").isNotNull)
-    def removeAt(a: Column, i: Column): Column =
-      concat(slice(a, lit(1), i - lit(1)),
-        slice(a, i + lit(1), size(a) - i))
-    val variantArr = concat(
-      array(xxhash64(col("toks"))),
-      when(size(col("toks")) >= 1,
-        transform(sequence(lit(1), size(col("toks"))),
-          i => xxhash64(removeAt(col("toks"), i))))
-      .otherwise(array().cast("array<bigint>")))
     val variants = base.select(col("id"),
-      explode(array_distinct(variantArr)).as("h"))
+      explode(array_distinct(tokenVariantHashes(col("toks")))).as("h"))
     val surviving = variants.groupBy(col("h"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
@@ -147,31 +138,84 @@ object FuzzyDedup {
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // prefix/suffix cover check on the two token arrays
-    def prefixLen(a: Column, b: Column): Column = {
-      val m = least(size(a), size(b))
-      val z = transform(sequence(lit(1), m),
-        i => element_at(a, i) <=> element_at(b, i))
-      val pos = array_position(z, false)
-      when(m <= 0, lit(0)).otherwise(
-        when(pos === 0, m).otherwise(pos - lit(1)))
-    }
-    def suffixLen(a: Column, b: Column): Column =
-      prefixLen(reverse(a), reverse(b))
     pairs
       .join(base.select(col("id").as("id_a"), col("toks").as("_ta")),
         Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("toks").as("_tb")),
         Seq("id_b"))
-      .withColumn("_ok",
-        abs(size(col("_ta")) - size(col("_tb"))) <= 1 &&
-          (prefixLen(col("_ta"), col("_tb")) +
-            suffixLen(col("_ta"), col("_tb"))) >=
-            greatest(size(col("_ta")), size(col("_tb"))) - lit(1))
-      .filter(col("_ok"))
+      .filter(tokenLevWithin1(col("_ta"), col("_tb")))
       .withColumn("dist",
         when(col("_ta") === col("_tb"), lit(0L)).otherwise(lit(1L)))
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Bipartite token-level probe: batch rows within token edit distance
+    * 1 of a CORPUS row — q127's incremental-crawl question at title
+    * granularity, with the same never-pair-the-corpus-against-itself
+    * shape and the same joint-bucket cap. Output:
+    * `(corpus_id, batch_id, dist)`, dist ∈ {0, 1}. */
+  def crossTokenNearDupPairs(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, tokensCol: String,
+                             maxBucket: Int = 256): DataFrame = {
+    require(maxBucket >= 2,
+      "crossTokenNearDupPairs: maxBucket must admit a pair")
+    def narrow(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).as("toks")).filter(col("toks").isNotNull)
+    val (cBase, bBase) = (narrow(corpus), narrow(batch))
+    def variants(base: DataFrame) = base.select(col("id"),
+      explode(array_distinct(tokenVariantHashes(col("toks")))).as("h"))
+    val (cv, bv) = (variants(cBase), variants(bBase))
+    val surviving = cv.select(col("h")).unionAll(bv.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket && col("_n") >= 2)
+      .select(col("h"))
+    val pairs = cv.join(surviving, Seq("h"), "left_semi")
+      .select(col("id").as("corpus_id"), col("h"))
+      .join(bv.join(surviving, Seq("h"), "left_semi")
+        .select(col("id").as("batch_id"), col("h")), Seq("h"))
+      .select(col("corpus_id"), col("batch_id")).distinct()
+    pairs
+      .join(cBase.select(col("id").as("corpus_id"), col("toks").as("_tc")),
+        Seq("corpus_id"))
+      .join(bBase.select(col("id").as("batch_id"), col("toks").as("_tb")),
+        Seq("batch_id"))
+      .filter(tokenLevWithin1(col("_tc"), col("_tb")))
+      .withColumn("dist",
+        when(col("_tc") === col("_tb"), lit(0L)).otherwise(lit(1L)))
+      .select(col("corpus_id"), col("batch_id"), col("dist"))
+  }
+
+  /** The token array's hash plus each single-token-deletion variant's
+    * hash (guarded to non-empty — `sequence` counts DOWN past zero). */
+  private def tokenVariantHashes(toks: Column): Column = {
+    def removeAt(a: Column, i: Column): Column =
+      concat(slice(a, lit(1), i - lit(1)),
+        slice(a, i + lit(1), size(a) - i))
+    concat(
+      array(xxhash64(toks)),
+      when(size(toks) >= 1,
+        transform(sequence(lit(1), size(toks)),
+          i => xxhash64(removeAt(toks, i))))
+      .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Exact token-lev ≤ 1 via the prefix+suffix cover identity: length
+    * difference ≤ 1 AND common-prefix + common-suffix token counts cover
+    * max(len)−1. UDF-free; restated with DuckDB list functions in the
+    * q131/q132 oracles. */
+  private def tokenLevWithin1(a: Column, b: Column): Column = {
+    def prefixLen(x: Column, y: Column): Column = {
+      val m = least(size(x), size(y))
+      val z = transform(sequence(lit(1), m),
+        i => element_at(x, i) <=> element_at(y, i))
+      val pos = array_position(z, false)
+      when(m <= 0, lit(0)).otherwise(
+        when(pos === 0, m).otherwise(pos - lit(1)))
+    }
+    abs(size(a) - size(b)) <= 1 &&
+      (prefixLen(a, b) + prefixLen(reverse(a), reverse(b))) >=
+        greatest(size(a), size(b)) - lit(1)
   }
 
   /** Bipartite (cross-corpus) fuzzy pairs: batch rows within Levenshtein

@@ -1221,6 +1221,23 @@ object TrainingData {
         sum(col("id_a") * col("id_b")).as("sum_ab"))
       .orderBy(col("dist"))
 
+  /** The bipartite token probe under the oracle gate: q127's even/odd
+    * corpus-vs-batch split at TITLE granularity — cross-side token-lev
+    * ≤ 1 pairs only, per-distance fingerprint. */
+  def crossTokenFuzzyQ(s: SparkSession, dir: String): DataFrame = {
+    val titled = titleTokens(s, dir)
+    graft.functions.FuzzyDedup.crossTokenNearDupPairs(
+        titled.filter(col("doc_id") % 2 === 0),
+        titled.filter(col("doc_id") % 2 === 1),
+        "doc_id", "toks", maxBucket = 1 << 16)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("corpus_id")).as("sum_corpus"),
+        sum(col("batch_id")).as("sum_batch"),
+        sum(col("corpus_id") * col("batch_id")).as("sum_cross"))
+      .orderBy(col("dist"))
+  }
+
   /** Golden-record consolidation: fuzzy pairs → connected components →
     * ONE canonical row per entity cluster (master-data dedup, the thing
     * a warehouse merge ultimately serves): cluster id, canonical name
@@ -1321,6 +1338,7 @@ object TrainingData {
       .orderBy(col("jw_score"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_cross_token_fuzzy" -> crossTokenFuzzyQ _,
     "q131_token_fuzzy"      -> tokenFuzzyQ _,
     "q130_golden_records"   -> goldenRecordsQ _,
     "q129_linkage_card"     -> linkageCardQ _,
@@ -1669,47 +1687,71 @@ object TrainingData {
       |       ELSE b END AS name
       | FROM b0)""".stripMargin
 
+  /** The SQL twin of [[titleTokens]] — CTE `t(doc_id, toks)`. */
+  private val titleTokensCte: String =
+    """t AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 1 THEN [b[1], b[3], b[4]]
+      |       WHEN doc_id % 5 = 2 THEN list_append(b, 'zz')
+      |       WHEN doc_id % 5 = 3 THEN list_prepend(
+      |         'q' || CAST((doc_id % 199) % 11 AS VARCHAR), b[2:4])
+      |       ELSE b END AS toks
+      | FROM (SELECT doc_id,
+      |   ['w' || CAST((doc_id % 199) % 13 AS VARCHAR),
+      |    'w' || CAST((doc_id % 199) % 17 AS VARCHAR),
+      |    'w' || CAST((doc_id % 199) % 19 AS VARCHAR),
+      |    'w' || CAST((doc_id % 199) % 23 AS VARCHAR)] AS b
+      |   FROM documents))""".stripMargin
+
+  /** DuckDB restatement of the prefix+suffix cover identity for token
+    * edit distance ≤ 1 between `$a.toks` and `$b.toks`. `nullif(·, 0)`
+    * because DuckDB's `list_position` returns 0 (not NULL) when absent. */
+  private def tokenLev1Sql(a: String, b: String): String =
+    s"""abs(len($a.toks) - len($b.toks)) <= 1
+       |  AND (CASE WHEN least(len($a.toks), len($b.toks)) <= 0 THEN 0
+       |        ELSE coalesce(nullif(list_position(list_transform(
+       |          range(1, least(len($a.toks), len($b.toks)) + 1),
+       |          i -> $a.toks[i] IS NOT DISTINCT FROM $b.toks[i]), false),
+       |          0) - 1, least(len($a.toks), len($b.toks))) END)
+       |    + (CASE WHEN least(len($a.toks), len($b.toks)) <= 0 THEN 0
+       |        ELSE coalesce(nullif(list_position(list_transform(
+       |          range(1, least(len($a.toks), len($b.toks)) + 1),
+       |          i -> $a.toks[len($a.toks)-i+1]
+       |            IS NOT DISTINCT FROM $b.toks[len($b.toks)-i+1]), false),
+       |          0) - 1, least(len($a.toks), len($b.toks))) END)
+       |    >= greatest(len($a.toks), len($b.toks)) - 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the bipartite form of q131: cross-parity pairs only
+    "q132_cross_token_fuzzy" ->
+      (s"WITH $titleTokensCte,\n" +
+      s"""p AS (
+         | SELECT a.doc_id AS corpus_id, c.doc_id AS batch_id,
+         |  CASE WHEN a.toks = c.toks THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(1 AS BIGINT) END AS dist
+         | FROM t a JOIN t c ON a.doc_id % 2 = 0 AND c.doc_id % 2 = 1
+         | WHERE ${tokenLev1Sql("a", "c")})
+         |SELECT dist, count(*) AS n_pairs,
+         | CAST(sum(corpus_id) AS BIGINT) AS sum_corpus,
+         | CAST(sum(batch_id) AS BIGINT) AS sum_batch,
+         | CAST(sum(corpus_id * batch_id) AS BIGINT) AS sum_cross
+         |FROM p GROUP BY dist ORDER BY dist""".stripMargin),
     // exhaustive all-pairs token-lev<=1 via the prefix+suffix cover
     // identity (list_position over per-position equality), the same
     // predicate the engine verifies candidates with
     "q131_token_fuzzy" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 1 THEN [b[1], b[3], b[4]]
-        |       WHEN doc_id % 5 = 2 THEN list_append(b, 'zz')
-        |       WHEN doc_id % 5 = 3 THEN list_prepend(
-        |         'q' || CAST((doc_id % 199) % 11 AS VARCHAR), b[2:4])
-        |       ELSE b END AS toks
-        | FROM (SELECT doc_id,
-        |   ['w' || CAST((doc_id % 199) % 13 AS VARCHAR),
-        |    'w' || CAST((doc_id % 199) % 17 AS VARCHAR),
-        |    'w' || CAST((doc_id % 199) % 19 AS VARCHAR),
-        |    'w' || CAST((doc_id % 199) % 23 AS VARCHAR)] AS b
-        |   FROM documents)),
-        |p AS (
-        | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-        |  CASE WHEN a.toks = c.toks THEN CAST(0 AS BIGINT)
-        |       ELSE CAST(1 AS BIGINT) END AS dist
-        | FROM t a JOIN t c ON a.doc_id < c.doc_id
-        | WHERE abs(len(a.toks) - len(c.toks)) <= 1
-        |  AND (CASE WHEN least(len(a.toks), len(c.toks)) <= 0 THEN 0
-        |        ELSE coalesce(nullif(list_position(list_transform(
-        |          range(1, least(len(a.toks), len(c.toks)) + 1),
-        |          i -> a.toks[i] IS NOT DISTINCT FROM c.toks[i]), false),
-        |          0) - 1, least(len(a.toks), len(c.toks))) END)
-        |    + (CASE WHEN least(len(a.toks), len(c.toks)) <= 0 THEN 0
-        |        ELSE coalesce(nullif(list_position(list_transform(
-        |          range(1, least(len(a.toks), len(c.toks)) + 1),
-        |          i -> a.toks[len(a.toks)-i+1]
-        |            IS NOT DISTINCT FROM c.toks[len(c.toks)-i+1]), false),
-        |          0) - 1, least(len(a.toks), len(c.toks))) END)
-        |    >= greatest(len(a.toks), len(c.toks)) - 1)
-        |SELECT dist, count(*) AS n_pairs,
-        | CAST(sum(id_a) AS BIGINT) AS sum_a,
-        | CAST(sum(id_b) AS BIGINT) AS sum_b,
-        | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
-        |FROM p GROUP BY dist ORDER BY dist""".stripMargin,
+      (s"WITH $titleTokensCte,\n" +
+      s"""p AS (
+         | SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  CASE WHEN a.toks = c.toks THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(1 AS BIGINT) END AS dist
+         | FROM t a JOIN t c ON a.doc_id < c.doc_id
+         | WHERE ${tokenLev1Sql("a", "c")})
+         |SELECT dist, count(*) AS n_pairs,
+         | CAST(sum(id_a) AS BIGINT) AS sum_a,
+         | CAST(sum(id_b) AS BIGINT) AS sum_b,
+         | CAST(sum(id_a * id_b) AS BIGINT) AS sum_ab
+         |FROM p GROUP BY dist ORDER BY dist""".stripMargin),
     // the q125 closure, aggregated per cluster
     "q130_golden_records" ->
       (s"WITH RECURSIVE $sparseTypoCte,\n" +

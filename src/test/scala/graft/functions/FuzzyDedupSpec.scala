@@ -263,6 +263,40 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!got.contains((1L, 4L, 2L)) && got.forall(_._3 <= 1L))
   }
 
+  test("bipartite token probe equals the exhaustive cross DP reference " +
+      "and never emits within-side pairs") {
+    def tokLev(a: Seq[String], b: Seq[String]): Int = {
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) d(i)(0) = i
+      for (j <- 0 to b.length) d(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val corpus = Seq(
+      1L -> Seq("alpha", "beta", "gamma"),
+      2L -> Seq("alpha", "beta"), // within-side d1 of 1: must not leak
+      3L -> Seq("delta"))
+    val batch = Seq(
+      10L -> Seq("alpha", "beta", "gamma"),  // clone of 1
+      11L -> Seq("alpha", "gamma"),          // d1 of 2? no: ["alpha","beta"]->sub; d1 of 1: drop beta
+      12L -> Seq("eps", "zeta", "eta"))      // far
+    val want = (for {
+      (ci, ct) <- corpus
+      (bi, bt) <- batch
+      dv = tokLev(ct, bt) if dv <= 1
+    } yield (ci, bi, dv.toLong)).toSet
+    assert(want.nonEmpty)
+    val got = FuzzyDedup.crossTokenNearDupPairs(
+        corpus.toDF("doc_id", "toks"), batch.toDF("doc_id", "toks"),
+        "doc_id", "toks", maxBucket = 1024)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 1L })
+  }
+
   test("null texts yield no pairs and do not crash") {
     val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("alphx")))
       .toDF("doc_id", "name")
