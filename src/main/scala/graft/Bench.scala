@@ -34,27 +34,34 @@ object Bench {
     graft.sources.Tables.load(spark, sfDir, "lineitem").count()
     // noop sink: every query column is materialized (count() would let
     // Catalyst prune the projection work under test). Each query runs
-    // three times and reports the fastest run — the round-7 bench showed
-    // min-of-2 still absorbs multi-second machine stalls (q03/q42 read
-    // 14-17s there but probe at 0.6-1.0s in isolation); a stall long
-    // enough to poison three consecutive runs is much rarer.
+    // three times and reports the fastest run — min-of-2 still absorbed
+    // multi-second machine stalls in round 7 (q03/q42 read 14-17s there
+    // but probe at 0.6-1.0s in isolation). The three runs are
+    // INTERLEAVED as full suite passes, not back-to-back: a bench-box
+    // contention window (rounds 8-10 all show a multi-minute degraded
+    // band — q15 recorded 12.4s against a 1.5s isolated probe in r10)
+    // poisons all three consecutive runs of whatever query it lands on,
+    // but with whole-suite passes the same query's other two runs sit
+    // minutes away, so the min escapes the band and the artifact stays
+    // trustworthy for round-over-round regression detection.
     // dev-loop filter (the driver sets no such env; full suite runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    val suite = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val (t1, e1) = timeQuery(spark, sfDir, fn)
-      val (t2, e2) = timeQuery(spark, sfDir, fn)
-      val (t3, e3) = timeQuery(spark, sfDir, fn)
-      name -> (math.min(t1, math.min(t2, t3)), e1.orElse(e2).orElse(e3))
+    val passes = (1 to 3).map { _ =>
+      suite.map { case (name, fn) => name -> timeQuery(spark, sfDir, fn) }
     }
+    val results = suite.map { case (name, _) =>
+      val runs = passes.map(_.find(_._1 == name).get._2)
+      name -> (runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    }.toMap
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) =>
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":3,"reported":"min"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs_per_query":3,"reported":"min","schedule":"interleaved-passes"}"""
     println(json)
     // the full per-query JSON also lands in a FILE: the stdout tail gets
     // truncated in round artifacts (BENCH_r07 lost its first ~35 queries),

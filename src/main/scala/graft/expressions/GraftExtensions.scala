@@ -26,41 +26,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Wrap a fixed-arity builder with an arity gate: a wrong-arity SQL
+    * call fails at analysis with a message naming the function and the
+    * expected count, never an IndexOutOfBoundsException from a bare
+    * `exprs(1)` — and extra arguments are rejected, not silently
+    * ignored. `atLeast` covers the variadic registrations. */
+  private def arity(fn: String, n: Int, atLeast: Boolean = false)(
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      val ok = if (atLeast) exprs.length >= n else exprs.length == n
+      if (!ok) throw new IllegalArgumentException(
+        s"$fn requires ${if (atLeast) "at least " else "exactly "}$n " +
+        s"argument${if (n == 1) "" else "s"}, got ${exprs.length}")
+      builder(exprs)
+    }
+
   /** Every native expression, by SQL name. Integer parameters arrive as
     * foldable literals (`minhash_sig(hs, 64)`). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
-    "minhash_sig" -> (exprs =>
+    "simhash64" -> arity("simhash64", 1)(exprs => SimHash64Expr(exprs.head)),
+    "minhash_sig" -> arity("minhash_sig", 2)(exprs =>
       MinHashSigExpr(exprs.head, intArg(exprs, 1, "minhash_sig"))),
-    "hashed_shingles" -> (exprs =>
+    "hashed_shingles" -> arity("hashed_shingles", 2)(exprs =>
       HashedShinglesExpr(exprs.head, intArg(exprs, 1, "hashed_shingles"))),
-    "word_shingle_hash" -> (exprs =>
+    "word_shingle_hash" -> arity("word_shingle_hash", 2)(exprs =>
       WordShingleHashExpr(exprs.head, intArg(exprs, 1, "word_shingle_hash"))),
-    "span_hash" -> (exprs =>
+    "span_hash" -> arity("span_hash", 2)(exprs =>
       SpanHashExpr(exprs.head, intArg(exprs, 1, "span_hash"))),
-    "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
-    "kmv_sketch" -> (exprs =>
+    "jaccard_sorted" -> arity("jaccard_sorted", 2)(exprs =>
+      JaccardSortedExpr(exprs(0), exprs(1))),
+    "kmv_sketch" -> arity("kmv_sketch", 2)(exprs =>
       KmvSketchAgg(exprs.head, intArg(exprs, 1, "kmv_sketch"))
         .toAggregateExpression()),
-    "kmv_merge" -> (exprs =>
+    "kmv_merge" -> arity("kmv_merge", 2)(exprs =>
       KmvMergeAgg(exprs.head, intArg(exprs, 1, "kmv_merge"))
         .toAggregateExpression()),
-    "top_k" -> (exprs =>
+    "top_k" -> arity("top_k", 3)(exprs =>
       TopKAgg(exprs(0), exprs(1), intArg(exprs, 2, "top_k"))
         .toAggregateExpression()),
-    "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
-    "simhash60_portable" -> (exprs => SimHashPortableExpr(exprs.head)),
-    "json_leaf_keys" -> (exprs => JsonLeafKeysExpr(exprs.head)),
+    "dot_product" -> arity("dot_product", 2)(exprs =>
+      DotProductExpr(exprs(0), exprs(1))),
+    "simhash60_portable" -> arity("simhash60_portable", 1)(exprs =>
+      SimHashPortableExpr(exprs.head)),
+    "json_leaf_keys" -> arity("json_leaf_keys", 1)(exprs =>
+      JsonLeafKeysExpr(exprs.head)),
     // fused one-pass ingest parse: json_keyset_tuple(raw, 'a', 'b', ...)
     // returns struct(_keyset, a, b, ...); the _nested variant keysets on
     // dotted leaf paths (drift-aware nested ingest)
-    "json_keyset_tuple" -> (exprs =>
-      JsonKeysetTupleExpr(exprs.head,
+    "json_keyset_tuple" -> arity("json_keyset_tuple", 2, atLeast = true)(
+      exprs => JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>
           strArg(e, i, "json_keyset_tuple") }, nested = false)),
-    "jaro_winkler" -> (exprs => JaroWinklerExpr(exprs(0), exprs(1))),
-    "json_keyset_tuple_nested" -> (exprs =>
-      JsonKeysetTupleExpr(exprs.head,
+    "jaro_winkler" -> arity("jaro_winkler", 2)(exprs =>
+      JaroWinklerExpr(exprs(0), exprs(1))),
+    "jaro_winkler_bytes" -> arity("jaro_winkler_bytes", 2)(exprs =>
+      JaroWinklerExpr(exprs(0), exprs(1), byteMode = true)),
+    "json_keyset_tuple_nested" -> arity("json_keyset_tuple_nested", 2,
+      atLeast = true)(exprs => JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>
           strArg(e, i, "json_keyset_tuple_nested") }, nested = true)))
 

@@ -418,14 +418,31 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0, col("text"))
           .otherwise(substring_index_half(col("text"), col("n_chars")))
           .as("text"))
-      def run(): Unit = graft.streaming.StreamNearDup.runAvailableNow(
+      def run(expectBatches: Long): Unit = {
+        val n = graft.streaming.StreamNearDup.runAvailableNow(
+          s, src, wave1.schema, "doc_id", "text",
+          s"$base/state", s"$base/ckpt")
+        // the oracle's greedy two-wave semantics assume one wave = one
+        // micro-batch (intra-wave pairs deliberately not deduped); fail
+        // loudly rather than diverge if the source ever splits a wave
+        require(n == expectBatches,
+          s"streamNearDupQ: expected $expectBatches micro-batch(es), " +
+          s"source produced $n - the one-batch-per-wave oracle " +
+          "assumption no longer holds")
+      }
+      // each wave lands as ONE file: even a maxFilesPerTrigger=1 source
+      // cannot split it across micro-batches
+      wave1.coalesce(1).write.mode("append").parquet(src)
+      run(expectBatches = 1)
+      wave2.coalesce(1).write.mode("append").parquet(src)
+      run(expectBatches = 1)
+      // no new files: replay must leave the accepted set unchanged
+      // (AvailableNow may emit zero or one empty batch here — both fine)
+      val replayBatches = graft.streaming.StreamNearDup.runAvailableNow(
         s, src, wave1.schema, "doc_id", "text",
         s"$base/state", s"$base/ckpt")
-      wave1.write.mode("append").parquet(src)
-      run()
-      wave2.write.mode("append").parquet(src)
-      run()
-      run() // no new files: replay must leave the accepted set unchanged
+      require(replayBatches <= 1, s"streamNearDupQ: no-data replay ran " +
+        s"$replayBatches micro-batches")
       s.read.parquet(s"$base/state/accepted")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -448,14 +465,31 @@ object PipelineQueries {
       val named = TrainingData.typoNamesSparse(s, dir)
       val wave1 = named.filter(col("doc_id") % 2 === 0)
       val wave2 = named.filter(col("doc_id") % 2 === 1)
-      def run(): Unit = graft.streaming.StreamFuzzyDedup.runAvailableNow(
+      def run(expectBatches: Long): Unit = {
+        val n = graft.streaming.StreamFuzzyDedup.runAvailableNow(
+          s, src, wave1.schema, "doc_id", "name",
+          s"$base/state", s"$base/ckpt")
+        // the oracle's greedy two-wave semantics assume one wave = one
+        // micro-batch (intra-wave pairs deliberately not deduped); fail
+        // loudly rather than diverge if the source ever splits a wave
+        require(n == expectBatches,
+          s"streamFuzzyQ: expected $expectBatches micro-batch(es), " +
+          s"source produced $n - the one-batch-per-wave oracle " +
+          "assumption no longer holds")
+      }
+      // each wave lands as ONE file: even a maxFilesPerTrigger=1 source
+      // cannot split it across micro-batches
+      wave1.coalesce(1).write.mode("append").parquet(src)
+      run(expectBatches = 1)
+      wave2.coalesce(1).write.mode("append").parquet(src)
+      run(expectBatches = 1)
+      // no new files: replay must leave the accepted set unchanged
+      // (AvailableNow may emit zero or one empty batch here — both fine)
+      val replayBatches = graft.streaming.StreamFuzzyDedup.runAvailableNow(
         s, src, wave1.schema, "doc_id", "name",
         s"$base/state", s"$base/ckpt")
-      wave1.write.mode("append").parquet(src)
-      run()
-      wave2.write.mode("append").parquet(src)
-      run()
-      run() // no new files: replay must leave the accepted set unchanged
+      require(replayBatches <= 1, s"streamFuzzyQ: no-data replay ran " +
+        s"$replayBatches micro-batches")
       s.read.parquet(s"$base/state/accepted")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))

@@ -28,6 +28,18 @@ object TrainingData {
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
   }
 
+  /** Evaluate `result` eagerly (localCheckpoint pins it in the block
+    * manager, lineage cut), then release every cached input — so no
+    * catalog-cache residue outlives the query call for a non-bench
+    * caller. CacheHygieneSpec sweeps every multi-branch query through
+    * this invariant. */
+  private def releasing(cached: org.apache.spark.sql.Dataset[_]*)(
+      result: => DataFrame): DataFrame = {
+    val r = result.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = true))
+    r
+  }
+
   def tokenCountQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
@@ -310,9 +322,11 @@ object TrainingData {
     // corpus and benchmark branch off the same frame — persist so the
     // parquet scan + shingle prep runs once (multi-branch recompute trap)
     val d = docs(s, dir).persist()
-    Contamination.overlapReport(d, "doc_id", "text",
-        d.filter(col("doc_id") % 7 === 0), "text", n = 8)
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      Contamination.overlapReport(d, "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", n = 8)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** PII redaction + audit counts. Deterministic PII (an email, a phone, an
@@ -393,11 +407,13 @@ object TrainingData {
       .withColumn("top_bigram_frac", QualityFilters.topBigramFrac(col("_toks")))
       .filter(col("logit") > lit(-0.05) && col("top_bigram_frac") <= lit(0.5))
       .persist() // probed twice: overlap report + anti-join survivor side
-    Contamination.decontaminate(gated, "doc_id", "text",
-        d.filter(col("doc_id") % 7 === 0), "text", n = 8, maxFrac = 0.0)
-      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
-        col("logit"))
-      .orderBy(col("doc_id"))
+    releasing(d, gated) {
+      Contamination.decontaminate(gated, "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", n = 8, maxFrac = 0.0)
+        .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+          col("logit"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Context-window chunking: 32-token windows, stride 24 (sliding
@@ -413,8 +429,10 @@ object TrainingData {
     * membership probe both scan the corpus). */
   def oovRateQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist()
-    graft.functions.TermStats.oovRate(d, "doc_id", "text", vocabSize = 50)
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      graft.functions.TermStats.oovRate(d, "doc_id", "text", vocabSize = 50)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Exact substring-span dedup report (Lee et al. style) over the clone
@@ -425,16 +443,20 @@ object TrainingData {
   def spanDedupQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist() // two branches: corpus union sides
     val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
-    graft.functions.SpanDedup.spanReport(corpus, "doc_id", "text", n = 8)
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      graft.functions.SpanDedup.spanReport(corpus, "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Unigram-LM surprisal scoring against the corpus' own token counts
     * (bit-length-quantized so the doubles restate exactly). */
   def surprisalQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist() // model derivation + report join branches
-    graft.functions.LangModel.surprisalReport(d, "doc_id", "text")
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      graft.functions.LangModel.surprisalReport(d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** SemDeDup over the embedding clone corpus: portable-Lloyd cells are the
@@ -444,9 +466,11 @@ object TrainingData {
     val e = Tables.load(s, dir, "embeddings")
     val corpus = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000))
       .persist() // trainer sample + assignment branches
-    Similarity.semanticDedup(corpus, "vec_id", "embedding",
-        k = 16, threshold = 0.99)
-      .orderBy(col("vec_id"))
+    releasing(corpus) {
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          k = 16, threshold = 0.99)
+        .orderBy(col("vec_id"))
+    }
   }
 
   /** Deterministic 80/10/10 train/val/test split on the stable md5
@@ -470,8 +494,10 @@ object TrainingData {
   def dupRateBySourceQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist() // corpus union branches
     val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
-    graft.functions.CorpusStats.dupRateBySource(corpus, "doc_id", "text", "source")
-      .orderBy(col("source"))
+    releasing(d) {
+      graft.functions.CorpusStats.dupRateBySource(corpus, "doc_id", "text", "source")
+        .orderBy(col("source"))
+    }
   }
 
   /** Top-100 vocabulary with cumulative corpus coverage. */
@@ -503,8 +529,10 @@ object TrainingData {
           .otherwise(col("text")).as("text"))
       .unionByName(d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", Seq("text"))
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Training-sequence packing: disjoint 32-token chunks concatenated in
@@ -534,8 +562,10 @@ object TrainingData {
     * reconstruction-error maxima per dimension. */
   def quantizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings").persist() // calibrate + audit
-    graft.functions.Quantize.quantReport(e, "embedding", levels = 255)
-      .orderBy(col("dim"))
+    releasing(e) {
+      graft.functions.Quantize.quantReport(e, "embedding", levels = 255)
+        .orderBy(col("dim"))
+    }
   }
 
   /** Sparse TF-IDF retrieval: "more documents like doc 0" through the
@@ -544,7 +574,9 @@ object TrainingData {
     val d = docs(s, dir).persist() // query text + postings + doc count
     val queryText = d.filter(col("doc_id") === 0)
       .select(col("text")).head().getString(0)
-    graft.functions.TermStats.sparseTopK(d, "doc_id", "text", queryText, 10)
+    releasing(d) {
+      graft.functions.TermStats.sparseTopK(d, "doc_id", "text", queryText, 10)
+    }
   }
 
   /** TextRank keyword salience: fixed-point integer PageRank over the
@@ -560,9 +592,11 @@ object TrainingData {
     * percentile lands on a multiple of 0.5. */
   def robustOutlierQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist() // median pass + deviation pass
-    graft.functions.CorpusStats.lengthOutlierReport(
-        d, "doc_id", "source", "n_chars", zMax = 3.0)
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      graft.functions.CorpusStats.lengthOutlierReport(
+          d, "doc_id", "source", "n_chars", zMax = 3.0)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Cross-corpus near-dup probe: the corpus vs a simulated "new crawl"
@@ -573,9 +607,11 @@ object TrainingData {
   def crossCorpusQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist() // both probe sides derive from it
     val crawl = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
-    Dedup.crossCorpusNearDups(d, crawl, "doc_id", "text",
-        shingleSize = 7, threshold = 0.95)
-      .orderBy(col("doc_id_a"), col("doc_id_b"))
+    releasing(d) {
+      Dedup.crossCorpusNearDups(d, crawl, "doc_id", "text",
+          shingleSize = 7, threshold = 0.95)
+        .orderBy(col("doc_id_a"), col("doc_id_b"))
+    }
   }
 
   /** Composed dataloader prep: robust outlier gate → disjoint chunking →
@@ -601,8 +637,10 @@ object TrainingData {
         lpad(col("chunk_idx").cast("string"), 10, "0")))
     val packed = graft.functions.Sharding.packSequences(chunks, "_key",
       "n_tokens", capacity = 512)
-    graft.functions.Sharding.sequenceManifest(packed, "doc_id")
-      .orderBy(col("seq_id"))
+    releasing(d) {
+      graft.functions.Sharding.sequenceManifest(packed, "doc_id")
+        .orderBy(col("seq_id"))
+    }
   }
 
   /** Winnowed substring fingerprints over the clone corpus: every
@@ -612,9 +650,11 @@ object TrainingData {
   def winnowQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).persist() // corpus union branches
     val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
-    graft.functions.SpanDedup.winnowReport(corpus, "doc_id", "text",
-        n = 8, w = 4)
-      .orderBy(col("doc_id"))
+    releasing(d) {
+      graft.functions.SpanDedup.winnowReport(corpus, "doc_id", "text",
+          n = 8, w = 4)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Bigram conditional surprisal against the corpus' own pair counts —
@@ -649,10 +689,12 @@ object TrainingData {
     val cells = graft.functions.Sketches.countMinCells(toks, "term")
     val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(20)
-    graft.functions.Sketches.countMinEstimate(cells, top, "term")
-      .join(top, "term")
-      .select(col("term"), col("cnt"), col("est_count"))
-      .orderBy(col("cnt").desc, col("term"))
+    releasing(toks) {
+      graft.functions.Sketches.countMinEstimate(cells, top, "term")
+        .join(top, "term")
+        .select(col("term"), col("cnt"), col("est_count"))
+        .orderBy(col("cnt").desc, col("term"))
+    }
   }
 
   /** Corpus-composition clustering: portable-Lloyd cells × label counts —
@@ -665,10 +707,12 @@ object TrainingData {
       .persist() // trainer sample + assignment branches
     val centroids = Similarity.ivfCentroidsTrainedPortable(
       e, "embedding", "vec_id", k = 16, iters = 3)
-    e.withColumn("cell", Similarity.ivfCell(col("embedding"), centroids))
-      .groupBy(col("cell"), col("label"))
-      .agg(count(lit(1)).as("n_vecs"))
-      .orderBy(col("cell"), col("label"))
+    releasing(e) {
+      e.withColumn("cell", Similarity.ivfCell(col("embedding"), centroids))
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("cell"), col("label"))
+    }
   }
 
   /** Per-language tokenizer fertility — BPE tokens per word and chars per
@@ -694,12 +738,14 @@ object TrainingData {
       .head().getSeq[Double](0)
     val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", qFull, 10)
       .select(col("vec_id"), lit(true).as("in_exact"))
-    Similarity.bruteForceTopK(e, "p", "vec_id", qProj, 10)
-      .withColumnRenamed("cosine_sim", "proj_sim")
-      .join(exact, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("proj_sim"),
-        coalesce(col("in_exact"), lit(false)).as("in_exact_topk"))
-      .orderBy(col("proj_sim").desc, col("vec_id"))
+    releasing(e) {
+      Similarity.bruteForceTopK(e, "p", "vec_id", qProj, 10)
+        .withColumnRenamed("cosine_sim", "proj_sim")
+        .join(exact, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("proj_sim"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact_topk"))
+        .orderBy(col("proj_sim").desc, col("vec_id"))
+    }
   }
 
   /** Saturated-KMV estimate: distinct document fingerprints corpus-wide
@@ -1092,8 +1138,17 @@ object TrainingData {
         .otherwise(col("b")).as("name"))
 
   def fuzzyPairsQ(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.FuzzyDedup.nearDupPairs(typoNames(s, dir),
-        "doc_id", "name", maxBucket = 4096)
+    val names = typoNames(s, dir)
+    // variant-bucket sizes grow LINEARLY with the corpus here (dense
+    // 40-entity vocabulary: every entity's rows share variant hashes), so
+    // a fixed cap would silently drop true pairs at a larger SF and break
+    // the exhaustive oracle. Derive the cap from the row count with ~13×
+    // headroom over the worst observed bucket (~n/40 rows per entity);
+    // the count() is one metadata-cheap parquet job.
+    val cap = math.min(math.max(4096L, 32L * (names.count() / 40 + 1)),
+      Int.MaxValue.toLong).toInt
+    graft.functions.FuzzyDedup.nearDupPairs(names,
+        "doc_id", "name", maxBucket = cap)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("id_a")).as("sum_a"),
@@ -1319,8 +1374,10 @@ object TrainingData {
   /** Sorted-neighborhood record linkage scored with the native
     * Jaro-Winkler expression (the scoring function Spark lacks; DuckDB's
     * `jaro_winkler_similarity` is the oracle — the kernel was fuzz-pinned
-    * bit-exact against it over 50k pairs, so the query can GROUP BY the
-    * raw double score). The engine ranks via the distributed packShards
+    * bit-exact against it over 50k ASCII pairs, so the query can GROUP BY
+    * the raw double score; on non-ASCII text the engines diverge — DuckDB
+    * compares UTF-8 bytes where this kernel compares UTF-16 code units,
+    * see JaroWinklerExpr's scaladoc — and all gated corpora are ASCII). The engine ranks via the distributed packShards
     * prefix sum (one range exchange + broadcast offsets — never a global
     * window) and pairs neighbors with a pure equi-join on exploded
     * successor ranks; the oracle restates the same windowed semantics
@@ -1337,7 +1394,45 @@ object TrainingData {
         sum(col("id_b")).as("sum_b"))
       .orderBy(col("jw_score"))
 
+  /** Accented-name corpus: the typoNames construction with MULTIBYTE
+    * characters (é/ü/ø), so UTF-8 byte semantics and UTF-16 code-unit
+    * semantics genuinely diverge — the corpus that separates the
+    * byte-mode Jaro-Winkler kernel from the char kernel. Built from
+    * operations with identical Spark/DuckDB semantics (char-based
+    * `substring`/`length`, `%` on non-negative ids). */
+  private def accentNames(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("café münchén "), (col("doc_id") % 37).cast("string"))
+          .as("b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          expr("substring(b, 1, length(b) - 1)"))
+        .when(col("doc_id") % 5 === 2, concat(col("b"), lit("é")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("ø"), expr("substring(b, 2, length(b))")))
+        .otherwise(col("b")).as("name"))
+
+  /** Byte-mode Jaro-Winkler under the gate on NON-ASCII text: successive
+    * accented names scored with the UTF-8 byte kernel, whose scores are
+    * bit-exact against DuckDB's byte-comparing `jaro_winkler_similarity`
+    * even where byte length != char length (the char kernel diverges on
+    * every 'é'-perturbed pair here — the ADVICE-flagged caveat, now a
+    * gated parity surface instead of a doc qualifier). */
+  def byteJaroWinklerQ(s: SparkSession, dir: String): DataFrame = {
+    val n = accentNames(s, dir)
+    val a = n.select(col("doc_id"), col("name").as("name_a"))
+    val b = n.select((col("doc_id") - 1).as("doc_id"),
+      col("name").as("name_b"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        graft.expressions.JaroWinklerExpr
+          .jaroWinklerBytes(col("name_a"), col("name_b")).as("jw_byte"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_byte_jaro_winkler" -> byteJaroWinklerQ _,
     "q132_cross_token_fuzzy" -> crossTokenFuzzyQ _,
     "q131_token_fuzzy"      -> tokenFuzzyQ _,
     "q130_golden_records"   -> goldenRecordsQ _,
@@ -1722,6 +1817,24 @@ object TrainingData {
        |    >= greatest(len($a.toks), len($b.toks)) - 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the byte-mode kernel is bit-exact vs DuckDB's byte-comparing
+    // jaro_winkler_similarity, so raw doubles hash-compare even on the
+    // multibyte corpus (the construction restates with char-based
+    // substring/length, identical in both engines)
+    "q133_byte_jaro_winkler" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN substring(b, 1, length(b) - 1)
+        |       WHEN doc_id % 5 = 2 THEN b || 'é'
+        |       WHEN doc_id % 5 = 3 THEN 'ø' || substring(b, 2, length(b))
+        |       ELSE b END AS name
+        | FROM (SELECT doc_id,
+        |        'café münchén ' || CAST(doc_id % 37 AS VARCHAR) AS b
+        |       FROM documents))
+        |SELECT a.doc_id AS doc_id,
+        | jaro_winkler_similarity(a.name, bb.name) AS jw_byte
+        |FROM n a JOIN n bb ON bb.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin,
     // the bipartite form of q131: cross-parity pairs only
     "q132_cross_token_fuzzy" ->
       (s"WITH $titleTokensCte,\n" +
@@ -1894,8 +2007,9 @@ object TrainingData {
         |FROM p GROUP BY dist ORDER BY dist""".stripMargin),
     // the same sorted-neighborhood semantics via a row_number window and
     // a rank-band self-join; jaro_winkler_similarity is bit-identical to
-    // the engine's native kernel (fuzz-pinned), so grouping by the raw
-    // double score is exact
+    // the engine's native kernel on ASCII text (fuzz-pinned; DuckDB
+    // compares UTF-8 bytes, the kernel UTF-16 code units — this corpus
+    // is ASCII), so grouping by the raw double score is exact
     "q123_sorted_neighborhood" ->
       (s"WITH $denseTypoCte,\n" +
       """r AS (

@@ -51,11 +51,16 @@ class LakeSimSource extends TableProvider {
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("lakesim: 'path' option is required"))
     val pageSize = opts.getInt("pagesize", 10000)
-    new LakeSimTable(path, schema, pageSize)
+    // objects admitted per micro-batch on the streaming side (0 = all
+    // available); under Trigger.AvailableNow this turns one giant
+    // catch-up batch into bounded per-batch commit boundaries
+    val maxObjects = opts.getInt("maxobjectsperbatch", 0)
+    new LakeSimTable(path, schema, pageSize, maxObjects)
   }
 }
 
-class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int)
+class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int,
+                   maxObjectsPerBatch: Int = 0)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"lakesim($path)"
@@ -65,14 +70,15 @@ class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSimScanBuilder(path, tableSchema, pageSize)
+    new LakeSimScanBuilder(path, tableSchema, pageSize, maxObjectsPerBatch)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LakeSimWriteBuilder(path, info.schema())
 }
 
-class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int)
+class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int,
+                         maxObjectsPerBatch: Int = 0)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -119,7 +125,8 @@ class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int)
 
   override def build(): Scan =
     if (countStars > 0) new LakeSimCountScan(path, countStars)
-    else new LakeSimScan(path, tableSchema, required, pushed, pageSize)
+    else new LakeSimScan(path, tableSchema, required, pushed, pageSize,
+      maxObjectsPerBatch)
 }
 
 /** Metadata-only scan for a completely-pushed COUNT(*): one partition, one
@@ -149,14 +156,16 @@ case class LakeSimCountPartition(total: Long, countStars: Int)
     extends InputPartition
 
 class LakeSimScan(path: String, tableSchema: StructType,
-                  required: StructType, pushed: Array[Filter], pageSize: Int)
+                  required: StructType, pushed: Array[Filter], pageSize: Int,
+                  maxObjectsPerBatch: Int = 0)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LakeSimMicroBatchStream(path, required, pushed, pageSize)
+    new LakeSimMicroBatchStream(path, required, pushed, pageSize,
+      maxObjectsPerBatch)
   override def description(): String =
     s"lakesim path=$path pushed=[${pushed.mkString(", ")}] " +
       s"fields=[${required.fieldNames.mkString(",")}]"

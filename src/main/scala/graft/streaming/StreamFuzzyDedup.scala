@@ -38,15 +38,22 @@ import graft.functions.FuzzyDedup
   */
 object StreamFuzzyDedup {
 
+  /** Runs the AvailableNow drain and returns the number of micro-batches
+    * it processed — callers whose downstream semantics assume "one wave =
+    * one batch" (greedy cross-batch-only dedup) can assert on it instead
+    * of silently diverging if the file source ever splits a wave (e.g.
+    * under maxFilesPerTrigger). */
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, idCol: String, textCol: String,
                       statePath: String, checkpointPath: String,
-                      maxDist: Int = 1, maxBucket: Int = 1 << 16): Unit = {
+                      maxDist: Int = 1, maxBucket: Int = 1 << 16): Long = {
     require(maxDist == 1 || maxDist == 2,
       "StreamFuzzyDedup: maxDist must be 1 or 2")
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = spark.readStream.schema(schema).parquet(sourcePath)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
         val session = batch.sparkSession
         val base = batch
           .select(col(idCol), col(textCol).cast("string").as("_graft_t"))
@@ -109,5 +116,6 @@ object StreamFuzzyDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    nBatches.get()
   }
 }

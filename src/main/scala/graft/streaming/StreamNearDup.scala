@@ -42,16 +42,22 @@ import graft.functions.Dedup
   */
 object StreamNearDup {
 
+  /** Runs the AvailableNow drain and returns the number of micro-batches
+    * it processed — callers whose downstream semantics assume "one wave =
+    * one batch" (cross-batch-only dedup) can assert on it instead of
+    * silently diverging if the file source ever splits a wave. */
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, idCol: String, textCol: String,
                       statePath: String, checkpointPath: String,
                       shingleSize: Int = 7, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.95,
-                      maxBucket: Int = 1 << 16): Unit = {
+                      maxBucket: Int = 1 << 16): Long = {
     val rowsPerBand = numHashes / bands
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = spark.readStream.schema(schema).parquet(sourcePath)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
         val session = batch.sparkSession
         // one persisted frame carries shingles + signature (the
         // minhashNearDups cache discipline — wide rows, columnar persist)
@@ -130,6 +136,7 @@ object StreamNearDup {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    nBatches.get()
   }
 
   /** See [[StreamState.readExcluding]] (shared with the other runners). */

@@ -100,6 +100,58 @@ class JaroWinklerExprSpec extends SparkSpec {
     assert(sql == 0.9611111111111111)
   }
 
+  test("byte-mode kernel matches DuckDB on NON-ASCII probed golden values") {
+    // values read straight off `SELECT jaro_winkler_similarity(a, b)` —
+    // DuckDB compares UTF-8 bytes, so these pairs (byte length != char
+    // length) separate the byte kernel from the char kernel
+    val cases = Seq(
+      ("café", "cafe") -> 0.8483333333333334,
+      ("münchen", "munchen") -> 0.8821428571428571,
+      ("münchén", "münchen") -> 0.9305555555555555,
+      ("zürich", "zurichh") -> 0.8285714285714287,
+      ("søren", "soren") -> 0.8400000000000001,
+      ("東京", "東京都") -> 0.9333333333333333, // 6- vs 9-byte CJK
+      ("café", "café") -> 1.0,
+      ("naïve", "naive") -> 0.8577777777777779,
+      ("MARTHA", "MARHTA") -> 0.9611111111111111) // ASCII: = char kernel
+    val got = cases.map(_._1).toDF("a", "b")
+      .select(JaroWinklerExpr.jaroWinklerBytes($"a", $"b"))
+      .as[Double].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+    // on pure ASCII the two kernels are bit-identical
+    val ascii = Seq(("DIXON", "DICKSONX"), ("DWAYNE", "DUANE"),
+      ("abcdef", "abzzzz"), ("", "x"))
+    val charK = jwOf(ascii)
+    val byteK = ascii.toDF("a", "b")
+      .select(JaroWinklerExpr.jaroWinklerBytes($"a", $"b"))
+      .as[Double].collect()
+    charK.zip(byteK).foreach { case (c, b) => assert(c == b) }
+    // SQL surface
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT jaro_winkler_bytes('café', 'cafe')")
+      .as[Double].collect().head == 0.8483333333333334)
+  }
+
+  test("SQL registrations reject wrong arity with a pointed message") {
+    GraftExtensions.register(spark)
+    // one-arg call: would be IndexOutOfBoundsException without the gate
+    val e1 = intercept[Exception](spark.sql("SELECT jaro_winkler('a')"))
+    assert(e1.getMessage.contains("jaro_winkler requires exactly 2"))
+    // extra args: silently ignored without the gate
+    val e2 = intercept[Exception](
+      spark.sql("SELECT jaro_winkler('a', 'b', 'c')"))
+    assert(e2.getMessage.contains("jaro_winkler requires exactly 2"))
+    val e3 = intercept[Exception](spark.sql("SELECT dot_product(array(1.0))"))
+    assert(e3.getMessage.contains("dot_product requires exactly 2"))
+    // variadic floor: json_keyset_tuple needs the raw column + >= 1 field
+    val e4 = intercept[Exception](
+      spark.sql("SELECT json_keyset_tuple('{}')"))
+    assert(e4.getMessage.contains("json_keyset_tuple requires at least 2"))
+    // correct arity still resolves after the gate wrap
+    assert(spark.sql("SELECT jaro_winkler('ab', 'ab')")
+      .as[Double].collect().head == 1.0)
+  }
+
   test("symmetry and range invariants hold") {
     val rnd = new scala.util.Random(13)
     val pairs = Seq.fill(500) {
