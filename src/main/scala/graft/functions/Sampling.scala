@@ -152,6 +152,46 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Per-group dataset PRUNING by score percentile — keep each group's
+    * lowest-scoring `floor(keepFrac · n_g)` rows (ties broken by key),
+    * the CCNet/perplexity-filtering shape: "keep the cleanest 70% of
+    * each language by LM bits-per-token" (or any quality/length score;
+    * negate the score column to keep the highest). Fully deterministic:
+    * the cut depends only on the data, never on partitioning.
+    *
+    * Scale shape: the rank is [[Sharding.groupedPrefixSum]] over the
+    * NARROW (group, score, key) projection — range exchange + broadcast
+    * offsets, no `PARTITION BY group` window, so a skewed group (one
+    * language dominating a crawl) never funnels onto one task. Group
+    * totals ride a separate partial-agg count joined null-safely (a
+    * null group prunes like any other group); full rows rejoin by key,
+    * so keys must be unique AND non-null (guarded with a distributed
+    * fail-fast — a null key cannot equi-rejoin and would silently
+    * vanish). The group column must be LOW-cardinality
+    * (languages/sources — the groupedPrefixSum driver-side offset
+    * bound applies). */
+  def pruneByScore(df: DataFrame, keyCol: String, groupCol: String,
+                   scoreCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0,
+      "keepFrac must be in [0, 1]")
+    val keyType = df.schema(keyCol).dataType
+    val narrow = df.select(col(groupCol), col(scoreCol),
+        coalesce(col(keyCol),
+          raise_error(lit(s"pruneByScore: key column '$keyCol' contains " +
+            "a null - keys must be non-null and unique; filter or fill " +
+            "null keys before pruning")).cast(keyType)).as(keyCol))
+      .withColumn("_graft_one", lit(1L))
+    val ranked = Sharding.groupedPrefixSum(narrow, Seq(groupCol),
+      Seq(scoreCol, keyCol), "_graft_one")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_graft_n"))
+    val winners = ranked.join(broadcast(counts),
+        ranked(groupCol) <=> counts(groupCol))
+      .filter(col("cum_weight") < floor(lit(keepFrac) * col("_graft_n")))
+      .select(ranked(keyCol))
+    df.join(winners, Seq(keyCol), "left_semi")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic WEIGHTED sample without replacement — "pick k docs,
     * favoring the high-quality / long / rare ones" with integer weights.
     *

@@ -205,6 +205,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** AvailableNow lake drain under the oracle gate: documents land in a
+    * lakesim lake as 8 data objects, then `readStream` drains it with
+    * `maxobjectsperbatch = 3` — the admission-controlled path
+    * ([[graft.sources.lakesim.LakeSimMicroBatchStream]]
+    * SupportsTriggerAvailableNow): the target offset pins at query
+    * start and the drain commits in ceil(8/3) = 3 bounded micro-batches
+    * (asserted from the checkpoint's offset log), not one giant batch.
+    * The sink must hold exactly the table — any dropped/duplicated
+    * object or page breaks the hash. */
+  def lakesimStreamQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q134") { base =>
+      import org.apache.spark.sql.types._
+      val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartition(8)
+        .write.format(fmt).option("path", s"$base/lake")
+        .mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val q = s.readStream.format(fmt)
+        .schema(schema).option("path", s"$base/lake")
+        .option("maxobjectsperbatch", "3").load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // offset log: one entry per micro-batch — prove the drain was
+      // admission-controlled (3 batches for 8 objects at <= 3 each)
+      val batches = new java.io.File(s"$base/ckpt/offsets")
+        .listFiles().count(f => f.getName.forall(_.isDigit))
+      require(batches == 3,
+        s"lakesimStreamQ: expected 3 admission-controlled micro-batches " +
+        s"for 8 objects at maxobjectsperbatch=3, offset log shows $batches")
+      s.read.parquet(s"$base/sink")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Nested-NDJSON drift ingest (SURVEY §1.1): records carry a true nested
     * `meta` object; odd keys add a nested field, minting a second leaf-path
     * keyset. Silver is the flattened `_`-joined projection the oracle
@@ -523,6 +566,7 @@ object PipelineQueries {
     "q98_stream_ingest"   -> streamIngestQ _,
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
+    "q134_lakesim_stream" -> lakesimStreamQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
@@ -599,6 +643,11 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the admission-controlled AvailableNow drain reconstructs the table
+    // exactly (every object, every page, exactly once across batches)
+    "q134_lakesim_stream" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // batch restatement of the sequential wave filter: wave 1 is fully
     // accepted (empty index); a wave-2 doc is dropped iff it is
     // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive

@@ -1431,7 +1431,33 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language perplexity pruning — the CCNet-style curation gate:
+    * keep each language's cleanest 70% by unigram-LM bits-per-token.
+    * Composition: the q75 surprisal machinery scores every doc (integer
+    * sum_bits), the score is fixed-point scaled (×2^20, INTEGER division
+    * — exact in both engines, no double-division ordering hazard), and
+    * [[graft.functions.Sampling.pruneByScore]] cuts at
+    * floor(0.7 · n_lang) per language through the distributed
+    * groupedPrefixSum rank (range exchange + broadcast offsets — never a
+    * PARTITION BY lang window, which would funnel a dominant language
+    * onto one task). */
+  def perplexityPruneQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // surprisal model + lang join branches
+    val scored = graft.functions.LangModel
+      .surprisalReport(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("score_fx",
+        expr("(sum_bits * 1048576) div greatest(n_tokens, 1)"))
+    releasing(d) {
+      graft.functions.Sampling.pruneByScore(scored, "doc_id", "lang",
+          "score_fx", keepFrac = 0.7)
+        .select(col("doc_id"), col("lang"), col("score_fx"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_perplexity_prune" -> perplexityPruneQ _,
     "q133_byte_jaro_winkler" -> byteJaroWinklerQ _,
     "q132_cross_token_fuzzy" -> crossTokenFuzzyQ _,
     "q131_token_fuzzy"      -> tokenFuzzyQ _,
@@ -1816,7 +1842,44 @@ object TrainingData {
        |          0) - 1, least(len($a.toks), len($b.toks))) END)
        |    >= greatest(len($a.toks), len($b.toks)) - 1""".stripMargin
 
+  /** SQL twin of [[graft.functions.LangModel.surprisalReport]]'s integer
+    * core — CTE chain ending in `r(doc_id, n_tokens, sum_bits)` (shared
+    * by q75 and the q135 pruning gate). */
+  private val surprisalCte: String =
+    s"""tp AS (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       | FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tp
+       |       GROUP BY doc_id, term),
+       |cnts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+       |         GROUP BY term),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
+       |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(sum(tf * (length(bin(n_total)) - length(bin(cnt)))) AS BIGINT)
+       |    AS sum_bits
+       | FROM tf JOIN cnts USING (term), tot GROUP BY doc_id),
+       |r AS (SELECT d.doc_id,
+       |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits
+       | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // per-language perplexity pruning: the q75 bits score, fixed-point
+    // scaled by 2^20 with INTEGER division (exact in both engines), cut
+    // at floor(0.7 · n_lang) via a row_number window — the engine's
+    // groupedPrefixSum rank over (score_fx, doc_id) states identically
+    "q135_perplexity_prune" ->
+      (s"WITH $surprisalCte,\n" +
+      """s AS (SELECT r.doc_id, d.lang,
+        |  (sum_bits * 1048576) // greatest(n_tokens, 1) AS score_fx
+        | FROM r JOIN documents d USING (doc_id)),
+        |k AS (SELECT doc_id, lang, score_fx,
+        |  row_number() OVER (PARTITION BY lang
+        |                     ORDER BY score_fx, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT doc_id, lang, CAST(score_fx AS BIGINT) AS score_fx
+        |FROM k WHERE rk <= CAST(floor(0.7 * n) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin),
     // the byte-mode kernel is bit-exact vs DuckDB's byte-comparing
     // jaro_winkler_similarity, so raw doubles hash-compare even on the
     // multibyte corpus (the construction restates with char-based
@@ -2692,25 +2755,10 @@ object TrainingData {
     // integer bits (unpadded-binary lengths agree between engines), one
     // double division at the end.
     "q75_surprisal" ->
-      s"""WITH tp AS (
-         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
-         | FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tp
-         |       GROUP BY doc_id, term),
-         |cnts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
-         |         GROUP BY term),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts),
-         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |  CAST(sum(tf * (length(bin(n_total)) - length(bin(cnt)))) AS BIGINT)
-         |    AS sum_bits
-         | FROM tf JOIN cnts USING (term), tot GROUP BY doc_id),
-         |r AS (SELECT d.doc_id,
-         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits
-         | FROM documents d LEFT JOIN agg USING (doc_id))
-         |SELECT doc_id, n_tokens, sum_bits,
+      (s"WITH $surprisalCte\n" +
+      """SELECT doc_id, n_tokens, sum_bits,
          | sum_bits::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS mean_bits
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |FROM r ORDER BY doc_id""".stripMargin),
     // The q81 sketch construction, ungrouped and SATURATED (500 distinct
     // fingerprints > k): the CASE takes the true estimator branch.
     "q97_kmv_saturated" ->

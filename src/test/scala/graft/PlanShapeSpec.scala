@@ -272,6 +272,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(_graft_pid"), plan)
   }
 
+  test("pruneByScore ranks via the range-partitioned prefix sum and " +
+      "broadcasts the group totals") {
+    // same hazard class as per-group sampling: a PARTITION BY group
+    // window would funnel a dominant language onto one task; the rank
+    // must ride the _graft_pid range windows, and the small per-group
+    // count frame must broadcast, never shuffle the ranked side again
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}", (i * 31L) % 97))
+      .toDF("id", "g", "score")
+    val out = graft.functions.Sampling.pruneByScore(df, "id", "g", "score", 0.5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("windowspecdefinition(_graft_pid"), plan)
+    assert(!plan.contains("windowspecdefinition(g#"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize

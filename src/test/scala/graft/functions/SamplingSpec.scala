@@ -104,6 +104,53 @@ class SamplingSpec extends SparkSpec {
     assert(out.count(_.isEmpty) == 2)
   }
 
+  test("pruneByScore keeps each group's lowest-scoring floor(frac*n) rows") {
+    val rows = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i * 7919) % 101)) // distinct scores
+    val in = rows.toDF("id", "g", "score")
+    val kept = Sampling.pruneByScore(in, "id", "g", "score", 0.7)
+      .select("id").as[Long].collect().toSet
+    // driver reference: per group, sort by (score, id), keep floor(0.7*50)
+    val expected = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      grp.sortBy(r => (r._3, r._1))
+        .take(math.floor(0.7 * grp.size).toInt).map(_._1)
+    }.toSet
+    assert(kept == expected && kept.size == 70)
+    // deterministic under repartitioning; monotone in keepFrac
+    assert(Sampling.pruneByScore(in.repartition(13), "id", "g", "score", 0.7)
+      .select("id").as[Long].collect().toSet == kept)
+    val kept50 = Sampling.pruneByScore(in, "id", "g", "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept50.subsetOf(kept))
+    // edges: keepFrac 1.0 keeps everything, 0.0 nothing
+    assert(Sampling.pruneByScore(in, "id", "g", "score", 1.0).count() == 100)
+    assert(Sampling.pruneByScore(in, "id", "g", "score", 0.0).count() == 0)
+    // column order preserved
+    assert(Sampling.pruneByScore(in, "id", "g", "score", 0.5)
+      .columns.toSeq == in.columns.toSeq)
+  }
+
+  test("pruneByScore keeps null groups and fails fast on null keys") {
+    val in = Seq((1L, Some("a"), 5L), (2L, Some("a"), 3L), (3L, None, 1L),
+      (4L, None, 2L), (5L, None, 9L)).toDF("id", "g", "score")
+    val out = Sampling.pruneByScore(in, "id", "g", "score", 0.7)
+      .select("g").as[Option[String]].collect().toSeq
+    // floor(0.7*2)=1 from "a", floor(0.7*3)=2 from the null group —
+    // null groups prune like any other group (null-safe counts join)
+    assert(out.count(_.contains("a")) == 1)
+    assert(out.count(_.isEmpty) == 2)
+    val nullKey = Seq((Some(1L), "a", 1L), (None, "a", 2L))
+      .toDF("id", "g", "score")
+    val ex = intercept[Exception] {
+      Sampling.pruneByScore(nullKey, "id", "g", "score", 0.9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("pruneByScore") && m.contains("non-null")))
+  }
+
   test("mixtureSample hits the target proportions, scaled by the scarcest stratum") {
     // 1000 a-rows, 1000 b-rows; ask for a 75/25 mix → a is scarcest:
     // K = 1000/0.75 = 1333.3…, keep floor(K·0.75)=1000 a, floor(K·0.25)=333 b
