@@ -61,6 +61,12 @@ object GraftExtensions {
     "kmv_merge" -> arity("kmv_merge", 2)(exprs =>
       KmvMergeAgg(exprs.head, intArg(exprs, 1, "kmv_merge"))
         .toAggregateExpression()),
+    "hll_sketch" -> arity("hll_sketch", 2)(exprs =>
+      HllSketchAgg(exprs.head, intArg(exprs, 1, "hll_sketch"))
+        .toAggregateExpression()),
+    "hll_merge" -> arity("hll_merge", 2)(exprs =>
+      HllMergeAgg(exprs.head, intArg(exprs, 1, "hll_merge"))
+        .toAggregateExpression()),
     "top_k" -> arity("top_k", 3)(exprs =>
       TopKAgg(exprs(0), exprs(1), intArg(exprs, 2, "top_k"))
         .toAggregateExpression()),

@@ -71,6 +71,64 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) /
         (element_at(sketch, k).cast("double") / lit(Hash60Width)))
 
+  /** Aggregate: HyperLogLog register file (`m = 2^p` ints) of a bigint
+    * hash column — constant-size distinct-cardinality state (vs KMV's
+    * k longs), deterministic on the md5 `hash60` seam so an external
+    * engine restates every register. Partial state is m bytes. */
+  def hllSketch(hash: Column, p: Int): Column =
+    ColumnBridge.column(
+      graft.expressions.HllSketchAgg(ColumnBridge.expression(hash), p)
+        .toAggregateExpression())
+
+  /** Aggregate: element-wise-max union of HLL register files — identical
+    * to sketching the union of the underlying inputs. */
+  def hllMerge(registers: Column, p: Int): Column =
+    ColumnBridge.column(
+      graft.expressions.HllMergeAgg(ColumnBridge.expression(registers), p)
+        .toAggregateExpression())
+
+  /** Cardinality estimate from an HLL register file: the Flajolet et al.
+    * raw estimate `α_m·m²/Σ 2^(−M_j)` with the small-range
+    * linear-counting correction (`m·ln(m/V)` when E ≤ 2.5m and V zero
+    * registers remain). Deterministic double arithmetic over the integer
+    * registers — but prefer gating on the REGISTERS (q136) and treating
+    * the estimate as derived. */
+  def hllEstimate(registers: Column, p: Int): Column = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val s = aggregate(registers, lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    val zeros = size(filter(registers, _ === 0))
+    val raw = lit(alpha * m.toDouble * m.toDouble) / s
+    when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m).cast("double") / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** Per-group HLL register report over a value column: (group, bucket,
+    * register) rows — the full register file, restatable in SQL from the
+    * md5 hash (`bucket = h // 2^(60−p)`,
+    * `ρ = 60−p+1 − bitlength(h mod 2^(60−p))`, register = max ρ, unseen
+    * buckets 0). One bounded-state aggregation; the explode is m rows
+    * per group. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
+    val hashed = df.select(
+      groupCols.map(col) :+ hash60(col(valueCol)).as("_h"): _*)
+    hashed.groupBy(groupCols.map(col): _*)
+      .agg(hllSketch(col("_h"), p).as("_regs"))
+      .select(groupCols.map(col) :+
+        posexplode(col("_regs")).as(Seq("bucket", "register")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register")): _*)
+  }
+
   /** Count-min sketch cells over an item-occurrence frame (one row per
     * occurrence): `d` deterministic hash rows × `w` buckets, each cell the
     * total count of items landing in it. The sketch is a TINY (≤ d·w)-row

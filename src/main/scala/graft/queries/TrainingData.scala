@@ -1456,7 +1456,39 @@ object TrainingData {
     }
   }
 
+  /** HLL register files under the gate: per-source HyperLogLog registers
+    * (p = 6, m = 64) over corpus tokens on the md5 hash60 seam, PLUS the
+    * merged corpus-wide file via [[graft.functions.Sketches.hllMerge]]
+    * tagged source `__all__` — so both the sketch aggregate and the
+    * element-wise-max union path sit under the oracle. The oracle
+    * restates every register from the raw hashes (`bucket = h // 2^54`,
+    * `ρ = 55 − bitlength(h mod 2^54)`, max per bucket, unseen buckets
+    * 0). One bounded-state aggregation per branch; output is m rows per
+    * source — constant at every SF. */
+  def hllRegistersQ(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .select(col("source"),
+        graft.functions.Sketches.hash60(col("term")).as("_h"))
+    // one register file per source: a TINY frame (|sources| rows of m
+    // ints) — pin it eagerly, both branches read it
+    val perSource = hashed.groupBy(col("source"))
+      .agg(graft.functions.Sketches.hllSketch(col("_h"), 6).as("_regs"))
+      .localCheckpoint()
+    val merged = perSource
+      .agg(graft.functions.Sketches.hllMerge(col("_regs"), 6).as("_regs"))
+      .select(lit("__all__").as("source"), col("_regs"))
+    perSource.unionByName(merged)
+      .select(col("source"),
+        posexplode(col("_regs")).as(Seq("bucket", "register")))
+      .select(col("source"), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_hll_registers"    -> hllRegistersQ _,
     "q135_perplexity_prune" -> perplexityPruneQ _,
     "q133_byte_jaro_winkler" -> byteJaroWinklerQ _,
     "q132_cross_token_fuzzy" -> crossTokenFuzzyQ _,
@@ -1864,6 +1896,37 @@ object TrainingData {
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every HLL register restated from the md5 hash60: bucket = top 6
+    // bits (integer division by 2^54), rho = 55 - bitlength of the
+    // 54-bit remainder (55 for an all-zero tail), register = max rho,
+    // unseen buckets 0 via the source x bucket grid; '__all__' is the
+    // max over sources (element-wise register union = max over all rows)
+    "q136_hll_registers" ->
+      """WITH toks AS (
+        | SELECT source,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |h AS (SELECT DISTINCT source,
+        |  ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM toks),
+        |rr AS (SELECT source, h // 18014398509481984 AS bucket,
+        |  CASE WHEN h % 18014398509481984 = 0 THEN 55
+        |       ELSE 55 - length(bin(h % 18014398509481984)) END AS rho
+        | FROM h),
+        |regs AS (
+        | SELECT source, bucket, CAST(max(rho) AS BIGINT) AS register
+        | FROM rr GROUP BY source, bucket
+        | UNION ALL
+        | SELECT '__all__' AS source, bucket, CAST(max(rho) AS BIGINT)
+        | FROM rr GROUP BY bucket),
+        |srcs AS (SELECT DISTINCT source FROM documents
+        |         UNION ALL SELECT '__all__'),
+        |grid AS (SELECT s.source, b.bucket
+        |         FROM srcs s, (SELECT unnest(range(0, 64)) AS bucket) b)
+        |SELECT g.source, CAST(g.bucket AS BIGINT) AS bucket,
+        | coalesce(r.register, 0) AS register
+        |FROM grid g LEFT JOIN regs r
+        |  ON g.source = r.source AND g.bucket = r.bucket
+        |ORDER BY g.source, g.bucket""".stripMargin,
     // per-language perplexity pruning: the q75 bits score, fixed-point
     // scaled by 2^20 with INTEGER division (exact in both engines), cut
     // at floor(0.7 · n_lang) via a row_number window — the engine's
