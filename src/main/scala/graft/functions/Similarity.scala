@@ -168,14 +168,33 @@ object Similarity {
   def ivfCentroidsTrainedPortable(df: DataFrame, vecCol: String, idCol: String,
                                   k: Int, iters: Int = 3,
                                   sampleN: Int = 4096): Seq[Seq[Double]] = {
-    val sample = df.select(col(idCol), col(vecCol))
+    val sample = portableSample(df, vecCol, idCol, sampleN)
+    if (sample.isEmpty) return Seq.empty
+    lloydPortable(sample, k, iters)
+  }
+
+  /** The md5-ordered bounded driver sample, re-sorted by id — the
+    * training material every portable trainer (IVF, PQ) reads, and the
+    * selection the oracles restate (`row_number() OVER (ORDER BY
+    * md5(id), id) <= sampleN`, then id order). Driver-side data is
+    * ≤ sampleN × dim doubles. */
+  private def portableSample(df: DataFrame, vecCol: String, idCol: String,
+                             sampleN: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(sampleN)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
       .map(_._2)
-    if (sample.isEmpty) return Seq.empty
+
+  /** The portable Lloyd core over an id-ordered driver sample — init =
+    * first k rows, `iters` assign+mean rounds with ascending sequential
+    * sums and floor-quantized means (the arithmetic the q42/q76 oracles
+    * unroll bit-for-bit). Shared by the full-space IVF trainer and the
+    * per-subspace PQ trainer. */
+  private def lloydPortable(sample: Array[Array[Double]], k: Int,
+                            iters: Int): Seq[Seq[Double]] = {
     val dim = sample.head.length
     var centroids = sample.take(k).map(_.clone)
     for (_ <- 0 until iters) {
@@ -267,6 +286,84 @@ object Similarity {
   def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val dists = centroidDists(vec, centroids)
     array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Product-quantization codebooks: the space splits into `m` contiguous
+    * subspaces of dim/m dims, each with an INDEPENDENT ksub-centroid
+    * codebook from the shared portable Lloyd trainer (Jégou et al. 2011)
+    * — so a vector compresses to m small codes (m bytes at ksub ≤ 256)
+    * instead of dim floats, an 8-64× memory cut that is what makes
+    * billion-vector ANN indexes fit at 100 TB scale. `iters = 0` keeps
+    * the codebook at the sample-init rows (id-ordered), fully
+    * SQL-restatable for the q137 gate; production callers train with
+    * iters > 0. Returns [subspace][centroid][subdim]. */
+  def pqCodebooks(df: DataFrame, vecCol: String, idCol: String,
+                  m: Int, ksub: Int, iters: Int = 3,
+                  sampleN: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    val sample = portableSample(df, vecCol, idCol, sampleN)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m = $m")
+    val d = dim / m
+    (0 until m).map { s =>
+      lloydPortable(sample.map(_.slice(s * d, (s + 1) * d)), ksub, iters)
+    }
+  }
+
+  /** PQ code array of a vector: per subspace, the 0-based index of the
+    * nearest codebook centroid (ties → lowest index, the ivfCell
+    * convention). Same squared-distance accumulation as centroidDists —
+    * ascending dims, sequential sum — so an external engine restates
+    * every code. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val d = codebooks.head.head.size
+    array((0 until m).map { s =>
+      val sub = slice(vec, s * d + 1, d)
+      val dists = transform(typedLit(codebooks(s)), c =>
+        aggregate(zip_with(sub, c, (x, y) => {
+          val t = x.cast("double") - y
+          t * t
+        }), lit(0.0), (acc, v) => acc + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k over PQ codes: the
+    * query stays EXACT while every corpus vector is its m codes — the
+    * distance is a sum of m lookup-table reads, never a 64-dim float
+    * walk. The m × ksub LUT (‖q_s − c_sj‖², ascending-dim accumulation)
+    * is driver-computed and inlined as literals; the per-row work is m
+    * array reads + (m−1) adds inside whole-stage codegen, and the top-k
+    * is a TakeOrdered (per-partition heads). At scale the scan reads
+    * ONLY the m-byte code column — the 8-64× scan-byte cut is the whole
+    * point of PQ. */
+  def pqAdcTopK(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
+                k: Int): DataFrame = {
+    val m = codebooks.size
+    val d = codebooks.head.head.size
+    val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val t = query(s * d + i) - c(i)
+          acc += t * t
+          i += 1
+        }
+        acc
+      }
+    }
+    val codes = pqEncode(col(vecCol), codebooks)
+    df.select(col(idCol), codes.as("_graft_codes"))
+      .select(col(idCol),
+        (0 until m).map(s =>
+            element_at(typedLit(lut(s)),
+              element_at(col("_graft_codes"), s + 1) + 1))
+          .reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
   }
 
   /** Scala-side nProbe nearest cells for the query (must mirror ivfCell). */

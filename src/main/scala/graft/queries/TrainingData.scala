@@ -1487,7 +1487,45 @@ object TrainingData {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Product-quantization codes under the gate: every embedding encoded
+    * to 8 subspace codes against sample-init codebooks (iters = 0 — the
+    * fully SQL-restatable trainer state; production trains iters > 0 and
+    * PqSpec pins that path against a driver reference). Codes are pure
+    * integers — argmin with the lowest-index tie-break over the same
+    * ascending sequential squared-distance accumulation the oracle's
+    * `list_sum(list_transform(...))` computes — so the hash compare has
+    * no double-output hazard. */
+  def pqCodesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cbs = Similarity.pqCodebooks(e, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 0)
+    e.select(col("vec_id"),
+        posexplode(Similarity.pqEncode(col("embedding"), cbs))
+          .as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** PQ asymmetric-distance top-k under the gate: "20 nearest to doc 0"
+    * where the corpus is ONLY its 8 codes per vector and the distance is
+    * 8 LUT reads + 7 adds (the billion-scale ANN serving shape; the
+    * exact query never meets a corpus float). Distances are doubles but
+    * every accumulation chain — the LUT entries (ascending dims) and the
+    * subspace sum (ascending s) — restates as DuckDB's sequential
+    * `list_sum`, so the raw doubles hash-compare. */
+  def pqAdcQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cbs = Similarity.pqCodebooks(e, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 0)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    Similarity.pqAdcTopK(e, "embedding", "vec_id", q, cbs, k = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_pq_adc"           -> pqAdcQ _,
+    "q137_pq_codes"         -> pqCodesQ _,
     "q136_hll_registers"    -> hllRegistersQ _,
     "q135_perplexity_prune" -> perplexityPruneQ _,
     "q133_byte_jaro_winkler" -> byteJaroWinklerQ _,
@@ -1896,6 +1934,70 @@ object TrainingData {
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the q137 code chain + the ADC read: LUT(s, j) = sequential
+    // squared-distance of the query's subvector s to centroid j; the
+    // per-vector distance is the s-ORDERED list of its 8 LUT reads
+    // summed sequentially (list(dd ORDER BY s) -> list_sum == the
+    // engine's ascending-subspace reduce)
+    "q138_pq_adc" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |cb AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 16)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT v.vec_id, sp.s, cb.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (v.embedding[8*sp.s + i]::DOUBLE - cb.embedding[8*sp.s + i]::DOUBLE)
+        |    * (v.embedding[8*sp.s + i]::DOUBLE - cb.embedding[8*sp.s + i]::DOUBLE)))
+        |    AS dd
+        | FROM embeddings v, sp, cb),
+        |best AS (SELECT vec_id, s, cid FROM (
+        |  SELECT vec_id, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |lut AS (SELECT sp.s, cb.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (q.embedding[8*sp.s + i]::DOUBLE - cb.embedding[8*sp.s + i]::DOUBLE)
+        |    * (q.embedding[8*sp.s + i]::DOUBLE - cb.embedding[8*sp.s + i]::DOUBLE)))
+        |    AS dd
+        | FROM sp, cb, q),
+        |pervec AS (SELECT b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l ON b.s = l.s AND b.cid = l.cid
+        | GROUP BY b.vec_id)
+        |SELECT vec_id, adc_dist FROM pervec
+        |ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin,
+    // iters=0 PQ: codebook s = subvectors [8s+1, 8s+8] of the 16
+    // lowest-id rows of the md5-ordered 4096-sample (cid = id rank − 1);
+    // code = argmin of the sequential squared-distance sum, ties to the
+    // lowest cid — exactly pqEncode's array_position(min) convention
+    "q137_pq_codes" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |cb AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 16)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT v.vec_id, sp.s, cb.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (v.embedding[8*sp.s + i]::DOUBLE - cb.embedding[8*sp.s + i]::DOUBLE)
+        |    * (v.embedding[8*sp.s + i]::DOUBLE - cb.embedding[8*sp.s + i]::DOUBLE)))
+        |    AS dd
+        | FROM embeddings v, sp, cb),
+        |best AS (SELECT vec_id, s, cid,
+        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        | FROM d)
+        |SELECT vec_id, CAST(s AS BIGINT) AS subspace,
+        | CAST(cid AS BIGINT) AS code
+        |FROM best WHERE rk = 1 ORDER BY vec_id, subspace""".stripMargin,
     // every HLL register restated from the md5 hash60: bucket = top 6
     // bits (integer division by 2^54), rho = 55 - bitlength of the
     // 54-bit remainder (55 for an all-zero tail), register = max rho,

@@ -289,6 +289,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("PQ ADC top-k is a TakeOrdered over a codegen'd projection — " +
+      "no global sort, no join") {
+    val df = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val cbs = graft.functions.Similarity.pqCodebooks(
+      df, "embedding", "vec_id", m = 8, ksub = 16, iters = 1)
+    val query = df.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val plan = graft.functions.Similarity.pqAdcTopK(
+        df, "embedding", "vec_id", query, cbs, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange range"),
+      plan)
+    // codegen'd stages print as "*(n)" in the executed-plan string; the
+    // LUT projection must sit inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("*(")), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the text-analysis projections") {
     val df = graft.queries.TrainingData.queries("q23_quality_score")(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen nodes materialize

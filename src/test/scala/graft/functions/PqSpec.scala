@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Product quantization: codebook training, encoding, and ADC top-k. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val sub = dim / m
+
+  /** Deterministic synthetic vectors around 8 planted modes. */
+  private def vectors(n: Int): Seq[(Long, Seq[Float])] =
+    (0L until n.toLong).map { id =>
+      val mode = (id % 8).toInt
+      (id, (0 until dim).map(i =>
+        (mode * 2.0 + math.sin(id * 0.7 + i) * 0.3).toFloat))
+    }
+
+  private def df(n: Int) = vectors(n).toDF("vec_id", "embedding")
+
+  /** Driver reference encode against the returned codebooks. */
+  private def refCodes(v: Seq[Float],
+                       cbs: Seq[Seq[Seq[Double]]]): Seq[Int] =
+    cbs.zipWithIndex.map { case (cb, s) =>
+      val sv = v.slice(s * sub, (s + 1) * sub).map(_.toDouble)
+      cb.zipWithIndex.map { case (c, j) =>
+        (sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+      }.minBy { case (d, j) => (d, j) }._2
+    }
+
+  test("codes match the driver reference; invariant under repartitioning") {
+    val data = df(400)
+    val cbs = Similarity.pqCodebooks(data, "embedding", "vec_id",
+      m = m, ksub = 8, iters = 2)
+    assert(cbs.size == m && cbs.forall(_.size == 8) &&
+      cbs.forall(_.forall(_.size == sub)))
+    val got = data
+      .select($"vec_id", Similarity.pqEncode($"embedding", cbs).as("codes"))
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect()
+    vectors(400).zip(got).foreach { case ((id, v), (gid, codes)) =>
+      assert(id == gid && codes == refCodes(v, cbs), s"vec $id")
+    }
+    val reshuffled = data.repartition(13)
+      .select($"vec_id", Similarity.pqEncode($"embedding", cbs).as("codes"))
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect()
+    assert(reshuffled.toSeq == got.toSeq)
+  }
+
+  test("iters=0 codebooks are the id-ordered sample-init rows") {
+    val data = df(100)
+    val cbs = Similarity.pqCodebooks(data, "embedding", "vec_id",
+      m = m, ksub = 8, iters = 0, sampleN = 4096)
+    // sampleN covers everything -> init = subvectors of vec_id 0..7
+    val first = vectors(100).take(8).map(_._2)
+    (0 until m).foreach { s =>
+      val expected = first.map(_.slice(s * sub, (s + 1) * sub)
+        .map(_.toDouble).toSeq)
+      assert(cbs(s) == expected, s"subspace $s")
+    }
+  }
+
+  test("ADC distance equals the LUT-sum reference and ranks sanely") {
+    val data = df(400)
+    val cbs = Similarity.pqCodebooks(data, "embedding", "vec_id",
+      m = m, ksub = 8, iters = 2)
+    val query = vectors(1).head._2.map(_.toDouble)
+    val top = Similarity.pqAdcTopK(data, "embedding", "vec_id",
+      query, cbs, k = 20).as[(Long, Double)].collect()
+    // reference ADC
+    val lut = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => query.slice(s * sub, (s + 1) * sub).zip(c)
+        .map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val ref = vectors(400).map { case (id, v) =>
+      (id, refCodes(v, cbs).zipWithIndex.map { case (c, s) => lut(s)(c) }
+        .reduce(_ + _))
+    }.sortBy { case (id, dd) => (dd, id) }.take(20)
+    assert(top.toSeq == ref.toSeq)
+    // every returned vector shares the query's planted mode (id % 8 == 0):
+    // quantized distance still separates well-separated modes
+    assert(top.forall { case (id, _) => id % 8 == 0 })
+  }
+
+  test("dim must divide m; empty input yields empty codebooks") {
+    val data = df(10)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(data, "embedding", "vec_id", m = 5, ksub = 4)
+    }
+    assert(ex.getMessage.contains("not divisible"))
+    assert(Similarity.pqCodebooks(data.limit(0), "embedding", "vec_id",
+      m = 4, ksub = 4).isEmpty)
+  }
+}
