@@ -79,7 +79,7 @@ object GraftExtensions {
     // fused one-pass ingest parse: json_keyset_tuple(raw, 'a', 'b', ...)
     // returns struct(_keyset, a, b, ...); the _nested variant keysets on
     // dotted leaf paths (drift-aware nested ingest)
-    "json_keyset_tuple" -> arity("json_keyset_tuple", 2, atLeast = true)(
+    "json_keyset_tuple" -> arity("json_keyset_tuple", 1, atLeast = true)(
       exprs => JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>
           strArg(e, i, "json_keyset_tuple") }, nested = false)),
@@ -87,7 +87,7 @@ object GraftExtensions {
       JaroWinklerExpr(exprs(0), exprs(1))),
     "jaro_winkler_bytes" -> arity("jaro_winkler_bytes", 2)(exprs =>
       JaroWinklerExpr(exprs(0), exprs(1), byteMode = true)),
-    "json_keyset_tuple_nested" -> arity("json_keyset_tuple_nested", 2,
+    "json_keyset_tuple_nested" -> arity("json_keyset_tuple_nested", 1,
       atLeast = true)(exprs => JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>
           strArg(e, i, "json_keyset_tuple_nested") }, nested = true)))

@@ -329,6 +329,55 @@ object Similarity {
     }: _*)
   }
 
+  /** IVF-PQ residual codebooks (the FAISS IVFPQ composition): vectors
+    * first quantize to a coarse cell, and PQ codebooks train on the
+    * RESIDUAL `v − c_cell` — residuals concentrate near the origin, so
+    * the same ksub codes spend their resolution on the within-cell
+    * detail instead of re-encoding the coarse position. Sample rows
+    * assign to their nearest coarse centroid with the [[ivfCell]]
+    * arithmetic (ascending dims, ties → lowest index) before the
+    * per-subspace Lloyd. */
+  def ivfPqCodebooks(df: DataFrame, vecCol: String, idCol: String,
+                     coarse: Seq[Seq[Double]], m: Int, ksub: Int,
+                     iters: Int = 3,
+                     sampleN: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    val sample = portableSample(df, vecCol, idCol, sampleN)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head.length
+    require(dim % m == 0, s"ivfPqCodebooks: dim $dim not divisible by m = $m")
+    val d = dim / m
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var dd = 0.0; var i = 0
+        while (i < dim) {
+          val t = v(i) - coarse(c)(i); dd += t * t; i += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      Array.tabulate(dim)(i => v(i) - coarse(best)(i))
+    }
+    (0 until m).map { s =>
+      lloydPortable(residuals.map(_.slice(s * d, (s + 1) * d)), ksub, iters)
+    }
+  }
+
+  /** IVF-PQ encode: (cell, codes) per vector — the coarse cell via
+    * [[ivfCell]] (1-based), then PQ codes of the residual against the
+    * residual codebooks. The residual is computed inline
+    * (`zip_with(v, coarse[cell], −)`), so encoding stays one codegen'd
+    * projection; at scale the stored index is the 1-byte-ish cell + m
+    * codes per vector. */
+  def ivfPqEncode(vec: Column, coarse: Seq[Seq[Double]],
+                  codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val cell = ivfCell(vec, coarse)
+    val residual = zip_with(vec, element_at(typedLit(coarse), cell),
+      (x, c) => x.cast("double") - c)
+    struct(cell.as("cell"), pqEncode(residual, codebooks).as("codes"))
+  }
+
   /** Asymmetric-distance (ADC) approximate top-k over PQ codes: the
     * query stays EXACT while every corpus vector is its m codes — the
     * distance is a sum of m lookup-table reads, never a 64-dim float

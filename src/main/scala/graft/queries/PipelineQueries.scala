@@ -248,6 +248,66 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Schema'd CSV round trip under the gate (S9/P12): a documents
+    * projection (with its free text run through
+    * [[graft.operators.Cleanse.sanitizeCsv]] — the reference's
+    * pre-serialization pass) writes as CSV and reads back through the
+    * EXPLICIT-StructType reader (no inference — a misparse surfaces as a
+    * null/shifted column and breaks the hash, instead of inference
+    * papering over it with a different type). The oracle restates the
+    * projection and the sanitizer's regex semantics. */
+  def csvRoundTripQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q139") { base =>
+      import org.apache.spark.sql.types._
+      // append a CSV-hostile suffix (quote + newline) so the sanitizer
+      // provably earns its keep: without it the embedded newline splits
+      // the record on read-back and the hash breaks
+      val out = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.operators.Cleanse.sanitizeCsv(
+            concat(col("text"), lit("\"x\ny"))).as("text_clean"))
+      out.write.option("header", "true").mode("overwrite")
+        .csv(s"$base/csv")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("text_clean", StringType)))
+      graft.operators.OpsTooling.readCsv(s, s"$base/csv", schema)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
+  /** LIVE JDBC round trip under the gate (K3/K4/S12): a documents
+    * projection loads into an embedded Derby table through the
+    * chunked-batch JDBC sink TWICE — append then truncate-and-reload
+    * (the reference's full-load reset; a broken truncate would double
+    * every row and break the hash) — then the table is introspected
+    * (S12: schema resolved from the live JDBC metadata, and the read
+    * projects through THAT StructType's field list) and read back
+    * partitioned on the key. The oracle is the original projection: the
+    * sink and source must be value-faithful end to end. */
+  def jdbcRoundTripQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q140") { base =>
+      val url = s"jdbc:derby:$base/db;create=true"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sinks.Sinks.jdbcLoad(docs, url, "DOCS_STAGE",
+        mode = org.apache.spark.sql.SaveMode.Overwrite, batchSize = 500)
+      graft.sinks.Sinks.jdbcLoad(docs, url, "DOCS_STAGE",
+        mode = org.apache.spark.sql.SaveMode.Overwrite, batchSize = 500,
+        truncate = true)
+      val introspected = graft.sinks.Sinks.jdbcIntrospect(s, url, "DOCS_STAGE")
+      val props = new java.util.Properties()
+      props.setProperty("partitionColumn", "doc_id")
+      props.setProperty("lowerBound", "0")
+      props.setProperty("upperBound", "1000000")
+      props.setProperty("numPartitions", "4")
+      s.read.jdbc(url, "DOCS_STAGE", props)
+        .select(introspected.fieldNames.map(f => col(f.toLowerCase)): _*)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Nested-NDJSON drift ingest (SURVEY §1.1): records carry a true nested
     * `meta` object; odd keys add a nested field, minting a second leaf-path
     * keyset. Silver is the flattened `_`-joined projection the oracle
@@ -567,6 +627,8 @@ object PipelineQueries {
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
     "q134_lakesim_stream" -> lakesimStreamQ _,
+    "q139_csv_roundtrip"  -> csvRoundTripQ _,
+    "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
@@ -646,6 +708,18 @@ object PipelineQueries {
     // the admission-controlled AvailableNow drain reconstructs the table
     // exactly (every object, every page, exactly once across batches)
     "q134_lakesim_stream" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // the CSV write -> schema'd read round trip is value-faithful; the
+    // sanitizer strips exactly ["\n] from the hostile-suffixed text
+    "q139_csv_roundtrip" ->
+      ("SELECT doc_id, lang, n_chars,\n" +
+       " regexp_replace(text || '\"x' || chr(10) || 'y', '[\"\\n]', '', 'g')" +
+       " AS text_clean\n" +
+       "FROM documents ORDER BY doc_id"),
+    // the chunked JDBC load (append, then truncate-and-reload), live
+    // introspection, and partitioned read-back are value-faithful
+    "q140_jdbc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // batch restatement of the sequential wave filter: wave 1 is fully

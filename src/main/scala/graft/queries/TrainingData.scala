@@ -1523,7 +1523,31 @@ object TrainingData {
     Similarity.pqAdcTopK(e, "embedding", "vec_id", q, cbs, k = 20)
   }
 
+  /** IVF-PQ residual codes under the gate (the FAISS IVFPQ layout):
+    * coarse cell (k = 8, sample-init) + 8 residual-subspace codes per
+    * vector, all integers. The oracle restates the coarse assignment
+    * (argmin over the 8 lowest-id rows, ties → lowest cell), the
+    * residual lists, the residual codebook (residuals of the 16
+    * lowest-id rows), and the per-subspace argmin — every chain
+    * sequential. Trained (iters > 0) paths are PqSpec-pinned. */
+  def ivfPqCodesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      e, "embedding", "vec_id", k = 8, iters = 0)
+    val cbs = Similarity.ivfPqCodebooks(e, "embedding", "vec_id",
+      coarse, m = 8, ksub = 16, iters = 0)
+    e.select(col("vec_id"),
+        Similarity.ivfPqEncode(col("embedding"), coarse, cbs).as("enc"))
+      .select(col("vec_id"), col("enc.cell").cast("long").as("cell"),
+        posexplode(col("enc.codes")).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("cell"),
+        col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_ivfpq_codes"      -> ivfPqCodesQ _,
     "q138_pq_adc"           -> pqAdcQ _,
     "q137_pq_codes"         -> pqCodesQ _,
     "q136_hll_registers"    -> hllRegistersQ _,
@@ -1934,6 +1958,48 @@ object TrainingData {
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // IVF-PQ: coarse = 8 lowest-id sample rows (cell = rank, 1-based in
+    // the output to match ivfCell); residual r = v − coarse[cell];
+    // residual codebook = residuals of the 16 lowest-id sample rows;
+    // code = sequential-sum argmin per subspace, ties → lowest cid
+    "q141_ivfpq_codes" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1)
+        |SELECT vec_id, CAST(cell0 + 1 AS BIGINT) AS cell,
+        | CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code
+        |FROM best ORDER BY vec_id, subspace""".stripMargin,
     // the q137 code chain + the ADC read: LUT(s, j) = sequential
     // squared-distance of the query's subvector s to centroid j; the
     // per-vector distance is the s-ORDERED list of its 8 LUT reads

@@ -143,10 +143,11 @@ class JaroWinklerExprSpec extends SparkSpec {
     assert(e2.getMessage.contains("jaro_winkler requires exactly 2"))
     val e3 = intercept[Exception](spark.sql("SELECT dot_product(array(1.0))"))
     assert(e3.getMessage.contains("dot_product requires exactly 2"))
-    // variadic floor: json_keyset_tuple needs the raw column + >= 1 field
+    // variadic floor: json_keyset_tuple needs at least the raw column
+    // (keyset-only parse is legal with zero field args)
     val e4 = intercept[Exception](
-      spark.sql("SELECT json_keyset_tuple('{}')"))
-    assert(e4.getMessage.contains("json_keyset_tuple requires at least 2"))
+      spark.sql("SELECT json_keyset_tuple()"))
+    assert(e4.getMessage.contains("json_keyset_tuple requires at least 1"))
     // correct arity still resolves after the gate wrap
     assert(spark.sql("SELECT jaro_winkler('ab', 'ab')")
       .as[Double].collect().head == 1.0)

@@ -84,6 +84,53 @@ class PqSpec extends SparkSpec {
     assert(top.forall { case (id, _) => id % 8 == 0 })
   }
 
+  test("IVF-PQ: residual codes match the driver reference and beat " +
+      "plain PQ on reconstruction error") {
+    val data = df(400)
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      data, "embedding", "vec_id", k = 8, iters = 2)
+    val cbs = Similarity.ivfPqCodebooks(data, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 2)
+    val got = data.select($"vec_id",
+        Similarity.ivfPqEncode($"embedding", coarse, cbs).as("enc"))
+      .select($"vec_id", $"enc.cell", $"enc.codes")
+      .orderBy($"vec_id").as[(Long, Int, Seq[Int])].collect()
+    // driver reference: nearest coarse cell (ties lowest), then refCodes
+    // of the residual against the residual codebooks
+    vectors(400).zip(got).foreach { case ((id, v), (gid, cell, codes)) =>
+      val vd = v.map(_.toDouble)
+      val refCell = coarse.zipWithIndex.map { case (c, i) =>
+        (vd.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.minBy { case (d, i) => (d, i) }._2
+      assert(id == gid && cell == refCell + 1, s"vec $id cell")
+      val resid = vd.zip(coarse(refCell)).map { case (x, y) => x - y }
+      val refC = cbs.zipWithIndex.map { case (cb, s) =>
+        val sv = resid.slice(s * sub, (s + 1) * sub)
+        cb.zipWithIndex.map { case (c, j) =>
+          (sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+        }.minBy { case (d, j) => (d, j) }._2
+      }
+      assert(codes == refC, s"vec $id codes")
+    }
+    // reconstruction: ivfpq decode = coarse[cell] + cb[s][code] must beat
+    // plain PQ decode on total squared error (the point of residuals)
+    val plain = Similarity.pqCodebooks(data, "embedding", "vec_id",
+      m = m, ksub = 8, iters = 2)
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (ivfpqErr, pqErr) = vectors(400).map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val (_, cell, codes) = got(id.toInt)
+      val dec1 = (0 until dim).map(i =>
+        coarse(cell - 1)(i) + cbs(i / sub)(codes(i / sub))(i % sub))
+      val pc = refCodes(v, plain)
+      val dec2 = (0 until dim).map(i => plain(i / sub)(pc(i / sub))(i % sub))
+      (sq(vd, dec1), sq(vd, dec2))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(ivfpqErr < pqErr,
+      s"ivfpq total err $ivfpqErr not better than plain pq $pqErr")
+  }
+
   test("dim must divide m; empty input yields empty codebooks") {
     val data = df(10)
     val ex = intercept[IllegalArgumentException] {
