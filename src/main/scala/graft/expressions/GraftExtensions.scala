@@ -76,6 +76,8 @@ object GraftExtensions {
       SimHashPortableExpr(exprs.head)),
     "json_leaf_keys" -> arity("json_leaf_keys", 1)(exprs =>
       JsonLeafKeysExpr(exprs.head)),
+    "nfc_normalize" -> arity("nfc_normalize", 1)(exprs =>
+      NfcNormalizeExpr(exprs.head)),
     // fused one-pass ingest parse: json_keyset_tuple(raw, 'a', 'b', ...)
     // returns struct(_keyset, a, b, ...); the _nested variant keysets on
     // dotted leaf paths (drift-aware nested ingest)

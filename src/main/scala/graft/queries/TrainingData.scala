@@ -1546,7 +1546,32 @@ object TrainingData {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
+  /** NFC-normalized exact dedup under the gate: every doc appears twice
+    * — once with a COMPOSED accent suffix (" caf" + U+00E9), once with
+    * the DECOMPOSED form (" cafe" + combining U+0301). The byte strings
+    * differ, so raw fingerprints see two documents; after
+    * [[graft.expressions.NfcNormalizeExpr]] they are identical and the
+    * min-id exact-dup rule drops every clone — the normalize-before-hash
+    * discipline every multi-crawl dedup pipeline needs (DuckDB's
+    * `nfc_normalize` is the oracle; the JDK normalizer must agree
+    * byte-for-byte). */
+  def nfcDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.select(col("doc_id"),
+        concat(col("text"), lit(" café")).as("text"))
+      .unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" café")).as("text")))
+    val fp = corpus.select(col("doc_id"),
+      md5(graft.expressions.NfcNormalizeExpr.nfcNormalize(col("text")))
+        .as("fp"))
+    val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    fp.join(keepers, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_nfc_dedup"        -> nfcDedupQ _,
     "q141_ivfpq_codes"      -> ivfPqCodesQ _,
     "q138_pq_adc"           -> pqAdcQ _,
     "q137_pq_codes"         -> pqCodesQ _,
@@ -1958,6 +1983,19 @@ object TrainingData {
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // composed (U+00E9) and decomposed (e + U+0301) suffixes normalize
+    // to the same NFC string, so md5-after-normalize pairs every clone
+    // with its original and min-id keeps exactly the originals
+    "q142_nfc_dedup" ->
+      """WITH c AS (
+        | SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' cafe' || chr(769)
+        | FROM documents),
+        |n AS (SELECT doc_id, md5(nfc_normalize(text)) AS fp FROM c),
+        |k AS (SELECT fp, min(doc_id) AS keeper FROM n GROUP BY fp)
+        |SELECT n.doc_id, n.doc_id = k.keeper AS keep
+        |FROM n JOIN k USING (fp) ORDER BY n.doc_id""".stripMargin,
     // IVF-PQ: coarse = 8 lowest-id sample rows (cell = rank, 1-based in
     // the output to match ivfCell); residual r = v − coarse[cell];
     // residual codebook = residuals of the 16 lowest-id sample rows;
