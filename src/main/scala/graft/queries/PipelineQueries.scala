@@ -605,6 +605,41 @@ object PipelineQueries {
       nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.substr(lit(1), floor(nChars / lit(2)).cast("int"))
 
+  /** SCD2 history build under the gate: the events stream compacts into
+    * per-user type-2 intervals on the tracked `event_type` attribute —
+    * consecutive observations with the same type collapse into one
+    * version, `valid_to` chains to the next run's start, the open run is
+    * current ([[graft.operators.Scd2.fromChangeLog]]; the warehouse
+    * history the reference's overwrite-upsert loses). `event_id` breaks
+    * timestamp ties deterministically in both engines. */
+  def scd2Q(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    graft.operators.Scd2.fromChangeLog(e, Seq("user_id"), "ts",
+        Seq("event_type"), tieCols = Seq("event_id"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Declarative data-quality gate under the oracle: the
+    * [[graft.operators.Expectations]] battery over events — not-null
+    * rate, accepted-values rate (with one value deliberately missing
+    * from the allowlist so a rate genuinely lands strictly below 1),
+    * bounds rate, key uniqueness, row count — one report row per check.
+    * All row checks fold into ONE aggregation pass; Unique adds its one
+    * partial-agg shuffle. Rates are single integer-count divisions, so
+    * the doubles restate exactly. */
+  def expectationsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val e = Tables.load(s, dir, "events")
+    run(e, Seq(
+      NotNull("user_id"),
+      AcceptedValues("event_type",
+        Seq("click", "error", "purchase", "view"), minRate = 0.75),
+      Bounds("value", 0.0, 400.0, minRate = 0.9),
+      Unique(Seq("event_id")),
+      RowCount(1L)))
+  }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -629,6 +664,8 @@ object PipelineQueries {
     "q134_lakesim_stream" -> lakesimStreamQ _,
     "q139_csv_roundtrip"  -> csvRoundTripQ _,
     "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
+    "q143_scd2_history"   -> scd2Q _,
+    "q144_expectations"   -> expectationsQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
@@ -722,6 +759,53 @@ object PipelineQueries {
     "q140_jdbc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // SCD2 compaction restated: run starts where the tracked attribute
+    // null-safely differs from the previous observation (or rn = 1);
+    // valid_to chains via lead over the run frame; event_id breaks ts
+    // ties identically in both engines
+    "q143_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        | valid_to IS NULL AS is_current
+        |FROM runs ORDER BY user_id, version""".stripMargin,
+    // each expectation row restated: rates are one integer-count
+    // division; the check names come from the operator's own name
+    // formatting (kept in sync by the gate itself)
+    "q144_expectations" ->
+      """WITH m AS (SELECT
+        |  sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS notnull_r,
+        |  sum(CASE WHEN event_type IN ('click','error','purchase','view')
+        |      THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS acc_r,
+        |  sum(CASE WHEN value >= 0.0 AND value <= 400.0 THEN 1 ELSE 0
+        |      END)::DOUBLE / count(*)::DOUBLE AS bounds_r,
+        |  count(*)::DOUBLE AS n
+        | FROM events),
+        |u AS (SELECT count(DISTINCT event_id)::DOUBLE
+        |    / count(*)::DOUBLE AS uniq_r FROM events)
+        |SELECT * FROM (
+        | SELECT 'accepted_values(event_type)' AS check, acc_r AS metric,
+        |  0.75 AS threshold, acc_r >= 0.75 AS pass FROM m
+        | UNION ALL SELECT 'bounds(value,0.0,400.0)', bounds_r, 0.9,
+        |  bounds_r >= 0.9 FROM m
+        | UNION ALL SELECT 'not_null(user_id)', notnull_r, 1.0,
+        |  notnull_r >= 1.0 FROM m
+        | UNION ALL SELECT 'row_count(1,9223372036854775807)', n, 1.0,
+        |  n >= 1.0 AND n <= 9.223372036854776e18 FROM m
+        | UNION ALL SELECT 'unique(event_id)', uniq_r, 1.0,
+        |  uniq_r >= 1.0 FROM u)
+        |ORDER BY "check"""".stripMargin,
     // batch restatement of the sequential wave filter: wave 1 is fully
     // accepted (empty index); a wave-2 doc is dropped iff it is
     // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive
