@@ -92,6 +92,44 @@ object Sharding {
       .drop("_graft_pid", "_graft_offset")
   }
 
+  /** Distributed score-quantile binning — `bin = (rank · k) div n` over
+    * the (score, key) order: the curriculum/difficulty-bucket assignment
+    * ("split the corpus into k bins by perplexity/length"). Spark's own
+    * `ntile` needs a GLOBAL ORDER BY window — a single-partition
+    * exchange that funnels the whole table onto one task; this is the
+    * packShards range-exchange + broadcast-offsets rank instead, so it
+    * scales like any other shuffle. Bin sizes differ by ≤ 1 row
+    * (even-spread cut points `ceil(i·n/k)` — NOT Spark/SQL NTILE's
+    * front-loaded remainder, which this deliberately avoids so the
+    * formula restates as one integer expression). Keys must be unique
+    * and non-null; ties at equal score break by key. */
+  def ntileByScore(df: DataFrame, keyCol: String, scoreCol: String,
+                   k: Int, numPartitions: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(autoPartitions(df, numPartitions),
+        col(scoreCol), col(keyCol))
+      .withColumn("_graft_pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids (see packShards)
+    val sums = ranged.groupBy(col("_graft_pid"))
+      .agg(count(lit(1)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val o = acc; acc += s; (pid, o)
+    }.toSeq
+    val n = math.max(acc, 1L)
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("_graft_pid", "_graft_offset")
+    val w = Window.partitionBy(col("_graft_pid"))
+      .orderBy(col(scoreCol), col(keyCol))
+    ranged.join(broadcast(offsetsDf), "_graft_pid")
+      .withColumn("_graft_rank",
+        col("_graft_offset") + row_number().over(w).cast("long") - 1L)
+      .withColumn("bin", expr(s"(_graft_rank * $k) div $n"))
+      .drop("_graft_pid", "_graft_offset", "_graft_rank")
+  }
+
   /** Exclusive per-GROUP prefix sum of `weightCol` over the `orderCols`
     * order, restarting at 0 inside every group — the distributed grouped
     * ranking/accumulation primitive behind [[packShardsBy]] and the

@@ -640,6 +640,36 @@ object PipelineQueries {
       RowCount(1L)))
   }
 
+  /** Lake compaction (OPTIMIZE) under the gate: documents land as 16
+    * small lake objects, [[graft.sources.lakesim.LakeOptimize.compact]]
+    * rewrites them to ~4 right-sized ones (self-overwrite with
+    * commit-time deletion — readers of the old objects finish first),
+    * and the compacted lake must still hold exactly the table. The
+    * object-count assertion proves compaction actually happened; the
+    * oracle proves it lost nothing. */
+  def lakeCompactQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q145") { base =>
+      import org.apache.spark.sql.types._
+      val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartition(16)
+        .write.format(fmt).option("path", s"$base/lake")
+        .mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val rows = docs.count()
+      val (before, after) = graft.sources.lakesim.LakeOptimize.compact(
+        s, s"$base/lake", schema, targetRows = math.max(1L, rows / 4))
+      require(before == 16 && after < before,
+        s"lakeCompactQ: expected compaction 16 -> <16 objects, got " +
+        s"$before -> $after")
+      s.read.format(fmt).schema(schema).option("path", s"$base/lake").load()
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -666,6 +696,7 @@ object PipelineQueries {
     "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
     "q143_scd2_history"   -> scd2Q _,
     "q144_expectations"   -> expectationsQ _,
+    "q145_lake_compact"   -> lakeCompactQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
@@ -806,6 +837,10 @@ object PipelineQueries {
         | UNION ALL SELECT 'unique(event_id)', uniq_r, 1.0,
         |  uniq_r >= 1.0 FROM u)
         |ORDER BY "check"""".stripMargin,
+    // compaction rewrites the object layout, never the data
+    "q145_lake_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // batch restatement of the sequential wave filter: wave 1 is fully
     // accepted (empty index); a wave-2 doc is dropped iff it is
     // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive

@@ -1570,7 +1570,21 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum binning under the gate: the corpus splits into 4
+    * difficulty buckets by length through the DISTRIBUTED score-quantile
+    * rank ([[graft.functions.Sharding.ntileByScore]] — range exchange +
+    * broadcast offsets, never the single-partition global window Spark's
+    * own `ntile` forces). The even-spread bin formula restates as one
+    * integer expression in the oracle. */
+  def scoreNtileQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sharding.ntileByScore(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 4)
+      .select(col("doc_id"), col("n_chars"), col("bin"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_score_ntile"      -> scoreNtileQ _,
     "q142_nfc_dedup"        -> nfcDedupQ _,
     "q141_ivfpq_codes"      -> ivfPqCodesQ _,
     "q138_pq_adc"           -> pqAdcQ _,
@@ -1983,6 +1997,14 @@ object TrainingData {
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // even-spread quantile bins: bin = (0-based rank over
+    // (n_chars, doc_id)) * k integer-divided by n
+    "q146_score_ntile" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+        |  count(*) OVER () AS n FROM documents)
+        |SELECT doc_id, n_chars, CAST((rk * 4) // n AS BIGINT) AS bin
+        |FROM r ORDER BY doc_id""".stripMargin,
     // composed (U+00E9) and decomposed (e + U+0301) suffixes normalize
     // to the same NFC string, so md5-after-normalize pairs every clone
     // with its original and min-id keeps exactly the originals

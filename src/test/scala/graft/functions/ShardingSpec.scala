@@ -123,6 +123,37 @@ class ShardingSpec extends SparkSpec {
       .count() == 200)
   }
 
+  test("ntileByScore equals the rank formula, spreads sizes within 1, " +
+      "and never uses a global window") {
+    val scored = (1 to 503).map(i =>
+      (i.toLong, ((i * 7919) % 97).toLong)).toDF("id", "score")
+    val out = Sharding.ntileByScore(scored, "id", "score", k = 4,
+      numPartitions = 7)
+    val got = out.select("id", "bin").as[(Long, Long)].collect().toMap
+    // driver reference: bin = (0-based (score, id)-rank) * k div n
+    val ranked = (1 to 503).map(i =>
+      (i.toLong, ((i * 7919) % 97).toLong)).sortBy { case (id, s) => (s, id) }
+    val expected = ranked.zipWithIndex.map { case ((id, _), r) =>
+      id -> (r.toLong * 4) / 503
+    }.toMap
+    assert(got == expected)
+    // bin sizes within 1 of each other
+    val sizes = got.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max - sizes.min <= 1 && sizes.size == 4)
+    // invariant under input partitioning
+    val reshuffled = Sharding.ntileByScore(scored.repartition(13),
+        "id", "score", k = 4, numPartitions = 5)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(reshuffled == got)
+    // plan: range-pid windows only — never the single-partition global
+    // window Spark's ntile would force
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("windowspecdefinition(_graft_pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("shardManifest totals reconcile with the input") {
     val packed = Sharding.packShards(docs, "id", "toks", 200, 4)
     val manifest = Sharding.shardManifest(packed, "id", "toks")
