@@ -415,6 +415,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ approximate top-k — the full FAISS IVFPQ serving path:
+    * probe the query's `nProbe` nearest coarse cells, and inside them
+    * score ONLY the stored (cell, codes) index via per-cell ADC lookup
+    * tables on the RESIDUAL query `q − c_cell` (each probed cell gets
+    * its own m × ksub LUT, driver-computed — nProbe · m · ksub doubles
+    * of literals). At scale the scan reads the code column of ~nProbe/k
+    * of the data (cell is the partition/bucket column) and never
+    * touches a corpus float; per row the cost is m LUT reads + adds in
+    * codegen, and the top-k is a TakeOrdered. */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], coarse: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                nProbe: Int = 4): DataFrame = {
+    val m = codebooks.size
+    val d = codebooks.head.head.size
+    val probed = probeCells(query, coarse, nProbe)
+    // per probed cell: LUT over the residual query (ascending-dim sums)
+    val luts: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+      val c = coarse(cell - 1)
+      val qres = query.indices.map(i => query(i) - c(i))
+      cell -> codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { cent =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) {
+            val t = qres(s * d + i) - cent(i)
+            acc += t * t
+            i += 1
+          }
+          acc
+        }
+      }
+    }.toMap
+    val enc = ivfPqEncode(col(vecCol), coarse, codebooks)
+    val indexed = df.select(col(idCol), enc.as("_graft_enc"))
+      .select(col(idCol), col("_graft_enc.cell").as("_graft_cell"),
+        col("_graft_enc.codes").as("_graft_codes"))
+      .filter(col("_graft_cell").isin(probed: _*))
+    val dist = probed.map { cell =>
+      (col("_graft_cell") === cell,
+        (0 until m).map(s =>
+            element_at(typedLit(luts(cell)(s)),
+              element_at(col("_graft_codes"), s + 1) + 1))
+          .reduce(_ + _))
+    }.foldLeft(when(lit(false), lit(0.0))) { case (acc, (cond, e)) =>
+      acc.when(cond, e)
+    }
+    indexed.select(col(idCol), dist.as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** Scala-side nProbe nearest cells for the query (must mirror ivfCell). */
   def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
                  nProbe: Int): Seq[Int] =

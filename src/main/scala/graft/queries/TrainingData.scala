@@ -1583,7 +1583,26 @@ object TrainingData {
       .select(col("doc_id"), col("n_chars"), col("bin"))
       .orderBy(col("doc_id"))
 
+  /** IVF-PQ serving path under the gate: "10 nearest to doc 0" where
+    * the probe touches only the 4 nearest coarse cells and every score
+    * is per-cell residual-ADC over stored codes (the q141 index; the
+    * corpus floats are never read at query time). Distances are doubles
+    * but every chain — residual LUTs (ascending dims) and the subspace
+    * sum (ascending s) — restates as DuckDB's sequential list_sum. */
+  def ivfPqTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      e, "embedding", "vec_id", k = 8, iters = 0)
+    val cbs = Similarity.ivfPqCodebooks(e, "embedding", "vec_id",
+      coarse, m = 8, ksub = 16, iters = 0)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    Similarity.ivfPqTopK(e, "embedding", "vec_id", q, coarse, cbs,
+      k = 10, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_ivfpq_topk"       -> ivfPqTopKQ _,
     "q146_score_ntile"      -> scoreNtileQ _,
     "q142_nfc_dedup"        -> nfcDedupQ _,
     "q141_ivfpq_codes"      -> ivfPqCodesQ _,
@@ -1997,6 +2016,67 @@ object TrainingData {
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the q141 index chain + serving: probe = 4 nearest coarse cells to
+    // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
+    // query, per-vector distance = s-ordered list of its LUT reads
+    // summed sequentially; only probed cells are scored
+    "q147_ivfpq_topk" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT c.cell0 FROM c0 c, q
+        | ORDER BY list_sum(list_transform(range(1, 65), i ->
+        |    (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |    * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), c.cell0
+        | LIMIT 4),
+        |lut AS (SELECT c.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+        |    * ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+        |    AS dd
+        | FROM c0 c, sp, cbr, q WHERE c.cell0 IN (SELECT cell0 FROM probe)),
+        |pervec AS (SELECT b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+        | WHERE b.cell0 IN (SELECT cell0 FROM probe)
+        | GROUP BY b.vec_id)
+        |SELECT vec_id, adc_dist FROM pervec
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     // even-spread quantile bins: bin = (0-based rank over
     // (n_chars, doc_id)) * k integer-divided by n
     "q146_score_ntile" ->

@@ -131,6 +131,48 @@ class PqSpec extends SparkSpec {
       s"ivfpq total err $ivfpqErr not better than plain pq $pqErr")
   }
 
+  test("ivfPqTopK equals the driver ADC reference over probed cells " +
+      "and finds the planted mode") {
+    val data = df(400)
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      data, "embedding", "vec_id", k = 8, iters = 2)
+    val cbs = Similarity.ivfPqCodebooks(data, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 2)
+    val query = vectors(1).head._2.map(_.toDouble)
+    val top = Similarity.ivfPqTopK(data, "embedding", "vec_id",
+      query, coarse, cbs, k = 20, nProbe = 3).as[(Long, Double)].collect()
+    // driver reference: per probed cell, residual-query LUT; score only
+    // vectors assigned to probed cells
+    val probed = Similarity.probeCells(query, coarse, 3).toSet
+    val ref = vectors(400).flatMap { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val cell = coarse.zipWithIndex.map { case (c, i) =>
+        (vd.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i + 1)
+      }.minBy { case (dd, i) => (dd, i) }._2
+      if (!probed.contains(cell)) None
+      else {
+        val cc = coarse(cell - 1)
+        val resid = vd.indices.map(i => vd(i) - cc(i))
+        val codes = cbs.zipWithIndex.map { case (cb, s) =>
+          val sv = resid.slice(s * sub, (s + 1) * sub)
+          cb.zipWithIndex.map { case (c, j) =>
+            (sv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+          }.minBy { case (dd, j) => (dd, j) }._2
+        }
+        val qres = query.indices.map(i => query(i) - cc(i))
+        val dd = codes.zipWithIndex.map { case (cjj, s) =>
+          val cent = cbs(s)(cjj)
+          qres.slice(s * sub, (s + 1) * sub).zip(cent)
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.reduce(_ + _)
+        Some((id, dd))
+      }
+    }.sortBy { case (id, dd) => (dd, id) }.take(20)
+    assert(top.toSeq == ref.toSeq)
+    // the query's own mode must dominate the results
+    assert(top.count { case (id, _) => id % 8 == 0 } >= 15)
+  }
+
   test("dim must divide m; empty input yields empty codebooks") {
     val data = df(10)
     val ex = intercept[IllegalArgumentException] {
