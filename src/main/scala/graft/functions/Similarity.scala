@@ -364,19 +364,25 @@ object Similarity {
     }
   }
 
-  /** IVF-PQ encode: (cell, codes) per vector — the coarse cell via
-    * [[ivfCell]] (1-based), then PQ codes of the residual against the
-    * residual codebooks. The residual is computed inline
-    * (`zip_with(v, coarse[cell], −)`), so encoding stays one codegen'd
-    * projection; at scale the stored index is the 1-byte-ish cell + m
-    * codes per vector. */
-  def ivfPqEncode(vec: Column, coarse: Seq[Seq[Double]],
-                  codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val cell = ivfCell(vec, coarse)
-    val residual = zip_with(vec, element_at(typedLit(coarse), cell),
-      (x, c) => x.cast("double") - c)
-    struct(cell.as("cell"), pqEncode(residual, codebooks).as("codes"))
-  }
+  /** IVF-PQ encode: appends `cellCol` ([[ivfCell]], 1-based) and
+    * `codesCol` (PQ codes of the residual `v − coarse[cell]`) to the
+    * frame. Cell and residual MATERIALIZE as their own projection
+    * columns — a single nested expression would re-evaluate the coarse
+    * argmin inside every residual-centroid lambda (m × ksub × the 8×64
+    * assignment walk per row: measured 60× slower at sf0.1), and
+    * Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    * aliases materialized, so each stage runs once per row. At scale
+    * the stored index is the small cell + m codes per vector. */
+  def ivfPqEncode(df: DataFrame, vecCol: String, coarse: Seq[Seq[Double]],
+                  codebooks: Seq[Seq[Seq[Double]]],
+                  cellCol: String = "pq_cell",
+                  codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(cellCol, ivfCell(col(vecCol), coarse))
+      .withColumn("_graft_resid", zip_with(col(vecCol),
+        element_at(typedLit(coarse), col(cellCol)),
+        (x, c) => x.cast("double") - c))
+      .withColumn(codesCol, pqEncode(col("_graft_resid"), codebooks))
+      .drop("_graft_resid")
 
   /** Asymmetric-distance (ADC) approximate top-k over PQ codes: the
     * query stays EXACT while every corpus vector is its m codes — the
@@ -448,10 +454,9 @@ object Similarity {
         }
       }
     }.toMap
-    val enc = ivfPqEncode(col(vecCol), coarse, codebooks)
-    val indexed = df.select(col(idCol), enc.as("_graft_enc"))
-      .select(col(idCol), col("_graft_enc.cell").as("_graft_cell"),
-        col("_graft_enc.codes").as("_graft_codes"))
+    val indexed = ivfPqEncode(df.select(col(idCol), col(vecCol)), vecCol,
+        coarse, codebooks, cellCol = "_graft_cell", codesCol = "_graft_codes")
+      .select(col(idCol), col("_graft_cell"), col("_graft_codes"))
       .filter(col("_graft_cell").isin(probed: _*))
     val dist = probed.map { cell =>
       (col("_graft_cell") === cell,

@@ -1499,9 +1499,13 @@ object TrainingData {
     val e = Tables.load(s, dir, "embeddings")
     val cbs = Similarity.pqCodebooks(e, "embedding", "vec_id",
       m = 8, ksub = 16, iters = 0)
+    // materialize codes before the explode — see ivfPqCodesQ's note on
+    // posexplode re-evaluating an inlined HOF generator input
     e.select(col("vec_id"),
-        posexplode(Similarity.pqEncode(col("embedding"), cbs))
-          .as(Seq("subspace", "code")))
+        Similarity.pqEncode(col("embedding"), cbs).as("codes"))
+      .localCheckpoint()
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))
       .orderBy(col("vec_id"), col("subspace"))
@@ -1536,10 +1540,17 @@ object TrainingData {
       e, "embedding", "vec_id", k = 8, iters = 0)
     val cbs = Similarity.ivfPqCodebooks(e, "embedding", "vec_id",
       coarse, m = 8, ksub = 16, iters = 0)
-    e.select(col("vec_id"),
-        Similarity.ivfPqEncode(col("embedding"), coarse, cbs).as("enc"))
-      .select(col("vec_id"), col("enc.cell").cast("long").as("cell"),
-        posexplode(col("enc.codes")).as(Seq("subspace", "code")))
+    // materialize the encoded index BEFORE exploding: posexplode pulls
+    // the generator input into Generate, and the interpreted HOF chain
+    // then re-evaluates per output position (probed 76s -> 2s at sf0.1).
+    // A real pipeline persists the index anyway — the explode is the
+    // audit view of stored codes, not a recompute.
+    Similarity.ivfPqEncode(e.select(col("vec_id"), col("embedding")),
+        "embedding", coarse, cbs)
+      .select(col("vec_id"), col("pq_cell"), col("pq_codes"))
+      .localCheckpoint()
+      .select(col("vec_id"), col("pq_cell").cast("long").as("cell"),
+        posexplode(col("pq_codes")).as(Seq("subspace", "code")))
       .select(col("vec_id"), col("cell"),
         col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))

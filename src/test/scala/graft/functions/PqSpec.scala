@@ -91,9 +91,9 @@ class PqSpec extends SparkSpec {
       data, "embedding", "vec_id", k = 8, iters = 2)
     val cbs = Similarity.ivfPqCodebooks(data, "embedding", "vec_id",
       coarse, m = m, ksub = 8, iters = 2)
-    val got = data.select($"vec_id",
-        Similarity.ivfPqEncode($"embedding", coarse, cbs).as("enc"))
-      .select($"vec_id", $"enc.cell", $"enc.codes")
+    val got = Similarity.ivfPqEncode(
+        data.select($"vec_id", $"embedding"), "embedding", coarse, cbs)
+      .select($"vec_id", $"pq_cell", $"pq_codes")
       .orderBy($"vec_id").as[(Long, Int, Seq[Int])].collect()
     // driver reference: nearest coarse cell (ties lowest), then refCodes
     // of the residual against the residual codebooks
