@@ -670,6 +670,45 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** NDJSON export round trip under the gate: the documents projection
+    * serializes through `to_json` into text files (the payload-export
+    * side of the reference's NDJSON ingest) and reads back through the
+    * explicit-schema JSON reader — field order, type rendering, and
+    * parse must be value-faithful end to end. */
+  def jsonlRoundTripQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q148") { base =>
+      import org.apache.spark.sql.types._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.select(to_json(struct(col("doc_id"), col("lang"),
+          col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(s"$base/jsonl")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(s"$base/jsonl")
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
+  /** Latest-version-per-key compaction (CDC/crawl "keep newest") under
+    * the gate: one `max_by` partial-aggregating pass — the struct
+    * ordering (ts, event_id) makes the pick deterministic under
+    * timestamp ties, and the heaviest key crosses the wire once per
+    * input partition (never a PARTITION BY key window). */
+  def latestByKeyQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    e.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"),
+        col("r.event_id").as("event_id"),
+        col("r.event_type").as("event_type"))
+      .orderBy(col("user_id"))
+  }
+
   /** Gap-based sessionization (30-minute gap) over the events stream. */
   def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
@@ -697,6 +736,8 @@ object PipelineQueries {
     "q143_scd2_history"   -> scd2Q _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
+    "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
+    "q149_latest_by_key"  -> latestByKeyQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
@@ -841,6 +882,20 @@ object PipelineQueries {
     "q145_lake_compact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // the to_json -> text -> schema'd json read chain is value-faithful
+    "q148_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // newest row per key, ties broken by event_id — the max_by struct
+    // order restated as a descending row_number
+    "q149_latest_by_key" ->
+      """WITH r AS (SELECT user_id, date_trunc('second', ts) AS ts,
+        |  event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rk
+        | FROM events)
+        |SELECT user_id, ts, event_id, event_type FROM r
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     // batch restatement of the sequential wave filter: wave 1 is fully
     // accepted (empty index); a wave-2 doc is dropped iff it is
     // >= 0.95-Jaccard similar (7-char shingles, q27's exhaustive
