@@ -29,12 +29,25 @@ object SpanDedup {
   private def hash60(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** All n-token window hashes (stride 1) of a token-array column.
-    * IMPORTANT: pass a *bound* column (materialize the token array into a
-    * real column first) — higher-order-function lambdas re-evaluate
-    * captured expressions per element, so an inline `tokens(text)` here is
-    * O(m²) per document. Documents shorter than n yield no windows. */
+  /** All n-token window hashes (stride 1) of a token-array column, on the
+    * portable md5-top-60-bit seam — computed by the fused
+    * [[graft.expressions.SpanHash60Expr]] kernel (one digest pass per
+    * window, no per-window Column-machinery allocations; bit-exact with
+    * [[spanHashesSql]], pinned by SpanDedupSpec). Documents shorter than n
+    * yield no windows. */
   def spanHashes(toks: Column, n: Int): Column = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    graft.expressions.SpanHash60Expr.spanHashes60(toks, n)
+  }
+
+  /** The built-ins-only reference form of [[spanHashes]] — the exact
+    * expression chain the DuckDB oracles restate. Kept as the equality pin
+    * for the fused kernel; prefer [[spanHashes]] (same values, one-pass).
+    * IMPORTANT if used directly: pass a *bound* column (materialize the
+    * token array into a real column first) — higher-order-function lambdas
+    * re-evaluate captured expressions per element, so an inline
+    * `tokens(text)` here is O(m²) per document. */
+  def spanHashesSql(toks: Column, n: Int): Column = {
     require(n >= 1, s"span width must be >= 1, got $n")
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -100,19 +113,49 @@ object SpanDedup {
     * winnowed subset — the exchange carries ~2/(w+1) of the span
     * volume. */
   def winnowReport(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   w: Int): DataFrame = {
-    // fps feeds two branches (frequency derivation + the sharing join) —
-    // materialize so the tokenize/hash/winnow pipeline runs once.
-    // localCheckpoint, not persist: blocks are ContextCleaner-reclaimed
-    // once the frame is unreferenced, so repeated calls in a long-lived
-    // session leave no cache residue
-    val fps = df
-      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
-      .select(col(idCol), spanHashes(col("_toks"), n).as("_spans"))
-      .select(col(idCol), explode(winnowFromSpans(col("_spans"), w)).as("fp"))
-      .localCheckpoint()
-    val docFreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-    val agg = fps.join(docFreq, "fp")
+                   w: Int): DataFrame =
+    winnowReportFrom(df, idCol,
+      df.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+        .select(col(idCol), spanHashes(col("_toks"), n).as("_spans"))
+        .select(col(idCol),
+          explode(winnowFromSpans(col("_spans"), w)).as("fp")))
+
+  /** Production winnow report: the fused single-pass xxhash64 span kernel
+    * (`span_hash`) instead of the md5 portable path. NOTE the two paths
+    * are NOT row-identical: winnowing keeps each window's MINIMUM hash, so
+    * the selected fingerprint subset depends on the hash's value order and
+    * exact counts differ slightly between kernels. What both preserve —
+    * pinned by SpanDedupSpec — are the MOSS invariants: the w+n−1 sharing
+    * guarantee, exact clones fully shared, disjoint docs share nothing,
+    * the ~2/(w+1) density bound, and zero fingerprints below n tokens. */
+  def winnowReportFast(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       w: Int): DataFrame =
+    winnowReportFrom(df, idCol,
+      df.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+        .select(col(idCol),
+          graft.expressions.SpanHashExpr.spanHashes(col("_toks"), n)
+            .as("_spans"))
+        .select(col(idCol),
+          explode(winnowFromSpans(col("_spans"), w)).as("fp")))
+
+  private def winnowReportFrom(df: DataFrame, idCol: String,
+                               fps: DataFrame): DataFrame = {
+    // fps feeds two branches (frequency derivation + the sharing join).
+    // No materialization: a per-(id, fp) aggregation parks the expensive
+    // tokenize/hash/winnow/explode pipeline below ONE Exchange((id, fp)),
+    // and the EXPLICIT null filters below it match what the inner join
+    // would push into only its own branch — with both branches
+    // canonically identical, AQE reuses the shuffle stage and the explode
+    // runs once. (Probed at sf0.1: eager localCheckpoint 1.8-2.0 s, this
+    // shape 1.6 s, and persist() left cache residue.) The groupBy is a
+    // semantic no-op — winnowFromSpans array_distincts per document, so
+    // (id, fp) rows are already unique; explode drops null array slots so
+    // the fp filter is vacuous too.
+    val perDoc = fps
+      .filter(col(idCol).isNotNull && col("fp").isNotNull)
+      .groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("_c"))
+    val docFreq = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+    val agg = perDoc.join(docFreq, "fp")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fps"),
         sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L)))

@@ -647,15 +647,14 @@ object TrainingData {
     * fingerprint of a cloned document is shared by construction, and the
     * winnowed set is a provably-bounded subset of the full span set
     * (density ~2/(w+1), recall floor at runs ≥ w+n−1 tokens). */
-  def winnowQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).persist() // corpus union branches
-    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
-    releasing(d) {
-      graft.functions.SpanDedup.winnowReport(corpus, "doc_id", "text",
-          n = 8, w = 4)
-        .orderBy(col("doc_id"))
-    }
-  }
+  def winnowQ(s: SparkSession, dir: String): DataFrame =
+    // no persist: winnowReport's aligned-filter shape lets AQE reuse the
+    // explode stage across both consumer branches, and the id-restore
+    // branch prunes down to the doc_id column — caching the text column
+    // here only added block-manager writes (probed slower at sf0.1)
+    graft.functions.SpanDedup.winnowReport(cloneCorpus(s, dir), "doc_id",
+        "text", n = 8, w = 4)
+      .orderBy(col("doc_id"))
 
   /** Bigram conditional surprisal against the corpus' own pair counts —
     * the first-order refinement of q75's unigram signal. */

@@ -30,6 +30,32 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
 
+  test("fused span_hash60 kernel is bit-exact with the built-ins md5 chain") {
+    // the portable seam the DuckDB oracles restate — the fused kernel must
+    // produce the IDENTICAL longs, including sub-n, repeated-token, empty,
+    // unicode, and single-token (no separator) shapes
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "m m m m m m m m"),
+      (3L, "short one"),
+      (4L, ""),
+      (5L, "café naïve 你好 tok tok tok tok tok tok"),
+      (6L, (1 to 50).map(i => s"w${(i * 37) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens(lower($"text")).as("_toks"))
+      .select($"doc_id",
+        SpanDedup.spanHashes($"_toks", 8).as("fused"),
+        SpanDedup.spanHashesSql($"_toks", 8).as("chain"))
+    val rows = docs.select($"doc_id", $"fused", $"chain")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(rows.length == 6)
+    rows.foreach { case (id, fused, chain) =>
+      assert(fused == chain, s"doc $id: fused $fused != chain $chain")
+    }
+    assert(rows.find(_._1 == 1L).get._2.size == 3) // 10 tokens, n=8
+    assert(rows.find(_._1 == 4L).get._2.isEmpty)
+  }
+
   test("span report equals the naive all-windows recount") {
     val docs = Seq(
       1L -> "a b c d e f",          // windows abc bcd cde def
@@ -101,6 +127,35 @@ class SpanDedupSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(rep(1L)._2 >= 1L && rep(2L)._2 >= 1L) // the run surfaces
     assert(rep(3L)._2 == 0L)
+  }
+
+  test("winnowReportFast (fused xxhash64 kernel) preserves the MOSS " +
+       "invariants of the portable report") {
+    // winnowing keeps each window's MIN hash, so the selected fingerprint
+    // SUBSET is hash-order-dependent and the two kernels' counts may
+    // differ slightly — what must agree are the structural invariants
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tok${i % 13}").mkString(" ")),
+      (2L, (1 to 40).map(i => s"tok${i % 13}").mkString(" ")), // clone of 1
+      (3L, (1 to 60).map(i => s"w${(i * 37) % 91}").mkString(" ")),
+      (4L, "short doc"), // fewer than n tokens: zero fingerprints
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (rep <- Seq(
+        SpanDedup.winnowReport(docs, "doc_id", "text", n = 8, w = 4),
+        SpanDedup.winnowReportFast(docs, "doc_id", "text", n = 8, w = 4))) {
+      val m = rep.select($"doc_id", $"n_fps", $"n_shared_fps")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(m.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      // exact clones: every fingerprint shared, and identical text means
+      // identical fingerprint sets regardless of kernel
+      assert(m(1L)._1 > 0 && m(1L) == m(2L) && m(1L)._2 == m(1L)._1)
+      // disjoint doc shares nothing; winnowed set is a strict subset
+      assert(m(3L)._2 == 0L && m(3L)._1 > 0 && m(3L)._1 < 60 - 8 + 1)
+      // sub-n and null docs report zero, not a dropped row
+      assert(m(4L) == ((0L, 0L)) && m(5L) == ((0L, 0L)))
+    }
   }
 
   test("winnowed set is a bounded subset of the span set") {
