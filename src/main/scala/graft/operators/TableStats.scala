@@ -25,14 +25,30 @@ import graft.functions.Sketches
   */
 object TableStats {
 
-  def columnStats(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+  /** Oracle-portable stats pass (md5 NDV hash — restatable in SQL, the
+    * q120 seam). Production callers should prefer [[columnStatsFast]]. */
+  def columnStats(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame =
+    statsFrom(df, cols, k, c => Sketches.hash60(col(c).cast("string")))
+
+  /** Production stats pass: same single-scan report on the xxhash64
+    * `hash60Fast` seam — whole-stage-codegen'd, ~10× cheaper per value
+    * than the md5 chain. NDV estimates agree with [[columnStats]] within
+    * KMV error (both hashes are uniform over the same 2^60 space; exact
+    * below k — pinned by TableStatsSpec); bounds and counts are
+    * hash-independent and identical. */
+  def columnStatsFast(df: DataFrame, cols: Seq[String], k: Int = 256)
+      : DataFrame =
+    statsFrom(df, cols, k, c => Sketches.hash60Fast(col(c).cast("string")))
+
+  private def statsFrom(df: DataFrame, cols: Seq[String], k: Int,
+                        hash: String => org.apache.spark.sql.Column)
+      : DataFrame = {
     require(cols.nonEmpty, "columnStats: need at least one column")
     // pre-project every hash into the codegen'd SELECT so the sketch
     // agg's child is a plain field read rather than an md5 expression
     // re-evaluated inside the (object) aggregation operator
     val projected = df.select(
-      cols.map(col) ++ cols.map(c =>
-        Sketches.hash60(col(c).cast("string")).as(s"_graft_h_$c")): _*)
+      cols.map(col) ++ cols.map(c => hash(c).as(s"_graft_h_$c")): _*)
     val aggs =
       count(lit(1)).as("_graft_n") +:
         cols.flatMap { c =>

@@ -252,6 +252,23 @@ object EtlOps {
           "l_returnflag", "l_linestatus"))
       .orderBy(col("column_name"))
 
+  /** The PRODUCTION stats pass (xxhash64 NDV hash) under the gate: on
+    * columns whose cardinality sits below the sketch capacity k the KMV
+    * estimate is EXACTLY the distinct count regardless of hash function —
+    * so the oracle states it as count(distinct) and the fast path is
+    * value-checked end to end, not just spec-pinned against the md5 path.
+    * All four columns are structurally low-cardinality at ANY scale
+    * factor (line numbers 1-7, two flag domains, integral quantities
+    * 1-50), so the below-k precondition holds at every SF. l_quantity is
+    * double-typed — pre-projected to BIGINT because the operator's bounds
+    * render as strings and double renderings differ across engines. */
+  def tableStatsFastQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableStats.columnStatsFast(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("l_qty_int", col("l_quantity").cast("long")),
+        Seq("l_linenumber", "l_returnflag", "l_linestatus", "l_qty_int"))
+      .orderBy(col("column_name"))
+
   /** Sketch-based join-size estimation: the distinct-custkey overlap
     * between orders and customer estimated from two 256-entry KMV
     * sketches ALONE (no re-scan at estimation time), with the exact
@@ -312,6 +329,7 @@ object EtlOps {
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
     "q121_join_estimate"  -> joinEstimateQ _,
+    "q150_table_stats_fast" -> tableStatsFastQ _,
   )
 
   /** One column's stats row restated (q81's KMV pattern per column). */
@@ -376,6 +394,25 @@ object EtlOps {
         "l_returnflag", "l_linestatus")
         .map(statsColSql).mkString("\nUNION ALL\n") +
         "\nORDER BY column_name"),
+    // every column's NDV sits below the sketch capacity, where KMV is
+    // exactly count(distinct) for ANY hash — the xxhash64 production
+    // path restated without the oracle needing xxhash64 itself
+    "q150_table_stats_fast" ->
+      (Seq("l_linenumber", "l_returnflag", "l_linestatus", "l_qty_int")
+        .map { c =>
+          s"""SELECT '$c' AS column_name,
+             | (SELECT count(*) FROM li) AS n_rows,
+             | (SELECT count(*) FROM li WHERE $c IS NULL) AS n_nulls,
+             | (SELECT count(DISTINCT $c)::DOUBLE FROM li) AS ndv_est,
+             | (SELECT CAST(min($c) AS VARCHAR) FROM li) AS min_val,
+             | (SELECT CAST(max($c) AS VARCHAR) FROM li) AS max_val""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        match { case u =>
+          s"""WITH li AS (SELECT *, CAST(l_quantity AS BIGINT) AS l_qty_int
+             |            FROM lineitem)
+             |$u
+             |ORDER BY column_name""".stripMargin
+        }),
     // identical counts, shares, uniform ratios (all-double, same
     // multiply-then-divide order) and ceil salt factors
     "q114_skew_audit" ->

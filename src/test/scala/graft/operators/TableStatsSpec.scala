@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class TableStatsSpec extends SparkSpec {
@@ -38,5 +40,36 @@ class TableStatsSpec extends SparkSpec {
     val est = TableStats.columnStats(df, Seq("v"), k = 256)
       .select($"ndv_est").as[Double].collect().head
     assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
+  }
+
+  test("fast (xxhash64) path: identical counts/bounds, NDV within KMV " +
+       "error of the portable path, exact below k") {
+    val df = spark.range(1, 5001).toDF("v")
+      .withColumn("w", $"v" % 37)
+      .withColumn("s", concat(lit("row"), $"v" % 11))
+    val portable = TableStats.columnStats(df, Seq("v", "w", "s"), k = 256)
+      .as[(String, Long, Long, Double, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val fast = TableStats.columnStatsFast(df, Seq("v", "w", "s"), k = 256)
+      .as[(String, Long, Long, Double, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    for (c <- Seq("v", "w", "s")) {
+      // counts and typed bounds are hash-independent: exactly equal
+      assert(fast(c).copy(_4 = 0.0) == portable(c).copy(_4 = 0.0))
+    }
+    // below-k columns are EXACT in both paths (sketch not saturated)
+    assert(portable("w")._4 == 37.0 && fast("w")._4 == 37.0)
+    assert(portable("s")._4 == 11.0 && fast("s")._4 == 11.0)
+    // saturated column: both estimates inside the ~1/sqrt(k) KMV band
+    assert(math.abs(portable("v")._4 - 5000.0) / 5000.0 < 0.15)
+    assert(math.abs(fast("v")._4 - 5000.0) / 5000.0 < 0.15)
+  }
+
+  test("fast path stays inside whole-stage codegen (no md5 in the plan)") {
+    val df = spark.range(1, 101).toDF("v")
+    val fastPlan = TableStats.columnStatsFast(df, Seq("v")).queryExecution
+      .executedPlan.toString
+    assert(!fastPlan.contains("md5"), fastPlan)
+    assert(fastPlan.contains("xxhash64"), fastPlan)
   }
 }
