@@ -599,6 +599,174 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING as-of join through the REAL `flatMapGroupsWithState` path
+    * ([[graft.streaming.StreamAsof]]) under the DuckDB native ASOF JOIN
+    * oracle — the q50 data shape (even events probe, odd events quote,
+    * quotes pre-deduped to max(value) per user/second) driven as a
+    * checkpointed file-source stream instead of the batch operator.
+    * Probes buffer in keyed state until the event-time watermark passes
+    * them (the StreamAsof emission contract), so two sentinel flush waves
+    * on an out-of-band key push the watermark past every buffered probe;
+    * the sentinel key is filtered from the result. The whole corpus lands
+    * as ONE file so no probe/quote can be dropped by the late filter
+    * mid-stream (asserted via the progress log). */
+  def streamAsofQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q151") { base =>
+      import s.implicits._
+      val src = s"$base/landing"
+      // a third of the key space: the gate proves streaming≡batch as-of
+      // semantics, which is key-local — subsetting keys cuts the state
+      // volume each drain pays without weakening the proof
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 3 === 0)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val probes = e.filter(col("event_id") % 2 === 0)
+        .select(col("user_id").as("key"), col("ts"), lit("l").as("side"),
+          col("event_id").cast("double").as("value"))
+      val quotes = e.filter(col("event_id") % 2 === 1)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+        .select(col("user_id").as("key"), col("ts"), lit("r").as("side"),
+          col("value"))
+      val wave = probes.unionByName(quotes)
+      def sentinel(tsLit: String) =
+        Seq((-1L, java.sql.Timestamp.valueOf(tsLit), "r", 0.0))
+          .toDF("key", "ts", "side", "value")
+      def run(): Long = {
+        val q = graft.streaming.StreamAsof.asofJoin(
+            s.readStream.schema(wave.schema).parquet(src)
+              .as[graft.streaming.StreamAsof.AsofInput]
+              .withWatermark("ts", "60 seconds"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.count(_.numInputRows > 0)
+      }
+      wave.coalesce(1).write.mode("append").parquet(src)
+      val n1 = run()
+      require(n1 == 1, s"streamAsofQ: the single-file corpus ran as $n1 " +
+        "micro-batches - the no-late-drop premise no longer holds")
+      // two flush waves: the watermark computed at the end of one batch
+      // emits buffered probes (via event-time timeout) in the NEXT
+      sentinel("2030-01-01 00:00:00").write.mode("append").parquet(src)
+      run()
+      sentinel("2030-06-01 00:00:00").write.mode("append").parquet(src)
+      run()
+      s.read.parquet(s"$base/sink")
+        .filter(col("key") >= 0)
+        .select(col("key"), col("ts"), col("left_value"),
+          col("right_ts"), col("right_value"))
+        .orderBy(col("key"), col("left_value"))
+        .localCheckpoint()
+    }
+
+  /** STREAMING sessionization through the real `session_window`
+    * aggregation ([[graft.streaming.Sessionize.sessionsStream]]) under
+    * the batch lag/gap oracle — q43 gates the batch formulation; this
+    * drives the append-mode streaming state path: sessions only reach
+    * the sink once the event-time watermark passes their close, so two
+    * sentinel flush waves on user −1 close every real session (the
+    * sentinel's own rows are filtered out). SessionizeSpec pins the
+    * == gap merge boundary both formulations share; values sum as
+    * DECIMAL(18,2) so the streaming arrival-order sum restates exactly. */
+  def streamSessionsQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q152") { base =>
+      import s.implicits._
+      val src = s"$base/landing"
+      // key-local semantics again (see streamAsofQ): a third of the users
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 3 === 0)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+      def sentinel(tsLit: String) =
+        Seq((-1L, java.sql.Timestamp.valueOf(tsLit),
+            new java.math.BigDecimal(0)))
+          .toDF("user_id", "ts", "value")
+          .select(col("user_id"), col("ts"),
+            col("value").cast(DecimalType(18, 2)).as("value"))
+      def run(): Unit = {
+        val q = graft.streaming.Sessionize.sessionsStream(
+            s.readStream.schema(e.schema).parquet(src)
+              .withWatermark("ts", "60 seconds"),
+            "user_id", "ts", "30 minutes", col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      e.coalesce(1).write.mode("append").parquet(src)
+      run()
+      sentinel("2030-01-01 00:00:00").write.mode("append").parquet(src)
+      run()
+      sentinel("2030-06-01 00:00:00").write.mode("append").parquet(src)
+      run()
+      s.read.parquet(s"$base/sink")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value").cast("double").as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+        .localCheckpoint()
+    }
+
+  /** Watermark EVICTION of streaming-dedup state under the gate — the
+    * piece q104 deliberately freezes (its constant event time keeps every
+    * fingerprint alive). Three waves with advancing event times: wave 1
+    * (even doc_ids at t1) seeds the state; wave 2 (odd ids at t2 ≫ t1 +
+    * 2·delay) advances the watermark far past wave 1's expiry; wave 3
+    * redelivers BOTH halves at t2+10min — the even texts are accepted
+    * AGAIN (their state was evicted: too-eager retention would drop
+    * them) while the odd texts are still inside their watermark window
+    * and must drop (too-eager eviction would keep them). The oracle
+    * states the resulting (doc_id, wave) multiset exactly. */
+  def streamDedupEvictionQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q153") { base =>
+      val src = s"$base/landing"
+      val t1 = "2026-01-01 00:00:00"
+      val t2 = "2026-02-01 00:00:00"
+      val t3 = "2026-02-01 00:10:00"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(":"), col("text"))
+            .as("text"))
+      def at(df: DataFrame, ts: String) =
+        df.withColumn("ts", to_timestamp(lit(ts)))
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      def run(): Unit = {
+        val q = graft.streaming.StreamDedup
+          .dedupByFingerprint(
+            s.readStream.schema(at(evens, t1).schema).parquet(src),
+            "ts", "text", watermarkDelay = "1 hour")
+          .writeStream.format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      at(evens, t1).coalesce(1).write.mode("append").parquet(src)
+      run() // wave 1: all accepted, state expires at t1 + 1h
+      at(odds, t2).coalesce(1).write.mode("append").parquet(src)
+      run() // wave 2: accepted; watermark advances to t2 − 1h ≫ t1 + 1h
+      at(evens, t3).unionByName(at(odds, t3)).coalesce(1)
+        .write.mode("append").parquet(src)
+      run() // wave 3: evens re-accepted (evicted), odds still dropped
+      s.read.parquet(s"$base/sink")
+        .select(col("doc_id"),
+          when(col("ts") === to_timestamp(lit(t1)), 1L)
+            .when(col("ts") === to_timestamp(lit(t2)), 2L)
+            .otherwise(3L).as("wave"))
+        .orderBy(col("doc_id"), col("wave"))
+        .localCheckpoint()
+    }
+
   /** First half of the text — `floor(n_chars/2)` chars, stated with
     * `floor` so the Spark and DuckDB integer semantics agree exactly. */
   private def substring_index_half(text: org.apache.spark.sql.Column,
@@ -742,9 +910,67 @@ object PipelineQueries {
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
     "q119_stream_stats"   -> streamStatsQ _,
+    "q151_stream_asof"    -> streamAsofQ _,
+    "q152_stream_sessions" -> streamSessionsQ _,
+    "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
 
   val oracles: Map[String, String] = Map(
+    // the q50 ASOF shape with left_value = event_id so every emitted row
+    // is uniquely keyed; right_ts rides along so the oracle pins WHICH
+    // quote each probe joined, not just its value
+    "q151_stream_asof" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, date_trunc('second', ts) AS ts, value
+        | FROM events WHERE user_id % 3 = 0),
+        |probes AS (
+        | SELECT user_id AS key, ts, event_id::DOUBLE AS left_value
+        | FROM e WHERE event_id % 2 = 0),
+        |quotes AS (
+        | SELECT user_id AS key, ts, max(value) AS right_value FROM e
+        | WHERE event_id % 2 = 1 GROUP BY user_id, ts)
+        |SELECT p.key, p.ts, p.left_value,
+        | q.ts AS right_ts, q.right_value
+        |FROM probes p ASOF LEFT JOIN quotes q
+        | ON p.key = q.key AND p.ts >= q.ts
+        |ORDER BY p.key, p.left_value""".stripMargin,
+    // the q43 lag/gap session rule; session_end is last event + gap
+    // (the session_window convention), totals sum as DECIMAL(18,2)
+    "q152_stream_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, date_trunc('second', ts) AS ts,
+        |        CAST(value AS DECIMAL(18,2)) AS v
+        | FROM events WHERE user_id % 3 = 0),
+        |l AS (
+        | SELECT user_id, ts, v,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM e),
+        |t AS (
+        | SELECT user_id, ts, v,
+        |        SUM(CASE WHEN prev_ts IS NULL
+        |              OR epoch(ts) - epoch(prev_ts) > 1800
+        |             THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS sid
+        | FROM l)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM t GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // the three-wave construction restated directly: evens land in waves
+    // 1 and 3 (their wave-1 state must have EVICTED), odds only in wave 2
+    // (their state must have survived into wave 3)
+    "q153_dedup_eviction" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS wave FROM documents
+        | WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS BIGINT) FROM documents WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS BIGINT) FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id, wave""".stripMargin,
     "q35_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n,

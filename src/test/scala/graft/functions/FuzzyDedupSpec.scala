@@ -304,4 +304,55 @@ class FuzzyDedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 3L, 1L)))
   }
+
+  test("null and empty texts across every entry point: nulls never pair, " +
+       "empties follow the edit-distance semantics") {
+    // the q122/q126/q129 corpus shape plus the degenerate rows a real
+    // crawl delivers: NULL text, empty text, single chars
+    val df = Seq(
+      (1L, Some("alpha")), (2L, None), (3L, Some("alphx")),
+      (4L, Some("")), (5L, Some("")), (6L, Some("x")))
+      .toDF("doc_id", "name")
+    // char-level: "" ≡ "" (dist 0), "" ~ "x" (dist 1); null drops
+    val pairs = FuzzyDedup.nearDupPairs(df, "doc_id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L, 1L), (4L, 5L, 0L), (4L, 6L, 1L),
+      (5L, 6L, 1L)))
+    // depth 2: "x" also reaches "alphx"? no — lev("x","alphx")=4; but
+    // nulls must still drop and empties still pair
+    val pairs2 = FuzzyDedup.nearDupPairs(df, "doc_id", "name", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!pairs2.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(pairs2.contains((4L, 5L, 0L)) && pairs2.contains((4L, 6L, 1L)))
+    // bipartite: null/empty on BOTH sides; within-side pairs never emit
+    val corpus = Seq((10L, Some("alpha")), (11L, None), (12L, Some("")))
+      .toDF("doc_id", "name")
+    val batch = Seq((20L, Some("alphz")), (21L, None), (22L, Some("")),
+      (23L, Some("q"))).toDF("doc_id", "name")
+    val cross = FuzzyDedup.crossNearDupPairs(corpus, batch, "doc_id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cross == Set((10L, 20L, 1L), (12L, 22L, 0L), (12L, 23L, 1L)))
+    // dedup drops only the larger member of real pairs — null rows and
+    // the smallest empty survive untouched
+    val kept = FuzzyDedup.dedup(df, "doc_id", "name")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // token-level: null arrays drop, empty arrays pair with single-token
+    // rows (token edit distance 1) and each other (identical)
+    val toks = Seq(
+      (1L, Some(Seq("a", "b"))), (2L, None),
+      (3L, Some(Seq.empty[String])), (4L, Some(Seq.empty[String])),
+      (5L, Some(Seq("z"))))
+      .toDF("doc_id", "toks")
+    val tp = FuzzyDedup.tokenNearDupPairs(toks, "doc_id", "toks")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tp == Set((3L, 4L, 0L), (3L, 5L, 1L), (4L, 5L, 1L)))
+    // bipartite token probe: ["a","b"] is distance 2 from both [] and
+    // ["z"], and the null row is on the corpus side — nothing pairs
+    val tcross = FuzzyDedup.crossTokenNearDupPairs(
+        toks.filter($"doc_id" <= 2), toks.filter($"doc_id" > 2),
+        "doc_id", "toks")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tcross.isEmpty)
+  }
 }

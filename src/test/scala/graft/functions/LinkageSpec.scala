@@ -120,6 +120,34 @@ class LinkageSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("null and empty names: nulls pair nowhere in any pass, empties " +
+       "do not crash the sort/phonetic/union blocks") {
+    val df = Seq(
+      (1L, Some("robert")), (2L, None), (3L, Some("rupert")),
+      (4L, Some("")), (5L, Some("")), (6L, Some("robbert")))
+      .toDF("id", "n")
+    val sn = Linkage.sortedNeighborhoodPairs(df, "id", "n", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+    val ph = Linkage.phoneticPairs(df, "id", "n", 0.0)
+      .as[(Long, Long, Double)].collect()
+    val un = Linkage.linkagePairs(df, "id", "n", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+    for (pairs <- Seq(sn, ph, un)) {
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs.toSeq)
+      assert(pairs.forall(p => p._1 != p._2))
+    }
+    // the real sound-alikes still surface in the phonetic pass (robert/
+    // rupert/robbert share R163) and the union pass scores them
+    assert(ph.map(p => (p._1, p._2)).toSet
+      .contains((1L, 3L)) || un.map(p => (p._1, p._2)).toSet
+      .contains((1L, 3L)))
+    // empties never crash dedupByScore either; null row survives
+    val kept = Linkage.dedupByScore(df, "id",
+        Linkage.linkagePairs(df, "id", "n", 3, 0.9), 0.9)
+      .select($"id").as[Long].collect().toSet
+    assert(kept.contains(2L) && kept.contains(1L))
+  }
+
   test("null keys drop; the rank is the distributed form, never a " +
       "single-partition global window") {
     val rows = Seq((1L, Some("abc")), (2L, None), (3L, Some("abd")))
