@@ -166,6 +166,76 @@ object SpanDedup {
         coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"))
   }
 
+  /** Token-position cap for [[removeDuplicateSpans]]' packed
+    * first-occurrence key (doc_id · 2^20 + pos): documents up to ~1M
+    * tokens, ids up to 2^43. Packing keeps the global-first aggregation
+    * a numeric min — HashAggregate with map-side combine — where a
+    * struct-min buffer would demote it to SortAggregate. */
+  val MaxSpanPos: Int = 1 << 20
+
+  /** Exact-substring dedup REMOVAL — the rewrite pass of Lee et al. 2022
+    * (\"Deduplicating Training Data Makes Language Models Better\"), not
+    * just the keep/drop report: every n-token window that occurs anywhere
+    * else in the corpus BEFORE it (first occurrence = smallest
+    * (doc_id, position)) marks its token range for deletion; a document's
+    * cleaned text is its surviving tokens rejoined with single spaces
+    * (tokenization normalizes whitespace, documented). The first
+    * occurrence of every span — and every token outside any duplicated
+    * window — survives, so a corpus of exact clones keeps exactly one
+    * full copy and within-document repetition keeps its first run.
+    *
+    * Output: `(id, n_tokens, n_removed, clean_text)`.
+    *
+    * Scale shape (100 TB): the only per-document state is the covered-
+    * position set (bounded by the document's own token count); the
+    * global-first decision is one numeric-min aggregation on the span
+    * hash (map-side combined), and coverage flows back through one
+    * equi-join on the id. No windows, no driver data. The span hash is
+    * the portable md5 seam, so the whole rewrite restates in SQL (q154).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    // null text → empty token array, so null-text rows report (0, 0, "")
+    // instead of null-propagating through size()/concat_ws
+    val toksed = df.select(col(idCol),
+      coalesce(TextAnalysis.tokens(lower(col(textCol))),
+        array().cast("array<string>")).as("_toks"))
+    val spans = toksed
+      .select(col(idCol), posexplode(spanHashes(col("_toks"), n))
+        .as(Seq("pos", "h")))
+      // packed occurrence key; the guard turns a silent mis-ordering on
+      // a >2^20-token document into a loud error
+      .withColumn("_k",
+        when(col("pos") < MaxSpanPos,
+          col(idCol).cast("long") * MaxSpanPos + col("pos"))
+          .otherwise(raise_error(concat(lit(
+            s"removeDuplicateSpans: token position >= $MaxSpanPos in doc "),
+            col(idCol).cast("string")))))
+      // ONE explicit hash exchange feeds both consumers: the global-first
+      // aggregation runs partition-local above it and the coverage join
+      // requires the identical partitioning, so AQE reuses the shuffle and
+      // the tokenize/hash/explode pipeline runs once (the q90 lesson;
+      // probed 3.4 → 2.2 s at sf0.1 without it the pipeline ran twice)
+      .repartition(col("h"))
+    val first = spans.groupBy(col("h")).agg(min(col("_k")).as("_first"))
+    val covered = spans.join(first, "h")
+      .filter(col("_k") =!= col("_first"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("_cut"))
+      .groupBy(col(idCol)).agg(collect_set(col("_cut")).as("_cov"))
+    toksed.join(covered, Seq(idCol), "left")
+      .withColumn("_cov",
+        coalesce(col("_cov"), array().cast("array<integer>")))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_cov")).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          filter(
+            transform(col("_toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+            s => !array_contains(col("_cov"), s("i"))),
+          s => s("t"))).as("clean_text"))
+  }
+
   private def reportFrom(df: DataFrame, idCol: String, spans: DataFrame,
                          maxDupFrac: Double): DataFrame = {
     // (doc, hash) pre-aggregation is the map-side combine: repeated spans

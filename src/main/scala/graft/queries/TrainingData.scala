@@ -656,6 +656,18 @@ object TrainingData {
         "text", n = 8, w = 4)
       .orderBy(col("doc_id"))
 
+  /** Exact-substring dedup REMOVAL over the clone corpus — the Lee et al.
+    * rewrite pass (q74/q90 only report): every clone's text vanishes
+    * entirely (its every window's first occurrence lives in the original),
+    * originals keep theirs, and organic cross-document duplicate runs are
+    * cut at every non-first site. The oracle restates the whole rewrite —
+    * global (doc_id·2^20 + pos) first-occurrence min, coverage union,
+    * ordered token rejoin — so a wrong cut anywhere breaks the hash. */
+  def spanRemovalQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.SpanDedup.removeDuplicateSpans(cloneCorpus(s, dir),
+        "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+
   /** Bigram conditional surprisal against the corpus' own pair counts —
     * the first-order refinement of q75's unigram signal. */
   def bigramSurprisalQ(s: SparkSession, dir: String): DataFrame =
@@ -1654,6 +1666,7 @@ object TrainingData {
     "q92_sign_projection"   -> randomProjectionQ _,
     "q91_bigram_surprisal"  -> bigramSurprisalQ _,
     "q90_winnow"            -> winnowQ _,
+    "q154_span_removal"     -> spanRemovalQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
@@ -3291,6 +3304,50 @@ object TrainingData {
          |SELECT doc_id, n_pairs, sum_bits,
          | sum_bits::DOUBLE / greatest(n_pairs, 1)::DOUBLE AS mean_bits
          |FROM r ORDER BY doc_id""".stripMargin,
+    // the whole rewrite restated: packed (doc_id*2^20 + pos) global-first
+    // min per span hash, covered-position union, ordered token rejoin
+    "q154_span_removal" ->
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |tk AS (SELECT doc_id,
+         |        list_filter(regexp_extract_all(lower(coalesce(text, '')),
+         |                                       '\\S+'), w -> w <> '') AS toks
+         |       FROM c),
+         |spl AS (SELECT doc_id,
+         |         CASE WHEN len(toks) >= 8
+         |          THEN list_transform(range(1, len(toks) - 6),
+         |           i -> struct_pack(pos := i - 1,
+         |            h := ('0x' || substring(md5(
+         |                   array_to_string(toks[i : i+7], ' ')), 1, 15))::BIGINT))
+         |          ELSE [] END AS sps
+         |        FROM tk),
+         |sp AS (SELECT doc_id, unnest(sps) AS u FROM spl),
+         |sp2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sp),
+         |fo AS (SELECT h, min(doc_id * 1048576 + pos) AS fk FROM sp2 GROUP BY h),
+         |later AS (SELECT s.doc_id, s.pos FROM sp2 s JOIN fo USING (h)
+         |          WHERE s.doc_id * 1048576 + s.pos <> fk),
+         |cov AS (SELECT DISTINCT doc_id, cut FROM (
+         |         SELECT doc_id,
+         |          unnest(list_transform(range(0, 8), d -> pos + d)) AS cut
+         |         FROM later)),
+         |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |          i -> struct_pack(tpos := i - 1, tok := toks[i]))) AS u
+         |        FROM tk),
+         |tok2 AS (SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM tok),
+         |kept AS (SELECT t.doc_id, t.tpos, t.tok
+         |         FROM tok2 t LEFT JOIN cov
+         |           ON t.doc_id = cov.doc_id AND t.tpos = cov.cut
+         |         WHERE cov.doc_id IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         | CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         | CAST(len(tk.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+         | coalesce(agg.clean_text, '') AS clean_text
+         |FROM tk LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // The q74 span CTEs plus the winnow selection: min of every 4-wide
     // hash window, deduplicated per document, then the same
     // document-frequency sharing count.

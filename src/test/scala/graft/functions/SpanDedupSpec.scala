@@ -158,6 +158,70 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  /** Naive rewrite reference: global first occurrence by (id, pos),
+    * mark-covered, rejoin. */
+  private def naiveRemove(docs: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val occ = docs.flatMap { case (id, _) =>
+      val ts = toks(id)
+      if (ts.length < n) Seq.empty
+      else (0 to ts.length - n).map(p => (ts.slice(p, p + n).mkString(" "),
+        id, p))
+    }
+    val firstOf = occ.groupBy(_._1).view
+      .mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val covered = occ.filter(o => firstOf(o._1) != ((o._2, o._3)))
+      .flatMap(o => (o._3 until o._3 + n).map(p => (o._2, p))).toSet
+    docs.map { case (id, _) =>
+      val ts = toks(id)
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !covered((id, i)) => t }
+      id -> (ts.length.toLong, ts.zipWithIndex.count(p =>
+        covered((id, p._2))).toLong, kept.mkString(" "))
+    }.toMap
+  }
+
+  test("removeDuplicateSpans equals the naive rewrite: clones collapse " +
+       "to one full copy, partial overlaps cut only the shared run") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // > n tokens
+    val docs = Seq(
+      1L -> s"intro one two three $shared tail aaa bbb",
+      2L -> s"$shared completely different ending here zzz", // loses the run
+      3L -> s"intro one two three $shared tail aaa bbb",     // exact clone of 1
+      4L -> "too short",                                     // < n: untouched
+      5L -> "m m m m m m m m m m m m m m m m m m m m")       // self-repetition
+    val got = SpanDedup.removeDuplicateSpans(
+        docs.toDF("id", "text"), "id", "text", n = 8)
+      .select($"id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = naiveRemove(docs, 8)
+    assert(got == want)
+    assert(got(3L)._3.isEmpty)          // the clone vanishes entirely
+    assert(got(1L) == ((got(1L)._1, 0L, docs.head._2.toLowerCase))) // first copy intact
+    assert(got(4L)._3 == "too short")
+    assert(got(5L)._2 > 0 && got(5L)._3.nonEmpty) // first m-run survives
+    // doc 2 keeps its unique tail but loses the shared run
+    assert(got(2L)._3.endsWith("completely different ending here zzz"))
+    assert(!got(2L)._3.contains("s1 s2"))
+  }
+
+  test("removeDuplicateSpans: null text and empty docs survive as " +
+       "empty-clean rows, not dropped rows") {
+    val docs = Seq((1L, Some("a b c")), (2L, None), (3L, Some("")))
+      .toDF("id", "text")
+    val got = SpanDedup.removeDuplicateSpans(docs, "id", "text", n = 8)
+      .select($"id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 0L, "a b c")))
+    assert(got(2L) == ((0L, 0L, "")))
+    assert(got(3L) == ((0L, 0L, "")))
+  }
+
   test("winnowed set is a bounded subset of the span set") {
     val text = (1 to 200).map(i => s"w${(i * 37) % 91}").mkString(" ")
     val df = Seq((1L, text)).toDF("doc_id", "text")
