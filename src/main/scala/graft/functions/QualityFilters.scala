@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
-  /** Portable 60-bit token hash (md5 top 15 hex digits), non-negative. */
+  /** Portable 60-bit token hash (md5 top 15 hex digits), non-negative —
+    * the fused [[graft.expressions.Hash60Expr]] kernel, bit-exact with the
+    * `conv(substring(md5(...)))` chain the oracles restate. */
   private def hash60(t: Column): Column =
-    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.expressions.Hash60Expr.hash60(t.cast("binary"))
 
   /** Fixed deterministic weight for a token: hash to one of `buckets`
     * feature buckets, then a Knuth-multiplicative integer mix mapped onto
