@@ -273,4 +273,34 @@ object FuzzyDedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Dedup PROVENANCE: one row per DROPPED id explaining the drop —
+    * `(id, keeper_id, reason, dist)` where `reason` is `exact` (an
+    * identical text with a smaller id exists; keeper = the smallest such
+    * id, dist 0) or `fuzzy` (only within-distance neighbors exist; keeper
+    * = the CLOSEST smaller-id neighbor, ties to the smallest id, dist =
+    * its edit distance). The
+    * dropped id set is EXACTLY the complement of [[dedup]]'s survivor set
+    * (same keep-min-id convention — a keeper may itself be dropped via a
+    * chain; spec-pinned), so a curation pipeline can ship the audit trail
+    * "who killed this document and why" next to the cleaned corpus — the
+    * record regulators and data cards ask for at 100 TB, where a drop
+    * without provenance is unreviewable.
+    *
+    * Scale shape: [[nearDupPairs]]' blocked candidate generation plus one
+    * partial-agg groupBy over the pair list. No windows, no driver data. */
+  def provenance(df: DataFrame, idCol: String, textCol: String,
+                 maxBucket: Int = 256, maxDist: Int = 1): DataFrame =
+    nearDupPairs(df, idCol, textCol, maxBucket, maxDist)
+      .groupBy(col("id_b").as(idCol))
+      .agg(
+        min(when(col("dist") === 0, col("id_a"))).as("_exact_keeper"),
+        min_by(struct(col("dist"), col("id_a")),
+          struct(col("dist"), col("id_a"))).as("_best"))
+      .select(col(idCol),
+        coalesce(col("_exact_keeper"), col("_best.id_a")).as("keeper_id"),
+        when(col("_exact_keeper").isNotNull, lit("exact"))
+          .otherwise(lit("fuzzy")).as("reason"),
+        when(col("_exact_keeper").isNotNull, lit(0L))
+          .otherwise(col("_best.dist")).as("dist"))
 }

@@ -114,4 +114,49 @@ object Scd2 {
       .select(outCols: _*)
     closed.unionByName(shifted)
   }
+
+  /** Point-in-time (temporal) lookup: join each fact row to the dimension
+    * VERSION valid at its timestamp — `valid_from <= ts < valid_to`, the
+    * open (current) interval unbounded above. The classic warehouse
+    * "as-was" join an SCD2 history exists to answer; an equi-join on the
+    * raw key would attach every version to every fact.
+    *
+    * Implementation is the [[RangeJoin]] time-bucket shape: intervals
+    * explode into `bucketSeconds`-wide buckets, facts hash to their one
+    * bucket, and the join is a plain equi-join on (keys, bucket) with the
+    * exact half-open predicate as a post-filter — never a cartesian or an
+    * inequality join. The open interval is capped at the max fact time
+    * via a one-row broadcast aggregate (so its bucket fan-out is bounded
+    * by the fact range, not year 9999). Facts with no covering version
+    * (before the key's first observation, or an unknown key) drop —
+    * inner-join semantics, documented.
+    *
+    * `dim` must carry the [[metaCols]]; `dimCols` names the payload
+    * columns to attach (rename them beforehand if they collide with fact
+    * columns). Each fact matches at most ONE version per key because a
+    * key's intervals partition its timeline (boundary facts belong to the
+    * newer version — half-open). */
+  def pointInTime(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                  ptCol: String, bucketSeconds: Long,
+                  dimCols: Seq[String]): DataFrame = {
+    require(bucketSeconds > 0, "pointInTime: bucketSeconds must be > 0")
+    val b = "_graft_bucket"
+    def bucketOf(c: Column) =
+      floor(c.cast("long") / lit(bucketSeconds)).cast("long")
+    val maxPt = facts.agg(max(col(ptCol)).as("_graft_max_pt"))
+    val iv = dim.crossJoin(broadcast(maxPt))
+      .withColumn("_graft_to", coalesce(col("valid_to"),
+        col("_graft_max_pt") + expr(s"INTERVAL $bucketSeconds SECONDS")))
+      // a version starting after every fact can cover nothing; dropping it
+      // also keeps the bucket sequence non-descending
+      .filter(col("valid_from") <= col("_graft_max_pt"))
+      .withColumn(b, explode(sequence(bucketOf(col("valid_from")),
+        bucketOf(col("_graft_to")))))
+      .select((keyCols ++ dimCols).map(col) ++
+        Seq(col("valid_from"), col("_graft_to"), col("version"), col(b)): _*)
+    facts.withColumn(b, bucketOf(col(ptCol)))
+      .join(iv, keyCols :+ b)
+      .filter(col(ptCol) >= col("valid_from") && col(ptCol) < col("_graft_to"))
+      .drop(b, "_graft_to", "valid_from")
+  }
 }

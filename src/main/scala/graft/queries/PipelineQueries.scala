@@ -788,6 +788,32 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** SCD2 POINT-IN-TIME join under the gate — the "as-was" temporal
+    * lookup the q143 history exists to answer: every event joins the
+    * dimension version valid at its timestamp (half-open intervals,
+    * boundary events take the newer version, the open interval covers
+    * the tail). [[graft.operators.Scd2.pointInTime]] runs it as a
+    * time-bucketed equi-join, never an inequality join; the oracle
+    * recomputes the history and states the interval predicate directly,
+    * so a wrong version attach anywhere breaks the hash. Every event is
+    * its own observation, so the output row count must equal the event
+    * count — inner-join drops would show. */
+  def scd2LookupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val hist = graft.operators.Scd2.fromChangeLog(e, Seq("user_id"), "ts",
+        Seq("event_type"), tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_type").as("type_at_time"),
+        col("valid_from"), col("valid_to"), col("version"))
+    graft.operators.Scd2.pointInTime(
+        e.select(col("event_id"), col("user_id"), col("ts")), hist,
+        Seq("user_id"), "ts", bucketSeconds = 86400L,
+        dimCols = Seq("type_at_time"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("version"),
+        col("type_at_time"))
+      .orderBy(col("event_id"))
+  }
+
   /** Declarative data-quality gate under the oracle: the
     * [[graft.operators.Expectations]] battery over events — not-null
     * rate, accepted-values rate (with one value deliberately missing
@@ -911,6 +937,7 @@ object PipelineQueries {
     "q112_bucketed_join"  -> bucketedJoinQ _,
     "q119_stream_stats"   -> streamStatsQ _,
     "q151_stream_asof"    -> streamAsofQ _,
+    "q156_scd2_lookup"    -> scd2LookupQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1061,6 +1088,28 @@ object PipelineQueries {
     // null-safely differs from the previous observation (or rn = 1);
     // valid_to chains via lead over the run frame; event_id breaks ts
     // ties identically in both engines
+    // the q143 history CTEs + the half-open point-in-time predicate (the
+    // open interval unbounded above); each event matches exactly one
+    // version of its user
+    "q156_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT f.event_id, f.user_id, f.ts, r.version,
+        | r.event_type AS type_at_time
+        |FROM e f JOIN runs r ON f.user_id = r.user_id
+        | AND f.ts >= r.valid_from
+        | AND (r.valid_to IS NULL OR f.ts < r.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
     "q143_scd2_history" ->
       """WITH e AS (SELECT user_id, event_id,
         |  date_trunc('second', ts) AS ts, event_type FROM events),

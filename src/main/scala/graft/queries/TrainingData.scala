@@ -1191,6 +1191,17 @@ object TrainingData {
           concat(lit("x"), expr("substring(b, 2, length(b))")))
         .otherwise(col("b")).as("name"))
 
+  /** Dedup PROVENANCE over the sparse typo corpus — the audit trail a
+    * dropped document carries: its keeper, whether the drop was an exact
+    * or a fuzzy match, and the edit distance. The oracle recomputes the
+    * whole report from the exhaustive lev ≤ 1 pair set (the deletion-
+    * neighborhood blocking is complete for d ≤ 1), so a wrong keeper,
+    * reason, or missing/extra dropped row breaks the hash. */
+  def provenanceQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.FuzzyDedup.provenance(typoNamesSparse(s, dir),
+        "doc_id", "name")
+      .orderBy(col("doc_id"))
+
   /** Leakage-safe split over the sparse typo corpus: fuzzy near-dup
     * pairs → connected components (the q56 machinery) → md5 cut of the
     * CLUSTER id, so every typo variant of an entity lands in one split —
@@ -1667,6 +1678,7 @@ object TrainingData {
     "q91_bigram_surprisal"  -> bigramSurprisalQ _,
     "q90_winnow"            -> winnowQ _,
     "q154_span_removal"     -> spanRemovalQ _,
+    "q155_dedup_provenance" -> provenanceQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
@@ -2450,6 +2462,25 @@ object TrainingData {
          |      ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin),
     // exhaustive all-pairs levenshtein <= 2 over the sparse typo corpus
+    // the provenance report from the exhaustive pair set: exact keeper =
+    // min identical-name smaller id; fuzzy keeper = closest (then
+    // smallest) smaller-id neighbor — with maxDist 1 the closest
+    // non-exact neighbor is always at distance 1
+    "q155_dedup_provenance" ->
+      (s"WITH $sparseTypoCte,\n" +
+      """p AS (
+        | SELECT a.doc_id AS ka, c.doc_id AS kb,
+        |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS d
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 1)
+        |SELECT kb AS doc_id,
+        | coalesce(min(CASE WHEN d = 0 THEN ka END),
+        |          min(CASE WHEN d = 1 THEN ka END)) AS keeper_id,
+        | CASE WHEN min(CASE WHEN d = 0 THEN ka END) IS NOT NULL
+        |      THEN 'exact' ELSE 'fuzzy' END AS reason,
+        | CASE WHEN min(CASE WHEN d = 0 THEN ka END) IS NOT NULL
+        |      THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS dist
+        |FROM p GROUP BY kb ORDER BY doc_id""".stripMargin),
     "q124_fuzzy_d2" ->
       (s"WITH $sparseTypoCte,\n" +
       """p AS (

@@ -305,6 +305,45 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 1L)))
   }
 
+  test("provenance: dropped set complements dedup's survivors; exact " +
+       "outranks fuzzy; keeper is the closest then-smallest neighbor") {
+    val df = Seq(
+      (1L, "alpha"),   // keeper of the alpha group
+      (2L, "alpha"),   // exact dup of 1
+      (3L, "alphx"),   // fuzzy of 1/2 (d=1)
+      (4L, "alpha"),   // exact dup of 1 (not 2 — min exact keeper)
+      (5L, "beta"),    // untouched survivor
+      (6L, "alphx"))   // exact dup of 3 — exact outranks its fuzzy links
+      .toDF("doc_id", "name")
+    val prov = FuzzyDedup.provenance(df, "doc_id", "name")
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(prov == Map(
+      2L -> (1L, "exact", 0L),
+      3L -> (1L, "fuzzy", 1L),
+      4L -> (1L, "exact", 0L),
+      6L -> (3L, "exact", 0L)))
+    // the dropped ids are exactly the complement of dedup's survivors
+    val survivors = FuzzyDedup.dedup(df, "doc_id", "name")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 5L))
+    assert(prov.keySet ++ survivors == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert((prov.keySet & survivors).isEmpty)
+  }
+
+  test("provenance at depth 2: keeper is the CLOSEST neighbor, ties to " +
+       "the smallest id") {
+    val df = Seq(
+      (3L, "abcde"),
+      (7L, "abcdx"),    // d=1 from 3
+      (9L, "abcdxz"))   // d=1 from 7, d=2 from 3 → keeper 7, dist 1
+      .toDF("doc_id", "name")
+    val prov = FuzzyDedup.provenance(df, "doc_id", "name", maxDist = 2)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(prov == Map(7L -> (3L, "fuzzy", 1L), 9L -> (7L, "fuzzy", 1L)))
+  }
+
   test("null and empty texts across every entry point: nulls never pair, " +
        "empties follow the edit-distance semantics") {
     // the q122/q126/q129 corpus shape plus the degenerate rows a real
