@@ -814,6 +814,42 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** STREAMING SCD2 maintenance under the gate: three event-time-ordered
+    * waves drain through [[graft.streaming.Scd2Stream]] — each micro-batch
+    * folds into the standing history via `Scd2.merge` (closed versions
+    * pass through untouched; only affected keys' current rows re-compact)
+    * — and the FINAL standing history must equal the q143 batch recompute
+    * of the full log, which is exactly what the oracle states. A no-data
+    * fourth run must leave the snapshot chain's answer unchanged. This is
+    * the incremental-equals-full invariant the Scd2Spec merge test pins,
+    * proven through the real checkpointed stream. */
+  def scd2StreamQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q157") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_id"), col("event_type"))
+      def run(): Long = graft.streaming.Scd2Stream.runAvailableNow(
+        s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
+        Seq("event_id"), s"$base/state", s"$base/ckpt")
+      // event-time-ordered waves (the merge ordering contract): day 1-10,
+      // 11-20, then the rest
+      val d = dayofmonth(col("ts"))
+      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      val replay = run() // no new files: the standing answer must not change
+      require(replay <= 1, s"scd2StreamQ: no-data replay ran $replay batches")
+      graft.streaming.Scd2Stream.currentHistory(s, s"$base/state")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+        .localCheckpoint()
+    }
+
   /** Declarative data-quality gate under the oracle: the
     * [[graft.operators.Expectations]] battery over events — not-null
     * rate, accepted-values rate (with one value deliberately missing
@@ -938,6 +974,7 @@ object PipelineQueries {
     "q119_stream_stats"   -> streamStatsQ _,
     "q151_stream_asof"    -> streamAsofQ _,
     "q156_scd2_lookup"    -> scd2LookupQ _,
+    "q157_scd2_stream"    -> scd2StreamQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1088,6 +1125,24 @@ object PipelineQueries {
     // null-safely differs from the previous observation (or rn = 1);
     // valid_to chains via lead over the run frame; event_id breaks ts
     // ties identically in both engines
+    // the streaming incremental history must equal the batch recompute —
+    // the oracle IS q143's full-log restatement
+    "q157_scd2_stream" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        | valid_to IS NULL AS is_current
+        |FROM runs ORDER BY user_id, version""".stripMargin,
     // the q143 history CTEs + the half-open point-in-time predicate (the
     // open interval unbounded above); each event matches exactly one
     // version of its user
