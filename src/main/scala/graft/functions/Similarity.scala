@@ -618,6 +618,48 @@ object Similarity {
         col("_graft_dup").isNull.as("keep"))
   }
 
+  /** In-cluster HARD-NEGATIVE mining for contrastive training data: for
+    * each labeled vector, the most-similar vector with a DIFFERENT label
+    * among its Lloyd-cell mates (highest cosine; ties break to the
+    * smallest id). Hard negatives are the pairs a contrastive objective
+    * learns most from, and the near neighbors that make them hard are by
+    * construction concentrated in the same quantizer cell — so the cells
+    * double as the candidate blocks, the [[semanticDedup]] Σ cell² shape,
+    * never an n² sweep. Vectors whose cell holds no other label report a
+    * null negative (left join), not a dropped row.
+    *
+    * Output: `(id, label, cell, neg_id, neg_label, cosine_sim)`. Portable
+    * centroids + sequential-accumulation cosine, so the whole mine
+    * restates in SQL (q158). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, iters: Int = 3,
+                    sampleN: Int = 4096): DataFrame = {
+    val centroids = ivfCentroidsTrainedPortable(df, vecCol, idCol, k,
+      iters, sampleN)
+    // assigned feeds both self-join sides and the restore join —
+    // localCheckpoint so the k×dim distance battery runs once
+    val assigned = df.select(col(idCol), col(vecCol), col(labelCol))
+      .withColumn("cell", ivfCell(col(vecCol), centroids))
+      .localCheckpoint()
+    val a = assigned.toDF(idCol, "vec_a", "label_a", "cell")
+    val b = assigned.toDF("neg_id", "vec_b", "neg_label", "cell")
+    val best = a.join(b, "cell")
+      .filter(col("label_a") =!= col("neg_label"))
+      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .groupBy(col(idCol))
+      // min over (−cos, id) = max cosine, ties to the smallest neg id —
+      // a partial-aggregating pick, never a PARTITION BY window
+      .agg(min_by(
+        struct(col("neg_id"), col("neg_label"), col("cosine_sim")),
+        struct(negate(col("cosine_sim")), col("neg_id"))).as("_n"))
+    assigned.select(col(idCol), col(labelCol), col("cell"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col(labelCol), col("cell"),
+        col("_n.neg_id").as("neg_id"),
+        col("_n.neg_label").as("neg_label"),
+        col("_n.cosine_sim").as("cosine_sim"))
+  }
+
   /** Deterministic ±1 sign matrix for Johnson–Lindenstrauss projection:
     * entry (j, i) is +1 iff the portable 60-bit md5 hash of "i:j" is even
     * — no PRNG, no stored model, any engine regenerates the identical

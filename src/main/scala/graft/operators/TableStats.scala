@@ -40,6 +40,46 @@ object TableStats {
       : DataFrame =
     statsFrom(df, cols, k, c => Sketches.hash60Fast(col(c).cast("string")))
 
+  /** Equi-width histogram of a numeric column — the selectivity feed a
+    * cost-based optimizer adds on top of [[columnStats]]' bounds/NDV:
+    * `(bucket, bucket_lo, bucket_hi, n_rows)` for all `nBuckets` buckets,
+    * empty ones included. Bucket of a value is
+    * `least(floor((v − lo) · n / (hi − lo)), n − 1)` (the max value lands
+    * in the last bucket; a constant column collapses into bucket 0), with
+    * every arithmetic step a left-to-right IEEE double chain so an
+    * external engine restates the exact counts (q159). Nulls are excluded
+    * from every bucket (their count is [[columnStats]]' business).
+    *
+    * Two scans by design — bounds, then counts — with the 1-row bounds
+    * frame broadcast into the bucketing pass; the alternative single-pass
+    * sketch (quantile summary) is [[graft.functions.Sketches]]' business.
+    * All-null input yields the full bucket list with null bounds and zero
+    * counts. */
+  def histogram(df: DataFrame, colName: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"histogram: need >= 1 bucket, got $nBuckets")
+    val v = col(colName).cast("double")
+    val bounds = df.agg(min(v).as("_graft_lo"), max(v).as("_graft_hi"))
+    val width = col("_graft_hi") - col("_graft_lo")
+    val counts = df.select(v.as("_graft_v")).filter(col("_graft_v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(width === 0.0, lit(0L))
+          .otherwise(least(
+            floor((col("_graft_v") - col("_graft_lo")) * nBuckets / width),
+            lit((nBuckets - 1).toLong)).cast("long")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    bounds
+      .select(explode(sequence(lit(0L), lit((nBuckets - 1).toLong)))
+        .as("bucket"), col("_graft_lo"), col("_graft_hi"))
+      .withColumn("bucket_lo",
+        col("_graft_lo") + col("bucket") * width / nBuckets)
+      .withColumn("bucket_hi",
+        col("_graft_lo") + (col("bucket") + 1) * width / nBuckets)
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("bucket_lo"), col("bucket_hi"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   private def statsFrom(df: DataFrame, cols: Seq[String], k: Int,
                         hash: String => org.apache.spark.sql.Column)
       : DataFrame = {

@@ -269,6 +269,16 @@ object EtlOps {
         Seq("l_linenumber", "l_returnflag", "l_linestatus", "l_qty_int"))
       .orderBy(col("column_name"))
 
+  /** Equi-width histogram over l_extendedprice (16 buckets) — the CBO
+    * selectivity feed on top of q120's bounds/NDV. Every arithmetic step
+    * (bucket index, bucket bounds) is a left-to-right IEEE double chain
+    * restated verbatim, so the exact per-bucket counts AND the exact
+    * double bucket boundaries hash-match. */
+  def histogramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TableStats.histogram(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice", nBuckets = 16)
+      .orderBy(col("bucket"))
+
   /** Sketch-based join-size estimation: the distinct-custkey overlap
     * between orders and customer estimated from two 256-entry KMV
     * sketches ALONE (no re-scan at estimation time), with the exact
@@ -330,6 +340,7 @@ object EtlOps {
     "q120_table_stats"    -> tableStatsQ _,
     "q121_join_estimate"  -> joinEstimateQ _,
     "q150_table_stats_fast" -> tableStatsFastQ _,
+    "q159_histogram"      -> histogramQ _,
   )
 
   /** One column's stats row restated (q81's KMV pattern per column). */
@@ -394,6 +405,22 @@ object EtlOps {
         "l_returnflag", "l_linestatus")
         .map(statsColSql).mkString("\nUNION ALL\n") +
         "\nORDER BY column_name"),
+    // the identical double chains: bucket = least(floor((v-lo)*16/(hi-lo)),
+    // 15); bounds = lo + bucket*(hi-lo)/16
+    "q159_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+        |                  max(l_extendedprice) AS hi FROM lineitem),
+        |c AS (SELECT CAST(least(floor((l_extendedprice - lo) * 16
+        |               / (hi - lo)), 15) AS BIGINT) AS bucket,
+        |        count(*) AS n
+        |      FROM lineitem, b
+        |      WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |a AS (SELECT unnest(range(0, 16)) AS bucket, lo, hi FROM b)
+        |SELECT a.bucket,
+        | lo + a.bucket * (hi - lo) / 16 AS bucket_lo,
+        | lo + (a.bucket + 1) * (hi - lo) / 16 AS bucket_hi,
+        | coalesce(c.n, 0) AS n_rows
+        |FROM a LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin,
     // every column's NDV sits below the sketch capacity, where KMV is
     // exactly count(distinct) for ANY hash — the xxhash64 production
     // path restated without the oracle needing xxhash64 itself

@@ -668,6 +668,16 @@ object TrainingData {
         "doc_id", "text", n = 8)
       .orderBy(col("doc_id"))
 
+  /** In-cluster hard-negative mining over the labeled embeddings — for
+    * each vector, its most-similar DIFFERENT-label cellmate (the pairs a
+    * contrastive objective learns most from). Cells are the portable
+    * Lloyd quantizer's; the oracle unrolls the training and restates the
+    * within-cell argmax (cosine DESC, then id) per vector. */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 16)
+      .orderBy(col("vec_id"))
+
   /** Bigram conditional surprisal against the corpus' own pair counts —
     * the first-order refinement of q75's unigram signal. */
   def bigramSurprisalQ(s: SparkSession, dir: String): DataFrame =
@@ -1679,6 +1689,7 @@ object TrainingData {
     "q90_winnow"            -> winnowQ _,
     "q154_span_removal"     -> spanRemovalQ _,
     "q155_dedup_provenance" -> provenanceQ _,
+    "q158_hard_negatives"   -> hardNegativesQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
@@ -3149,6 +3160,29 @@ object TrainingData {
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
     "q42_ivf_topk" -> ivfOracle(),
     "q76_semantic_dedup" -> semanticDedupOracle(),
+    // the q76 cell machinery + per-vector different-label argmax
+    "q158_hard_negatives" ->
+      (s"""WITH ${lloydCtes("embeddings", 16, 3, 4096)},
+          |assign AS (
+          | SELECT vec_id, embedding, label, cell FROM (
+          |  SELECT e.vec_id, e.embedding, e.label, c.cell,
+          |   row_number() OVER (PARTITION BY e.vec_id
+          |     ORDER BY ${distSql("e.embedding", "c.v")}, c.cell) AS rk
+          |  FROM embeddings e, c3 c) WHERE rk = 1),
+          |p AS (
+          | SELECT a.vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+          |  $cosExpr AS cosine_sim
+          | FROM assign a JOIN assign b
+          |  ON a.cell = b.cell AND a.label <> b.label),
+          |best AS (
+          | SELECT vec_id, neg_id, neg_label, cosine_sim FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY cosine_sim DESC, neg_id) AS rk FROM p)
+          | WHERE rk = 1)
+          |SELECT a.vec_id, a.label, CAST(a.cell AS INT) AS cell,
+          | b.neg_id, b.neg_label, b.cosine_sim
+          |FROM assign a LEFT JOIN best b ON a.vec_id = b.vec_id
+          |ORDER BY a.vec_id""".stripMargin),
     // Duplicated 8-token windows (stride 1) over the clone corpus: the
     // same portable span hash, (doc, hash) → (hash) counts, a window is
     // duplicated when its hash totals ≥ 2 anywhere in the corpus.

@@ -280,4 +280,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == got(2L))
     assert(got(3L) == got(1L).map(-_))
   }
+
+  test("hardNegatives: each vector's negative is its most-similar " +
+       "different-label cellmate; lone-label cells report null") {
+    // two tight geometric clusters (k=2 recovers them); labels split
+    // cluster A, cluster B is single-label
+    def vec(x: Float, y: Float) = Seq(x, y) ++ Seq.fill(6)(0.0f)
+    val df = Seq(
+      (1L, vec(1.00f, 0.00f), 0),
+      (2L, vec(0.99f, 0.14f), 1),  // negative of 1 and 3
+      (3L, vec(0.97f, 0.24f), 0),
+      (10L, vec(0.00f, 1.00f), 2),
+      (11L, vec(0.14f, 0.99f), 2)) // same label — no negative in cell
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        k = 2, sampleN = 5)
+      .select($"vec_id", $"neg_id", $"cosine_sim")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1.contains(2L) && got(3L)._1.contains(2L))
+    assert(got(2L)._1.exists(n => n == 3L)) // 2's closest 0-label is 3
+    assert(got(10L)._1.isEmpty && got(11L)._1.isEmpty)
+    // cosine of the reported pair is the true max over the other label
+    assert(got(1L)._2.get > 0.98 && got(1L)._2.get < 1.0)
+  }
 }

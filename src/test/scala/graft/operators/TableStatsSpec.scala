@@ -65,6 +65,27 @@ class TableStatsSpec extends SparkSpec {
     assert(math.abs(fast("v")._4 - 5000.0) / 5000.0 < 0.15)
   }
 
+  test("histogram: exact equi-width counts, complete bucket list, max " +
+       "value in the last bucket, nulls excluded") {
+    val df = (Seq.tabulate(100)(i => Some(i.toDouble)) :+
+        None :+ Some(100.0)) // max lands IN range; one null excluded
+      .toDF("v")
+    val got = TableStats.histogram(df, "v", nBuckets = 10)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (0L to 9L))
+    // 0..99 uniform over [0,100] → 10 per bucket, plus v=100 clamped last
+    assert(got.map(_._4) == Seq(10L, 10L, 10L, 10L, 10L, 10L, 10L, 10L,
+      10L, 11L))
+    assert(got.head._2 == 0.0 && got.last._3 == 100.0)
+  }
+
+  test("histogram: constant column collapses to bucket 0; empty buckets " +
+       "report zero") {
+    val got = TableStats.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 4)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._4) == Seq(3L, 0L, 0L, 0L))
+  }
+
   test("fast path stays inside whole-stage codegen (no md5 in the plan)") {
     val df = spark.range(1, 101).toDF("v")
     val fastPlan = TableStats.columnStatsFast(df, Seq("v")).queryExecution
