@@ -34,6 +34,36 @@ object IngestPipeline {
     }
   }
 
+  /** Parse an NDJSON record column with DEAD-LETTER routing: every input
+    * row survives — well-formed records carry their typed fields with a
+    * null `_corrupt`, malformed records carry the RAW record text in
+    * `_corrupt` (Spark's PERMISSIVE corrupt-record channel) with their
+    * typed fields to be treated as absent. The reference pipeline's
+    * parse step drops or aborts on bad records; at crawl scale a parse
+    * failure must be a ROUTED row (auditable, replayable, counted), not
+    * silence — callers split on `_corrupt IS NULL` into the main sink and
+    * the DLQ sink and reconcile counts against the landing total.
+    *
+    * NOTE PERMISSIVE may still fill a parsed PREFIX of fields on a
+    * malformed record; a DLQ consumer must treat every typed field of a
+    * corrupt row as garbage (q160 nulls them on the way out). `schema`
+    * must not already contain `_corrupt`. */
+  def parseWithDlq(raw: DataFrame, recordCol: String,
+                   schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "parseWithDlq: schema already has a _corrupt column")
+    val full = schema.add("_corrupt",
+      org.apache.spark.sql.types.StringType)
+    raw.withColumn("_graft_parsed",
+        from_json(col(recordCol), full, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")))
+      .select(col(recordCol).as("_raw") +:
+        (schema.fieldNames.toSeq :+ "_corrupt")
+          .map(f => col(s"_graft_parsed.$f").as(f)): _*)
+  }
+
   /** Ingest one business class from a raw NDJSON record column.
     *
     * @param raw        one JSON record per row (column `recordCol`)

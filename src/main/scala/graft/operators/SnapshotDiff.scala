@@ -59,4 +59,36 @@ object SnapshotDiff {
               compareCols: Seq[String]): DataFrame =
     diff(oldDf, newDf, idCol, compareCols)
       .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+
+  /** MINIMAL CDC patch from `oldDf` to `newDf`: one row per added /
+    * changed / removed id — `(id, op, payloadCols…)`, payload taken from
+    * the NEW snapshot (null payload on removed rows). Unchanged rows are
+    * NOT in the patch; shipping the patch instead of the snapshot is the
+    * 100 TB release mechanic (churn-sized transfer, not corpus-sized).
+    * [[applyPatch]] replays it; round-trip pinned by SnapshotDiffSpec and
+    * q161. */
+  def patch(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+            compareCols: Seq[String],
+            payloadCols: Seq[String]): DataFrame = {
+    val d = diff(oldDf, newDf, idCol, compareCols)
+      .filter(col("status") =!= "unchanged")
+      .withColumnRenamed("status", "op")
+    d.join(newDf.select(col(idCol) +: payloadCols.map(col): _*),
+        Seq(idCol), "left")
+      .select(col(idCol) +: col("op") +: payloadCols.map(col): _*)
+  }
+
+  /** Replay a [[patch]] onto the OLD snapshot: patched ids leave the old
+    * frame (their op decides whether a new payload re-enters), everything
+    * else carries through — the result row-equals the new snapshot the
+    * patch was cut from. One anti-join + one union; the patch is
+    * churn-sized, so broadcast-friendly under AQE. */
+  def applyPatch(oldDf: DataFrame, patchDf: DataFrame, idCol: String,
+                 payloadCols: Seq[String]): DataFrame = {
+    val oldKept = oldDf.select(col(idCol) +: payloadCols.map(col): _*)
+      .join(patchDf.select(col(idCol)), Seq(idCol), "left_anti")
+    val incoming = patchDf.filter(col("op") =!= "removed")
+      .select(col(idCol) +: payloadCols.map(col): _*)
+    oldKept.unionByName(incoming)
+  }
 }

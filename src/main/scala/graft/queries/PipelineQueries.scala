@@ -850,6 +850,41 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Dead-letter routing under the gate: documents render to NDJSON
+    * lines, every 7th line is truncated mid-record (invalid JSON —
+    * unclosed object), and [[graft.jobs.IngestPipeline.parseWithDlq]]
+    * must route EVERY line — typed fields on the main channel, the raw
+    * record (carried by Spark's PERMISSIVE corrupt column) hashed on the
+    * DLQ channel, nothing dropped or aborted. Typed fields of corrupt
+    * rows are nulled on the way out (PERMISSIVE may fill a parsed
+    * prefix). The oracle rebuilds the identical lines by concatenation
+    * and routes on `json_valid`, so a swallowed bad record, a leaked
+    * partial parse, or a missing main row breaks the hash. */
+  def dlqRoutingQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val lines = docs.select(col("doc_id").as("_id"),
+      to_json(struct(col("doc_id"), col("source"), col("n_chars")))
+        .as("line"))
+    val staged = lines.select(
+      when(col("_id") % 7 === 0,
+        expr("substring(line, 1, length(line) - 2)"))
+        .otherwise(col("line")).as("line"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val parsed = graft.jobs.IngestPipeline.parseWithDlq(staged, "line",
+      schema)
+    val ok = col("_corrupt").isNull
+    parsed.select(
+        when(ok, col("doc_id")).as("doc_id"),
+        when(ok, col("source")).as("source"),
+        when(ok, col("n_chars")).as("n_chars"),
+        when(ok, lit("main")).otherwise(lit("dlq")).as("channel"),
+        when(!ok, md5(col("_corrupt"))).as("raw_md5"))
+      .orderBy(col("channel"), col("doc_id"), col("raw_md5"))
+  }
+
   /** Declarative data-quality gate under the oracle: the
     * [[graft.operators.Expectations]] battery over events — not-null
     * rate, accepted-values rate (with one value deliberately missing
@@ -975,6 +1010,7 @@ object PipelineQueries {
     "q151_stream_asof"    -> streamAsofQ _,
     "q156_scd2_lookup"    -> scd2LookupQ _,
     "q157_scd2_stream"    -> scd2StreamQ _,
+    "q160_dlq_routing"    -> dlqRoutingQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1125,6 +1161,24 @@ object PipelineQueries {
     // null-safely differs from the previous observation (or rn = 1);
     // valid_to chains via lead over the run frame; event_id breaks ts
     // ties identically in both engines
+    // identical line construction by concatenation; routing on
+    // json_valid — corrupt rows carry ONLY the raw-record hash
+    "q160_dlq_routing" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |l AS (SELECT doc_id AS _id,
+        |  '{"doc_id":' || doc_id || ',"source":"' || source ||
+        |  '","n_chars":' || n_chars || '}' AS line FROM d),
+        |s2 AS (SELECT CASE WHEN _id % 7 = 0
+        |         THEN substring(line, 1, length(line) - 2)
+        |         ELSE line END AS line FROM l),
+        |r AS (SELECT line, json_valid(line) AS ok FROM s2)
+        |SELECT
+        | CASE WHEN ok THEN CAST(line->>'doc_id' AS BIGINT) END AS doc_id,
+        | CASE WHEN ok THEN line->>'source' END AS source,
+        | CASE WHEN ok THEN CAST(line->>'n_chars' AS BIGINT) END AS n_chars,
+        | CASE WHEN ok THEN 'main' ELSE 'dlq' END AS channel,
+        | CASE WHEN NOT ok THEN md5(line) END AS raw_md5
+        |FROM r ORDER BY channel, doc_id, raw_md5""".stripMargin,
     // the streaming incremental history must equal the batch recompute —
     // the oracle IS q143's full-log restatement
     "q157_scd2_stream" ->

@@ -1212,6 +1212,37 @@ object TrainingData {
         "doc_id", "name")
       .orderBy(col("doc_id"))
 
+  /** CDC patch ROUND TRIP over the q82 snapshot pair: cut the minimal
+    * added/changed/removed patch, replay it onto the old snapshot, and
+    * emit the applied table with each row's delivery channel ('carried'
+    * for untouched old rows, 'patched' for rows the patch re-delivered).
+    * The oracle reconstructs both snapshots and states the applied table
+    * WITH the channel directly — a non-minimal patch (unchanged rows
+    * riding along) flips carried rows to patched and breaks the hash, as
+    * does any divergence from the new snapshot. */
+  def snapshotPatchQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).persist() // old + new + patch branches
+    val oldSnap = d.select(col("doc_id"), col("text"))
+    val newSnap = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val p = graft.operators.SnapshotDiff.patch(oldSnap, newSnap, "doc_id",
+      Seq("text"), payloadCols = Seq("text"))
+    val applied = graft.operators.SnapshotDiff
+      .applyPatch(oldSnap, p, "doc_id", Seq("text"))
+    releasing(d) {
+      applied
+        .join(p.select(col("doc_id"), lit("patched").as("via")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          coalesce(col("via"), lit("carried")).as("via"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Leakage-safe split over the sparse typo corpus: fuzzy near-dup
     * pairs → connected components (the q56 machinery) → md5 cut of the
     * CLUSTER id, so every typo variant of an entity lands in one split —
@@ -1690,6 +1721,7 @@ object TrainingData {
     "q154_span_removal"     -> spanRemovalQ _,
     "q155_dedup_provenance" -> provenanceQ _,
     "q158_hard_negatives"   -> hardNegativesQ _,
+    "q161_snapshot_patch"   -> snapshotPatchQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
@@ -3588,6 +3620,21 @@ object TrainingData {
     // Status classification restated as the full outer join the engine's
     // tagged-union aggregation is equivalent to (md5 fingerprints collide
     // only adversarially).
+    // the applied table IS the new snapshot; via = whether the row left
+    // the patch ('patched': added or changed id) or carried from old
+    "q161_snapshot_patch" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50)
+        |SELECT n.doc_id, md5(n.text) AS text_md5,
+        | CASE WHEN o.doc_id IS NULL OR o.text <> n.text
+        |      THEN 'patched' ELSE 'carried' END AS via
+        |FROM newv n LEFT JOIN oldv o ON o.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "q82_snapshot_diff" ->
       """WITH oldv AS (SELECT doc_id, text FROM documents),
         |newv AS (

@@ -48,4 +48,39 @@ class IngestPipelineSpec extends SparkSpec {
       .orderBy("k").as[(Long, String, Double)].collect().toSeq
     assert(out == Seq((1L, "a", 1.0), (2L, "b2", 9.0), (3L, "c", 3.0)))
   }
+
+  test("parseWithDlq routes every line: typed mains, raw-carrying DLQ, " +
+       "missing fields stay main with nulls, nothing dropped") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val lines = Seq(
+      """{"id":1,"name":"a"}""",       // clean
+      """{"id":2}""",                  // valid, missing field → main
+      """{"id":3,"name":"c""",         // truncated → DLQ
+      """not json at all""",           // → DLQ
+      """{}""")                        // valid empty object → main
+      .toDF("line")
+    val out = IngestPipeline.parseWithDlq(lines, "line", schema)
+    assert(out.count() == 5) // every input line survives as a row
+    val mains = out.filter($"_corrupt".isNull)
+      .select($"id", $"name").as[(Option[Long], Option[String])]
+      .collect().toSet
+    assert(mains == Set((Some(1L), Some("a")), (Some(2L), None),
+      (None, None)))
+    val dlq = out.filter($"_corrupt".isNotNull)
+      .select($"_raw", $"_corrupt").as[(String, String)].collect().toSet
+    // the corrupt column carries the raw record verbatim
+    assert(dlq == Set(
+      ("""{"id":3,"name":"c""", """{"id":3,"name":"c"""),
+      ("not json at all", "not json at all")))
+  }
+
+  test("parseWithDlq rejects a schema that already claims _corrupt") {
+    import org.apache.spark.sql.types._
+    intercept[IllegalArgumentException] {
+      IngestPipeline.parseWithDlq(Seq("{}").toDF("line"), "line",
+        StructType(Seq(StructField("_corrupt", StringType))))
+    }
+  }
 }

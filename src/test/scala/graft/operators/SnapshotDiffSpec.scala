@@ -51,4 +51,32 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got == Map("unchanged" -> 1L, "changed" -> 2L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+  test("patch is churn-sized and applyPatch replays it to the exact new " +
+       "snapshot") {
+    val p = SnapshotDiff.patch(oldSnap, newSnap, "id", Seq("text", "tag"),
+      payloadCols = Seq("text", "tag"))
+    // minimal: only added/changed/removed ride the patch
+    assert(p.count() == 4)
+    assert(p.filter($"op" === "unchanged").count() == 0)
+    // removed rows carry a null payload (nothing of the new side exists)
+    assert(p.filter($"op" === "removed").select($"text").as[Option[String]]
+      .collect().forall(_.isEmpty))
+    val applied = SnapshotDiff.applyPatch(oldSnap, p, "id",
+        Seq("text", "tag"))
+      .collect().map(_.toSeq).toSet
+    val want = newSnap.select($"id", $"text", $"tag")
+      .collect().map(_.toSeq).toSet
+    assert(applied == want)
+  }
+
+  test("empty patch: identical snapshots round-trip unchanged") {
+    val p = SnapshotDiff.patch(oldSnap, oldSnap, "id", Seq("text", "tag"),
+      Seq("text", "tag"))
+    assert(p.count() == 0)
+    val applied = SnapshotDiff.applyPatch(oldSnap, p, "id", Seq("text", "tag"))
+      .collect().map(_.toSeq).toSet
+    assert(applied == oldSnap.select($"id", $"text", $"tag")
+      .collect().map(_.toSeq).toSet)
+  }
 }
