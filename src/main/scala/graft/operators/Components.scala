@@ -131,4 +131,28 @@ object Components {
     assignClusters(df, idCol, pairs, aCol, bCol)
       .filter(col(idCol).cast("long") === col("cluster_id"))
       .drop("cluster_id")
+
+  /** QUALITY-weighted representative selection: flag, in a
+    * cluster-labeled frame (the [[assignClusters]] output), the one
+    * member per cluster with the HIGHEST `scoreCol` (ties to the
+    * smallest id) as `is_canonical`. Min-id dedup keeps whichever
+    * duplicate crawled first; real curation keeps the best version —
+    * longest text, highest quality score, newest fetch — and drops the
+    * rest. The pick is a partial-aggregating min_by over
+    * (−score, id) — never a PARTITION BY cluster window, which would
+    * move whole clusters (unbounded under near-dup skew) onto single
+    * tasks. Null scores lose to any non-null score (NaN ordering puts
+    * them last); an all-null cluster falls back to the min id. */
+  def representatives(clustered: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val ord = struct(
+      coalesce(negate(col(scoreCol).cast("double")),
+        lit(Double.PositiveInfinity)).as("_s"),
+      col(idCol).cast("long").as("_i"))
+    val best = clustered.groupBy(col("cluster_id"))
+      .agg(min_by(col(idCol), ord).as("_graft_rep"))
+    clustered.join(best, Seq("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("_graft_rep"))
+      .drop("_graft_rep")
+  }
 }

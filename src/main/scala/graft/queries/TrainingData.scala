@@ -1189,17 +1189,7 @@ object TrainingData {
     * with a multiple of 5, every doc of one entity would draw the same
     * perturbation and the corpus would degenerate to exact clones. */
   private[queries] def typoNamesSparse(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"),
-        concat(lit("e"),
-          substring(md5((col("doc_id") % 199).cast("string")), 1, 6)).as("b"))
-      .select(col("doc_id"),
-        when(col("doc_id") % 5 === 1,
-          expr("substring(b, 1, length(b) - 1)"))
-        .when(col("doc_id") % 5 === 2, concat(col("b"), lit("x")))
-        .when(col("doc_id") % 5 === 3,
-          concat(lit("x"), expr("substring(b, 2, length(b))")))
-        .otherwise(col("b")).as("name"))
+    typoNamesSparse2(s, docs(s, dir))
 
   /** Dedup PROVENANCE over the sparse typo corpus — the audit trail a
     * dropped document carries: its keeper, whether the drop was an exact
@@ -1242,6 +1232,46 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }
   }
+
+  /** Quality-weighted canonical selection over the fuzzy clusters: each
+    * lev ≤ 1 name cluster keeps its LONGEST document (ties to the
+    * smallest id) as canonical — min-id dedup keeps whichever duplicate
+    * arrived first, curation keeps the best version. Clusters via the
+    * q125 components machinery; the oracle recomputes them with the
+    * recursive CTE and states the per-cluster argmax. */
+  def canonicalSelectionQ(s: SparkSession, dir: String): DataFrame = {
+    // pruned persist: only (doc_id, n_chars) feed the branches — caching
+    // the text column here would be pure block-manager waste
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars")).persist()
+    val named = typoNamesSparse2(s, d)
+    val pairs = graft.functions.FuzzyDedup.nearDupPairs(named,
+      "doc_id", "name", maxBucket = 1 << 16)
+    val clustered = graft.operators.Components.assignClusters(
+        named.join(d.select(col("doc_id"), col("n_chars")), "doc_id"),
+        "doc_id", pairs, "id_a", "id_b")
+    releasing(d) {
+      graft.operators.Components.representatives(clustered, "doc_id",
+          "n_chars")
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          col("is_canonical"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** [[typoNamesSparse]] over an already-loaded docs frame (so a caller
+    * can persist ONE scan across the name and payload branches). */
+  private def typoNamesSparse2(s: SparkSession,
+                               d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        concat(lit("e"),
+          substring(md5((col("doc_id") % 199).cast("string")), 1, 6)).as("b"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          expr("substring(b, 1, length(b) - 1)"))
+        .when(col("doc_id") % 5 === 2, concat(col("b"), lit("x")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("x"), expr("substring(b, 2, length(b))")))
+        .otherwise(col("b")).as("name"))
 
   /** Leakage-safe split over the sparse typo corpus: fuzzy near-dup
     * pairs → connected components (the q56 machinery) → md5 cut of the
@@ -1722,6 +1752,7 @@ object TrainingData {
     "q155_dedup_provenance" -> provenanceQ _,
     "q158_hard_negatives"   -> hardNegativesQ _,
     "q161_snapshot_patch"   -> snapshotPatchQ _,
+    "q162_canonical_select" -> canonicalSelectionQ _,
     "q89_dataloader_prep"   -> dataloaderPrepQ _,
     "q88_cross_corpus"      -> crossCorpusQ _,
     "q87_robust_outliers"   -> robustOutlierQ _,
@@ -2482,6 +2513,30 @@ object TrainingData {
         |FROM p GROUP BY jw_score ORDER BY jw_score""".stripMargin),
     // components via recursive CTE over the exhaustive lev<=1 pair set,
     // then the md5 cut restated on the CLUSTER id (q77's seam)
+    // the q125 recursive closure + per-cluster longest-doc argmax
+    // (n_chars DESC, then doc_id)
+    "q162_canonical_select" ->
+      (s"WITH RECURSIVE $sparseTypoCte,\n" +
+      """p AS (
+        | SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        | FROM n a JOIN n c ON a.doc_id < c.doc_id
+        | WHERE levenshtein(a.name, c.name) <= 1),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        | SELECT doc_id, doc_id FROM n
+        | UNION
+        | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+        |cl AS (
+        | SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        | FROM reach GROUP BY id),
+        |m AS (
+        | SELECT cl.doc_id, cl.cluster_id, d.n_chars,
+        |  row_number() OVER (PARTITION BY cl.cluster_id
+        |    ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+        | FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, n_chars, rk = 1 AS is_canonical
+        |FROM m ORDER BY doc_id""".stripMargin),
     "q125_cluster_safe_split" ->
       (s"WITH RECURSIVE $sparseTypoCte,\n" +
       s"""p AS (

@@ -85,4 +85,23 @@ class ComponentsSpec extends SparkSpec {
     val lbl = cc(pairs)
     lbl.foreach { case (_, c) => assert(lbl.getOrElse(c, c) == c) }
   }
+
+  test("representatives flags the highest-score member per cluster, ties " +
+       "to the smallest id, null scores last, all-null falls back to min id") {
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(30.0)), (3L, Some(30.0)), // cluster A: 2 wins tie
+      (7L, None),                                            // singleton, null score
+      (8L, Some(5.0)), (9L, None))                           // cluster B: 8 beats null
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val clustered = Components.assignClusters(df, "id", pairs, "id_a", "id_b")
+    val got = Components.representatives(clustered, "id", "score")
+      .select($"id", $"is_canonical").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false,
+      7L -> true, 8L -> true, 9L -> false))
+    // the pick is a partial-aggregating min_by, never a cluster window
+    val plan = Components.representatives(clustered, "id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -22,7 +22,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q87_robust_outliers", "q88_cross_corpus", "q89_dataloader_prep",
     "q90_winnow", "q93_countmin", "q94_cluster_composition",
     "q96_projected_recall", "q99_data_card", "q111_hybrid_retrieval",
-    "q135_perplexity_prune", "q161_snapshot_patch")
+    "q135_perplexity_prune", "q161_snapshot_patch",
+    "q162_canonical_select")
 
   test("no catalog-cache residue outlives any persisting query") {
     spark.catalog.clearCache()
