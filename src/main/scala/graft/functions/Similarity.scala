@@ -433,7 +433,25 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
                 query: Seq[Double], coarse: Seq[Seq[Double]],
                 codebooks: Seq[Seq[Seq[Double]]], k: Int,
-                nProbe: Int = 4): DataFrame = {
+                nProbe: Int = 4): DataFrame =
+    ivfPqTopKFromIndex(
+      ivfPqEncode(df.select(col(idCol), col(vecCol)), vecCol,
+        coarse, codebooks, cellCol = "_graft_cell", codesCol = "_graft_codes"),
+      idCol, "_graft_cell", "_graft_codes", query, coarse, codebooks, k,
+      nProbe)
+
+  /** The serving half of [[ivfPqTopK]] over an ALREADY-ENCODED index
+    * frame `(id, cell, codes)` — the shape a standing vector index has
+    * after [[ivfPqEncode]] output is persisted to a table. This is the
+    * 100 TB serving pattern: the index is STORED (and grown
+    * incrementally — new batches encode against the frozen coarse/PQ
+    * artifacts and append, no retrain, q163), queries probe `nProbe`
+    * cells of the stored codes, and no corpus float is ever re-read. */
+  def ivfPqTopKFromIndex(index: DataFrame, idCol: String, cellCol: String,
+                         codesCol: String, query: Seq[Double],
+                         coarse: Seq[Seq[Double]],
+                         codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                         nProbe: Int = 4): DataFrame = {
     val m = codebooks.size
     val d = codebooks.head.head.size
     val probed = probeCells(query, coarse, nProbe)
@@ -454,15 +472,14 @@ object Similarity {
         }
       }
     }.toMap
-    val indexed = ivfPqEncode(df.select(col(idCol), col(vecCol)), vecCol,
-        coarse, codebooks, cellCol = "_graft_cell", codesCol = "_graft_codes")
-      .select(col(idCol), col("_graft_cell"), col("_graft_codes"))
-      .filter(col("_graft_cell").isin(probed: _*))
+    val indexed = index
+      .select(col(idCol), col(cellCol), col(codesCol))
+      .filter(col(cellCol).isin(probed: _*))
     val dist = probed.map { cell =>
-      (col("_graft_cell") === cell,
+      (col(cellCol) === cell,
         (0 until m).map(s =>
             element_at(typedLit(luts(cell)(s)),
-              element_at(col("_graft_codes"), s + 1) + 1))
+              element_at(col(codesCol), s + 1) + 1))
           .reduce(_ + _))
     }.foldLeft(when(lit(false), lit(0.0))) { case (acc, (cond, e)) =>
       acc.when(cond, e)

@@ -885,6 +885,39 @@ object PipelineQueries {
       .orderBy(col("channel"), col("doc_id"), col("raw_md5"))
   }
 
+  /** Incremental vector-index APPEND under the gate — the standing-index
+    * life cycle a crawl-scale serving deployment runs: wave 1 trains the
+    * coarse + PQ artifacts and lands its codes as a stored table; wave 2
+    * encodes against the FROZEN artifacts (no retrain) and appends; the
+    * query serves top-k from the stored (id, cell, codes) table alone
+    * ([[graft.functions.Similarity.ivfPqTopKFromIndex]] — no corpus
+    * float re-read). The oracle is the q147 serving restatement with the
+    * training CTEs restricted to wave 1 — so stale-artifact encoding of
+    * wave 2 and the stored-index read-back are both value-checked. */
+  def indexAppendQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q163") { base =>
+      import graft.functions.Similarity
+      val e = Tables.load(s, dir, "embeddings")
+      val wave1 = e.filter(col("vec_id") % 2 === 0)
+      val wave2 = e.filter(col("vec_id") % 2 === 1)
+      val coarse = Similarity.ivfCentroidsTrainedPortable(
+        wave1, "embedding", "vec_id", k = 8, iters = 0)
+      val cbs = Similarity.ivfPqCodebooks(wave1, "embedding", "vec_id",
+        coarse, m = 8, ksub = 16, iters = 0)
+      def encode(df: DataFrame) =
+        Similarity.ivfPqEncode(df.select(col("vec_id"), col("embedding")),
+            "embedding", coarse, cbs, cellCol = "cell", codesCol = "codes")
+          .select(col("vec_id"), col("cell"), col("codes"))
+      encode(wave1).write.mode("append").parquet(s"$base/index")
+      encode(wave2).write.mode("append").parquet(s"$base/index")
+      val idx = s.read.parquet(s"$base/index")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfPqTopKFromIndex(idx, "vec_id", "cell", "codes", q,
+          coarse, cbs, k = 10, nProbe = 4)
+        .localCheckpoint()
+    }
+
   /** Declarative data-quality gate under the oracle: the
     * [[graft.operators.Expectations]] battery over events — not-null
     * rate, accepted-values rate (with one value deliberately missing
@@ -1011,6 +1044,7 @@ object PipelineQueries {
     "q156_scd2_lookup"    -> scd2LookupQ _,
     "q157_scd2_stream"    -> scd2StreamQ _,
     "q160_dlq_routing"    -> dlqRoutingQ _,
+    "q163_index_append"   -> indexAppendQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1161,6 +1195,66 @@ object PipelineQueries {
     // null-safely differs from the previous observation (or rn = 1);
     // valid_to chains via lead over the run frame; event_id breaks ts
     // ties identically in both engines
+    // the q147 serving restatement with the TRAINING CTEs (sample,
+    // coarse cells, residual codebooks) restricted to wave 1 (even
+    // vec_ids); assignment/encode/probe run over the full corpus
+    "q163_index_append" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings WHERE vec_id % 2 = 0),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT c.cell0 FROM c0 c, q
+        | ORDER BY list_sum(list_transform(range(1, 65), i ->
+        |    (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |    * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), c.cell0
+        | LIMIT 4),
+        |lut AS (SELECT c.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+        |    * ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+        |    AS dd
+        | FROM c0 c, sp, cbr, q WHERE c.cell0 IN (SELECT cell0 FROM probe)),
+        |pervec AS (SELECT b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+        | WHERE b.cell0 IN (SELECT cell0 FROM probe)
+        | GROUP BY b.vec_id)
+        |SELECT vec_id, adc_dist FROM pervec
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     // identical line construction by concatenation; routing on
     // json_valid — corrupt rows carry ONLY the raw-record hash
     "q160_dlq_routing" ->

@@ -173,6 +173,33 @@ class PqSpec extends SparkSpec {
     assert(top.count { case (id, _) => id % 8 == 0 } >= 15)
   }
 
+  test("serving from a stored index equals the inline encode path, " +
+      "including a stale-artifact append") {
+    val all = df(400)
+    val wave1 = all.filter($"vec_id" % 2 === 0)
+    val wave2 = all.filter($"vec_id" % 2 === 1)
+    // artifacts FROZEN on wave 1
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      wave1, "embedding", "vec_id", k = 8, iters = 2)
+    val cbs = Similarity.ivfPqCodebooks(wave1, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 2)
+    def enc(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqEncode(d.select($"vec_id", $"embedding"),
+        "embedding", coarse, cbs, cellCol = "cell", codesCol = "codes")
+        .select($"vec_id", $"cell", $"codes")
+    val index = enc(wave1).unionByName(enc(wave2)) // the appended index
+    val query = vectors(1).head._2.map(_.toDouble)
+    val fromIndex = Similarity.ivfPqTopKFromIndex(index, "vec_id",
+        "cell", "codes", query, coarse, cbs, k = 20, nProbe = 3)
+      .as[(Long, Double)].collect().toSeq
+    // inline path over the SAME frozen artifacts must agree exactly
+    val inline = Similarity.ivfPqTopK(all, "embedding", "vec_id",
+        query, coarse, cbs, k = 20, nProbe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("dim must divide m; empty input yields empty codebooks") {
     val data = df(10)
     val ex = intercept[IllegalArgumentException] {
