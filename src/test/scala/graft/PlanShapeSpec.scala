@@ -357,4 +357,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("span-removal rewrite: window-free, global-first decision is a " +
+       "numeric HashAggregate min, one shared hash exchange for both " +
+       "consumers") {
+    val docs = Seq((1L, (1 to 30).map(i => s"t${i % 9}").mkString(" ")),
+        (2L, (1 to 30).map(i => s"t${i % 9}").mkString(" ")))
+      .toDF("id", "text")
+    val out = graft.functions.SpanDedup
+      .removeDuplicateSpans(docs, "id", "text", n = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    // the first-occurrence min runs as a HASH aggregate (the packed long
+    // key — a struct-min buffer would demote it to SortAggregate)
+    assert(plan.contains("HashAggregate"), plan)
+    // explicit repartition(h) exchange reused by the coverage join
+    assert(plan.contains("REPARTITION_BY_COL"), plan)
+  }
+
+  test("hard-negative mining: window-free pick; candidates ride the " +
+       "cell equi-join, never a cartesian") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j) % 13).toFloat / 13f),
+        (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.functions.Similarity.hardNegatives(vecs, "vec_id",
+      "embedding", "label", k = 4, sampleN = 40)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
