@@ -225,4 +225,23 @@ class DedupSpec extends SparkSpec {
       n = 2, threshold = 0.9).collect()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("lshPlan picks the divisor pair whose S-curve threshold is " +
+       "closest to the target; the S-curve is monotone through it") {
+    // 64 hashes, target 0.95: (8, 8) has threshold (1/8)^(1/8) ≈ 0.771,
+    // (4, 16) ≈ 0.917, (2, 32) ≈ 0.979 — 0.95 sits nearest (2, 32)
+    assert(Dedup.lshPlan(64, 0.95) == ((2, 32)))
+    // a loose target prefers wide bands (high recall at low threshold)
+    val (bLoose, rLoose) = Dedup.lshPlan(64, 0.5)
+    assert(math.pow(1.0 / bLoose, 1.0 / rLoose) < 0.65 && bLoose > 4)
+    // the planned curve separates: well-above-target pairs are near-
+    // certain candidates, well-below-target pairs are near-certain not
+    val (b, r) = Dedup.lshPlan(64, 0.9)
+    assert(Dedup.lshCandidateProb(0.98, b, r) > 0.95)
+    assert(Dedup.lshCandidateProb(0.5, b, r) < 0.05)
+    // invariants: factorization exact, guards loud
+    assert(b * r == 64)
+    intercept[IllegalArgumentException] { Dedup.lshPlan(1, 0.9) }
+    intercept[IllegalArgumentException] { Dedup.lshPlan(64, 1.0) }
+  }
 }
