@@ -918,6 +918,40 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING fact enrichment against the evolving dimension (q164):
+    * the same three event-time-ordered waves as q157, but each
+    * micro-batch ALSO point-in-time joins its own facts against the
+    * just-updated standing history and appends enriched rows. Because a
+    * version's identity depends only on observations at or before a
+    * fact's timestamp, the union of the per-wave enrichments must equal
+    * the FULL-history batch join — which is exactly the q156 oracle,
+    * reused verbatim. A stale snapshot read, a wrong merge, or a
+    * boundary slip in any wave breaks the hash. */
+  def scd2EnrichStreamQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q164") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_id"), col("event_type"))
+      def run(): Long = graft.streaming.Scd2Stream.runEnrichAvailableNow(
+        s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
+        Seq("event_id"), factCols = Seq("event_id", "user_id", "ts"),
+        s"$base/state", s"$base/ckpt")
+      val d = dayofmonth(col("ts"))
+      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      require(run() <= 1, "scd2EnrichStreamQ: no-data replay ran batches")
+      s.read.parquet(s"$base/state/enriched")
+        .select(col("event_id"), col("user_id"), col("ts"), col("version"),
+          col("event_type_at_time").as("type_at_time"))
+        .orderBy(col("event_id"))
+        .localCheckpoint()
+    }
+
   /** Declarative data-quality gate under the oracle: the
     * [[graft.operators.Expectations]] battery over events — not-null
     * rate, accepted-values rate (with one value deliberately missing
@@ -1045,6 +1079,7 @@ object PipelineQueries {
     "q157_scd2_stream"    -> scd2StreamQ _,
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
+    "q164_enrich_stream"  -> scd2EnrichStreamQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1291,6 +1326,27 @@ object PipelineQueries {
         |SELECT user_id, event_type, valid_from, valid_to, version,
         | valid_to IS NULL AS is_current
         |FROM runs ORDER BY user_id, version""".stripMargin,
+    // per-wave streaming enrichment must union to the FULL-history batch
+    // join — the q156 restatement verbatim
+    "q164_enrich_stream" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT f.event_id, f.user_id, f.ts, r.version,
+        | r.event_type AS type_at_time
+        |FROM e f JOIN runs r ON f.user_id = r.user_id
+        | AND f.ts >= r.valid_from
+        | AND (r.valid_to IS NULL OR f.ts < r.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
     // the q143 history CTEs + the half-open point-in-time predicate (the
     // open interval unbounded above); each event matches exactly one
     // version of its user

@@ -60,6 +60,63 @@ object Scd2Stream {
     nBatches.get()
   }
 
+  /** Streaming fact ENRICHMENT against the evolving dimension — the
+    * warehouse fact-loader loop: each micro-batch first folds into the
+    * standing SCD2 snapshot chain (exactly as [[runAvailableNow]]), then
+    * the SAME batch's rows join the just-updated history point-in-time
+    * ([[Scd2.pointInTime]]) and land in a batch-id-keyed enriched-fact
+    * sink. Because a version's identity depends only on observations at
+    * or before a fact's timestamp, enriching wave N against the
+    * waves-≤-N history yields EXACTLY what a full-history batch join
+    * would — the q164 gate states that equivalence against the q156
+    * oracle. Replay-safe on both sinks (overwrite-own-batch).
+    *
+    * `factCols` are the batch columns carried into the enriched sink
+    * (must include the key and ts columns). Returns the number of
+    * micro-batches processed. */
+  def runEnrichAvailableNow(spark: SparkSession, sourcePath: String,
+                            schema: StructType, keyCols: Seq[String],
+                            tsCol: String, attrCols: Seq[String],
+                            tieCols: Seq[String], factCols: Seq[String],
+                            statePath: String, checkpointPath: String,
+                            bucketSeconds: Long = 86400L): Long = {
+    import org.apache.spark.sql.functions.col
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val query = spark.readStream.schema(schema).parquet(sourcePath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
+        val session = batch.sparkSession
+        val hist = latestSnapshotBefore(session, s"$statePath/snap", batchId)
+          match {
+            case Some(prior) =>
+              Scd2.merge(prior, batch, keyCols, tsCol, attrCols, tieCols)
+            case None =>
+              Scd2.fromChangeLog(batch, keyCols, tsCol, attrCols, tieCols)
+          }
+        // materialize the new snapshot FIRST, then enrich from the
+        // written copy — one computation of the merge, two consumers
+        hist.write.mode("overwrite")
+          .parquet(s"$statePath/snap/batch_id=$batchId")
+        val snap = session.read.parquet(s"$statePath/snap/batch_id=$batchId")
+        val dim = snap.select(
+          (keyCols.map(col) :+ col("valid_from") :+ col("valid_to") :+
+            col("version")) ++
+            attrCols.map(a => col(a).as(s"${a}_at_time")): _*)
+        Scd2.pointInTime(batch.select(factCols.map(col): _*), dim,
+            keyCols, tsCol, bucketSeconds,
+            dimCols = attrCols.map(a => s"${a}_at_time"))
+          .write.mode("overwrite")
+          .parquet(s"$statePath/enriched/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    nBatches.get()
+  }
+
   /** The standing history: the latest snapshot (any batch id). */
   def currentHistory(spark: SparkSession, statePath: String): DataFrame =
     latestSnapshotBefore(spark, s"$statePath/snap", Long.MaxValue)
