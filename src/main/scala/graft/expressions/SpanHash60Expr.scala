@@ -27,8 +27,11 @@ import org.apache.spark.sql.types._
   * engine (the q74/q90 span-dedup correctness seam).
   *
   * Documents shorter than n tokens yield an empty array, matching
-  * `SpanDedup.spanHashes`' guard. Contract: token arrays must not contain
-  * nulls (`TextAnalysis.tokens` never produces them).
+  * `SpanDedup.spanHashes`' guard. Null array elements are skipped inside
+  * each window with no separator emitted for them — exactly `concat_ws`'
+  * null semantics, so the kernel stays bit-exact with the built-in chain
+  * even on nullable token arrays (`TextAnalysis.tokens` never produces
+  * nulls, but the public surface accepts them).
   */
 case class SpanHash60Expr(child: Expression, n: Int) extends UnaryExpression {
 
@@ -72,7 +75,11 @@ object SpanHash60Expr {
     if (cnt < n) return new GenericArrayData(new Array[Long](0))
     val words = new Array[Array[Byte]](cnt)
     var i = 0
-    while (i < cnt) { words(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    while (i < cnt) {
+      // null elements stay null here and are skipped per concat_ws
+      words(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
     val md = digests.get()
     val count = cnt - n + 1
     val hashes = new Array[Long](count)
@@ -80,9 +87,14 @@ object SpanHash60Expr {
     while (i < count) {
       md.reset()
       var j = 0
+      var emitted = false
       while (j < n) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(words(i + j))
+        val w = words(i + j)
+        if (w != null) {
+          if (emitted) md.update(' '.toByte)
+          md.update(w)
+          emitted = true
+        }
         j += 1
       }
       val d = md.digest()

@@ -48,9 +48,15 @@ object Sketches {
     * uniformity math, HLL register math) works unchanged. ~10× cheaper per
     * value than the md5 chain and whole-stage-codegen'd, but NOT
     * restatable by an external engine — use [[hash60]] where a DuckDB
-    * oracle must replay the hash. */
+    * oracle must replay the hash.
+    *
+    * Nulls are passed through as null (NOT hashed): Spark's xxhash64 skips
+    * null children and returns the seed, which would make a null column
+    * contribute one phantom distinct value — the md5 path yields null,
+    * which the sketch aggregates skip, and the two paths must agree on NDV
+    * (pinned by TableStatsSpec's null-column case). */
   def hash60Fast(t: Column): Column =
-    shiftrightunsigned(xxhash64(t.cast("string")), 4)
+    when(t.isNotNull, shiftrightunsigned(xxhash64(t.cast("string")), 4))
 
   /** Aggregate: the sorted array of the `k` smallest distinct values of a
     * bigint hash column. Partial state is ≤ k longs — map-side combined.

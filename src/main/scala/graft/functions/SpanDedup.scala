@@ -173,6 +173,11 @@ object SpanDedup {
     * struct-min buffer would demote it to SortAggregate. */
   val MaxSpanPos: Int = 1 << 20
 
+  /** Largest |doc id| the packed key admits without Long overflow
+    * (ids up to 2^43 — Long.MaxValue / 2^20). Beyond it the min-ordering
+    * would silently corrupt; [[removeDuplicateSpans]] raises instead. */
+  val MaxSpanDocId: Long = Long.MaxValue / MaxSpanPos
+
   /** Exact-substring dedup REMOVAL — the rewrite pass of Lee et al. 2022
     * (\"Deduplicating Training Data Makes Language Models Better\"), not
     * just the keep/drop report: every n-token window that occurs anywhere
@@ -203,11 +208,17 @@ object SpanDedup {
     val spans = toksed
       .select(col(idCol), posexplode(spanHashes(col("_toks"), n))
         .as(Seq("pos", "h")))
-      // packed occurrence key; the guard turns a silent mis-ordering on
-      // a >2^20-token document into a loud error
+      // packed occurrence key; the guards turn a silent mis-ordering on a
+      // >2^20-token document OR a >2^43 doc id (packed-key Long overflow)
+      // into a loud error
       .withColumn("_k",
-        when(col("pos") < MaxSpanPos,
-          col(idCol).cast("long") * MaxSpanPos + col("pos"))
+        when(abs(col(idCol).cast("long")) >= MaxSpanDocId,
+          raise_error(concat(lit(
+            s"removeDuplicateSpans: |doc id| >= $MaxSpanDocId overflows " +
+              "the packed first-occurrence key; id "),
+            col(idCol).cast("string"))))
+          .when(col("pos") < MaxSpanPos,
+            col(idCol).cast("long") * MaxSpanPos + col("pos"))
           .otherwise(raise_error(concat(lit(
             s"removeDuplicateSpans: token position >= $MaxSpanPos in doc "),
             col(idCol).cast("string")))))

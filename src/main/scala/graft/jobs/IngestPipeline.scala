@@ -47,19 +47,31 @@ object IngestPipeline {
     * NOTE PERMISSIVE may still fill a parsed PREFIX of fields on a
     * malformed record; a DLQ consumer must treat every typed field of a
     * corrupt row as garbage (q160 nulls them on the way out). `schema`
-    * must not already contain `_corrupt`. */
+    * must not already contain `_corrupt`.
+    *
+    * Every OTHER column of the input frame — ingest metadata a DLQ
+    * consumer needs for replay (file path, landing timestamp, offsets) —
+    * is carried through unchanged ahead of the parsed fields; their names
+    * must not collide with the parsed schema's. */
   def parseWithDlq(raw: DataFrame, recordCol: String,
                    schema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     require(!schema.fieldNames.contains("_corrupt"),
       "parseWithDlq: schema already has a _corrupt column")
+    val carried = raw.columns.toSeq.filterNot(_ == recordCol)
+    val collisions =
+      carried.toSet.intersect(schema.fieldNames.toSet + "_raw")
+    require(collisions.isEmpty,
+      s"parseWithDlq: input metadata columns collide with parsed fields: " +
+        collisions.mkString(", "))
     val full = schema.add("_corrupt",
       org.apache.spark.sql.types.StringType)
     raw.withColumn("_graft_parsed",
         from_json(col(recordCol), full, Map(
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt")))
-      .select(col(recordCol).as("_raw") +:
+      .select((col(recordCol).as("_raw") +:
+        carried.map(c => col(s"`$c`"))) ++
         (schema.fieldNames.toSeq :+ "_corrupt")
           .map(f => col(s"_graft_parsed.$f").as(f)): _*)
   }

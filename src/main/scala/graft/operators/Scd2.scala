@@ -135,28 +135,83 @@ object Scd2 {
     * columns to attach (rename them beforehand if they collide with fact
     * columns). Each fact matches at most ONE version per key because a
     * key's intervals partition its timeline (boundary facts belong to the
-    * newer version — half-open). */
+    * newer version — half-open).
+    *
+    * Fan-out guards: EVERY interval — open or closed — is capped at the
+    * max fact time before bucketing (a closed version carrying a
+    * 9999-12-31 sentinel `valid_to` would otherwise explode one bucket row
+    * per `bucketSeconds` to year 9999; capping is filter-safe because no
+    * fact lies past the cap), and a version whose capped bucket span still
+    * exceeds `maxBucketsPerVersion` raises a loud distributed error (the
+    * `Sharding.groupedPrefixSum` guard discipline) instead of silently
+    * amplifying — raise `maxBucketsPerVersion`, or `bucketSeconds`, when
+    * the fan-out is intended. */
   def pointInTime(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
                   ptCol: String, bucketSeconds: Long,
-                  dimCols: Seq[String]): DataFrame = {
+                  dimCols: Seq[String],
+                  maxBucketsPerVersion: Long = 1000000L): DataFrame = {
     require(bucketSeconds > 0, "pointInTime: bucketSeconds must be > 0")
+    require(maxBucketsPerVersion > 0,
+      "pointInTime: maxBucketsPerVersion must be > 0")
     val b = "_graft_bucket"
     def bucketOf(c: Column) =
       floor(c.cast("long") / lit(bucketSeconds)).cast("long")
     val maxPt = facts.agg(max(col(ptCol)).as("_graft_max_pt"))
+    // least() skips nulls: the open interval AND any far-future closed
+    // valid_to both cap at max fact time + one bucket. The half-open
+    // post-filter may use the capped bound because every fact ts <= max_pt
+    // < cap, so `ts < capped_to` and `ts < valid_to` agree on facts.
     val iv = dim.crossJoin(broadcast(maxPt))
-      .withColumn("_graft_to", coalesce(col("valid_to"),
+      .withColumn("_graft_to", least(col("valid_to"),
         col("_graft_max_pt") + expr(s"INTERVAL $bucketSeconds SECONDS")))
       // a version starting after every fact can cover nothing; dropping it
       // also keeps the bucket sequence non-descending
       .filter(col("valid_from") <= col("_graft_max_pt"))
-      .withColumn(b, explode(sequence(bucketOf(col("valid_from")),
-        bucketOf(col("_graft_to")))))
+      .withColumn("_graft_nb",
+        bucketOf(col("_graft_to")) - bucketOf(col("valid_from")) + 1)
+      .withColumn(b, explode(
+        when(col("_graft_nb") <= maxBucketsPerVersion,
+          sequence(bucketOf(col("valid_from")), bucketOf(col("_graft_to"))))
+          .otherwise(raise_error(concat(
+            lit("pointInTime: a dimension version spans "), col("_graft_nb"),
+            lit(s" buckets of $bucketSeconds s (cap $maxBucketsPerVersion)" +
+              " — raise bucketSeconds or maxBucketsPerVersion"))))))
       .select((keyCols ++ dimCols).map(col) ++
         Seq(col("valid_from"), col("_graft_to"), col("version"), col(b)): _*)
     facts.withColumn(b, bucketOf(col(ptCol)))
       .join(iv, keyCols :+ b)
       .filter(col(ptCol) >= col("valid_from") && col(ptCol) < col("_graft_to"))
       .drop(b, "_graft_to", "valid_from")
+  }
+
+  /** [[pointInTime]] with `bucketSeconds` derived from the dimension's own
+    * interval statistics: the median CLOSED-interval duration (clamped to
+    * [60 s, 30 d]) makes the typical version span ~1-2 buckets — bounded
+    * fan-out — while each fact still probes exactly one bucket. Dimensions
+    * with no closed history yet (every key on its first version) fall back
+    * to 1/1024 of the dimension's `valid_from` span, then 86400 s. The
+    * two statistics aggregates collect one row each — driver-bounded. */
+  def pointInTimeAuto(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                      ptCol: String, dimCols: Seq[String],
+                      maxBucketsPerVersion: Long = 1000000L): DataFrame = {
+    val MinBucket = 60L
+    val MaxBucket = 30L * 86400L
+    val med = dim.filter(col("valid_to").isNotNull)
+      .agg(percentile_approx(
+        col("valid_to").cast("long") - col("valid_from").cast("long"),
+        lit(0.5), lit(10000)).as("med"))
+      .collect()(0)
+    val derived: Long =
+      if (!med.isNullAt(0) && med.getLong(0) > 0) med.getLong(0)
+      else {
+        val span = dim.agg(
+          (max(col("valid_from")).cast("long") -
+            min(col("valid_from")).cast("long")).as("span")).collect()(0)
+        if (!span.isNullAt(0) && span.getLong(0) > 0) span.getLong(0) / 1024L
+        else 86400L
+      }
+    pointInTime(facts, dim, keyCols, ptCol,
+      math.min(MaxBucket, math.max(MinBucket, derived)), dimCols,
+      maxBucketsPerVersion)
   }
 }

@@ -56,6 +56,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(rows.find(_._1 == 4L).get._2.isEmpty)
   }
 
+  test("fused kernel matches concat_ws null semantics on nullable token " +
+       "arrays (skip, no separator) — no NPE") {
+    val df = Seq(1L, 2L).toDF("doc_id")
+      .withColumn("_toks",
+        when($"doc_id" === 1L,
+          array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"),
+            lit(null).cast("string")))
+          .otherwise(array(lit(null).cast("string"),
+            lit(null).cast("string"), lit("x"))))
+      .select($"doc_id",
+        SpanDedup.spanHashes($"_toks", 3).as("fused"),
+        SpanDedup.spanHashesSql($"_toks", 3).as("chain"))
+    val rows = df.as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, fused, chain) =>
+      assert(fused == chain, s"doc $id: fused $fused != chain $chain")
+    }
+  }
+
   test("span report equals the naive all-windows recount") {
     val docs = Seq(
       1L -> "a b c d e f",          // windows abc bcd cde def
@@ -220,6 +238,21 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(1L) == ((3L, 0L, "a b c")))
     assert(got(2L) == ((0L, 0L, "")))
     assert(got(3L) == ((0L, 0L, "")))
+  }
+
+  test("removeDuplicateSpans: a doc id past the 2^43 packed-key bound " +
+       "raises loudly instead of silently corrupting the min ordering") {
+    val docs = Seq(
+      (SpanDedup.MaxSpanDocId, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j"))
+      .toDF("id", "text")
+    val e = intercept[Exception] {
+      SpanDedup.removeDuplicateSpans(docs, "id", "text", n = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("overflows the packed")))
   }
 
   test("winnowed set is a bounded subset of the span set") {

@@ -76,6 +76,27 @@ class IngestPipelineSpec extends SparkSpec {
       ("not json at all", "not json at all")))
   }
 
+  test("parseWithDlq carries ingest metadata columns through for DLQ " +
+       "replay, and rejects name collisions with the parsed schema") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val staged = Seq(
+      ("""{"id":1}""", "s3://b/f1", 7L),
+      ("""broken {""", "s3://b/f2", 8L))
+      .toDF("line", "src_path", "src_offset")
+    val out = IngestPipeline.parseWithDlq(staged, "line", schema)
+    assert(out.columns.toSeq ==
+      Seq("_raw", "src_path", "src_offset", "id", "_corrupt"))
+    val dlq = out.filter($"_corrupt".isNotNull)
+      .select($"src_path", $"src_offset", $"_raw")
+      .as[(String, Long, String)].collect().toSeq
+    assert(dlq == Seq(("s3://b/f2", 8L, "broken {")))
+    intercept[IllegalArgumentException] {
+      IngestPipeline.parseWithDlq(
+        staged.withColumnRenamed("src_path", "id"), "line", schema)
+    }
+  }
+
   test("parseWithDlq rejects a schema that already claims _corrupt") {
     import org.apache.spark.sql.types._
     intercept[IllegalArgumentException] {

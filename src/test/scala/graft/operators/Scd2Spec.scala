@@ -84,6 +84,77 @@ class Scd2Spec extends SparkSpec {
       (100L, 1L, "A"), (101L, 2L, "B"), (102L, 3L, "A"), (103L, 1L, "C")))
   }
 
+  test("pointInTime caps far-future sentinel valid_to like the open " +
+       "interval — no per-bucket explosion to year 9999, same answers") {
+    // an external SCD2 source using a 9999-12-31 sentinel instead of null:
+    // with hourly buckets an uncapped version would fan out ~70M rows
+    val dim = hist.select($"user_id", $"event_type".as("type_at_time"),
+        $"valid_from",
+        coalesce($"valid_to", to_timestamp(lit("9999-12-31 00:00:00")))
+          .as("valid_to"),
+        $"version")
+    val facts = Seq(
+      (100L, 1L, "2024-01-01 12:00:00"),
+      (102L, 1L, "2024-01-30 00:00:00"),
+      (103L, 2L, "2024-01-04 00:00:00"))
+      .toDF("fact_id", "user_id", "ts_s")
+      .select($"fact_id", $"user_id", to_timestamp($"ts_s").as("ts"))
+    val out = Scd2.pointInTime(facts, dim, Seq("user_id"), "ts",
+        bucketSeconds = 3600L, dimCols = Seq("type_at_time"))
+      .select($"fact_id", $"version", $"type_at_time")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    // completes instantly (capped) and the sentinel behaves as open
+    assert(out == Seq((100L, 1L, "A"), (102L, 3L, "A"), (103L, 1L, "C")))
+  }
+
+  test("pointInTime raises loudly when a version's bucket fan-out " +
+       "exceeds the cap, instead of silently amplifying") {
+    val dim = hist.select($"user_id", $"event_type".as("type_at_time"),
+      $"valid_from", $"valid_to", $"version")
+    val facts = Seq((100L, 1L, "2024-01-30 00:00:00"))
+      .toDF("fact_id", "user_id", "ts_s")
+      .select($"fact_id", $"user_id", to_timestamp($"ts_s").as("ts"))
+    val e = intercept[Exception] {
+      Scd2.pointInTime(facts, dim, Seq("user_id"), "ts",
+        bucketSeconds = 60L, dimCols = Seq("type_at_time"),
+        maxBucketsPerVersion = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("raise bucketSeconds")))
+  }
+
+  test("pointInTimeAuto derives a bucket width from the dimension's " +
+       "closed-interval median and matches the explicit-bucket answer") {
+    val dim = hist.select($"user_id", $"event_type".as("type_at_time"),
+      $"valid_from", $"valid_to", $"version")
+    val facts = Seq(
+      (100L, 1L, "2024-01-01 12:00:00"),
+      (101L, 1L, "2024-01-03 00:00:00"),
+      (102L, 1L, "2024-01-30 00:00:00"),
+      (103L, 2L, "2024-01-04 00:00:00"))
+      .toDF("fact_id", "user_id", "ts_s")
+      .select($"fact_id", $"user_id", to_timestamp($"ts_s").as("ts"))
+    val auto = Scd2.pointInTimeAuto(facts, dim, Seq("user_id"), "ts",
+        dimCols = Seq("type_at_time"))
+      .select($"fact_id", $"version", $"type_at_time")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val explicit = Scd2.pointInTime(facts, dim, Seq("user_id"), "ts",
+        bucketSeconds = 86400L, dimCols = Seq("type_at_time"))
+      .select($"fact_id", $"version", $"type_at_time")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(auto == explicit)
+    // all-open dimension (no closed intervals) still derives a width
+    val openDim = dim.filter($"valid_to".isNull)
+    val openOut = Scd2.pointInTimeAuto(facts, openDim, Seq("user_id"), "ts",
+        dimCols = Seq("type_at_time"))
+      .select($"fact_id", $"version").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // facts before each key's open-version start drop; the rest match
+    assert(openOut == Seq((102L, 3L), (103L, 1L)))
+  }
+
   test("pointInTime plans an equi-join on (key, bucket) — no nested-loop " +
        "or cartesian fallback") {
     val dim = hist.select($"user_id", $"event_type".as("type_at_time"),

@@ -65,6 +65,25 @@ class TableStatsSpec extends SparkSpec {
     assert(math.abs(fast("v")._4 - 5000.0) / 5000.0 < 0.15)
   }
 
+  test("fast path agrees with portable path on null-bearing columns: " +
+       "nulls are no phantom distinct value") {
+    // xxhash64(null) returns the seed (non-null); a naive fast path would
+    // count one phantom NDV on any nullable column. Pin both paths.
+    val df = Seq(Some("a"), Some("b"), None, None, Some("a"))
+      .toDF("s")
+      .withColumn("allnull", lit(null).cast("string"))
+    val portable = TableStats.columnStats(df, Seq("s", "allnull"), k = 16)
+      .as[(String, Long, Long, Double, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val fast = TableStats.columnStatsFast(df, Seq("s", "allnull"), k = 16)
+      .as[(String, Long, Long, Double, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(portable("s") == (("s", 5L, 2L, 2.0, Some("a"), Some("b"))))
+    assert(fast("s") == portable("s"))
+    assert(portable("allnull")._4 == 0.0 && fast("allnull")._4 == 0.0)
+    assert(fast("allnull") == portable("allnull"))
+  }
+
   test("histogram: exact equi-width counts, complete bucket list, max " +
        "value in the last bucket, nulls excluded") {
     val df = (Seq.tabulate(100)(i => Some(i.toDouble)) :+
