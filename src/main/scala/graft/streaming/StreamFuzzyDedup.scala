@@ -118,4 +118,16 @@ object StreamFuzzyDedup {
     query.awaitTermination()
     nBatches.get()
   }
+
+  /** Fold the standing index's per-batch directories into one bounded
+    * `batch_id=-1` base per state table — the [[IncrementalIngest.compact]]
+    * discipline, applied to all three tables together so they keep the
+    * same committed batch set. Run between drains. The newest batch stays
+    * un-absorbed: a replayed batch excludes its own directories when
+    * probing, and folding them into the base would make the replay see
+    * its own prior output as standing corpus and drop its own rows. */
+  def compact(spark: SparkSession, statePath: String,
+              numFiles: Int = 1): Unit =
+    Seq("accepted", "names", "variants").foreach(d =>
+      IncrementalIngest.compact(spark, s"$statePath/$d", numFiles))
 }
