@@ -489,6 +489,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED IVF-PQ serving over a stored index — offline retrieval
+    * evaluation's shape: a query *DataFrame* `(qid, vector)` joins the
+    * standing `(id, cell, codes)` index cell-wise, with NO per-query
+    * driver loop (the [[ivfPqTopKFromIndex]] single-vector path is the
+    * online-serving special case). Per query row the plan computes its
+    * `nProbe` probe cells and its per-cell residual ADC LUTs as array
+    * columns (HOFs over the broadcast coarse/codebook literals — work
+    * proportional to queries × nProbe, never to the corpus), then the
+    * query side — tiny next to the index — broadcast-joins the index
+    * on the cell column, so the index scan reads each probed cell ONCE
+    * for ALL queries probing it and never touches a corpus float.
+    * Per-query top-k is a `row_number` window partitioned by qid (the
+    * candidate set per query is already cut to the probed cells).
+    * Accumulation orders (ascending dim inside a subspace, ascending
+    * subspace across) mirror [[ivfPqTopKFromIndex]] exactly, so the
+    * q147 oracle restates per-query (q166). */
+  def ivfPqTopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                     index: DataFrame, idCol: String, cellCol: String,
+                     codesCol: String, coarse: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    val m = codebooks.size
+    val d = codebooks.head.head.size
+    // nProbe nearest cells per query: (dist, cell) structs sorted by
+    // (dist, cell) — the probeCells tie rule — then the cell ids
+    val dists = centroidDists(col(qvecCol), coarse)
+    val ranked = array_sort(zip_with(dists,
+      sequence(lit(1), lit(coarse.size)),
+      (dd, cc) => struct(dd.as("d"), cc.as("cell"))))
+    val probed = queries.select(col(qidCol), col(qvecCol),
+        explode(slice(ranked, 1, nProbe)).as("_p"))
+      .select(col(qidCol), col(qvecCol),
+        col("_p.cell").cast("int").as(cellCol))
+    // residual q − c_cell, then the m × ksub ADC LUT for THIS (query,
+    // cell) pair — ascending-dim aggregate inside a subspace, matching
+    // the driver-side LUT loop bit for bit
+    val qres = zip_with(col(qvecCol).cast("array<double>"),
+      element_at(typedLit(coarse), col(cellCol)), (a, b) => a - b)
+    val lut = transform(typedLit(codebooks), (cbS, s) =>
+      transform(cbS, cent =>
+        aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, i) => {
+          val t = element_at(col("_qres"), (s * d + i + 1).cast("int")) -
+            element_at(cent, (i + 1).cast("int"))
+          acc + t * t
+        })))
+    val qSide = probed.withColumn("_qres", qres)
+      .select(col(qidCol), col(cellCol), lut.as("_lut"))
+    // the query side is queries × nProbe rows — broadcast it so the
+    // index scan stays shuffle-free and each probed cell is read once
+    val joined = index.select(col(idCol), col(cellCol), col(codesCol))
+      .join(broadcast(qSide), cellCol)
+    val adc = aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("_lut"), s.cast("int")),
+        (element_at(col(codesCol), s.cast("int")) + 1).cast("int")))
+    import org.apache.spark.sql.expressions.Window
+    joined.select(col(qidCol), col(idCol), adc.as("adc_dist"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("adc_dist"), col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Scala-side nProbe nearest cells for the query (must mirror ivfCell). */
   def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
                  nProbe: Int): Seq[Int] =

@@ -210,9 +210,12 @@ object SpanDedup {
         .as(Seq("pos", "h")))
       // packed occurrence key; the guards turn a silent mis-ordering on a
       // >2^20-token document OR a >2^43 doc id (packed-key Long overflow)
-      // into a loud error
+      // into a loud error. Bounds stated without abs(): in non-ANSI mode
+      // abs(Long.MinValue) overflows back to Long.MinValue (negative) and
+      // would slip past an abs >= guard
       .withColumn("_k",
-        when(abs(col(idCol).cast("long")) >= MaxSpanDocId,
+        when(col(idCol).cast("long") >= MaxSpanDocId ||
+            col(idCol).cast("long") <= -MaxSpanDocId,
           raise_error(concat(lit(
             s"removeDuplicateSpans: |doc id| >= $MaxSpanDocId overflows " +
               "the packed first-occurrence key; id "),

@@ -59,8 +59,11 @@ object IngestPipeline {
     require(!schema.fieldNames.contains("_corrupt"),
       "parseWithDlq: schema already has a _corrupt column")
     val carried = raw.columns.toSeq.filterNot(_ == recordCol)
-    val collisions =
-      carried.toSet.intersect(schema.fieldNames.toSet + "_raw")
+    // _corrupt/_graft_parsed are internal names this method mints: a
+    // carried metadata column with either name would be duplicated or
+    // silently clobbered
+    val collisions = carried.toSet.intersect(
+      schema.fieldNames.toSet ++ Set("_raw", "_corrupt", "_graft_parsed"))
     require(collisions.isEmpty,
       s"parseWithDlq: input metadata columns collide with parsed fields: " +
         collisions.mkString(", "))

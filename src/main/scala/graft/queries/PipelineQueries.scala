@@ -850,6 +850,42 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** SCD2 snapshot COMPACTION under the gate (q165): the same staged
+    * drain as q157, but [[graft.streaming.Scd2Stream.compact]] runs
+    * MID-CHAIN (after wave 2) and again after the final wave — the
+    * base-fold/manifest-rewrite path, the trickiest replay surface in
+    * the streaming state machine, must leave the standing history
+    * byte-identical to the full batch recompute (the q157/q143 oracle
+    * verbatim). A fold that loses a bucket, mis-points a manifest at
+    * the base, or absorbs the newest delta breaks the hash; the
+    * post-compact drain proves the compacted state is a valid merge
+    * input, not just a valid read. */
+  def scd2StreamCompactQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q165") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_id"), col("event_type"))
+      def run(): Long = graft.streaming.Scd2Stream.runAvailableNow(
+        s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
+        Seq("event_id"), s"$base/state", s"$base/ckpt")
+      val d = dayofmonth(col("ts"))
+      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      graft.streaming.Scd2Stream.compact(s, s"$base/state")
+      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      graft.streaming.Scd2Stream.compact(s, s"$base/state")
+      graft.streaming.Scd2Stream.compact(s, s"$base/state") // idempotent
+      graft.streaming.Scd2Stream.currentHistory(s, s"$base/state")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+        .localCheckpoint()
+    }
+
   /** Dead-letter routing under the gate: documents render to NDJSON
     * lines, every 7th line is truncated mid-record (invalid JSON —
     * unclosed object), and [[graft.jobs.IngestPipeline.parseWithDlq]]
@@ -1080,6 +1116,7 @@ object PipelineQueries {
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
     "q164_enrich_stream"  -> scd2EnrichStreamQ _,
+    "q165_scd2_compact"   -> scd2StreamCompactQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1311,6 +1348,24 @@ object PipelineQueries {
     // the streaming incremental history must equal the batch recompute —
     // the oracle IS q143's full-log restatement
     "q157_scd2_stream" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        | valid_to IS NULL AS is_current
+        |FROM runs ORDER BY user_id, version""".stripMargin,
+    // mid-chain + post-drain compaction must preserve the standing
+    // history exactly — the q157 oracle verbatim
+    "q165_scd2_compact" ->
       """WITH e AS (SELECT user_id, event_id,
         |  date_trunc('second', ts) AS ts, event_type FROM events),
         |o AS (SELECT user_id, ts, event_id, event_type,

@@ -1705,7 +1705,34 @@ object TrainingData {
       k = 10, nProbe = 4)
   }
 
+  /** BATCHED IVF-PQ serving under the gate (q166): a query FRAME (every
+    * 199th vector) joins the stored-code index cell-wise through
+    * [[graft.functions.Similarity.ivfPqTopKBatch]] — per-query probe
+    * cells and residual-ADC LUTs computed IN THE PLAN (no per-query
+    * driver loop; the single-vector q147 path is the online special
+    * case), one index read serving every query. The oracle is the q147
+    * restatement generalized per-qid: probe, LUT, and top-k all keyed
+    * by the query id. A wrong LUT for any query, a cross-query leak, or
+    * per-query truncation drift breaks the hash. */
+  def ivfPqBatchQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      e, "embedding", "vec_id", k = 8, iters = 0)
+    val cbs = Similarity.ivfPqCodebooks(e, "embedding", "vec_id",
+      coarse, m = 8, ksub = 16, iters = 0)
+    val idx = Similarity.ivfPqEncode(
+        e.select(col("vec_id"), col("embedding")), "embedding", coarse,
+        cbs, cellCol = "cell", codesCol = "codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val qs = e.filter(col("vec_id") % 199 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Similarity.ivfPqTopKBatch(qs, "qid", "embedding", idx, "vec_id",
+        "cell", "codes", coarse, cbs, k = 10, nProbe = 4)
+      .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_ivfpq_batch"      -> ivfPqBatchQ _,
     "q147_ivfpq_topk"       -> ivfPqTopKQ _,
     "q146_score_ntile"      -> scoreNtileQ _,
     "q142_nfc_dedup"        -> nfcDedupQ _,
@@ -2129,6 +2156,74 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // the q147 chain generalized per-qid: probe/LUT/top-k each keyed by
+    // the query id; one row_number per query replaces the global LIMIT
+    "q166_ivfpq_batch" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS qid, embedding FROM embeddings
+        |       WHERE vec_id % 199 = 0),
+        |probe AS (SELECT qid, cell0 FROM (
+        |  SELECT q.qid, c.cell0,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM c0 c, qs q) WHERE rk <= 4),
+        |lut AS (SELECT p.qid, p.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+        |    * ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+        |    AS dd
+        | FROM probe p JOIN qs q ON q.qid = p.qid
+        |   JOIN c0 c ON c.cell0 = p.cell0
+        |   CROSS JOIN sp CROSS JOIN cbr),
+        |pervec AS (SELECT l.qid, b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+        | GROUP BY l.qid, b.vec_id)
+        |SELECT qid, vec_id, adc_dist FROM (
+        |  SELECT qid, vec_id, adc_dist,
+        |   row_number() OVER (PARTITION BY qid
+        |     ORDER BY adc_dist, vec_id) AS rk
+        |  FROM pervec) WHERE rk <= 10
+        |ORDER BY qid, adc_dist, vec_id""".stripMargin,
     "q147_ivfpq_topk" ->
       """WITH sm AS (SELECT vec_id, embedding,
         |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),

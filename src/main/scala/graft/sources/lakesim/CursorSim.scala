@@ -41,7 +41,14 @@ class CursorSimSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     def req(k: String): String = Option(opts.get(k)).getOrElse(
       throw new IllegalArgumentException(s"cursorsim: '$k' option is required"))
-    new CursorSimTable(req("path"), req("start"), schema)
+    // transport binding: `path` → local files (the gate shape), `url` →
+    // live HTTP with an optional `bearer` token (the reference's
+    // authenticated REST extract) — same planner either way
+    val transport: LakeTransport = Option(opts.get("url")) match {
+      case Some(u) => HttpTransport(u, Option(opts.get("bearer")))
+      case None    => FileTransport(req("path"))
+    }
+    new CursorSimTable(transport, req("start"), schema)
   }
 }
 
@@ -52,10 +59,10 @@ object CursorIndex {
 
   final case class PageHeader(file: String, count: Long, next: Option[String])
 
-  /** Header of one page file: `_count` + the follow link (`_links[1]`,
+  /** Header of one page: `_count` + the follow link (`_links[1]`,
     * like the reference's `get_next_url`). */
-  def header(dir: String, file: String): PageHeader = {
-    val root = mapper.readTree(new java.io.File(s"$dir/$file"))
+  def header(t: LakeTransport, file: String): PageHeader = {
+    val root = mapper.readTree(LakeTransport.readAll(t, file))
     val h = root.get(0)
     val links = Option(h.get("_links")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
@@ -63,46 +70,60 @@ object CursorIndex {
       links.lift(1).map(_.get("href").asText()))
   }
 
+  def header(dir: String, file: String): PageHeader =
+    header(FileTransport(dir), file)
+
   /** Walk the cursor chain from `start`: pages with records, in order.
     * Stops on `_count = 0`, a missing next link, or a cycle (the
     * reference's base-URL loop guard generalized to a visited set). */
-  def walk(dir: String, start: String): Seq[PageHeader] = {
+  def walk(t: LakeTransport, start: String): Seq[PageHeader] = {
     val out = Seq.newBuilder[PageHeader]
     var cur = Option(start)
     val visited = scala.collection.mutable.Set.empty[String]
     while (cur.isDefined && visited.add(cur.get)) {
-      val h = header(dir, cur.get)
+      val h = header(t, cur.get)
       if (h.count == 0) cur = None
       else { out += h; cur = h.next }
     }
     out.result()
   }
 
+  def walk(dir: String, start: String): Seq[PageHeader] =
+    walk(FileTransport(dir), start)
+
   /** Sum of the per-page `_count` headers — the reference's counts.csv
     * totals (A2's declared count for reconciliation). */
+  def declaredTotal(t: LakeTransport, start: String): Long =
+    walk(t, start).map(_.count).sum
+
   def declaredTotal(dir: String, start: String): Long =
-    walk(dir, start).map(_.count).sum
+    declaredTotal(FileTransport(dir), start)
 
   /** Record value maps of one page: skip the header element, flatten each
     * record's `_fields`. */
-  def pageRecords(dir: String, file: String): Iterator[Map[String, Any]] = {
-    val root = mapper.readTree(new java.io.File(s"$dir/$file"))
+  def pageRecords(t: LakeTransport, file: String): Iterator[Map[String, Any]] = {
+    val root = mapper.readTree(LakeTransport.readAll(t, file))
     root.elements().asScala.drop(1).flatMap(rec =>
       Option(rec.get("_fields")).map(JsonRecords.valueMap))
   }
+
+  def pageRecords(dir: String, file: String): Iterator[Map[String, Any]] =
+    pageRecords(FileTransport(dir), file)
 }
 
-class CursorSimTable(path: String, start: String, tableSchema: StructType)
+class CursorSimTable(transport: LakeTransport, start: String,
+                     tableSchema: StructType)
     extends Table with SupportsRead {
-  override def name(): String = s"cursorsim($path/$start)"
+  override def name(): String = s"cursorsim(${transport.base}/$start)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CursorSimScanBuilder(path, start, tableSchema)
+    new CursorSimScanBuilder(transport, start, tableSchema)
 }
 
-class CursorSimScanBuilder(path: String, start: String, tableSchema: StructType)
+class CursorSimScanBuilder(transport: LakeTransport, start: String,
+                           tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -120,29 +141,35 @@ class CursorSimScanBuilder(path: String, start: String, tableSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new CursorSimScan(path, start, required, pushed)
+  override def build(): Scan =
+    new CursorSimScan(transport, start, required, pushed)
 }
 
-class CursorSimScan(path: String, start: String, required: StructType,
+class CursorSimScan(transport: LakeTransport, start: String,
+                    required: StructType,
                     pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"cursorsim path=$path start=$start pushed=[${pushed.mkString(", ")}] " +
+    s"cursorsim base=${transport.base} start=$start " +
+      s"pushed=[${pushed.mkString(", ")}] " +
       s"fields=[${required.fieldNames.mkString(",")}]"
 
-  /** The driver-side cursor walk (headers only) → one partition per page. */
+  /** The driver-side cursor walk (headers only) → one partition per page.
+    * Partitions carry the transport, so each page's record fetch runs on
+    * its executor over the same binding (file or HTTP) the walk used. */
   override def planInputPartitions(): Array[InputPartition] =
-    CursorIndex.walk(path, start)
-      .map(h => CursorSimPartition(path, h.file, required, pushed): InputPartition)
+    CursorIndex.walk(transport, start)
+      .map(h => CursorSimPartition(transport, h.file, required,
+        pushed): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CursorSimReaderFactory
 }
 
-final case class CursorSimPartition(dir: String, file: String,
+final case class CursorSimPartition(transport: LakeTransport, file: String,
                                     required: StructType,
                                     pushed: Array[Filter]) extends InputPartition
 
@@ -154,7 +181,7 @@ class CursorSimReaderFactory extends PartitionReaderFactory {
 class CursorSimPartitionReader(p: CursorSimPartition)
     extends PartitionReader[InternalRow] {
 
-  private val records = CursorIndex.pageRecords(p.dir, p.file)
+  private val records = CursorIndex.pageRecords(p.transport, p.file)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

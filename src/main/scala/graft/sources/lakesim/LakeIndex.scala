@@ -20,8 +20,14 @@ object LakeIndex {
   /** Load `index.json`:
     * `{"objects": [{"file": "...", "count": N,
     *    "ranges": {"field": [min, max], ...}}, ...]}` */
-  def load(dir: String): Seq[ObjectEntry] = {
-    val root = mapper.readTree(new java.io.File(s"$dir/index.json"))
+  def load(dir: String): Seq[ObjectEntry] = load(FileTransport(dir))
+
+  /** Transport-bound variant — the same data-object-properties listing
+    * fetched over whatever the lake speaks (reference
+    * `datalakewrapper.py:88-102` pages it over REST; [[HttpTransport]]
+    * binds this planner to that shape without a planner change). */
+  def load(transport: LakeTransport): Seq[ObjectEntry] = {
+    val root = mapper.readTree(LakeTransport.readAll(transport, "index.json"))
     root.get("objects").elements().asScala.map { o =>
       val ranges = Option(o.get("ranges")).map(_.properties().asScala.map { e =>
         val arr = e.getValue

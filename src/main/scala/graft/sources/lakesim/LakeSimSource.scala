@@ -74,7 +74,8 @@ class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new LakeSimWriteBuilder(path, info.schema())
+    new LakeSimWriteBuilder(path, info.schema(),
+      copyPublish = "copy".equalsIgnoreCase(info.options().get("publish")))
 }
 
 class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int,

@@ -29,18 +29,31 @@ import org.apache.spark.sql.types._
   * The per-field ranges computed task-side are what makes the written lake
   * split-prunable on read — the same metadata the reference's
   * data-object-properties scan serves (`datalakewrapper.py:88-102`).
+  *
+  * OBJECT-STORE story (the reference's real sink is S3,
+  * `utilities/aws/s3.py:6-28`): the protocol needs exactly TWO primitives
+  * from the store — (1) an atomic single-object PUT for `index.json` (S3
+  * PUT is atomic) and (2) immutable object writes. It needs NO rename and
+  * NO listing: objects are INVISIBLE to readers until the index names
+  * them, so publishing a data object non-atomically is safe, and reads
+  * never enumerate the bucket (the index is the only listing). The
+  * `publish=copy` write option switches the local rename publish to a
+  * copy-then-delete publish — the exact primitive set an S3 binding has —
+  * and the spec drives the whole commit/truncate protocol through it.
+  * Under the Hadoop FS API the same layout runs on s3a:// unchanged.
   */
 final case class LakeSimCommit(tmpFile: String, count: Long,
                                ranges: Map[String, (Double, Double)])
     extends WriterCommitMessage
 
-class LakeSimWriteBuilder(path: String, schema: StructType)
+class LakeSimWriteBuilder(path: String, schema: StructType,
+                          copyPublish: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new LakeSimBatchWrite(path, schema, truncateAll)
+      new LakeSimBatchWrite(path, schema, truncateAll, copyPublish)
   }
 }
 
@@ -55,7 +68,8 @@ class LakeSimWriteBuilder(path: String, schema: StructType)
   * commit in between fails THIS job with a clear error before it can
   * publish over the other writer's index, leaving the lake exactly as
   * the other writer committed it. */
-class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
+class LakeSimBatchWrite(path: String, schema: StructType,
+                        truncateAll: Boolean, copyPublish: Boolean = false)
     extends BatchWrite {
 
   // driver-side, at job start (build time) — the baseline the commit
@@ -92,7 +106,13 @@ class LakeSimBatchWrite(path: String, schema: StructType, truncateAll: Boolean)
       val name = Iterator.from(used.size)
         .map(i => s"obj$i.ndjson").find(!used.contains(_)).get
       used += name
-      if (!new File(dir, m.tmpFile).renameTo(new File(dir, name)))
+      val src = new File(dir, m.tmpFile)
+      if (copyPublish) {
+        // rename-free publish (the object-store primitive set): the copy
+        // is non-atomic but the object is invisible until the index swap
+        java.nio.file.Files.copy(src.toPath, new File(dir, name).toPath)
+        java.nio.file.Files.delete(src.toPath)
+      } else if (!src.renameTo(new File(dir, name)))
         throw new java.io.IOException(
           s"lakesim commit: cannot publish ${m.tmpFile} as $name")
       ObjectEntry(name, m.count, m.ranges)

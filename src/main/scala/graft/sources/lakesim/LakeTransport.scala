@@ -1,0 +1,83 @@
+package graft.sources.lakesim
+
+import java.io.{ByteArrayOutputStream, File, FileInputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+
+/** Transport seam between the lake planners/readers and wherever the lake
+  * actually lives. The reference extracts over REST — a paged
+  * data-object-properties query (`datalakewrapper.py:88-102`) and a
+  * `_links`-following cursor walk (`fsmwrapper.py:38-115`) — while this
+  * engine's gates exercise the same protocol against local files. The
+  * planners ([[LakeIndex]], [[CursorIndex]]) speak ONLY this interface, so
+  * binding them to a live lake is a constructor argument, not a planner
+  * change. Implementations must be Serializable: partitions carry their
+  * transport to the executors (the DSv2 split model — each split fetches
+  * its own page, exactly like the reference's per-thread extract loop).
+  */
+trait LakeTransport extends Serializable {
+  /** Open the resource at `path`, relative to this transport's base.
+    * Callers close the stream. Fails loudly (the reference raises on any
+    * non-200: `datalakewrapper.py:83-84`). */
+  def open(path: String): InputStream
+
+  /** Human-readable base for plan descriptions / error messages. */
+  def base: String
+}
+
+object LakeTransport {
+  /** Drain a resource fully (index/header-sized payloads). */
+  def readAll(t: LakeTransport, path: String): Array[Byte] = {
+    val in = t.open(path)
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+}
+
+/** Local-filesystem binding — the gate/test transport. */
+final case class FileTransport(baseDir: String) extends LakeTransport {
+  override def open(path: String): InputStream =
+    new FileInputStream(new File(baseDir, path))
+  override def base: String = baseDir
+}
+
+/** Live-HTTP binding: GET `baseUrl/path` with an optional bearer token —
+  * the reference's authenticated extract call (`fsmwrapper.py:30-36`
+  * `get`, `datalakewrapper.py:94-97`). A non-200 response raises with the
+  * body text, mirroring `datalakewrapper.py:83-84`. The token is a
+  * supplier so a refreshing OAuth lifecycle (reference
+  * `oauth/datalakeoauth.py`, a declared non-goal) can ride this seam
+  * without touching the planners. */
+final case class HttpTransport(baseUrl: String,
+                               bearerToken: Option[String] = None,
+                               connectTimeoutMs: Int = 10000,
+                               readTimeoutMs: Int = 60000)
+    extends LakeTransport {
+
+  override def open(path: String): InputStream = {
+    val url = URI.create(s"${baseUrl.stripSuffix("/")}/$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    bearerToken.foreach(t =>
+      conn.setRequestProperty("Authorization", s"Bearer $t"))
+    val code = conn.getResponseCode
+    if (code != 200) {
+      val err = Option(conn.getErrorStream).map { es =>
+        try scala.io.Source.fromInputStream(es, "UTF-8").mkString
+        finally es.close()
+      }.getOrElse("")
+      conn.disconnect()
+      throw new java.io.IOException(
+        s"HttpTransport: GET $url returned $code: $err")
+    }
+    conn.getInputStream
+  }
+
+  override def base: String = baseUrl
+}

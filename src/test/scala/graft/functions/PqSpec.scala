@@ -200,6 +200,35 @@ class PqSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("ivfPqTopKBatch equals the single-query serving path for every " +
+      "query in the frame — no cross-query leak, same tie rules") {
+    val all = df(400)
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      all, "embedding", "vec_id", k = 8, iters = 2)
+    val cbs = Similarity.ivfPqCodebooks(all, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 2)
+    val index = Similarity.ivfPqEncode(
+        all.select($"vec_id", $"embedding"), "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val qids = Seq(0L, 7L, 123L, 333L)
+    val queries = all.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding")
+    val batch = Similarity.ivfPqTopKBatch(queries, "qid", "embedding",
+        index, "vec_id", "cell", "codes", coarse, cbs, k = 20, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))
+        .sortBy { case (id, dd) => (dd, id) }.toSeq).toMap
+    assert(batch.keySet == qids.toSet)
+    for (qid <- qids) {
+      val qvec = vectors(400).find(_._1 == qid).get._2.map(_.toDouble)
+      val single = Similarity.ivfPqTopKFromIndex(index, "vec_id",
+          "cell", "codes", qvec, coarse, cbs, k = 20, nProbe = 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"qid $qid")
+    }
+  }
+
   test("dim must divide m; empty input yields empty codebooks") {
     val data = df(10)
     val ex = intercept[IllegalArgumentException] {

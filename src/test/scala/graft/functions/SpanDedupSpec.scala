@@ -253,6 +253,16 @@ class SpanDedupSpec extends SparkSpec {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("overflows the packed")))
+    // Long.MinValue would slip past an abs()-based bound (non-ANSI abs
+    // overflows back to negative) — the guard must still fire
+    val minDocs = Seq(
+      (Long.MinValue, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j"))
+      .toDF("id", "text")
+    val e2 = intercept[Exception] {
+      SpanDedup.removeDuplicateSpans(minDocs, "id", "text", n = 8).collect()
+    }
+    assert(messages(e2).exists(_.contains("overflows the packed")))
   }
 
   test("winnowed set is a bounded subset of the span set") {

@@ -95,6 +95,14 @@ class IngestPipelineSpec extends SparkSpec {
       IngestPipeline.parseWithDlq(
         staged.withColumnRenamed("src_path", "id"), "line", schema)
     }
+    // the internal mint names are also reserved: a carried _corrupt
+    // would duplicate the routing column, a carried _graft_parsed would
+    // be clobbered by the parse struct
+    for (reserved <- Seq("_corrupt", "_graft_parsed", "_raw"))
+      intercept[IllegalArgumentException] {
+        IngestPipeline.parseWithDlq(
+          staged.withColumnRenamed("src_path", reserved), "line", schema)
+      }
   }
 
   test("parseWithDlq rejects a schema that already claims _corrupt") {

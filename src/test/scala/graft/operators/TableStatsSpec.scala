@@ -105,6 +105,28 @@ class TableStatsSpec extends SparkSpec {
     assert(got.map(_._4) == Seq(3L, 0L, 0L, 0L))
   }
 
+  test("fileStats reports per-table file counts and flags small files; " +
+       "hidden commit/checkpoint files are excluded; compaction shrinks " +
+       "the report") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fstats")
+    val frag = s"$base/frag"
+    val tidy = s"$base/tidy"
+    val df = spark.range(0, 1000).toDF("id")
+    df.repartition(16).write.parquet(frag) // 16 small files + _SUCCESS
+    df.coalesce(1).write.parquet(tidy)
+    val got = TableStats.fileStats(spark, Seq(frag, tidy, s"$base/nope"))
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, nF, totF, avgF, minF, maxF, smallF) = got(frag)
+    assert(nF == 16 && smallF == 16) // every fragment is < 32 MiB
+    assert(totF > 0 && avgF == totF / 16 && minF > 0 && maxF >= minF)
+    assert(got(tidy)._2 == 1)
+    // a missing path reports zeros rather than failing the whole sweep
+    assert(got(s"$base/nope")._2 == 0)
+    // after compaction the same report shows the need is gone
+    assert(got(frag)._2 > got(tidy)._2)
+  }
+
   test("fast path stays inside whole-stage codegen (no md5 in the plan)") {
     val df = spark.range(1, 101).toDF("v")
     val fastPlan = TableStats.columnStatsFast(df, Seq("v")).queryExecution

@@ -36,6 +36,26 @@ class LakeSimWriteSpec extends SparkSpec {
     assert(LakeIndex.load(dir).map(_.count).sum == 25)
   }
 
+  test("publish=copy (the rename-free object-store primitive set) runs " +
+       "the full commit/truncate protocol: round trip, no temp litter") {
+    val dir = Files.createTempDirectory("lakesim_w_os").toString
+    def write(ids: Range, mode: String): Unit =
+      ids.map(i => (i.toLong, "A", i * 1.0)).toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).option("publish", "copy").mode(mode).save()
+    write(1 to 25, "overwrite")
+    write(26 to 30, "append")
+    val names = new java.io.File(dir).list().toSeq
+    assert(!names.exists(_.startsWith("_tmp")), names)
+    assert(readLake(dir).select("id").as[Long].collect().toSet ==
+      (1 to 30).map(_.toLong).toSet)
+    // truncate under copy-publish: old objects removed after the swap
+    write(100 to 101, "overwrite")
+    assert(readLake(dir).select("id").as[Long].collect().toSet ==
+      Set(100L, 101L))
+    assert(new java.io.File(dir).list().count(_.endsWith(".ndjson")) == 1)
+  }
+
   test("append extends the lake; overwrite truncates it") {
     val dir = Files.createTempDirectory("lakesim_w2").toString
     def write(ids: Range, mode: String): Unit =

@@ -143,6 +143,137 @@ class Scd2StreamSpec extends SparkSpec {
     }
   }
 
+  test("adaptive buckets: a small state folds through ONE bucket, growth " +
+       "rebuilds under the larger K, and post-growth batches prune again") {
+    withBase { base =>
+      val src = s"$base/landing"
+      // waves: event-time-ordered per key (key 2 only appears in wave 1)
+      val w1 = Seq(all(0), all(1), all(3))                  // keys 1, 2
+      val w2 = Seq(all(4), (1L, "2024-01-22 00:00:00", 8L, "B")) // key 1
+      val w3 = Seq((1L, "2024-01-25 00:00:00", 9L, "E"))         // key 1
+      def run(): Long = Scd2Stream.runAvailableNow(spark, src,
+        mkLog(all).schema, Seq("user_id"), "ts", Seq("event_type"),
+        Seq("event_id"), s"$base/state", s"$base/ckpt",
+        targetRowsPerBucket = 4L) // force growth with a handful of rows
+      def snapDirs(id: Long) = {
+        val d = new java.io.File(s"$base/state/snap/batch_id=$id")
+        if (d.exists()) d.listFiles().map(_.getName)
+          .filter(_.startsWith("_gbucket=")).toSeq.sorted
+        else Seq.empty
+      }
+      def keysIn(id: Long) =
+        spark.read.parquet(s"$base/state/snap/batch_id=$id")
+          .select($"user_id").distinct().collect().map(_.getLong(0)).toSet
+      // wave 1: 3 events → K = 1 (ceil(3/4)): exactly one bucket dir
+      mkLog(w1).coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      assert(snapDirs(0) == Seq("_gbucket=0"), snapDirs(0))
+      // wave 2: est = 3 history rows + 2 → K = 2: REBUILD re-shards
+      // EVERYTHING — key 2's rows land in batch 1 though it wasn't in
+      // the batch
+      mkLog(w2).coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      assert(keysIn(1) == Set(1L, 2L), keysIn(1))
+      // wave 3: est stays under 2 buckets' worth → K holds at 2 →
+      // INCREMENTAL again: only key 1's bucket in the new delta
+      mkLog(w3).coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      assert(keysIn(2) == Set(1L), keysIn(2))
+      assert(snapDirs(2).size == 1, snapDirs(2))
+      // and the standing history still equals the full batch recompute
+      val got = histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+      val want = histOf(graft.operators.Scd2.fromChangeLog(
+        mkLog(w1 ++ w2 ++ w3),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id")))
+      assert(got == want)
+      // deltas are coalesced: every bucket dir holds exactly one file
+      Seq(0L, 1L, 2L).foreach { id =>
+        new java.io.File(s"$base/state/snap/batch_id=$id")
+          .listFiles().filter(_.getName.startsWith("_gbucket=")).foreach { b =>
+            assert(b.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+              s"batch_id=$id/${b.getName}")
+          }
+      }
+    }
+  }
+
+  test("compact survives a crash between base-delete and rename: the " +
+       "aside copy (or completed tmp) recovers, never losing history") {
+    withBase { base =>
+      val src = s"$base/landing"
+      val log = mkLog(all)
+      def run(): Long = Scd2Stream.runAvailableNow(spark, src, log.schema,
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"),
+        s"$base/state", s"$base/ckpt", nBuckets = 8)
+      def wave(lo: Int, hi: Int) =
+        mkLog(all.filter(r => r._3 >= lo && r._3 <= hi))
+          .coalesce(1).write.mode("append").parquet(src)
+      wave(1, 2); run(); wave(3, 4); run()
+      Scd2Stream.compact(spark, s"$base/state")
+      wave(5, 6); run()
+      val want = histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+      // simulate the crash window of a SECOND compaction: new base fully
+      // written to _compacting, old base renamed aside, then crash
+      // (before the tmp renamed into place)
+      val snap = java.nio.file.Paths.get(s"$base/state/snap")
+      val baseDir = snap.resolve("batch_id=-1")
+      val aside = snap.resolve(".base_old")
+      val tmp = snap.resolve("_compacting")
+      // build a stand-in "fully written tmp" = copy of the current base
+      def copyTree(a: java.nio.file.Path, b: java.nio.file.Path): Unit = {
+        val walk = java.nio.file.Files.walk(a)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.foreach { p =>
+            val t = b.resolve(a.relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(t)
+            else java.nio.file.Files.copy(p, t)
+          }
+        } finally walk.close()
+      }
+      copyTree(baseDir, tmp)
+      java.nio.file.Files.move(baseDir, aside) // crash point
+      // recovery: compact() must first complete the swap, then proceed
+      Scd2Stream.compact(spark, s"$base/state")
+      assert(java.nio.file.Files.exists(baseDir))
+      assert(!java.nio.file.Files.exists(aside))
+      assert(!java.nio.file.Files.exists(tmp))
+      assert(histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+        == want)
+      // partial-tmp-only crash (base intact): tmp is discarded
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.write(tmp.resolve("garbage"), Array[Byte](1))
+      Scd2Stream.compact(spark, s"$base/state")
+      assert(!java.nio.file.Files.exists(tmp))
+      assert(histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+        == want)
+    }
+  }
+
+  test("an EMPTY micro-batch still lands its enriched/batch_id=N " +
+       "directory (schema-only), so per-batch consumers never 404") {
+    withBase { base =>
+      val src = s"$base/landing"
+      val log = mkLog(all)
+      def run(): Long = Scd2Stream.runEnrichAvailableNow(spark, src,
+        log.schema, Seq("user_id"), "ts", Seq("event_type"),
+        Seq("event_id"), factCols = Seq("event_id", "user_id", "ts"),
+        s"$base/state", s"$base/ckpt")
+      mkLog(all.take(2)).coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      // an all-null-free but EMPTY wave: a zero-row parquet file
+      mkLog(Seq.empty).coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      val e1 = spark.read.parquet(s"$base/state/enriched/batch_id=1")
+      assert(e1.count() == 0)
+      assert(e1.columns.contains("version"))
+      // the non-empty batch's enrichment is intact
+      val e0 = spark.read.parquet(s"$base/state/enriched/batch_id=0")
+      assert(e0.count() == 2)
+    }
+  }
+
   test("currentHistory without any snapshot fails loudly") {
     val e = intercept[IllegalStateException] {
       Scd2Stream.currentHistory(spark, "/tmp/graft_scd2stream_nowhere")
