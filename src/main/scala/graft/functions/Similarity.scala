@@ -552,6 +552,57 @@ object Similarity {
       .drop("_rk")
   }
 
+  /** EXACT batched top-k by squared L2 — the ground-truth side of an
+    * offline retrieval evaluation: every query row scores the whole
+    * corpus (inherently O(N·Q); that is what "exact baseline" means),
+    * with the tiny query frame broadcast so the corpus scans ONCE for
+    * all queries and never shuffles. Ascending-dim accumulation, so the
+    * distances restate in SQL (q167). Per-query top-k = qid-partitioned
+    * row_number with (dist, id) ties — the same rule as
+    * [[ivfPqTopKBatch]]. */
+  def l2TopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                  corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    // the query vector renames internally so callers may use the same
+    // column name on both sides (the common case)
+    val dist = aggregate(
+      zip_with(col(vecCol).cast("array<double>"),
+        col("_graft_qvec").cast("array<double>"), (x, y) => {
+          val t = x - y
+          t * t
+        }),
+      lit(0.0), (acc, v) => acc + v)
+    import org.apache.spark.sql.expressions.Window
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(queries.select(col(qidCol),
+        col(qvecCol).as("_graft_qvec"))))
+      .select(col(qidCol), col(idCol), dist.as("l2_dist"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("l2_dist"), col(idCol))))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Recall@k report — the index-quality metric an offline evaluation
+    * ships: per query, how many of the exact top-k the approximate
+    * index surfaced. `exact`/`approx` are (qid, id, …) frames (the
+    * [[l2TopKBatch]] / [[ivfPqTopKBatch]] shapes); the overlap is one
+    * equi-join + count, recall a single integer division (restates
+    * exactly in SQL). Queries the approx side missed entirely still
+    * report (n_hit = 0) via the exact side's qid set. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, qidCol: String,
+                idCol: String, k: Int): DataFrame = {
+    val hits = exact.select(col(qidCol), col(idCol))
+      .join(approx.select(col(qidCol), col(idCol)), Seq(qidCol, idCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
+    exact.select(col(qidCol)).distinct()
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / k.toDouble).as("recall_at_k"))
+  }
+
   /** Scala-side nProbe nearest cells for the query (must mirror ivfCell). */
   def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
                  nProbe: Int): Seq[Int] =

@@ -1731,7 +1731,39 @@ object TrainingData {
       .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
   }
 
+  /** Offline retrieval EVALUATION under the gate (q167): the complete
+    * index-quality harness — the q166 batched IVF-PQ serving run
+    * side-by-side with the exact batched L2 ground truth
+    * ([[graft.functions.Similarity.l2TopKBatch]], corpus scanned once
+    * for all queries), folded into a per-query recall@10 report
+    * ([[graft.functions.Similarity.recallAtK]]). This is what "is the
+    * index good enough to ship" looks like as a query; the oracle
+    * restates BOTH chains and the integer-division recall, so a wrong
+    * ground truth, a serving drift, or an overlap miscount all break
+    * the hash. */
+  def recallEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      e, "embedding", "vec_id", k = 8, iters = 0)
+    val cbs = Similarity.ivfPqCodebooks(e, "embedding", "vec_id",
+      coarse, m = 8, ksub = 16, iters = 0)
+    val idx = Similarity.ivfPqEncode(
+        e.select(col("vec_id"), col("embedding")), "embedding", coarse,
+        cbs, cellCol = "cell", codesCol = "codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val qs = e.filter(col("vec_id") % 199 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val approx = Similarity.ivfPqTopKBatch(qs, "qid", "embedding", idx,
+      "vec_id", "cell", "codes", coarse, cbs, k = 10, nProbe = 4)
+    val exact = Similarity.l2TopKBatch(qs, "qid", "embedding",
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k = 10)
+    Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 10)
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_recall_eval"      -> recallEvalQ _,
     "q166_ivfpq_batch"      -> ivfPqBatchQ _,
     "q147_ivfpq_topk"       -> ivfPqTopKQ _,
     "q146_score_ntile"      -> scoreNtileQ _,
@@ -2156,6 +2188,89 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // both evaluation chains restated: approx = the q166 per-qid serving
+    // chain; exact = per-qid squared-L2 row_number; recall = one
+    // integer-count double division
+    "q167_recall_eval" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |qs AS (SELECT vec_id AS qid, embedding FROM embeddings
+        |       WHERE vec_id % 199 = 0),
+        |probe AS (SELECT qid, cell0 FROM (
+        |  SELECT q.qid, c.cell0,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM c0 c, qs q) WHERE rk <= 4),
+        |lut AS (SELECT p.qid, p.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+        |    * ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+        |    AS dd
+        | FROM probe p JOIN qs q ON q.qid = p.qid
+        |   JOIN c0 c ON c.cell0 = p.cell0
+        |   CROSS JOIN sp CROSS JOIN cbr),
+        |pervec AS (SELECT l.qid, b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+        | GROUP BY l.qid, b.vec_id),
+        |ap AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |   row_number() OVER (PARTITION BY qid
+        |     ORDER BY adc_dist, vec_id) AS rk
+        |  FROM pervec) WHERE rk <= 10),
+        |ex AS (SELECT qid, vec_id FROM (
+        |  SELECT q.qid, v.vec_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE))),
+        |     v.vec_id) AS rk
+        |  FROM embeddings v, qs q) WHERE rk <= 10),
+        |hits AS (SELECT ex.qid, count(*) AS n_hit
+        |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+        |  GROUP BY ex.qid)
+        |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  coalesce(h.n_hit, 0)::DOUBLE / CAST(10 AS DOUBLE) AS recall_at_k
+        |FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h USING (qid)
+        |ORDER BY qid""".stripMargin,
     // the q147 chain generalized per-qid: probe/LUT/top-k each keyed by
     // the query id; one row_number per query replaces the global LIMIT
     "q166_ivfpq_batch" ->

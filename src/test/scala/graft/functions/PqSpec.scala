@@ -229,6 +229,42 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("l2TopKBatch equals the driver exact reference; recallAtK " +
+      "counts overlap per query with integer-exact division") {
+    val all = df(200)
+    val qids = Seq(0L, 33L, 77L)
+    val queries = all.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding")
+    val exact = Similarity.l2TopKBatch(queries, "qid", "embedding",
+        all.select($"vec_id", $"embedding"), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2))
+        .map(_._2).toSeq).toMap
+    for (qid <- qids) {
+      val q = vectors(200).find(_._1 == qid).get._2.map(_.toDouble)
+      val ref = vectors(200).map { case (id, v) =>
+        val d = v.map(_.toDouble).zip(q)
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+        (id, d)
+      }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+      assert(exact(qid) == ref, s"qid $qid")
+      // the query itself is its own nearest neighbor (distance 0)
+      assert(exact(qid).head == qid)
+    }
+    // recall: overlap of exact-top-5 with a deliberately partial approx
+    val exactDf = Similarity.l2TopKBatch(queries, "qid", "embedding",
+      all.select($"vec_id", $"embedding"), "vec_id", "embedding", k = 5)
+    val approx = exactDf.filter($"vec_id" % 2 === 0) // drop odd-id hits
+    val rec = Similarity.recallAtK(exactDf, approx, "qid", "vec_id", k = 5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rec.keySet == qids.toSet)
+    for (qid <- qids) {
+      val expectHits = exact(qid).count(_ % 2 == 0).toLong
+      assert(rec(qid)._2 == expectHits)
+      assert(rec(qid)._3 == expectHits / 5.0)
+    }
+  }
+
   test("dim must divide m; empty input yields empty codebooks") {
     val data = df(10)
     val ex = intercept[IllegalArgumentException] {
