@@ -18,6 +18,41 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** Sliding-token-window document CHUNKING — the embedding/context-prep
+    * op every retrieval or long-context training pipeline runs before
+    * vectorizing: each document splits into windows of `chunkTokens`
+    * whitespace tokens advancing by `stride` (overlap = chunkTokens −
+    * stride preserves context across cuts). Window count is
+    * 1 + ceil(max(n − C, 0) / S) — every token is covered, the last
+    * window may run short, a ≤ C-token document is exactly one chunk,
+    * and an empty/null document yields NO chunks. Pure per-row
+    * generator work (tokenize once, slice per window) — no shuffle, no
+    * state; at 100 TB the op is embarrassingly parallel and output size
+    * is input × (C/S) overlap factor, the caller's knob. All integer
+    * arithmetic, so the whole layout restates in SQL (q168).
+    *
+    * Output: (id, chunk_id, chunk_text, n_tokens), chunk_id 0-based. */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, chunkTokens: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1, s"chunkDocuments: chunkTokens $chunkTokens < 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"chunkDocuments: stride $stride outside [1, $chunkTokens]")
+    val n = size(col("_toks"))
+    val nChunks = (lit(1) + floor(
+      (greatest(n - chunkTokens, lit(0)) + (stride - 1)).cast("double")
+        / stride)).cast("int")
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          k => slice(col("_toks"), k * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "_ctoks")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("_ctoks"), " ").as("chunk_text"),
+        size(col("_ctoks")).cast("long").as("n_tokens"))
+  }
+
   /** BPE-ish token count HEURISTIC: alphanumeric runs and single
     * punctuation marks each count as one token (a cheap regex proxy —
     * q22's explicit heuristic count). For numbers that measure a real

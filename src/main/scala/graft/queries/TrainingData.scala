@@ -1762,7 +1762,23 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** Sliding-window document chunking under the gate (q168): every doc
+    * splits into 64-token windows advancing by 48 (16-token overlap)
+    * through [[graft.functions.TextAnalysis.chunkDocuments]] — the
+    * embedding-prep layout a retrieval pipeline feeds to its encoder.
+    * The oracle restates the integer window count, the per-window
+    * slice, and the joined text md5 — so a lost tail window, an
+    * off-by-one slice, or an overlap drift breaks the hash. */
+  def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.chunkDocuments(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"),
+        md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_doc_chunks"       -> chunkDocsQ _,
     "q167_recall_eval"      -> recallEvalQ _,
     "q166_ivfpq_batch"      -> ivfPqBatchQ _,
     "q147_ivfpq_topk"       -> ivfPqTopKQ _,
@@ -2188,6 +2204,23 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // integer window count 1 + ceil(max(n-64,0)/48), 1-based slices of
+    // the \S+ token list, md5 of the space-joined window
+    "q168_doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+        |      WHERE len(toks) > 0),
+        |k AS (SELECT doc_id, toks,
+        |  unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48))
+        |    AS chunk_id
+        | FROM n)
+        |SELECT doc_id, chunk_id,
+        | md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' '))
+        |   AS chunk_md5,
+        | CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+        |   AS n_tokens
+        |FROM k ORDER BY doc_id, chunk_id""".stripMargin,
     // both evaluation chains restated: approx = the q166 per-qid serving
     // chain; exact = per-qid squared-L2 row_number; recall = one
     // integer-count double division

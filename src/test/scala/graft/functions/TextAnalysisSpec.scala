@@ -53,6 +53,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(h => h >= 0 && h < 1000000007L))
   }
 
+  test("chunkDocuments: full coverage, overlap, short tail, " +
+       "single-chunk short doc, empty/null docs dropped, guards") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, ten),            // 10 tokens, C=4 S=3 → 3 chunks of 4,4,4
+      (2L, "a b c"),        // ≤ C → exactly one chunk
+      (3L, ""),             // empty → no chunks
+      (4L, null.asInstanceOf[String]), // null → no chunks
+      (5L, (1 to 5).map(i => s"u$i").mkString(" "))) // 5 → 2 chunks (4, 2)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (5L, 0L), (5L, 1L)))
+    // doc 1: windows start at tokens 1, 4, 7 (1-based) — every token
+    // covered, adjacent windows share one token
+    assert(out(0)._3 == "t1 t2 t3 t4")
+    assert(out(1)._3 == "t4 t5 t6 t7")
+    assert(out(2)._3 == "t7 t8 t9 t10")
+    assert(out(3)._3 == "a b c" && out(3)._4 == 3L)
+    assert(out(4)._3 == "u1 u2 u3 u4")
+    assert(out(5)._3 == "u4 u5" && out(5)._4 == 2L)
+    // guards fail fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, "doc_id", "text", 0, 1)
+    }
+  }
+
   test("cleanText strips markup and collapses whitespace") {
     val out = Seq(
       "<p class=\"x\">hello   <b>world</b></p>\n<br/>",
