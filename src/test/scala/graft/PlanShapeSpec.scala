@@ -377,6 +377,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("REPARTITION_BY_COL"), plan)
   }
 
+  test("batched IVF-PQ serving: the query side broadcasts into a hash " +
+       "join on the cell column — the index is never shuffled or " +
+       "cartesian-joined") {
+    val vecs = (0L until 64L).map(i =>
+      (i, Seq.tabulate(16)(j => ((i * 7 + j) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val coarse = graft.functions.Similarity.ivfCentroidsTrainedPortable(
+      vecs, "embedding", "vec_id", k = 4, iters = 0)
+    val cbs = graft.functions.Similarity.ivfPqCodebooks(vecs, "embedding",
+      "vec_id", coarse, m = 4, ksub = 4, iters = 0)
+    val idx = graft.functions.Similarity.ivfPqEncode(
+      vecs, "embedding", coarse, cbs, cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val qs = vecs.filter($"vec_id" % 16 === 0)
+      .select($"vec_id".as("qid"), $"embedding")
+    val out = graft.functions.Similarity.ivfPqTopKBatch(qs, "qid",
+      "embedding", idx, "vec_id", "cell", "codes", coarse, cbs, k = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("document chunking is pure generator work — no exchange, no " +
+       "window, tokenization inside codegen") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to 30).map(t => s"w$t").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.chunkDocuments(
+      docs, "doc_id", "text", chunkTokens = 8, stride = 6)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("hard-negative mining: window-free pick; candidates ride the " +
        "cell equi-join, never a cartesian") {
     val vecs = (1L to 40L).map(i =>
