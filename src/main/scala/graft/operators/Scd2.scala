@@ -115,6 +115,50 @@ object Scd2 {
     closed.unionByName(shifted)
   }
 
+  /** Apply DELETE tombstones to an SCD2 frame: each deleted key's OPEN
+    * interval closes at the tombstone time (`valid_to` = delete ts,
+    * `is_current` = false) and NO successor version is minted — the
+    * entity ceased to exist, which is exactly the state an
+    * overwrite-upsert warehouse cannot represent (the row just
+    * disappears there). Closed versions and undeleted keys pass through
+    * untouched; a tombstone for an unknown or already-deleted key is a
+    * no-op (nothing open to close); multiple tombstones per key close at
+    * the EARLIEST. A tombstone earlier than the key's current
+    * `valid_from` violates the [[merge]] ordering contract (it would
+    * demand closed-history rewrite) and raises a loud distributed error.
+    *
+    * Scale shape: one left equi-join on the key (tombstone batches are
+    * small next to the dimension — AQE broadcasts them), per-row
+    * conditional rewrite, no window, no shuffle of the dimension beyond
+    * the join. After a delete the key has no current row, so a later
+    * [[merge]] re-observing it restarts at version 1 — callers needing
+    * resurrection with continued version numbers should recompact from
+    * the full log ([[fromChangeLog]]).
+    *
+    * `deletes`: (keyCols, tsCol) tombstone rows. Output columns = `dim`'s. */
+  def applyDeletes(dim: DataFrame, deletes: DataFrame, keyCols: Seq[String],
+                   tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyDeletes: need key columns")
+    val dels = deletes.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tsCol)).as("_graft_del_ts"))
+    val closing = col("_graft_del_ts").isNotNull && col("is_current")
+    dim.join(dels, keyCols, "left")
+      .withColumn("valid_to",
+        when(closing,
+          when(col("_graft_del_ts") < col("valid_from"),
+            raise_error(concat(
+              lit("applyDeletes: tombstone precedes the current " +
+                "version's valid_from for key "),
+              concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+              lit(" — closed-history rewrite needed; recompact from " +
+                "the full log"))))
+            .otherwise(col("_graft_del_ts")))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && !closing)
+      .drop("_graft_del_ts")
+      .select(dim.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Point-in-time (temporal) lookup: join each fact row to the dimension
     * VERSION valid at its timestamp — `valid_from <= ts < valid_to`, the
     * open (current) interval unbounded above. The classic warehouse

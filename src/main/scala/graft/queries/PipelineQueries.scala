@@ -886,6 +886,28 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** SCD2 DELETE semantics under the gate (q169): every 7th user gets a
+    * tombstone one hour after their last observation, and
+    * [[graft.operators.Scd2.applyDeletes]] must close exactly those
+    * users' open intervals at the tombstone time — no successor version,
+    * closed history untouched, everyone else still current. The state an
+    * overwrite-upsert warehouse cannot represent (the reference's merge
+    * just loses the row); the oracle restates the q143 history with the
+    * tombstone-close as one CASE over a left join. */
+  def scd2DeletesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val hist = graft.operators.Scd2.fromChangeLog(e, Seq("user_id"), "ts",
+      Seq("event_type"), tieCols = Seq("event_id"))
+    val dels = e.filter(col("user_id") % 7 === 0)
+      .groupBy(col("user_id"))
+      .agg((max(col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
+    graft.operators.Scd2.applyDeletes(hist, dels, Seq("user_id"), "ts")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Dead-letter routing under the gate: documents render to NDJSON
     * lines, every 7th line is truncated mid-record (invalid JSON —
     * unclosed object), and [[graft.jobs.IngestPipeline.parseWithDlq]]
@@ -1117,6 +1139,7 @@ object PipelineQueries {
     "q163_index_append"   -> indexAppendQ _,
     "q164_enrich_stream"  -> scd2EnrichStreamQ _,
     "q165_scd2_compact"   -> scd2StreamCompactQ _,
+    "q169_scd2_deletes"   -> scd2DeletesQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1363,6 +1386,30 @@ object PipelineQueries {
         |SELECT user_id, event_type, valid_from, valid_to, version,
         | valid_to IS NULL AS is_current
         |FROM runs ORDER BY user_id, version""".stripMargin,
+    // the q143 history with tombstone-close restated: every 7th user's
+    // open interval ends at max(ts) + 1 hour, no successor version
+    "q169_scd2_deletes" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |dels AS (SELECT user_id, max(ts) + INTERVAL 1 HOUR AS del_ts
+        | FROM e WHERE user_id % 7 = 0 GROUP BY user_id)
+        |SELECT r.user_id, r.event_type, r.valid_from,
+        | CASE WHEN r.valid_to IS NULL AND d.user_id IS NOT NULL
+        |      THEN d.del_ts ELSE r.valid_to END AS valid_to,
+        | r.version,
+        | (r.valid_to IS NULL AND d.user_id IS NULL) AS is_current
+        |FROM runs r LEFT JOIN dels d USING (user_id)
+        |ORDER BY r.user_id, r.version""".stripMargin,
     // mid-chain + post-drain compaction must preserve the standing
     // history exactly — the q157 oracle verbatim
     "q165_scd2_compact" ->

@@ -62,6 +62,49 @@ class Scd2Spec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("applyDeletes closes only the tombstoned keys' open intervals — " +
+       "earliest tombstone wins, closed history and other keys pass " +
+       "through, unknown/early tombstones behave per contract") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+        $"version", $"is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._5)).toSeq
+    val dels = Seq(
+      (1L, "2024-01-09 00:00:00"),
+      (1L, "2024-01-08 00:00:00"),  // earlier tombstone for user 1 wins
+      (9L, "2024-01-01 00:00:00"))  // unknown key: no-op
+      .toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("ts"))
+    val got = rows(Scd2.applyDeletes(hist, dels, Seq("user_id"), "ts"))
+    assert(got == Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")),
+        1L, false),
+      (1L, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")),
+        2L, false),
+      // the open interval closed at the EARLIEST tombstone, no successor
+      (1L, "A", ts("2024-01-05 00:00:00"), Some(ts("2024-01-08 00:00:00")),
+        3L, false),
+      // user 2 untouched, still current
+      (2L, "C", ts("2024-01-04 00:00:00"), None, 1L, true)))
+    // idempotent: deleting an already-deleted key changes nothing
+    val again = rows(Scd2.applyDeletes(
+      Scd2.applyDeletes(hist, dels, Seq("user_id"), "ts"),
+      dels, Seq("user_id"), "ts"))
+    assert(again == got)
+    // a tombstone before the current version's valid_from raises loudly
+    val early = Seq((2L, "2024-01-02 00:00:00")).toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("ts"))
+    val e = intercept[Exception] {
+      Scd2.applyDeletes(hist, early, Seq("user_id"), "ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("tombstone precedes")))
+  }
+
   test("pointInTime joins each fact to the one version covering its ts; " +
        "boundary facts take the NEWER version; open interval covers the " +
        "tail; pre-history facts drop") {
