@@ -886,6 +886,50 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING CDC SCD2 under the gate (q170): the q157 staged drain
+    * with an op column — waves 1-2 are upserts, wave 3 carries the rest
+    * of the log PLUS delete tombstones (every 7th user, one hour after
+    * their last observation) in the SAME batch, and the standing
+    * history must equal the batch recompute with deletes applied — the
+    * q169 oracle verbatim. Proves the CDC split (upserts merge first,
+    * tombstones close after) through the real checkpointed stream. */
+  def scd2CdcStreamQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q170") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_id"), col("event_type"))
+      val asCdc = (df: DataFrame) => df.withColumn("op", lit("u"))
+      val tombstones = e.filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id"))
+        .agg((max(col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("string").as("event_type"),
+          lit("d").as("op"))
+      val schema = asCdc(e).schema
+      def run(): Long = graft.streaming.Scd2Stream.runAvailableNow(
+        s, src, schema, Seq("user_id"), "ts", Seq("event_type"),
+        Seq("event_id"), s"$base/state", s"$base/ckpt",
+        opCol = Some("op"))
+      val d = dayofmonth(col("ts"))
+      asCdc(e.filter(d <= 10)).coalesce(1).write.mode("append").parquet(src)
+      run()
+      asCdc(e.filter(d > 10 && d <= 20)).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      // final wave: remaining upserts + the tombstones, one batch
+      asCdc(e.filter(d > 20)).unionByName(tombstones).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      require(run() <= 1, "scd2CdcStreamQ: no-data replay ran batches")
+      graft.streaming.Scd2Stream.currentHistory(s, s"$base/state")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+        .localCheckpoint()
+    }
+
   /** SCD2 DELETE semantics under the gate (q169): every 7th user gets a
     * tombstone one hour after their last observation, and
     * [[graft.operators.Scd2.applyDeletes]] must close exactly those
@@ -1140,6 +1184,7 @@ object PipelineQueries {
     "q164_enrich_stream"  -> scd2EnrichStreamQ _,
     "q165_scd2_compact"   -> scd2StreamCompactQ _,
     "q169_scd2_deletes"   -> scd2DeletesQ _,
+    "q170_scd2_cdc"       -> scd2CdcStreamQ _,
     "q152_stream_sessions" -> streamSessionsQ _,
     "q153_dedup_eviction" -> streamDedupEvictionQ _,
   )
@@ -1386,6 +1431,30 @@ object PipelineQueries {
         |SELECT user_id, event_type, valid_from, valid_to, version,
         | valid_to IS NULL AS is_current
         |FROM runs ORDER BY user_id, version""".stripMargin,
+    // the streaming CDC drain must equal the batch recompute with
+    // deletes applied — the q169 oracle verbatim
+    "q170_scd2_cdc" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |dels AS (SELECT user_id, max(ts) + INTERVAL 1 HOUR AS del_ts
+        | FROM e WHERE user_id % 7 = 0 GROUP BY user_id)
+        |SELECT r.user_id, r.event_type, r.valid_from,
+        | CASE WHEN r.valid_to IS NULL AND d.user_id IS NOT NULL
+        |      THEN d.del_ts ELSE r.valid_to END AS valid_to,
+        | r.version,
+        | (r.valid_to IS NULL AND d.user_id IS NULL) AS is_current
+        |FROM runs r LEFT JOIN dels d USING (user_id)
+        |ORDER BY r.user_id, r.version""".stripMargin,
     // the q143 history with tombstone-close restated: every 7th user's
     // open interval ends at max(ts) + 1 hour, no successor version
     "q169_scd2_deletes" ->

@@ -99,21 +99,27 @@ object Scd2Stream {
     }
 
   /** Drain `sourcePath` with AvailableNow, folding each micro-batch into
-    * the standing bucketed SCD2 snapshot. Returns the number of
-    * micro-batches this run processed. */
+    * the standing bucketed SCD2 snapshot. When `opCol` is set, the
+    * stream is a CDC feed: rows whose op column equals `"d"` are DELETE
+    * tombstones — the key's open interval closes at the tombstone's
+    * `tsCol` ([[Scd2.applyDeletes]] semantics, applied after the
+    * batch's upserts merge, so an update and a later tombstone for the
+    * same key may ride one batch); every other row is an upsert. Returns
+    * the number of micro-batches this run processed. */
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, keyCols: Seq[String], tsCol: String,
                       attrCols: Seq[String], tieCols: Seq[String],
                       statePath: String, checkpointPath: String,
                       nBuckets: Int = Adaptive,
-                      targetRowsPerBucket: Long = TargetRowsPerBucket): Long = {
+                      targetRowsPerBucket: Long = TargetRowsPerBucket,
+                      opCol: Option[String] = None): Long = {
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val query = spark.readStream.schema(schema).parquet(sourcePath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()
         foldBatch(batch, batchId, keyCols, tsCol, attrCols, tieCols,
-          statePath, nBuckets, targetRowsPerBucket)
+          statePath, nBuckets, targetRowsPerBucket, opCol)
         ()
       }
       .option("checkpointLocation", checkpointPath)
@@ -157,7 +163,7 @@ object Scd2Stream {
         nBatches.incrementAndGet()
         val session = batch.sparkSession
         val affected = foldBatch(batch, batchId, keyCols, tsCol, attrCols,
-          tieCols, statePath, nBuckets, targetRowsPerBucket)
+          tieCols, statePath, nBuckets, targetRowsPerBucket, None)
         // enrich from the WRITTEN delta — one computation of the merge,
         // and only the batch's own buckets are read back; an empty batch
         // enriches an empty frame so the per-batch directory still lands
@@ -199,7 +205,8 @@ object Scd2Stream {
                         keyCols: Seq[String], tsCol: String,
                         attrCols: Seq[String], tieCols: Seq[String],
                         statePath: String, nBuckets: Int,
-                        targetRowsPerBucket: Long): Seq[Int] = {
+                        targetRowsPerBucket: Long,
+                        opCol: Option[String]): Seq[Int] = {
     val session = batch.sparkSession
     val snapRoot = s"$statePath/snap"
     val maniRoot = s"$statePath/manifests"
@@ -240,32 +247,43 @@ object Scd2Stream {
       else
         affected.flatMap(b => priorEntries.get(b).map(m =>
           s"$snapRoot/batch_id=$m/$BucketCol=$b"))
-    val hist =
+    // CDC split: tombstones close intervals AFTER the batch's upserts
+    // merge (an update and a later delete for one key may share a batch)
+    val upserts = opCol.map(c => batch.filter(!(col(c) <=> lit("d"))))
+      .getOrElse(batch) // null op = upsert
+    val merged =
       if (priorPaths.isEmpty)
-        Scd2.fromChangeLog(batch, keyCols, tsCol, attrCols, tieCols)
+        Scd2.fromChangeLog(upserts, keyCols, tsCol, attrCols, tieCols)
       else
-        Scd2.merge(session.read.parquet(priorPaths: _*), batch,
+        Scd2.merge(session.read.parquet(priorPaths: _*), upserts,
           keyCols, tsCol, attrCols, tieCols)
+    val hist = opCol.map { c =>
+      Scd2.applyDeletes(merged,
+        batch.filter(col(c) === lit("d"))
+          .select((keyCols :+ tsCol).map(col): _*),
+        keyCols, tsCol)
+    }.getOrElse(merged)
     val deltaDir = s"$snapRoot/batch_id=$batchId"
     // repartition by bucket → one task per bucket → one file per bucket
     hist.withColumn(BucketCol, bucketOf(keyCols, k))
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(deltaDir)
-    val writtenBuckets =
-      if (!rebuild) affected
-      else { // the rebuild re-sharded every standing key: list the delta
-        val fs = new Path(deltaDir).getFileSystem(
-          session.sparkContext.hadoopConfiguration)
-        fs.listStatus(new Path(deltaDir)).map(_.getPath.getName).toSeq
-          .collect { case n if n.startsWith(s"$BucketCol=") =>
-            n.stripPrefix(s"$BucketCol=").toInt }.sorted
-      }
+    // the delta's ACTUAL bucket dirs (one flat listing): under a rebuild
+    // every standing key re-sharded; under CDC an affected bucket with
+    // no prior state and only tombstones produces no rows at all
+    val written = {
+      val fs = new Path(deltaDir).getFileSystem(
+        session.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(deltaDir)).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith(s"$BucketCol=") =>
+          n.stripPrefix(s"$BucketCol=").toInt }.sorted
+    }
     val entries =
-      if (rebuild) writtenBuckets.map(_ -> batchId).toMap
-      else priorEntries ++ affected.map(_ -> batchId)
+      if (rebuild) written.map(_ -> batchId).toMap
+      else priorEntries ++ written.map(_ -> batchId)
     writeManifest(session, maniRoot, batchId, Manifest(k, total, entries))
-    writtenBuckets
+    written
   }
 
   /** The standing history: every bucket at its latest version, per the

@@ -274,6 +274,53 @@ class Scd2StreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC mode: tombstone rows close the key's open interval in the " +
+       "standing snapshot — no successor version, others unaffected, " +
+       "an update and a later delete may share a batch") {
+    withBase { base =>
+      val src = s"$base/landing"
+      def mkCdc(rows: Seq[(Long, String, Long, String, String)]) =
+        rows.toDF("user_id", "ts_s", "event_id", "event_type", "op")
+          .select($"user_id", to_timestamp($"ts_s").as("ts"), $"event_id",
+            $"event_type", $"op")
+      val schema = mkCdc(Seq.empty).schema
+      def run(): Long = Scd2Stream.runAvailableNow(spark, src, schema,
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"),
+        s"$base/state", s"$base/ckpt", opCol = Some("op"))
+      // wave 1: upserts for keys 1 and 2
+      mkCdc(Seq(
+        (1L, "2024-01-01 00:00:00", 1L, "A", "u"),
+        (1L, "2024-01-02 00:00:00", 2L, "B", "u"),
+        (2L, "2024-01-03 00:00:00", 3L, "C", "u")))
+        .coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      // wave 2: an update AND a later tombstone for key 1 in ONE batch,
+      // plus a tombstone for an unknown key (no-op)
+      mkCdc(Seq(
+        (1L, "2024-01-10 00:00:00", 4L, "C", "u"),
+        (1L, "2024-01-12 00:00:00", 5L, null, "d"),
+        (9L, "2024-01-12 00:00:00", 6L, null, "d")))
+        .coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      val got = histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+      val want = histOf(graft.operators.Scd2.applyDeletes(
+        graft.operators.Scd2.fromChangeLog(
+          mkLog(Seq(
+            (1L, "2024-01-01 00:00:00", 1L, "A"),
+            (1L, "2024-01-02 00:00:00", 2L, "B"),
+            (2L, "2024-01-03 00:00:00", 3L, "C"),
+            (1L, "2024-01-10 00:00:00", 4L, "C"))),
+          Seq("user_id"), "ts", Seq("event_type"), Seq("event_id")),
+        Seq((1L, "2024-01-12 00:00:00")).toDF("user_id", "ts_s")
+          .select($"user_id", to_timestamp($"ts_s").as("ts")),
+        Seq("user_id"), "ts"))
+      assert(got == want)
+      // key 1's open interval is closed; key 2 still current
+      assert(got.exists(r => r.head == 2L && r(5) == true))
+      assert(!got.exists(r => r.head == 1L && r(5) == true))
+    }
+  }
+
   test("currentHistory without any snapshot fails loudly") {
     val e = intercept[IllegalStateException] {
       Scd2Stream.currentHistory(spark, "/tmp/graft_scd2stream_nowhere")
