@@ -500,11 +500,15 @@ object Similarity {
     * query side — tiny next to the index — broadcast-joins the index
     * on the cell column, so the index scan reads each probed cell ONCE
     * for ALL queries probing it and never touches a corpus float.
-    * Per-query top-k is a `row_number` window partitioned by qid (the
-    * candidate set per query is already cut to the probed cells).
-    * Accumulation orders (ascending dim inside a subspace, ascending
-    * subspace across) mirror [[ivfPqTopKFromIndex]] exactly, so the
-    * q147 oracle restates per-query (q166). */
+    * Per-query top-k is the BOUNDED bottom-k aggregate
+    * ([[graft.functions.Sketches.bottomKByScore]]): ≤ k entries of
+    * partial state per query per partition, map-side combined — never a
+    * `PARTITION BY qid` sort window, which would shuffle and sort every
+    * query's full candidate set (a corpus fraction) on one task.
+    * Requires a bigint id column. Accumulation orders (ascending dim
+    * inside a subspace, ascending subspace across) mirror
+    * [[ivfPqTopKFromIndex]] exactly, so the q147 oracle restates
+    * per-query (q166). */
   def ivfPqTopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                      index: DataFrame, idCol: String, cellCol: String,
                      codesCol: String, coarse: Seq[Seq[Double]],
@@ -543,13 +547,13 @@ object Similarity {
     val adc = aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, s) =>
       acc + element_at(element_at(col("_lut"), s.cast("int")),
         (element_at(col(codesCol), s.cast("int")) + 1).cast("int")))
-    import org.apache.spark.sql.expressions.Window
     joined.select(col(qidCol), col(idCol), adc.as("adc_dist"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("adc_dist"), col(idCol))))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+      .groupBy(col(qidCol))
+      .agg(Sketches.bottomKByScore(col(idCol), col("adc_dist"), k)
+        .as("_graft_topk"))
+      .select(col(qidCol), explode(col("_graft_topk")).as("_graft_e"))
+      .select(col(qidCol), col("_graft_e.id").as(idCol),
+        col("_graft_e.score").as("adc_dist"))
   }
 
   /** EXACT batched top-k by squared L2 — the ground-truth side of an
@@ -557,9 +561,11 @@ object Similarity {
     * corpus (inherently O(N·Q); that is what "exact baseline" means),
     * with the tiny query frame broadcast so the corpus scans ONCE for
     * all queries and never shuffles. Ascending-dim accumulation, so the
-    * distances restate in SQL (q167). Per-query top-k = qid-partitioned
-    * row_number with (dist, id) ties — the same rule as
-    * [[ivfPqTopKBatch]]. */
+    * distances restate in SQL (q167). Per-query top-k = the bounded
+    * bottom-k aggregate with (dist, id) ties — ≤ k entries of partial
+    * state per query per partition, crucial here because the exact
+    * side's candidate set per query is the WHOLE corpus. Requires a
+    * bigint id column. Same tie rule as [[ivfPqTopKBatch]]. */
   def l2TopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                   corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {
@@ -572,16 +578,16 @@ object Similarity {
           t * t
         }),
       lit(0.0), (acc, v) => acc + v)
-    import org.apache.spark.sql.expressions.Window
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(queries.select(col(qidCol),
         col(qvecCol).as("_graft_qvec"))))
       .select(col(qidCol), col(idCol), dist.as("l2_dist"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("l2_dist"), col(idCol))))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+      .groupBy(col(qidCol))
+      .agg(Sketches.bottomKByScore(col(idCol), col("l2_dist"), k)
+        .as("_graft_topk"))
+      .select(col(qidCol), explode(col("_graft_topk")).as("_graft_e"))
+      .select(col(qidCol), col("_graft_e.id").as(idCol),
+        col("_graft_e.score").as("l2_dist"))
   }
 
   /** Recall@k report — the index-quality metric an offline evaluation

@@ -88,6 +88,18 @@ object Sketches {
       graft.expressions.TopKAgg(ColumnBridge.expression(item),
         ColumnBridge.expression(weight), k).toAggregateExpression())
 
+  /** Aggregate: the k LOWEST-scored (id, score) pairs as an
+    * array<struct<id,score>> ordered (score ASC, id ASC) — the
+    * nearest-neighbor result shape. Partial state is ≤ k entries per
+    * group per partition (map-side combined), the bounded alternative to
+    * a PARTITION BY group sort window whose per-group candidate set is a
+    * corpus fraction (see [[graft.expressions.BottomKAgg]]). Requires
+    * (bigint id, double score); NaN scores are rejected loudly. */
+  def bottomKByScore(id: Column, score: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.expressions.BottomKAgg(ColumnBridge.expression(id),
+        ColumnBridge.expression(score), k).toAggregateExpression())
+
   /** Distinct-count estimate from a sketch: exact size when the sketch is
     * not full, else `(k−1) / (h_k / 2^60)`. Every step is IEEE double
     * arithmetic on deterministic operands — engine-portable. */

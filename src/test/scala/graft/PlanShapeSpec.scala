@@ -400,6 +400,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("SortMergeJoin"), plan)
+    // per-query top-k is the bounded bottom-k AGGREGATE (≤ k partial
+    // state per query per partition), never a PARTITION BY qid sort
+    // window over the full candidate set
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("bottom_k_by_score"), plan)
   }
 
   test("document chunking is pure generator work — no exchange, no " +
