@@ -1,0 +1,153 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Sharding
+
+/** WebDataset-style tar shard EXPORT — the delivery format multimodal
+  * training loaders consume (one tar per shard; each sample is two
+  * entries, `<key>.bin` payload + `<key>.json` metadata, keys
+  * zero-padded so tar order is sample order). The export composes the
+  * engine's existing pieces Spark-first:
+  *
+  *   - shard assignment is [[Sharding.packShards]] on the payload byte
+  *     size — the distributed range-exchange prefix sum (no global
+  *     window), so shards are size-bounded (`shardBytes`) and sample
+  *     order within/across shards follows the key column
+  *     deterministically;
+  *   - each shard's rows co-locate via one hash exchange on `shard_id`
+  *     and stream through a per-partition writer task in key order —
+  *     one pass, no driver data, payloads never re-shuffle after the
+  *     exchange;
+  *   - tars are plain POSIX ustar written through the Hadoop FS API
+  *     (runs on s3a:// unchanged), mtime pinned to 0 so a re-export is
+  *     byte-identical — the reproducibility contract a training-data
+  *     release needs.
+  *
+  * Returns the shard manifest (shard_id, path, n_samples, data_bytes)
+  * — the index a loader shuffles/samples from. A crashed export re-runs
+  * whole (tars overwrite by name); partial tars are never readable
+  * because the manifest is computed from the completed write. */
+object TarShards {
+
+  /** Write `(idCol: bigint, payloadCol: binary)` rows as size-bounded
+    * tar shards under `outDir` (`shard-NNNNNN.tar`). `shardBytes`
+    * bounds per-shard PAYLOAD bytes to within one sample's overshoot
+    * (the [[Sharding.packShards]] prefix-sum contract: a sample opens a
+    * new shard only when the bytes before it cross the boundary; tar
+    * adds 512-byte headers + padding on top); a single over-budget
+    * payload still lands (alone in its shard) rather than failing the
+    * export. */
+  def writeTarShards(df: DataFrame, idCol: String, payloadCol: String,
+                     outDir: String, shardBytes: Long): DataFrame = {
+    val spark = df.sparkSession
+    val sized = df.select(col(idCol), col(payloadCol))
+      .withColumn("_graft_w", coalesce(length(col(payloadCol)), lit(0)))
+    val packed = Sharding.packShards(sized, idCol, "_graft_w", shardBytes)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val outSchema = StructType(Seq(
+      StructField("shard_id", LongType), StructField("path", StringType),
+      StructField("n_samples", LongType),
+      StructField("data_bytes", LongType)))
+    val rows = packed
+      .select(col("shard_id"), col(idCol), col(payloadCol))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .rdd.mapPartitions { it =>
+        val manifests = Seq.newBuilder[Row]
+        var cur: TarWriter = null
+        var curShard = -1L
+        var n = 0L
+        var bytes = 0L
+        def close(): Unit = if (cur != null) {
+          cur.finish()
+          manifests += Row(curShard, cur.path, n, bytes)
+          cur = null
+        }
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          val id = r.getLong(1)
+          val payload = Option(r.getAs[Array[Byte]](2))
+            .getOrElse(Array.emptyByteArray)
+          if (cur == null || shard != curShard) {
+            close()
+            curShard = shard
+            n = 0L
+            bytes = 0L
+            cur = new TarWriter(
+              s"$outDir/shard-${"%06d".format(shard)}.tar", hconf.value)
+          }
+          val key = "%012d".format(id)
+          cur.addEntry(s"$key.bin", payload)
+          cur.addEntry(s"$key.json",
+            s"""{"id": $id, "n_bytes": ${payload.length}}"""
+              .getBytes(UTF_8))
+          n += 1
+          bytes += payload.length
+        }
+        close()
+        manifests.result().iterator
+      }
+    // localCheckpoint forces the side-effecting write exactly once and
+    // pins the manifest — re-consuming the result never re-writes tars
+    spark.createDataFrame(rows, outSchema).localCheckpoint()
+      .orderBy(col("shard_id"))
+  }
+
+  /** Minimal POSIX ustar writer over the Hadoop FS (no external deps):
+    * 512-byte headers, octal size/checksum fields, content padded to
+    * block size, two zero blocks at the end. mtime = 0 → deterministic
+    * bytes for identical input. */
+  private final class TarWriter(val path: String,
+                                conf: org.apache.hadoop.conf.Configuration) {
+    private val p = new Path(path)
+    private val out = p.getFileSystem(conf).create(p, true)
+    private val zero = new Array[Byte](512)
+
+    def addEntry(name: String, content: Array[Byte]): Unit = {
+      out.write(header(name, content.length))
+      out.write(content)
+      val pad = (512 - content.length % 512) % 512
+      if (pad > 0) out.write(zero, 0, pad)
+    }
+
+    def finish(): Unit = {
+      out.write(zero)
+      out.write(zero)
+      out.close()
+    }
+
+    private def header(name: String, size: Int): Array[Byte] = {
+      require(name.getBytes(UTF_8).length <= 100,
+        s"tar entry name too long: $name")
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      def putOctal(off: Int, width: Int, v: Long): Unit =
+        put(off, ("%0" + (width - 1) + "o").format(v))
+      put(0, name)                    // name
+      putOctal(100, 8, 420L)          // mode 0644
+      putOctal(108, 8, 0L)            // uid
+      putOctal(116, 8, 0L)            // gid
+      putOctal(124, 12, size.toLong)  // size
+      putOctal(136, 12, 0L)           // mtime = 0: deterministic bytes
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+      h(156) = '0'                    // typeflag: regular file
+      put(257, "ustar")               // magic (NUL-terminated via array)
+      put(263, "00")                  // version
+      val sum = h.foldLeft(0L)((a, b) => a + (b & 0xFF))
+      put(148, "%06o".format(sum))
+      h(154) = 0
+      h(155) = ' '
+      h
+    }
+  }
+}

@@ -408,8 +408,10 @@ object PipelineQueries {
     }
 
   /** Run `body` against a fresh temp directory, deleting the tree even on
-    * failure (the walk stream holds directory handles and must close). */
-  private def withTempDir(prefix: String)(body: java.nio.file.Path => DataFrame)
+    * failure (the walk stream holds directory handles and must close).
+    * Package-visible: TrainingData's file-producing gates reuse it. */
+  private[queries] def withTempDir(prefix: String)
+      (body: java.nio.file.Path => DataFrame)
       : DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix)
     try body(base)

@@ -1777,7 +1777,29 @@ object TrainingData {
         md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** WebDataset-style tar shard EXPORT under the gate (q171): documents
+    * render to binary payloads and land as size-bounded POSIX tars
+    * through [[graft.multimodal.TarShards.writeTarShards]]; the gated
+    * output is the export MANIFEST (shard, sample count, payload
+    * bytes), computed from the completed write — so a lost sample, a
+    * mis-packed shard, or a failed tar all surface. The oracle restates
+    * the packShards exclusive-prefix-sum assignment (shard = bytes
+    * before the sample ÷ budget) and the per-shard rollup; the tar
+    * byte format itself is pinned by TarShardsSpec (checksum-verified
+    * reader + system `tar -tf` + byte-identical re-export). */
+  def tarShardsQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q171") { base =>
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.TarShards.writeTarShards(payloads, "doc_id",
+          "payload", s"$base/shards", shardBytes = 65536L)
+        .select(col("shard_id"), col("n_samples"), col("data_bytes"))
+        .orderBy(col("shard_id"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_tar_shards"       -> tarShardsQ _,
     "q168_doc_chunks"       -> chunkDocsQ _,
     "q167_recall_eval"      -> recallEvalQ _,
     "q166_ivfpq_batch"      -> ivfPqBatchQ _,
@@ -2204,6 +2226,20 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // shard = exclusive-prefix byte sum (doc_id order) // budget — the
+    // packShards assignment — rolled up per shard
+    "q171_tar_shards" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS w
+        | FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  coalesce(sum(w) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw
+        | FROM b)
+        |SELECT CAST(cw // 65536 AS BIGINT) AS shard_id,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(w) AS BIGINT) AS data_bytes
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
     // integer window count 1 + ceil(max(n-64,0)/48), 1-based slices of
     // the \S+ token list, md5 of the space-joined window
     "q168_doc_chunks" ->

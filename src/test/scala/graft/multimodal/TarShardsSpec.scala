@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class TarShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal ustar reader: (name, bytes) entries, checksum-verified. */
+  private def readTar(path: String): Seq[(String, Array[Byte])] = {
+    val all = Files.readAllBytes(Paths.get(path))
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= all.length) {
+      val h = all.slice(off, off + 512)
+      if (h.forall(_ == 0)) done = true
+      else {
+        val name = new String(h.takeWhile(_ != 0), UTF_8)
+        val size = Integer.parseInt(
+          new String(h.slice(124, 135), UTF_8).trim, 8)
+        // verify the checksum (chksum field counted as spaces)
+        val stated = Integer.parseInt(
+          new String(h.slice(148, 154), UTF_8).trim, 8)
+        val summed = h.zipWithIndex.map { case (b, i) =>
+          if (i >= 148 && i < 156) ' '.toLong else (b & 0xFF).toLong
+        }.sum
+        assert(stated == summed, s"checksum mismatch for $name")
+        assert(new String(h.slice(257, 262), UTF_8) == "ustar")
+        val content = all.slice(off + 512, off + 512 + size)
+        out += name -> content
+        off += 512 + size + ((512 - size % 512) % 512)
+      }
+    }
+    out.result()
+  }
+
+  test("tar shards round-trip: every sample lands exactly once as a " +
+       ".bin/.json pair in key order, shards respect the byte budget, " +
+       "the manifest matches the files, and a re-export is byte-identical") {
+    val base = Files.createTempDirectory("graft_tar").toString
+    val docs = (1L to 20L)
+      .map(i => (i, s"payload-$i-${"x" * (i.toInt * 10)}".getBytes(UTF_8)))
+      .toDF("media_id", "payload")
+    def export() = TarShards.writeTarShards(docs, "media_id", "payload",
+        s"$base/shards", shardBytes = 600L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val manifest = export()
+    assert(manifest.size >= 2, manifest) // budget forces multiple shards
+    // manifest paths exist; per-shard payload bytes within budget plus
+    // at most ONE sample's overshoot (the packShards prefix-sum
+    // contract: a sample starts a new shard only when the bytes BEFORE
+    // it cross the boundary)
+    val maxSample = (1L to 20L)
+      .map(i => s"payload-$i-${"x" * (i.toInt * 10)}".length).max
+    manifest.foreach { case (_, path, nSamples, dataBytes) =>
+      assert(Files.exists(Paths.get(path)), path)
+      assert(nSamples > 0 && dataBytes <= 600L + maxSample,
+        (path, dataBytes))
+    }
+    // read every tar back: each sample exactly once, .bin then .json,
+    // entries in key order within and across shards
+    val entries = manifest.sortBy(_._1).flatMap(m => readTar(m._2))
+    val keys = entries.map(_._1).grouped(2).toSeq
+    keys.foreach { pair =>
+      assert(pair.size == 2 && pair(0).endsWith(".bin") &&
+        pair(1).endsWith(".json") &&
+        pair(0).stripSuffix(".bin") == pair(1).stripSuffix(".json"), pair)
+    }
+    val ids = keys.map(_.head.stripSuffix(".bin").toLong)
+    assert(ids == (1L to 20L).toSeq, ids) // key order, nothing lost
+    // payload bytes round-trip; json meta states the size
+    val byId = entries.toMap
+    for (i <- 1L to 20L) {
+      val want = s"payload-$i-${"x" * (i.toInt * 10)}"
+      assert(new String(byId("%012d".format(i) + ".bin"), UTF_8) == want)
+      val meta = new String(byId("%012d".format(i) + ".json"), UTF_8)
+      assert(meta.contains(s""""id": $i""") &&
+        meta.contains(s""""n_bytes": ${want.length}"""), meta)
+    }
+    // deterministic re-export: byte-identical tars (mtime pinned to 0)
+    val before = manifest.map(m => m._2 ->
+      Files.readAllBytes(Paths.get(m._2)).toSeq).toMap
+    export()
+    manifest.foreach { m =>
+      assert(Files.readAllBytes(Paths.get(m._2)).toSeq == before(m._2),
+        s"re-export changed ${m._2}")
+    }
+    // the tars parse with the system tar as a sanity cross-check
+    val rc = new ProcessBuilder("tar", "-tf", manifest.head._2)
+      .redirectErrorStream(true).start().waitFor()
+    assert(rc == 0, "system tar rejected the shard")
+  }
+
+  test("null payloads export as empty entries; an over-budget payload " +
+       "lands alone instead of failing") {
+    val base = Files.createTempDirectory("graft_tar2").toString
+    val docs = Seq(
+      (1L, Some("small".getBytes(UTF_8))),
+      (2L, None),
+      (3L, Some(("y" * 5000).getBytes(UTF_8)))) // over the 1k budget
+      .toDF("media_id", "payload")
+    val manifest = TarShards.writeTarShards(docs, "media_id", "payload",
+        s"$base/shards", shardBytes = 1000L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val entries = manifest.sortBy(_._1).flatMap(m => readTar(m._2))
+    val ids = entries.map(_._1).filter(_.endsWith(".bin"))
+      .map(_.stripSuffix(".bin").toLong)
+    assert(ids == Seq(1L, 2L, 3L))
+    val byId = entries.toMap
+    assert(byId("%012d".format(2L) + ".bin").isEmpty)
+    assert(byId("%012d".format(3L) + ".bin").length == 5000)
+  }
+}
