@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{coalesce, col, length, lit}
 import org.apache.spark.sql.types._
 
 import graft.functions.Sharding
@@ -98,6 +98,68 @@ object TarShards {
     // pins the manifest — re-consuming the result never re-writes tars
     spark.createDataFrame(rows, outSchema).localCheckpoint()
       .orderBy(col("shard_id"))
+  }
+
+  /** Read tar shards back as one row per SAMPLE — the loader side of
+    * the round trip: `(shard_path, key, payload, meta_json)`, pairing
+    * each `<key>.bin` with its `<key>.json`. Built on Spark's
+    * `binaryFile` source (one task per shard; a shard is size-bounded
+    * by construction, so whole-file materialization is bounded too) +
+    * the shared ustar parser. The export→import identity is gated
+    * (q172): re-reading an exported corpus must reproduce every
+    * payload byte. */
+  def readTarShards(spark: org.apache.spark.sql.SparkSession,
+                    shardsDir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("shard_path", StringType),
+      StructField("key", StringType),
+      StructField("payload", BinaryType),
+      StructField("meta_json", StringType)))
+    val rows = spark.read.format("binaryFile")
+      .load(s"$shardsDir/*.tar")
+      .select(col("path"), col("content"))
+      .rdd.flatMap { r =>
+        val path = r.getString(0)
+        val entries = parseTar(r.getAs[Array[Byte]](1))
+        // entries arrive .bin-then-.json per key by the writer contract
+        entries.grouped(2).collect {
+          case Seq((bin, payload), (json, meta))
+              if bin.endsWith(".bin") && json.endsWith(".json") &&
+                bin.stripSuffix(".bin") == json.stripSuffix(".json") =>
+            Row(path, bin.stripSuffix(".bin"), payload,
+              new String(meta, UTF_8))
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Parse a ustar archive to (name, content) entries, checksum-verified
+    * — a corrupted shard fails loudly, never yields partial samples. */
+  private[multimodal] def parseTar(bytes: Array[Byte])
+      : Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= bytes.length) {
+      if (bytes.slice(off, off + 512).forall(_ == 0)) done = true
+      else {
+        val h = bytes.slice(off, off + 512)
+        val name = new String(h.takeWhile(_ != 0), UTF_8)
+        val size = java.lang.Long.parseLong(
+          new String(h.slice(124, 135), UTF_8).trim, 8).toInt
+        val stated = java.lang.Long.parseLong(
+          new String(h.slice(148, 154), UTF_8).trim, 8)
+        val summed = h.zipWithIndex.map { case (b, i) =>
+          if (i >= 148 && i < 156) ' '.toLong else (b & 0xFF).toLong
+        }.sum
+        if (stated != summed)
+          throw new java.io.IOException(
+            s"tar shard corrupt: checksum mismatch at entry '$name'")
+        out += name -> bytes.slice(off + 512, off + 512 + size)
+        off += 512 + size + ((512 - size % 512) % 512)
+      }
+    }
+    out.result()
   }
 
   /** Minimal POSIX ustar writer over the Hadoop FS (no external deps):

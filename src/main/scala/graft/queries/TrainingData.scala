@@ -1798,7 +1798,32 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** Tar shard export→import IDENTITY under the gate (q172): documents
+    * export through [[graft.multimodal.TarShards.writeTarShards]] and
+    * re-import through the checksum-verifying
+    * [[graft.multimodal.TarShards.readTarShards]] loader-side reader;
+    * every payload must come back byte-identical (md5-checked against
+    * the source table directly). A dropped sample, a mis-paired
+    * .bin/.json, truncated content, or a corrupt header all break the
+    * hash — the whole binary format round-trips under the oracle. */
+  def tarRoundTripQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q172") { base =>
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // writeTarShards is eager (manifest localCheckpoint) — the export
+      // completes here
+      graft.multimodal.TarShards.writeTarShards(payloads, "doc_id",
+        "payload", s"$base/shards", shardBytes = 65536L)
+      graft.multimodal.TarShards.readTarShards(s, s"$base/shards")
+        .select(col("key").cast("long").as("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_tar_roundtrip"    -> tarRoundTripQ _,
     "q171_tar_shards"       -> tarShardsQ _,
     "q168_doc_chunks"       -> chunkDocsQ _,
     "q167_recall_eval"      -> recallEvalQ _,
@@ -2226,6 +2251,13 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // identity: whatever went in must come out — size and md5 restated
+    // straight off the source table
+    "q172_tar_roundtrip" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // shard = exclusive-prefix byte sum (doc_id order) // budget — the
     // packShards assignment — rolled up per shard
     "q171_tar_shards" ->

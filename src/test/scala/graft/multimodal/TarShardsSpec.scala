@@ -92,6 +92,16 @@ class TarShardsSpec extends SparkSpec {
     val rc = new ProcessBuilder("tar", "-tf", manifest.head._2)
       .redirectErrorStream(true).start().waitFor()
     assert(rc == 0, "system tar rejected the shard")
+    // the distributed reader reproduces every sample
+    val back = TarShards.readTarShards(spark, s"$base/shards")
+      .select($"key".cast("long"), $"payload", $"meta_json")
+      .as[(Long, Array[Byte], String)].collect().sortBy(_._1).toSeq
+    assert(back.map(_._1) == (1L to 20L).toSeq)
+    for ((id, payload, meta) <- back) {
+      assert(new String(payload, UTF_8) ==
+        s"payload-$id-${"x" * (id.toInt * 10)}")
+      assert(meta.contains(s""""id": $id"""))
+    }
   }
 
   test("null payloads export as empty entries; an over-budget payload " +
