@@ -1127,6 +1127,26 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** ORC round trip under the gate: the third columnar container the
+    * warehouse-facing surface serves (parquet everywhere, CSV q139,
+    * JSONL q148). The write is `partitionBy(lang)` so the read-back
+    * proves BOTH pushdown paths a 100 TB scan lives on: the `lang`
+    * predicate prunes whole partition directories (never opened) and
+    * the `n_chars` predicate pushes into the ORC reader as a search
+    * argument (row-group skip). OrcRoundTripSpec pins both in the plan;
+    * the oracle restates the filter over the parquet original. */
+  def orcRoundTripQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q173") { base =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("lang").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .where(col("lang") >= "e" && col("n_chars") >= 100L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Latest-version-per-key compaction (CDC/crawl "keep newest") under
     * the gate: one `max_by` partial-aggregating pass — the struct
     * ordering (ts, event_id) makes the pick deterministic under
@@ -1174,6 +1194,7 @@ object PipelineQueries {
     "q145_lake_compact"   -> lakeCompactQ _,
     "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
     "q149_latest_by_key"  -> latestByKeyQ _,
+    "q173_orc_roundtrip"  -> orcRoundTripQ _,
     "q106_stream_neardup" -> streamNearDupQ _,
     "q128_stream_fuzzy"   -> streamFuzzyQ _,
     "q112_bucketed_join"  -> bucketedJoinQ _,
@@ -1592,6 +1613,12 @@ object PipelineQueries {
     // the to_json -> text -> schema'd json read chain is value-faithful
     "q148_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // the partitioned-ORC write/read chain is value-faithful; the
+    // filter restates the partition-prune + pushdown predicates
+    "q173_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang >= 'e' AND n_chars >= 100
         |ORDER BY doc_id""".stripMargin,
     // newest row per key, ties broken by event_id — the max_by struct
     // order restated as a descending row_number
