@@ -819,9 +819,10 @@ object Similarity {
     * compression ladder. The matrix is deterministic, so re-projection of
     * new data needs no model artifact. */
   def signProject(vec: Column, signs: Seq[Seq[Double]]): Column =
-    array(signs.map { row =>
-      row.zipWithIndex.map { case (sgn, i) =>
-        element_at(vec, i + 1).cast("double") * lit(sgn)
-      }.reduceLeft(_ + _)
-    }: _*)
+    // the codegen'd kernel computes the identical left-to-right IEEE
+    // accumulation as the element_at chain it replaced (pinned
+    // bit-for-bit by MatVecExprSpec) — but as one expression node, so
+    // (k·d) no longer scales the plan or busts janino's method limits
+    graft.expressions.MatVecExpr.matVec(vec, signs,
+      Seq.fill(signs.headOption.map(_.size).getOrElse(0))(0.0))
 }

@@ -699,6 +699,37 @@ object TrainingData {
       .orderBy(col("vec_id"), col("pdim"))
   }
 
+  /** PCA sufficient statistics under the gate: the per-dimension-pair
+    * sums [[graft.functions.Pca.moments]]'s one-pass treeAggregate
+    * computes, restated SQL-expressibly — each addend quantized to an
+    * exact integer (`floor(x·10⁶)` of an IEEE product both engines
+    * evaluate identically) so BIGINT sums are order-independent and
+    * hash-stable. PcaSpec ties the engine's double-precision moment
+    * pass to this same computation; the eigensolve downstream is
+    * driver-side d×d math. The explode² here is the GATE's shape only
+    * — the engine path carries a fixed ~17 KB accumulator, never
+    * d² rows. */
+  def pcaMomentsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("embedding"))
+    val first = e
+      .select(col("embedding"), posexplode(col("embedding")))
+      .toDF("embedding", "i", "xi")
+      .where(col("i") < 16)
+    first
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("embedding")))
+      .toDF("i", "xi", "j", "xj")
+      .where(col("j") >= col("i") && col("j") < 16)
+      .withColumn("xj", col("xj").cast("double"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("xi") * col("xj") * lit(1e6)).cast("long")).as("sxx"),
+        sum(floor(col("xi") * lit(1e6)).cast("long")).as("sx"),
+        sum(floor(col("xj") * lit(1e6)).cast("long")).as("sy"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Count-min sketch demo: build the 4×1024 cell frame over corpus
     * tokens, then point-estimate the exact top-20 heavy hitters from the
     * sketch alone — estimates never undercount and stay tight for heavy
@@ -1823,6 +1854,7 @@ object TrainingData {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_pca_moments"      -> pcaMomentsQ _,
     "q172_tar_roundtrip"    -> tarRoundTripQ _,
     "q171_tar_shards"       -> tarShardsQ _,
     "q168_doc_chunks"       -> chunkDocsQ _,
@@ -2251,6 +2283,22 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // the same pairwise moment sums, same 0-based dims, same
+    // floor(x·10⁶) integer quantization of identically-evaluated IEEE
+    // products — BIGINT sums are order-free, so engine partitioning
+    // can't move the hash
+    "q174_pca_moments" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 16)) AS p),
+        |x AS (SELECT e.vec_id, CAST(i.p - 1 AS INT) AS i,
+        |        e.embedding[i.p]::DOUBLE AS xv
+        |      FROM embeddings e, idx i)
+        |SELECT a.i AS i, b.i AS j, count(*) AS n,
+        | CAST(sum(CAST(floor(a.xv * b.xv * 1e6) AS BIGINT)) AS BIGINT)
+        |   AS sxx,
+        | CAST(sum(CAST(floor(a.xv * 1e6) AS BIGINT)) AS BIGINT) AS sx,
+        | CAST(sum(CAST(floor(b.xv * 1e6) AS BIGINT)) AS BIGINT) AS sy
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
     // identity: whatever went in must come out — size and md5 restated
     // straight off the source table
     "q172_tar_roundtrip" ->

@@ -1,0 +1,117 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // anisotropic synthetic data: variance concentrated on two known
+  // directions, fixed seed
+  private lazy val synthetic: Seq[Seq[Double]] = {
+    val rnd = new Random(42)
+    Seq.fill(400) {
+      val a = rnd.nextGaussian() * 5.0 // dominant direction (1,1,0,0)/√2
+      val b = rnd.nextGaussian() * 2.0 // second direction (0,0,1,-1)/√2
+      val eps = Seq.fill(4)(rnd.nextGaussian() * 0.1)
+      Seq(a / math.sqrt(2) + eps(0), a / math.sqrt(2) + eps(1),
+        b / math.sqrt(2) + eps(2), -b / math.sqrt(2) + eps(3))
+    }
+  }
+
+  test("fit recovers the planted directions: orthonormal components, " +
+       "descending eigenvalues, covariance reconstruction") {
+    val df = synthetic.toDF("embedding")
+    val m = Pca.fit(df, "embedding")
+    assert(m.dim == 4 && m.n == 400)
+    // orthonormal rows
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => m.components(i)(k) * m.components(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"components ($i,$j) = $dot")
+    }
+    // eigenvalues descending, non-negative (within fp slack)
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.eigenvalues.forall(_ > -1e-9))
+    // top component ≈ (1,1,0,0)/√2 (sign-fixed), λ₁ ≈ 25, λ₂ ≈ 4
+    val c0 = m.components(0)
+    assert(math.abs(math.abs(c0(0)) - 1 / math.sqrt(2)) < 0.05 &&
+      math.abs(math.abs(c0(1)) - 1 / math.sqrt(2)) < 0.05 &&
+      math.abs(c0(2)) < 0.1 && math.abs(c0(3)) < 0.1)
+    assert(m.eigenvalues(0) > 15 && m.eigenvalues(0) < 35)
+    assert(m.eigenvalues(1) > 2 && m.eigenvalues(1) < 7)
+    // V diag(λ) Vᵀ == covariance computed naively
+    val n = synthetic.size
+    val mean = (0 until 4).map(k => synthetic.map(_(k)).sum / n)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val cov = synthetic.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      val rec = (0 until 4).map(k =>
+        m.components(k)(i) * m.eigenvalues(k) * m.components(k)(j)).sum
+      assert(math.abs(cov - rec) < 1e-8, s"cov($i,$j) $cov vs $rec")
+    }
+  }
+
+  test("projection matches the manual centered mat-vec; whitening gives " +
+       "unit variance per kept component") {
+    val df = synthetic.toDF("embedding")
+    val m = Pca.fit(df, "embedding")
+    val proj = df.select(Pca.project($"embedding", m, 2).as("y"))
+      .as[Seq[Double]].collect()
+    assert(proj.forall(_.size == 2))
+    // row 0 by hand
+    val x = synthetic.head
+    val manual = (0 until 2).map { i =>
+      (0 until 4).map(j => (x(j) - m.mean(j)) * m.components(i)(j)).sum
+    }
+    assert((0 until 2).forall(i => math.abs(proj.head(i) - manual(i)) < 1e-9))
+    // projected variance along component i == eigenvalue i
+    val n = proj.length
+    for (i <- 0 until 2) {
+      val mu = proj.map(_(i)).sum / n
+      val v = proj.map(p => (p(i) - mu) * (p(i) - mu)).sum / n
+      assert(math.abs(v - m.eigenvalues(i)) < 1e-6 * math.max(1, m.eigenvalues(i)))
+    }
+    val white = df.select(Pca.project($"embedding", m, 2, whiten = true).as("y"))
+      .as[Seq[Double]].collect()
+    for (i <- 0 until 2) {
+      val mu = white.map(_(i)).sum / n
+      val v = white.map(p => (p(i) - mu) * (p(i) - mu)).sum / n
+      assert(math.abs(v - 1.0) < 1e-6, s"whitened var($i) = $v")
+    }
+  }
+
+  test("moments pass (the distributed treeAggregate) agrees with the " +
+       "q174 integer-quantized gate math on real float embeddings") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val (n, sums, gram) = Pca.moments(df, "embedding", 64)
+    assert(n > 0)
+    val rows = df.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    assert(rows.length == n)
+    // spot-check a few (i, j) cells against naive sums
+    for ((i, j) <- Seq((0, 0), (0, 5), (3, 3), (10, 63))) {
+      val naive = rows.map(r => r(i) * r(j)).sum
+      val idx = (0 until i).map(r => 64 - r).sum + (j - i)
+      assert(math.abs(gram(idx) - naive) < 1e-6 * math.max(1, math.abs(naive)),
+        s"gram($i,$j)")
+      val naiveSum = rows.map(_(i)).sum
+      assert(math.abs(sums(i) - naiveSum) < 1e-9 * math.max(1, math.abs(naiveSum)))
+    }
+  }
+
+  test("64-dim corpus PCA: explained variance is monotone in k and the " +
+       "full rank captures everything") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val m = Pca.fit(df, "embedding")
+    assert(m.dim == 64)
+    val evs = Seq(1, 8, 16, 64).map(k => Pca.explainedVariance(m, k))
+    assert(evs.sliding(2).forall(p => p(0) <= p(1) + 1e-12))
+    assert(math.abs(evs.last - 1.0) < 1e-9)
+    assert(evs.head > 0.0)
+  }
+}
