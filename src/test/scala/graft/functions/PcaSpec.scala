@@ -103,6 +103,41 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("data-adaptive beats data-oblivious: PCA-16 retrieval recall@10 " +
+       "clearly exceeds the JL sign projection at the same k") {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .select($"vec_id", $"embedding")
+    val m = Pca.fit(df, "embedding")
+    val signs = Similarity.signMatrix(inDim = 64, outDim = 16)
+    val rows = df.select($"vec_id",
+        $"embedding".cast("array<double>").as("full"),
+        Pca.project($"embedding", m, 16).as("pca"),
+        Similarity.signProject($"embedding", signs).as("jl"))
+      .as[(Long, Seq[Double], Seq[Double], Seq[Double])].collect()
+
+    def top10(vecs: Seq[(Long, Seq[Double])]): Map[Long, Set[Long]] = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        d / math.max(na * nb, 1e-12)
+      }
+      vecs.map { case (id, v) =>
+        id -> vecs.filter(_._1 != id)
+          .map { case (oid, ov) => (cos(v, ov), oid) }
+          .sortBy { case (c, oid) => (-c, oid) }.take(10).map(_._2).toSet
+      }.toMap
+    }
+    val exact = top10(rows.map(r => (r._1, r._2)).toSeq)
+    def recall(proj: Map[Long, Set[Long]]): Double =
+      exact.map { case (id, t) => (t & proj(id)).size / 10.0 }.sum / exact.size
+    val pcaRec = recall(top10(rows.map(r => (r._1, r._3)).toSeq))
+    val jlRec = recall(top10(rows.map(r => (r._1, r._4)).toSeq))
+    // measured ~0.27 vs ~0.14 on this corpus; pin a clear margin
+    assert(pcaRec > jlRec + 0.05, s"pca=$pcaRec jl=$jlRec")
+  }
+
   test("64-dim corpus PCA: explained variance is monotone in k and the " +
        "full rank captures everything") {
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
