@@ -95,6 +95,27 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Minimal valid BMP payload (54 bytes: file header +
+    * BITMAPINFOHEADER, zero pixel rows) whose dimensions round-trip
+    * through [[ImageHeaders.parse]] — the synthetic-media generator
+    * for gates that need REAL image bytes on disk without a codec
+    * library. */
+  def syntheticBmp(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54)       // file size
+    bb.putInt(0)        // reserved
+    bb.putInt(54)       // pixel-data offset
+    bb.putInt(40)       // BITMAPINFOHEADER size
+    bb.putInt(width)    // little-endian at offset 18
+    bb.putInt(height)   // little-endian at offset 22
+    bb.putShort(1)      // planes
+    bb.putShort(24)     // bits per pixel
+    // compression/sizes/resolutions/palette fields stay zero
+    bb.array()
+  }
+
   /** STUB codec mirroring [[fakeDecodeMeta]] byte-for-byte (pinned by
     * MultimodalSpec) — swap for a real header parser in deployment. */
   def stubCodec(payload: Array[Byte]): DecodedMeta = {

@@ -175,6 +175,51 @@ object TrainingData {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Raw-media directory ingest under the gate: the `binaryFile`
+    * source is how a Spark cluster reads a crawl's image dump (one
+    * file → one row, no codec assumptions), and this gate drives the
+    * WHOLE media path with real bytes — synthesize a valid BMP per
+    * sampled document (dims derived from doc fields), write the files
+    * distributed (one task-local `Files.write` per doc, no driver
+    * loop), list-read them back through `binaryFile`, recover the doc
+    * id from the filename, and parse format/width/height out of the
+    * actual header bytes via the [[graft.multimodal.ImageHeaders]]
+    * codec-seam binding. The oracle restates the dim arithmetic from
+    * the documents table — any corruption in synth, file I/O, listing,
+    * filename parse, or header decode breaks the hash.
+    *
+    * At 100 TB: `binaryFile` assigns whole files to input partitions
+    * (media files never split mid-payload) and prunes by
+    * `pathGlobFilter`; the decode itself stays per-partition (the
+    * [[Multimodal.decodePartitions]] seam). */
+  def binaryIngestQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q175") { base =>
+      val media = java.nio.file.Files
+        .createDirectories(base.resolve("media")).toString
+      docs(s, dir)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          ((col("n_chars") % 640) + 1).cast("int").as("w"),
+          ((col("doc_id") % 480) + 1).cast("int").as("h"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(media, s"${r.getLong(0)}.bmp"),
+              Multimodal.syntheticBmp(r.getInt(1), r.getInt(2)))
+          }
+        }
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp").load(media)
+        .select(regexp_extract(col("path"), "(\\d+)\\.bmp$", 1)
+          .cast("long").as("doc_id"), col("content"))
+      Multimodal.decodePartitions(bin, "doc_id", "content",
+          graft.multimodal.ImageHeaders.headerCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Deterministic stratified sampling (corpus rebalancing): keep 50% of
     * en, 25% of es, 10% of the rest, decided per row by a stable md5
     * coordinate — reproducible on any partitioning, stated identically in
@@ -1854,6 +1899,7 @@ object TrainingData {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_binary_ingest"    -> binaryIngestQ _,
     "q174_pca_moments"      -> pcaMomentsQ _,
     "q172_tar_roundtrip"    -> tarRoundTripQ _,
     "q171_tar_shards"       -> tarShardsQ _,
@@ -2283,6 +2329,14 @@ object TrainingData {
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
     // summed sequentially; only probed cells are scored
+    // identity through synth -> files -> binaryFile -> header parse:
+    // the dims written into each BMP restated from the doc fields
+    "q175_binary_ingest" ->
+      """SELECT doc_id, 'bmp' AS format,
+        | CAST((n_chars % 640) + 1 AS INT) AS width,
+        | CAST((doc_id % 480) + 1 AS INT) AS height
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the same pairwise moment sums, same 0-based dims, same
     // floor(x·10⁶) integer quantization of identically-evaluated IEEE
     // products — BIGINT sums are order-free, so engine partitioning
