@@ -22,13 +22,18 @@ import org.apache.spark.sql.types._
   *
   * Inputs shorter than d contribute their available prefix (missing
   * tail treated as `shift`, i.e. centered-zero); library callers
-  * always pass full-length vectors. */
+  * always pass full-length vectors. An input with a NULL element maps
+  * to a NULL output row (the chain formulation's behavior) — never a
+  * silently-zeroed component. */
 case class MatVecExpr(child: Expression,
                       matrix: Array[Array[Double]],
                       shift: Array[Double])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // null input row OR null element inside the array → null output
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -55,8 +60,9 @@ case class MatVecExpr(child: Expression,
     val m = ctx.addReferenceObj("matvecMatrix", matrix, "double[][]")
     val s = ctx.addReferenceObj("matvecShift", shift, "double[]")
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.expressions.MatVecExpr.apply0(" +
-        s"$x, $elemCode, $m, $s);")
+      s"""${ev.value} = graft.expressions.MatVecExpr.apply0(
+         |  $x, $elemCode, $m, $s);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
@@ -67,12 +73,17 @@ case class MatVecExpr(child: Expression,
 
 object MatVecExpr {
 
+  /** Returns null when the input array carries a null element (so the
+    * expression's output row is null, matching the chain formulation). */
   def apply0(x: ArrayData, elemCode: Int,
              m: Array[Array[Double]], shift: Array[Double]): ArrayData = {
     val d = math.min(x.numElements(), shift.length)
     val xs = new Array[Double](d)
     var j = 0
-    while (j < d) { xs(j) = elem(x, elemCode, j) - shift(j); j += 1 }
+    while (j < d) {
+      if (x.isNullAt(j)) return null
+      xs(j) = elem(x, elemCode, j) - shift(j); j += 1
+    }
     val out = new Array[Double](m.length)
     var i = 0
     while (i < m.length) {

@@ -140,11 +140,12 @@ object Pca {
           if (math.abs(apq) > 1e-300) {
             // rotation angle zeroing a(p)(q)
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-                case 0.0 => 1.0 // theta == 0 → 45°
-                case x => x
-              }
+            val t =
+              if (theta == 0.0) 1.0 // equal diagonal → 45°
+              else if (theta * theta == Double.PositiveInfinity)
+                1.0 / (2.0 * theta) // huge θ: tan ≈ 1/2θ, avoid θ² overflow
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0

@@ -121,13 +121,20 @@ object TarShards {
       .rdd.flatMap { r =>
         val path = r.getString(0)
         val entries = parseTar(r.getAs[Array[Byte]](1))
-        // entries arrive .bin-then-.json per key by the writer contract
-        entries.grouped(2).collect {
+        // entries arrive .bin-then-.json per key by the writer contract;
+        // a mispairing fails LOUDLY (same contract as parseTar's
+        // checksum) — a silent drop here would yield partial samples, a
+        // phase shift would drop everything after it
+        entries.grouped(2).map {
           case Seq((bin, payload), (json, meta))
               if bin.endsWith(".bin") && json.endsWith(".json") &&
                 bin.stripSuffix(".bin") == json.stripSuffix(".json") =>
             Row(path, bin.stripSuffix(".bin"), payload,
               new String(meta, UTF_8))
+          case other =>
+            throw new IllegalStateException(
+              s"readTarShards: $path violates the .bin/.json pairing " +
+                s"contract at entries [${other.map(_._1).mkString(", ")}]")
         }
       }
     spark.createDataFrame(rows, outSchema)

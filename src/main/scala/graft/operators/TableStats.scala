@@ -101,10 +101,24 @@ object TableStats {
       var minB = Long.MaxValue; var maxB = 0L
       if (fs.exists(hp)) {
         val it = fs.listFiles(hp, true)
+        // Spark's file index prunes hidden path SEGMENTS, not just leaf
+        // names — a file under .checkpoints/ is invisible to a scan even
+        // if its own name is clean, so test every segment below the root
+        def visible(path: Path): Boolean = {
+          var cur = path
+          while (cur != null && cur.toUri.getPath != hp.toUri.getPath) {
+            val seg = cur.getName
+            // partition dirs like `_gbucket=3` stay visible (Spark's
+            // hidden-path rule exempts `=`-bearing segments)
+            if ((seg.startsWith("_") || seg.startsWith(".")) &&
+                !seg.contains("=")) return false
+            cur = cur.getParent
+          }
+          true
+        }
         while (it.hasNext) {
           val st = it.next()
-          val name = st.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (visible(st.getPath)) {
             n += 1; total += st.getLen
             if (st.getLen < smallFileBytes) small += 1
             minB = math.min(minB, st.getLen)

@@ -1790,7 +1790,14 @@ object TrainingData {
     * restatement generalized per-qid: probe, LUT, and top-k all keyed
     * by the query id. A wrong LUT for any query, a cross-query leak, or
     * per-query truncation drift breaks the hash. */
-  def ivfPqBatchQ(s: SparkSession, dir: String): DataFrame = {
+  /** The shared q166/q167 IVF-PQ fixture: corpus, trained coarse
+    * quantizer + codebooks, the encoded index, and the query frame.
+    * ONE definition — q167 is specified as "the q166 serving run plus
+    * ground truth", so a parameter tweak can't silently decouple the
+    * two gates. */
+  private def ivfPqFixture(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame,
+         DataFrame) = {
     val e = Tables.load(s, dir, "embeddings")
     val coarse = Similarity.ivfCentroidsTrainedPortable(
       e, "embedding", "vec_id", k = 8, iters = 0)
@@ -1802,6 +1809,11 @@ object TrainingData {
       .select(col("vec_id"), col("cell"), col("codes"))
     val qs = e.filter(col("vec_id") % 199 === 0)
       .select(col("vec_id").as("qid"), col("embedding"))
+    (e, coarse, cbs, idx, qs)
+  }
+
+  def ivfPqBatchQ(s: SparkSession, dir: String): DataFrame = {
+    val (_, coarse, cbs, idx, qs) = ivfPqFixture(s, dir)
     Similarity.ivfPqTopKBatch(qs, "qid", "embedding", idx, "vec_id",
         "cell", "codes", coarse, cbs, k = 10, nProbe = 4)
       .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
@@ -1818,17 +1830,7 @@ object TrainingData {
     * ground truth, a serving drift, or an overlap miscount all break
     * the hash. */
   def recallEvalQ(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-    val coarse = Similarity.ivfCentroidsTrainedPortable(
-      e, "embedding", "vec_id", k = 8, iters = 0)
-    val cbs = Similarity.ivfPqCodebooks(e, "embedding", "vec_id",
-      coarse, m = 8, ksub = 16, iters = 0)
-    val idx = Similarity.ivfPqEncode(
-        e.select(col("vec_id"), col("embedding")), "embedding", coarse,
-        cbs, cellCol = "cell", codesCol = "codes")
-      .select(col("vec_id"), col("cell"), col("codes"))
-    val qs = e.filter(col("vec_id") % 199 === 0)
-      .select(col("vec_id").as("qid"), col("embedding"))
+    val (e, coarse, cbs, idx, qs) = ivfPqFixture(s, dir)
     val approx = Similarity.ivfPqTopKBatch(qs, "qid", "embedding", idx,
       "vec_id", "cell", "codes", coarse, cbs, k = 10, nProbe = 4)
     val exact = Similarity.l2TopKBatch(qs, "qid", "embedding",

@@ -109,8 +109,14 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       val src = new File(dir, m.tmpFile)
       if (copyPublish) {
         // rename-free publish (the object-store primitive set): the copy
-        // is non-atomic but the object is invisible until the index swap
-        java.nio.file.Files.copy(src.toPath, new File(dir, name).toPath)
+        // is non-atomic but the object is invisible until the index swap.
+        // REPLACE_EXISTING: an orphan from a commit that crashed after
+        // copying but before the index swap is NOT in `used` (the index
+        // never named it), so the name picker may legally reuse its name
+        // — overwrite it like a real S3 PUT would, or every retry wedges
+        // on FileAlreadyExists forever
+        java.nio.file.Files.copy(src.toPath, new File(dir, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         java.nio.file.Files.delete(src.toPath)
       } else if (!src.renameTo(new File(dir, name)))
         throw new java.io.IOException(

@@ -58,6 +58,12 @@ final case class HttpTransport(baseUrl: String,
                                readTimeoutMs: Int = 60000)
     extends LakeTransport {
 
+  // a case-class toString would render the raw bearer token into task
+  // failure messages, Spark UI partition dumps, and logs — redact it
+  override def toString: String =
+    s"HttpTransport($baseUrl, token=${bearerToken.map(_ => "***")}, " +
+      s"connectTimeoutMs=$connectTimeoutMs, readTimeoutMs=$readTimeoutMs)"
+
   override def open(path: String): InputStream = {
     val url = URI.create(s"${baseUrl.stripSuffix("/")}/$path").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]

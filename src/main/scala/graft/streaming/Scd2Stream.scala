@@ -336,7 +336,7 @@ object Scd2Stream {
     } else if (fs.exists(tmp) && fs.exists(aside)) {
       // crash between rename-aside and rename-into-place: the tmp was
       // fully written before the old base moved aside — finish the swap
-      fs.rename(tmp, base)
+      renameOrDie(fs, tmp, base)
       fs.delete(aside, true)
     } else if (fs.exists(tmp)) {
       // first-ever compaction crashed mid-write: deltas + manifests are
@@ -344,7 +344,7 @@ object Scd2Stream {
       fs.delete(tmp, true)
     } else if (fs.exists(aside)) {
       // defensive (unreachable by the protocol order): restore
-      fs.rename(aside, base)
+      renameOrDie(fs, aside, base)
     }
     val ids = manifestIds(spark, maniRoot)
     if (ids.size < 2) return // nothing superseded below the newest batch
@@ -369,9 +369,11 @@ object Scd2Stream {
         .parquet(tmp.toString)
       if (fs.exists(base)) {
         if (fs.exists(aside)) fs.delete(aside, true)
-        fs.rename(base, aside)
+        renameOrDie(fs, base, aside)
       }
-      fs.rename(tmp, base)
+      // a failed rename here leaves aside intact — the recovery branch
+      // above restores it on the next run; NOTHING below may run first
+      renameOrDie(fs, tmp, base)
       if (fs.exists(aside)) fs.delete(aside, true)
     }
     // republish: the pre-newest state lives wholly in the base; the
@@ -417,6 +419,18 @@ object Scd2Stream {
   /** Manifest format: header `#k=<buckets>,t=<observedRows>`, then one
     * `bucket,batchId` line per bucket. Written to a temp name then
     * renamed — readers never observe a partial manifest. */
+  /** Hadoop rename signals failure by RETURN VALUE; in the compaction
+    * swap a silently failed rename followed by the protocol's deletes
+    * would destroy the only copy of the standing history. Abort with
+    * state intact instead — the recovery branch completes the swap on
+    * the next run. */
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+                          from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"Scd2Stream.compact: rename $from -> $to failed; " +
+          "state left untouched for recovery")
+
   private def writeManifest(spark: SparkSession, maniRoot: String,
                             batchId: Long, m: Manifest): Unit = {
     val fs = new Path(maniRoot).getFileSystem(
@@ -442,15 +456,25 @@ object Scd2Stream {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-    val header = lines.headOption.filter(_.startsWith("#k="))
-      .getOrElse(throw new IllegalStateException(
-        s"Scd2Stream: manifest_$batchId missing #k= header"))
-    val Array(kPart, tPart) = header.stripPrefix("#").split(',')
-    val entries = lines.tail.map { l =>
+    def parseEntries(ls: Seq[String]): Map[Int, Long] = ls.map { l =>
       val Array(b, id) = l.split(',')
       b.toInt -> id.toLong
     }.toMap
-    Manifest(kPart.stripPrefix("k=").toInt, tPart.stripPrefix("t=").toLong,
-      entries)
+    lines.headOption.filter(_.startsWith("#k=")) match {
+      case Some(header) =>
+        val Array(kPart, tPart) = header.stripPrefix("#").split(',')
+        Manifest(kPart.stripPrefix("k=").toInt,
+          tPart.stripPrefix("t=").toLong, parseEntries(lines.tail))
+      case None =>
+        // LEGACY manifest (pre-adaptive format: bucket,batchId lines
+        // only, written under fixed K=256). Don't strand the standing
+        // state: carry K=256 forward, and report a row count that
+        // keeps the adaptive resolver AT 256 (a legacy state has no
+        // count; under-reporting would trigger a surprise full
+        // rebuild, and 256 is simply the status quo it was built with)
+        Manifest(MaxAdaptiveBuckets,
+          MaxAdaptiveBuckets.toLong * TargetRowsPerBucket,
+          parseEntries(lines))
+    }
   }
 }

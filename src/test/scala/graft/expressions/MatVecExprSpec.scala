@@ -38,6 +38,19 @@ class MatVecExprSpec extends SparkSpec {
     assert(out(1) == Seq(0.0, 0.0))           // prefix only: (1-1)·…
   }
 
+  test("a null ELEMENT nulls the whole output row — never a " +
+       "silently-zeroed component") {
+    val m = Seq(Seq(1.0, 1.0))
+    val df = Seq((1, Seq[java.lang.Double](2.0, 3.0)),
+        (2, Seq[java.lang.Double](2.0, null)))
+      .toDF("id", "v")
+    val out = df.orderBy($"id")
+      .select(MatVecExpr.matVec($"v", m, Seq(0.0, 0.0)).as("y"))
+      .collect()
+    assert(out(0).getSeq[Double](0) == Seq(5.0))
+    assert(out(1).isNullAt(0))
+  }
+
   test("integer and long arrays work; null rows stay null") {
     val m = Seq(Seq(1.0, 1.0))
     val df = Seq((1, Some(Seq(2, 3))), (2, None))

@@ -123,4 +123,33 @@ class TarShardsSpec extends SparkSpec {
     assert(byId("%012d".format(2L) + ".bin").isEmpty)
     assert(byId("%012d".format(3L) + ".bin").length == 5000)
   }
+
+  test("a shard violating the .bin/.json pairing contract fails LOUDLY " +
+       "on read — never a silent partial-sample drop") {
+    val base = Files.createTempDirectory("graft_tar3").toString
+    TarShards.writeTarShards(
+      Seq((1L, "a".getBytes(UTF_8)), (2L, "bb".getBytes(UTF_8)))
+        .toDF("media_id", "payload"),
+      "media_id", "payload", s"$base/shards", shardBytes = 1L << 20)
+    import scala.jdk.CollectionConverters._
+    val tar = Files.list(Paths.get(s"$base/shards")).iterator()
+      .asScala.map(_.toString).find(_.endsWith(".tar")).get
+    // drop the FIRST tar entry (header block + rounded data blocks):
+    // the remaining entries are checksum-valid but phase-shifted, so
+    // every sample is mispaired (.json arrives where .bin is expected)
+    val bytes = Files.readAllBytes(Paths.get(tar))
+    val size = java.lang.Long.parseLong(
+      new String(bytes, 124, 11, "US-ASCII").trim, 8)
+    val skip = 512 + (((size + 511) / 512) * 512).toInt
+    val badDir = Files.createDirectories(Paths.get(s"$base/bad"))
+    Files.write(badDir.resolve("shard-00000.tar"), bytes.drop(skip))
+    val err = intercept[org.apache.spark.SparkException] {
+      TarShards.readTarShards(spark, badDir.toString).collect()
+    }
+    def causeChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causeChain(err).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("pairing")), err.getMessage)
+  }
 }

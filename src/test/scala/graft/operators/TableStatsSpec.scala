@@ -127,6 +127,24 @@ class TableStatsSpec extends SparkSpec {
     assert(got(frag)._2 > got(tidy)._2)
   }
 
+  test("fileStats hides whole HIDDEN SUBTREES like a Spark scan does, " +
+       "but keeps `=`-bearing partition dirs with a _ prefix") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fstats2")
+    def put(rel: String): Unit = {
+      val p = base.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, "x".getBytes)
+    }
+    put("t/part-0.parquet")                 // visible
+    put("t/.checkpoints/part-1.parquet")    // hidden dir → invisible
+    put("t/_staging/deep/part-2.parquet")   // hidden dir, nested file
+    put("t/_gbucket=3/part-3.parquet")      // partition dir → visible
+    put("t/_SUCCESS")                       // hidden leaf
+    val got = TableStats.fileStats(spark, Seq(s"$base/t"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._2 == 2, got) // part-0 + the _gbucket=3 file only
+  }
+
   test("fast path stays inside whole-stage codegen (no md5 in the plan)") {
     val df = spark.range(1, 101).toDF("v")
     val fastPlan = TableStats.columnStatsFast(df, Seq("v")).queryExecution

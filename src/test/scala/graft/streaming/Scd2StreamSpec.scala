@@ -61,6 +61,54 @@ class Scd2StreamSpec extends SparkSpec {
     }
   }
 
+  test("LEGACY manifests (pre-adaptive, no #k= header) stay readable: " +
+       "the standing state is not stranded by the format change") {
+    withBase { base =>
+      val src = s"$base/landing"
+      val log = mkLog(all)
+      // a true legacy state was written under FIXED K=256 — build one
+      // with the pin so the fallback's k matches the on-disk layout
+      def run(): Long = Scd2Stream.runAvailableNow(spark, src, log.schema,
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"),
+        s"$base/state", s"$base/ckpt", nBuckets = 256)
+      mkLog(all).coalesce(1).write.mode("append").parquet(src)
+      assert(run() == 1L)
+      val before = histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+      // rewrite every manifest in the legacy format (entry lines only)
+      val maniDir = java.nio.file.Paths.get(s"$base/state/manifests")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(maniDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("manifest_"))
+        .foreach { p =>
+          val lines = java.nio.file.Files.readAllLines(p).asScala
+            .filterNot(_.startsWith("#"))
+          java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+          // the out-of-band rewrite invalidates Hadoop's local .crc
+          // sidecar (legacy files never had one for THIS content)
+          java.nio.file.Files.deleteIfExists(
+            p.resolveSibling("." + p.getFileName.toString + ".crc"))
+        }
+      // read path survives...
+      assert(histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+        == before)
+      // ...and so does the WRITE path — run ADAPTIVE now (what an
+      // upgraded deployment does): the fallback must keep K at the
+      // legacy 256 so the new wave's buckets align with the standing
+      // layout. The wave updates EXISTING key 1 — a K drift would
+      // look for its open interval in the wrong bucket and duplicate it
+      mkLog(Seq((1L, "2024-02-01 00:00:00", 9L, "Z")))
+        .coalesce(1).write.mode("append").parquet(src)
+      assert(Scd2Stream.runAvailableNow(spark, src, log.schema,
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"),
+        s"$base/state", s"$base/ckpt") == 1L)
+      val got = histOf(Scd2Stream.currentHistory(spark, s"$base/state"))
+      val want = histOf(graft.operators.Scd2.fromChangeLog(
+        mkLog(all :+ ((1L, "2024-02-01 00:00:00", 9L, "Z"))),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id")))
+      assert(got == want)
+    }
+  }
+
   test("a batch writes ONLY its keys' buckets; untouched bucket files " +
        "keep their mtimes across later batches (pruned-I/O pin)") {
     withBase { base =>
