@@ -258,4 +258,17 @@ object Scd2 {
       math.min(MaxBucket, math.max(MinBucket, derived)), dimCols,
       maxBucketsPerVersion)
   }
+
+  /** History RETENTION (the vacuum/GDPR story): keep every open
+    * interval and every closed interval still live at `cutoff`; older
+    * versions drop. The invariant (gated by q176, pinned by Scd2Spec):
+    * [[pointInTime]] against the retained dimension answers any
+    * `ptCol >= cutoff` lookup identically to the full history — only
+    * as-was queries BEFORE the horizon lose resolution. Version
+    * numbers are preserved (provenance), never renumbered. A pure
+    * partition-local filter: no shuffle, and under a `valid_to`-
+    * partitioned layout the drop prunes whole directories. */
+  def retain(dim: DataFrame, cutoff: Column,
+             validToCol: String = "valid_to"): DataFrame =
+    dim.where(col(validToCol).isNull || col(validToCol) >= cutoff)
 }

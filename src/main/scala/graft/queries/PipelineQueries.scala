@@ -790,6 +790,17 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** SCD2 history RETENTION under the gate (q176): the q143 history
+    * vacuumed to the 2024-01-20 horizon through
+    * [[graft.operators.Scd2.retain]] — open intervals and every closed
+    * version still live at the horizon survive; older versions drop
+    * with their version numbers preserved. The oracle restates the
+    * q143 build plus the retention predicate. */
+  def scd2RetainQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.retain(scd2Q(s, dir),
+        to_timestamp(lit("2024-01-20 00:00:00")))
+      .orderBy(col("user_id"), col("version"))
+
   /** SCD2 POINT-IN-TIME join under the gate — the "as-was" temporal
     * lookup the q143 history exists to answer: every event joins the
     * dimension version valid at its timestamp (half-open intervals,
@@ -1190,6 +1201,7 @@ object PipelineQueries {
     "q139_csv_roundtrip"  -> csvRoundTripQ _,
     "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
     "q143_scd2_history"   -> scd2Q _,
+    "q176_scd2_retention" -> scd2RetainQ _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
     "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
@@ -1579,6 +1591,26 @@ object PipelineQueries {
         |SELECT user_id, event_type, valid_from, valid_to, version,
         | valid_to IS NULL AS is_current
         |FROM runs ORDER BY user_id, version""".stripMargin,
+    // the q143 build plus the retention predicate: open intervals and
+    // closed versions still live at the horizon survive
+    "q176_scd2_retention" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (SELECT user_id, ts, event_id, event_type FROM o
+        |       WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |runs AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        | FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        | valid_to IS NULL AS is_current
+        |FROM runs
+        |WHERE valid_to IS NULL OR valid_to >= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY user_id, version""".stripMargin,
     // each expectation row restated: rates are one integer-count
     // division; the check names come from the operator's own name
     // formatting (kept in sync by the gate itself)

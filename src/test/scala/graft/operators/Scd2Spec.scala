@@ -127,6 +127,43 @@ class Scd2Spec extends SparkSpec {
       (100L, 1L, "A"), (101L, 2L, "B"), (102L, 3L, "A"), (103L, 1L, "C")))
   }
 
+  test("retain drops only versions dead before the horizon, keeps " +
+       "version numbers, and answers any post-horizon pointInTime " +
+       "lookup identically to the full history") {
+    val cutoff = to_timestamp(lit("2024-01-03 00:00:00"))
+    val kept = Scd2.retain(hist, cutoff)
+      .select($"user_id", $"version", $"event_type", $"is_current")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    // user 1: v1 [01-01, 01-03) dies AT the horizon boundary (>= keeps
+    // it), v2 [01-03, 01-05) and open v3 survive; user 2's open v1 stays
+    assert(kept == Set((1L, 1L, "A", false), (1L, 2L, "B", false),
+      (1L, 3L, "A", true), (2L, 1L, "C", true)))
+    // strictly-older horizon: v1 drops, numbering untouched
+    val kept2 = Scd2.retain(hist, to_timestamp(lit("2024-01-04 00:00:00")))
+      .select($"user_id", $"version").as[(Long, Long)].collect().toSet
+    assert(kept2 == Set((1L, 2L), (1L, 3L), (2L, 1L)))
+    // the retention invariant: post-horizon as-was lookups identical
+    val dim = hist.select($"user_id", $"event_type".as("t"),
+      $"valid_from", $"valid_to", $"version")
+    val dimR = Scd2.retain(dim, to_timestamp(lit("2024-01-04 00:00:00")))
+    val facts = Seq((100L, 1L, "2024-01-04 12:00:00"),
+        (101L, 1L, "2024-01-30 00:00:00"), (102L, 2L, "2024-01-09 00:00:00"))
+      .toDF("fact_id", "user_id", "ts_s")
+      .select($"fact_id", $"user_id", to_timestamp($"ts_s").as("ts"))
+    def lookup(d: org.apache.spark.sql.DataFrame) =
+      Scd2.pointInTime(facts, d, Seq("user_id"), "ts",
+          bucketSeconds = 86400L, dimCols = Seq("t"))
+        .select($"fact_id", $"version", $"t")
+        .as[(Long, Long, String)].collect().toSet
+    assert(lookup(dimR) == lookup(dim))
+    // and the filter is partition-local: retain adds NO exchange beyond
+    // whatever its input already had
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges(Scd2.retain(hist, cutoff)) == exchanges(hist))
+  }
+
   test("pointInTime caps far-future sentinel valid_to like the open " +
        "interval — no per-bucket explosion to year 9999, same answers") {
     // an external SCD2 source using a 9999-12-31 sentinel instead of null:
