@@ -85,6 +85,19 @@ object GraftExtensions {
       exprs => JsonKeysetTupleExpr(exprs.head,
         exprs.tail.zipWithIndex.map { case (e, i) =>
           strArg(e, i, "json_keyset_tuple") }, nested = false)),
+    "hash60" -> arity("hash60", 1)(exprs => Hash60Expr(exprs.head)),
+    "span_hash60" -> arity("span_hash60", 2)(exprs =>
+      SpanHash60Expr(exprs.head, intArg(exprs, 1, "span_hash60"))),
+    "bpe_token_count" -> arity("bpe_token_count", 1)(exprs =>
+      BpeTokenCountExpr(exprs.head)),
+    "bpe_segments" -> arity("bpe_segments", 1)(exprs =>
+      BpeSegmentsExpr(exprs.head)),
+    "quantile_sketch" -> arity("quantile_sketch", 4)(exprs =>
+      QuantileSketchAgg(exprs(0), exprs(1), exprs(2),
+        intArg(exprs, 3, "quantile_sketch")).toAggregateExpression()),
+    "bottom_k_by_score" -> arity("bottom_k_by_score", 3)(exprs =>
+      BottomKAgg(exprs(0), exprs(1), intArg(exprs, 2, "bottom_k_by_score"))
+        .toAggregateExpression()),
     "jaro_winkler" -> arity("jaro_winkler", 2)(exprs =>
       JaroWinklerExpr(exprs(0), exprs(1))),
     "jaro_winkler_bytes" -> arity("jaro_winkler_bytes", 2)(exprs =>
