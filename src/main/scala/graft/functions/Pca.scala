@@ -112,6 +112,37 @@ object Pca {
     MatVecExpr.matVec(vec, rows, model.mean.toSeq)
   }
 
+  /** Persist the model as one small single-file parquet (d rows: one
+    * per component, plus the mean/eigenvalue vectors) — the serving
+    * artifact, matching the stored-IVF-index discipline: fit once on
+    * the training corpus, project any later corpus without re-reading
+    * the original floats. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+           path: String): Unit = {
+    import spark.implicits._
+    val rows = (0 until model.dim).map { i =>
+      (i, model.eigenvalues(i), model.components(i).toSeq,
+        model.mean(i), model.n)
+    }
+    rows.toDF("component", "eigenvalue", "direction", "mean_i", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("component"), col("eigenvalue"), col("direction"),
+        col("mean_i"), col("n"))
+      .as[(Int, Double, Seq[Double], Double, Long)]
+      .collect().sortBy(_._1)
+    require(rows.nonEmpty, s"Pca.load: empty model at $path")
+    PcaModel(rows.length, rows.head._5,
+      rows.map(_._4).toArray,
+      rows.map(_._3.toArray).toArray,
+      rows.map(_._2).toArray)
+  }
+
   /** Fraction of total variance the top-k components capture. */
   def explainedVariance(model: PcaModel, k: Int): Double = {
     val total = model.eigenvalues.sum

@@ -103,6 +103,34 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("save/load round-trips the model EXACTLY: projections from the " +
+       "loaded artifact are bit-identical") {
+    val df = synthetic.toDF("embedding")
+    val m = Pca.fit(df, "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_pca")
+    try {
+      Pca.save(spark, m, s"$base/model")
+      val m2 = Pca.load(spark, s"$base/model")
+      assert(m2.dim == m.dim && m2.n == m.n)
+      assert(m2.mean.toSeq == m.mean.toSeq)
+      assert(m2.eigenvalues.toSeq == m.eigenvalues.toSeq)
+      assert(m2.components.map(_.toSeq).toSeq ==
+        m.components.map(_.toSeq).toSeq)
+      val a = df.select(Pca.project($"embedding", m, 2).as("y"))
+        .as[Seq[Double]].collect().toSeq
+      val b = df.select(Pca.project($"embedding", m2, 2).as("y"))
+        .as[Seq[Double]].collect().toSeq
+      assert(a == b)
+    } finally {
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   test("data-adaptive beats data-oblivious: PCA-16 retrieval recall@10 " +
        "clearly exceeds the JL sign projection at the same k") {
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
