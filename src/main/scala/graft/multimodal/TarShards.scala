@@ -100,6 +100,39 @@ object TarShards {
       .orderBy(col("shard_id"))
   }
 
+  /** CONTINUOUS WebDataset export: drain `sourcePath` with AvailableNow,
+    * each micro-batch exporting through [[writeTarShards]] into its own
+    * `batch_id=N` shard directory. Replay-safe by construction: a
+    * replayed batch re-derives the identical shard assignment from its
+    * (checkpoint-pinned) content and `TarWriter` overwrites — the same
+    * bytes land, never duplicate samples. Shard ids restart per batch;
+    * global addressing is (batch dir, shard file), and
+    * [[readTarShards]] accepts the `outDir/batch_id=*` glob directly.
+    * This is the production shape for a crawl that keeps landing:
+    * shards ship as their batch completes, no global repack. Returns
+    * the number of micro-batches processed. */
+  def streamExportAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                               sourcePath: String, schema: StructType,
+                               idCol: String, payloadCol: String,
+                               outDir: String, checkpointPath: String,
+                               shardBytes: Long): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val query = spark.readStream.schema(schema).parquet(sourcePath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
+        if (!batch.isEmpty)
+          writeTarShards(batch, idCol, payloadCol,
+            s"$outDir/batch_id=$batchId", shardBytes)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    nBatches.get()
+  }
+
   /** Read tar shards back as one row per SAMPLE — the loader side of
     * the round trip: `(shard_path, key, payload, meta_json)`, pairing
     * each `<key>.bin` with its `<key>.json`. Built on Spark's

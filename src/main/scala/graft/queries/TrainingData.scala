@@ -1900,7 +1900,42 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** STREAMING tar-shard export under the gate (q177): the corpus
+    * lands in three waves; each micro-batch ships as its own
+    * `batch_id=N` shard directory through
+    * [[graft.multimodal.TarShards.streamExportAvailableNow]] (the
+    * continuous-crawl production shape — shards ship as batches
+    * complete, no global repack), with a no-data replay drain that
+    * must add nothing. The glob re-import must reproduce every
+    * payload byte exactly once across ALL batch directories — the
+    * q172 identity oracle verbatim. */
+  def tarStreamExportQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q177") { base =>
+      val src = s"$base/landing"
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      def run(): Long = graft.multimodal.TarShards.streamExportAvailableNow(
+        s, src, payloads.schema, "doc_id", "payload",
+        s"$base/shards", s"$base/ckpt", shardBytes = 65536L)
+      val third = col("doc_id") % 3
+      payloads.filter(third === 0).coalesce(1).write.mode("append").parquet(src)
+      run()
+      payloads.filter(third === 1).coalesce(1).write.mode("append").parquet(src)
+      run()
+      payloads.filter(third === 2).coalesce(1).write.mode("append").parquet(src)
+      run()
+      val replay = run() // no new files: nothing may ship twice
+      require(replay <= 1, s"tarStreamExportQ: no-data replay ran $replay")
+      graft.multimodal.TarShards.readTarShards(s, s"$base/shards/batch_id=*")
+        .select(col("key").cast("long").as("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_tar_stream"       -> tarStreamExportQ _,
     "q175_binary_ingest"    -> binaryIngestQ _,
     "q174_pca_moments"      -> pcaMomentsQ _,
     "q172_tar_roundtrip"    -> tarRoundTripQ _,
@@ -2355,6 +2390,13 @@ object TrainingData {
         | CAST(sum(CAST(floor(b.xv * 1e6) AS BIGINT)) AS BIGINT) AS sy
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
+    // streaming export identity: every payload exactly once across all
+    // batch directories — the q172 oracle verbatim
+    "q177_tar_stream" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // identity: whatever went in must come out — size and md5 restated
     // straight off the source table
     "q172_tar_roundtrip" ->

@@ -124,6 +124,32 @@ class TarShardsSpec extends SparkSpec {
     assert(byId("%012d".format(3L) + ".bin").length == 5000)
   }
 
+  test("streaming export ships each wave as its own batch_id dir; the " +
+       "glob re-import equals the corpus exactly once; a no-data drain " +
+       "adds nothing") {
+    val base = Files.createTempDirectory("graft_tar4").toString
+    val docs = (1L to 9L)
+      .map(i => (i, s"payload-$i".getBytes(UTF_8))).toDF("media_id", "payload")
+    def run(): Long = TarShards.streamExportAvailableNow(spark,
+      s"$base/landing", docs.schema, "media_id", "payload",
+      s"$base/out", s"$base/ckpt", shardBytes = 1L << 20)
+    docs.filter($"media_id" <= 4).coalesce(1)
+      .write.mode("append").parquet(s"$base/landing")
+    run()
+    docs.filter($"media_id" > 4).coalesce(1)
+      .write.mode("append").parquet(s"$base/landing")
+    run()
+    assert(run() <= 1) // replay drain: no new batch dirs with samples
+    import scala.jdk.CollectionConverters._
+    val batchDirs = Files.list(Paths.get(s"$base/out")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSeq
+    assert(batchDirs.sorted == Seq("batch_id=0", "batch_id=1"))
+    val back = TarShards.readTarShards(spark, s"$base/out/batch_id=*")
+      .select($"key".cast("long"), $"payload".cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == (1L to 9L).map(i => (i, s"payload-$i")))
+  }
+
   test("a shard violating the .bin/.json pairing contract fails LOUDLY " +
        "on read — never a silent partial-sample drop") {
     val base = Files.createTempDirectory("graft_tar3").toString
