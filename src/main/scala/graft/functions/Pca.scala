@@ -70,15 +70,28 @@ object Pca {
       depth = 2)
   }
 
-  /** Fits the full-rank model (all d components, strongest first);
-    * slice at projection time via `k`. */
-  def fit(df: DataFrame, embCol: String): PcaModel = {
-    val d = df.select(size(col(embCol))).where(col(embCol).isNotNull)
-      .head().getInt(0)
-    val (n, sums, gram) = moments(df, embCol, d)
-    require(n > 1, s"Pca.fit: needs >1 rows, got $n")
+  /** Additive moment merge — the INCREMENTAL-refit primitive: the
+    * moments of corpus A ∪ B are the element-wise sums, so a periodic
+    * refit keeps one ~17 KB moment set per ingest batch, merges, and
+    * re-solves — it never re-reads old partitions' floats. */
+  def mergeMoments(a: (Long, Array[Double], Array[Double]),
+                   b: (Long, Array[Double], Array[Double]))
+      : (Long, Array[Double], Array[Double]) = {
+    require(a._2.length == b._2.length && a._3.length == b._3.length,
+      "Pca.mergeMoments: dimension mismatch")
+    (a._1 + b._1,
+      a._2.zip(b._2).map { case (x, y) => x + y },
+      a._3.zip(b._3).map { case (x, y) => x + y })
+  }
+
+  /** Solve a model from sufficient statistics (see [[moments]] /
+    * [[mergeMoments]]) without touching data. */
+  def fitFromMoments(d: Int, n: Long, sums: Array[Double],
+                     gram: Array[Double]): PcaModel = {
+    require(n > 1, s"Pca.fitFromMoments: needs >1 rows, got $n")
+    require(sums.length == d && gram.length == d * (d + 1) / 2,
+      s"Pca.fitFromMoments: stats don't match d=$d")
     val mean = sums.map(_ / n)
-    // covariance (population): E[x xᵀ] - mean meanᵀ
     val cov = Array.ofDim[Double](d, d)
     var idx = 0
     var i = 0
@@ -93,6 +106,15 @@ object Pca {
     }
     val (values, vectors) = jacobiEigen(cov)
     PcaModel(d, n, mean, vectors, values)
+  }
+
+  /** Fits the full-rank model (all d components, strongest first);
+    * slice at projection time via `k`. */
+  def fit(df: DataFrame, embCol: String): PcaModel = {
+    val d = df.select(size(col(embCol))).where(col(embCol).isNotNull)
+      .head().getInt(0)
+    val (n, sums, gram) = moments(df, embCol, d)
+    fitFromMoments(d, n, sums, gram)
   }
 
   /** Projects onto the top-k components: `y = C_k (x - mean)`, with

@@ -103,6 +103,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("incremental refit: merged per-batch moments solve to the same " +
+       "model as one pass over the union — old floats never re-read") {
+    val (a, b) = synthetic.splitAt(150)
+    val dfA = a.toDF("embedding"); val dfB = b.toDF("embedding")
+    val mA = Pca.moments(dfA, "embedding", 4)
+    val mB = Pca.moments(dfB, "embedding", 4)
+    val merged = Pca.fitFromMoments(4, mA._1 + mB._1,
+      Pca.mergeMoments(mA, mB)._2, Pca.mergeMoments(mA, mB)._3)
+    val full = Pca.fit(synthetic.toDF("embedding"), "embedding")
+    assert(merged.n == full.n)
+    assert((0 until 4).forall(i =>
+      math.abs(merged.eigenvalues(i) - full.eigenvalues(i)) < 1e-9))
+    assert((0 until 4).forall(i => math.abs(merged.mean(i) - full.mean(i)) < 1e-12))
+    // projections agree to fp-reassociation noise
+    val x = synthetic.head
+    val pm = (0 until 2).map(i => (0 until 4)
+      .map(j => (x(j) - merged.mean(j)) * merged.components(i)(j)).sum)
+    val pf = (0 until 2).map(i => (0 until 4)
+      .map(j => (x(j) - full.mean(j)) * full.components(i)(j)).sum)
+    assert((0 until 2).forall(i => math.abs(pm(i) - pf(i)) < 1e-6))
+  }
+
   test("save/load round-trips the model EXACTLY: projections from the " +
        "loaded artifact are bit-identical") {
     val df = synthetic.toDF("embedding")
