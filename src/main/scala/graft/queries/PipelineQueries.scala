@@ -205,6 +205,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Lake TIME TRAVEL under the gate (q178): three VERSIONED commits —
+    * the low half, an append of the rest, then a truncate down to one
+    * lang — and the query reads versions 1-3 side-by-side through
+    * `versionAsOf` (each version's own index drives its scan; objects
+    * are immutable so old versions stay byte-exact after the
+    * truncate). The oracle restates each version's membership straight
+    * from the documents table; a version that leaks another commit's
+    * rows, loses its own, or reads through the wrong index breaks the
+    * hash. */
+  def lakeTimeTravelQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("graft_laketravel").toString
+    def write(df: DataFrame, mode: String): Unit =
+      df.repartition(2).write.format(fmt).option("path", lakeDir)
+        .option("versioned", "true").mode(mode).save()
+    write(docs.filter(col("doc_id") % 2 === 0), "overwrite") // v1
+    write(docs.filter(col("doc_id") % 2 === 1), "append")    // v2
+    write(docs.filter(col("lang") === "en"), "overwrite")    // v3 truncate
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    (1 to 3).map { v =>
+      s.read.format(fmt).schema(schema).option("path", lakeDir)
+        .option("versionAsOf", v.toString).load()
+        .select(lit(v).as("version"), col("doc_id"), col("lang"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"), col("doc_id"))
+      .localCheckpoint()
+  }
+
   /** AvailableNow lake drain under the oracle gate: documents land in a
     * lakesim lake as 8 data objects, then `readStream` drains it with
     * `maxobjectsperbatch = 3` — the admission-controlled path
@@ -1202,6 +1236,7 @@ object PipelineQueries {
     "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
     "q143_scd2_history"   -> scd2Q _,
     "q176_scd2_retention" -> scd2RetainQ _,
+    "q178_lake_time_travel" -> lakeTimeTravelQ _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
     "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
@@ -1349,6 +1384,17 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // each version's membership restated from the source table: v1 =
+    // evens, v2 = everything, v3 = the truncate's lang slice
+    "q178_lake_time_travel" ->
+      """SELECT 1 AS version, doc_id, lang FROM documents
+        |WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2 AS version, doc_id, lang FROM documents
+        |UNION ALL
+        |SELECT 3 AS version, doc_id, lang FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY version, doc_id""".stripMargin,
     // the admission-controlled AvailableNow drain reconstructs the table
     // exactly (every object, every page, exactly once across batches)
     "q134_lakesim_stream" ->

@@ -22,12 +22,26 @@ object LakeIndex {
     *    "ranges": {"field": [min, max], ...}}, ...]}` */
   def load(dir: String): Seq[ObjectEntry] = load(FileTransport(dir))
 
+  /** Time-travel variant: a versioned lake keeps every commit's index
+    * as `index_vN.json` alongside the `index.json` latest pointer —
+    * loading version N reads the lake exactly as commit N left it
+    * (objects are immutable; only [[LakeOptimize.vacuumVersions]]
+    * reclaims them). */
+  def load(dir: String, versionAsOf: Int): Seq[ObjectEntry] =
+    load(FileTransport(dir), indexFileFor(versionAsOf))
+
+  def indexFileFor(versionAsOf: Int): String =
+    if (versionAsOf <= 0) "index.json" else s"index_v$versionAsOf.json"
+
   /** Transport-bound variant — the same data-object-properties listing
     * fetched over whatever the lake speaks (reference
     * `datalakewrapper.py:88-102` pages it over REST; [[HttpTransport]]
     * binds this planner to that shape without a planner change). */
-  def load(transport: LakeTransport): Seq[ObjectEntry] = {
-    val root = mapper.readTree(LakeTransport.readAll(transport, "index.json"))
+  def load(transport: LakeTransport): Seq[ObjectEntry] =
+    load(transport, "index.json")
+
+  def load(transport: LakeTransport, indexFile: String): Seq[ObjectEntry] = {
+    val root = mapper.readTree(LakeTransport.readAll(transport, indexFile))
     root.get("objects").elements().asScala.map { o =>
       val ranges = Option(o.get("ranges")).map(_.properties().asScala.map { e =>
         val arr = e.getValue

@@ -47,4 +47,29 @@ object LakeOptimize {
       .option("path", dir).mode("overwrite").save()
     (before, LakeIndex.load(dir).size)
   }
+
+  /** Reclaim a VERSIONED lake: keep the newest `keepLast` commit
+    * versions (plus whatever the latest index references), drop older
+    * `index_vN.json` files and every data object no retained index
+    * names. Returns (versions dropped, objects deleted). Offline
+    * contract like [[compact]]: run between writer jobs, not
+    * concurrently with one. */
+  def vacuumVersions(dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "vacuumVersions: keepLast must be >= 1")
+    val d = new java.io.File(dir)
+    val versions = LakeSimWrite.listVersions(d)
+    val (dropV, keepV) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val retained: Set[String] =
+      (LakeIndex.load(dir).map(_.file) ++
+        keepV.flatMap(v => LakeIndex.load(dir, v).map(_.file))).toSet
+    val referencedEver: Set[String] =
+      versions.flatMap(v => LakeIndex.load(dir, v).map(_.file)).toSet
+    // only ever delete objects some dropped version referenced — never
+    // an unindexed stray (could be another writer's in-flight publish)
+    val doomed = (referencedEver -- retained).toSeq.sorted
+    doomed.foreach(f => new java.io.File(d, f).delete())
+    dropV.foreach(v =>
+      new java.io.File(d, LakeIndex.indexFileFor(v)).delete())
+    (dropV.size, doomed.size)
+  }
 }

@@ -55,12 +55,14 @@ class LakeSimSource extends TableProvider {
     // available); under Trigger.AvailableNow this turns one giant
     // catch-up batch into bounded per-batch commit boundaries
     val maxObjects = opts.getInt("maxobjectsperbatch", 0)
-    new LakeSimTable(path, schema, pageSize, maxObjects)
+    // time travel (batch reads only): read the lake as commit N left it
+    val versionAsOf = opts.getInt("versionasof", 0)
+    new LakeSimTable(path, schema, pageSize, maxObjects, versionAsOf)
   }
 }
 
 class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int,
-                   maxObjectsPerBatch: Int = 0)
+                   maxObjectsPerBatch: Int = 0, versionAsOf: Int = 0)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"lakesim($path)"
@@ -70,16 +72,18 @@ class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeSimScanBuilder(path, tableSchema, pageSize, maxObjectsPerBatch)
+    new LakeSimScanBuilder(path, tableSchema, pageSize, maxObjectsPerBatch,
+      versionAsOf)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LakeSimWriteBuilder(path, info.schema(),
-      copyPublish = "copy".equalsIgnoreCase(info.options().get("publish")))
+      copyPublish = "copy".equalsIgnoreCase(info.options().get("publish")),
+      versioned = "true".equalsIgnoreCase(info.options().get("versioned")))
 }
 
 class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int,
-                         maxObjectsPerBatch: Int = 0)
+                         maxObjectsPerBatch: Int = 0, versionAsOf: Int = 0)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -125,20 +129,22 @@ class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int,
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
 
   override def build(): Scan =
-    if (countStars > 0) new LakeSimCountScan(path, countStars)
+    if (countStars > 0) new LakeSimCountScan(path, countStars, versionAsOf)
     else new LakeSimScan(path, tableSchema, required, pushed, pageSize,
-      maxObjectsPerBatch)
+      maxObjectsPerBatch, versionAsOf)
 }
 
 /** Metadata-only scan for a completely-pushed COUNT(*): one partition, one
   * row, the sum of the index's declared object counts. Zero data I/O. */
-class LakeSimCountScan(path: String, countStars: Int) extends Scan with Batch {
+class LakeSimCountScan(path: String, countStars: Int, versionAsOf: Int = 0)
+    extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     (0 until countStars).map(i => StructField(s"count_star_$i", LongType, false)))
   override def toBatch: Batch = this
   override def description(): String = s"lakesim path=$path aggPushed=count(*)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeSimCountPartition(LakeIndex.load(path).map(_.count).sum, countStars))
+    Array(LakeSimCountPartition(
+      LakeIndex.load(path, versionAsOf).map(_.count).sum, countStars))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -158,22 +164,27 @@ case class LakeSimCountPartition(total: Long, countStars: Int)
 
 class LakeSimScan(path: String, tableSchema: StructType,
                   required: StructType, pushed: Array[Filter], pageSize: Int,
-                  maxObjectsPerBatch: Int = 0)
+                  maxObjectsPerBatch: Int = 0, versionAsOf: Int = 0)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a stream tails the LIVE index by definition; a pinned historical
+    // version can never produce new offsets — reject loudly
+    if (versionAsOf > 0) throw new IllegalArgumentException(
+      "lakesim: versionAsOf is batch-only (a stream tails the live index)")
     new LakeSimMicroBatchStream(path, required, pushed, pageSize,
       maxObjectsPerBatch)
+  }
   override def description(): String =
     s"lakesim path=$path pushed=[${pushed.mkString(", ")}] " +
       s"fields=[${required.fieldNames.mkString(",")}]"
 
   /** Split planning: one partition per (pruned) object page. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = LakeIndex.load(path)
+    val entries = LakeIndex.load(path, versionAsOf)
     val surviving = LakeIndex.prune(entries, pushed)
     surviving.flatMap { e =>
       val pages = math.max(1L, (e.count + pageSize - 1) / pageSize)

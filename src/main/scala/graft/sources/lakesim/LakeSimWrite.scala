@@ -47,13 +47,14 @@ final case class LakeSimCommit(tmpFile: String, count: Long,
     extends WriterCommitMessage
 
 class LakeSimWriteBuilder(path: String, schema: StructType,
-                          copyPublish: Boolean = false)
+                          copyPublish: Boolean = false,
+                          versioned: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new LakeSimBatchWrite(path, schema, truncateAll, copyPublish)
+      new LakeSimBatchWrite(path, schema, truncateAll, copyPublish, versioned)
   }
 }
 
@@ -69,7 +70,8 @@ class LakeSimWriteBuilder(path: String, schema: StructType,
   * publish over the other writer's index, leaving the lake exactly as
   * the other writer committed it. */
 class LakeSimBatchWrite(path: String, schema: StructType,
-                        truncateAll: Boolean, copyPublish: Boolean = false)
+                        truncateAll: Boolean, copyPublish: Boolean = false,
+                        versioned: Boolean = false)
     extends BatchWrite {
 
   // driver-side, at job start (build time) — the baseline the commit
@@ -124,9 +126,19 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       ObjectEntry(name, m.count, m.ranges)
     }
     // the index write is the commit's swap point: readers see either the
-    // old object set or the new one, never a half-deleted mix
-    writeIndex(dir, existing ++ published)
-    if (truncateAll) old.foreach(e => new File(dir, e.file).delete())
+    // old object set or the new one, never a half-deleted mix. Under
+    // `versioned=true` every commit ALSO lands as `index_vN.json`
+    // BEFORE the swap (invisible to latest-readers until then), and
+    // truncate keeps the superseded objects on disk — older versions
+    // still reference them; [[LakeOptimize.vacuumVersions]] reclaims.
+    if (versioned) {
+      val next = 1 + LakeSimWrite.listVersions(dir).foldLeft(0)(math.max)
+      writeIndex(dir, existing ++ published,
+        LakeIndex.indexFileFor(next))
+    }
+    writeIndex(dir, existing ++ published, "index.json")
+    if (truncateAll && !versioned)
+      old.foreach(e => new File(dir, e.file).delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -135,7 +147,8 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       case _ =>
     }
 
-  private def writeIndex(dir: File, entries: Seq[ObjectEntry]): Unit = {
+  private def writeIndex(dir: File, entries: Seq[ObjectEntry],
+                         indexFile: String): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val arr = root.putArray("objects")
@@ -149,7 +162,7 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       }
     }
     java.nio.file.Files.writeString(
-      new File(dir, "index.json").toPath, mapper.writeValueAsString(root))
+      new File(dir, indexFile).toPath, mapper.writeValueAsString(root))
   }
 }
 
@@ -218,4 +231,13 @@ class LakeSimDataWriter(path: String, schema: StructType,
 
   override def close(): Unit =
     if (out != null) { out.close(); out = null }
+}
+
+object LakeSimWrite {
+  private val VersionRe = """index_v(\d+)\.json""".r
+
+  /** Commit versions present on disk (ascending). */
+  def listVersions(dir: File): Seq[Int] =
+    Option(dir.list()).getOrElse(Array.empty[String]).toSeq
+      .collect { case VersionRe(n) => n.toInt }.sorted
 }

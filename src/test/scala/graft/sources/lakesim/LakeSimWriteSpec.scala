@@ -159,4 +159,56 @@ class LakeSimWriteSpec extends SparkSpec {
     assert(new java.io.File(dir).list().count(_.endsWith(".ndjson")) == 1)
     assert(readLake(dir).count() == 1)
   }
+
+  test("versioned commits time-travel: each commit is a readable " +
+       "version, truncate keeps old objects for old versions, vacuum " +
+       "reclaims them and only them") {
+    val dir = Files.createTempDirectory("lakesim_tt").toString
+    def write(ids: Range, mode: String): Unit =
+      ids.map(i => (i.toLong, "A", i * 1.0)).toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).option("versioned", "true").mode(mode).save()
+    def readV(v: Int) = spark.read.format(classOf[LakeSimSource].getName)
+      .schema(schema).option("path", dir).option("versionAsOf", v.toString)
+      .load().select($"id").as[Long].collect().toSet
+
+    write(1 to 5, "overwrite")    // v1
+    write(6 to 8, "append")       // v2
+    write(20 to 21, "overwrite")  // v3: truncate — but versioned
+    assert(LakeSimWrite.listVersions(new java.io.File(dir)) == Seq(1, 2, 3))
+    assert(readV(1) == (1L to 5L).toSet)
+    assert(readV(2) == (1L to 8L).toSet)
+    assert(readV(3) == Set(20L, 21L))
+    // latest == v3
+    assert(readLake(dir).select($"id").as[Long].collect().toSet
+      == Set(20L, 21L))
+    // a pushed-count read of an old version answers from that index
+    assert(spark.read.format(classOf[LakeSimSource].getName)
+      .schema(schema).option("path", dir).option("versionAsOf", "2")
+      .load().count() == 8)
+    // streams reject a pinned version loudly
+    val err = intercept[Exception] {
+      spark.readStream.format(classOf[LakeSimSource].getName)
+        .schema(schema).option("path", dir).option("versionAsOf", "1")
+        .load().writeStream.format("noop")
+        .option("checkpointLocation", s"$dir/../ck_tt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(c => Option(c.getMessage).exists(
+        _.contains("versionAsOf is batch-only"))), err)
+    // vacuum to the last 1 version: v1/v2 dropped, their exclusive
+    // objects deleted, latest untouched
+    val (dropped, deleted) = LakeOptimize.vacuumVersions(dir, keepLast = 1)
+    assert(dropped == 2 && deleted >= 1)
+    assert(LakeSimWrite.listVersions(new java.io.File(dir)) == Seq(3))
+    assert(readV(3) == Set(20L, 21L))
+    assert(readLake(dir).select($"id").as[Long].collect().toSet
+      == Set(20L, 21L))
+    val errV = intercept[Exception] { readV(1) }
+    assert(errV != null) // pre-vacuum versions are gone
+  }
 }
