@@ -214,30 +214,30 @@ object PipelineQueries {
     * from the documents table; a version that leaks another commit's
     * rows, loses its own, or reads through the wrong index breaks the
     * hash. */
-  def lakeTimeTravelQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    val lakeDir = java.nio.file.Files
-      .createTempDirectory("graft_laketravel").toString
-    def write(df: DataFrame, mode: String): Unit =
-      df.repartition(2).write.format(fmt).option("path", lakeDir)
-        .option("versioned", "true").mode(mode).save()
-    write(docs.filter(col("doc_id") % 2 === 0), "overwrite") // v1
-    write(docs.filter(col("doc_id") % 2 === 1), "append")    // v2
-    write(docs.filter(col("lang") === "en"), "overwrite")    // v3 truncate
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("n_chars", LongType)))
-    (1 to 3).map { v =>
-      s.read.format(fmt).schema(schema).option("path", lakeDir)
-        .option("versionAsOf", v.toString).load()
-        .select(lit(v).as("version"), col("doc_id"), col("lang"))
-    }.reduce(_ unionByName _)
-      .orderBy(col("version"), col("doc_id"))
-      .localCheckpoint()
-  }
+  def lakeTimeTravelQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q178") { base =>
+      import org.apache.spark.sql.types._
+      val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val lakeDir = s"$base/lake"
+      def write(df: DataFrame, mode: String): Unit =
+        df.repartition(2).write.format(fmt).option("path", lakeDir)
+          .option("versioned", "true").mode(mode).save()
+      write(docs.filter(col("doc_id") % 2 === 0), "overwrite") // v1
+      write(docs.filter(col("doc_id") % 2 === 1), "append")    // v2
+      write(docs.filter(col("lang") === "en"), "overwrite")    // v3 truncate
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      (1 to 3).map { v =>
+        s.read.format(fmt).schema(schema).option("path", lakeDir)
+          .option("versionAsOf", v.toString).load()
+          .select(lit(v).as("version"), col("doc_id"), col("lang"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("version"), col("doc_id"))
+        .localCheckpoint()
+    }
 
   /** AvailableNow lake drain under the oracle gate: documents land in a
     * lakesim lake as 8 data objects, then `readStream` drains it with

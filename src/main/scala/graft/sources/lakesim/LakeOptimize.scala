@@ -59,17 +59,24 @@ object LakeOptimize {
     val d = new java.io.File(dir)
     val versions = LakeSimWrite.listVersions(d)
     val (dropV, keepV) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // one index read per version; both liveness sets derive from it
+    val filesOf: Map[Int, Seq[String]] =
+      versions.map(v => v -> LakeIndex.load(dir, v).map(_.file)).toMap
     val retained: Set[String] =
-      (LakeIndex.load(dir).map(_.file) ++
-        keepV.flatMap(v => LakeIndex.load(dir, v).map(_.file))).toSet
-    val referencedEver: Set[String] =
-      versions.flatMap(v => LakeIndex.load(dir, v).map(_.file)).toSet
+      (LakeIndex.load(dir).map(_.file) ++ keepV.flatMap(filesOf)).toSet
+    val referencedEver: Set[String] = versions.flatMap(filesOf).toSet
     // only ever delete objects some dropped version referenced — never
     // an unindexed stray (could be another writer's in-flight publish)
     val doomed = (referencedEver -- retained).toSeq.sorted
-    doomed.foreach(f => new java.io.File(d, f).delete())
-    dropV.foreach(v =>
-      new java.io.File(d, LakeIndex.indexFileFor(v)).delete())
-    (dropV.size, doomed.size)
+    val deleted = doomed.filter(f => new java.io.File(d, f).delete())
+    // drop version files ONLY once every object they exclusively
+    // referenced is really gone — a failed delete (held handle) keeps
+    // the version, so the object stays referenced and the NEXT vacuum
+    // can reclaim it instead of stranding an unindexed stray forever
+    val droppedVersions =
+      if (deleted.size == doomed.size)
+        dropV.count(v => new java.io.File(d, LakeIndex.indexFileFor(v)).delete())
+      else 0
+    (droppedVersions, deleted.size)
   }
 }

@@ -99,11 +99,33 @@ class LakeSimBatchWrite(path: String, schema: StructType,
     val old = if (hadIndex) LakeIndex.load(path) else Seq.empty
     val existing = if (truncateAll) Seq.empty else old
     val fresh = messages.collect { case m: LakeSimCommit if m.count > 0 => m }
-    // publish new objects under names that collide with NOTHING currently
-    // on disk — under truncate the OLD objects are still live until the
-    // index swap below, so their names are reserved too; a rename failure
-    // here aborts with the old index and old objects fully intact
+    // VERSIONED-NESS IS LAKE STATE, not a per-write assertion: once any
+    // index_vN.json exists, every writer — including maintenance jobs
+    // like LakeOptimize.compact that never heard of the option —
+    // preserves history, or a single forgetful truncate would delete
+    // objects the version indexes still reference
+    val priorVersions = LakeSimWrite.listVersions(dir)
+    val effVersioned = versioned || priorVersions.nonEmpty
+    // repair a PHANTOM version (a crash between the index_vN write and
+    // the index.json swap): after any completed commit the newest
+    // version file's content equals the live index, so a newest version
+    // that differs never committed — drop the version file before
+    // numbering, or the never-visible commit stays readable forever
+    if (effVersioned && hadIndex) priorVersions.lastOption.foreach { v =>
+      val vf = new File(dir, LakeIndex.indexFileFor(v))
+      if (java.nio.file.Files.readString(vf.toPath) !=
+          java.nio.file.Files.readString(new File(dir, "index.json").toPath))
+        vf.delete()
+    }
+    // publish new objects under names that collide with NOTHING — the
+    // live index's names, AND every .ndjson already on disk: a versioned
+    // lake keeps superseded objects alive for old version indexes, and
+    // an unversioned lake may hold a crashed commit's orphan; claiming
+    // either name would silently corrupt history (or need an overwrite).
+    // A rename failure here aborts with the old index fully intact.
     val used = scala.collection.mutable.Set(old.map(_.file): _*)
+    used ++= Option(dir.list()).getOrElse(Array.empty[String])
+      .filter(n => n.endsWith(".ndjson") && !n.startsWith("_tmp"))
     val published = fresh.map { m =>
       val name = Iterator.from(used.size)
         .map(i => s"obj$i.ndjson").find(!used.contains(_)).get
@@ -112,11 +134,9 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       if (copyPublish) {
         // rename-free publish (the object-store primitive set): the copy
         // is non-atomic but the object is invisible until the index swap.
-        // REPLACE_EXISTING: an orphan from a commit that crashed after
-        // copying but before the index swap is NOT in `used` (the index
-        // never named it), so the name picker may legally reuse its name
-        // — overwrite it like a real S3 PUT would, or every retry wedges
-        // on FileAlreadyExists forever
+        // The picker reserves on-disk names, so a crashed commit's
+        // orphan is skipped, not overwritten; REPLACE_EXISTING stays as
+        // the S3-PUT-semantics backstop against races the listing missed
         java.nio.file.Files.copy(src.toPath, new File(dir, name).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         java.nio.file.Files.delete(src.toPath)
@@ -131,13 +151,13 @@ class LakeSimBatchWrite(path: String, schema: StructType,
     // BEFORE the swap (invisible to latest-readers until then), and
     // truncate keeps the superseded objects on disk — older versions
     // still reference them; [[LakeOptimize.vacuumVersions]] reclaims.
-    if (versioned) {
+    if (effVersioned) {
       val next = 1 + LakeSimWrite.listVersions(dir).foldLeft(0)(math.max)
       writeIndex(dir, existing ++ published,
         LakeIndex.indexFileFor(next))
     }
     writeIndex(dir, existing ++ published, "index.json")
-    if (truncateAll && !versioned)
+    if (truncateAll && !effVersioned)
       old.foreach(e => new File(dir, e.file).delete())
   }
 

@@ -109,8 +109,8 @@ class PcaSpec extends SparkSpec {
     val dfA = a.toDF("embedding"); val dfB = b.toDF("embedding")
     val mA = Pca.moments(dfA, "embedding", 4)
     val mB = Pca.moments(dfB, "embedding", 4)
-    val merged = Pca.fitFromMoments(4, mA._1 + mB._1,
-      Pca.mergeMoments(mA, mB)._2, Pca.mergeMoments(mA, mB)._3)
+    val m = Pca.mergeMoments(mA, mB)
+    val merged = Pca.fitFromMoments(4, m._1, m._2, m._3)
     val full = Pca.fit(synthetic.toDF("embedding"), "embedding")
     assert(merged.n == full.n)
     assert((0 until 4).forall(i =>

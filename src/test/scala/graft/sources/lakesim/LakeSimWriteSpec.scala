@@ -211,4 +211,46 @@ class LakeSimWriteSpec extends SparkSpec {
     val errV = intercept[Exception] { readV(1) }
     assert(errV != null) // pre-vacuum versions are gone
   }
+
+  test("versioning invariants survive hostile sequences: name reuse " +
+       "never clobbers history, a forgetful maintenance write preserves " +
+       "it, and a phantom version self-repairs") {
+    val dir = Files.createTempDirectory("lakesim_tt2").toString
+    def write(ids: Range, mode: String, versionedOpt: Boolean): Unit = {
+      val w = ids.map(i => (i.toLong, "A", i * 1.0))
+        .toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).mode(mode)
+      (if (versionedOpt) w.option("versioned", "true") else w).save()
+    }
+    def readV(v: Int) = spark.read.format(classOf[LakeSimSource].getName)
+      .schema(schema).option("path", dir).option("versionAsOf", v.toString)
+      .load().select($"id").as[Long].collect().toSet
+
+    // finding-1 shape: truncate shrinks the live index, then an append's
+    // name picker must NOT claim a superseded-but-retained object name
+    write(1 to 5, "overwrite", versionedOpt = true)   // v1: obj0
+    write(6 to 9, "append", versionedOpt = true)      // v2: +obj1
+    write(50 to 51, "overwrite", versionedOpt = true) // v3: truncate
+    write(60 to 61, "append", versionedOpt = true)    // v4: append
+    assert(readV(1) == (1L to 5L).toSet)  // v1 objects untouched
+    assert(readV(2) == (1L to 9L).toSet)
+    assert(readV(4) == Set(50L, 51L, 60L, 61L))
+    // finding-2 shape: a writer that never heard of the option (the
+    // compact maintenance path) still preserves history on a lake that
+    // HAS versions
+    write(70 to 72, "overwrite", versionedOpt = false) // v5 implied
+    assert(LakeSimWrite.listVersions(new java.io.File(dir)).size == 5)
+    assert(readV(1) == (1L to 5L).toSet)
+    assert(readV(5) == Set(70L, 71L, 72L))
+    // finding-3 shape: a phantom (version file without the index.json
+    // swap) is dropped by the next commit's repair, and its number is
+    // reissued to a REAL commit
+    val phantom = new java.io.File(dir, "index_v6.json")
+    java.nio.file.Files.writeString(phantom.toPath,
+      """{"objects": [{"file": "objX.ndjson", "count": 1}]}""")
+    write(80 to 80, "append", versionedOpt = true)
+    assert(readV(6) == Set(70L, 71L, 72L, 80L)) // the real v6
+    assert(LakeSimWrite.listVersions(new java.io.File(dir)).max == 6)
+  }
 }
