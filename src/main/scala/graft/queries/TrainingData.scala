@@ -1819,6 +1819,27 @@ object TrainingData {
       .orderBy(col("qid"), col("adc_dist"), col("vec_id"))
   }
 
+  /** Index DELETION under the gate (q179): every 7th vector tombstones
+    * out of the stored IVF-PQ index through
+    * [[graft.functions.Similarity.indexDelete]] (one anti-join; the
+    * trained coarse/codebook artifacts are untouched), then the q147
+    * "nearest to vec 0" serve runs over what remains — and since vec 0
+    * itself is deleted, its self-match must vanish from the top-k. The
+    * oracle is the q147 chain with the membership filter; a row that
+    * survives deletion, a lost live row, or any ADC drift breaks the
+    * hash. */
+  def indexDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    val (e, coarse, cbs, idx, _) = ivfPqFixture(s, dir)
+    val tombstones = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val kept = Similarity.indexDelete(idx, "vec_id", tombstones, "vec_id")
+    val q1 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Similarity.ivfPqTopKBatch(q1, "qid", "embedding", kept, "vec_id",
+        "cell", "codes", coarse, cbs, k = 10, nProbe = 4)
+      .select(col("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+  }
+
   /** Offline retrieval EVALUATION under the gate (q167): the complete
     * index-quality harness — the q166 batched IVF-PQ serving run
     * side-by-side with the exact batched L2 ground truth
@@ -1935,6 +1956,7 @@ object TrainingData {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_index_delete"     -> indexDeleteQ _,
     "q177_tar_stream"       -> tarStreamExportQ _,
     "q175_binary_ingest"    -> binaryIngestQ _,
     "q174_pca_moments"      -> pcaMomentsQ _,
@@ -2640,6 +2662,67 @@ object TrainingData {
         | FROM best b JOIN lut l
         |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
         | WHERE b.cell0 IN (SELECT cell0 FROM probe)
+        | GROUP BY b.vec_id)
+        |SELECT vec_id, adc_dist FROM pervec
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+    // the q147 chain with the tombstone membership filter: codebooks
+    // and cells trained on the FULL corpus (deletion touches code rows
+    // only), candidates restricted to survivors
+    "q179_index_delete" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT c.cell0 FROM c0 c, q
+        | ORDER BY list_sum(list_transform(range(1, 65), i ->
+        |    (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |    * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), c.cell0
+        | LIMIT 4),
+        |lut AS (SELECT c.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+        |    * ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+        |    AS dd
+        | FROM c0 c, sp, cbr, q WHERE c.cell0 IN (SELECT cell0 FROM probe)),
+        |pervec AS (SELECT b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+        | WHERE b.cell0 IN (SELECT cell0 FROM probe)
+        |   AND b.vec_id % 7 != 0
         | GROUP BY b.vec_id)
         |SELECT vec_id, adc_dist FROM pervec
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,

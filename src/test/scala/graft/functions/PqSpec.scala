@@ -265,6 +265,39 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("indexDelete: tombstoned ids vanish from serving, survivors " +
+       "score identically, and the index side never re-shuffles") {
+    val all = df(400)
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      all, "embedding", "vec_id", k = 8, iters = 2)
+    val cbs = Similarity.ivfPqCodebooks(all, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 2)
+    val index = Similarity.ivfPqEncode(
+        all.select($"vec_id", $"embedding"), "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val tomb = all.filter($"vec_id" % 5 === 0).select($"vec_id")
+    val kept = Similarity.indexDelete(index, "vec_id", tomb, "vec_id")
+    val query = vectors(1).head._2.map(_.toDouble)
+    val before = Similarity.ivfPqTopKFromIndex(index, "vec_id", "cell",
+        "codes", query, coarse, cbs, k = 40, nProbe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val after = Similarity.ivfPqTopKFromIndex(kept, "vec_id", "cell",
+        "codes", query, coarse, cbs, k = 40, nProbe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(after.forall { case (id, _) => id % 5 != 0 })
+    // survivors keep their exact pre-deletion scores and relative order
+    val beforeSurvivors = before.filter(_._1 % 5 != 0)
+    assert(after.take(beforeSurvivors.size)
+      .zip(beforeSurvivors).forall { case (a, b) => a == b })
+    // the anti-join must not exchange the index side (AQE broadcasts
+    // the tombstones): no shuffle of the kept plan beyond the input's
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+  }
+
   test("dim must divide m; empty input yields empty codebooks") {
     val data = df(10)
     val ex = intercept[IllegalArgumentException] {
