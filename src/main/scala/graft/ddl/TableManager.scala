@@ -30,6 +30,27 @@ object TableManager {
   def columnDdl(meta: ColumnMeta): String =
     s"[${meta.name}] ${MetadataCatalog.mssqlType(meta)} NULL"
 
+  /** Portable ANSI-ish JDBC type for a Spark type — the ADD COLUMN
+    * vocabulary drift evolution needs (Derby/MSSQL/Postgres all accept
+    * these). */
+  def jdbcType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR(4000)"
+      case other => throw new IllegalArgumentException(
+        s"jdbcType: no ADD COLUMN mapping for ${other.simpleString}")
+    }
+  }
+
   /** Reference naming rules (`utilities/helpers/table_generator.py:52-56`):
     * warehouse table = staging minus `_dl`; merge proc name = staging minus
     * `luma_dl_` plus `_proc`. */

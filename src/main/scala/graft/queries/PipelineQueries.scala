@@ -205,6 +205,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema-DRIFT warehouse evolution under the gate (q180), against
+    * LIVE embedded Derby — the reference's defining end-to-end move:
+    * version-1 rows (no n_chars yet) create and load the staging
+    * table; the corpus then drifts (n_chars appears) and
+    * [[graft.sinks.Sinks.jdbcEvolve]] reconciles — introspects the
+    * standing table, issues real `ALTER TABLE ADD COLUMN`, aligns, and
+    * appends. The final table reads back through the LIVE JDBC
+    * metadata; standing rows must carry NULL in the new column and
+    * drifted rows their values. The oracle restates the
+    * version-membership arithmetic. */
+  def jdbcEvolveQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q180") { base =>
+      val url = s"jdbc:derby:$base/db;create=true"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // version 1: the evens, BEFORE n_chars existed
+      graft.sinks.Sinks.jdbcLoad(
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang")),
+        url, "DOCS_EVOLVE", mode = org.apache.spark.sql.SaveMode.Overwrite,
+        batchSize = 500)
+      // version 2: the odds arrive carrying the drifted column
+      val added = graft.sinks.Sinks.jdbcEvolve(
+        docs.filter(col("doc_id") % 2 === 1), url, "DOCS_EVOLVE",
+        batchSize = 500)
+      require(added.map(_.toLowerCase) == Seq("n_chars"),
+        s"jdbcEvolveQ: expected to add n_chars, added $added")
+      s.read.jdbc(url, "DOCS_EVOLVE", new java.util.Properties())
+        .select(col("DOC_ID").as("doc_id"), col("LANG").as("lang"),
+          col("N_CHARS").as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Lake TIME TRAVEL under the gate (q178): three VERSIONED commits —
     * the low half, an append of the rest, then a truncate down to one
     * lang — and the query reads versions 1-3 side-by-side through
@@ -1237,6 +1270,7 @@ object PipelineQueries {
     "q143_scd2_history"   -> scd2Q _,
     "q176_scd2_retention" -> scd2RetainQ _,
     "q178_lake_time_travel" -> lakeTimeTravelQ _,
+    "q180_jdbc_evolve"    -> jdbcEvolveQ _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
     "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
@@ -1384,6 +1418,12 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // drift membership restated: evens loaded before the column
+    // existed (NULL), odds carried it
+    "q180_jdbc_evolve" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // each version's membership restated from the source table: v1 =
     // evens, v2 = everything, v3 = the truncate's lang slice
     "q178_lake_time_travel" ->

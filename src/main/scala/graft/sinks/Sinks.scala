@@ -103,6 +103,47 @@ object Sinks {
       : StructType =
     spark.read.jdbc(url, table, props).schema
 
+  /** Schema DRIFT reconciliation into a live JDBC table — the
+    * reference's defining move (metadata-driven DDL + multi-version
+    * staging): introspect the standing table, `ALTER TABLE ... ADD
+    * COLUMN` every field the incoming frame carries that the table
+    * lacks (nullable — standing rows read back NULL for it), then
+    * append with the frame's columns aligned to the evolved table.
+    * Returns the added column names. Column REMOVAL is never DDL'd
+    * (the warehouse keeps history); a missing incoming column simply
+    * loads NULL. Type changes are out of scope and surface as the
+    * driver's own JDBC error. */
+  def jdbcEvolve(df: DataFrame, url: String, table: String,
+                 batchSize: Int = 1000,
+                 props: java.util.Properties = new java.util.Properties())
+      : Seq[String] = {
+    val existing = jdbcIntrospect(df.sparkSession, url, table)
+    val have = existing.fieldNames.map(_.toLowerCase).toSet
+    val missing = df.schema.fields.filterNot(f =>
+      have.contains(f.name.toLowerCase))
+    if (missing.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try missing.foreach { f =>
+        val ddl = graft.ddl.TableManager.jdbcType(f.dataType)
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""ALTER TABLE $table ADD COLUMN "${f.name.toUpperCase}" $ddl""")
+        finally st.close()
+      } finally conn.close()
+    }
+    // align: every evolved-table column, NULL where the frame lacks it
+    val evolved = jdbcIntrospect(df.sparkSession, url, table)
+    val dfCols = df.columns.map(c => c.toLowerCase -> c).toMap
+    val aligned = df.select(evolved.fields.toIndexedSeq.map { f =>
+      dfCols.get(f.name.toLowerCase)
+        .map(col(_).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
+    }: _*)
+    jdbcLoad(aligned, url, table, mode = SaveMode.Append,
+      batchSize = batchSize, truncate = false, props = props)
+    missing.map(_.name).toSeq
+  }
+
   /** K5: per-column insert root-cause analysis (reference
     * `lambda_function.py:245-276`): when a bulk load fails, retry the write
     * with each non-key column in isolation (alongside the keys) to identify

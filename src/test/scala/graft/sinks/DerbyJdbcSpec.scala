@@ -52,6 +52,30 @@ class DerbyJdbcSpec extends SparkSpec {
     assert(back == Seq(("True", "2.50"), ("", "-99.00")))
   }
 
+  test("jdbcEvolve reconciles drift with live ALTER TABLE: new column " +
+       "added once, standing rows read NULL, a SHRUNK frame loads NULL " +
+       "into columns it lacks, and no-drift appends are DDL-free") {
+    Sinks.jdbcLoad(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      url, "evolve_t", SaveMode.Overwrite, batchSize = 10)
+    // drift: n arrives
+    val added = Sinks.jdbcEvolve(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "v", "n"),
+      url, "evolve_t", batchSize = 10)
+    assert(added.map(_.toLowerCase) == Seq("n"))
+    // no drift: append without DDL
+    assert(Sinks.jdbcEvolve(Seq((5L, "e", 50L)).toDF("k", "v", "n"),
+      url, "evolve_t", batchSize = 10).isEmpty)
+    // a frame MISSING a column aligns with NULL (removal is never DDL'd)
+    assert(Sinks.jdbcEvolve(Seq((6L, "f")).toDF("k", "v"),
+      url, "evolve_t", batchSize = 10).isEmpty)
+    val back = spark.read.jdbc(url, "evolve_t", new java.util.Properties())
+      .select($"K".cast("long"), $"V", $"N".cast("long"))
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L)), (5L, "e", Some(50L)),
+      (6L, "f", None)))
+  }
+
   test("per-column RCA isolates the poisoned column via a real JDBC error (K5)") {
     // target table: 'bad' can hold at most 2 chars
     val conn = java.sql.DriverManager.getConnection(url)
