@@ -354,6 +354,35 @@ object Sampling {
     *
     * Returns the frame with a `split` label column appended. The same
     * CASE over md5 prefixes restates verbatim in SQL (q77's oracle). */
+  /** Budget selection by cumulative MASS — "keep the highest-priority
+    * rows until they hold fracNum/fracDen of the corpus's total
+    * weight": the token-budget curation move (fill a training budget
+    * from the top of a quality/length ordering, drop the tail). Runs
+    * on [[Sharding.packShards]]'s range-exchange prefix sum (one range
+    * shuffle + broadcast per-partition offsets) — never a global
+    * ORDER BY window that funnels the corpus through one task. The
+    * boundary-crossing row is KEPT (exclusive prefix < budget), the
+    * shard-packing rule. Arithmetic is exact integers end to end
+    * (`cum·den < tot·num` — no fp boundary drift; keep fracDen small
+    * so tot·num stays inside Long). Ties at equal priority break by
+    * `idCol`; ids must be unique. */
+  def massBudgetSelect(df: DataFrame, idCol: String, priorityCol: String,
+                       weightCol: String, fracNum: Long, fracDen: Long,
+                       descending: Boolean = true): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
+      s"massBudgetSelect: need 0 <= fracNum <= fracDen, got $fracNum/$fracDen")
+    val p = col(priorityCol).cast("long")
+    val keyed = df.withColumn("_graft_mass_key",
+      struct((if (descending) p * -1 else p).as("p"),
+        col(idCol).as("k")))
+    val tot = df.agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
+      .head().getLong(0)
+    Sharding.packShards(keyed, "_graft_mass_key", weightCol,
+        budget = Long.MaxValue)
+      .where(col("cum_weight") * fracDen < lit(tot) * fracNum)
+      .drop("_graft_mass_key", "shard_id", "cum_weight")
+  }
+
   def hashSplit(df: DataFrame, keyCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.size >= 2, "need at least two splits")

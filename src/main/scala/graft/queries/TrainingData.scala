@@ -1921,6 +1921,19 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** Token-budget corpus selection under the gate (q181): keep the
+    * LONGEST documents until they hold 60% of total corpus chars —
+    * [[graft.functions.Sampling.massBudgetSelect]] over the
+    * range-exchange prefix sum (no global window), boundary row kept,
+    * exact integer boundary (`cum·10 < tot·6`). The oracle restates
+    * the exclusive window sum and the same integer comparison. */
+  def massBudgetQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.massBudgetSelect(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", "n_chars", fracNum = 6, fracDen = 10)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** STREAMING tar-shard export under the gate (q177): the corpus
     * lands in three waves; each micro-batch ships as its own
     * `batch_id=N` shard directory through
@@ -1956,6 +1969,7 @@ object TrainingData {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_mass_budget"      -> massBudgetQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     "q177_tar_stream"       -> tarStreamExportQ _,
     "q175_binary_ingest"    -> binaryIngestQ _,
@@ -2412,6 +2426,16 @@ object TrainingData {
         | CAST(sum(CAST(floor(b.xv * 1e6) AS BIGINT)) AS BIGINT) AS sy
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
+    // exclusive prefix sum over (n_chars DESC, doc_id), boundary row
+    // kept, exact integer comparison
+    "q181_mass_budget" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |  coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+        |  (SELECT sum(n_chars) FROM documents) AS tot
+        | FROM documents)
+        |SELECT doc_id, n_chars FROM w
+        |WHERE cw * 10 < tot * 6 ORDER BY doc_id""".stripMargin,
     // streaming export identity: every payload exactly once across all
     // batch directories — the q172 oracle verbatim
     "q177_tar_stream" ->

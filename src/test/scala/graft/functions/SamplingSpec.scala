@@ -363,4 +363,31 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(byId(20L)._3 == solo(20L) && byId(21L)._3 == solo(21L))
   }
+
+  test("massBudgetSelect equals the naive global-sort selection, keeps " +
+       "the boundary row, breaks priority ties by id, and never plans " +
+       "a single-partition global window") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map(i => (i, (rnd.nextInt(90) + 10).toLong))
+    val in = rows.toDF("id", "w").repartition(7)
+    val got = Sampling.massBudgetSelect(in, "id", "w", "w", 6, 10)
+      .as[(Long, Long)].collect().toSet
+    // naive: sort by (w desc, id), keep while exclusive prefix < 0.6*tot
+    val tot = rows.map(_._2).sum
+    var acc = 0L
+    val want = rows.sortBy { case (id, w) => (-w, id) }.takeWhile { case (_, w) =>
+      val keep = acc * 10 < tot * 6; acc += w; keep
+    }.toSet
+    assert(got == want && got.nonEmpty && got.size < rows.size)
+    // frac 0 keeps nothing; frac 1 keeps all
+    assert(Sampling.massBudgetSelect(in, "id", "w", "w", 0, 1).count() == 0)
+    assert(Sampling.massBudgetSelect(in, "id", "w", "w", 1, 1).count()
+      == rows.size)
+    // no single-partition global window: the only window partitions by
+    // the range-exchange pid
+    val plan = Sampling.massBudgetSelect(in, "id", "w", "w", 6, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("SinglePartition"), plan)
+  }
 }
