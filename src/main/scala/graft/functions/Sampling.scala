@@ -383,6 +383,31 @@ object Sampling {
       .drop("_graft_mass_key", "shard_id", "cum_weight")
   }
 
+  /** Per-GROUP [[massBudgetSelect]] — each group (language, source)
+    * fills its own fracNum/fracDen share of ITS total weight: the
+    * per-domain budget practice (a global budget would let one huge
+    * domain starve the rest). One grouped range-exchange prefix sum
+    * ([[Sharding.groupedPrefixSum]] — group cardinality must be low by
+    * its contract) plus one broadcast of per-group totals; same exact
+    * integer boundary and keep-the-boundary-row rule. */
+  def massBudgetSelectBy(df: DataFrame, groupCols: Seq[String],
+                         idCol: String, priorityCol: String,
+                         weightCol: String, fracNum: Long, fracDen: Long,
+                         descending: Boolean = true): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
+      s"massBudgetSelectBy: need 0 <= fracNum <= fracDen, got $fracNum/$fracDen")
+    val p = col(priorityCol).cast("long")
+    val keyed = df.withColumn("_graft_negp",
+      if (descending) p * -1 else p)
+    val totals = df.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("_graft_tot"))
+    Sharding.groupedPrefixSum(keyed, groupCols,
+        Seq("_graft_negp", idCol), weightCol)
+      .join(broadcast(totals), groupCols)
+      .where(col("cum_weight") * fracDen < col("_graft_tot") * fracNum)
+      .drop("_graft_negp", "_graft_tot", "cum_weight")
+  }
+
   def hashSplit(df: DataFrame, keyCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.size >= 2, "need at least two splits")

@@ -1934,6 +1934,20 @@ object TrainingData {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Per-LANGUAGE token-budget selection under the gate (q182): every
+    * language independently keeps its longest docs until 50% of ITS
+    * chars — the per-domain budget practice (a global budget lets one
+    * huge domain starve the rest). One grouped range-exchange prefix
+    * sum; the oracle restates the PARTITION BY window and the integer
+    * boundary. */
+  def massBudgetByLangQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.massBudgetSelectBy(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", "n_chars",
+        fracNum = 1, fracDen = 2)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** STREAMING tar-shard export under the gate (q177): the corpus
     * lands in three waves; each micro-batch ships as its own
     * `batch_id=N` shard directory through
@@ -1969,6 +1983,7 @@ object TrainingData {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     "q177_tar_stream"       -> tarStreamExportQ _,
@@ -2426,6 +2441,16 @@ object TrainingData {
         | CAST(sum(CAST(floor(b.xv * 1e6) AS BIGINT)) AS BIGINT) AS sy
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
+    // the q181 rule PARTITIONed BY lang, each against its own total
+    "q182_mass_budget_lang" ->
+      """WITH w AS (SELECT doc_id, lang, n_chars,
+        |  coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+        |  sum(n_chars) OVER (PARTITION BY lang) AS tot
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars FROM w
+        |WHERE cw * 2 < tot * 1 ORDER BY doc_id""".stripMargin,
     // exclusive prefix sum over (n_chars DESC, doc_id), boundary row
     // kept, exact integer comparison
     "q181_mass_budget" ->

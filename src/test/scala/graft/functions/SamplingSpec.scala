@@ -390,4 +390,29 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window [") ||
       !plan.contains("SinglePartition"), plan)
   }
+
+  test("massBudgetSelectBy fills each group's own budget: per-group " +
+       "naive equivalence, groups never cross-subsidize") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 600L).map(i =>
+      (i, if (i % 3 == 0) "big" else "small", (rnd.nextInt(50) + 1).toLong))
+    val in = rows.toDF("id", "g", "w").repartition(5)
+    val got = Sampling.massBudgetSelectBy(in, Seq("g"), "id", "w", "w", 1, 2)
+      .select($"id", $"g", $"w").as[(Long, String, Long)].collect().toSet
+    val want = rows.groupBy(_._2).values.flatMap { grp =>
+      val tot = grp.map(_._3).sum
+      var acc = 0L
+      grp.sortBy { case (id, _, w) => (-w, id) }.takeWhile { case (_, _, w) =>
+        val keep = acc * 2 < tot * 1; acc += w; keep
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // each group holds roughly half ITS mass — not half the global mass
+    for (g <- Seq("big", "small")) {
+      // toSeq before map: Set.map would dedup equal weights
+      val kept = got.toSeq.filter(_._2 == g).map(_._3).sum.toDouble
+      val tot = rows.filter(_._2 == g).map(_._3).sum.toDouble
+      assert(kept / tot >= 0.5 && kept / tot < 0.6, s"$g: ${kept / tot}")
+    }
+  }
 }
