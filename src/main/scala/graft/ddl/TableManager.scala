@@ -30,9 +30,13 @@ object TableManager {
   def columnDdl(meta: ColumnMeta): String =
     s"[${meta.name}] ${MetadataCatalog.mssqlType(meta)} NULL"
 
-  /** Portable ANSI-ish JDBC type for a Spark type — the ADD COLUMN
-    * vocabulary drift evolution needs (Derby/MSSQL/Postgres all accept
-    * these). */
+  /** ANSI-standard JDBC type for a Spark type — the ADD COLUMN
+    * vocabulary drift evolution needs. Derby and Postgres accept these
+    * verbatim (the live q180 gate runs against Derby). MSSQL does NOT:
+    * it has no BOOLEAN/DOUBLE (BIT/FLOAT) and its ALTER syntax omits
+    * the COLUMN keyword — an MSSQL deployment maps through
+    * [[graft.types.MetadataCatalog.mssqlType]] and its own ALTER
+    * template instead of this vocabulary. */
   def jdbcType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {

@@ -343,6 +343,103 @@ object Sampling {
       .select(col("anchor_id"), col("neg_idx"), col("neg_id"))
   }
 
+  /** Budget selection by cumulative MASS — "keep the highest-priority
+    * rows until they hold fracNum/fracDen of the corpus's total
+    * weight": the token-budget curation move (fill a training budget
+    * from the top of a quality/length ordering, drop the tail). Runs
+    * on [[Sharding.packShards]]'s range-exchange prefix sum (one range
+    * shuffle + broadcast per-partition offsets) — never a global
+    * ORDER BY window that funnels the corpus through one task, and the
+    * total comes from the prefix sum's own pinned output (no second
+    * input scan). The boundary-crossing row is KEPT (exclusive prefix
+    * < budget), the shard-packing rule. Arithmetic is exact integers
+    * end to end (`cum·den < tot·num` — no fp boundary drift; the
+    * overflow headroom is checked loudly). `priorityCol` must be a
+    * NUMERIC, non-null column (its type is preserved — a double
+    * quality score orders at full precision); ties at equal priority
+    * break by `idCol`; ids must be unique. */
+  def massBudgetSelect(df: DataFrame, idCol: String, priorityCol: String,
+                       weightCol: String, fracNum: Long, fracDen: Long,
+                       descending: Boolean = true): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
+      s"massBudgetSelect: need 0 <= fracNum <= fracDen, got $fracNum/$fracDen")
+    require(!df.columns.contains("cum_weight") &&
+        !df.columns.contains("shard_id"),
+      "massBudgetSelect: input already has a cum_weight/shard_id column" +
+        " - rename it first")
+    val keyed = df.withColumn("_graft_mass_key",
+      struct(orderKey(priorityCol, descending, "massBudgetSelect").as("p"),
+        col(idCol).as("k")))
+    val packed = Sharding.packShards(keyed, "_graft_mass_key", weightCol,
+      budget = Long.MaxValue)
+    // total = the prefix sum's own last edge; packShards localCheckpoints,
+    // so this aggregate re-reads the pinned output, never the input
+    val tot = packed
+      .agg(coalesce(max(col("cum_weight") + col(weightCol).cast("long")),
+        lit(0L))).head().getLong(0)
+    guardBudgetOverflow(tot, fracNum, fracDen, "massBudgetSelect")
+    packed
+      .where(col("cum_weight") * fracDen < lit(tot) * fracNum)
+      .drop("_graft_mass_key", "shard_id", "cum_weight")
+  }
+
+  /** Per-GROUP [[massBudgetSelect]] — each group (language, source)
+    * fills its own fracNum/fracDen share of ITS total weight: the
+    * per-domain budget practice (a global budget would let one huge
+    * domain starve the rest). One grouped range-exchange prefix sum
+    * ([[Sharding.groupedPrefixSum]] — group cardinality must be low by
+    * its contract) plus one broadcast of per-group totals derived from
+    * the prefix sum's own pinned output; same exact integer boundary
+    * and keep-the-boundary-row rule. A NULL group value is still a
+    * group (the totals join is null-safe, matching groupedPrefixSum's
+    * contract). */
+  def massBudgetSelectBy(df: DataFrame, groupCols: Seq[String],
+                         idCol: String, priorityCol: String,
+                         weightCol: String, fracNum: Long, fracDen: Long,
+                         descending: Boolean = true): DataFrame = {
+    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
+      s"massBudgetSelectBy: need 0 <= fracNum <= fracDen, got $fracNum/$fracDen")
+    val keyed = df.withColumn("_graft_negp",
+      orderKey(priorityCol, descending, "massBudgetSelectBy"))
+    val prefixed = Sharding.groupedPrefixSum(keyed, groupCols,
+      Seq("_graft_negp", idCol), weightCol)
+    // per-group totals from the pinned prefix output (one small agg, no
+    // second input scan), joined back NULL-SAFELY — a null group is
+    // still a group, an equi-join would silently drop its rows
+    val totals = prefixed.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(max(col("cum_weight") + col(weightCol).cast("long")),
+        lit(0L)).as("_graft_tot"))
+      .select(groupCols.map(c => col(c).as(s"_graft_g_$c")) :+
+        col("_graft_tot"): _*)
+    val maxTot = totals.agg(coalesce(max(col("_graft_tot")), lit(0L)))
+      .head().getLong(0)
+    guardBudgetOverflow(maxTot, fracNum, fracDen, "massBudgetSelectBy")
+    val joinCond = groupCols.map(c => col(c) <=> col(s"_graft_g_$c"))
+      .reduce(_ && _)
+    prefixed.join(broadcast(totals), joinCond)
+      .where(col("cum_weight") * fracDen < col("_graft_tot") * fracNum)
+      .drop(Seq("_graft_negp", "_graft_tot", "cum_weight") ++
+        groupCols.map(c => s"_graft_g_$c"): _*)
+  }
+
+  /** Numeric, loudly-null-checked ordering key; negated for descending
+    * (type preserved — no silent cast-to-long truncation of a double
+    * score). */
+  private def orderKey(priorityCol: String, descending: Boolean,
+                       fn: String): Column = {
+    val p = col(priorityCol)
+    val guarded = when(p.isNull, raise_error(lit(
+      s"$fn: null $priorityCol - null priorities have no defined rank; " +
+        "filter or coalesce them first"))).otherwise(p)
+    if (descending) guarded * lit(-1) else guarded
+  }
+
+  private def guardBudgetOverflow(tot: Long, fracNum: Long, fracDen: Long,
+                                  fn: String): Unit =
+    require(tot <= Long.MaxValue / math.max(math.max(fracNum, fracDen), 1L),
+      s"$fn: total weight $tot times fraction parts $fracNum/$fracDen " +
+        "would overflow Long - rescale the weights or the fraction")
+
   /** Deterministic disjoint split (train/val/test): each row lands in
     * exactly one labeled split by comparing its stable md5 coordinate
     * against cumulative hex thresholds — shuffle-free, reproducible under
@@ -354,60 +451,6 @@ object Sampling {
     *
     * Returns the frame with a `split` label column appended. The same
     * CASE over md5 prefixes restates verbatim in SQL (q77's oracle). */
-  /** Budget selection by cumulative MASS — "keep the highest-priority
-    * rows until they hold fracNum/fracDen of the corpus's total
-    * weight": the token-budget curation move (fill a training budget
-    * from the top of a quality/length ordering, drop the tail). Runs
-    * on [[Sharding.packShards]]'s range-exchange prefix sum (one range
-    * shuffle + broadcast per-partition offsets) — never a global
-    * ORDER BY window that funnels the corpus through one task. The
-    * boundary-crossing row is KEPT (exclusive prefix < budget), the
-    * shard-packing rule. Arithmetic is exact integers end to end
-    * (`cum·den < tot·num` — no fp boundary drift; keep fracDen small
-    * so tot·num stays inside Long). Ties at equal priority break by
-    * `idCol`; ids must be unique. */
-  def massBudgetSelect(df: DataFrame, idCol: String, priorityCol: String,
-                       weightCol: String, fracNum: Long, fracDen: Long,
-                       descending: Boolean = true): DataFrame = {
-    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
-      s"massBudgetSelect: need 0 <= fracNum <= fracDen, got $fracNum/$fracDen")
-    val p = col(priorityCol).cast("long")
-    val keyed = df.withColumn("_graft_mass_key",
-      struct((if (descending) p * -1 else p).as("p"),
-        col(idCol).as("k")))
-    val tot = df.agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
-      .head().getLong(0)
-    Sharding.packShards(keyed, "_graft_mass_key", weightCol,
-        budget = Long.MaxValue)
-      .where(col("cum_weight") * fracDen < lit(tot) * fracNum)
-      .drop("_graft_mass_key", "shard_id", "cum_weight")
-  }
-
-  /** Per-GROUP [[massBudgetSelect]] — each group (language, source)
-    * fills its own fracNum/fracDen share of ITS total weight: the
-    * per-domain budget practice (a global budget would let one huge
-    * domain starve the rest). One grouped range-exchange prefix sum
-    * ([[Sharding.groupedPrefixSum]] — group cardinality must be low by
-    * its contract) plus one broadcast of per-group totals; same exact
-    * integer boundary and keep-the-boundary-row rule. */
-  def massBudgetSelectBy(df: DataFrame, groupCols: Seq[String],
-                         idCol: String, priorityCol: String,
-                         weightCol: String, fracNum: Long, fracDen: Long,
-                         descending: Boolean = true): DataFrame = {
-    require(fracNum >= 0 && fracDen > 0 && fracNum <= fracDen,
-      s"massBudgetSelectBy: need 0 <= fracNum <= fracDen, got $fracNum/$fracDen")
-    val p = col(priorityCol).cast("long")
-    val keyed = df.withColumn("_graft_negp",
-      if (descending) p * -1 else p)
-    val totals = df.groupBy(groupCols.map(col): _*)
-      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("_graft_tot"))
-    Sharding.groupedPrefixSum(keyed, groupCols,
-        Seq("_graft_negp", idCol), weightCol)
-      .join(broadcast(totals), groupCols)
-      .where(col("cum_weight") * fracDen < col("_graft_tot") * fracNum)
-      .drop("_graft_negp", "_graft_tot", "cum_weight")
-  }
-
   def hashSplit(df: DataFrame, keyCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.size >= 2, "need at least two splits")

@@ -489,6 +489,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Tombstone DELETE from a stored ANN index: drop the deleted ids'
+    * code rows with one left-anti join. Cell assignments and codebooks
+    * are unchanged — they are trained artifacts, not per-row state —
+    * so the remaining index serves immediately, exactly as if the rows
+    * had never been encoded (gated by q179 against the q147 oracle
+    * chain with the membership filter). At scale the tombstone side is
+    * typically small → AQE broadcasts the anti-join; the index never
+    * re-shuffles. */
+  def indexDelete(index: DataFrame, idCol: String,
+                  tombstones: DataFrame, tombIdCol: String): DataFrame =
+    index.join(
+      tombstones.select(col(tombIdCol).as("_graft_del_id")).distinct(),
+      col(idCol) === col("_graft_del_id"), "left_anti")
+
   /** BATCHED IVF-PQ serving over a stored index — offline retrieval
     * evaluation's shape: a query *DataFrame* `(qid, vector)` joins the
     * standing `(id, cell, codes)` index cell-wise, with NO per-query
@@ -509,20 +523,6 @@ object Similarity {
     * inside a subspace, ascending subspace across) mirror
     * [[ivfPqTopKFromIndex]] exactly, so the q147 oracle restates
     * per-query (q166). */
-  /** Tombstone DELETE from a stored ANN index: drop the deleted ids'
-    * code rows with one left-anti join. Cell assignments and codebooks
-    * are unchanged — they are trained artifacts, not per-row state —
-    * so the remaining index serves immediately, exactly as if the rows
-    * had never been encoded (gated by q179 against the q147 oracle
-    * chain with the membership filter). At scale the tombstone side is
-    * typically small → AQE broadcasts the anti-join; the index never
-    * re-shuffles. */
-  def indexDelete(index: DataFrame, idCol: String,
-                  tombstones: DataFrame, tombIdCol: String): DataFrame =
-    index.join(
-      tombstones.select(col(tombIdCol).as("_graft_del_id")).distinct(),
-      col(idCol) === col("_graft_del_id"), "left_anti")
-
   def ivfPqTopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                      index: DataFrame, idCol: String, cellCol: String,
                      codesCol: String, coarse: Seq[Seq[Double]],

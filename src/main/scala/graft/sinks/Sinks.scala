@@ -122,12 +122,23 @@ object Sinks {
     val missing = df.schema.fields.filterNot(f =>
       have.contains(f.name.toLowerCase))
     if (missing.nonEmpty) {
+      // the DDL is string-built: refuse any identifier that would need
+      // quoting/escaping rather than risk broken or injected statements
+      val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+      def checked(name: String, what: String): String = {
+        require(ident.matches(name),
+          s"jdbcEvolve: $what '$name' is not a plain SQL identifier " +
+            "([A-Za-z_][A-Za-z0-9_]*) - rename it before evolving")
+        name
+      }
+      checked(table, "table name")
       val conn = java.sql.DriverManager.getConnection(url, props)
       try missing.foreach { f =>
         val ddl = graft.ddl.TableManager.jdbcType(f.dataType)
+        val colName = checked(f.name, "drifted column").toUpperCase
         val st = conn.createStatement()
         try st.executeUpdate(
-          s"""ALTER TABLE $table ADD COLUMN "${f.name.toUpperCase}" $ddl""")
+          s"""ALTER TABLE $table ADD COLUMN "$colName" $ddl""")
         finally st.close()
       } finally conn.close()
     }

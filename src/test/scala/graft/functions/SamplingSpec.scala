@@ -415,4 +415,33 @@ class SamplingSpec extends SparkSpec {
       assert(kept / tot >= 0.5 && kept / tot < 0.6, s"$g: ${kept / tot}")
     }
   }
+
+  test("mass budget hardening: a NULL group is still a group, a double " +
+       "priority orders at full precision, a null priority raises") {
+    // NULL-group rows survive at frac=1 (an equi-join would drop them)
+    val withNull = Seq((1L, Some("a"), 5L), (2L, None, 7L), (3L, None, 3L))
+      .toDF("id", "g", "w")
+    val all = Sampling.massBudgetSelectBy(withNull, Seq("g"), "id", "w", "w", 1, 1)
+      .select($"id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+    // and the null group selects against ITS OWN total (7 of 10 → 7 kept)
+    val half = Sampling.massBudgetSelectBy(withNull, Seq("g"), "id", "w", "w", 1, 2)
+      .select($"id").as[Long].collect().toSet
+    assert(half == Set(1L, 2L)) // per-group boundary rows
+    // double priority: 0.9 outranks 0.1 — no silent cast-to-long collapse
+    val dbl = Seq((1L, 0.1, 10L), (2L, 0.9, 10L)).toDF("id", "p", "w")
+    val top = Sampling.massBudgetSelect(dbl, "id", "p", "w", 1, 2)
+      .select($"id").as[Long].collect().toSeq
+    assert(top == Seq(2L))
+    // null priority fails loudly, not silently-first
+    val err = intercept[Exception] {
+      Sampling.massBudgetSelect(
+        Seq((1L, Some(1.0), 1L), (2L, None, 1L)).toDF("id", "p", "w"),
+        "id", "p", "w", 1, 2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(err).exists(c => Option(c.getMessage)
+      .exists(_.contains("null p"))), err)
+  }
 }
