@@ -238,6 +238,46 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** The reference's §3.1 DAILY PIPELINE as one end-to-end gate
+    * (q183): a standing warehouse from day 1 (2/3 of the corpus, with
+    * day-1 values perturbed so a wrongly re-extracted row is visible
+    * in the hash), the full day-2 corpus landing in a REAL lakesim
+    * lake under a hostile column name, extract-by-set-difference on
+    * ids only (updated day-2 values for standing ids are NOT
+    * re-extracted — the reference's watermark-id semantics), name
+    * cleansing, and a MERGE insert-only append. Every stage is the
+    * production operator — V2 writer/scanner, `Incremental
+    * .notExtracted`, `Cleanse.cleanNames`, `Upsert.insertOnly` — and
+    * the oracle restates the whole composition as one CASE. */
+  def dailyPipelineQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q183") { base =>
+      import org.apache.spark.sql.types._
+      val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val warehouse = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+      docs.withColumnRenamed("n_chars", "n.chars")
+        .repartition(3)
+        .write.format(fmt).option("path", s"$base/lake")
+        .mode("overwrite").save()
+      val lakeSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n.chars", LongType)))
+      val lake = s.read.format(fmt).schema(lakeSchema)
+        .option("path", s"$base/lake").load()
+      val newIds = graft.operators.Incremental.notExtracted(
+        lake.select(col("doc_id")), warehouse.select(col("doc_id")),
+        "doc_id")
+      val extracted = graft.operators.Cleanse.cleanNames(
+        lake.join(newIds, Seq("doc_id")))
+      val appended = graft.operators.Upsert.insertOnly(
+        warehouse, extracted, Seq("doc_id"))
+      warehouse.unionByName(appended)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** Lake TIME TRAVEL under the gate (q178): three VERSIONED commits —
     * the low half, an append of the rest, then a truncate down to one
     * lang — and the query reads versions 1-3 side-by-side through
@@ -1271,6 +1311,7 @@ object PipelineQueries {
     "q176_scd2_retention" -> scd2RetainQ _,
     "q178_lake_time_travel" -> lakeTimeTravelQ _,
     "q180_jdbc_evolve"    -> jdbcEvolveQ _,
+    "q183_daily_pipeline" -> dailyPipelineQ _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
     "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
@@ -1418,6 +1459,14 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the whole daily composition as one CASE: standing rows keep
+    // their day-1 perturbed values (never re-extracted), new ids
+    // arrive with day-2 values
+    "q183_daily_pipeline" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN doc_id % 3 = 0 THEN n_chars
+        |      ELSE n_chars + 1000 END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // drift membership restated: evens loaded before the column
     // existed (NULL), odds carried it
     "q180_jdbc_evolve" ->
