@@ -238,6 +238,34 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Index-only aggregate pushdown under the gate (q184): documents
+    * land in a lakesim lake through the V2 writer (per-field ranges
+    * computed task-side at write time), then COUNT(*)/MIN/MAX answer
+    * from the INDEX ALONE — the plan is a metadata scan
+    * (LakeSimSourceSpec pins `aggPushed` and the fallback cases), no
+    * data object opens. The oracle restates the aggregates over the
+    * source table, so a stale range, a lost object, or a bad count in
+    * the written index breaks the hash. */
+  def lakeAggPushdownQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q184") { base =>
+      import org.apache.spark.sql.types._
+      val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(4)
+        .write.format(fmt).option("path", s"$base/lake")
+        .mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format(fmt).schema(schema).option("path", s"$base/lake").load()
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .localCheckpoint()
+    }
+
   /** The reference's §3.1 DAILY PIPELINE as one end-to-end gate
     * (q183): a standing warehouse from day 1 (2/3 of the corpus, with
     * day-1 values perturbed so a wrongly re-extracted row is visible
@@ -1312,6 +1340,7 @@ object PipelineQueries {
     "q178_lake_time_travel" -> lakeTimeTravelQ _,
     "q180_jdbc_evolve"    -> jdbcEvolveQ _,
     "q183_daily_pipeline" -> dailyPipelineQ _,
+    "q184_lake_agg_pushdown" -> lakeAggPushdownQ _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
     "q148_jsonl_roundtrip" -> jsonlRoundTripQ _,
@@ -1459,6 +1488,12 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the index-only aggregates restated over the source table
+    "q184_lake_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
     // the whole daily composition as one CASE: standing rows keep
     // their day-1 perturbed values (never re-extracted), new ids
     // arrive with day-2 values

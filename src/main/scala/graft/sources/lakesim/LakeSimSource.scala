@@ -102,65 +102,132 @@ class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) answered from the index's declared per-object counts — the
-    * reference's `dl_instance_count` exists precisely so the lake can state
-    * cardinality without shipping records (A2); a bare count never reads a
-    * data object. Accepted ONLY with no pushed filters and no grouping
-    * (pushdown order guarantees filters arrive first): a filter makes the
-    * per-object counts an upper bound, not an answer. */
+  private var pushedAggs: Seq[LakeAggSpec] = Seq.empty
+
+  /** COUNT(*) / MIN / MAX answered from the INDEX ALONE — the
+    * reference's data-object-properties exist precisely so the lake can
+    * state cardinality and field ranges without shipping records (A2 /
+    * S2); a fully-pushed aggregate never opens a data object. Accepted
+    * ONLY with no pushed filters and no grouping (pushdown order
+    * guarantees filters arrive first — a filter makes the per-object
+    * stats bounds, not answers), and MIN/MAX only for numeric fields
+    * whose range every object declares AND whose values the stored
+    * double carries exactly (integral fields beyond 2^53 reject — the
+    * range lost precision at write time, so the scan must read data). */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    val allCountStar = agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-    if (pushed.isEmpty && agg.groupByExpressions().isEmpty && allCountStar) {
-      countStars = agg.aggregateExpressions().length
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().isEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val entries =
+      try LakeIndex.load(path, versionAsOf)
+      catch { case _: Exception => return false }
+    def rangeable(f: String): Boolean = {
+      val field = tableSchema.fields.find(_.name == f)
+      val numericOk = field.exists(_.dataType match {
+        case DoubleType | FloatType | IntegerType | ShortType => true
+        case LongType =>
+          // a long range survived the double round trip only below 2^53
+          entries.forall(_.ranges.get(f).forall { case (lo, hi) =>
+            math.abs(lo) <= (1L << 53).toDouble &&
+              math.abs(hi) <= (1L << 53).toDouble
+          })
+        case _ => false
+      })
+      numericOk && entries.forall(_.ranges.contains(f))
+    }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(LakeAggSpec("count", ""))
+      case m: Min => fieldOf(m.column).filter(rangeable)
+        .map(LakeAggSpec("min", _))
+      case m: Max => fieldOf(m.column).filter(rangeable)
+        .map(LakeAggSpec("max", _))
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) {
+      pushedAggs = specs.flatten
+      countStars = pushedAggs.count(_.op == "count")
       true
     } else false
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      : Boolean = pushAggregation(agg)
 
   override def build(): Scan =
-    if (countStars > 0) new LakeSimCountScan(path, countStars, versionAsOf)
+    if (pushedAggs.nonEmpty)
+      new LakeSimAggScan(path, tableSchema, pushedAggs, versionAsOf)
     else new LakeSimScan(path, tableSchema, required, pushed, pageSize,
       maxObjectsPerBatch, versionAsOf)
 }
 
-/** Metadata-only scan for a completely-pushed COUNT(*): one partition, one
-  * row, the sum of the index's declared object counts. Zero data I/O. */
-class LakeSimCountScan(path: String, countStars: Int, versionAsOf: Int = 0)
+final case class LakeAggSpec(op: String, field: String)
+
+/** Metadata-only scan for completely-pushed COUNT(*)/MIN/MAX: one
+  * partition, one row, answered from the index's declared per-object
+  * counts and field ranges. Zero data I/O. An empty lake yields
+  * count=0 and NULL extrema (the aggregate-over-nothing answers). */
+class LakeSimAggScan(path: String, tableSchema: StructType,
+                     aggs: Seq[LakeAggSpec], versionAsOf: Int = 0)
     extends Scan with Batch {
+  private def fieldType(f: String): DataType =
+    tableSchema.fields.find(_.name == f).map(_.dataType).getOrElse(DoubleType)
   override def readSchema(): StructType = StructType(
-    (0 until countStars).map(i => StructField(s"count_star_$i", LongType, false)))
+    aggs.zipWithIndex.map {
+      case (LakeAggSpec("count", _), i) =>
+        StructField(s"count_star_$i", LongType, nullable = false)
+      case (LakeAggSpec(op, f), i) =>
+        StructField(s"${op}_${f}_$i", fieldType(f), nullable = true)
+    })
   override def toBatch: Batch = this
-  override def description(): String = s"lakesim path=$path aggPushed=count(*)"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeSimCountPartition(
-      LakeIndex.load(path, versionAsOf).map(_.count).sum, countStars))
+  override def description(): String =
+    s"lakesim path=$path aggPushed=[${aggs.map(a =>
+      if (a.op == "count") "count(*)" else s"${a.op}(${a.field})")
+      .mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = LakeIndex.load(path, versionAsOf)
+    val values: Seq[Any] = aggs.map {
+      case LakeAggSpec("count", _) => entries.map(_.count).sum
+      case LakeAggSpec(op, f) =>
+        val ranges = entries.flatMap(_.ranges.get(f))
+        if (ranges.isEmpty) null
+        else {
+          val v = if (op == "min") ranges.map(_._1).min
+                  else ranges.map(_._2).max
+          fieldType(f) match {
+            case LongType => v.toLong
+            case IntegerType => v.toInt
+            case ShortType => v.toShort
+            case FloatType => v.toFloat
+            case _ => v
+          }
+        }
+    }
+    Array(LakeSimAggPartition(values))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val part = p.asInstanceOf[LakeSimCountPartition]
+          private val part = p.asInstanceOf[LakeSimAggPartition]
           private var served = false
           override def next(): Boolean = { val r = !served; served = true; r }
           override def get(): InternalRow =
-            InternalRow.fromSeq(Seq.fill(part.countStars)(part.total))
+            InternalRow.fromSeq(part.values)
           override def close(): Unit = ()
         }
     }
 }
 
-case class LakeSimCountPartition(total: Long, countStars: Int)
-    extends InputPartition
+case class LakeSimAggPartition(values: Seq[Any]) extends InputPartition
 
 class LakeSimScan(path: String, tableSchema: StructType,
                   required: StructType, pushed: Array[Filter], pageSize: Int,

@@ -69,6 +69,43 @@ class LakeSimSourceSpec extends SparkSpec {
     assert(scanDesc.contains("fields=[id]"))
   }
 
+  test("COUNT(*)/MIN/MAX push to the index alone: right answers, zero " +
+       "data I/O in the plan; strings, filters, and missing ranges all " +
+       "fall back to a real scan") {
+    val agg = lake.agg(count(lit(1)).as("n"), min($"id").as("lo"),
+      max($"amount").as("hi"))
+    val row = agg.as[(Long, Long, Double)].head()
+    assert(row == ((30L, 1L, 300.0)))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed=[count(*), min(id), max(amount)]"), plan)
+    // a STRING min cannot answer from numeric ranges → full scan
+    val sPlan = lake.agg(min($"region")).queryExecution.executedPlan.toString
+    assert(!sPlan.contains("aggPushed"), sPlan)
+    assert(lake.agg(min($"region")).head().getString(0) == "A")
+    // a filter makes ranges bounds, not answers → full scan
+    val fPlan = lake.filter($"amount" > 100).agg(max($"amount"))
+      .queryExecution.executedPlan.toString
+    assert(!fPlan.contains("aggPushed"), fPlan)
+    assert(lake.filter($"amount" > 100).agg(max($"amount"))
+      .head().getDouble(0) == 300.0)
+    // an object lacking the field's range → full scan, same answer
+    val dir2 = Files.createTempDirectory("lakesim_aggfb").toString
+    Files.write(Paths.get(s"$dir2/obj1.ndjson"),
+      """{"id": 1, "region": "A", "amount": 10}""".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir2/index.json"),
+      """{"objects": [{"file": "obj1.ndjson", "count": 1,
+        | "ranges": {"id": [1, 1]}}]}""".stripMargin.getBytes("UTF-8"))
+    val lake2 = spark.read.format(classOf[LakeSimSource].getName)
+      .schema(schema).option("path", dir2).load()
+    val nPlan = lake2.agg(max($"amount")).queryExecution.executedPlan.toString
+    assert(!nPlan.contains("aggPushed"), nPlan)
+    assert(lake2.agg(max($"amount")).head().getDouble(0) == 10.0)
+    // ...while the declared-range field still pushes
+    assert(lake2.agg(max($"id")).queryExecution.executedPlan.toString
+      .contains("aggPushed=[max(id)]"))
+  }
+
   test("pageSize splits large objects into multiple partitions") {
     val paged = spark.read.format(classOf[LakeSimSource].getName)
       .schema(schema).option("path", lakeDir).option("pageSize", "4").load()
