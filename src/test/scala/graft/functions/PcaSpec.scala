@@ -188,6 +188,32 @@ class PcaSpec extends SparkSpec {
     assert(pcaRec > jlRec + 0.05, s"pca=$pcaRec jl=$jlRec")
   }
 
+  test("jacobiEigen is a true eigendecomposition on a random 32x32 " +
+       "symmetric matrix: A v = lambda v to 1e-9, vectors orthonormal") {
+    val rnd = new Random(5)
+    val d = 32
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val v = rnd.nextGaussian()
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val (values, vectors) = Pca.jacobiEigen(a)
+    assert(values.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    for (k <- 0 until d) {
+      val v = vectors(k)
+      // residual ||A v - lambda v||
+      val av = (0 until d).map(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      val res = math.sqrt((0 until d)
+        .map(i => math.pow(av(i) - values(k) * v(i), 2)).sum)
+      assert(res < 1e-9, s"eigenpair $k residual $res")
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-12)
+    }
+    // trace preserved: sum of eigenvalues == sum of diagonal
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    assert(math.abs(values.sum - trace) < 1e-9)
+  }
+
   test("64-dim corpus PCA: explained variance is monotone in k and the " +
        "full rank captures everything") {
     val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
