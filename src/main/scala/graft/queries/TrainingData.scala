@@ -1861,6 +1861,27 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** Recall-by-SLICE under the gate (q185): the q167 evaluation
+    * re-cut per embedding LABEL — the per-domain index-quality report
+    * ("is the index fair across slices, or does one class eat the
+    * recall loss"). Integer counts only (n_queries, total_hits per
+    * label); a summed-double recall would be summation-order-
+    * sensitive across engines. The oracle shares q167's WITH-chain
+    * verbatim (one definition — the gates cannot drift). */
+  def recallByLabelQ(s: SparkSession, dir: String): DataFrame = {
+    val (e, coarse, cbs, idx, qs) = ivfPqFixture(s, dir)
+    val approx = Similarity.ivfPqTopKBatch(qs, "qid", "embedding", idx,
+      "vec_id", "cell", "codes", coarse, cbs, k = 10, nProbe = 4)
+    val exact = Similarity.l2TopKBatch(qs, "qid", "embedding",
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k = 10)
+    Similarity.recallAtK(exact, approx, "qid", "vec_id", k = 10)
+      .join(e.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("total_hits"))
+      .orderBy(col("label"))
+  }
+
   /** Sliding-window document chunking under the gate (q168): every doc
     * splits into 64-token windows advancing by 48 (16-token overlap)
     * through [[graft.functions.TextAnalysis.chunkDocuments]] — the
@@ -1983,6 +2004,7 @@ object TrainingData {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
     "q179_index_delete"     -> indexDeleteQ _,
@@ -2412,6 +2434,87 @@ object TrainingData {
        |  CAST(coalesce(sum_bits, 0) AS BIGINT) AS sum_bits
        | FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
 
+  /** The shared q167/q185 evaluation WITH-chain (approx serving + exact
+    * ground truth + per-qid hit counts) — ONE definition so the overall
+    * and the per-label gates can never drift apart. */
+  private val ivfPqEvalWith: String =
+    """WITH sm AS (SELECT vec_id, embedding,
+      |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |    vec_id) AS rn
+      | FROM embeddings),
+      |c0 AS (SELECT vec_id, embedding,
+      |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+      | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+      |       ORDER BY vec_id LIMIT 8)),
+      |assign AS (SELECT vec_id, embedding, cell0 FROM (
+      |  SELECT v.vec_id, v.embedding, c.cell0,
+      |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |     list_sum(list_transform(range(1, 65), i ->
+      |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+      |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+      |     c.cell0) AS rk
+      |  FROM embeddings v, c0 c) WHERE rk = 1),
+      |rv AS (SELECT a.vec_id, a.cell0,
+      |  list_transform(range(1, 65), i ->
+      |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+      | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+      |cbr AS (SELECT
+      |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+      | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+      |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+      |sp AS (SELECT unnest(range(0, 8)) AS s),
+      |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+      |  list_sum(list_transform(range(1, 9), i ->
+      |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+      |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+      | FROM rv, sp, cbr),
+      |best AS (SELECT vec_id, cell0, s, cid FROM (
+      |  SELECT vec_id, cell0, s, cid,
+      |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+      |  FROM d) WHERE rk = 1),
+      |qs AS (SELECT vec_id AS qid, embedding FROM embeddings
+      |       WHERE vec_id % 199 = 0),
+      |probe AS (SELECT qid, cell0 FROM (
+      |  SELECT q.qid, c.cell0,
+      |   row_number() OVER (PARTITION BY q.qid ORDER BY
+      |     list_sum(list_transform(range(1, 65), i ->
+      |       (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+      |       * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+      |     c.cell0) AS rk
+      |  FROM c0 c, qs q) WHERE rk <= 4),
+      |lut AS (SELECT p.qid, p.cell0, sp.s, cbr.cid,
+      |  list_sum(list_transform(range(1, 9), i ->
+      |    ((q.embedding[8*sp.s + i]::DOUBLE
+      |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+      |    * ((q.embedding[8*sp.s + i]::DOUBLE
+      |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+      |    AS dd
+      | FROM probe p JOIN qs q ON q.qid = p.qid
+      |   JOIN c0 c ON c.cell0 = p.cell0
+      |   CROSS JOIN sp CROSS JOIN cbr),
+      |pervec AS (SELECT l.qid, b.vec_id,
+      |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+      | FROM best b JOIN lut l
+      |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+      | GROUP BY l.qid, b.vec_id),
+      |ap AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, vec_id,
+      |   row_number() OVER (PARTITION BY qid
+      |     ORDER BY adc_dist, vec_id) AS rk
+      |  FROM pervec) WHERE rk <= 10),
+      |ex AS (SELECT qid, vec_id FROM (
+      |  SELECT q.qid, v.vec_id,
+      |   row_number() OVER (PARTITION BY q.qid ORDER BY
+      |     list_sum(list_transform(range(1, 65), i ->
+      |       (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)
+      |       * (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE))),
+      |     v.vec_id) AS rk
+      |  FROM embeddings v, qs q) WHERE rk <= 10),
+      |hits AS (SELECT ex.qid, count(*) AS n_hit
+      |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+      |  GROUP BY ex.qid)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the q141 index chain + serving: probe = 4 nearest coarse cells to
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
@@ -2509,86 +2612,20 @@ object TrainingData {
     // both evaluation chains restated: approx = the q166 per-qid serving
     // chain; exact = per-qid squared-L2 row_number; recall = one
     // integer-count double division
-    "q167_recall_eval" ->
-      """WITH sm AS (SELECT vec_id, embedding,
-        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-        |    vec_id) AS rn
-        | FROM embeddings),
-        |c0 AS (SELECT vec_id, embedding,
-        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
-        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
-        |       ORDER BY vec_id LIMIT 8)),
-        |assign AS (SELECT vec_id, embedding, cell0 FROM (
-        |  SELECT v.vec_id, v.embedding, c.cell0,
-        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |     list_sum(list_transform(range(1, 65), i ->
-        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
-        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
-        |     c.cell0) AS rk
-        |  FROM embeddings v, c0 c) WHERE rk = 1),
-        |rv AS (SELECT a.vec_id, a.cell0,
-        |  list_transform(range(1, 65), i ->
-        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
-        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
-        |cbr AS (SELECT
-        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
-        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
-        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
-        |sp AS (SELECT unnest(range(0, 8)) AS s),
-        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
-        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
-        | FROM rv, sp, cbr),
-        |best AS (SELECT vec_id, cell0, s, cid FROM (
-        |  SELECT vec_id, cell0, s, cid,
-        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
-        |  FROM d) WHERE rk = 1),
-        |qs AS (SELECT vec_id AS qid, embedding FROM embeddings
-        |       WHERE vec_id % 199 = 0),
-        |probe AS (SELECT qid, cell0 FROM (
-        |  SELECT q.qid, c.cell0,
-        |   row_number() OVER (PARTITION BY q.qid ORDER BY
-        |     list_sum(list_transform(range(1, 65), i ->
-        |       (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
-        |       * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
-        |     c.cell0) AS rk
-        |  FROM c0 c, qs q) WHERE rk <= 4),
-        |lut AS (SELECT p.qid, p.cell0, sp.s, cbr.cid,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    ((q.embedding[8*sp.s + i]::DOUBLE
-        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
-        |    * ((q.embedding[8*sp.s + i]::DOUBLE
-        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
-        |    AS dd
-        | FROM probe p JOIN qs q ON q.qid = p.qid
-        |   JOIN c0 c ON c.cell0 = p.cell0
-        |   CROSS JOIN sp CROSS JOIN cbr),
-        |pervec AS (SELECT l.qid, b.vec_id,
-        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
-        | FROM best b JOIN lut l
-        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
-        | GROUP BY l.qid, b.vec_id),
-        |ap AS (SELECT qid, vec_id FROM (
-        |  SELECT qid, vec_id,
-        |   row_number() OVER (PARTITION BY qid
-        |     ORDER BY adc_dist, vec_id) AS rk
-        |  FROM pervec) WHERE rk <= 10),
-        |ex AS (SELECT qid, vec_id FROM (
-        |  SELECT q.qid, v.vec_id,
-        |   row_number() OVER (PARTITION BY q.qid ORDER BY
-        |     list_sum(list_transform(range(1, 65), i ->
-        |       (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)
-        |       * (v.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE))),
-        |     v.vec_id) AS rk
-        |  FROM embeddings v, qs q) WHERE rk <= 10),
-        |hits AS (SELECT ex.qid, count(*) AS n_hit
-        |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
-        |  GROUP BY ex.qid)
-        |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+    "q167_recall_eval" -> (ivfPqEvalWith +
+      """SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
         |  coalesce(h.n_hit, 0)::DOUBLE / CAST(10 AS DOUBLE) AS recall_at_k
         |FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hits h USING (qid)
-        |ORDER BY qid""".stripMargin,
+        |ORDER BY qid""".stripMargin),
+    // the same evaluation chain sliced BY LABEL: integer counts only
+    // (a summed-double recall would be order-sensitive)
+    "q185_recall_by_label" -> (ivfPqEvalWith +
+      """SELECT e2.label, CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(coalesce(h.n_hit, 0)) AS BIGINT) AS total_hits
+        |FROM (SELECT DISTINCT qid FROM ex) q
+        |LEFT JOIN hits h USING (qid)
+        |JOIN embeddings e2 ON e2.vec_id = q.qid
+        |GROUP BY e2.label ORDER BY label""".stripMargin),
     // the q147 chain generalized per-qid: probe/LUT/top-k each keyed by
     // the query id; one row_number per query replaces the global LIMIT
     "q166_ivfpq_batch" ->
