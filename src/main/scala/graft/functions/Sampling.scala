@@ -482,4 +482,53 @@ object Sampling {
     hashSplit(
       graft.operators.Components.assignClusters(df, idCol, pairs, aCol, bCol),
       "cluster_id", splits)
+
+  /** Temperature-sampled mixture allocation at alpha = 1/2: each group's
+    * draw weight is sqrt(its row count) — the multilingual-training rebalance
+    * (sample language l with probability proportional to p_l^alpha, so head
+    * languages shrink and tail languages grow). A `budget` of total draws is
+    * split across groups by LARGEST-REMAINDER apportionment, so allocations
+    * are integers that sum exactly to the budget.
+    *
+    * Exactness: alpha = 1/2 is chosen because `floor(sqrt(n))` is the ONLY
+    * temperature whose weight is engine-portable — IEEE-754 sqrt is
+    * correctly rounded in both the JVM and DuckDB, and for n < 2^52 the
+    * floor cannot land on the wrong side of an integer (the true sqrt of a
+    * non-square is at distance >= ~1/(2·sqrt(n)) from the nearest integer,
+    * orders of magnitude beyond the rounding error). Everything after the
+    * isqrt is exact integer arithmetic: quotas compare `budget·w` against
+    * `W` (long multiply — caller keeps `budget·max(w)` < 2^63), remainders
+    * rank by `(budget·w) mod W` with group-name tiebreak.
+    *
+    * Scale shape: one map-side-combinable `groupBy(group).count` reduces the
+    * corpus to a group-cardinality frame; the apportionment window runs over
+    * THAT frame (groups, not rows — bounded by design), never the corpus.
+    */
+  def temperatureAllocation(df: DataFrame, groupCol: String,
+                            budget: Long): DataFrame = {
+    require(budget >= 0, s"temperatureAllocation: budget $budget < 0")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+      .withColumn("weight", floor(sqrt(col("n_rows"))).cast("long"))
+    val tot = broadcast(counts.agg(sum(col("weight")).as("_w_total")))
+    val quota = counts.crossJoin(tot)
+      .withColumn("_num", lit(budget) * col("weight"))
+      // `div` = exact integer division; `/` would round through a double
+      .withColumn("alloc_floor", expr("_num div _w_total"))
+      .withColumn("_rem", pmod(col("_num"), col("_w_total")))
+    // leftover seats = budget - sum(floors) = sum(remainders)/W (exact by
+    // construction); hand one each to the largest remainders (group-name
+    // tiebreak). Both windows run over the group-cardinality frame only.
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col(groupCol))
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col(groupCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    quota
+      .withColumn("_leftover", lit(budget) - sum(col("alloc_floor")).over(all))
+      .withColumn("alloc",
+        col("alloc_floor") +
+          when(row_number().over(order) <= col("_leftover"), 1L).otherwise(0L))
+      .select(col(groupCol), col("n_rows"), col("weight"), col("alloc"))
+  }
 }

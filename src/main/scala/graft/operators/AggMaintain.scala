@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a materialized per-key aggregate — the
+  * metrics-table pattern the reference runs as a nightly full recompute
+  * (reference `utilities/utilities.py` row-count/agg reconciliation runs a
+  * fresh query per day): at 100 TB the full rescan is the bottleneck, so the
+  * engine instead keeps the aggregate STATE `(key, cnt, sum, min, max)` as a
+  * table and folds each append-only delta batch into it.
+  *
+  * Algebra: count/sum/min/max are all commutative monoids, so
+  * `state(base ∪ delta) = state(base) ⊕ state(delta)` — fold the delta's
+  * OWN aggregate (map-side combinable, delta-sized) into the stored state
+  * with a full-outer merge on key. Deletes/updates are out of scope by
+  * construction (min/max are not invertible); route those through
+  * [[Scd2]]/[[SnapshotDiff]] recompute paths instead.
+  *
+  * Scale shape: the delta aggregate shuffles delta-cardinality rows; the
+  * merge is one key-partitioned full-outer join between state and the
+  * (small) delta aggregate — AQE broadcasts the delta side when it fits, and
+  * the 100 TB base is NEVER rescanned. Sums use DECIMAL(38,2), not DOUBLE:
+  * incremental folding reorders additions, and only a decimal sum is
+  * order-insensitive (exact), so the maintained state is bit-identical to a
+  * full recompute — which is exactly the invariant the q190 gate checks.
+  */
+object AggMaintain {
+
+  /** Aggregate state of one batch: `(key, cnt, sum_v, min_v, max_v)` with
+    * `sum_v` DECIMAL(38,2) (null values ignored by sum/min/max, counted by
+    * cnt). Build the initial state with this, then fold deltas in with
+    * [[merge]]. */
+  def state(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valCol).cast("decimal(38,2)")).as("sum_v"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"))
+
+  /** Fold `deltaState` into `baseState` (both in [[state]]'s shape): keys in
+    * either side survive, shared keys combine monoid-wise. */
+  def merge(baseState: DataFrame, deltaState: DataFrame, keyCol: String): DataFrame = {
+    val b = baseState.select(col(keyCol), col("cnt").as("_bc"),
+      col("sum_v").as("_bs"), col("min_v").as("_bmin"), col("max_v").as("_bmax"))
+    val d = deltaState.select(col(keyCol), col("cnt").as("_dc"),
+      col("sum_v").as("_ds"), col("min_v").as("_dmin"), col("max_v").as("_dmax"))
+    b.join(d, Seq(keyCol), "full_outer").select(
+      col(keyCol),
+      (coalesce(col("_bc"), lit(0L)) + coalesce(col("_dc"), lit(0L))).as("cnt"),
+      // sum over {base, delta} where either may be null (all-null values or
+      // absent side): null + x must be x, so coalesce each side to 0 only
+      // when the OTHER side is present, else stay null
+      when(col("_bs").isNull && col("_ds").isNull, lit(null))
+        .otherwise(coalesce(col("_bs"), lit(0).cast("decimal(38,2)")) +
+          coalesce(col("_ds"), lit(0).cast("decimal(38,2)")))
+        .cast("decimal(38,2)").as("sum_v"),
+      least(col("_bmin"), col("_dmin")).as("min_v"),
+      greatest(col("_bmax"), col("_dmax")).as("max_v"))
+  }
+
+  /** One-shot convenience: fold a raw delta batch into a stored state. */
+  def maintain(baseState: DataFrame, delta: DataFrame,
+               keyCol: String, valCol: String): DataFrame =
+    merge(baseState, state(delta, keyCol, valCol), keyCol)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a `(user, ts, type)` event stream: ordered
+  * funnel conversion and cohort retention — the two queries every
+  * product-events warehouse built on the reference's events table runs
+  * (reference semantics: the events extract in `TESTDATA.md`; the reference
+  * itself only lands the table — these are the canonical downstream reads).
+  *
+  * Scale shape (100 TB of events):
+  *  - `funnel` runs k chained per-user MIN aggregations, one per step. Each
+  *    pass filters to ONE event type before shuffling (map-side combine on
+  *    user makes the shuffle user-cardinality-sized, not event-sized), and
+  *    every pass after the first joins against the previous per-user frame —
+  *    user-cardinality-sized on both sides, plain equi-join. No window over
+  *    the raw events, no per-user event collection (a `collect_list` funnel
+  *    dies on a bot user with 10^8 events; chained MINs cannot).
+  *  - `cohortRetention` is two per-user aggregations and one
+  *    user-cardinality join: first-seen per user (map-side combinable MIN),
+  *    then distinct (user, week) activity — `groupBy(user, week)` first so
+  *    the distinct is map-side combinable too — joined back on user and
+  *    re-aggregated to the (cohort, offset) matrix, which is
+  *    weeks²-bounded output.
+  */
+object Funnels {
+
+  /** Earliest strictly-ordered completion time of each funnel step per user:
+    * `(user, step_1_ts, ..., step_k_ts)` — step i's timestamp is the
+    * earliest event of `steps(i)` AFTER the user's step i-1 timestamp
+    * (strict `>`: simultaneous events do not complete two steps). Users who
+    * never reach step 1 are absent; later columns are null once the chain
+    * breaks. */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val user = col(userCol)
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(user).agg(min(col(tsCol)).as("step_1_ts"))
+    steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = col(s"step_${i}_ts")
+      val next = events.filter(col(typeCol) === step)
+        .join(acc.select(user, prev), Seq(userCol))
+        .filter(col(tsCol) > prev)
+        .groupBy(user).agg(min(col(tsCol)).as(s"step_${i + 1}_ts"))
+      acc.join(next, Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel conversion report: `(step_idx, step_name, users_reached)` for
+    * each step, users_reached non-increasing by construction. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, steps)
+    val perStep = steps.zipWithIndex.map { case (step, i) =>
+      times.agg(count(col(s"step_${i + 1}_ts")).as("users_reached"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step_name"),
+          col("users_reached"))
+    }
+    perStep.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention matrix: `(cohort_week, week_offset, n_users)` — users
+    * bucketed by the week of their FIRST event (integer weeks since
+    * `epochDay`, so the boundary is engine-portable: no date_trunc locale /
+    * week-start semantics), counted once per later week they were active.
+    * `week_offset = 0` row is the cohort size. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      epochDay: String): DataFrame = {
+    val user = col(userCol)
+    // floor(days/7): `/` is double division in Spark SQL, exact here
+    // (|days| << 2^50); callers pass an epochDay at/before the first event
+    // so the quotient is non-negative and floor == truncation both engines
+    val week = floor(datediff(to_date(col(tsCol)), to_date(lit(epochDay))) / 7)
+      .cast("long")
+    val firstWeek = events.groupBy(user)
+      .agg(min(week).as("cohort_week"))
+    val activeWeeks = events.groupBy(user, week.as("active_week")).agg(lit(1))
+      .select(user, col("active_week"))
+    activeWeeks.join(firstWeek, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("active_week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -319,7 +319,78 @@ object EtlOps {
       Tables.load(s, dir, "events"), Seq("user_id"), k = 20,
       targetRowsPerTask = 1000L)
 
+  /** Ordered funnel conversion under the gate (q186): the 4-step
+    * view→click→signup→purchase funnel through
+    * [[graft.operators.Funnels.funnel]] over a deterministic 1/37
+    * event slice (the full stream is so dense every user completes
+    * every step — the slice makes the counts discriminate: a
+    * non-strict comparison or a min-vs-any drift changes them). The
+    * oracle restates the chained per-user MIN aggregation step by
+    * step. */
+  def funnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnels.funnel(
+        Tables.load(s, dir, "events").filter(col("event_id") % 37 === 0),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"))
+      .withColumn("step_idx", col("step_idx").cast("long"))
+      .orderBy(col("step_idx"))
+
+  /** Cohort retention matrix under the gate (q187): users bucketed by
+    * first-seen week (integer weeks since 2024-01-01 — no engine
+    * week-start semantics), counted once per active week, through
+    * [[graft.operators.Funnels.cohortRetention]] on the same 1/37
+    * slice. The oracle restates first-week MIN + distinct (user,
+    * week) + the (cohort, offset) rollup. */
+  def cohortQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnels.cohortRetention(
+        Tables.load(s, dir, "events").filter(col("event_id") % 37 === 0),
+        "user_id", "ts", "2024-01-01")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** k-anonymity suppression under the gate (q188): quasi-identifiers
+    * (nation, 1000-wide acctbal band) through
+    * [[graft.functions.Privacy.kAnonymizeSuppress]] at k=10 — groups
+    * of fewer than 10 customers release as `*`. At sf0.01 the band
+    * grid has both sides of the threshold (258 under-k groups), so a
+    * count drift or an off-by-one on `< k` flips real rows. The
+    * oracle restates the exact group count and the CASE. */
+  def kAnonymizeQ(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      graft.functions.Privacy.generalizeBand(col("c_acctbal"), 1000)
+        .as("bal_band"))
+    graft.functions.Privacy.kAnonymizeSuppress(g, Seq("nation", "bal_band"),
+        k = 10)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Incremental aggregate maintenance under the gate (q190): lineitem
+    * splits into a base (linenumber ≤ 3) and two deltas folded in one
+    * at a time through [[graft.operators.AggMaintain.maintain]]; the
+    * maintained per-partkey state must equal the full recompute
+    * EXACTLY — the oracle IS the one-shot group-by (decimal sums are
+    * order-insensitive, so incremental folding is bit-identical). */
+  def aggMaintainQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggMaintain
+    val li = Tables.load(s, dir, "lineitem")
+    val base = AggMaintain.state(
+      li.filter(col("l_linenumber") <= 3), "l_partkey", "l_extendedprice")
+    val folded = Seq(col("l_linenumber") === 4, col("l_linenumber") >= 5)
+      .foldLeft(base) { (st, pred) =>
+        AggMaintain.maintain(st, li.filter(pred), "l_partkey",
+          "l_extendedprice")
+      }
+    folded.select(col("l_partkey"), col("cnt"),
+        col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"))
+      .orderBy(col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_funnel"        -> funnelQ _,
+    "q187_cohort"        -> cohortQ _,
+    "q188_k_anonymize"   -> kAnonymizeQ _,
+    "q190_agg_maintain"  -> aggMaintainQ _,
     "q12_union_by_name"  -> unionByNameQ _,
     "q13_upsert"         -> upsertQ _,
     "q14_sentinel_fill"  -> sentinelFillQ _,
@@ -362,6 +433,62 @@ object EtlOps {
        | (SELECT CAST(max($c) AS VARCHAR) FROM lineitem) AS max_val""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chained per-user MINs, strict > at every hop, restated step by
+    // step; counts are over the per-user frame, not the events
+    "q186_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 37 = 0),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'signup' AND e.ts > s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_name,
+        |       (SELECT count(*) FROM s1) AS users_reached
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        |ORDER BY step_idx""".stripMargin,
+    // first-week MIN, distinct (user, week), (cohort, offset) rollup —
+    // week = floor(days-since-epochDay / 7), identical double division
+    "q187_cohort" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 37 = 0),
+        |w AS (SELECT user_id,
+        |  CAST(floor(date_diff('day', DATE '2024-01-01',
+        |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk FROM ev),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM w)
+        |SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // exact group count over the string-normalized quasi tuple, CASE
+    // to '*' strictly under k=10
+    "q188_k_anonymize" ->
+      """WITH g AS (SELECT c_custkey,
+        |  CAST(c_nationkey AS VARCHAR) AS nation,
+        |  CAST(CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS VARCHAR)
+        |    AS bal_band
+        | FROM customer),
+        |c AS (SELECT nation, bal_band, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT g.c_custkey,
+        | CASE WHEN c.n < 10 THEN '*' ELSE g.nation END AS nation,
+        | CASE WHEN c.n < 10 THEN '*' ELSE g.bal_band END AS bal_band
+        |FROM g JOIN c USING (nation, bal_band)
+        |ORDER BY c_custkey""".stripMargin,
+    // the invariant IS the oracle: maintained state must equal the
+    // one-shot recompute (decimal sum exact under any fold order)
+    "q190_agg_maintain" ->
+      """SELECT l_partkey, count(*) AS cnt,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+        |   AS sum_v,
+        | min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+        |FROM lineitem GROUP BY 1 ORDER BY l_partkey""".stripMargin,
     // the estimator restated verbatim: per-side bottom-256 sketches,
     // bottom-256 of their union, membership Jaccard, J x est_union -
     // plus the exact distinct intersection

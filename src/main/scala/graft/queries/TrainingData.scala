@@ -2003,7 +2003,22 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** Temperature-sampled mixture allocation under the gate (q189): a
+    * 10000-draw budget split across languages with weight
+    * floor(sqrt(n)) — the alpha=1/2 multilingual rebalance — by
+    * largest-remainder apportionment, through
+    * [[graft.functions.Sampling.temperatureAllocation]]. Everything
+    * after the isqrt is exact integer arithmetic, so the oracle
+    * restates the quota division, the remainder ranking, and the
+    * leftover hand-out digit for digit. */
+  def temperatureAllocQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.temperatureAllocation(
+        docs(s, dir).select(col("doc_id"), col("lang")), "lang",
+        budget = 10000L)
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_temperature_alloc" -> temperatureAllocQ _,
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
@@ -2545,6 +2560,23 @@ object TrainingData {
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
     // the q181 rule PARTITIONed BY lang, each against its own total
+    // floor(sqrt(n)) weights, integer quota division, largest-remainder
+    // hand-out with the lang tiebreak — exact arithmetic end to end
+    "q189_temperature_alloc" ->
+      """WITH c AS (SELECT lang, count(*) AS n_rows,
+        |  CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT sum(weight) AS w FROM c),
+        |q AS (SELECT lang, n_rows, weight,
+        |  (10000 * weight) // w AS alloc_floor,
+        |  (10000 * weight) % w AS rem FROM c, t),
+        |r AS (SELECT *,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  10000 - sum(alloc_floor) OVER () AS leftover FROM q)
+        |SELECT lang, n_rows, weight,
+        | CAST(alloc_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |   AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
     "q182_mass_budget_lang" ->
       """WITH w AS (SELECT doc_id, lang, n_chars,
         |  coalesce(sum(n_chars) OVER (PARTITION BY lang

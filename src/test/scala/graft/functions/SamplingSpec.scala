@@ -444,4 +444,38 @@ class SamplingSpec extends SparkSpec {
     assert(chain(err).exists(c => Option(c.getMessage)
       .exists(_.contains("null p"))), err)
   }
+
+  test("temperatureAllocation: integer allocations sum exactly to the budget") {
+    val groups = Seq.fill(10000)("en") ++ Seq.fill(2500)("fr") ++
+      Seq.fill(400)("sw") ++ Seq.fill(9)("is")
+    val df = groups.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "lang")
+    val out = Sampling.temperatureAllocation(df, "lang", budget = 1000L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.values.map(_._4).sum == 1000L)
+    // weights are floor(sqrt(n)): 100, 50, 20, 3 → W = 173
+    assert(out("en")._3 == 100L && out("fr")._3 == 50L &&
+      out("sw")._3 == 20L && out("is")._3 == 3L)
+    // largest-remainder over quotas 1000*w/173: en 578.03, fr 289.02,
+    // sw 115.6, is 17.3 → floors 578+289+115+17 = 999, 1 seat to sw
+    assert(out("en")._4 == 578L && out("fr")._4 == 289L &&
+      out("sw")._4 == 116L && out("is")._4 == 17L)
+  }
+
+  test("temperatureAllocation flattens the head relative to proportional") {
+    val df = (Seq.fill(9000)("head") ++ Seq.fill(90)("tail")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "lang")
+    val out = Sampling.temperatureAllocation(df, "lang", budget = 100L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // proportional would give head ~99/100; sqrt gives ~94/(94+9) ≈ 91
+    assert(out("head") < 95L && out("tail") > 5L)
+    assert(out("head") + out("tail") == 100L)
+  }
+
+  test("temperatureAllocation: zero budget allocates zero everywhere") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "g")
+    val out = Sampling.temperatureAllocation(df, "g", budget = 0L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.forall(_._4 == 0L))
+  }
 }
