@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graded retrieval evaluation — per-query MRR / MAP / precision@k over a
+  * ranked candidate list and a binary relevance set (the offline judgment
+  * of a retrieval index: [[Similarity.recallAtK]] answers "did the ANN
+  * index find the true neighbors"; this answers "are the neighbors it
+  * found the RIGHT documents").
+  *
+  * Exactness: reciprocal-rank and average-precision terms are rationals
+  * with denominators ≤ k, so both report SCALED-INTEGER metrics —
+  * multiply every term by `L = lcm(1..k)` and the sum is exact integer
+  * arithmetic, engine-portable with no float-summation order sensitivity:
+  *   rr_scaled = L / first_rel_rank            (MRR = rr_scaled / L)
+  *   ap_scaled = Σ_hits cum_rel · (L / rank)   (AP  = ap_scaled / (L · min(n_rel, k)))
+  * Callers divide once at the end if they want floats; the gate compares
+  * the integers.
+  *
+  * Scale shape (10^9 queries × k candidates): the only window partitions
+  * by qid over ≤ k rows — high-cardinality key, bounded partition, no
+  * skew funnel; relevance marking is a (qid, doc) equi-join; per-query
+  * rollup is one map-side-combinable aggregation. Nothing is
+  * corpus-sized: the input is already the k-bounded ranked list.
+  */
+object RankEval {
+
+  /** lcm(1..k) — overflow-guarded (k ≤ 40 keeps it under 2^63; real
+    * evaluation cutoffs are 10/100). */
+  def lcmUpTo(k: Int): Long = {
+    require(k >= 1 && k <= 40, s"lcmUpTo: k=$k out of [1,40]")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+  }
+
+  /** Per-query ranked-retrieval metrics.
+    *
+    * `ranked`: (qid, doc, rank) — rank 1-based and ≤ k within each query
+    * (ties already broken upstream; duplicate ranks raise downstream
+    * ambiguity, so they fail the require probe in the spec layer).
+    * `relevant`: (qid, doc) binary relevance pairs.
+    *
+    * Returns one row per qid in `ranked`:
+    * (qid, n_rel, n_hit, first_rel_rank (null if no hit), rr_scaled,
+    * ap_scaled) — `n_rel` counts ALL relevant docs for the query (0 if
+    * the query has none), `n_hit` the relevant among the top-k.
+    */
+  def rankedMetrics(ranked: DataFrame, qidCol: String, docCol: String,
+                    rankCol: String, relevant: DataFrame, k: Int): DataFrame = {
+    val lcm = lcmUpTo(k)
+    val qid = col(qidCol)
+    val rel = relevant.select(qid, col(docCol)).distinct()
+      .withColumn("_rel", lit(1L))
+    val marked = ranked.select(qid, col(docCol), col(rankCol).cast("long").as("_rank"))
+      .join(rel, Seq(qidCol, docCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0L)))
+    // bounded window: ≤ k rows per qid partition
+    val w = Window.partitionBy(qid).orderBy(col("_rank"))
+    val perHit = marked
+      .withColumn("_cum_rel", sum(col("_rel")).over(w))
+      .withColumn("_ap_term",
+        // `div` = exact integer division (lcm is divisible by every
+        // rank ≤ k by construction; no double round trip)
+        when(col("_rel") === 1L, col("_cum_rel") * expr(s"$lcm div _rank"))
+          .otherwise(lit(0L)))
+    val perQuery = perHit.groupBy(qid).agg(
+      sum(col("_rel")).as("n_hit"),
+      min(when(col("_rel") === 1L, col("_rank"))).as("first_rel_rank"),
+      sum(col("_ap_term")).as("ap_scaled"))
+    val nRel = relevant.select(qid, col(docCol)).distinct()
+      .groupBy(qid).agg(count(lit(1)).as("n_rel"))
+    perQuery.join(nRel, Seq(qidCol), "left")
+      .select(qid,
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_hit"),
+        col("first_rel_rank"),
+        coalesce(expr(s"$lcm div first_rel_rank"), lit(0L)).as("rr_scaled"),
+        col("ap_scaled"))
+  }
+
+  /** Corpus-level rollup of [[rankedMetrics]]: exact integer sums (the
+    * caller divides by `L·n_queries` / `L·Σ min(n_rel,k)` for the float
+    * MRR/MAP). */
+  def rollup(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      sum(col("n_hit")).as("total_hits"),
+      sum(col("rr_scaled")).as("sum_rr_scaled"),
+      sum(col("ap_scaled")).as("sum_ap_scaled"))
+}

@@ -2017,7 +2017,36 @@ object TrainingData {
         budget = 10000L)
       .orderBy(col("lang"))
 
+  /** Graded retrieval evaluation under the gate (q191): every 25th
+    * vector queries the rest of the corpus ([[Similarity.l2TopKBatch]]
+    * exact top-10), relevance = same embedding label, metrics through
+    * [[graft.functions.RankEval.rankedMetrics]] — per-query n_rel /
+    * n_hit / first-hit rank plus MRR and MAP as lcm(1..10)=2520-scaled
+    * INTEGER numerators, so the oracle restates the whole evaluation
+    * (distance chain, ranking, cumulative hits, apportioned terms) in
+    * exact arithmetic with no float-summation order sensitivity. */
+  def rankEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 25 =!= 0)
+    val top = Similarity.l2TopKBatch(qs, "qid", "embedding",
+      corpus.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k = 10)
+    val ranked = top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("l2_dist"), col("vec_id"))))
+    val rel = qs.select(col("qid"), col("label"))
+      .join(corpus.select(col("vec_id"), col("label")), Seq("label"))
+      .select(col("qid"), col("vec_id"))
+    graft.functions.RankEval.rankedMetrics(ranked, "qid", "vec_id", "rank",
+        rel, k = 10)
+      .withColumn("first_rel_rank", col("first_rel_rank").cast("long"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_rank_eval"        -> rankEvalQ _,
     "q189_temperature_alloc" -> temperatureAllocQ _,
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
@@ -2560,6 +2589,46 @@ object TrainingData {
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
     // the q181 rule PARTITIONed BY lang, each against its own total
+    // the whole evaluation restated: sequential squared-diff list_sum
+    // (l2TopKBatch's fold order), (dist, vec_id) ranking, same-label
+    // relevance, cumulative-hit AP terms scaled by lcm(1..10)=2520
+    "q191_rank_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding, label
+        | FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings
+        |      WHERE vec_id % 25 <> 0),
+        |d AS (SELECT q.qid, c.vec_id,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    (c.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)
+        |    * (c.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)))
+        |    AS dist
+        | FROM q, c),
+        |r AS (SELECT qid, vec_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+        |    AS rnk FROM d),
+        |top AS (SELECT * FROM r WHERE rnk <= 10),
+        |rel AS (SELECT q.qid, c.vec_id FROM q
+        |        JOIN c ON q.label = c.label),
+        |marked AS (SELECT t.qid, t.rnk,
+        |  CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        | FROM top t LEFT JOIN rel
+        |   ON rel.qid = t.qid AND rel.vec_id = t.vec_id),
+        |cum AS (SELECT qid, rnk, rel,
+        |  sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS cum_rel
+        | FROM marked),
+        |pq AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_hit,
+        |  CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+        |    AS first_rel_rank,
+        |  CAST(sum(CASE WHEN rel = 1 THEN cum_rel * (2520 // rnk)
+        |           ELSE 0 END) AS BIGINT) AS ap_scaled
+        | FROM cum GROUP BY 1),
+        |nr AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1)
+        |SELECT pq.qid, coalesce(nr.n_rel, 0) AS n_rel, pq.n_hit,
+        | pq.first_rel_rank,
+        | CAST(coalesce(2520 // pq.first_rel_rank, 0) AS BIGINT)
+        |   AS rr_scaled,
+        | pq.ap_scaled
+        |FROM pq LEFT JOIN nr USING (qid) ORDER BY qid""".stripMargin,
     // floor(sqrt(n)) weights, integer quota division, largest-remainder
     // hand-out with the lang tiebreak — exact arithmetic end to end
     "q189_temperature_alloc" ->
