@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   * are then verified with the exact codegen'd `levenshtein`, so hash
   * collisions and over-generation cost time, never correctness.
   *
-  * Scale shape: each row fans out to len+1 narrow (hash, id) rows — the
-  * string itself never rides the variant exchange, only its xxhash64.
+  * Scale shape: each DISTINCT text fans out to len+1 narrow
+  * (hash, rep-id, count) rows — the string itself never rides the variant
+  * exchange, only its xxhash64 and its min-member-id surrogate; identical
+  * texts are factored out first, so a heavily duplicated corpus (the
+  * record-linkage norm) pays the blocking cost per distinct value, not per
+  * row, and only the final member-id expansion is output-sized.
   * Degenerate hot variants (a constant or near-constant column) are dropped
   * by the same partial-aggregating bucket cap the LSH families use (the
   * [[Dedup.capBuckets]] shape): `groupBy(hash).count` + semi-join, never a
   * window that would funnel a hot bucket onto one task. Verification
-  * re-reads the two texts via equi-joins on id. Intended for SHORT strings
-  * (names/titles): the fan-out is len+1 rows per input row.
+  * re-reads the two texts via equi-joins on the rep id, over distinct-text
+  * pairs only. Intended for SHORT strings (names/titles): the fan-out is
+  * len+1 rows per distinct value.
   */
 object FuzzyDedup {
 
@@ -72,9 +77,28 @@ object FuzzyDedup {
     * distance d (the SymSpell theorem — delete distance is bounded by
     * edit distance on both sides), spec-pinned against all-pairs at both
     * depths. Depth 2 fans each row out to O(len²/2) variants — still
-    * narrow (hash, id) rows, but reserve it for genuinely short keys.
-    * `maxBucket` caps degenerate variant buckets (agg-based, see class
-    * doc); below the cap, recall is exact — pinned by spec. */
+    * narrow (hash, rep, count) rows, but reserve it for genuinely short
+    * keys. `maxBucket` caps degenerate variant buckets (agg-based, see
+    * class doc); below the cap, recall is exact — pinned by spec.
+    *
+    * FACTORED BY DISTINCT TEXT: every member of an identical-text group
+    * shares the exact same variant set, so candidate generation, the
+    * bucket cap (weighted by group size — identical to the per-row count),
+    * and the levenshtein verification are all functions of the distinct
+    * text alone. The variant explosion, candidate self-join, `distinct`,
+    * and verification therefore run over DISTINCT texts; member-id pairs
+    * are recovered at the end as pure join fan-out. On a heavily
+    * duplicated corpus (the record-linkage norm — a 40-entity name
+    * vocabulary over n rows) this turns the quadratic candidate stage into
+    * a vocabulary-sized one: only the OUTPUT stays quadratic, as it must.
+    * A within-group pair is emitted (dist 0) iff any of the group's
+    * variant buckets survives the cap — the same row-count condition the
+    * per-row construction applied, since a group of size m contributes m
+    * rows to each of its buckets (spec-pinned: over-cap clone groups drop).
+    * The `abs(len(a)−len(b)) <= maxDist` prefilter on candidate pairs is a
+    * Levenshtein lower bound — zero recall loss (spec-pinned); genuine
+    * deletion variants of texts further apart in length can never collide,
+    * so it only guards 64-bit hash collisions, for free. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    maxBucket: Int = 256, maxDist: Int = 1): DataFrame = {
     require(maxBucket >= 2, "nearDupPairs: maxBucket must admit a pair")
@@ -83,26 +107,56 @@ object FuzzyDedup {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("t"))
       .filter(col("t").isNotNull)
-    val variants = base
-      .select(col("id"), explode(deletionHashes(col("t"), maxDist)).as("h"))
+    // one row per DISTINCT text: rep = min member id (collision-free
+    // surrogate so the string itself never rides the variant exchange),
+    // m = member count (the cap weight)
+    val groups = base.groupBy(col("t"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("m"))
+    val variants = groups.select(col("rid"), col("m"),
+      length(col("t")).as("len"),
+      explode(deletionHashes(col("t"), maxDist)).as("h"))
     // partial-aggregating cap: the hot-variant decision happens on the tiny
-    // (h, n) frame; a window over h would sort every member onto one task
+    // (h, n) frame; a window over h would sort every member onto one task.
+    // sum(m) IS the member-row count per bucket — cap semantics unchanged.
     val surviving = variants.groupBy(col("h"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("m")).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("h"))
     val capped = variants.join(surviving, Seq("h"), "left_semi")
-    val pairs = capped.as("a")
+    val candidates = capped.as("a")
       .join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair can share several variants; verify once
-    pairs
-      .join(base.select(col("id").as("id_a"), col("t").as("_ta")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("t").as("_tb")), Seq("id_b"))
+        col("a.h") === col("b.h") && col("a.rid") < col("b.rid") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
+      .distinct() // a text pair can share several variants; verify once
+    val reps = groups.select(col("rid"), col("t"))
+    val verified = candidates
+      .join(reps.select(col("rid").as("rid_a"), col("t").as("_ta")),
+        Seq("rid_a"))
+      .join(reps.select(col("rid").as("rid_b"), col("t").as("_tb")),
+        Seq("rid_b"))
       .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .select(col("rid_a"), col("rid_b"), col("dist"))
+    // within-group (dist-0) pairs: the group pairs internally iff any of
+    // its variant buckets survives — the per-row construction's condition
+    val selfPairs = capped.filter(col("m") >= 2)
+      .select(col("rid")).distinct()
+      .select(col("rid").as("rid_a"), col("rid").as("rid_b"),
+        lit(0).as("dist"))
+    // expand distinct-text pairs to member-id pairs: pure join fan-out,
+    // no distinct / levenshtein / variant explosion over the quadratic set
+    val withRid = base.join(groups.select(col("t"), col("rid")), Seq("t"))
+      .select(col("id"), col("rid"))
+    verified.unionAll(selfPairs)
+      .join(withRid.select(col("rid").as("rid_a"), col("id").as("_ia")),
+        Seq("rid_a"))
+      .join(withRid.select(col("rid").as("rid_b"), col("id").as("_ib")),
+        Seq("rid_b"))
+      .filter(col("rid_a") =!= col("rid_b") || col("_ia") < col("_ib"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        col("dist").cast("long").as("dist"))
   }
 
   /** TOKEN-level near-dup pairs: rows whose token sequences (titles,
@@ -241,7 +295,8 @@ object FuzzyDedup {
         .filter(col("t").isNotNull)
     val (cBase, bBase) = (narrow(corpus), narrow(batch))
     def variants(base: DataFrame) = base
-      .select(col("id"), explode(deletionHashes(col("t"), maxDist)).as("h"))
+      .select(col("id"), length(col("t")).as("len"),
+        explode(deletionHashes(col("t"), maxDist)).as("h"))
     val (cv, bv) = (variants(cBase), variants(bBase))
     // the cap counts BOTH sides of a variant bucket: a degenerate value
     // shared corpus-wide must not explode just because the batch also
@@ -250,8 +305,12 @@ object FuzzyDedup {
       .groupBy(col("h")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("h"))
+    // abs(len diff) <= maxDist is a Levenshtein lower bound — prunes
+    // candidates (hash collisions across lengths) with zero recall loss
     val pairs = cv.join(surviving, Seq("h"), "left_semi").as("a")
-      .join(bv.join(surviving, Seq("h"), "left_semi").as("b"), Seq("h"))
+      .join(bv.join(surviving, Seq("h"), "left_semi").as("b"),
+        col("a.h") === col("b.h") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("corpus_id"), col("b.id").as("batch_id"))
       .distinct()
     pairs

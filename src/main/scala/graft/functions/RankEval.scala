@@ -54,7 +54,15 @@ object RankEval {
     val qid = col(qidCol)
     val rel = relevant.select(qid, col(docCol)).distinct()
       .withColumn("_rel", lit(1L))
-    val marked = ranked.select(qid, col(docCol), col(rankCol).cast("long").as("_rank"))
+    // defensive: rank 0 would divide lcm by zero (silent null term), a
+    // rank > k would silently truncate the integer division — both are
+    // caller bugs that must fail LOUDLY, not skew the metrics
+    val rankChecked =
+      when(col(rankCol).isNull || col(rankCol) < 1 || col(rankCol) > k,
+        raise_error(concat(lit(s"rankedMetrics: rank out of [1,$k]: "),
+          coalesce(col(rankCol).cast("string"), lit("null")))))
+      .otherwise(col(rankCol).cast("long"))
+    val marked = ranked.select(qid, col(docCol), rankChecked.as("_rank"))
       .join(rel, Seq(qidCol, docCol), "left")
       .withColumn("_rel", coalesce(col("_rel"), lit(0L)))
     // bounded window: ≤ k rows per qid partition
@@ -81,13 +89,32 @@ object RankEval {
         col("ap_scaled"))
   }
 
-  /** Corpus-level rollup of [[rankedMetrics]]: exact integer sums (the
-    * caller divides by `L·n_queries` / `L·Σ min(n_rel,k)` for the float
-    * MRR/MAP). */
-  def rollup(perQuery: DataFrame): DataFrame =
+  /** Corpus-level rollup of [[rankedMetrics]] for the same cutoff `k`.
+    * Exact integer sums plus the two averages they support — which are
+    * DIFFERENT statistics, a distinction the denominators carry:
+    *  - MRR = `sum_rr_scaled / (L · n_queries)` — the mean of per-query
+    *    reciprocal ranks (valid because every query shares the rr
+    *    denominator L).
+    *  - MAP = mean over queries of `ap_scaled_q / (L · min(n_rel_q, k))`
+    *    — the per-query division MUST happen before averaging whenever
+    *    queries have different n_rel, so no ratio of the integer sums can
+    *    express it; emitted here as the float `map` (queries with
+    *    n_rel = 0 contribute AP 0, the trec_eval convention).
+    *  - `sum_ap_scaled / (L · sum_min_nrel_k)` is the MICRO-average
+    *    (ratio of sums) — a hit-weighted statistic, not MAP; both
+    *    numerator and denominator are emitted so callers can take either
+    *    knowingly. */
+  def rollup(perQuery: DataFrame, k: Int): DataFrame = {
+    val lcm = lcmUpTo(k)
     perQuery.agg(
       count(lit(1)).as("n_queries"),
       sum(col("n_hit")).as("total_hits"),
       sum(col("rr_scaled")).as("sum_rr_scaled"),
-      sum(col("ap_scaled")).as("sum_ap_scaled"))
+      sum(col("ap_scaled")).as("sum_ap_scaled"),
+      sum(least(col("n_rel"), lit(k.toLong))).as("sum_min_nrel_k"),
+      avg(when(col("n_rel") > 0,
+          col("ap_scaled").cast("double") /
+            (lit(lcm.toDouble) * least(col("n_rel"), lit(k.toLong))))
+        .otherwise(lit(0.0))).as("map"))
+  }
 }

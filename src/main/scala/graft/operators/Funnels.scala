@@ -31,34 +31,73 @@ object Funnels {
     * earliest event of `steps(i)` AFTER the user's step i-1 timestamp
     * (strict `>`: simultaneous events do not complete two steps). Users who
     * never reach step 1 are absent; later columns are null once the chain
-    * breaks. */
+    * breaks.
+    *
+    * Optional conversion windows (the product-analytics standard):
+    *  - `maxStepGapSec`: step i must land within N seconds of step i-1;
+    *  - `maxTotalSec`: every step must land within N seconds of step 1.
+    * Both bound the GREEDY chain anchored at the user's FIRST step-1 event
+    * (first-touch attribution): each step still takes the earliest
+    * qualifying event given the already-fixed previous steps. That is the
+    * defined semantics, not a search — under a per-step gap, a user whose
+    * first-touch greedy chain expires but who could convert from a LATER
+    * re-entry counts as not converted (re-entry funnels are a different
+    * report). For `maxTotalSec` alone the greedy chain is also the optimal
+    * one from that anchor: taking an earlier qualifying event never shrinks
+    * any later step's window (spec-pinned against an exhaustive chain
+    * search); for `maxStepGapSec` the greedy chain IS the definition
+    * (spec-pinned against the greedy reference). */
   def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String],
+                  maxStepGapSec: Option[Long] = None,
+                  maxTotalSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxStepGapSec.forall(_ > 0) && maxTotalSec.forall(_ > 0),
+      "conversion windows must be positive")
     val user = col(userCol)
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(user).agg(min(col(tsCol)).as("step_1_ts"))
     steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
       val prev = col(s"step_${i}_ts")
+      val inWindow = Seq(
+        maxStepGapSec.map(g =>
+          col(tsCol) <= prev + expr(s"INTERVAL $g SECOND")),
+        maxTotalSec.map(w =>
+          col(tsCol) <= col("step_1_ts") + expr(s"INTERVAL $w SECOND")))
+        .flatten.foldLeft(col(tsCol) > prev)(_ && _)
+      // carry only what the window predicate reads (step_1_ts coincides
+      // with prev at i=1 — dedup by name, a double selection is ambiguous)
+      val carry = (if (maxTotalSec.isDefined) Seq("step_1_ts") else Nil)
+        .++(Seq(s"step_${i}_ts")).distinct.map(col)
       val next = events.filter(col(typeCol) === step)
-        .join(acc.select(user, prev), Seq(userCol))
-        .filter(col(tsCol) > prev)
+        .join(acc.select(user +: carry: _*), Seq(userCol))
+        .filter(inWindow)
         .groupBy(user).agg(min(col(tsCol)).as(s"step_${i + 1}_ts"))
       acc.join(next, Seq(userCol), "left")
     }
   }
 
   /** Funnel conversion report: `(step_idx, step_name, users_reached)` for
-    * each step, users_reached non-increasing by construction. */
+    * each step, users_reached non-increasing by construction. All step
+    * counts come from ONE aggregation over the per-user frame (the chained
+    * funnel DAG executes once, not once per step), unpivoted to the
+    * report shape. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
-    val times = funnelTimes(events, userCol, tsCol, typeCol, steps)
-    val perStep = steps.zipWithIndex.map { case (step, i) =>
-      times.agg(count(col(s"step_${i + 1}_ts")).as("users_reached"))
-        .select(lit(i + 1).as("step_idx"), lit(step).as("step_name"),
-          col("users_reached"))
+             typeCol: String, steps: Seq[String],
+             maxStepGapSec: Option[Long] = None,
+             maxTotalSec: Option[Long] = None): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol, steps,
+      maxStepGapSec, maxTotalSec)
+    val counts = steps.indices.map(i =>
+      count(col(s"step_${i + 1}_ts")).as(s"_c${i + 1}"))
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step_name"),
+        col(s"_c${i + 1}").as("users_reached"))
     }
-    perStep.reduce(_ unionByName _)
+    times.agg(counts.head, counts.tail: _*)
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.step_idx"), col("_r.step_name"),
+        col("_r.users_reached"))
   }
 
   /** Cohort retention matrix: `(cohort_week, week_offset, n_users)` — users

@@ -335,6 +335,24 @@ object EtlOps {
       .withColumn("step_idx", col("step_idx").cast("long"))
       .orderBy(col("step_idx"))
 
+  /** Windowed funnel conversion under the gate (q192): the q186 funnel
+    * with BOTH conversion windows bound — each step within 5 days of
+    * the previous AND within 12 days of step 1, first-touch greedy
+    * semantics ([[graft.operators.Funnels.funnel]] with
+    * `maxStepGapSec`/`maxTotalSec`). Runs on the denser 1/7 slice so
+    * every step keeps a non-zero, window-discriminating count at the
+    * gate SF (122→30→8→3 at sf0.01 — the unwindowed chain converts
+    * far more). The oracle restates the greedy chain with both
+    * interval bounds at every hop. */
+  def windowedFunnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnels.funnel(
+        Tables.load(s, dir, "events").filter(col("event_id") % 7 === 0),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"),
+        maxStepGapSec = Some(432000L), maxTotalSec = Some(1036800L))
+      .withColumn("step_idx", col("step_idx").cast("long"))
+      .orderBy(col("step_idx"))
+
   /** Cohort retention matrix under the gate (q187): users bucketed by
     * first-seen week (integer weeks since 2024-01-01 — no engine
     * week-start semantics), counted once per active week, through
@@ -388,6 +406,7 @@ object EtlOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_funnel"        -> funnelQ _,
+    "q192_windowed_funnel" -> windowedFunnelQ _,
     "q187_cohort"        -> cohortQ _,
     "q188_k_anonymize"   -> kAnonymizeQ _,
     "q190_agg_maintain"  -> aggMaintainQ _,
@@ -448,6 +467,34 @@ object EtlOps {
         |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e
         |       JOIN s3 ON e.user_id = s3.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_name,
+        |       (SELECT count(*) FROM s1) AS users_reached
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        |ORDER BY step_idx""".stripMargin,
+    // the greedy windowed chain restated hop by hop: strict >, step gap
+    // vs the previous MIN, total window vs the carried step-1 anchor
+    // (t1 rides each CTE via any_value — functionally dependent on user)
+    "q192_windowed_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 432000 SECOND
+        |         AND e.ts <= s1.t1 + INTERVAL 1036800 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3, any_value(s2.t1) AS t1
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'signup' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 432000 SECOND
+        |         AND e.ts <= s2.t1 + INTERVAL 1036800 SECOND GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4
+        |       FROM ev e JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 432000 SECOND
+        |         AND e.ts <= s3.t1 + INTERVAL 1036800 SECOND GROUP BY 1)
         |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_name,
         |       (SELECT count(*) FROM s1) AS users_reached
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)

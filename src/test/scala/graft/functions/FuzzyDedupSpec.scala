@@ -297,6 +297,30 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 2L && b == 1L })
   }
 
+  test("length-difference prefilter is recall-free at its boundary: " +
+      "pairs at length diff exactly maxDist still surface") {
+    // |len(a)-len(b)| <= lev(a,b), so the candidate-stage prefilter
+    // abs(len diff) <= maxDist can never drop a true pair; the boundary
+    // (diff == maxDist) is the case a off-by-one would break
+    val d1 = Seq(1L -> "abc", 2L -> "abcd") // diff 1, lev 1
+    assert(pairsOf(d1, maxDist = 1) == Set((1L, 2L, 1L)))
+    val d2 = Seq(1L -> "ab", 2L -> "abcd") // diff 2, lev 2
+    assert(pairsOf(d2, maxBucket = 64, maxDist = 2) == Set((1L, 2L, 2L)))
+    assert(pairsOf(d2, maxDist = 1).isEmpty) // diff 2 > maxDist 1: out
+  }
+
+  test("identical-text groups expand to every member pair exactly once, " +
+      "mixed with cross-text fuzzy pairs") {
+    // the distinct-text factoring recovers member pairs by join fan-out;
+    // this pins the expansion against the exhaustive reference on a
+    // corpus mixing clone groups with fuzzy neighbors of those clones
+    val rows = Seq(1L -> "kappa", 2L -> "kappa", 3L -> "kappa",
+      4L -> "kappax", 5L -> "kappax", 6L -> "kapa", 7L -> "omega")
+    val got = pairsOf(rows)
+    assert(got == allPairsRef(rows))
+    assert(got.count(_._3 == 0L) == 4) // C(3,2) + C(2,2)
+  }
+
   test("null texts yield no pairs and do not crash") {
     val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("alphx")))
       .toDF("doc_id", "name")

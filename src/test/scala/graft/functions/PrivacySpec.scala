@@ -44,4 +44,50 @@ class PrivacySpec extends SparkSpec {
       .filter($"violating").select("zip").as[String].collect().toSeq
     assert(rawViolations == Seq("10002"))
   }
+
+  test("a genuine value equal to the null sentinel is released verbatim, " +
+      "never rewritten to null") {
+    // the sentinel exists only on the internal join key; released values
+    // are the originals — the collision merely groups the value with the
+    // null group for COUNTING (both sides of that documented edge pinned)
+    val s = Privacy.NullSentinel
+    val odd = Seq((s, "w"), (s, "x"), (null.asInstanceOf[String], "y"),
+      ("ok", "z")).toDF("q", "payload")
+    val out = Privacy.kAnonymizeSuppress(odd, Seq("q"), k = 3)
+      .orderBy("payload").as[(String, String)].collect().toSeq
+    // sentinel-valued rows + the null row share one count group (3 >= k):
+    // released; the genuine sentinel string survives UNCHANGED and the
+    // null stays null; the "ok" singleton suppresses
+    assert(out == Seq((s, "w"), (s, "x"), (null, "y"), ("*", "z")))
+  }
+
+  test("released quasi columns are string-typed; non-string inputs cast") {
+    val n = Seq((1000L, 7, "a"), (1000L, 7, "b"), (2000L, 9, "c"))
+      .toDF("band", "nation", "payload")
+    val out = Privacy.kAnonymizeSuppress(n, Seq("band", "nation"), k = 2)
+    assert(out.schema("band").dataType.typeName == "string")
+    assert(out.schema("nation").dataType.typeName == "string")
+    val got = out.orderBy("payload").as[(String, String, String)]
+      .collect().toSeq
+    assert(got == Seq(("1000", "7", "a"), ("1000", "7", "b"),
+      ("*", "*", "c")))
+  }
+
+  test("lDiversityAudit: k-anonymous but homogeneous groups violate; " +
+      "diverse and suppressed groups pass; null sensitive counts once") {
+    val rel = Seq(
+      ("10001", "flu", "a"), ("10001", "cold", "b"), ("10001", "flu", "c"),
+      ("10002", "hiv", "d"), ("10002", "hiv", "e"), // k=2-fine, l=2-LEAK
+      ("*", "flu", "f"), ("*", "flu", "g"),         // suppressed: exempt
+      ("10003", null, "h"), ("10003", null, "i")    // null = one value
+    ).toDF("zip", "disease", "payload")
+    val audit = Privacy.lDiversityAudit(rel, Seq("zip"), "disease", l = 2)
+      .orderBy("zip")
+    val rows = audit.as[(String, Long, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      ("*", 1L, false),      // suppressed group exempt even if homogeneous
+      ("10001", 2L, false),  // diverse
+      ("10002", 1L, true),   // the homogeneity attack
+      ("10003", 1L, true)))  // all-null sensitive: one value, violates
+  }
 }

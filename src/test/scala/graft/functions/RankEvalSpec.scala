@@ -59,11 +59,46 @@ class RankEvalSpec extends SparkSpec {
     assert(math.abs(mrr - 0.375) < 1e-12)
   }
 
-  test("rollup sums the integer numerators") {
+  test("rollup sums the integer numerators and emits true MAP (mean of " +
+      "per-query AP), distinct from the micro-average") {
     val r = RankEval.rollup(
-        RankEval.rankedMetrics(ranked, "qid", "doc", "rank", relevant, k = 4))
-      .as[(Long, Long, Long, Long)].head()
-    assert(r == ((4L, 3L, 18L, 24L)))
+        RankEval.rankedMetrics(ranked, "qid", "doc", "rank", relevant, k = 4),
+        k = 4)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert((r._1, r._2, r._3, r._4) == ((4L, 3L, 18L, 24L)))
+    // sum of min(n_rel, 4): q1=3, q2=1, q3=2, q4=0
+    assert(r._5 == 6L)
+    // true MAP: mean of AP_q = ap_scaled/(12*min(n_rel,4)) with AP=0 for
+    // q3 (no hits) and q4 (no relevant): (1/3 + 1 + 0 + 0)/4 = 1/3 —
+    // NOT the micro-average 24/(12*6) = 1/3... which here coincides, so
+    // also pin a corpus where they DIFFER
+    assert(math.abs(r._6 - 1.0 / 3) < 1e-12)
+    val skew = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("qid", "doc", "rank")
+    val skewRel = Seq((1L, 10L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("qid", "doc")
+    val s = RankEval.rollup(
+        RankEval.rankedMetrics(skew, "qid", "doc", "rank", skewRel, k = 2),
+        k = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    // q1: AP = 1; q2: AP = (1*1)/min(3,2)=2 → 1/2; MAP = 3/4
+    assert(math.abs(s._6 - 0.75) < 1e-12)
+    // micro-average = sum_ap/(L*sum_min) = (2+2)/(2*3) = 2/3 ≠ MAP
+    assert(math.abs(s._4.toDouble / (2.0 * s._5) - 2.0 / 3) < 1e-12)
+  }
+
+  test("out-of-range ranks fail loudly instead of skewing the metrics") {
+    val zero = Seq((1L, 10L, 0)).toDF("qid", "doc", "rank")
+    val eZero = intercept[Exception] {
+      RankEval.rankedMetrics(zero, "qid", "doc", "rank", relevant, k = 4)
+        .collect()
+    }
+    assert(eZero.getMessage.contains("rank out of [1,4]"))
+    val over = Seq((1L, 10L, 5)).toDF("qid", "doc", "rank")
+    val eOver = intercept[Exception] {
+      RankEval.rankedMetrics(over, "qid", "doc", "rank", relevant, k = 4)
+        .collect()
+    }
+    assert(eOver.getMessage.contains("rank out of [1,4]"))
   }
 
   test("duplicate relevance pairs do not double-count") {

@@ -60,6 +60,100 @@ class FunnelsSpec extends SparkSpec {
     assert(f.toSeq == Seq((1, "view", 4L), (2, "click", 1L), (3, "buy", 1L)))
   }
 
+  test("windowed funnel: per-step gap expires the chain; total window " +
+      "bounds every step to step 1") {
+    val e = Seq(
+      // u1: gaps 5min then 4min — inside a 6min step gap, total 9min
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:09:00"), "buy"),
+      // u2: click 7min after view — outside a 6min step gap; a later
+      // view would re-qualify, but first-touch greedy does NOT re-anchor
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:06:30"), "view"),
+      (2L, ts("2024-01-01 10:07:00"), "click"),
+      // u3: steps 5min apart each (inside gap) but 10min total — a
+      // 9min TOTAL window kills step 3, the 6min step gap alone does not
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:05:00"), "click"),
+      (3L, ts("2024-01-01 10:10:00"), "buy")
+    ).toDF("user_id", "ts", "etype")
+    val steps = Seq("view", "click", "buy")
+    def reached(gap: Option[Long], total: Option[Long]) =
+      Funnels.funnel(e, "user_id", "ts", "etype", steps, gap, total)
+        .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    assert(reached(None, None) ==
+      Seq((1, "view", 3L), (2, "click", 3L), (3, "buy", 2L)))
+    assert(reached(Some(360L), None) ==
+      Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 2L)))
+    assert(reached(Some(360L), Some(540L)) ==
+      Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L)))
+    // boundary is inclusive: u1's 5min gap passes a 300s gap exactly
+    assert(reached(Some(300L), None).head._3 == 3L)
+  }
+
+  test("windowed funnel semantics pinned against exhaustive references " +
+      "on a randomized corpus: greedy == definition for step gaps; " +
+      "greedy == exhaustive chain search for the total window") {
+    val rnd = new scala.util.Random(7)
+    val types = Vector("a", "b", "c")
+    val rows = for {
+      u <- 1L to 60L
+      _ <- 1 to (2 + rnd.nextInt(8))
+    } yield (u, ts(f"2024-01-01 10:00:${rnd.nextInt(50)}%02d"),
+      types(rnd.nextInt(types.size)))
+    val df = rows.toDF("user_id", "ts", "etype")
+    val byUser = rows.groupBy(_._1).view.mapValues(
+      _.map(r => (r._2.getTime / 1000, r._3)).sorted).toMap
+    val steps = Seq("a", "b", "c")
+    // greedy reference: first-touch anchor, earliest qualifying per step
+    def greedy(ev: Seq[(Long, String)], gap: Option[Long],
+               total: Option[Long]): Seq[Option[Long]] = {
+      val t1 = ev.collectFirst { case (t, "a") => t }
+      steps.indices.tail.scanLeft(t1) { (prevOpt, i) =>
+        for {
+          prev <- prevOpt
+          anchor <- t1
+          t <- ev.collectFirst { case (t, s)
+            if s == steps(i) && t > prev &&
+              gap.forall(g => t <= prev + g) &&
+              total.forall(w => t <= anchor + w) => t }
+        } yield t
+      }
+    }
+    // exhaustive: does ANY increasing chain from the FIRST anchor finish
+    // inside the total window?
+    def exhaustive(ev: Seq[(Long, String)], total: Long): Boolean = {
+      val t1 = ev.collectFirst { case (t, "a") => t }
+      def go(i: Int, prev: Long, anchor: Long): Boolean =
+        i == steps.size || ev.exists { case (t, s) =>
+          s == steps(i) && t > prev && t <= anchor + total &&
+            go(i + 1, t, anchor)
+        }
+      t1.exists(t => go(1, t, t))
+    }
+    for ((gap, total) <- Seq((Some(10L), None), (None, Some(15L)),
+        (Some(8L), Some(20L)))) {
+      val got = Funnels.funnelTimes(df, "user_id", "ts", "etype", steps,
+          gap, total)
+        .orderBy("user_id")
+        .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp])]
+        .collect()
+        .map(r => r._1 -> Seq(Some(r._2.getTime / 1000),
+          r._3.map(_.getTime / 1000), r._4.map(_.getTime / 1000))).toMap
+      val users = byUser.filter(_._2.exists(_._2 == "a")).keySet
+      assert(got.keySet == users)
+      for (u <- users) {
+        assert(got(u) == greedy(byUser(u), gap, total),
+          s"user $u gap=$gap total=$total: ${byUser(u)}")
+        // for a TOTAL-only window, greedy completion == chain existence
+        if (gap.isEmpty)
+          assert(got(u).last.isDefined == exhaustive(byUser(u), total.get),
+            s"user $u total=$total: ${byUser(u)}")
+      }
+    }
+  }
+
   test("cohortRetention: offset 0 is cohort size; one count per active week") {
     val e = Seq(
       // user 1: first week 0, active weeks 0 and 2 (twice in week 2 —
