@@ -63,4 +63,46 @@ object AggMaintain {
   def maintain(baseState: DataFrame, delta: DataFrame,
                keyCol: String, valCol: String): DataFrame =
     merge(baseState, state(delta, keyCol, valCol), keyCol)
+
+  /** Per-key DISTINCT-count state as an HLL register file `(key,
+    * hll_regs)` — the non-invertible monoid [[state]] cannot carry: exact
+    * distinct counting would need the full value set per key, but HLL
+    * registers are a bounded (m = 2^p ints) commutative-idempotent-monoid
+    * summary, so `regs(base ∪ delta) = regs(base) ⊔ regs(delta)`
+    * element-wise-max — maintained registers are BIT-IDENTICAL to a
+    * one-shot recompute under any fold order/batching (the q193 gate
+    * invariant; idempotence even makes re-delivered rows harmless).
+    * Values hash through the portable md5 [[graft.functions.Sketches
+    * .hash60]] on the value's STRING form, so an external engine restates
+    * every register. Estimate via [[graft.functions.Sketches
+    * .hllEstimate]]; gate on the registers and treat the float as
+    * derived. */
+  def distinctState(df: DataFrame, keyCol: String, valCol: String,
+                    p: Int): DataFrame =
+    df.select(col(keyCol),
+        graft.functions.Sketches.hash60(col(valCol).cast("string")).as("_h"))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.Sketches.hllSketch(col("_h"), p).as("hll_regs"))
+
+  /** Fold a delta register state into the stored base state: keys in
+    * either side survive; shared keys take the element-wise register
+    * max (= the HLL union). Delta-cardinality shuffle; the base values
+    * are never rescanned. */
+  def distinctMerge(baseState: DataFrame, deltaState: DataFrame,
+                    keyCol: String): DataFrame = {
+    val b = baseState.select(col(keyCol), col("hll_regs").as("_br"))
+    val d = deltaState.select(col(keyCol), col("hll_regs").as("_dr"))
+    b.join(d, Seq(keyCol), "full_outer").select(
+      col(keyCol),
+      when(col("_br").isNull, col("_dr"))
+        .when(col("_dr").isNull, col("_br"))
+        .otherwise(zip_with(col("_br"), col("_dr"),
+          (x, y) => greatest(x, y))).as("hll_regs"))
+  }
+
+  /** One-shot convenience: fold a raw delta batch into a stored
+    * register state. `p` must match the one the state was built with. */
+  def maintainDistinct(baseState: DataFrame, delta: DataFrame,
+                       keyCol: String, valCol: String, p: Int): DataFrame =
+    distinctMerge(baseState, distinctState(delta, keyCol, valCol, p), keyCol)
 }

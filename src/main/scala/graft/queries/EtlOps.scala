@@ -383,6 +383,32 @@ object EtlOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** l-diversity audit under the gate (q194): the homogeneity check
+    * k-anonymity misses, over a candidate release of customers
+    * generalized to (nation, 100-wide acctbal band) with c_mktsegment
+    * as the sensitive column — [[graft.functions.Privacy
+    * .lDiversityAudit]] at l=3. The narrow bands make the audit
+    * discriminate at every tested SF (1130 of 1163 groups violate at
+    * sf0.01, 606 of 2742 at sf0.1): an off-by-one on `< l`, a
+    * non-distinct count, or a mis-exempted `*` group flips rows. */
+  def lDiversityQ(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("nation"),
+      graft.functions.Privacy.generalizeBand(col("c_acctbal"), 100)
+        .as("bal_band"))
+    graft.functions.Privacy.lDiversityAudit(g, Seq("nation", "bal_band"),
+        "c_mktsegment", l = 3)
+      // the audit reports string-typed quasi columns (the `*` group
+      // convention); this release has no stars, so cast back for a
+      // numeric total order shared with the oracle
+      .select(col("nation").cast("long").as("nation"),
+        col("bal_band").cast("long").as("bal_band"),
+        col("n_sensitive"), col("violating"))
+      .orderBy(col("nation"), col("bal_band"))
+  }
+
   /** Incremental aggregate maintenance under the gate (q190): lineitem
     * splits into a base (linenumber ≤ 3) and two deltas folded in one
     * at a time through [[graft.operators.AggMaintain.maintain]]; the
@@ -404,8 +430,38 @@ object EtlOps {
       .orderBy(col("l_partkey"))
   }
 
+  /** Incremental DISTINCT-count maintenance under the gate (q193):
+    * distinct parts per supplier as an HLL register file (p=4, m=16),
+    * maintained through the same base/delta split as q190 via
+    * [[graft.operators.AggMaintain.maintainDistinct]] — register
+    * max-merge is an idempotent commutative monoid, so the maintained
+    * registers must be BIT-IDENTICAL to the one-shot recompute, which
+    * is exactly what the oracle states: every register derived from
+    * the md5 hash60 of the part key over the FULL table (bucket = top
+    * 4 bits, rho = 57 − bitlength of the 56-bit remainder), unseen
+    * buckets 0 via the supplier × bucket grid. */
+  def distinctMaintainQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggMaintain
+    val li = Tables.load(s, dir, "lineitem")
+    val base = AggMaintain.distinctState(
+      li.filter(col("l_linenumber") <= 3), "l_suppkey", "l_partkey", p = 4)
+    val folded = Seq(col("l_linenumber") === 4, col("l_linenumber") >= 5)
+      .foldLeft(base) { (st, pred) =>
+        AggMaintain.maintainDistinct(st, li.filter(pred), "l_suppkey",
+          "l_partkey", p = 4)
+      }
+    folded
+      .select(col("l_suppkey"),
+        posexplode(col("hll_regs")).as(Seq("bucket", "register")))
+      .select(col("l_suppkey"), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"))
+      .orderBy(col("l_suppkey"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_funnel"        -> funnelQ _,
+    "q193_distinct_maintain" -> distinctMaintainQ _,
+    "q194_l_diversity"   -> lDiversityQ _,
     "q192_windowed_funnel" -> windowedFunnelQ _,
     "q187_cohort"        -> cohortQ _,
     "q188_k_anonymize"   -> kAnonymizeQ _,
@@ -528,6 +584,47 @@ object EtlOps {
         | CASE WHEN c.n < 10 THEN '*' ELSE g.bal_band END AS bal_band
         |FROM g JOIN c USING (nation, bal_band)
         |ORDER BY c_custkey""".stripMargin,
+    // exact distinct-sensitive count per quasi group, violating
+    // strictly under l=3 with the all-star group exempt (no such group
+    // in this raw release — the exemption still rides the CASE)
+    "q194_l_diversity" ->
+      """WITH g AS (SELECT c_custkey, c_mktsegment,
+        |  CAST(c_nationkey AS VARCHAR) AS nation,
+        |  CAST(CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS VARCHAR)
+        |    AS bal_band
+        | FROM customer)
+        |SELECT CAST(nation AS BIGINT) AS nation,
+        | CAST(bal_band AS BIGINT) AS bal_band,
+        | count(DISTINCT c_mktsegment) AS n_sensitive,
+        | (count(DISTINCT c_mktsegment) < 3
+        |   AND NOT (nation = '*' AND bal_band = '*')) AS violating
+        |FROM g GROUP BY nation, bal_band
+        |ORDER BY 1, 2""".stripMargin,
+    // maintained HLL registers must be bit-identical to the one-shot
+    // recompute: every register restated from the md5 hash60 of the
+    // part key over the FULL lineitem (p=4: bucket = h // 2^56, rho =
+    // 57 - bitlength(h % 2^56), 57 for an all-zero tail), zeros via
+    // the supplier x bucket grid
+    "q193_distinct_maintain" ->
+      """WITH h AS (SELECT DISTINCT l_suppkey,
+        |  ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        | FROM lineitem),
+        |rr AS (SELECT l_suppkey, h // 72057594037927936 AS bucket,
+        |  CASE WHEN h % 72057594037927936 = 0 THEN 57
+        |       ELSE 57 - length(bin(h % 72057594037927936)) END AS rho
+        | FROM h),
+        |regs AS (SELECT l_suppkey, bucket,
+        |  CAST(max(rho) AS BIGINT) AS register
+        | FROM rr GROUP BY 1, 2),
+        |grid AS (SELECT s.l_suppkey, b.bucket
+        |  FROM (SELECT DISTINCT l_suppkey FROM lineitem) s,
+        |       (SELECT unnest(range(0, 16)) AS bucket) b)
+        |SELECT g.l_suppkey, CAST(g.bucket AS BIGINT) AS bucket,
+        | coalesce(r.register, 0) AS register
+        |FROM grid g LEFT JOIN regs r
+        |  ON g.l_suppkey = r.l_suppkey AND g.bucket = r.bucket
+        |ORDER BY g.l_suppkey, g.bucket""".stripMargin,
     // the invariant IS the oracle: maintained state must equal the
     // one-shot recompute (decimal sum exact under any fold order)
     "q190_agg_maintain" ->

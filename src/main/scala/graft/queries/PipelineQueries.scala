@@ -998,6 +998,42 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING funnel maintenance under the gate (q195): the q186
+    * funnel family's batch≡stream invariant — three event-time-ordered
+    * waves of the 1/7 event slice drain through
+    * [[graft.streaming.FunnelStream]] (per-user chained-MIN state folded
+    * per micro-batch, batch-user-sized writes, max_by(batch_id)
+    * resolution), and the standing per-user step times must equal the
+    * batch [[graft.operators.Funnels.funnelTimes]] over the full slice —
+    * which is what the oracle states, per user. Chains completing
+    * within one wave and across waves both occur in the slice. A
+    * no-data fourth drain must leave the answer unchanged. */
+  def funnelStreamQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q195") { base =>
+      val src = s"$base/landing"
+      val steps = Seq("view", "click", "signup", "purchase")
+      val e = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_type"))
+      def run(): Long = graft.streaming.FunnelStream.runAvailableNow(
+        s, src, e.schema, "user_id", "ts", "event_type", steps,
+        s"$base/state", s"$base/ckpt")
+      val d = dayofmonth(col("ts"))
+      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
+      run()
+      val replay = run() // no new files: the standing answer must not change
+      require(replay <= 1, s"funnelStreamQ: no-data replay ran $replay batches")
+      graft.streaming.FunnelStream.currentTimes(s, s"$base/state",
+          "user_id", steps, e.schema("user_id"))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    }
+
   /** SCD2 snapshot COMPACTION under the gate (q165): the same staged
     * drain as q157, but [[graft.streaming.Scd2Stream.compact]] runs
     * MID-CHAIN (after wave 2) and again after the final wave — the
@@ -1353,6 +1389,7 @@ object PipelineQueries {
     "q151_stream_asof"    -> streamAsofQ _,
     "q156_scd2_lookup"    -> scd2LookupQ _,
     "q157_scd2_stream"    -> scd2StreamQ _,
+    "q195_funnel_stream"  -> funnelStreamQ _,
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
     "q164_enrich_stream"  -> scd2EnrichStreamQ _,
@@ -1618,6 +1655,31 @@ object PipelineQueries {
         | CASE WHEN ok THEN 'main' ELSE 'dlq' END AS channel,
         | CASE WHEN NOT ok THEN md5(line) END AS raw_md5
         |FROM r ORDER BY channel, doc_id, raw_md5""".stripMargin,
+    // the streaming funnel state must equal the batch chained-MIN
+    // recompute over the full slice, per user
+    "q195_funnel_stream" ->
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS ts,
+        |  event_type FROM events WHERE event_id % 7 = 0),
+        |s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS step_2_ts FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS step_3_ts FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'signup' AND e.ts > s2.step_2_ts
+        |       GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS step_4_ts FROM ev e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.step_3_ts
+        |       GROUP BY 1)
+        |SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+        |       s4.step_4_ts
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |        LEFT JOIN s4 ON s1.user_id = s4.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     // the streaming incremental history must equal the batch recompute —
     // the oracle IS q143's full-log restatement
     "q157_scd2_stream" ->

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+
+import graft.operators.Funnels
+
+/** Incremental streaming funnel — the live counterpart of
+  * [[graft.operators.Funnels.funnelTimes]]: each micro-batch of events
+  * folds into a standing per-user step-times table, so the funnel report
+  * over 100 TB of history costs one batch-sized fold per wave instead of
+  * a full-log recompute. The q195 gate pins the invariant: after draining
+  * event-time-ordered waves, the standing state must hash-equal the batch
+  * funnel over the full log.
+  *
+  * Fold algebra: chained-MIN step times are PREFIX-STABLE under
+  * event-time-ordered arrival (the [[Scd2Stream]] ordering contract —
+  * every event in wave N is at-or-after wave N-1's): a completed step's
+  * MIN can never be lowered by later events, and a step completing later
+  * only considers candidates after its (already-final) predecessor. So
+  * the fold is: keep every completed step; for each incomplete step i,
+  * in order, take the earliest qualifying batch event after the (possibly
+  * just-updated) step i-1 time — within-batch chains complete in one
+  * fold because the steps evaluate sequentially. Conversion windows
+  * (`maxStepGapSec` / `maxTotalSec`, [[Funnels.funnelTimes]] semantics)
+  * ride the same qualification predicate.
+  *
+  * State layout under `statePath/delta/batch_id=N/`: ONLY the users the
+  * batch touched, with their full (user, step_1_ts..step_k_ts) row — the
+  * write is batch-user-sized, never state-sized. The current state is
+  * resolved per user as the row from the LATEST batch that touched them
+  * (one `max_by(struct, batch_id)` aggregation — map-side combinable,
+  * user-cardinality-sized). Replay safety: a replayed batch reads state
+  * EXCLUDING its own batch_id directory and overwrites it — exactly-once
+  * from at-least-once, the [[IncrementalIngest]] discipline.
+  */
+object FunnelStream {
+
+  /** Drain `sourcePath` with AvailableNow, folding each micro-batch into
+    * the standing funnel state. Returns the number of micro-batches. */
+  def runAvailableNow(spark: SparkSession, sourcePath: String,
+                      schema: StructType, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      statePath: String, checkpointPath: String,
+                      maxStepGapSec: Option[Long] = None,
+                      maxTotalSec: Option[Long] = None): Long = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
+        foldBatch(batch, batchId, userCol, tsCol, typeCol, steps,
+          statePath, maxStepGapSec, maxTotalSec)
+        ()
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    nBatches.get()
+  }
+
+  private def stepCols(steps: Seq[String]): Seq[String] =
+    steps.indices.map(i => s"step_${i + 1}_ts")
+
+  private def foldBatch(batch: DataFrame, batchId: Long, userCol: String,
+                        tsCol: String, typeCol: String, steps: Seq[String],
+                        statePath: String, maxStepGapSec: Option[Long],
+                        maxTotalSec: Option[Long]): Unit = {
+    val session = batch.sparkSession
+    val user = col(userCol)
+    val cols = stepCols(steps)
+    val stateSchema = StructType(
+      batch.schema(userCol) +: cols.map(c => StructField(c, TimestampType)))
+    val standing = readResolved(session, statePath, excludeBatch = batchId,
+      userCol, stateSchema)
+    val b = batch.select(user, col(tsCol), col(typeCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: the standing state of exactly the users this batch touches
+      val bUsers = b.select(user).distinct()
+      val seeded = bUsers.join(standing, Seq(userCol), "left")
+      // step 1: keep a completed MIN (prefix-stable under the ordering
+      // contract), else the batch's earliest step-1 event
+      val t1 = b.filter(col(typeCol) === steps.head)
+        .groupBy(user).agg(min(col(tsCol)).as("_n"))
+      val first = seeded.join(t1, Seq(userCol), "left")
+        .withColumn(cols.head, coalesce(col(cols.head), col("_n")))
+        .drop("_n")
+      // steps 2..k in order: each sees the just-updated previous time
+      val folded = steps.zipWithIndex.tail.foldLeft(first) {
+        case (acc, (step, i)) =>
+          val prev = col(s"step_${i}_ts")
+          val cur = s"step_${i + 1}_ts"
+          val inWindow = Seq(
+            maxStepGapSec.map(g =>
+              col(tsCol) <= prev + expr(s"INTERVAL $g SECOND")),
+            maxTotalSec.map(w =>
+              col(tsCol) <= col(cols.head) + expr(s"INTERVAL $w SECOND")))
+            .flatten.foldLeft(col(tsCol) > prev)(_ && _)
+          val carry = (Seq(cols.head, s"step_${i}_ts")).distinct.map(col)
+          val ni = b.filter(col(typeCol) === step)
+            .join(acc.filter(col(cur).isNull && prev.isNotNull)
+              .select(user +: carry: _*), Seq(userCol))
+            .filter(inWindow)
+            .groupBy(user).agg(min(col(tsCol)).as("_n"))
+          acc.join(ni, Seq(userCol), "left")
+            .withColumn(cur, coalesce(col(cur), col("_n")))
+            .drop("_n")
+      }
+      // users whose events never opened the funnel carry no information
+      folded.filter(col(cols.head).isNotNull)
+        .select(user +: cols.map(col): _*)
+        .write.mode("overwrite")
+        .parquet(s"$statePath/delta/batch_id=$batchId")
+    } finally b.unpersist()
+  }
+
+  /** The standing per-user state: each user's row from the latest batch
+    * that touched them. `excludeBatch` < 0 reads everything (the final
+    * report); a folding batch passes its own id so a replay never reads
+    * its previous attempt. */
+  private def readResolved(spark: SparkSession, statePath: String,
+                           excludeBatch: Long, userCol: String,
+                           empty: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasState)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    else {
+      val all = spark.read.parquet(s"$statePath/delta")
+        .filter(col("batch_id") =!= excludeBatch)
+      val valueCols = empty.fieldNames.filterNot(_ == userCol)
+      all.groupBy(col(userCol))
+        .agg(max_by(struct(valueCols.map(col): _*), col("batch_id"))
+          .as("_s"))
+        .select(col(userCol) +: valueCols.map(c => col(s"_s.$c")): _*)
+    }
+  }
+
+  /** The standing per-user funnel times (all committed batches). */
+  def currentTimes(spark: SparkSession, statePath: String, userCol: String,
+                   steps: Seq[String],
+                   userField: StructField): DataFrame =
+    readResolved(spark, statePath, excludeBatch = -1L, userCol,
+      StructType(userField +:
+        stepCols(steps).map(c => StructField(c, TimestampType))))
+
+  /** The standing funnel report — [[Funnels.funnel]]'s shape from the
+    * maintained state instead of a full-log recompute. */
+  def currentReport(spark: SparkSession, statePath: String, userCol: String,
+                    steps: Seq[String], userField: StructField): DataFrame = {
+    val times = currentTimes(spark, statePath, userCol, steps, userField)
+    val counts = steps.indices.map(i =>
+      count(col(s"step_${i + 1}_ts")).as(s"_c${i + 1}"))
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step_name"),
+        col(s"_c${i + 1}").as("users_reached"))
+    }
+    times.agg(counts.head, counts.tail: _*)
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.step_idx"), col("_r.step_name"),
+        col("_r.users_reached"))
+  }
+}

@@ -51,4 +51,46 @@ class AggMaintainSpec extends SparkSpec {
     val all = deltas.foldLeft(base)(_ unionByName _)
     assert(canon(folded) == canon(AggMaintain.state(all, "k", "v")))
   }
+
+  private def regsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select($"k", $"hll_regs").as[(String, Seq[Int])]
+      .collect().toMap
+
+  test("maintained HLL registers are bit-identical to the one-shot " +
+      "recompute, under any batching") {
+    val vals = (1 to 400).map(i => (s"g${i % 3}", s"v${i % 97}"))
+    val full = vals.toDF("k", "v")
+    val oneShot = regsOf(AggMaintain.distinctState(full, "k", "v", p = 4))
+    // three different batchings of the same rows
+    for (nBatches <- Seq(2, 5, 8)) {
+      val parts = vals.grouped(math.ceil(400.0 / nBatches).toInt).toSeq
+      val folded = parts.tail.foldLeft(
+          AggMaintain.distinctState(parts.head.toDF("k", "v"), "k", "v", 4)) {
+        (st, b) => AggMaintain.maintainDistinct(st, b.toDF("k", "v"), "k", "v", 4)
+      }
+      assert(regsOf(folded) == oneShot, s"nBatches=$nBatches")
+    }
+  }
+
+  test("register maintenance is idempotent: re-delivering a batch " +
+      "changes nothing; new keys appear on either side") {
+    val b0 = Seq(("a", "x"), ("a", "y")).toDF("k", "v")
+    val d1 = Seq(("a", "y"), ("b", "z")).toDF("k", "v")
+    val st1 = AggMaintain.maintainDistinct(
+      AggMaintain.distinctState(b0, "k", "v", 4), d1, "k", "v", 4)
+    val st2 = AggMaintain.maintainDistinct(st1, d1, "k", "v", 4) // replay
+    assert(regsOf(st1) == regsOf(st2))
+    assert(regsOf(st1).keySet == Set("a", "b"))
+    assert(regsOf(st1) ==
+      regsOf(AggMaintain.distinctState(b0.unionByName(d1), "k", "v", 4)))
+  }
+
+  test("register estimate recovers small exact cardinalities") {
+    // p=8 (m=256): linear counting regime is exact-ish for tiny sets
+    val df = (1 to 50).map(i => ("k", s"val$i")).toDF("k", "v")
+    val est = AggMaintain.distinctState(df, "k", "v", p = 8)
+      .select(graft.functions.Sketches.hllEstimate($"hll_regs", 8))
+      .as[Double].head()
+    assert(math.abs(est - 50.0) < 5.0, s"est=$est")
+  }
 }
