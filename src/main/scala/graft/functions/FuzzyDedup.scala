@@ -107,12 +107,19 @@ object FuzzyDedup {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("t"))
       .filter(col("t").isNotNull)
-    // one row per DISTINCT text: rep = min member id (collision-free
-    // surrogate so the string itself never rides the variant exchange),
-    // m = member count (the cap weight)
+    // one row per DISTINCT text, identified by the narrow surrogate
+    // (rid, th) = (min member id, xxhash64 of the text) so the string
+    // itself never rides the variant exchange. min-id alone is NOT unique
+    // per text — the same id may appear with two different texts, which
+    // would silently kill their cross-pair under a bare `rid < rid`
+    // (spec-pinned) — and th alone would lose a pair on a 64-bit
+    // collision; two texts collide on the PAIR only when they share both
+    // min id and hash (~2^-64 of the already-rare duplicate-id case,
+    // documented). m = member count (the cap weight).
     val groups = base.groupBy(col("t"))
       .agg(min(col("id")).as("rid"), count(lit(1)).as("m"))
-    val variants = groups.select(col("rid"), col("m"),
+      .withColumn("th", xxhash64(col("t")))
+    val variants = groups.select(col("rid"), col("th"), col("m"),
       length(col("t")).as("len"),
       explode(deletionHashes(col("t"), maxDist)).as("h"))
     // partial-aggregating cap: the hot-variant decision happens on the tiny
@@ -123,37 +130,45 @@ object FuzzyDedup {
       .filter(col("_n") <= maxBucket && col("_n") >= 2)
       .select(col("h"))
     val capped = variants.join(surviving, Seq("h"), "left_semi")
+    val ordered = // lexicographic (rid, th): a strict total order on texts
+      col("a.rid") < col("b.rid") ||
+        (col("a.rid") === col("b.rid") && col("a.th") < col("b.th"))
     val candidates = capped.as("a")
       .join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.rid") < col("b.rid") &&
+        col("a.h") === col("b.h") && ordered &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
+      .select(col("a.rid").as("rid_a"), col("a.th").as("th_a"),
+        col("b.rid").as("rid_b"), col("b.th").as("th_b"))
       .distinct() // a text pair can share several variants; verify once
-    val reps = groups.select(col("rid"), col("t"))
+    val reps = groups.select(col("rid"), col("th"), col("t"))
     val verified = candidates
-      .join(reps.select(col("rid").as("rid_a"), col("t").as("_ta")),
-        Seq("rid_a"))
-      .join(reps.select(col("rid").as("rid_b"), col("t").as("_tb")),
-        Seq("rid_b"))
+      .join(reps.select(col("rid").as("rid_a"), col("th").as("th_a"),
+        col("t").as("_ta")), Seq("rid_a", "th_a"))
+      .join(reps.select(col("rid").as("rid_b"), col("th").as("th_b"),
+        col("t").as("_tb")), Seq("rid_b", "th_b"))
       .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
       .filter(col("dist") <= maxDist)
-      .select(col("rid_a"), col("rid_b"), col("dist"))
+      .select(col("rid_a"), col("th_a"), col("rid_b"), col("th_b"),
+        col("dist"))
     // within-group (dist-0) pairs: the group pairs internally iff any of
     // its variant buckets survives — the per-row construction's condition
     val selfPairs = capped.filter(col("m") >= 2)
-      .select(col("rid")).distinct()
-      .select(col("rid").as("rid_a"), col("rid").as("rid_b"),
-        lit(0).as("dist"))
+      .select(col("rid"), col("th")).distinct()
+      .select(col("rid").as("rid_a"), col("th").as("th_a"),
+        col("rid").as("rid_b"), col("th").as("th_b"), lit(0).as("dist"))
     // expand distinct-text pairs to member-id pairs: pure join fan-out,
     // no distinct / levenshtein / variant explosion over the quadratic set
-    val withRid = base.join(groups.select(col("t"), col("rid")), Seq("t"))
-      .select(col("id"), col("rid"))
+    val withRid = base.join(groups.select(col("t"), col("rid"), col("th")),
+        Seq("t"))
+      .select(col("id"), col("rid"), col("th"))
     verified.unionAll(selfPairs)
-      .join(withRid.select(col("rid").as("rid_a"), col("id").as("_ia")),
-        Seq("rid_a"))
-      .join(withRid.select(col("rid").as("rid_b"), col("id").as("_ib")),
-        Seq("rid_b"))
-      .filter(col("rid_a") =!= col("rid_b") || col("_ia") < col("_ib"))
+      .join(withRid.select(col("rid").as("rid_a"), col("th").as("th_a"),
+        col("id").as("_ia")), Seq("rid_a", "th_a"))
+      .join(withRid.select(col("rid").as("rid_b"), col("th").as("th_b"),
+        col("id").as("_ib")), Seq("rid_b", "th_b"))
+      .filter(col("rid_a") =!= col("rid_b") || col("th_a") =!= col("th_b") ||
+        col("_ia") < col("_ib"))
+      .filter(col("_ia") =!= col("_ib")) // same id under two texts: no self-pair
       .select(least(col("_ia"), col("_ib")).as("id_a"),
         greatest(col("_ia"), col("_ib")).as("id_b"),
         col("dist").cast("long").as("dist"))

@@ -79,8 +79,7 @@ object Privacy {
     released.groupBy(quasiCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(count(lit(1)).as("group_size"))
       .withColumn("violating",
-        col("group_size") < k &&
-          !quasiCols.map(col(_) === "*").reduce(_ && _))
+        col("group_size") < k && !isStarGroup(quasiCols))
 
   /** l-diversity audit: every quasi group in `released` with its exact
     * count of DISTINCT sensitive values; `violating = n_sensitive < l &&
@@ -101,7 +100,15 @@ object Privacy {
           coalesce(col(sensitiveCol).cast("string"), lit(NullSentinel)))
         .as("n_sensitive"))
       .withColumn("violating",
-        col("n_sensitive") < l &&
-          !quasiCols.map(col(_) === "*").reduce(_ && _))
+        col("n_sensitive") < l && !isStarGroup(quasiCols))
   }
+
+  /** Null-safe "is this the suppressed all-`*` group" test: a NULL quasi
+    * value must read as not-star (false), never as SQL NULL — `NULL && x`
+    * would otherwise null out `violating` for exactly the null-quasi
+    * groups the audits exist to flag, and a `.filter(col("violating"))`
+    * consumer would silently drop the leak. */
+  private def isStarGroup(quasiCols: Seq[String]): Column =
+    quasiCols.map(c => coalesce(col(c) === "*", lit(false)))
+      .reduce(_ && _)
 }

@@ -98,8 +98,10 @@ object RankEval {
     *  - MAP = mean over queries of `ap_scaled_q / (L · min(n_rel_q, k))`
     *    — the per-query division MUST happen before averaging whenever
     *    queries have different n_rel, so no ratio of the integer sums can
-    *    express it; emitted here as the float `map` (queries with
-    *    n_rel = 0 contribute AP 0, the trec_eval convention).
+    *    express it; emitted here as the float `map`. Queries with
+    *    n_rel = 0 are EXCLUDED from the mean (the trec_eval convention:
+    *    AP is undefined with no relevant documents); all-no-relevant
+    *    input yields a null `map`.
     *  - `sum_ap_scaled / (L · sum_min_nrel_k)` is the MICRO-average
     *    (ratio of sums) — a hit-weighted statistic, not MAP; both
     *    numerator and denominator are emitted so callers can take either
@@ -112,9 +114,10 @@ object RankEval {
       sum(col("rr_scaled")).as("sum_rr_scaled"),
       sum(col("ap_scaled")).as("sum_ap_scaled"),
       sum(least(col("n_rel"), lit(k.toLong))).as("sum_min_nrel_k"),
+      // no `otherwise`: n_rel = 0 queries stay null and avg skips them
       avg(when(col("n_rel") > 0,
           col("ap_scaled").cast("double") /
-            (lit(lcm.toDouble) * least(col("n_rel"), lit(k.toLong))))
-        .otherwise(lit(0.0))).as("map"))
+            (lit(lcm.toDouble) * least(col("n_rel"), lit(k.toLong)))))
+        .as("map"))
   }
 }

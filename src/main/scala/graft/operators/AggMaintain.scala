@@ -86,23 +86,26 @@ object AggMaintain {
 
   /** Fold a delta register state into the stored base state: keys in
     * either side survive; shared keys take the element-wise register
-    * max (= the HLL union). Delta-cardinality shuffle; the base values
-    * are never rescanned. */
+    * max (= the HLL union), through the same spec-pinned
+    * [[graft.functions.Sketches.hllMerge]] aggregate the sketch family
+    * uses — one map-side-combinable aggregation over base ∪ delta, no
+    * second element-wise-max implementation to keep bit-identical. The
+    * base VALUES are never rescanned; the base state rows do re-shuffle
+    * (state-cardinality-sized, the same exchange the full-outer-join
+    * formulation pays). `p` must match the one the state was built
+    * with. */
   def distinctMerge(baseState: DataFrame, deltaState: DataFrame,
-                    keyCol: String): DataFrame = {
-    val b = baseState.select(col(keyCol), col("hll_regs").as("_br"))
-    val d = deltaState.select(col(keyCol), col("hll_regs").as("_dr"))
-    b.join(d, Seq(keyCol), "full_outer").select(
-      col(keyCol),
-      when(col("_br").isNull, col("_dr"))
-        .when(col("_dr").isNull, col("_br"))
-        .otherwise(zip_with(col("_br"), col("_dr"),
-          (x, y) => greatest(x, y))).as("hll_regs"))
-  }
+                    keyCol: String, p: Int): DataFrame =
+    baseState.select(col(keyCol), col("hll_regs"))
+      .unionByName(deltaState.select(col(keyCol), col("hll_regs")))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.Sketches.hllMerge(col("hll_regs"), p)
+        .as("hll_regs"))
 
   /** One-shot convenience: fold a raw delta batch into a stored
     * register state. `p` must match the one the state was built with. */
   def maintainDistinct(baseState: DataFrame, delta: DataFrame,
                        keyCol: String, valCol: String, p: Int): DataFrame =
-    distinctMerge(baseState, distinctState(delta, keyCol, valCol, p), keyCol)
+    distinctMerge(baseState, distinctState(delta, keyCol, valCol, p),
+      keyCol, p)
 }

@@ -47,6 +47,10 @@ object FunnelStream {
                       maxStepGapSec: Option[Long] = None,
                       maxTotalSec: Option[Long] = None): Long = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // mirror Funnels.funnelTimes: the batch≡stream invariant needs the
+    // stream to reject exactly the windows the batch recompute rejects
+    require(maxStepGapSec.forall(_ > 0) && maxTotalSec.forall(_ > 0),
+      "conversion windows must be positive")
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val stream = spark.readStream.schema(schema).parquet(sourcePath)
     val query = stream.writeStream
@@ -126,16 +130,10 @@ object FunnelStream {
   private def readResolved(spark: SparkSession, statePath: String,
                            excludeBatch: Long, userCol: String,
                            empty: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$statePath/delta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasState = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-    if (!hasState)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    val all = StreamState.readExcludingKeepBatchId(spark,
+      s"$statePath/delta", excludeBatch, empty)
+    if (!all.columns.contains("batch_id")) all // empty fallback
     else {
-      val all = spark.read.parquet(s"$statePath/delta")
-        .filter(col("batch_id") =!= excludeBatch)
       val valueCols = empty.fieldNames.filterNot(_ == userCol)
       all.groupBy(col(userCol))
         .agg(max_by(struct(valueCols.map(col): _*), col("batch_id"))

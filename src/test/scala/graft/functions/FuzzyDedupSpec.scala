@@ -321,6 +321,17 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(got.count(_._3 == 0L) == 4) // C(3,2) + C(2,2)
   }
 
+  test("an id appearing with two different texts still pairs across " +
+      "texts (the min-id surrogate is tie-broken, never bare)") {
+    // both distinct texts share min member id 5 — a bare `rid < rid`
+    // candidate order would silently kill the abc/abd cross-pairs
+    val rows = Seq(5L -> "abc", 7L -> "abc", 5L -> "abd", 9L -> "abd")
+    val got = pairsOf(rows)
+    assert(got == allPairsRef(rows))
+    assert(got.contains((5L, 9L, 1L)) && got.contains((7L, 9L, 1L)))
+    assert(!got.exists(p => p._1 == p._2)) // no self-pair for id 5
+  }
+
   test("null texts yield no pairs and do not crash") {
     val df = Seq((1L, Some("alpha")), (2L, None), (3L, Some("alphx")))
       .toDF("doc_id", "name")

@@ -73,6 +73,23 @@ class PrivacySpec extends SparkSpec {
       ("*", "*", "c")))
   }
 
+  test("audits flag null-quasi groups with a real boolean, never SQL " +
+      "NULL (a filter(violating) consumer must not drop the leak)") {
+    // a released >= k null-quasi group with ONE sensitive value: the
+    // exact homogeneity leak; `col(c) === \"*\"` on null is NULL, so an
+    // un-coalesced star test would null out `violating` for this row
+    val rel = Seq((null.asInstanceOf[String], "flu", "a"),
+      (null.asInstanceOf[String], "flu", "b"),
+      ("10001", "flu", "c"), ("10001", "cold", "d"))
+      .toDF("zip", "disease", "payload")
+    val ldiv = Privacy.lDiversityAudit(rel, Seq("zip"), "disease", l = 2)
+    assert(ldiv.filter($"violating").count() == 1) // only the null group
+    assert(ldiv.filter($"violating".isNull).count() == 0)
+    val kan = Privacy.kAnonymityAudit(rel, Seq("zip"), k = 3)
+    assert(kan.filter($"violating").count() == 2) // both groups of 2 < 3
+    assert(kan.filter($"violating".isNull).count() == 0)
+  }
+
   test("lDiversityAudit: k-anonymous but homogeneous groups violate; " +
       "diverse and suppressed groups pass; null sensitive counts once") {
     val rel = Seq(

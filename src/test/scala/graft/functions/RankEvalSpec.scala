@@ -68,11 +68,10 @@ class RankEvalSpec extends SparkSpec {
     assert((r._1, r._2, r._3, r._4) == ((4L, 3L, 18L, 24L)))
     // sum of min(n_rel, 4): q1=3, q2=1, q3=2, q4=0
     assert(r._5 == 6L)
-    // true MAP: mean of AP_q = ap_scaled/(12*min(n_rel,4)) with AP=0 for
-    // q3 (no hits) and q4 (no relevant): (1/3 + 1 + 0 + 0)/4 = 1/3 —
-    // NOT the micro-average 24/(12*6) = 1/3... which here coincides, so
-    // also pin a corpus where they DIFFER
-    assert(math.abs(r._6 - 1.0 / 3) < 1e-12)
+    // true MAP, trec_eval convention: q4 (no relevant docs) is EXCLUDED
+    // from the mean; q3 has relevant docs but no hits, so it counts as 0:
+    // (1/3 + 1 + 0) / 3 = 4/9
+    assert(math.abs(r._6 - 4.0 / 9) < 1e-12)
     val skew = Seq((1L, 10L, 1), (2L, 20L, 1)).toDF("qid", "doc", "rank")
     val skewRel = Seq((1L, 10L), (2L, 20L), (2L, 21L), (2L, 22L))
       .toDF("qid", "doc")
