@@ -48,32 +48,50 @@ final case class FileTransport(baseDir: String) extends LakeTransport {
 /** Live-HTTP binding: GET `baseUrl/path` with an optional bearer token —
   * the reference's authenticated extract call (`fsmwrapper.py:30-36`
   * `get`, `datalakewrapper.py:94-97`). A non-200 response raises with the
-  * body text, mirroring `datalakewrapper.py:83-84`. The token is a
-  * supplier so a refreshing OAuth lifecycle (reference
-  * `oauth/datalakeoauth.py`, a declared non-goal) can ride this seam
-  * without touching the planners. */
+  * body text, mirroring `datalakewrapper.py:83-84`.
+  *
+  * Authentication, either/both optional:
+  *  - `bearerToken`: a static token (short-lived jobs, pre-issued creds);
+  *  - `tokenProvider`: the refreshing [[OAuthTokenProvider]] lifecycle
+  *    (reference `oauth/datalakeoauth.py`) — consulted per request, so an
+  *    expiring token refreshes mid-scan without touching the planners;
+  *    takes precedence over `bearerToken`. A 401 additionally forces one
+  *    provider invalidate + retry (server-side revocation beats the
+  *    client clock). */
 final case class HttpTransport(baseUrl: String,
                                bearerToken: Option[String] = None,
                                connectTimeoutMs: Int = 10000,
-                               readTimeoutMs: Int = 60000)
+                               readTimeoutMs: Int = 60000,
+                               tokenProvider: Option[OAuthTokenProvider] = None)
     extends LakeTransport {
 
   // a case-class toString would render the raw bearer token into task
   // failure messages, Spark UI partition dumps, and logs — redact it
   override def toString: String =
     s"HttpTransport($baseUrl, token=${bearerToken.map(_ => "***")}, " +
-      s"connectTimeoutMs=$connectTimeoutMs, readTimeoutMs=$readTimeoutMs)"
+      s"connectTimeoutMs=$connectTimeoutMs, readTimeoutMs=$readTimeoutMs, " +
+      s"provider=${tokenProvider.map(_ => "oauth")})"
 
-  override def open(path: String): InputStream = {
+  override def open(path: String): InputStream =
+    openOnce(path, retryOn401 = tokenProvider.isDefined)
+
+  private def authHeader(): Option[String] =
+    tokenProvider.map(p => s"Bearer ${p.token()}")
+      .orElse(bearerToken.map(t => s"Bearer $t"))
+
+  private def openOnce(path: String, retryOn401: Boolean): InputStream = {
     val url = URI.create(s"${baseUrl.stripSuffix("/")}/$path").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
-    bearerToken.foreach(t =>
-      conn.setRequestProperty("Authorization", s"Bearer $t"))
+    authHeader().foreach(conn.setRequestProperty("Authorization", _))
     val code = conn.getResponseCode
-    if (code != 200) {
+    if (code == 401 && retryOn401) {
+      conn.disconnect()
+      tokenProvider.foreach(_.invalidate())
+      openOnce(path, retryOn401 = false)
+    } else if (code != 200) {
       val err = Option(conn.getErrorStream).map { es =>
         try scala.io.Source.fromInputStream(es, "UTF-8").mkString
         finally es.close()
@@ -81,8 +99,7 @@ final case class HttpTransport(baseUrl: String,
       conn.disconnect()
       throw new java.io.IOException(
         s"HttpTransport: GET $url returned $code: $err")
-    }
-    conn.getInputStream
+    } else conn.getInputStream
   }
 
   override def base: String = baseUrl
