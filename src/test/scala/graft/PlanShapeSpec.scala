@@ -421,6 +421,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("funnel, privacy audits, and aggregate maintenance are " +
+       "window-free: per-key work is aggregation, never a sort funnel") {
+    import java.sql.Timestamp
+    // a hot user with many events must combine map-side, not sort onto
+    // one task via a PARTITION BY user window
+    val ev = (1 to 300).map(i => (i.toLong % 5,
+      Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"),
+      Seq("view", "click", "buy")(i % 3))).toDF("user_id", "ts", "etype")
+    val fun = graft.operators.Funnels.funnel(ev, "user_id", "ts", "etype",
+      Seq("view", "click", "buy"), maxStepGapSec = Some(3600L))
+    fun.collect()
+    val p1 = fun.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p1.contains("Window"), p1)
+    val rel = (1 to 200).map(i => (s"z${i % 9}", s"d${i % 4}"))
+      .toDF("zip", "disease")
+    val aud = graft.functions.Privacy.lDiversityAudit(rel, Seq("zip"),
+      "disease", l = 2)
+    aud.collect()
+    val p2 = aud.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p2.contains("Window"), p2)
+    val sup = graft.functions.Privacy.kAnonymizeSuppress(rel, Seq("zip"),
+      k = 10)
+    sup.collect()
+    val p3 = sup.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p3.contains("Window"), p3)
+    val st = graft.operators.AggMaintain.maintainDistinct(
+      graft.operators.AggMaintain.distinctState(rel.toDF("k", "v"), "k",
+        "v", 4),
+      rel.toDF("k", "v"), "k", "v", 4)
+    st.collect()
+    val p4 = st.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p4.contains("Window"), p4)
+    // the register fold is a partial/final (ObjectHash) aggregate
+    assert(p4.contains("ObjectHashAggregate") ||
+      p4.contains("HashAggregate"), p4)
+  }
+
   test("hard-negative mining: window-free pick; candidates ride the " +
        "cell equi-join, never a cartesian") {
     val vecs = (1L to 40L).map(i =>
