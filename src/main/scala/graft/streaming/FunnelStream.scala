@@ -142,13 +142,57 @@ object FunnelStream {
     }
   }
 
-  /** The standing per-user funnel times (all committed batches). */
+  /** The standing per-user funnel times (all committed batches,
+    * including a compacted base). */
   def currentTimes(spark: SparkSession, statePath: String, userCol: String,
                    steps: Seq[String],
                    userField: StructField): DataFrame =
-    readResolved(spark, statePath, excludeBatch = -1L, userCol,
+    readResolved(spark, statePath, excludeBatch = Long.MinValue, userCol,
       StructType(userField +:
         stepCols(steps).map(c => StructField(c, TimestampType))))
+
+  /** Fold the per-batch delta directories into one bounded
+    * `batch_id=-1` base — the [[IncrementalIngest.compact]] swap
+    * discipline, but RESOLVING while absorbing: a user touched by
+    * several absorbed batches keeps only the latest row (plain row
+    * union would hand `max_by` two rows with no batch order left). The
+    * base carries batch_id -1, so later deltas still override it at
+    * read time, and the newest batch stays un-absorbed (it may be an
+    * uncommitted replay candidate — same reasoning as the other
+    * runners; the fold is idempotent, so even that absorption would be
+    * benign, but the shared discipline stays uniform). */
+  def compact(spark: SparkSession, statePath: String, userCol: String,
+              steps: Seq[String], numFiles: Int = 1): Unit = {
+    val path = s"$statePath/delta"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val idDirs = fs.listStatus(p)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != "batch_id=-1")
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong ->
+        s.getPath)
+      .sortBy(_._1)
+    val absorb = idDirs.dropRight(1) // newest stays, as everywhere
+    if (absorb.isEmpty) return
+    val prior = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
+    val sources = (if (fs.exists(prior)) Seq(Long.MinValue -> prior)
+      else Nil) ++ absorb
+    val valueCols = stepCols(steps)
+    val all = sources.map { case (id, dir) =>
+      spark.read.parquet(dir.toString).withColumn("_bid", lit(id))
+    }.reduce(_ unionByName _)
+    val resolved = all.groupBy(col(userCol))
+      .agg(max_by(struct(valueCols.map(col): _*), col("_bid")).as("_s"))
+      .select(col(userCol) +: valueCols.map(c => col(s"_s.$c")): _*)
+      .coalesce(numFiles)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    resolved.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(prior)) fs.delete(prior, true)
+    fs.rename(tmp, prior)
+    absorb.foreach { case (_, dir) => fs.delete(dir, true) }
+  }
 
   /** The standing funnel report — [[Funnels.funnel]]'s shape from the
     * maintained state instead of a full-log recompute. */

@@ -92,6 +92,49 @@ class FunnelStreamSpec extends SparkSpec {
     assert(report == wantReport)
   }
 
+  test("compaction folds resolved rows into the batch_id=-1 base: " +
+      "answer unchanged, directories bounded, later drains still fold") {
+    val dir = Files.createTempDirectory("fstreamc").toString
+    val src = s"$dir/landing"
+    val schema = wave1.toDF("user_id", "ts", "etype").schema
+    def run(): Long = FunnelStream.runAvailableNow(spark, src, schema,
+      "user_id", "ts", "etype", steps, s"$dir/state", s"$dir/ckpt")
+    def dirs(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/state/delta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    }
+    Seq(wave1, wave2).foreach { w =>
+      w.toDF("user_id", "ts", "etype").coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+    }
+    val before = standing(dir)
+    // mid-chain compact: batch 0 absorbs into the base, batch 1 stays
+    FunnelStream.compact(spark, s"$dir/state", "user_id", steps)
+    assert(dirs() == Set("batch_id=-1", "batch_id=1"))
+    assert(standing(dir) == before)
+    FunnelStream.compact(spark, s"$dir/state", "user_id", steps) // no-op
+    assert(standing(dir) == before)
+    // the compacted base is a valid fold input, not just a valid read
+    wave3.toDF("user_id", "ts", "etype").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    FunnelStream.compact(spark, s"$dir/state", "user_id", steps)
+    val want = Funnels.funnelTimes(
+        (wave1 ++ wave2 ++ wave3).toDF("user_id", "ts", "etype"),
+        "user_id", "ts", "etype", steps)
+      .orderBy("user_id")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().toSeq
+    assert(standing(dir) == want)
+    // a user updated across base and a later batch resolved to the
+    // LATER row (u2's chain completed in wave 3, past the first compact)
+    assert(standing(dir).find(_._1 == 2L).get._4
+      .contains(ts("2024-01-21 09:00:00")))
+  }
+
   test("conversion windows ride the fold: a cross-wave chain expiring " +
       "the step gap stays open, matching the windowed batch funnel") {
     val dir = Files.createTempDirectory("fstreamw").toString
