@@ -42,10 +42,25 @@ class CursorSimSource extends TableProvider {
     def req(k: String): String = Option(opts.get(k)).getOrElse(
       throw new IllegalArgumentException(s"cursorsim: '$k' option is required"))
     // transport binding: `path` → local files (the gate shape), `url` →
-    // live HTTP with an optional `bearer` token (the reference's
-    // authenticated REST extract) — same planner either way
+    // live HTTP (the reference's authenticated REST extract) — same
+    // planner either way. HTTP auth, either: a static `bearer` token,
+    // or the refreshing OAuth lifecycle via `tokenUrl` + `clientId` +
+    // `clientSecret` [+ `scope`] (client-credentials grant; the provider
+    // rides to the executors inside the partitions and each JVM
+    // acquires/refreshes its own token)
     val transport: LakeTransport = Option(opts.get("url")) match {
-      case Some(u) => HttpTransport(u, Option(opts.get("bearer")))
+      case Some(u) =>
+        val provider = Option(opts.get("tokenUrl")).map { tu =>
+          new OAuthTokenProvider(tu,
+            newTokenForm = Map(
+              "grant_type" -> "client_credentials",
+              "client_id" -> req("clientId"),
+              "client_secret" -> req("clientSecret")) ++
+              Option(opts.get("scope")).map("scope" -> _),
+            refreshExtraForm = Map("client_id" -> req("clientId")))
+        }
+        HttpTransport(u, Option(opts.get("bearer")),
+          tokenProvider = provider)
       case None    => FileTransport(req("path"))
     }
     new CursorSimTable(transport, req("start"), schema)

@@ -85,11 +85,15 @@ final case class HttpTransport(baseUrl: String,
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
-    authHeader().foreach(conn.setRequestProperty("Authorization", _))
+    val auth = authHeader()
+    auth.foreach(conn.setRequestProperty("Authorization", _))
     val code = conn.getResponseCode
     if (code == 401 && retryOn401) {
       conn.disconnect()
-      tokenProvider.foreach(_.invalidate())
+      // invalidate only the token THIS request used: a concurrent
+      // thread's fresh grant must survive the race
+      for (p <- tokenProvider; a <- auth)
+        p.invalidate(a.stripPrefix("Bearer "))
       openOnce(path, retryOn401 = false)
     } else if (code != 200) {
       val err = Option(conn.getErrorStream).map { es =>

@@ -63,27 +63,39 @@ final class OAuthTokenProvider(
 
   /** Drop the cached token so the next [[token]] call re-acquires — the
     * 401 hardening hook: a server-side revocation invalidates a token
-    * the clock still believes in. */
-  def invalidate(): Unit = synchronized { current = null }
+    * the clock still believes in. `stale` is the token the caller
+    * observed rejected: under concurrent readers, only the FIRST
+    * rejection clears the cache — a thread racing in after another
+    * already re-granted must not null the fresh token and trigger a
+    * redundant grant storm against a rate-limited endpoint. */
+  def invalidate(stale: String): Unit = synchronized {
+    if (current != null && current.accessToken == stale) current = null
+  }
 
   private def grantNew(): Token =
     parseToken(post(newTokenForm), previousRefresh = "")
 
   private def refresh(old: Token): Token =
-    try parseToken(
-      post(refreshExtraForm ++ Map(
-        "grant_type" -> "refresh_token",
-        "refresh_token" -> old.refreshToken)),
-      previousRefresh = old.refreshToken)
-    catch {
-      // the reference's InvalidRefreshTokenError path: an expired or
-      // invalid refresh token demotes to a fresh credentials grant
-      case e: java.io.IOException
-          if e.getMessage != null &&
-            (e.getMessage.contains("refresh token") ||
-              e.getMessage.contains("refresh_token")) =>
-        grantNew()
-    }
+    // no refresh token held (RFC 6749 lets a credentials grant omit it:
+    // the client_credentials norm) — renewal IS a fresh grant; POSTing
+    // refresh_token="" and sniffing the error text would hard-fail on
+    // any server whose message lacks the words 'refresh token'
+    if (old.refreshToken.isEmpty) grantNew()
+    else
+      try parseToken(
+        post(refreshExtraForm ++ Map(
+          "grant_type" -> "refresh_token",
+          "refresh_token" -> old.refreshToken)),
+        previousRefresh = old.refreshToken)
+      catch {
+        // the reference's InvalidRefreshTokenError path: an expired or
+        // invalid refresh token demotes to a fresh credentials grant
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              (e.getMessage.contains("refresh token") ||
+                e.getMessage.contains("refresh_token")) =>
+          grantNew()
+      }
 
   private def parseToken(body: String, previousRefresh: String): Token = {
     val node = new ObjectMapper().readTree(body)

@@ -124,12 +124,16 @@ object FunnelStream {
   }
 
   /** The standing per-user state: each user's row from the latest batch
-    * that touched them. `excludeBatch` < 0 reads everything (the final
-    * report); a folding batch passes its own id so a replay never reads
-    * its previous attempt. */
+    * that touched them (the compacted base rides as batch −1). Pass
+    * `Long.MinValue` to read everything — NOT −1, which would exclude
+    * the base; a folding batch passes its own id so a replay never
+    * reads its previous attempt. */
   private def readResolved(spark: SparkSession, statePath: String,
                            excludeBatch: Long, userCol: String,
                            empty: StructType): DataFrame = {
+    require(excludeBatch != -1L,
+      "readResolved: -1 is the compacted base; pass Long.MinValue to " +
+        "read everything")
     val all = StreamState.readExcludingKeepBatchId(spark,
       s"$statePath/delta", excludeBatch, empty)
     if (!all.columns.contains("batch_id")) all // empty fallback
@@ -162,7 +166,7 @@ object FunnelStream {
     * runners; the fold is idempotent, so even that absorption would be
     * benign, but the shared discipline stays uniform). */
   def compact(spark: SparkSession, statePath: String, userCol: String,
-              steps: Seq[String], numFiles: Int = 1): Unit = {
+              numFiles: Int = 1): Unit = {
     val path = s"$statePath/delta"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -174,23 +178,43 @@ object FunnelStream {
       .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong ->
         s.getPath)
       .sortBy(_._1)
+    val prior = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
+    val retired = new org.apache.hadoop.fs.Path(path + "_retired")
+    // self-heal a crash between the two swap renames below: the retired
+    // base still exists and the new one never landed — restore it (the
+    // absorbed dirs were not yet deleted, so the answer is intact)
+    if (!fs.exists(prior) && fs.exists(retired))
+      require(fs.rename(retired, prior),
+        s"FunnelStream.compact: could not restore $retired to $prior")
     val absorb = idDirs.dropRight(1) // newest stays, as everywhere
     if (absorb.isEmpty) return
-    val prior = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
-    val sources = (if (fs.exists(prior)) Seq(Long.MinValue -> prior)
-      else Nil) ++ absorb
-    val valueCols = stepCols(steps)
-    val all = sources.map { case (id, dir) =>
-      spark.read.parquet(dir.toString).withColumn("_bid", lit(id))
-    }.reduce(_ unionByName _)
-    val resolved = all.groupBy(col(userCol))
-      .agg(max_by(struct(valueCols.map(col): _*), col("_bid")).as("_s"))
-      .select(col(userCol) +: valueCols.map(c => col(s"_s.$c")): _*)
+    val keptNewest = idDirs.last._1
+    // resolve while absorbing through the same reader the fold uses:
+    // the partition-discovered batch_id already orders the base (-1)
+    // below every absorbed id, and a user touched by several absorbed
+    // batches must keep only the latest row (a plain row union would
+    // hand max_by two rows with no batch order left)
+    val schema = StructType(
+      spark.read.parquet(absorb.head._2.toString).schema.fields.toSeq)
+    val resolved = readResolved(spark, statePath,
+        excludeBatch = keptNewest, userCol, schema)
       .coalesce(numFiles)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     resolved.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(prior)) fs.delete(prior, true)
-    fs.rename(tmp, prior)
+    // swap, never leaving the tree without a readable base: retire the
+    // old base, land the new one, and only then drop retired + absorbed.
+    // Hadoop rename reports failure by RETURNING false — unchecked, a
+    // failed landing would delete the absorbed dirs and lose state.
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(prior))
+      require(fs.rename(prior, retired),
+        s"FunnelStream.compact: could not retire $prior")
+    if (!fs.rename(tmp, prior)) {
+      if (fs.exists(retired)) fs.rename(retired, prior) // roll back
+      throw new java.io.IOException(
+        s"FunnelStream.compact: could not publish $tmp to $prior")
+    }
+    fs.delete(retired, true)
     absorb.foreach { case (_, dir) => fs.delete(dir, true) }
   }
 

@@ -22,6 +22,7 @@ class OAuthTokenProviderSpec extends SparkSpec {
     val n = new AtomicInteger(0)
     var rejectRefresh = false
     var rotateRefresh = false
+    var omitRefresh = false
     private val server =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/token", (ex: HttpExchange) => {
@@ -39,7 +40,7 @@ class OAuthTokenProviderSpec extends SparkSpec {
         else {
           val i = n.incrementAndGet()
           val rt =
-            if (isRefresh && !rotateRefresh) "" // no rotation: omit field
+            if (omitRefresh || (isRefresh && !rotateRefresh)) ""
             else s""", "refresh_token": "rt-$i""""
           s"""{"access_token": "tok-$i"$rt, "token_type": "Bearer",
              | "expires_in": 100}""".stripMargin
@@ -84,6 +85,22 @@ class OAuthTokenProviderSpec extends SparkSpec {
       clock.set(10000L)
       assert(p.token() == "tok-3")
       assert(s.grants(2)("refresh_token") == "rt-1")
+    } finally s.stop()
+  }
+
+  test("a grant with NO refresh token (the client_credentials norm) " +
+      "renews via a fresh grant, never an empty-refresh POST") {
+    val s = new TokenServer
+    try {
+      s.omitRefresh = true
+      val clock = new AtomicLong(0L)
+      val p = provider(s, clock)
+      assert(p.token() == "tok-1")
+      clock.set(5000L)
+      assert(p.token() == "tok-2")
+      // both grants were credentials grants; no refresh_token= POST ever
+      assert(s.grants.map(_("grant_type")).toSeq ==
+        Seq("client_credentials", "client_credentials"))
     } finally s.stop()
   }
 
@@ -152,6 +169,59 @@ class OAuthTokenProviderSpec extends SparkSpec {
         s.n.incrementAndGet() // the data server now wants tok-2
         assert(new String(LakeTransport.readAll(t, "y"), UTF_8) == "payload")
         assert(served.get() == 2)
+      } finally data.stop(0)
+    } finally s.stop()
+  }
+
+  test("invalidate is stale-guarded: only the rejected token clears " +
+      "the cache, a racing thread's fresh grant survives") {
+    val s = new TokenServer
+    try {
+      val clock = new AtomicLong(0L)
+      val p = provider(s, clock)
+      assert(p.token() == "tok-1")
+      p.invalidate("some-older-token") // a loser of the 401 race
+      assert(p.token() == "tok-1")     // fresh token NOT discarded
+      assert(s.n.get() == 1)           // no redundant grant fired
+      p.invalidate("tok-1")            // the genuine rejection
+      assert(p.token() == "tok-2")
+    } finally s.stop()
+  }
+
+  test("the cursorsim DSv2 source acquires OAuth tokens through its " +
+      "tokenUrl/clientId/clientSecret options") {
+    val s = new TokenServer
+    try {
+      // data server: serves the cursor pages only to the CURRENT token
+      val page =
+        """[{"_count": 2, "_links": [{"href": "p0.json"}, {"href": "p0.json"}]},
+          | {"_fields": {"id": 1}}, {"_fields": {"id": 2}}]""".stripMargin
+      val data = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      data.createContext("/", (ex: HttpExchange) => {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        val (code, body) =
+          if (auth.contains(s"Bearer tok-${s.n.get()}")) (200, page)
+          else (401, "bad token")
+        val b = body.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+      data.start()
+      try {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))
+        val out = spark.read.format(classOf[CursorSimSource].getName)
+          .schema(schema)
+          .option("url", s"http://127.0.0.1:${data.getAddress.getPort}")
+          .option("tokenUrl", s.url)
+          .option("clientId", "cid").option("clientSecret", "sec")
+          .option("start", "p0.json").load()
+          .orderBy("id").collect().map(_.getLong(0)).toSeq
+        assert(out == Seq(1L, 2L))
+        assert(s.grants.nonEmpty &&
+          s.grants.head("grant_type") == "client_credentials")
       } finally data.stop(0)
     } finally s.stop()
   }

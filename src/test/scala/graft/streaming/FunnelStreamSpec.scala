@@ -112,16 +112,16 @@ class FunnelStreamSpec extends SparkSpec {
     }
     val before = standing(dir)
     // mid-chain compact: batch 0 absorbs into the base, batch 1 stays
-    FunnelStream.compact(spark, s"$dir/state", "user_id", steps)
+    FunnelStream.compact(spark, s"$dir/state", "user_id")
     assert(dirs() == Set("batch_id=-1", "batch_id=1"))
     assert(standing(dir) == before)
-    FunnelStream.compact(spark, s"$dir/state", "user_id", steps) // no-op
+    FunnelStream.compact(spark, s"$dir/state", "user_id") // no-op
     assert(standing(dir) == before)
     // the compacted base is a valid fold input, not just a valid read
     wave3.toDF("user_id", "ts", "etype").coalesce(1)
       .write.mode("append").parquet(src)
     run()
-    FunnelStream.compact(spark, s"$dir/state", "user_id", steps)
+    FunnelStream.compact(spark, s"$dir/state", "user_id")
     val want = Funnels.funnelTimes(
         (wave1 ++ wave2 ++ wave3).toDF("user_id", "ts", "etype"),
         "user_id", "ts", "etype", steps)
