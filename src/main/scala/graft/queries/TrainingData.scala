@@ -2045,7 +2045,46 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** BPE tokenizer training under the gate (q196): 8 merges learned
+    * from the documents word vocabulary through
+    * [[graft.functions.Bpe.train]] — exact integer pair counts over the
+    * frequency-weighted word table, (count DESC, left, right) argmax,
+    * greedy-leftmost merge application as a string fold. The oracle
+    * unrolls ALL 8 iterations in SQL (pair-count CTE + argmax CTE +
+    * `list_reduce` fold per iteration), so every intermediate merge
+    * decision is engine-checked: one drifting count or a wrong fold at
+    * any depth reorders the table and breaks the hash. */
+  def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.train(
+        graft.functions.Bpe.wordCounts(docs(s, dir), "text"),
+        numMerges = 8)
+      .orderBy(col("rank"))
+
+  /** BPE tokenizer APPLICATION under the gate (q197): the q196 merge
+    * table (8 collected rows — bounded driver state) applied in rank
+    * order to every distinct word via [[graft.functions.Bpe
+    * .applyMerges]] — one nested greedy fold per merge. The oracle
+    * carries each word through the same unrolled training chain and
+    * reads the final token state, so the engine's re-tokenization must
+    * land exactly where the oracle's iterative state evolution does. */
+  def bpeTokenizeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val wc = docs(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("|"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val table = Bpe.train(
+      wc.select(Bpe.delimit(col("word")).as("s"), col("freq")), 8)
+    val merges = table.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    wc.select(col("word"),
+        Bpe.applyMerges(Bpe.delimit(col("word")), merges).as("tokens"))
+      .orderBy(col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_bpe_tokenize"     -> bpeTokenizeQ _,
+    "q196_bpe_train"        -> bpeTrainQ _,
     "q191_rank_eval"        -> rankEvalQ _,
     "q189_temperature_alloc" -> temperatureAllocQ _,
     "q185_recall_by_label"  -> recallByLabelQ _,
@@ -2559,7 +2598,55 @@ object TrainingData {
       |  GROUP BY ex.qid)
       |""".stripMargin
 
+  /** q196's oracle: the whole 8-iteration BPE training loop unrolled —
+    * per iteration a pair-count CTE (overlapping adjacent positions,
+    * frequency-weighted), the (count DESC, left, right) argmax, and the
+    * greedy-leftmost merge fold as `list_reduce` over the delimited
+    * token string (a freshly merged token never re-matches as the left
+    * element because left||right ≠ left — the same invariant the Spark
+    * fold rides). */
+  private def bpeCtes(n: Int): String = {
+    val head =
+      """WITH w0 AS (
+        | SELECT word, '|' || array_to_string(string_split(word, ''), '|')
+        |        AS s, count(*) AS freq
+        | FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+'))
+        |         AS word FROM documents)
+        | WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY 1)""".stripMargin
+    val iters = (0 until n).map { k =>
+      s""",
+         |t$k AS (SELECT word, s, freq,
+         |  list_filter(string_split(s, '|'), x -> x <> '') AS toks
+         | FROM w$k),
+         |p$k AS (SELECT z[1] AS a, z[2] AS b,
+         |  CAST(sum(freq) AS BIGINT) AS cnt
+         | FROM t$k, unnest(list_zip(toks, toks[2:])) AS u(z)
+         | WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${k + 1} AS (SELECT word, list_reduce(list_prepend('', toks),
+         |  (acc, x) -> CASE WHEN x = b$k.b AND ends_with(acc, '|' || b$k.a)
+         |              THEN acc || x ELSE acc || '|' || x END) AS s, freq
+         | FROM t$k CROSS JOIN b$k)""".stripMargin
+    }.mkString
+    head + iters
+  }
+
+  private def bpeTrainOracle(n: Int = 8): String = {
+    val sel = (0 until n).map { k =>
+      (if (k > 0) "UNION ALL " else "") +
+        s"""SELECT CAST(${k + 1} AS BIGINT) AS "rank", a AS "left",
+           | b AS "right", a || b AS merged, cnt AS pair_count
+           | FROM b$k""".stripMargin
+    }.mkString("\n")
+    bpeCtes(n) + "\n" + sel + "\nORDER BY \"rank\""
+  }
+
+  private def bpeTokenizeOracle(n: Int = 8): String =
+    bpeCtes(n) + s"\nSELECT word, s AS tokens FROM w$n ORDER BY word"
+
   val oracles: Map[String, String] = Map(
+    "q196_bpe_train" -> bpeTrainOracle(),
+    "q197_bpe_tokenize" -> bpeTokenizeOracle(),
     // the q141 index chain + serving: probe = 4 nearest coarse cells to
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
