@@ -42,15 +42,17 @@ object Bpe {
   def delimit(word: Column): Column =
     concat(lit("|"), concat_ws("|", split(word, "")))
 
-  /** The word-frequency table BPE trains on: `(s, freq)` with `s` the
-    * delimited character state. Lower-cased whitespace tokenization;
-    * words containing the `|` separator are dropped (they would corrupt
-    * the delimited state). ONE corpus-sized aggregation. */
+  /** The word-frequency table BPE trains on: `(word, s, freq)` with `s`
+    * the delimited character state — the raw word rides along so a
+    * tokenize pass shares ONE corpus aggregation (and one definition of
+    * the word-extraction rule) with training. Lower-cased whitespace
+    * tokenization; words containing the `|` separator are dropped (they
+    * would corrupt the delimited state). */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .filter(col("w") =!= "" && !col("w").contains("|"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(delimit(col("w")).as("s"), col("freq"))
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("|"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), delimit(col("word")).as("s"), col("freq"))
 
   /** Apply ONE merge (left, right) to a delimited token string: the
     * greedy-leftmost fold (see class doc). */
@@ -62,8 +64,23 @@ object Bpe {
         .otherwise(concat(acc, lit("|"), x)))
 
   /** Apply a whole merge TABLE in rank order (tokenize with a trained
-    * tokenizer): one nested fold layer per merge. */
+    * tokenizer). Delegates to the native
+    * [[graft.expressions.BpeApplyExpr]] kernel: the table rides as ONE
+    * reference object inside whole-stage codegen, so a
+    * thousands-of-merges production tokenizer is one expression — the
+    * nested-[[applyMerge]] formulation (kept as [[applyMergesFolded]]
+    * for the equality pin) overflows the analyzer past a few hundred
+    * layers. */
   def applyMerges(s: Column, merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) s
+    else org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.BpeApplyExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(s), merges))
+
+  /** The built-ins-only nested-fold formulation of [[applyMerges]] —
+    * the chain the DuckDB oracles restate; kept as the native kernel's
+    * equality pin (spec-fuzzed identical at every reachable depth). */
+  def applyMergesFolded(s: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(s) { case (acc, (a, b)) =>
       applyMerge(acc, lit(a), lit(b))
     }

@@ -2069,16 +2069,13 @@ object TrainingData {
     * land exactly where the oracle's iterative state evolution does. */
   def bpeTokenizeQ(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bpe
-    val wc = docs(s, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "" && !col("word").contains("|"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    val table = Bpe.train(
-      wc.select(Bpe.delimit(col("word")).as("s"), col("freq")), 8)
-    val merges = table.orderBy(col("rank")).collect()
+    // one corpus scan: training and tokenization share the checkpointed
+    // word table (and with it one definition of the word rule)
+    val wc = Bpe.wordCounts(docs(s, dir), "text").localCheckpoint()
+    val merges = Bpe.train(wc, 8).orderBy(col("rank")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     wc.select(col("word"),
-        Bpe.applyMerges(Bpe.delimit(col("word")), merges).as("tokens"))
+        Bpe.applyMerges(col("s"), merges).as("tokens"))
       .orderBy(col("word"))
   }
 
@@ -2605,7 +2602,7 @@ object TrainingData {
     * token string (a freshly merged token never re-matches as the left
     * element because left||right ≠ left — the same invariant the Spark
     * fold rides). */
-  private def bpeCtes(n: Int): String = {
+  private def bpeTrainCtes(n: Int): String = {
     val head =
       """WITH w0 AS (
         | SELECT word, '|' || array_to_string(string_split(word, ''), '|')
@@ -2623,10 +2620,13 @@ object TrainingData {
          | FROM t$k, unnest(list_zip(toks, toks[2:])) AS u(z)
          | WHERE z[2] IS NOT NULL GROUP BY 1, 2),
          |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-         |w${k + 1} AS (SELECT word, list_reduce(list_prepend('', toks),
+         |w${k + 1} AS (SELECT word,
+         |  CASE WHEN b$k.a IS NULL THEN s
+         |       ELSE list_reduce(list_prepend('', toks),
          |  (acc, x) -> CASE WHEN x = b$k.b AND ends_with(acc, '|' || b$k.a)
-         |              THEN acc || x ELSE acc || '|' || x END) AS s, freq
-         | FROM t$k CROSS JOIN b$k)""".stripMargin
+         |              THEN acc || x ELSE acc || '|' || x END) END AS s,
+         |  freq
+         | FROM t$k LEFT JOIN b$k ON TRUE)""".stripMargin
     }.mkString
     head + iters
   }
@@ -2638,11 +2638,11 @@ object TrainingData {
            | b AS "right", a || b AS merged, cnt AS pair_count
            | FROM b$k""".stripMargin
     }.mkString("\n")
-    bpeCtes(n) + "\n" + sel + "\nORDER BY \"rank\""
+    bpeTrainCtes(n) + "\n" + sel + "\nORDER BY \"rank\""
   }
 
   private def bpeTokenizeOracle(n: Int = 8): String =
-    bpeCtes(n) + s"\nSELECT word, s AS tokens FROM w$n ORDER BY word"
+    bpeTrainCtes(n) + s"\nSELECT word, s AS tokens FROM w$n ORDER BY word"
 
   val oracles: Map[String, String] = Map(
     "q196_bpe_train" -> bpeTrainOracle(),

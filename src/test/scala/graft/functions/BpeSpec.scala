@@ -106,8 +106,36 @@ class BpeSpec extends SparkSpec {
       "words, and weights by occurrence") {
     val df = Seq("The cat  the CAT", "a|b the").toDF("text")
     val got = Bpe.wordCounts(df, "text").orderBy("s")
-      .as[(String, Long)].collect().toSeq
-    assert(got == Seq(("|c|a|t", 2L), ("|t|h|e", 3L)))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("cat", "|c|a|t", 2L), ("the", "|t|h|e", 3L)))
+  }
+
+  test("native kernel == nested fold at every reachable depth (fuzz), " +
+      "and a multi-thousand-merge table neither overflows nor stalls") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc"
+    val words = (1 to 40).map(_ =>
+      (1 to (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = words.toDF("w").select($"w", Bpe.delimit($"w").as("s"))
+    val table = trainOn(
+      words.groupBy(identity).map { case (w, g) => w -> g.size.toLong },
+      6).map(m => (m._2, m._3))
+    for (depth <- 0 to table.size) {
+      val m = table.take(depth)
+      val both = df.select(
+        Bpe.applyMerges($"s", m).as("k"),
+        Bpe.applyMergesFolded($"s", m).as("f"))
+      assert(both.filter($"k" =!= $"f").count() == 0, s"depth=$depth")
+    }
+    // a production-sized table: thousands of (mostly inapplicable)
+    // merges through the one-reference-object kernel
+    val big = (1 to 3000).map(i => (s"x$i", s"y$i")) ++ table
+    val out = df.select(Bpe.applyMerges($"s", big).as("k"))
+      .as[String].collect()
+    val want = df.select(Bpe.applyMergesFolded($"s", table).as("f"))
+      .as[String].collect()
+    assert(out.toSeq == want.toSeq) // the x/y merges never match
   }
 
   test("degenerate vocabularies: single-char words exhaust after zero " +
