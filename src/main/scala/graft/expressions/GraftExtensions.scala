@@ -98,6 +98,12 @@ object GraftExtensions {
     "bottom_k_by_score" -> arity("bottom_k_by_score", 3)(exprs =>
       BottomKAgg(exprs(0), exprs(1), intArg(exprs, 2, "bottom_k_by_score"))
         .toAggregateExpression()),
+    // bpe_apply(s, '[["e","r"],["i","n"]]'): the merge table as a JSON
+    // literal, parsed once at analysis into the one-reference-object
+    // kernel (tokens may contain any character except the '|' delimiter,
+    // so a positional text encoding would be ambiguous — JSON is not)
+    "bpe_apply" -> arity("bpe_apply", 2)(exprs =>
+      BpeApplyExpr(exprs.head, mergesArg(exprs(1)))),
     "jaro_winkler" -> arity("jaro_winkler", 2)(exprs =>
       JaroWinklerExpr(exprs(0), exprs(1))),
     "jaro_winkler_bytes" -> arity("jaro_winkler_bytes", 2)(exprs =>
@@ -113,6 +119,20 @@ object GraftExtensions {
       e.eval().toString
     else throw new IllegalArgumentException(
       s"$fn: argument ${i + 2} must be a string literal field name")
+  }
+
+  private def mergesArg(e: Expression): Seq[(String, String)] = {
+    val json = strArg(e, 0, "bpe_apply")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    require(node.isArray, "bpe_apply: merges must be a JSON array of pairs")
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map { p =>
+      require(p.isArray && p.size() == 2 &&
+        p.get(0).isTextual && p.get(1).isTextual,
+        "bpe_apply: each merge must be a two-string JSON array")
+      (p.get(0).asText(), p.get(1).asText())
+    }.toSeq
   }
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = {

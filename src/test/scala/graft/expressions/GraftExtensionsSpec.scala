@@ -57,4 +57,25 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("hash60"), err.getMessage)
   }
+
+  test("bpe_apply resolves from SQL with a JSON merge-table literal and " +
+       "matches the Column-API kernel") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT bpe_apply('|l|o|w|e|r',
+        |  '[["e","r"],["l","o"],["lo","w"]]')""".stripMargin)
+      .head().getString(0)
+    assert(got == "|low|er")
+    val viaCol = Seq("lower").toDF("w")
+      .select(graft.functions.Bpe.applyMerges(
+        graft.functions.Bpe.delimit($"w"),
+        Seq(("e", "r"), ("l", "o"), ("lo", "w"))))
+      .as[String].head()
+    assert(got == viaCol)
+    // malformed table literals fail at analysis with the function name
+    val err = intercept[Exception] {
+      spark.sql("SELECT bpe_apply('|a|b', '[\"notapair\"]')").collect()
+    }
+    assert(err.getMessage.contains("bpe_apply"), err.getMessage)
+  }
 }
