@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join with an equi-key — session attribution,
@@ -33,6 +33,40 @@ object RangeJoin {
       explode(sequence(bucketOf(startCol), bucketOf(endCol))))
     ptB.join(ivB, keys :+ b)
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop(b)
+  }
+
+  /** Interval×interval overlap join (inclusive endpoints): every same-key
+    * pair with `lStart <= rEnd && rStart <= lEnd` — campaign/session
+    * alignment, double-booking detection, validity-window intersection.
+    *
+    * Same bucketing idea as [[pointInInterval]], but a pair of intervals
+    * can co-occupy MANY buckets, so the join needs an exactly-once
+    * responsibility rule: a pair is emitted only in the bucket containing
+    * the overlap's start, `greatest(lStart, rStart)` — a point inside both
+    * intervals whenever they overlap at all, so exactly one joined bucket
+    * claims each pair. No distinct, no dedup shuffle.
+    *
+    * Rows with `end < start` are degenerate (Spark's `sequence` would
+    * RE-ASCEND a descending range and fabricate buckets) and are dropped
+    * from both sides. Replication factor per side ≈ len/bucketSeconds + 1:
+    * pick `bucketSeconds` near the typical interval length, and cap
+    * pathological interval lengths upstream — one year-long interval at
+    * minute buckets is half a million bucket rows. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      lStart: String, lEnd: String, rStart: String,
+                      rEnd: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val b = "_graft_bucket"
+    def bucketOf(c: Column) = floor(c.cast("long") / lit(bucketSeconds)).cast("long")
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) >= col(s))
+        .withColumn(b, explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
+    val lB = explodeBuckets(left, lStart, lEnd)
+    val rB = explodeBuckets(right, rStart, rEnd)
+    lB.join(rB, keys :+ b)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col(b) === bucketOf(greatest(col(lStart), col(rStart))))
       .drop(b)
   }
 }

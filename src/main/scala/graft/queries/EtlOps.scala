@@ -214,6 +214,26 @@ object EtlOps {
       .orderBy(col("iv_id"), col("event_id"))
   }
 
+  /** Bucketed interval-overlap join: event_id%3==1 events open 2-hour
+    * windows, %3==2 events open 45-minute windows; every same-user
+    * overlapping pair, exactly once. */
+  def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val a = e.filter(col("event_id") % 3 === 1)
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("a_end"))
+    val b = e.filter(col("event_id") % 3 === 2)
+      .select(col("event_id").as("b_id"), col("user_id"),
+        col("ts").as("b_start"),
+        (col("ts") + expr("INTERVAL 45 MINUTES")).as("b_end"))
+    graft.operators.RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 3600L)
+      .select(col("a_id"), col("b_id"), col("user_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -481,6 +501,7 @@ object EtlOps {
     "q50_asof_join"       -> asofJoinQ _,
     "q51_range_join"      -> rangeJoinQ _,
     "q52_percentiles"     -> percentilesQ _,
+    "q198_interval_overlap" -> intervalOverlapQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -837,6 +858,21 @@ object EtlOps {
         |FROM iv JOIN pt ON iv.user_id = pt.user_id
         | AND pt.ts BETWEEN iv.start_ts AND iv.end_ts
         |ORDER BY iv_id, event_id""".stripMargin,
+    "q198_interval_overlap" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events),
+        |a AS (
+        | SELECT event_id AS a_id, user_id, ts AS a_start,
+        |  ts + INTERVAL 2 HOUR AS a_end
+        | FROM e WHERE event_id % 3 = 1),
+        |b AS (
+        | SELECT event_id AS b_id, user_id, ts AS b_start,
+        |  ts + INTERVAL 45 MINUTE AS b_end
+        | FROM e WHERE event_id % 3 = 2)
+        |SELECT a.a_id, b.b_id, a.user_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+        |ORDER BY a_id, b_id""".stripMargin,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,

@@ -33,6 +33,51 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("interval overlap join equals the naive inequality join, exactly once per pair") {
+    val rnd = new scala.util.Random(43)
+    def mkIntervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val start = rnd.nextInt(10000).toLong
+      // lengths from zero to many-bucket spans
+      (idBase + i, rnd.nextInt(4).toLong, start, start + rnd.nextInt(900).toLong)
+    }
+    val left = mkIntervals(150, 0L).toDF("a_id", "k", "a_start", "a_end")
+      .withColumn("a_start", col("a_start").cast("timestamp"))
+      .withColumn("a_end", col("a_end").cast("timestamp"))
+    val right = mkIntervals(200, 1000L).toDF("b_id", "k", "b_start", "b_end")
+      .withColumn("b_start", col("b_start").cast("timestamp"))
+      .withColumn("b_end", col("b_end").cast("timestamp"))
+
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+
+    val bucketed = collectPairs(RangeJoin.intervalOverlap(
+      left, right, Seq("k"), "a_start", "a_end", "b_start", "b_end",
+      bucketSeconds = 256L))
+    val naive = collectPairs(left.join(right, Seq("k"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end")))
+    assert(bucketed.toSet == naive.toSet)
+    assert(bucketed.size == naive.size) // responsibility bucket: no dupes
+    assert(naive.nonEmpty)
+  }
+
+  test("interval overlap: inclusive endpoint touch counts, disjoint does not, " +
+       "degenerate end<start rows are dropped") {
+    def iv(rows: Seq[(Long, Long, Long, Long)], names: (String, String, String)) =
+      rows.toDF("k", names._1, names._2, names._3)
+        .withColumn(names._2, col(names._2).cast("timestamp"))
+        .withColumn(names._3, col(names._3).cast("timestamp"))
+    val left = iv(Seq((1L, 1L, 100L, 200L), (1L, 2L, 500L, 400L)),
+      ("a_id", "a_start", "a_end")) // a_id=2 is degenerate
+    val right = iv(Seq((1L, 10L, 200L, 300L),   // touches a_id=1 at 200
+                       (1L, 11L, 201L, 300L),   // disjoint from a_id=1
+                       (1L, 12L, 400L, 500L)),  // overlaps only the degenerate row
+      ("b_id", "b_start", "b_end"))
+    val out = RangeJoin.intervalOverlap(left, right, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 60L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("bounds are inclusive on both ends") {
     val iv = Seq((1L, 1L, 100L, 200L)).toDF("iv_id", "k", "start_ts", "end_ts")
       .select($"iv_id", $"k", $"start_ts".cast("timestamp"), $"end_ts".cast("timestamp"))
