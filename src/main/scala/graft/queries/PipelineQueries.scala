@@ -205,6 +205,43 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter data skipping under the gate (q199): the documents
+    * table HASH-partitioned into a lake — every object's doc_id range
+    * spans ~the whole id domain, so range pruning keeps all objects by
+    * construction — written with `bloomfields`, then three point lookups
+    * whose only split-pruning help is the per-object blooms. The query
+    * REQUIRES the planner to have pruned (≤2 of the 8 objects per
+    * needle): a silently-broken bloom path would still return correct
+    * rows, so the gate checks the skipping itself, and the DuckDB oracle
+    * over the original table pins the row values. At 100 TB this is the
+    * difference between a full lake scan and opening one object for a
+    * needle query on a high-cardinality id. */
+  def bloomSkipQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fmt = classOf[graft.sources.lakesim.LakeSimSource].getName
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_lakebloom").toString
+    docs.repartition(8, col("doc_id"))
+      .write.format(fmt).option("path", lakeDir)
+      .option("bloomfields", "doc_id,source").mode("overwrite").save()
+    val needles = Seq(42L, 137L, 443L)
+    val entries = graft.sources.lakesim.LakeIndex.load(lakeDir)
+    needles.foreach { id =>
+      val kept = graft.sources.lakesim.LakeIndex.prune(entries,
+        Seq(org.apache.spark.sql.sources.EqualTo("doc_id", id))).size
+      require(kept <= 2, s"bloom skipping regressed: doc_id=$id kept " +
+        s"$kept of ${entries.size} objects (ranges alone keep all)")
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    needles.map { id =>
+      s.read.format(fmt).schema(schema).option("path", lakeDir).load()
+        .filter(col("doc_id") === id)
+    }.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+  }
+
   /** Schema-DRIFT warehouse evolution under the gate (q180), against
     * LIVE embedded Derby — the reference's defining end-to-end move:
     * version-1 rows (no n_chars yet) create and load the staging
@@ -1368,6 +1405,7 @@ object PipelineQueries {
     "q98_stream_ingest"   -> streamIngestQ _,
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
+    "q199_bloom_skip"     -> bloomSkipQ _,
     "q134_lakesim_stream" -> lakesimStreamQ _,
     "q139_csv_roundtrip"  -> csvRoundTripQ _,
     "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
@@ -1525,6 +1563,10 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the bloom-pruned point lookups return exactly the source rows
+    "q199_bloom_skip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (42, 137, 443) ORDER BY doc_id""".stripMargin,
     // the index-only aggregates restated over the source table
     "q184_lake_agg_pushdown" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,

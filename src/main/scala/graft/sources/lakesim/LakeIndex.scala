@@ -6,10 +6,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.sources._
 
 /** One data object in the simulated lake: its NDJSON file, declared record
-  * count (the reference's `dl_instance_count`), and per-field min/max value
-  * ranges used for split pruning. */
+  * count (the reference's `dl_instance_count`), per-field min/max value
+  * ranges used for split pruning, and optional per-field bloom filters
+  * ([[LakeBloom]]) for equality-predicate skipping. */
 final case class ObjectEntry(file: String, count: Long,
-                             ranges: Map[String, (Double, Double)])
+                             ranges: Map[String, (Double, Double)],
+                             blooms: Map[String, Array[Long]] = Map.empty)
 
 /** Index + pruning logic for the lakesim source. Pure functions — unit
   * tested independently of the DSv2 machinery. */
@@ -47,7 +49,11 @@ object LakeIndex {
         val arr = e.getValue
         e.getKey -> (arr.get(0).asDouble(), arr.get(1).asDouble())
       }.toMap).getOrElse(Map.empty)
-      ObjectEntry(o.get("file").asText(), o.get("count").asLong(), ranges)
+      val blooms = Option(o.get("blooms")).map(_.properties().asScala.map { e =>
+        e.getKey -> LakeBloom.fromBase64(e.getValue.asText())
+      }.toMap).getOrElse(Map.empty[String, Array[Long]])
+      ObjectEntry(o.get("file").asText(), o.get("count").asLong(), ranges,
+        blooms)
     }.toSeq
   }
 
@@ -71,10 +77,15 @@ object LakeIndex {
     entries.filter(e => filters.forall(f => mayMatch(e, f)))
 
   private def mayMatch(e: ObjectEntry, f: Filter): Boolean = f match {
-    case EqualTo(a, v) => e.ranges.get(a) match {
-      case Some((lo, hi)) => numeric(v).forall(d => d >= lo && d <= hi)
-      case None => true
-    }
+    case EqualTo(a, v) =>
+      val rangeOk = e.ranges.get(a) match {
+        case Some((lo, hi)) => numeric(v).forall(d => d >= lo && d <= hi)
+        case None => true
+      }
+      // bloom skip: a definite miss in the object's filter means no record
+      // equals v (false positives only ever UNDER-prune)
+      rangeOk && e.blooms.get(a).forall(bits =>
+        LakeBloom.keyOf(v).forall(LakeBloom.mightContain(bits, _)))
     case GreaterThan(a, v) =>
       e.ranges.get(a).forall { case (_, hi) => numeric(v).forall(hi > _) }
     case GreaterThanOrEqual(a, v) =>

@@ -79,7 +79,12 @@ class LakeSimTable(path: String, tableSchema: StructType, pageSize: Int,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LakeSimWriteBuilder(path, info.schema(),
       copyPublish = "copy".equalsIgnoreCase(info.options().get("publish")),
-      versioned = "true".equalsIgnoreCase(info.options().get("versioned")))
+      versioned = "true".equalsIgnoreCase(info.options().get("versioned")),
+      // comma-separated fields to index with per-object bloom filters
+      // (equality-predicate data skipping; integral + string fields only)
+      bloomFields = Option(info.options().get("bloomfields"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
 }
 
 class LakeSimScanBuilder(path: String, tableSchema: StructType, pageSize: Int,

@@ -43,18 +43,21 @@ import org.apache.spark.sql.types._
   * Under the Hadoop FS API the same layout runs on s3a:// unchanged.
   */
 final case class LakeSimCommit(tmpFile: String, count: Long,
-                               ranges: Map[String, (Double, Double)])
+                               ranges: Map[String, (Double, Double)],
+                               blooms: Map[String, Array[Long]] = Map.empty)
     extends WriterCommitMessage
 
 class LakeSimWriteBuilder(path: String, schema: StructType,
                           copyPublish: Boolean = false,
-                          versioned: Boolean = false)
+                          versioned: Boolean = false,
+                          bloomFields: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new LakeSimBatchWrite(path, schema, truncateAll, copyPublish, versioned)
+      new LakeSimBatchWrite(path, schema, truncateAll, copyPublish, versioned,
+        bloomFields)
   }
 }
 
@@ -71,7 +74,8 @@ class LakeSimWriteBuilder(path: String, schema: StructType,
   * the other writer committed it. */
 class LakeSimBatchWrite(path: String, schema: StructType,
                         truncateAll: Boolean, copyPublish: Boolean = false,
-                        versioned: Boolean = false)
+                        versioned: Boolean = false,
+                        bloomFields: Set[String] = Set.empty)
     extends BatchWrite {
 
   // driver-side, at job start (build time) — the baseline the commit
@@ -84,7 +88,7 @@ class LakeSimBatchWrite(path: String, schema: StructType,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = LakeSimWriterFactory(path, schema)
+      : DataWriterFactory = LakeSimWriterFactory(path, schema, bloomFields)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -143,7 +147,7 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       } else if (!src.renameTo(new File(dir, name)))
         throw new java.io.IOException(
           s"lakesim commit: cannot publish ${m.tmpFile} as $name")
-      ObjectEntry(name, m.count, m.ranges)
+      ObjectEntry(name, m.count, m.ranges, m.blooms)
     }
     // the index write is the commit's swap point: readers see either the
     // old object set or the new one, never a half-deleted mix. Under
@@ -180,23 +184,32 @@ class LakeSimBatchWrite(path: String, schema: StructType,
       e.ranges.toSeq.sortBy(_._1).foreach { case (f, (lo, hi)) =>
         val a = r.putArray(f); a.add(lo); a.add(hi)
       }
+      if (e.blooms.nonEmpty) {
+        val bl = o.putObject("blooms")
+        e.blooms.toSeq.sortBy(_._1).foreach { case (f, bits) =>
+          bl.put(f, LakeBloom.toBase64(bits))
+        }
+      }
     }
     java.nio.file.Files.writeString(
       new File(dir, indexFile).toPath, mapper.writeValueAsString(root))
   }
 }
 
-final case class LakeSimWriterFactory(path: String, schema: StructType)
+final case class LakeSimWriterFactory(path: String, schema: StructType,
+                                      bloomFields: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new LakeSimDataWriter(path, schema, partitionId, taskId)
+    new LakeSimDataWriter(path, schema, partitionId, taskId, bloomFields)
 }
 
 /** One task = one candidate data object. Tracks numeric min/max per field
-  * while streaming rows out, so the index ranges cost nothing extra. */
+  * (and, for `bloomFields`, a [[LakeBloom]] bit array) while streaming
+  * rows out, so the index metadata costs nothing extra. */
 class LakeSimDataWriter(path: String, schema: StructType,
-                        partitionId: Int, taskId: Long)
+                        partitionId: Int, taskId: Long,
+                        bloomFields: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -205,6 +218,11 @@ class LakeSimDataWriter(path: String, schema: StructType,
   private var count = 0L
   private val lo = scala.collection.mutable.Map.empty[String, Double]
   private val hi = scala.collection.mutable.Map.empty[String, Double]
+  private val blooms = scala.collection.mutable.Map.empty[String, Array[Long]]
+
+  private def bloomAdd(f: String, v: Any): Unit =
+    if (bloomFields.contains(f)) LakeBloom.keyOf(v).foreach(
+      LakeBloom.add(blooms.getOrElseUpdate(f, LakeBloom.empty()), _))
 
   override def write(row: InternalRow): Unit = {
     if (out == null) {
@@ -216,13 +234,17 @@ class LakeSimDataWriter(path: String, schema: StructType,
       if (!row.isNullAt(i)) f.dataType match {
         // null fields are OMITTED — NDJSON records carry only present keys
         case LongType =>
-          val v = row.getLong(i); node.put(f.name, v); range(f.name, v.toDouble)
+          val v = row.getLong(i); node.put(f.name, v)
+          range(f.name, v.toDouble); bloomAdd(f.name, v)
         case IntegerType =>
-          val v = row.getInt(i); node.put(f.name, v); range(f.name, v.toDouble)
+          val v = row.getInt(i); node.put(f.name, v)
+          range(f.name, v.toDouble); bloomAdd(f.name, v)
         case DoubleType =>
           val v = row.getDouble(i); node.put(f.name, v); range(f.name, v)
         case BooleanType => node.put(f.name, row.getBoolean(i))
-        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case StringType =>
+          val v = row.getUTF8String(i).toString
+          node.put(f.name, v); bloomAdd(f.name, v)
         case other => throw new UnsupportedOperationException(
           s"lakesim write: unsupported type ${other.simpleString} (${f.name})")
       }
@@ -240,7 +262,7 @@ class LakeSimDataWriter(path: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     close()
     LakeSimCommit(tmpName, count,
-      lo.keys.map(f => f -> (lo(f), hi(f))).toMap)
+      lo.keys.map(f => f -> (lo(f), hi(f))).toMap, blooms.toMap)
   }
 
   override def abort(): Unit = {

@@ -151,6 +151,47 @@ class LakeSimWriteSpec extends SparkSpec {
     assert(readLake(dir).filter($"id" > 100).count() == 10)
   }
 
+  test("bloomfields: equality lookups prune objects whose RANGES overlap " +
+       "but whose value SETS are disjoint; un-bloomed lakes never prune on " +
+       "blooms") {
+    val dir = Files.createTempDirectory("lakesim_wb").toString
+    // two appended objects with fully-overlapping id ranges (evens 2..100,
+    // odds 1..99) — range pruning is useless here by construction
+    def write(ids: Seq[Int], region: String): Unit =
+      ids.map(i => (i.toLong, region, i * 1.0)).toDF("id", "region", "amount")
+        .coalesce(1).write.format(classOf[LakeSimSource].getName)
+        .option("path", dir).option("bloomfields", "id, region")
+        .mode("append").save()
+    write(2 to 100 by 2, "EVEN")
+    write(1 to 99 by 2, "ODD")
+    val entries = LakeIndex.load(dir)
+    assert(entries.size == 2)
+    assert(entries.forall(e => e.blooms.keySet == Set("id", "region")))
+    import org.apache.spark.sql.sources.EqualTo
+    // both ranges contain 42 and 43 — only the bloom can find the needle
+    assert(entries.forall(e =>
+      e.ranges("id")._1 <= 42 && 43 <= e.ranges("id")._2))
+    assert(LakeIndex.prune(entries, Seq(EqualTo("id", 42L))).size == 1)
+    assert(LakeIndex.prune(entries, Seq(EqualTo("id", 43L))).size == 1)
+    assert(LakeIndex.prune(entries, Seq(EqualTo("id", 42L))).head.file !=
+      LakeIndex.prune(entries, Seq(EqualTo("id", 43L))).head.file)
+    // string equality prunes too
+    assert(LakeIndex.prune(entries, Seq(EqualTo("region", "ODD"))).size == 1)
+    // a value in neither object prunes everything (in-range, set-absent)
+    assert(LakeIndex.prune(entries, Seq(EqualTo("region", "NEITHER"))).isEmpty)
+    // results through the full scan stay correct under the pruning
+    assert(readLake(dir).filter($"id" === 42L)
+      .as[(Long, String, Double)].collect().toSeq == Seq((42L, "EVEN", 42.0)))
+    // a lake written WITHOUT bloomfields has no blooms and keeps both
+    val plain = Files.createTempDirectory("lakesim_wp").toString
+    Seq((1L, "A", 1.0)).toDF("id", "region", "amount")
+      .coalesce(1).write.format(classOf[LakeSimSource].getName)
+      .option("path", plain).mode("overwrite").save()
+    assert(LakeIndex.load(plain).head.blooms.isEmpty)
+    assert(LakeIndex.prune(LakeIndex.load(plain),
+      Seq(EqualTo("id", 1L))).size == 1)
+  }
+
   test("empty partitions publish no objects") {
     val dir = Files.createTempDirectory("lakesim_w4").toString
     Seq((1L, "A", 1.0)).toDF("id", "region", "amount")
