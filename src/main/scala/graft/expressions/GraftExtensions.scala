@@ -104,6 +104,11 @@ object GraftExtensions {
     // so a positional text encoding would be ambiguous — JSON is not)
     "bpe_apply" -> arity("bpe_apply", 2)(exprs =>
       BpeApplyExpr(exprs.head, mergesArg(exprs(1)))),
+    // wordpiece_apply(word, '["the","##e",...]'): the vocabulary as a
+    // JSON string-array literal, built once at analysis into the
+    // hash-set kernel (unk = "[UNK]", maxWordChars = 100)
+    "wordpiece_apply" -> arity("wordpiece_apply", 2)(exprs =>
+      WordPieceApplyExpr(exprs.head, vocabArg(exprs(1)), "[UNK]", 100)),
     "jaro_winkler" -> arity("jaro_winkler", 2)(exprs =>
       JaroWinklerExpr(exprs(0), exprs(1))),
     "jaro_winkler_bytes" -> arity("jaro_winkler_bytes", 2)(exprs =>
@@ -132,6 +137,18 @@ object GraftExtensions {
         p.get(0).isTextual && p.get(1).isTextual,
         "bpe_apply: each merge must be a two-string JSON array")
       (p.get(0).asText(), p.get(1).asText())
+    }.toSeq
+  }
+
+  private def vocabArg(e: Expression): Seq[String] = {
+    val json = strArg(e, 0, "wordpiece_apply")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    require(node.isArray, "wordpiece_apply: vocab must be a JSON string array")
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map { t =>
+      require(t.isTextual, "wordpiece_apply: each vocab entry must be a string")
+      t.asText()
     }.toSeq
   }
 

@@ -2079,7 +2079,38 @@ object TrainingData {
       .orderBy(col("word"))
   }
 
+  /** The q200 vocabulary, shared verbatim by the Spark query and the
+    * DuckDB oracle: every letter except `j` as both start and `##`
+    * continuation (so `join` exercises the whole-word UNK path), plus
+    * multi-character units that make the greedy longest-match visible
+    * (`table` → `|ta|##ble`, not five characters). */
+  private val wpVocab: Seq[String] = {
+    val letters = ('a' to 'z').filter(_ != 'j').map(_.toString)
+    letters ++ letters.map("##" + _) ++ Seq(
+      "ta", "##ble", "##ab", "wind", "##ow", "cust", "##omer", "##ome",
+      "sc", "##an", "st", "##ream", "##rea", "co", "##lumn", "fast",
+      "##er", "##ter", "fil", "qu", "##ery", "va", "##lue", "##al",
+      "the", "##he", "gr", "##oup", "sp", "##ark", "me", "##rge",
+      "or", "##der", "##rt", "ba", "##tch", "##ch")
+  }
+
+  /** WordPiece APPLICATION under the gate (q200): every distinct corpus
+    * word segmented greedy-longest-match-first against [[wpVocab]]
+    * through the codegen'd hash-set kernel
+    * ([[graft.functions.WordPiece.applyVocab]]). The oracle replays the
+    * exact walk in SQL: a per-(word, position) longest-match table
+    * (non-recursive join against the vocab), then a recursive CTE
+    * stepping positions greedily — one wrong match length or a missed
+    * UNK collapse anywhere breaks the hash. */
+  def wordpieceQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.wordCounts(docs(s, dir), "text")
+      .select(col("word"),
+        graft.functions.WordPiece.applyVocab(col("word"), wpVocab)
+          .as("tokens"))
+      .orderBy(col("word"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_wordpiece"        -> wordpieceQ _,
     "q197_bpe_tokenize"     -> bpeTokenizeQ _,
     "q196_bpe_train"        -> bpeTrainQ _,
     "q191_rank_eval"        -> rankEvalQ _,
@@ -2644,9 +2675,57 @@ object TrainingData {
   private def bpeTokenizeOracle(n: Int = 8): String =
     bpeTrainCtes(n) + s"\nSELECT word, s AS tokens FROM w$n ORDER BY word"
 
+  /** q200's oracle: the greedy longest-match walk restated — `best`
+    * precomputes the longest vocabulary match at every (word, position)
+    * with the `##` continuation rule, then the recursive `walk` steps
+    * each word's single deterministic path; a stuck position jumps to
+    * the terminal sentinel with `bad = true`, which the final SELECT
+    * collapses to `|[UNK]` (whole-word semantics). */
+  private def wordpieceOracle(vocab: Seq[String]): String = {
+    val vocabList = vocab.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |words AS (SELECT DISTINCT word FROM
+       |  (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |   FROM documents)
+       |  WHERE word <> '' AND word NOT LIKE '%|%'),
+       |vocab AS (SELECT unnest($vocabList) AS tok),
+       |vx AS (SELECT tok,
+       |  CASE WHEN starts_with(tok, '##') THEN substr(tok, 3) ELSE tok END
+       |    AS raw,
+       |  starts_with(tok, '##') AS cont FROM vocab),
+       |pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p
+       |  FROM words),
+       |best AS (SELECT p.word, p.p, max(length(v.raw)) AS l
+       |  FROM pos p JOIN vx v
+       |    ON v.cont = (p.p > 1)
+       |    AND substr(p.word, p.p, length(v.raw)) = v.raw
+       |  GROUP BY p.word, p.p),
+       |walk(word, p, acc, bad) AS (
+       |  SELECT word,
+       |    CAST(CASE WHEN length(word) > 100 THEN length(word) + 1
+       |              ELSE 1 END AS BIGINT),
+       |    '', length(word) > 100
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w.word,
+       |    CAST(CASE WHEN b.l IS NULL THEN length(w.word) + 1
+       |              ELSE w.p + b.l END AS BIGINT),
+       |    CASE WHEN b.l IS NULL THEN w.acc
+       |         ELSE w.acc || '|' ||
+       |           CASE WHEN w.p > 1 THEN '##' ELSE '' END ||
+       |           substr(w.word, CAST(w.p AS INT), CAST(b.l AS INT)) END,
+       |    b.l IS NULL
+       |  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.p = w.p
+       |  WHERE NOT w.bad AND w.p <= length(w.word))
+       |SELECT word, CASE WHEN bad THEN '|[UNK]' ELSE acc END AS tokens
+       |FROM walk WHERE p = length(word) + 1
+       |ORDER BY word""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q196_bpe_train" -> bpeTrainOracle(),
     "q197_bpe_tokenize" -> bpeTokenizeOracle(),
+    "q200_wordpiece" -> wordpieceOracle(wpVocab),
     // the q141 index chain + serving: probe = 4 nearest coarse cells to
     // the query (ties -> lowest cell), per-cell LUT over the RESIDUAL
     // query, per-vector distance = s-ordered list of its LUT reads
