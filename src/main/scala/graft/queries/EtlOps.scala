@@ -234,6 +234,50 @@ object EtlOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Fixed-point PageRank under a DIRECT gate (q201): the part↔supplier
+    * co-occurrence graph (distinct lineitem pairs, symmetrized so mass
+    * circulates; node ids namespaced 2p / 2s+1), 5 power iterations
+    * through [[graft.operators.PageRank.pagerank]], FULL rank table out
+    * — unlike q86's TextRank top-k, every node's exact integer rank is
+    * engine-checked against the oracle's unrolled iterations. */
+  def graphRankQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val pairs = li.select((col("l_partkey") * 2).as("pn"),
+        (col("l_suppkey") * 2 + 1).as("sn")).distinct()
+    val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("pn").as("dst")))
+    graft.operators.PageRank.pagerank(edges, "src", "dst", iters = 5)
+      .orderBy(col("node"))
+  }
+
+  /** q201's oracle: the 5 fixed-point iterations unrolled — per round a
+    * share/contribution CTE (integer `//` per out-degree, exact BIGINT
+    * sum) and the damped update `150000 + (17 * s) // 20`; all values
+    * non-negative so floor division ≡ Spark's truncating `div`. */
+  private def graphRankOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
+        |  l_suppkey * 2 + 1 AS sn FROM lineitem),
+        |e AS (SELECT pn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, pn FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"""
+        .stripMargin
+    val rounds = (0 until iters).map { k =>
+      s""",
+         |s$k AS (SELECT e.dst AS node,
+         |  CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         | FROM e JOIN r$k r ON r.node = e.src
+         |   JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r${k + 1} AS (SELECT n.node,
+         |  CAST(150000 + COALESCE(s.s, 0) * 17 // 20 AS BIGINT) AS rank
+         | FROM n LEFT JOIN s$k s ON s.node = n.node)""".stripMargin
+    }.mkString
+    head + rounds + s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -502,6 +546,7 @@ object EtlOps {
     "q51_range_join"      -> rangeJoinQ _,
     "q52_percentiles"     -> percentilesQ _,
     "q198_interval_overlap" -> intervalOverlapQ _,
+    "q201_graph_rank"     -> graphRankQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -873,6 +918,7 @@ object EtlOps {
         |FROM a JOIN b ON a.user_id = b.user_id
         | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
         |ORDER BY a_id, b_id""".stripMargin,
+    "q201_graph_rank" -> graphRankOracle(5),
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,
