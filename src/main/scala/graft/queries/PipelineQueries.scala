@@ -208,12 +208,13 @@ object PipelineQueries {
   /** Bloom-filter data skipping under the gate (q199): the documents
     * table HASH-partitioned into a lake — every object's doc_id range
     * spans ~the whole id domain, so range pruning keeps all objects by
-    * construction — written with `bloomfields`, then three point lookups
-    * whose only split-pruning help is the per-object blooms. The query
-    * REQUIRES the planner to have pruned (≤2 of the 8 objects per
-    * needle): a silently-broken bloom path would still return correct
-    * rows, so the gate checks the skipping itself, and the DuckDB oracle
-    * over the original table pins the row values. At 100 TB this is the
+    * construction — written with `bloomfields`, then ONE scan with a
+    * pushed 3-needle IN filter whose only split-pruning help is the
+    * per-object blooms. The query REQUIRES the planner to have pruned
+    * (the IN keeps at most the union of per-needle bloom hits): a
+    * silently-broken bloom path would still return correct rows, so the
+    * gate checks the skipping itself, and the DuckDB oracle over the
+    * original table pins the row values. At 100 TB this is the
     * difference between a full lake scan and opening one object for a
     * needle query on a high-cardinality id. */
   def bloomSkipQ(s: SparkSession, dir: String): DataFrame = {
@@ -227,19 +228,18 @@ object PipelineQueries {
       .option("bloomfields", "doc_id,source").mode("overwrite").save()
     val needles = Seq(42L, 137L, 443L)
     val entries = graft.sources.lakesim.LakeIndex.load(lakeDir)
-    needles.foreach { id =>
-      val kept = graft.sources.lakesim.LakeIndex.prune(entries,
-        Seq(org.apache.spark.sql.sources.EqualTo("doc_id", id))).size
-      require(kept <= 2, s"bloom skipping regressed: doc_id=$id kept " +
-        s"$kept of ${entries.size} objects (ranges alone keep all)")
-    }
+    val kept = graft.sources.lakesim.LakeIndex.prune(entries,
+      Seq(org.apache.spark.sql.sources.In("doc_id",
+        needles.toArray[Any]))).size
+    require(kept <= needles.size,
+      s"bloom skipping regressed: IN(${needles.mkString(",")}) kept " +
+      s"$kept of ${entries.size} objects (ranges alone keep all)")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("source", StringType), StructField("n_chars", LongType)))
-    needles.map { id =>
-      s.read.format(fmt).schema(schema).option("path", lakeDir).load()
-        .filter(col("doc_id") === id)
-    }.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    s.read.format(fmt).schema(schema).option("path", lakeDir).load()
+      .filter(col("doc_id").isin(needles: _*))
+      .orderBy(col("doc_id"))
   }
 
   /** Schema-DRIFT warehouse evolution under the gate (q180), against

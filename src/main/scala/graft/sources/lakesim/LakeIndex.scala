@@ -60,6 +60,10 @@ object LakeIndex {
   /** Filters this source can evaluate (and prune splits with). */
   def supportedFilter(f: Filter): Boolean = f match {
     case EqualTo(_, v)              => numeric(v).isDefined || v.isInstanceOf[String] || v.isInstanceOf[Boolean]
+    // IN = OR of equalities; null list entries never match a record, so
+    // only all-non-null lists are taken (others stay above the scan)
+    case In(a, vs)                  =>
+      vs.nonEmpty && vs.forall(v => v != null && supportedFilter(EqualTo(a, v)))
     case GreaterThan(_, v)          => numeric(v).isDefined
     case GreaterThanOrEqual(_, v)   => numeric(v).isDefined
     case LessThan(_, v)             => numeric(v).isDefined
@@ -86,6 +90,9 @@ object LakeIndex {
       // equals v (false positives only ever UNDER-prune)
       rangeOk && e.blooms.get(a).forall(bits =>
         LakeBloom.keyOf(v).forall(LakeBloom.mightContain(bits, _)))
+    // an object may hold an IN row iff it may hold ANY of the values —
+    // each value gets the full range + bloom treatment
+    case In(a, vs) => vs.exists(v => mayMatch(e, EqualTo(a, v)))
     case GreaterThan(a, v) =>
       e.ranges.get(a).forall { case (_, hi) => numeric(v).forall(hi > _) }
     case GreaterThanOrEqual(a, v) =>
@@ -113,6 +120,7 @@ object LakeIndex {
         }
       }
     }
+    case In(a, vs)                => vs.exists(v => evalFilter(EqualTo(a, v), rec))
     case GreaterThan(a, v)        => cmp(rec, a, v).exists(_ > 0)
     case GreaterThanOrEqual(a, v) => cmp(rec, a, v).exists(_ >= 0)
     case LessThan(a, v)           => cmp(rec, a, v).exists(_ < 0)

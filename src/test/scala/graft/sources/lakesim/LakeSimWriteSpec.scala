@@ -179,9 +179,22 @@ class LakeSimWriteSpec extends SparkSpec {
     assert(LakeIndex.prune(entries, Seq(EqualTo("region", "ODD"))).size == 1)
     // a value in neither object prunes everything (in-range, set-absent)
     assert(LakeIndex.prune(entries, Seq(EqualTo("region", "NEITHER"))).isEmpty)
+    // IN = union of per-value hits: same-parity needles keep one object,
+    // mixed-parity needles keep both, all-absent needles keep none
+    import org.apache.spark.sql.sources.In
+    assert(LakeIndex.prune(entries,
+      Seq(In("id", Array[Any](42L, 44L)))).size == 1)
+    assert(LakeIndex.prune(entries,
+      Seq(In("id", Array[Any](42L, 43L)))).size == 2)
+    assert(LakeIndex.prune(entries,
+      Seq(In("region", Array[Any]("X", "Y")))).isEmpty)
+    // null-bearing lists are NOT claimed by the source (Spark keeps them)
+    assert(!LakeIndex.supportedFilter(In("id", Array[Any](42L, null))))
     // results through the full scan stay correct under the pruning
     assert(readLake(dir).filter($"id" === 42L)
       .as[(Long, String, Double)].collect().toSeq == Seq((42L, "EVEN", 42.0)))
+    assert(readLake(dir).filter($"id".isin(42L, 43L, 9999L))
+      .select("id").as[Long].collect().toSet == Set(42L, 43L))
     // a lake written WITHOUT bloomfields has no blooms and keeps both
     val plain = Files.createTempDirectory("lakesim_wp").toString
     Seq((1L, "A", 1.0)).toDF("id", "region", "amount")
