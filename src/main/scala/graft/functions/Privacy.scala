@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *  - l-diversity audit: k-anonymity does not stop a HOMOGENEITY attack —
   *    a k-sized group whose sensitive column is constant still leaks the
   *    sensitive value; the audit demands >= l distinct sensitive values
-  *    per quasi group (Machanavajjhala et al., ICDE'06).
+  *    per quasi group (Machanavajjhala et al., ICDE'06);
+  *  - t-closeness audit: l-diversity does not stop a SKEW attack — the
+  *    audit bounds each group's sensitive distribution to within total
+  *    variation distance t of the global one, in exact integer
+  *    arithmetic (Li, Li & Venkatasubramanian, ICDE'07).
   *
   * Scale shape (100 TB): group sizes come from ONE map-side-combinable
   * `groupBy(quasi).count` (quasi-cardinality-sized result), joined back on
@@ -101,6 +105,58 @@ object Privacy {
         .as("n_sensitive"))
       .withColumn("violating",
         col("n_sensitive") < l && !isStarGroup(quasiCols))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07): l-diversity
+    * still leaks through SKEW — a group with l distinct diseases, 99% of
+    * them one value, reveals that value with near-certainty. The audit
+    * demands the sensitive distribution WITHIN each quasi group stay
+    * within distance `t = tNum/tDen` of the global distribution, measured
+    * by total variation distance (= the categorical EMD):
+    * `TVD(g) = (1/2) Σ_s |n_gs/n_g − n_s/N|`.
+    *
+    * Everything is EXACT integer arithmetic over the common denominator
+    * `n_g·N`: the audit emits `tvd_num = Σ_s |n_gs·N − n_s·n_g|` and
+    * `tvd_den = 2·n_g·N`, and `violating ⇔ tvd_num·tDen > tNum·tvd_den`
+    * (the `*` group exempt) — no float division anywhere, so the verdict
+    * is engine-portable and hash-stable.
+    *
+    * Scale shape: absent (group, sensitive) pairs are NEVER materialized —
+    * `Σ_{s absent} n_s·n_g = n_g·(N − Σ_{s present} n_s)`, so the work is
+    * one (quasi, sensitive) count, a sensitive-cardinality-sized join,
+    * and one group-sized re-aggregation; no quasi×domain grid, no window.
+    * Headroom: `tDen · 2·n_g·N < 2^63` — safe past 10^8 rows at tDen ≤
+    * 100; swap the products to DECIMAL(38,0) beyond. */
+  def tClosenessAudit(released: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 0 && tDen > 0, s"t = $tNum/$tDen must be a fraction >= 0")
+    val quasiKeys = quasiCols.map(c => col(c).cast("string").as(c))
+    val sv = coalesce(col(sensitiveCol).cast("string"), lit(NullSentinel))
+      .as("_sv")
+    val gsv = released.groupBy(quasiKeys :+ sv: _*)
+      .agg(count(lit(1)).as("n_gs"))
+    val glob = gsv.groupBy(col("_sv")).agg(sum(col("n_gs")).as("n_s"))
+    val tot = glob.agg(sum(col("n_s")).as("_N")) // 1-row broadcast
+    val ng = gsv.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("n_gs")).as("n_g"))
+    gsv.join(glob, "_sv")
+      .join(ng, quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy((quasiCols.map(col) :+ col("n_g") :+ col("_N")): _*)
+      .agg(
+        sum(abs(col("n_gs") * col("_N") - col("n_s") * col("n_g")))
+          .as("_present_sum"),
+        sum(col("n_s")).as("_present_ns"))
+      .select(
+        quasiCols.map(col) :+
+        col("n_g").as("group_size") :+
+        (col("_present_sum") +
+          col("n_g") * (col("_N") - col("_present_ns"))).as("tvd_num") :+
+        (lit(2L) * col("n_g") * col("_N")).as("tvd_den"): _*)
+      .withColumn("violating",
+        col("tvd_num") * tDen > lit(tNum) * col("tvd_den") &&
+          !isStarGroup(quasiCols))
   }
 
   /** Null-safe "is this the suppressed all-`*` group" test: a NULL quasi

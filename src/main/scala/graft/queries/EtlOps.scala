@@ -473,6 +473,30 @@ object EtlOps {
       .orderBy(col("nation"), col("bal_band"))
   }
 
+  /** t-closeness audit under the gate (q202): the skew check l-diversity
+    * misses, over the (nation, 1000-wide acctbal band) release with
+    * c_mktsegment sensitive — [[graft.functions.Privacy.tClosenessAudit]]
+    * at t = 1/5. Group sizes of 10-60 against a ~uniform 5-segment
+    * global distribution put natural sampling skew on BOTH sides of
+    * 0.2, so the exact integer numerator discriminates at every tested
+    * SF; the oracle rebuilds the full TVD from the group×segment grid
+    * (the naive formulation) while the operator never materializes
+    * absent pairs — agreement pins the absent-mass identity too. */
+  def tClosenessQ(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_nationkey").cast("long").as("nation"),
+      graft.functions.Privacy.generalizeBand(col("c_acctbal"), 1000)
+        .as("bal_band"))
+    graft.functions.Privacy.tClosenessAudit(g, Seq("nation", "bal_band"),
+        "c_mktsegment", tNum = 1, tDen = 5)
+      .select(col("nation").cast("long").as("nation"),
+        col("bal_band").cast("long").as("bal_band"),
+        col("group_size"), col("tvd_num"), col("tvd_den"), col("violating"))
+      .orderBy(col("nation"), col("bal_band"))
+  }
+
   /** Incremental aggregate maintenance under the gate (q190): lineitem
     * splits into a base (linenumber ≤ 3) and two deltas folded in one
     * at a time through [[graft.operators.AggMaintain.maintain]]; the
@@ -526,6 +550,7 @@ object EtlOps {
     "q186_funnel"        -> funnelQ _,
     "q193_distinct_maintain" -> distinctMaintainQ _,
     "q194_l_diversity"   -> lDiversityQ _,
+    "q202_t_closeness"   -> tClosenessQ _,
     "q192_windowed_funnel" -> windowedFunnelQ _,
     "q187_cohort"        -> cohortQ _,
     "q188_k_anonymize"   -> kAnonymizeQ _,
@@ -666,6 +691,31 @@ object EtlOps {
         |   AND NOT (nation = '*' AND bal_band = '*')) AS violating
         |FROM g GROUP BY nation, bal_band
         |ORDER BY 1, 2""".stripMargin,
+    // the naive full-grid TVD: every (group, segment) pair including
+    // absent ones, |n_gs*N - n_s*n_g| summed, verdict at t = 1/5
+    "q202_t_closeness" ->
+      """WITH g AS (SELECT c_custkey, c_mktsegment,
+        |  CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band
+        | FROM customer),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |gdist AS (SELECT c_mktsegment AS sv, CAST(count(*) AS BIGINT) AS n_s
+        | FROM g GROUP BY 1),
+        |grp AS (SELECT nation, bal_band, CAST(count(*) AS BIGINT) AS n_g
+        | FROM g GROUP BY 1, 2),
+        |gsv AS (SELECT nation, bal_band, c_mktsegment AS sv,
+        |  CAST(count(*) AS BIGINT) AS n_gs FROM g GROUP BY 1, 2, 3),
+        |terms AS (SELECT grp.nation, grp.bal_band, grp.n_g,
+        |  abs(COALESCE(gsv.n_gs, 0) * tot.n - gdist.n_s * grp.n_g) AS term
+        | FROM grp CROSS JOIN gdist CROSS JOIN tot
+        | LEFT JOIN gsv ON gsv.nation = grp.nation
+        |  AND gsv.bal_band = grp.bal_band AND gsv.sv = gdist.sv)
+        |SELECT t.nation, t.bal_band, t.n_g AS group_size,
+        | CAST(sum(t.term) AS BIGINT) AS tvd_num,
+        | CAST(2 * t.n_g * (SELECT n FROM tot) AS BIGINT) AS tvd_den,
+        | (sum(t.term) * 5 > 2 * t.n_g * (SELECT n FROM tot)) AS violating
+        |FROM terms t GROUP BY t.nation, t.bal_band, t.n_g
+        |ORDER BY t.nation, t.bal_band""".stripMargin,
     // maintained HLL registers must be bit-identical to the one-shot
     // recompute: every register restated from the md5 hash60 of the
     // part key over the FULL lineitem (p=4: bucket = h // 2^56, rho =

@@ -107,4 +107,50 @@ class PrivacySpec extends SparkSpec {
       ("10002", 1L, true),   // the homogeneity attack
       ("10003", 1L, true)))  // all-null sensitive: one value, violates
   }
+
+  test("tClosenessAudit: exact rational TVD — mirrored group is 0, skewed " +
+      "group carries the hand-computed numerator, star group exempt") {
+    // global: flu 4, cold 4 (N=8). zip A mirrors it exactly; zip B is
+    // all-flu (the skew l-diversity would pass at l=1... and at l=2 via
+    // a 3:1 mix it still leaks); star group skewed but exempt.
+    val rel = Seq(
+      ("A", "flu"), ("A", "flu"), ("A", "cold"), ("A", "cold"),
+      ("B", "flu"), ("B", "flu"),
+      ("*", "cold"), ("*", "cold")
+    ).toDF("zip", "disease")
+    val rows = Privacy.tClosenessAudit(rel, Seq("zip"), "disease",
+        tNum = 1, tDen = 4).orderBy("zip")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // B (n_g=2): |n_flu*N - N_flu*n_g| = |2*8-4*2| = 8; cold term
+    // |0*8-4*2| = 8 → tvd_num 16, tvd_den 2*2*8=32 → TVD 1/2 > 1/4
+    // * (n_g=2): same skew arithmetic, exempt anyway
+    // A (n_g=4): |2*8-4*4| = 0 both → TVD 0
+    assert(rows == Seq(
+      ("*", 2L, 16L, 32L, false),
+      ("A", 4L, 0L, 64L, false),
+      ("B", 2L, 16L, 32L, true)))
+  }
+
+  test("tClosenessAudit matches a naive driver computation on random data, " +
+      "including values absent from a group and null sensitives") {
+    val rnd = new scala.util.Random(61)
+    val vals = Array("a", "b", "c", "d", null)
+    val data = (1 to 400).map(_ =>
+      (s"z${rnd.nextInt(6)}", vals(rnd.nextInt(vals.length))))
+    val got = Privacy.tClosenessAudit(data.toDF("zip", "disease"),
+        Seq("zip"), "disease", tNum = 1, tDen = 10)
+      .orderBy("zip")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val n = data.size.toLong
+    val globalC = data.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val want = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (z, rows) =>
+      val ng = rows.size.toLong
+      val gc = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val num = globalC.map { case (s, ns) =>
+        math.abs(gc.getOrElse(s, 0L) * n - ns * ng)
+      }.sum
+      (z, ng, num, 2 * ng * n, num * 10 > 2 * ng * n)
+    }
+    assert(got == want)
+  }
 }
