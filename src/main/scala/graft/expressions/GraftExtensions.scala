@@ -109,6 +109,11 @@ object GraftExtensions {
     // hash-set kernel (unk = "[UNK]", maxWordChars = 100)
     "wordpiece_apply" -> arity("wordpiece_apply", 2)(exprs =>
       WordPieceApplyExpr(exprs.head, vocabArg(exprs(1)), "[UNK]", 100)),
+    // unigram_apply(word, '[["ab",20],["a",5]]'): scored vocabulary as a
+    // JSON array of [token, integer-score] pairs (unk = "[UNK]",
+    // maxWordChars = 100)
+    "unigram_apply" -> arity("unigram_apply", 2)(exprs =>
+      UnigramApplyExpr(exprs.head, scoredVocabArg(exprs(1)), "[UNK]", 100)),
     "jaro_winkler" -> arity("jaro_winkler", 2)(exprs =>
       JaroWinklerExpr(exprs(0), exprs(1))),
     "jaro_winkler_bytes" -> arity("jaro_winkler_bytes", 2)(exprs =>
@@ -149,6 +154,21 @@ object GraftExtensions {
     node.elements().asScala.map { t =>
       require(t.isTextual, "wordpiece_apply: each vocab entry must be a string")
       t.asText()
+    }.toSeq
+  }
+
+  private def scoredVocabArg(e: Expression): Seq[(String, Long)] = {
+    val json = strArg(e, 0, "unigram_apply")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    require(node.isArray,
+      "unigram_apply: vocab must be a JSON array of [token, score] pairs")
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map { p =>
+      require(p.isArray && p.size() == 2 && p.get(0).isTextual &&
+        p.get(1).canConvertToLong,
+        "unigram_apply: each entry must be [string token, integer score]")
+      (p.get(0).asText(), p.get(1).asLong())
     }.toSeq
   }
 

@@ -2109,7 +2109,47 @@ object TrainingData {
           .as("tokens"))
       .orderBy(col("word"))
 
+  /** The q203 scored vocabulary, shared verbatim by the Spark query and
+    * the DuckDB oracle. Singles at 5 (no `q`, so `query` exercises the
+    * UNK path); multi-char units scored so the DP genuinely arbitrates —
+    * several words have equal-score segmentations (`or` = `o`+`r`)
+    * resolving through the longest-token backtrack rule, and some long
+    * tokens LOSE to two shorter ones. */
+  private val ugVocab: Seq[(String, Long)] = {
+    val singles = ('a' to 'z').filter(_ != 'q').map(c => c.toString -> 5L)
+    singles ++ Seq(
+      "ta" -> 12L, "tab" -> 18L, "le" -> 11L, "ble" -> 16L,
+      "or" -> 10L, "der" -> 15L, "er" -> 10L, "st" -> 11L, "ream" -> 22L,
+      "sc" -> 11L, "an" -> 10L, "co" -> 11L, "lumn" -> 22L,
+      "cust" -> 22L, "omer" -> 21L, "me" -> 10L, "rge" -> 16L,
+      "in" -> 10L, "win" -> 16L, "dow" -> 16L, "val" -> 16L, "ue" -> 11L,
+      "tor" -> 16L, "the" -> 17L, "he" -> 10L, "ha" -> 10L, "sh" -> 10L,
+      "ba" -> 10L, "tch" -> 16L, "fil" -> 15L, "ter" -> 15L,
+      "gr" -> 10L, "oup" -> 16L, "ro" -> 10L, "ow" -> 11L,
+      "sp" -> 10L, "ar" -> 10L, "rk" -> 10L, "sm" -> 10L, "all" -> 16L,
+      "da" -> 10L, "at" -> 10L, "jo" -> 10L, "oin" -> 15L,
+      "key" -> 17L, "ke" -> 10L, "ey" -> 10L, "li" -> 10L, "ne" -> 10L,
+      "pa" -> 10L, "rt" -> 10L, "du" -> 10L, "up" -> 10L, "ag" -> 10L)
+  }
+
+  /** Unigram/Viterbi tokenization under the gate (q203): every distinct
+    * corpus word segmented to its maximum-total-score path through
+    * [[graft.functions.Unigram.applyVocab]] (maxWordChars = 12, matching
+    * the oracle's DP unroll depth). The oracle replays the ENTIRE
+    * Viterbi algorithm in SQL: the match grid, 12 unrolled dp layers
+    * (max over tokens ending at each prefix length), the per-position
+    * longest-consistent-token back-pointer table, and a recursive
+    * reconstruction walk — a one-point dp drift or a wrong tie-break
+    * anywhere changes a token string and breaks the hash. */
+  def unigramQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.wordCounts(docs(s, dir), "text")
+      .select(col("word"),
+        graft.functions.Unigram.applyVocab(col("word"), ugVocab,
+          maxWordChars = 12).as("tokens"))
+      .orderBy(col("word"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_unigram"          -> unigramQ _,
     "q200_wordpiece"        -> wordpieceQ _,
     "q197_bpe_tokenize"     -> bpeTokenizeQ _,
     "q196_bpe_train"        -> bpeTrainQ _,
@@ -2722,7 +2762,71 @@ object TrainingData {
        |ORDER BY word""".stripMargin
   }
 
+  /** q203's oracle: the whole Viterbi DP in SQL. `m` is the match grid
+    * (every vocabulary token at every start position of every word);
+    * `d1..dW` unroll the forward recurrence `dp[e] = max(dp[s-1] +
+    * score)` over tokens ending at prefix length e (with `u_k` the
+    * running union of dp layers); `bp` picks the LONGEST token
+    * consistent with the optimal value at each position (the kernel's
+    * backtrack tie-break); the recursive `walk` rebuilds the token
+    * string from the end; words with no full path (or longer than the
+    * unroll depth) collapse to `|[UNK]`. */
+  private def unigramOracle(vocab: Seq[(String, Long)], w: Int): String = {
+    val values = vocab.map { case (t, s) => s"('$t', CAST($s AS BIGINT))" }
+      .mkString(", ")
+    val head =
+      s"""WITH RECURSIVE
+         |words AS (SELECT DISTINCT word FROM
+         |  (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+         |   FROM documents)
+         |  WHERE word <> '' AND word NOT LIKE '%|%'),
+         |wv AS (SELECT word FROM words WHERE length(word) <= $w),
+         |v(tok, score) AS (SELECT * FROM (VALUES $values)),
+         |pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p
+         |  FROM wv),
+         |m AS (SELECT po.word, po.p AS s, length(v.tok) AS l, v.score,
+         |    po.p + length(v.tok) - 1 AS e
+         |  FROM pos po JOIN v ON substr(po.word, CAST(po.p AS INT),
+         |    length(v.tok)) = v.tok
+         |  WHERE po.p + length(v.tok) - 1 <= length(po.word)),
+         |u0 AS (SELECT word, CAST(0 AS BIGINT) AS e, CAST(0 AS BIGINT) AS sc
+         |  FROM wv)""".stripMargin
+    val layers = (1 to w).map { k =>
+      s""",
+         |d$k AS (SELECT m.word, CAST($k AS BIGINT) AS e,
+         |  max(u.sc + m.score) AS sc
+         | FROM m JOIN u${k - 1} u ON u.word = m.word AND u.e = m.s - 1
+         | WHERE m.e = $k GROUP BY m.word),
+         |u$k AS MATERIALIZED (SELECT * FROM u${k - 1}
+         |  UNION ALL SELECT * FROM d$k)"""
+        .stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |fin AS (SELECT u.word, u.sc FROM u$w u
+         |  WHERE u.e = length(u.word)),
+         |bp AS (SELECT m.word, m.e, CAST(max(m.l) AS BIGINT) AS l
+         | FROM m JOIN u$w prev ON prev.word = m.word AND prev.e = m.s - 1
+         |      JOIN u$w cur ON cur.word = m.word AND cur.e = m.e
+         | WHERE prev.sc + m.score = cur.sc
+         | GROUP BY m.word, m.e),
+         |walk(word, p, acc) AS (
+         | SELECT word, CAST(length(word) AS BIGINT), '' FROM fin
+         | UNION ALL
+         | SELECT wk.word, wk.p - b.l,
+         |  '|' || substr(wk.word, CAST(wk.p - b.l + 1 AS INT),
+         |    CAST(b.l AS INT)) || wk.acc
+         | FROM walk wk JOIN bp b ON b.word = wk.word AND b.e = wk.p
+         | WHERE wk.p > 0),
+         |res AS (SELECT word, acc FROM walk WHERE p = 0)
+         |SELECT w.word, COALESCE(r.acc, '|[UNK]') AS tokens
+         |FROM words w LEFT JOIN res r ON r.word = w.word
+         |ORDER BY w.word""".stripMargin
+    head + layers + tail
+  }
+
   val oracles: Map[String, String] = Map(
+    "q203_unigram" -> unigramOracle(ugVocab, 12),
     "q196_bpe_train" -> bpeTrainOracle(),
     "q197_bpe_tokenize" -> bpeTokenizeOracle(),
     "q200_wordpiece" -> wordpieceOracle(wpVocab),
