@@ -128,49 +128,51 @@ object GraftExtensions {
     if (e.foldable && e.dataType == StringType && e.eval() != null)
       e.eval().toString
     else throw new IllegalArgumentException(
-      s"$fn: argument ${i + 2} must be a string literal field name")
+      s"$fn: argument ${i + 2} must be a string literal")
   }
 
-  private def mergesArg(e: Expression): Seq[(String, String)] = {
-    val json = strArg(e, 0, "bpe_apply")
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json)
-    require(node.isArray, "bpe_apply: merges must be a JSON array of pairs")
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse a JSON-array literal argument, mapping each element through
+    * `elem`. Malformed JSON and wrong-shape elements both fail at
+    * ANALYSIS with the function name attached (a raw Jackson message
+    * names neither the function nor the argument). */
+  private def jsonArrayArg[T](e: Expression, fn: String, shape: String)(
+      elem: com.fasterxml.jackson.databind.JsonNode => T): Seq[T] = {
+    val json = strArg(e, 0, fn)
+    val node =
+      try jsonMapper.readTree(json)
+      catch { case ex: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"$fn: argument 2 is not valid JSON ($shape): ${ex.getMessage}")
+      }
+    require(node != null && node.isArray, s"$fn: argument 2 must be $shape")
     import scala.jdk.CollectionConverters._
-    node.elements().asScala.map { p =>
+    node.elements().asScala.map(elem).toSeq
+  }
+
+  private def mergesArg(e: Expression): Seq[(String, String)] =
+    jsonArrayArg(e, "bpe_apply", "a JSON array of two-string pairs") { p =>
       require(p.isArray && p.size() == 2 &&
         p.get(0).isTextual && p.get(1).isTextual,
         "bpe_apply: each merge must be a two-string JSON array")
       (p.get(0).asText(), p.get(1).asText())
-    }.toSeq
-  }
+    }
 
-  private def vocabArg(e: Expression): Seq[String] = {
-    val json = strArg(e, 0, "wordpiece_apply")
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json)
-    require(node.isArray, "wordpiece_apply: vocab must be a JSON string array")
-    import scala.jdk.CollectionConverters._
-    node.elements().asScala.map { t =>
+  private def vocabArg(e: Expression): Seq[String] =
+    jsonArrayArg(e, "wordpiece_apply", "a JSON string array") { t =>
       require(t.isTextual, "wordpiece_apply: each vocab entry must be a string")
       t.asText()
-    }.toSeq
-  }
+    }
 
-  private def scoredVocabArg(e: Expression): Seq[(String, Long)] = {
-    val json = strArg(e, 0, "unigram_apply")
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json)
-    require(node.isArray,
-      "unigram_apply: vocab must be a JSON array of [token, score] pairs")
-    import scala.jdk.CollectionConverters._
-    node.elements().asScala.map { p =>
+  private def scoredVocabArg(e: Expression): Seq[(String, Long)] =
+    jsonArrayArg(e, "unigram_apply",
+        "a JSON array of [token, integer-score] pairs") { p =>
       require(p.isArray && p.size() == 2 && p.get(0).isTextual &&
         p.get(1).canConvertToLong,
         "unigram_apply: each entry must be [string token, integer score]")
       (p.get(0).asText(), p.get(1).asLong())
-    }.toSeq
-  }
+    }
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * prefix; if any position has no match, or the word exceeds
   * `maxWordChars` codepoints, the whole word becomes the single `unk`
   * token. Output is a `|`-delimited token string (`|play|##ing`), the
-  * same representation [[BpeApplyExpr]] speaks.
+  * same representation [[BpeApplyExpr]] speaks. `##` is reserved: a
+  * `##`-prefixed vocabulary entry is continuation-only, even for words
+  * literally starting with `##` (such a word needs non-`##` tokens to
+  * cover its prefix, or it is UNK).
   *
   * The vocabulary rides as ONE codegen reference object (a hash set probed
   * by the tight kernel loop), so a production-sized vocab is a single
@@ -92,7 +95,13 @@ object WordPieceApplyExpr {
         val probe =
           if (start > 0) "##" + word.substring(start, e)
           else word.substring(start, e)
-        if (t.vocab.contains(probe)) matched = probe else e -= 1
+        // `##` is a RESERVED continuation marker: a `##`-prefixed vocab
+        // entry never matches at the initial position even when the word
+        // literally starts with `##` (so kernel, spec reference, and the
+        // SQL oracle's cont/raw model agree on every input)
+        if (t.vocab.contains(probe) &&
+            (start > 0 || !probe.startsWith("##"))) matched = probe
+        else e -= 1
       }
       if (matched == null) return "|" + t.unk
       out.append('|').append(matched)

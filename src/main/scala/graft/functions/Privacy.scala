@@ -131,7 +131,13 @@ object Privacy {
                       sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(tNum >= 0 && tDen > 0, s"t = $tNum/$tDen must be a fraction >= 0")
-    val quasiKeys = quasiCols.map(c => col(c).cast("string").as(c))
+    // the joins below key on the quasi tuple, and join equality is
+    // null-UNSAFE — a null quasi group would silently vanish from the
+    // audit (the exact groups it exists to flag), so the internal key is
+    // sentinel-coalesced like kAnonymizeSuppress's; the output maps the
+    // sentinel back to null (same documented sentinel-collision edge)
+    val quasiKeys = quasiCols.map(c =>
+      coalesce(col(c).cast("string"), lit(NullSentinel)).as(c))
     val sv = coalesce(col(sensitiveCol).cast("string"), lit(NullSentinel))
       .as("_sv")
     val gsv = released.groupBy(quasiKeys :+ sv: _*)
@@ -149,7 +155,7 @@ object Privacy {
           .as("_present_sum"),
         sum(col("n_s")).as("_present_ns"))
       .select(
-        quasiCols.map(col) :+
+        quasiCols.map(c => nullif(col(c), lit(NullSentinel)).as(c)) :+
         col("n_g").as("group_size") :+
         (col("_present_sum") +
           col("n_g") * (col("_N") - col("_present_ns"))).as("tvd_num") :+

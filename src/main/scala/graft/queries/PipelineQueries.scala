@@ -223,7 +223,13 @@ object PipelineQueries {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     val lakeDir = java.nio.file.Files.createTempDirectory("graft_lakebloom").toString
-    docs.repartition(8, col("doc_id"))
+    // object count scales with the table so per-object distinct ids stay
+    // near the bloom's design capacity (~600 ids → FP well under 1%); a
+    // FIXED count would saturate the 8192-bit filters at larger SFs and
+    // false positives would erase the skipping this gate asserts
+    val nDocs = docs.count()
+    val nObjects = math.max(8L, (nDocs + 599) / 600).toInt
+    docs.repartition(nObjects, col("doc_id"))
       .write.format(fmt).option("path", lakeDir)
       .option("bloomfields", "doc_id,source").mode("overwrite").save()
     val needles = Seq(42L, 137L, 443L)
@@ -231,7 +237,9 @@ object PipelineQueries {
     val kept = graft.sources.lakesim.LakeIndex.prune(entries,
       Seq(org.apache.spark.sql.sources.In("doc_id",
         needles.toArray[Any]))).size
-    require(kept <= needles.size,
+    // needle hits plus generous false-positive headroom — the signal is
+    // "pruning happened", not an exact object count
+    require(kept <= needles.size + math.max(1, entries.size / 10),
       s"bloom skipping regressed: IN(${needles.mkString(",")}) kept " +
       s"$kept of ${entries.size} objects (ranges alone keep all)")
     val schema = StructType(Seq(

@@ -93,14 +93,6 @@ object LakeBloom {
     true
   }
 
-  /** Union of two filters over the same parameters (compaction merges). */
-  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
-    val out = new Array[Long](NumLongs)
-    var i = 0
-    while (i < NumLongs) { out(i) = a(i) | b(i); i += 1 }
-    out
-  }
-
   def toBase64(bits: Array[Long]): String = {
     val bb = java.nio.ByteBuffer.allocate(NumLongs * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

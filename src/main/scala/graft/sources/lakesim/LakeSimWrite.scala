@@ -82,13 +82,22 @@ class LakeSimBatchWrite(path: String, schema: StructType,
   // compares against to detect an interleaved writer
   private val indexAtStart: Option[String] = readIndexContent()
 
+  // BLOOMED-NESS IS LAKE STATE, like versioned-ness: once an index
+  // declares bloom fields, every writer — including maintenance jobs
+  // (LakeOptimize.compact) that never heard of the option — keeps
+  // computing blooms for them, or one forgetful rewrite would silently
+  // degrade every future point lookup to range-only pruning
+  private val effBloomFields: Set[String] =
+    bloomFields ++ indexAtStart.map(LakeSimWrite.declaredBloomFields)
+      .getOrElse(Set.empty)
+
   private def readIndexContent(): Option[String] = {
     val f = new File(new File(path), "index.json")
     if (f.exists()) Some(java.nio.file.Files.readString(f.toPath)) else None
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = LakeSimWriterFactory(path, schema, bloomFields)
+      : DataWriterFactory = LakeSimWriterFactory(path, schema, effBloomFields)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -175,6 +184,10 @@ class LakeSimBatchWrite(path: String, schema: StructType,
                          indexFile: String): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
+    if (effBloomFields.nonEmpty) {
+      val bf = root.putArray("bloomFields")
+      effBloomFields.toSeq.sorted.foreach(bf.add)
+    }
     val arr = root.putArray("objects")
     entries.foreach { e =>
       val o = arr.addObject()
@@ -282,4 +295,14 @@ object LakeSimWrite {
   def listVersions(dir: File): Seq[Int] =
     Option(dir.list()).getOrElse(Array.empty[String]).toSeq
       .collect { case VersionRe(n) => n.toInt }.sorted
+
+  /** The bloom fields an index declares as lake state (top-level
+    * `bloomFields` array; absent on pre-bloom lakes). */
+  def declaredBloomFields(indexContent: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(indexContent)
+    Option(root.get("bloomFields"))
+      .map(_.elements().asScala.map(_.asText()).toSet)
+      .getOrElse(Set.empty)
+  }
 }

@@ -72,10 +72,20 @@ class GraftExtensionsSpec extends SparkSpec {
         Seq(("e", "r"), ("l", "o"), ("lo", "w"))))
       .as[String].head()
     assert(got == viaCol)
-    // malformed table literals fail at analysis with the function name
+    // malformed table literals fail at analysis with the function name —
+    // both wrong-shape JSON and SYNTACTICALLY INVALID JSON (a raw
+    // Jackson message would name neither the function nor the argument)
     val err = intercept[Exception] {
       spark.sql("SELECT bpe_apply('|a|b', '[\"notapair\"]')").collect()
     }
     assert(err.getMessage.contains("bpe_apply"), err.getMessage)
+    val truncated = intercept[Exception] {
+      spark.sql("SELECT bpe_apply('|a|b', '[[\"a\",\"b\"')").collect()
+    }
+    assert(truncated.getMessage.contains("bpe_apply"), truncated.getMessage)
+    val notJson = intercept[Exception] {
+      spark.sql("SELECT unigram_apply('a', 'not json at all')").collect()
+    }
+    assert(notJson.getMessage.contains("unigram_apply"), notJson.getMessage)
   }
 }

@@ -131,6 +131,28 @@ class PrivacySpec extends SparkSpec {
       ("B", 2L, 16L, 32L, true)))
   }
 
+  test("tClosenessAudit keeps NULL-quasi groups (null-unsafe joins would " +
+      "silently drop the most-violating group)") {
+    val rel = Seq(
+      (Some("A"), "flu"), (Some("A"), "cold"),
+      (None, "flu"), (None, "flu") // null zip, 100% flu: maximal skew
+    ).toDF("zip", "disease")
+    val rows = Privacy.tClosenessAudit(rel, Seq("zip"), "disease",
+        tNum = 1, tDen = 4).orderBy(asc_nulls_first("zip"))
+      .as[(Option[String], Long, Long, Long, Boolean)].collect().toSeq
+    // global flu 3, cold 1 (N=4). null group (n_g=2): |2*4-3*2|+|0*4-1*2|
+    // = 2+2 = 4... flu term |8-6|=2, cold |0-2|=2 → 4/16 = 1/4, not > 1/4
+    // → make it violate: check exact numbers instead
+    assert(rows == Seq(
+      (None, 2L, 4L, 16L, false),      // TVD exactly 1/4: not strict >
+      (Some("A"), 2L, 4L, 16L, false)))
+    // and with a tighter t the null group DOES flag
+    val tight = Privacy.tClosenessAudit(rel, Seq("zip"), "disease",
+        tNum = 1, tDen = 5).orderBy(asc_nulls_first("zip"))
+      .as[(Option[String], Long, Long, Long, Boolean)].collect().toSeq
+    assert(tight.map(_._5) == Seq(true, true))
+  }
+
   test("tClosenessAudit matches a naive driver computation on random data, " +
       "including values absent from a group and null sensitives") {
     val rnd = new scala.util.Random(61)

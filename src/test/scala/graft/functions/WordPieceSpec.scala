@@ -23,7 +23,8 @@ class WordPieceSpec extends SparkSpec {
           val s = word.substring(start, e)
           (if (start > 0) "##" + s else s, e)
         }
-        .find(p => vocab.contains(p._1)) match {
+        .find(p => vocab.contains(p._1) &&
+          (start > 0 || !p._1.startsWith("##"))) match {
           case Some((tok, e)) => go(e, tok :: acc)
           case None => None
         }
@@ -57,12 +58,24 @@ class WordPieceSpec extends SparkSpec {
     assert(got == s"|$emoji|##$emoji|##$emoji")
   }
 
+  test("## is continuation-only even when the word literally starts " +
+       "with ## (kernel, reference, and the SQL oracle's cont/raw model " +
+       "agree)") {
+    val vocab = Seq("##he", "h", "##e", "#", "###")
+    // "##he": initial '#' (the literal token), continuation '###' (raw
+    // '#'), then '##he' (raw 'he') — the ##-entry matches only mid-word
+    assert(run(Seq("##he", "he", "#h"), vocab) ==
+      Seq("|#|###|##he", "|h|##e", "|[UNK]"))
+    // without '#' in the vocab a ##-leading word is unmatchable
+    assert(run(Seq("##he"), Seq("##he", "h", "##e")) == Seq("|[UNK]"))
+  }
+
   test("fuzz: kernel equals the suffix-recursion reference on random " +
-       "vocab/word draws") {
+       "vocab/word draws (alphabet includes the reserved #)") {
     val rnd = new scala.util.Random(47)
-    val alphabet = "abcd"
+    val alphabet = "abc#"
     def randTok(): String =
-      (1 to (1 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(3))).mkString
+      (1 to (1 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(4))).mkString
     for (round <- 1 to 8) {
       val vocab = ((1 to 12).map(_ => randTok()) ++
         (1 to 12).map(_ => "##" + randTok())).distinct

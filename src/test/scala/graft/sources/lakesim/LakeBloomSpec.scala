@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pure-function behavior of the per-object bloom filters: no false
   * negatives ever, low false positives at design capacity, canonical
-  * key encoding shared by writer and planner, serialization round trip,
-  * and union semantics (compaction merges). */
+  * key encoding shared by writer and planner, and the serialization
+  * round trip. */
 class LakeBloomSpec extends AnyFunSuite {
 
   test("no false negatives: every added key is contained") {
@@ -42,14 +42,4 @@ class LakeBloomSpec extends AnyFunSuite {
     assert(back.toSeq == bits.toSeq)
   }
 
-  test("union contains both sides' keys (compaction merge semantics)") {
-    val a = LakeBloom.empty(); val b = LakeBloom.empty()
-    (1 to 50).foreach(i => LakeBloom.add(a, LakeBloom.keyOf(i.toLong).get))
-    (51 to 100).foreach(i => LakeBloom.add(b, LakeBloom.keyOf(i.toLong).get))
-    val u = LakeBloom.union(a, b)
-    assert((1 to 100).forall(i =>
-      LakeBloom.mightContain(u, LakeBloom.keyOf(i.toLong).get)))
-    // and a plainly-absent key still misses after the union
-    assert(!LakeBloom.mightContain(u, LakeBloom.keyOf(999999L).get))
-  }
 }

@@ -42,6 +42,32 @@ class LakeOptimizeSpec extends SparkSpec {
     assert(!files.exists(_.startsWith("_tmp")))
   }
 
+  test("compaction preserves bloomed-ness: bloom fields are lake state, " +
+       "so a maintenance rewrite that never heard of the option keeps " +
+       "computing them") {
+    val dir = Files.createTempDirectory("lakesim_opt_bloom").toString
+    (0 until 1024).map(i => (i.toLong, (i % 32).toLong, (i / 32).toLong))
+      .toDF("id", "x", "y").repartition(16)
+      .write.format(classOf[LakeSimSource].getName)
+      .option("path", dir).option("bloomfields", "id")
+      .mode("overwrite").save()
+    LakeOptimize.compact(spark, dir, schema, targetRows = 512)
+    val entries = LakeIndex.load(dir)
+    assert(entries.size == 2)
+    assert(entries.forall(_.blooms.keySet == Set("id")))
+    // the rebuilt blooms still skip: an id present in one compacted
+    // object prunes the other (both ranges overlap after repartition)
+    import org.apache.spark.sql.sources.EqualTo
+    val kept = LakeIndex.prune(entries, Seq(EqualTo("id", 500L)))
+    assert(kept.size == 1)
+    assert(readLake(dir).filter($"id" === 500L).count() == 1)
+    // a plain append afterwards (no option) also keeps computing blooms
+    Seq((5000L, 1L, 1L)).toDF("id", "x", "y").coalesce(1)
+      .write.format(classOf[LakeSimSource].getName)
+      .option("path", dir).mode("append").save()
+    assert(LakeIndex.load(dir).forall(_.blooms.contains("id")))
+  }
+
   test("z-ordered compaction makes BOTH coordinate columns prunable") {
     val dir = freshLake(16)
     LakeOptimize.compact(spark, dir, schema, targetRows = 64,
