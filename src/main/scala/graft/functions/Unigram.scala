@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Unigram-LM (SentencePiece-style) tokenizer APPLICATION: Viterbi
   * segmentation against a scored vocabulary — the DP tokenizer next to
@@ -27,5 +28,33 @@ object Unigram {
       graft.expressions.UnigramApplyExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(word),
         vocab, unk, maxWordChars))
+  }
+
+  /** Vocabulary UTILITY for pruning (the SentencePiece curation step):
+    * Viterbi-segment a `(word, freq)` vocabulary frame, count each
+    * token's frequency-weighted usage, and emit the exact
+    * cross-multiplied keep verdict `usage * shareDen >= total` (keep
+    * tokens carrying at least 1/shareDen of the segmented token mass;
+    * the `unk` pseudo-token competes like any other, so a vocabulary
+    * that UNKs too much of the corpus shows it as data).
+    *
+    * Scale shape: the corpus was already reduced to the word-frequency
+    * frame upstream ([[Bpe.wordCounts]]); this is one codegen'd
+    * segmentation pass over it, a map-side-combinable token count
+    * (token-vocabulary-sized result), and a 1-row broadcast total —
+    * no window, no second corpus scan. */
+  def vocabUtility(words: DataFrame, wordCol: String, freqCol: String,
+                   vocab: Seq[(String, Long)], shareDen: Long,
+                   unk: String = "[UNK]", maxWordChars: Int = 100): DataFrame = {
+    require(shareDen > 0, "unigram: shareDen must be positive")
+    val toks = words.select(col(freqCol).as("_freq"),
+      explode(filter(
+        split(applyVocab(col(wordCol), vocab, unk, maxWordChars), "\\|"),
+        x => x =!= "")).as("token"))
+    val usage = toks.groupBy(col("token")).agg(sum(col("_freq")).as("usage"))
+    val tot = usage.agg(sum(col("usage")).as("_total"))
+    usage.crossJoin(broadcast(tot))
+      .select(col("token"), col("usage"),
+        (col("usage") * shareDen >= col("_total")).as("keep"))
   }
 }

@@ -2148,7 +2148,20 @@ object TrainingData {
           maxWordChars = 12).as("tokens"))
       .orderBy(col("word"))
 
+  /** Vocabulary utility/pruning under the gate (q204): the q203
+    * segmentation's frequency-weighted token-usage counts with the
+    * exact share>=1/50 keep verdict, through
+    * [[graft.functions.Unigram.vocabUtility]] — the oracle extends the
+    * full Viterbi chain with the explode + weighted count, so the
+    * utilities double-check every segmentation path too. */
+  def vocabUtilityQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Unigram.vocabUtility(
+        graft.functions.Bpe.wordCounts(docs(s, dir), "text"),
+        "word", "freq", ugVocab, shareDen = 50, maxWordChars = 12)
+      .orderBy(col("token"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_vocab_utility"    -> vocabUtilityQ _,
     "q203_unigram"          -> unigramQ _,
     "q200_wordpiece"        -> wordpieceQ _,
     "q197_bpe_tokenize"     -> bpeTokenizeQ _,
@@ -2771,7 +2784,17 @@ object TrainingData {
     * backtrack tie-break); the recursive `walk` rebuilds the token
     * string from the end; words with no full path (or longer than the
     * unroll depth) collapse to `|[UNK]`. */
-  private def unigramOracle(vocab: Seq[(String, Long)], w: Int): String = {
+  private def unigramOracle(vocab: Seq[(String, Long)], w: Int): String =
+    unigramCtes(vocab, w) +
+      """
+        |SELECT w.word, COALESCE(r.acc, '|[UNK]') AS tokens
+        |FROM words w LEFT JOIN res r ON r.word = w.word
+        |ORDER BY w.word""".stripMargin
+
+  /** The shared Viterbi CTE chain (through `res(word, acc)` — complete
+    * segmentations only; UNK words are absent and coalesced by the
+    * final select). */
+  private def unigramCtes(vocab: Seq[(String, Long)], w: Int): String = {
     val values = vocab.map { case (t, s) => s"('$t', CAST($s AS BIGINT))" }
       .mkString(", ")
     val head =
@@ -2818,14 +2841,34 @@ object TrainingData {
          |    CAST(b.l AS INT)) || wk.acc
          | FROM walk wk JOIN bp b ON b.word = wk.word AND b.e = wk.p
          | WHERE wk.p > 0),
-         |res AS (SELECT word, acc FROM walk WHERE p = 0)
-         |SELECT w.word, COALESCE(r.acc, '|[UNK]') AS tokens
-         |FROM words w LEFT JOIN res r ON r.word = w.word
-         |ORDER BY w.word""".stripMargin
+         |res AS (SELECT word, acc FROM walk WHERE p = 0)""".stripMargin
     head + layers + tail
   }
 
+  /** q204's oracle: the q203 Viterbi chain, then every word's token list
+    * exploded, weighted by the word's corpus occurrence count, and
+    * aggregated to per-token usage with the exact cross-multiplied
+    * keep verdict (share >= 1/50 of total segmented mass). */
+  private def vocabUtilityOracle(vocab: Seq[(String, Long)], w: Int): String =
+    unigramCtes(vocab, w) +
+      """,
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+        |  (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+        |   FROM documents)
+        |  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY 1),
+        |toks AS (SELECT f.freq, u.tok
+        | FROM wf f LEFT JOIN res r ON r.word = f.word,
+        |  unnest(list_filter(string_split(COALESCE(r.acc, '|[UNK]'), '|'),
+        |    x -> x <> '')) AS u(tok)),
+        |usage AS (SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS usage
+        | FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(usage) AS BIGINT) AS total FROM usage)
+        |SELECT u.token, u.usage, (u.usage * 50 >= t.total) AS keep
+        |FROM usage u CROSS JOIN tot t
+        |ORDER BY u.token""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q204_vocab_utility" -> vocabUtilityOracle(ugVocab, 12),
     "q203_unigram" -> unigramOracle(ugVocab, 12),
     "q196_bpe_train" -> bpeTrainOracle(),
     "q197_bpe_tokenize" -> bpeTokenizeOracle(),

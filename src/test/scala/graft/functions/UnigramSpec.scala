@@ -89,6 +89,20 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("vocabUtility: frequency-weighted usage with the exact share " +
+       "verdict; the UNK pseudo-token competes as data") {
+    val vocab = Seq("ab" -> 10L, "a" -> 5L, "b" -> 5L, "c" -> 5L)
+    val words = Seq(("ab", 10L), ("abc", 5L), ("zz", 3L))
+      .toDF("word", "freq")
+    val rows = Unigram.vocabUtility(words, "word", "freq", vocab,
+        shareDen = 4).orderBy("token")
+      .as[(String, Long, Boolean)].collect().toSeq
+    // segs: ab→|ab (10×1 ab); abc→|ab|c (5 ab, 5 c); zz→|[UNK]| (3)
+    // usage: ab 15, c 5, [UNK] 3; total 23; keep iff usage*4 >= 23
+    assert(rows == Seq(("[UNK]", 3L, false), ("ab", 15L, true),
+      ("c", 5L, false)))
+  }
+
   test("unigram_apply resolves from SQL with a JSON scored-vocab literal " +
        "and matches the Column API; malformed entries fail at analysis") {
     graft.expressions.GraftExtensions.register(spark)
