@@ -41,8 +41,12 @@ object PageRank {
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // the per-iteration big side: (src, dst, deg), materialized once
-    val ed = e.join(deg, "src").localCheckpoint()
+    // the per-iteration big side: (src, dst, deg), materialized once and
+    // HASH-PARTITIONED ON src — every iteration's rank join then reuses
+    // this partitioning and only the node-sized rank table moves; without
+    // it the full edge table re-shuffles once per iteration (the actual
+    // cost driver at any scale)
+    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
