@@ -462,6 +462,68 @@ class PlanShapeSpec extends SparkSpec {
       p4.contains("HashAggregate"), p4)
   }
 
+  test("interval-overlap join rides the (key, bucket) equi-join: no " +
+       "cartesian, no nested loop, no window") {
+    import java.sql.Timestamp
+    def iv(n: Int, names: (String, String, String)) =
+      (1 to n).map(i => (i.toLong % 7, i.toLong,
+          Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
+          Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:45:00")))
+        .toDF("k", names._1, names._2, names._3)
+    val out = graft.operators.RangeJoin.intervalOverlap(
+      iv(80, ("a_id", "a_start", "a_end")),
+      iv(60, ("b_id", "b_start", "b_end")),
+      Seq("k"), "a_start", "a_end", "b_start", "b_end",
+      bucketSeconds = 1800L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("t-closeness audit: window-free, the corpus total rides a 1-row " +
+       "broadcast") {
+    val rel = (1 to 200).map(i => (s"z${i % 9}", s"d${i % 4}"))
+      .toDF("zip", "disease")
+    val aud = graft.functions.Privacy.tClosenessAudit(rel, Seq("zip"),
+      "disease", tNum = 1, tDen = 5)
+    aud.collect()
+    val plan = aud.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the only nested-loop join is the deliberate 1-row total broadcast
+    // (a Cross build of a single aggregate row); group-keyed work rides
+    // hash joins
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("tokenizer kernels (bpe/wordpiece/unigram apply) stay inside " +
+       "whole-stage codegen") {
+    // spark.range keeps the projection in the physical plan (a local
+    // Seq would be constant-folded into a LocalTableScan)
+    val words = spark.range(50)
+      .select(concat(lit("w"), $"id", lit("ord")).as("w"))
+    val df = words.select(
+      graft.functions.Bpe.applyMerges(graft.functions.Bpe.delimit($"w"),
+        Seq(("w", "o"), ("r", "d"))).as("b"),
+      graft.functions.WordPiece.applyVocab($"w",
+        Seq("w", "##o", "##r", "##d", "##1", "##2", "##3")).as("p"),
+      graft.functions.Unigram.applyVocab($"w",
+        Seq("w" -> 5L, "o" -> 5L, "r" -> 5L, "d" -> 5L)).as("u"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the projection carrying all three kernels is a codegen stage
+    // ("*(n)" marks WholeStageCodegen in the plan string)
+    val projLine = plan.linesIterator.find(_.contains("bpe_apply")).get
+    assert(projLine.contains("wordpiece_apply") &&
+      projLine.contains("unigram_apply"), projLine)
+    assert(projLine.trim.matches("""^(\+-|:-)?\s*\*\(\d+\).*"""), projLine)
+  }
+
   test("hard-negative mining: window-free pick; candidates ride the " +
        "cell equi-join, never a cartesian") {
     val vecs = (1L to 40L).map(i =>
