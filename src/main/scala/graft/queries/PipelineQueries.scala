@@ -1079,6 +1079,56 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** NATIVE stream-stream interval join under the gate (q205): the q198
+    * interval-overlap pairs re-derived by Spark's built-in watermarked
+    * stream-stream inner join (equi-key + event-time range → bounded
+    * join state) over three time-ordered waves of the two event slices —
+    * cross-wave pairs near the wave boundaries force joins against
+    * buffered state from earlier drains. The emitted pair set must
+    * equal the batch join: q198's oracle verbatim. A no-data fourth
+    * drain must append nothing (exactly-once across restarts). */
+  def streamIntervalJoinQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q205") { base =>
+      val (aDir, bDir) = (s"$base/a", s"$base/b")
+      val e = Tables.load(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val a = e.filter(col("event_id") % 3 === 1)
+        .select(col("event_id").as("a_id"), col("user_id"),
+          col("ts").as("a_start"))
+      val b = e.filter(col("event_id") % 3 === 2)
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user_id"),
+          col("ts").as("b_start"))
+      def run(): Long = graft.streaming.StreamIntervalJoin.runAvailableNow(
+        s, aDir, bDir, a.schema, b.schema,
+        aLenSec = 7200L, bLenSec = 2700L, delay = "2 hours",
+        outDir = s"$base/out", checkpointPath = s"$base/ckpt")
+      def wave(cond: org.apache.spark.sql.Column
+          => org.apache.spark.sql.Column): Unit = {
+        a.filter(cond(col("a_start"))).coalesce(1)
+          .write.mode("append").parquet(aDir)
+        b.filter(cond(col("b_start"))).coalesce(1)
+          .write.mode("append").parquet(bDir)
+      }
+      // event-time-ordered waves (the watermark contract any production
+      // feed honors); boundary-adjacent intervals overlap across waves
+      wave(ts => ts < lit("2024-01-11").cast("timestamp"))
+      run()
+      wave(ts => ts >= lit("2024-01-11").cast("timestamp") &&
+        ts < lit("2024-01-21").cast("timestamp"))
+      run()
+      wave(ts => ts >= lit("2024-01-21").cast("timestamp"))
+      run()
+      val emitted = s.read.parquet(s"$base/out").count()
+      run() // no new files: nothing may append
+      val afterReplay = s.read.parquet(s"$base/out").count()
+      require(afterReplay == emitted,
+        s"streamIntervalJoinQ: replay appended ${afterReplay - emitted} rows")
+      s.read.parquet(s"$base/out")
+        .select(col("a_id"), col("b_id"), col("user_id"))
+        .orderBy(col("a_id"), col("b_id"))
+        .localCheckpoint()
+    }
+
   /** SCD2 snapshot COMPACTION under the gate (q165): the same staged
     * drain as q157, but [[graft.streaming.Scd2Stream.compact]] runs
     * MID-CHAIN (after wave 2) and again after the final wave — the
@@ -1414,6 +1464,7 @@ object PipelineQueries {
     "q104_stream_dedup"   -> streamDedupQ _,
     "q105_lakesim_write"  -> lakesimWriteQ _,
     "q199_bloom_skip"     -> bloomSkipQ _,
+    "q205_stream_interval" -> streamIntervalJoinQ _,
     "q134_lakesim_stream" -> lakesimStreamQ _,
     "q139_csv_roundtrip"  -> csvRoundTripQ _,
     "q140_jdbc_roundtrip" -> jdbcRoundTripQ _,
@@ -1571,6 +1622,23 @@ object PipelineQueries {
     "q105_lakesim_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars > 300 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // the streamed pair set equals the batch interval-overlap join:
+    // q198's oracle verbatim over the same slices
+    "q205_stream_interval" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events),
+        |a AS (
+        | SELECT event_id AS a_id, user_id, ts AS a_start,
+        |  ts + INTERVAL 2 HOUR AS a_end
+        | FROM e WHERE event_id % 3 = 1),
+        |b AS (
+        | SELECT event_id AS b_id, user_id, ts AS b_start,
+        |  ts + INTERVAL 45 MINUTE AS b_end
+        | FROM e WHERE event_id % 3 = 2)
+        |SELECT a.a_id, b.b_id, a.user_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+        |ORDER BY a_id, b_id""".stripMargin,
     // the bloom-pruned point lookups return exactly the source rows
     "q199_bloom_skip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** NATIVE watermarked stream-stream interval join — the streaming
+  * counterpart of `operators/RangeJoin.intervalOverlap`, expressed as
+  * Spark's built-in stream-stream inner join (equi-key plus event-time
+  * range), not custom keyed state: the range condition plus both sides'
+  * watermarks is exactly the shape Structured Streaming bounds join
+  * state with (each side's buffered rows are evicted once the global
+  * watermark passes their reachable window), so this operator runs
+  * forever on unbounded streams with finite state — no
+  * flatMapGroupsWithState, no manual eviction.
+  *
+  * Semantics: sides carry fixed-length intervals opening at their event
+  * time (`a` spans `[a_start, a_start + aLenSec]`, `b` spans
+  * `[b_start, b_start + bLenSec]`, inclusive); a pair joins iff the
+  * intervals overlap — rewritten to the time-range form Spark plans
+  * state cleanup from: `b_start BETWEEN a_start - bLenSec AND a_start +
+  * aLenSec`. Inner-join append output: each matched pair exactly once
+  * (checkpoint-guarded across restarts).
+  *
+  * Batch≡stream invariant (the q205 gate): over the same inputs, the
+  * emitted pair set equals the batch `intervalOverlap` — provided
+  * arriving files respect the watermark delay (the gate feeds
+  * time-ordered waves, the production contract for any watermarked
+  * pipeline).
+  */
+object StreamIntervalJoin {
+
+  /** Drain both landing dirs with Trigger.AvailableNow, appending
+    * matched `(a_id, b_id, user_id)` rows to `outDir`. Schemas:
+    * `aDir` parquet = (a_id, user_id, a_start), `bDir` parquet =
+    * (b_id, b_user_id, b_start). Returns micro-batches that saw rows. */
+  def runAvailableNow(spark: SparkSession, aDir: String, bDir: String,
+                      aSchema: StructType, bSchema: StructType,
+                      aLenSec: Long, bLenSec: Long, delay: String,
+                      outDir: String, checkpointPath: String): Long = {
+    val a = spark.readStream.schema(aSchema).parquet(aDir)
+      .withWatermark("a_start", delay)
+    val b = spark.readStream.schema(bSchema).parquet(bDir)
+      .withWatermark("b_start", delay)
+    val joined = a.join(b,
+      col("user_id") === col("b_user_id") &&
+        col("b_start") >= col("a_start") - expr(s"INTERVAL $bLenSec SECONDS") &&
+        col("b_start") <= col("a_start") + expr(s"INTERVAL $aLenSec SECONDS"))
+      .select(col("a_id"), col("b_id"), col("user_id"))
+    val query = joined.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    query.recentProgress.count(_.numInputRows > 0)
+  }
+}
