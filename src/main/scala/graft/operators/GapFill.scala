@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series densification + fill-forward — the resample step every
+  * metrics/feature pipeline runs before a model sees per-entity series:
+  * an entity with no events on a day must appear as an explicit zero/
+  * carried row, or downstream aggregates silently treat absence as
+  * missing-at-random. The reference's incremental loads leave gaps by
+  * construction (only changed keys arrive); this operator rebuilds the
+  * dense per-key grid.
+  *
+  * Buckets are LONGS (the caller buckets timestamps — days since epoch,
+  * hours, window ids), so densification is integer `sequence` generation
+  * with no calendar semantics to drift between engines.
+  *
+  * Scale shape: the per-key span comes from one map-side-combinable
+  * `groupBy(key).agg(min, max)` (key-cardinality result); the grid is its
+  * `sequence`-explode — each key fans out to (span/step + 1) narrow rows,
+  * bounded by the retention window, never by the event count (a bot key
+  * with 10⁸ events densifies to the same ≤ span rows as a quiet one).
+  * The grid left-joins the observed buckets on (key, bucket) — an
+  * equi-join, shuffle-partitioned on the same key both sides. Fill-forward
+  * is a `last(ignoreNulls)` running window PER KEY over the DENSIFIED
+  * frame, so its partition size is the bounded grid span, not the raw
+  * row count — the only window discipline under which per-key windows
+  * survive 100 TB.
+  */
+object GapFill {
+
+  /** One row per key per `step` between that key's min and max observed
+    * bucket; unobserved buckets carry the observed frame's columns as
+    * null. Keys never observed don't appear (there is no span to fill). */
+  def densify(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+              step: Long = 1L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(step > 0, "step must be positive")
+    val keys = keyCols.map(col)
+    val spans = df.groupBy(keys: _*)
+      .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
+    val grid = spans.select(keys :+
+      explode(sequence(col("_lo"), col("_hi"), lit(step))).as(bucketCol): _*)
+    grid.join(df, keyCols :+ bucketCol, "left")
+  }
+
+  /** Carry the last non-null value of each `fillCols` forward along
+    * `orderCol` within each key — run AFTER [[densify]] so gap rows
+    * inherit the most recent observation. Leading nulls (no prior
+    * observation) stay null. */
+  def fillForward(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

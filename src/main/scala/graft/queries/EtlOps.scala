@@ -278,6 +278,156 @@ object EtlOps {
     head + rounds + s"\nSELECT node, rank FROM r$iters ORDER BY node"
   }
 
+  /** Label-propagation communities under the gate (q206): 4 synchronous
+    * rounds of [[graft.operators.LabelProp.propagate]] over the
+    * symmetrized part–supplier bipartite graph restricted to first line
+    * items (the sparser slice keeps real community structure — 21
+    * surviving labels over ~2k nodes at sf0.01, vs near-total collapse
+    * on the dense full graph). Any drift in the vote count, the
+    * synchronous-update discipline, or the min-label tie break moves
+    * labels. The oracle unrolls the rounds: per round one GROUP BY vote
+    * count and a (count DESC, label) argmax. */
+  def labelPropQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+    val pairs = li.select((col("l_partkey") * 2).as("pn"),
+        (col("l_suppkey") * 2 + 1).as("sn")).distinct()
+    val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("pn").as("dst")))
+    graft.operators.LabelProp.propagate(edges, "src", "dst", iters = 4)
+      .orderBy(col("node"))
+  }
+
+  /** q206's oracle: the synchronous rounds unrolled — votes are exact
+    * neighbor-label counts, the winner is the (count DESC, label)
+    * argmax, and a node with no in-edges keeps its previous label
+    * (cannot occur on this symmetrized graph; the COALESCE still
+    * restates the operator's contract). */
+  private def labelPropOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
+        |  l_suppkey * 2 + 1 AS sn FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT pn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, pn FROM pairs),
+        |n AS (SELECT DISTINCT src AS node FROM e
+        |      UNION SELECT DISTINCT dst FROM e),
+        |l0 AS (SELECT node, node AS label FROM n)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |v$k AS (SELECT e.dst AS node, l.label, count(*) AS c
+         | FROM e JOIN l${k - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |b$k AS (SELECT node, label, row_number() OVER
+         |  (PARTITION BY node ORDER BY c DESC, label) AS rk FROM v$k),
+         |l$k AS (SELECT n.node, COALESCE(b.label, p.label) AS label
+         | FROM n JOIN l${k - 1} p USING (node)
+         | LEFT JOIN (SELECT node, label FROM b$k WHERE rk = 1) b
+         |   USING (node))""".stripMargin
+    }.mkString
+    head + rounds + s"\nSELECT node, label FROM l$iters ORDER BY node"
+  }
+
+  /** Chi-squared drift audit under the gate (q207): the event-type
+    * distribution of the high-value event slice (`value > 50`) against
+    * the low-value reference through
+    * [[graft.functions.Drift.chiSquaredAudit]] at t = 1/4. The synthetic
+    * generator ties type mix to value weakly, so per-category
+    * contributions straddle 0.25 at every tested SF (2 of 5 categories
+    * drift at sf0.01, 4 of 5 at sf0.1) — an expected-count drift, a
+    * squared-term slip, or a cross-multiplication off-by-one flips
+    * verdicts. The oracle restates the exact rational in HUGEINT. */
+  def chiDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    graft.functions.Drift.chiSquaredAudit(
+        e.filter(col("value") <= 50), e.filter(col("value") > 50),
+        "event_type", tNum = 1, tDen = 4)
+      .orderBy(col("category"))
+  }
+
+  /** Batch-perceptron training under the gate (q208): 4 rounds over
+    * lineitem with integer features (quantity, linenumber, partkey mod
+    * 13) and a planted linear ground truth `qty − 3·line − 2·pmod + 5 >
+    * 0`, label-flipped on every 13th order key (irreducible noise) — so
+    * the trainer has something real to learn: the misclassified count
+    * falls monotonically (60000 → 23939 → 21657 → 8912 at sf0.01) and
+    * every round's misclassified SET differs, so a frozen-weights bug,
+    * a margin off-by-one (≤ vs <), or an update-order slip each move a
+    * different round. The oracle replays the rounds with single-row
+    * weight CTEs. */
+  def perceptronQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("qty"),
+      col("l_linenumber").cast("long").as("line"),
+      (col("l_partkey") % 13).as("pmod"),
+      (when((col("l_quantity") - col("l_linenumber") * 3 -
+        (col("l_partkey") % 13) * 2 + 5) > 0, 1L).otherwise(-1L) *
+        when(col("l_orderkey") % 13 === 0, -1L).otherwise(1L)).as("y"))
+    graft.functions.LinearClassifier.perceptronHistory(
+        li, "y", Seq("qty", "line", "pmod"), iters = 4)
+      .orderBy(col("iter"), col("feature"))
+  }
+
+  /** q208's oracle: the batch rounds unrolled — each round one filtered
+    * aggregate under the previous single-row weight CTE (zero weights
+    * make round 1's margin 0, so every row is misclassified: n_mis(1)
+    * pins N), then the summed update. */
+  private def perceptronOracle(iters: Int): String = {
+    val head =
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS x0,
+        |  CAST(l_linenumber AS BIGINT) AS x1,
+        |  CAST(l_partkey % 13 AS BIGINT) AS x2,
+        |  (CASE WHEN l_quantity - l_linenumber * 3 -
+        |     (l_partkey % 13) * 2 + 5 > 0 THEN 1 ELSE -1 END *
+        |   CASE WHEN l_orderkey % 13 = 0 THEN -1 ELSE 1 END) AS y
+        | FROM lineitem),
+        |w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wx0,
+        |       CAST(0 AS BIGINT) AS wx1, CAST(0 AS BIGINT) AS wx2)"""
+        .stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |m$k AS (SELECT count(*) AS n_mis,
+         |  COALESCE(sum(y), 0) AS db, COALESCE(sum(y * x0), 0) AS d0,
+         |  COALESCE(sum(y * x1), 0) AS d1, COALESCE(sum(y * x2), 0) AS d2
+         | FROM f, w${k - 1} w
+         | WHERE y * (w.b + w.wx0 * x0 + w.wx1 * x1 + w.wx2 * x2) <= 0),
+         |w$k AS (SELECT CAST(w.b + m.db AS BIGINT) AS b,
+         |  CAST(w.wx0 + m.d0 AS BIGINT) AS wx0,
+         |  CAST(w.wx1 + m.d1 AS BIGINT) AS wx1,
+         |  CAST(w.wx2 + m.d2 AS BIGINT) AS wx2
+         | FROM w${k - 1} w, m$k m)""".stripMargin
+    }.mkString
+    val rows = (1 to iters).flatMap { k =>
+      Seq(
+        s"SELECT CAST($k AS BIGINT) AS iter, (SELECT n_mis FROM m$k) AS n_mis, 'bias' AS feature, (SELECT b FROM w$k) AS weight",
+        s"SELECT $k, (SELECT n_mis FROM m$k), 'qty', (SELECT wx0 FROM w$k)",
+        s"SELECT $k, (SELECT n_mis FROM m$k), 'line', (SELECT wx1 FROM w$k)",
+        s"SELECT $k, (SELECT n_mis FROM m$k), 'pmod', (SELECT wx2 FROM w$k)")
+    }.mkString("\nUNION ALL ")
+    head + rounds + "\n" + rows + "\nORDER BY iter, feature"
+  }
+
+  /** Gap-filled per-cohort daily series under the gate (q209): events
+    * keyed by `user_id % 25`, bucketed to days since epoch, densified
+    * over each cohort's observed span ([[graft.operators.GapFill
+    * .densify]] — gap days appear with n_events = 0) and the last
+    * observed daily event type carried forward ([[GapFill.fillForward]]).
+    * Sparse cohorts at the gate SF leave real gaps, so a missing grid
+    * row, a zero-vs-null slip, or a fill that reads the raw frame
+    * instead of the densified one all move rows. */
+  def gapFillQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 11 === 0) // sparse slice: real gaps
+      .groupBy((col("user_id") % 25).as("k"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("event_type")).as("last_type"))
+    val dense = graft.operators.GapFill.densify(daily, Seq("k"), "day")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    graft.operators.GapFill.fillForward(dense, Seq("k"), "day",
+        Seq("last_type"))
+      .orderBy(col("k"), col("day"))
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -572,6 +722,10 @@ object EtlOps {
     "q52_percentiles"     -> percentilesQ _,
     "q198_interval_overlap" -> intervalOverlapQ _,
     "q201_graph_rank"     -> graphRankQ _,
+    "q206_label_prop"     -> labelPropQ _,
+    "q207_chi2_drift"     -> chiDriftQ _,
+    "q208_perceptron"     -> perceptronQ _,
+    "q209_gap_fill"       -> gapFillQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -969,6 +1123,43 @@ object EtlOps {
         | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
         |ORDER BY a_id, b_id""".stripMargin,
     "q201_graph_rank" -> graphRankOracle(5),
+    "q206_label_prop" -> labelPropOracle(4),
+    // exact rational chi-squared per category: d = ref_n·C − cur_n·R in
+    // HUGEINT, verdict by cross-multiplication at t = 1/4
+    "q207_chi2_drift" ->
+      """WITH r AS (SELECT event_type AS category, count(*) AS ref_n
+        |           FROM events WHERE value <= 50 GROUP BY 1),
+        |c AS (SELECT event_type AS category, count(*) AS cur_n
+        |      FROM events WHERE value > 50 GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+        |      FROM r FULL JOIN c
+        |        ON r.category IS NOT DISTINCT FROM c.category),
+        |t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j)
+        |SELECT category, ref_n, cur_n,
+        | CAST((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr)
+        |   AS DECIMAL(38,0)) AS chi_num,
+        | CAST(tr * tc * (ref_n + cur_n) AS DECIMAL(38,0)) AS chi_den,
+        | ((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr) * 4 >
+        |   tr * tc * (ref_n + cur_n) * 1) AS drifted
+        |FROM j, t ORDER BY category""".stripMargin,
+    "q208_perceptron" -> perceptronOracle(4),
+    // densified per-cohort day grid via generate_series over each
+    // cohort's span; gaps count 0 and carry the last observed type
+    "q209_gap_fill" ->
+      """WITH daily AS (SELECT user_id % 25 AS k,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS n_events, max(event_type) AS last_type
+        | FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi)) AS day
+        |         FROM (SELECT k, min(day) AS lo, max(day) AS hi
+        |               FROM daily GROUP BY k))
+        |SELECT g.k, g.day, COALESCE(d.n_events, 0) AS n_events,
+        | last_value(d.last_type IGNORE NULLS) OVER
+        |   (PARTITION BY g.k ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+        |FROM grid g LEFT JOIN daily d USING (k, day)
+        |ORDER BY k, day""".stripMargin,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,

@@ -462,6 +462,44 @@ class PlanShapeSpec extends SparkSpec {
       p4.contains("HashAggregate"), p4)
   }
 
+  test("label-prop votes, drift audit, and perceptron rounds are " +
+       "window-free aggregations; densify grids without a window") {
+    // a hub node's full vote list must partial-aggregate, never sort
+    // onto one task through a PARTITION BY node argmax window
+    val edges = (1 to 400).map(i => ((i % 20).toLong, (i % 7).toLong))
+      .toDF("src", "dst")
+    val lp = graft.operators.LabelProp.propagate(edges, "src", "dst", 2)
+    lp.collect()
+    val p1 = lp.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p1.contains("Window"), p1)
+    val snaps = (1 to 200).map(i => s"c${i % 6}").toDF("cat")
+    val dr = graft.functions.Drift.chiSquaredAudit(snaps, snaps, "cat", 1, 4)
+    dr.collect()
+    val p2 = dr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p2.contains("Window"), p2)
+    // the snapshot totals ride a broadcast, the category frame never
+    // funnels to one partition for them
+    assert(p2.contains("BroadcastNestedLoopJoin") ||
+      p2.contains("BroadcastExchange"), p2)
+    // one perceptron round = one filtered partial/final aggregate
+    val rows = (1 to 300).map(i => (if (i % 3 == 0) 1L else -1L,
+      (i % 17).toLong)).toDF("y", "x")
+    val hist = graft.functions.LinearClassifier.perceptronHistory(
+      rows, "y", Seq("x"), 1)
+    assert(hist.count() == 2L)
+    val dense = graft.operators.GapFill.densify(
+      (1 to 100).map(i => ((i % 9).toLong, (i % 23).toLong))
+        .toDF("k", "day"), Seq("k"), "day")
+    dense.collect()
+    val p3 = dense.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p3.contains("Window"), p3)
+    // the span explode is generator work over the key-sized agg result
+    assert(p3.contains("Generate"), p3)
+  }
+
   test("interval-overlap join rides the (key, bucket) equi-join: no " +
        "cartesian, no nested loop, no window") {
     import java.sql.Timestamp
