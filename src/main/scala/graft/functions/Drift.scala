@@ -46,14 +46,23 @@ object Drift {
     * a null-valued row). */
   def chiSquaredAudit(ref: DataFrame, cur: DataFrame, catCol: String,
                       tNum: Long, tDen: Long): DataFrame = {
-    require(tNum >= 0 && tDen > 0, s"threshold $tNum/$tDen must be >= 0")
     def counts(df: DataFrame, as: String) =
       df.groupBy(col(catCol).as("category"))
         .agg(count(lit(1)).as(as))
-    val r = counts(ref, "ref_n")
-    val c = counts(cur, "cur_n")
-    val joined = r.as("r")
-      .join(c.as("c"), col("r.category") <=> col("c.category"), "full_outer")
+    chiSquaredAuditFromCounts(counts(ref, "ref_n"), counts(cur, "cur_n"),
+      tNum, tDen)
+  }
+
+  /** The audit from PRE-AGGREGATED count frames — `(category, ref_n)` /
+    * `(category, cur_n)` — the seam the streaming monitor folds its
+    * maintained state through (its counts come from incremental state,
+    * not a rescan); [[chiSquaredAudit]] is this on two fresh groupBys. */
+  def chiSquaredAuditFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                                tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"threshold $tNum/$tDen must be >= 0")
+    val joined = refCounts.as("r")
+      .join(curCounts.as("c"), col("r.category") <=> col("c.category"),
+        "full_outer")
       .select(
         coalesce(col("r.category"), col("c.category")).as("category"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),

@@ -1043,6 +1043,41 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING drift monitor under the gate (q210): the q207 chi-squared
+    * audit's batch≡stream invariant — the high-value event slice drains
+    * through [[graft.streaming.StreamDrift]] in three waves (per-category
+    * cumulative counts as flatMapGroupsWithState state, batch_id-keyed
+    * emission), and the audit computed from the monitor's STANDING
+    * counts against the batch reference slice must hash-equal the batch
+    * [[graft.functions.Drift.chiSquaredAudit]] — q207's oracle verbatim.
+    * A no-data fourth drain must leave the sink untouched. */
+  def streamDriftQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q210") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+      val cur = e.filter(col("value") > 50)
+        .select(col("event_id"), col("event_type"))
+      def run(): Unit = graft.streaming.StreamDrift.runAvailableNow(
+        s, src, cur.schema, "event_type", s"$base/sink", s"$base/ckpt")
+      for (w <- 0 to 2) {
+        cur.filter(col("event_id") % 3 === w).coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing counts must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamDriftQ: no-data replay appended monitor rows")
+      val refCounts = e.filter(col("value") <= 50)
+        .groupBy(col("event_type").as("category"))
+        .agg(count(lit(1)).as("ref_n"))
+      graft.functions.Drift.chiSquaredAuditFromCounts(refCounts,
+          graft.streaming.StreamDrift.currentCounts(s, s"$base/sink"),
+          tNum = 1, tDen = 4)
+        .orderBy(col("category"))
+        .localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1487,6 +1522,7 @@ object PipelineQueries {
     "q156_scd2_lookup"    -> scd2LookupQ _,
     "q157_scd2_stream"    -> scd2StreamQ _,
     "q195_funnel_stream"  -> funnelStreamQ _,
+    "q210_stream_drift"   -> streamDriftQ _,
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
     "q164_enrich_stream"  -> scd2EnrichStreamQ _,
@@ -1798,6 +1834,25 @@ object PipelineQueries {
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |        LEFT JOIN s4 ON s1.user_id = s4.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    // the streaming monitor's standing counts must equal the batch
+    // recompute — the oracle IS q207's exact rational audit verbatim
+    "q210_stream_drift" ->
+      """WITH r AS (SELECT event_type AS category, count(*) AS ref_n
+        |           FROM events WHERE value <= 50 GROUP BY 1),
+        |c AS (SELECT event_type AS category, count(*) AS cur_n
+        |      FROM events WHERE value > 50 GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+        |      FROM r FULL JOIN c
+        |        ON r.category IS NOT DISTINCT FROM c.category),
+        |t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j)
+        |SELECT category, ref_n, cur_n,
+        | CAST((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr)
+        |   AS DECIMAL(38,0)) AS chi_num,
+        | CAST(tr * tc * (ref_n + cur_n) AS DECIMAL(38,0)) AS chi_den,
+        | ((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr) * 4 >
+        |   tr * tc * (ref_n + cur_n) * 1) AS drifted
+        |FROM j, t ORDER BY category""".stripMargin,
     // the streaming incremental history must equal the batch recompute —
     // the oracle IS q143's full-log restatement
     "q157_scd2_stream" ->
