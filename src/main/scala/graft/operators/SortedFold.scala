@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Per-key ORDERED folds — the secondary-sort scan pattern for the
+  * operators that are inherently sequential per entity: session
+  * assignment, exponential smoothing, running state machines. These
+  * cannot be expressed as commutative aggregations (each step reads the
+  * previous step's state in event order), so this is the documented
+  * `mapPartitions` last resort — used exactly where Spark's declarative
+  * surface genuinely cannot go.
+  *
+  * Scale shape: `repartition(key)` + `sortWithinPartitions(key, order)`
+  * co-locates and orders each key's rows (Spark's external sort spills —
+  * nothing is materialized per key), then ONE streaming pass holds O(1)
+  * state per key and emits row-by-row. Contrast a `PARTITION BY key`
+  * running window: same shuffle, but WindowExec buffers frames while
+  * this scan keeps only the fold state — a bot entity with 10⁸ events
+  * costs memory O(1), not O(events). The per-key sequential residency is
+  * inherent to the recurrence, not to the implementation.
+  */
+object SortedFold {
+
+  /** The secondary-sort layout every per-key sequential scan runs over. */
+  private def sortedByKey(df: DataFrame, keyCols: Seq[String],
+                          orderCols: Seq[String]): DataFrame =
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+
+  /** Append one fold-derived column: `first` opens a key's state from its
+    * first row, `step` advances it; both return (state, emitted value).
+    * Rows arrive in (key, order) order; null keys group together. */
+  def appendScan[S](df: DataFrame, keyCols: Seq[String],
+                    orderCols: Seq[String], field: StructField)
+                   (first: Row => (S, Any), step: (S, Row) => (S, Any))
+                   : DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "appendScan: need key and order columns")
+    val sorted = sortedByKey(df, keyCols, orderCols)
+    val schema = StructType(sorted.schema.fields :+ field)
+    val kis = keyCols.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { it =>
+      var cur: Seq[Any] = null
+      var started = false
+      var st: Option[S] = None
+      it.map { r =>
+        val k = kis.map(r.get)
+        val (s2, out) =
+          if (!started || k != cur) first(r) else step(st.get, r)
+        cur = k; started = true; st = Some(s2)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Gap-based sessionization: appends `session_id` (1-based per key) —
+    * a new session opens when the event-time gap to the previous event
+    * of the SAME key strictly exceeds `gapSec`. Order ties break on
+    * `idCol` so the scan is deterministic. `tsCol` must be a timestamp;
+    * comparison runs at microsecond precision (Spark's timestamp
+    * resolution). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, gapSec: Long): DataFrame = {
+    require(gapSec >= 0, "sessionize: gapSec must be non-negative")
+    val ti = df.schema.fieldIndex(tsCol)
+    val gapMicros = Math.multiplyExact(gapSec, 1000000L)
+    def micros(r: Row): Long = {
+      val ts = r.getTimestamp(ti)
+      Math.addExact(Math.multiplyExact(ts.getTime, 1000L),
+        (ts.getNanos / 1000L) % 1000L)
+    }
+    appendScan[(Long, Long)](df, Seq(keyCol), Seq(tsCol, idCol),
+      StructField("session_id", LongType, nullable = false))(
+      first = r => ((micros(r), 1L), 1L),
+      step = { case ((prev, sid), r) =>
+        val t = micros(r)
+        val s2 = if (t - prev > gapMicros) sid + 1 else sid
+        ((t, s2), s2)
+      })
+  }
+
+  /** Fixed-point integer EWMA per key: appends `ewma` where
+    * `e₁ = x₁` and `eₜ = (αNum·xₜ + (αDen−αNum)·eₜ₋₁) quot αDen`
+    * (TRUNCATING division — Java `/`, same semantics as Spark's `div`
+    * and DuckDB's `//`, which both round toward zero). The recurrence is
+    * pure integer arithmetic, so the whole trajectory restates exactly
+    * in an external engine (float EWMA, an order-sensitive product of
+    * doubles, cannot). Callers pre-scale real-valued inputs to
+    * fixed-point longs. */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valueCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      s"ewma: alpha $alphaNum/$alphaDen must be a fraction in [0, 1]")
+    val vi = df.schema.fieldIndex(valueCol)
+    appendScan[Long](df, Seq(keyCol), orderCols,
+      StructField("ewma", LongType, nullable = false))(
+      first = r => { val x = r.getLong(vi); (x, x) },
+      step = { (e, r) =>
+        val x = r.getLong(vi)
+        val e2 = Math.addExact(Math.multiplyExact(alphaNum, x),
+          Math.multiplyExact(alphaDen - alphaNum, e)) / alphaDen
+        (e2, e2)
+      })
+  }
+}

@@ -428,6 +428,42 @@ object EtlOps {
       .orderBy(col("k"), col("day"))
   }
 
+  /** Batch gap sessionization under the gate (q211): every event gets a
+    * 1-based per-user session id, a new session opening on a strict
+    * 30-minute silence ([[graft.operators.SortedFold.sessionize]] — the
+    * O(1)-state secondary-sort scan, never a buffering window). Events
+    * are second-truncated so both engines order and difference the same
+    * timestamps (the raw column is nanos parquet); ties break on
+    * event_id. The oracle restates the classic lag-gap + running-sum
+    * construction. */
+  def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"))
+    graft.operators.SortedFold.sessionize(e, "user_id", "ts", "event_id",
+        gapSec = 1800)
+      .select(col("event_id"), col("user_id"), col("session_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Fixed-point EWMA smoothing under the gate (q212): per user-cohort
+    * (user_id mod 25) event values in cents, smoothed at α = 1/4 in
+    * exact integer arithmetic ([[graft.operators.SortedFold.ewma]]).
+    * Every output row depends on the key's ENTIRE ordered prefix, so a
+    * single swapped pair, a lost first-element seed, or a rounding-mode
+    * drift moves rows. The oracle replays the recurrence with
+    * list_reduce over running prefixes. */
+  def ewmaQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events").select(
+      col("event_id"), (col("user_id") % 25).as("k"),
+      date_trunc("second", col("ts")).as("ts"),
+      floor(col("value") * 100).cast("long").as("xv"))
+    graft.operators.SortedFold.ewma(e, "k", Seq("ts", "event_id"), "xv",
+        alphaNum = 1, alphaDen = 4)
+      .select(col("event_id"), col("k"), col("xv"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -726,6 +762,8 @@ object EtlOps {
     "q207_chi2_drift"     -> chiDriftQ _,
     "q208_perceptron"     -> perceptronQ _,
     "q209_gap_fill"       -> gapFillQ _,
+    "q211_sessionize"     -> sessionizeQ _,
+    "q212_ewma"           -> ewmaQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1160,6 +1198,35 @@ object EtlOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
         |FROM grid g LEFT JOIN daily d USING (k, day)
         |ORDER BY k, day""".stripMargin,
+    // lag-gap flags summed cumulatively per user; second-truncated
+    // timestamps, micros-exact strict > 1800s, (ts, event_id) order
+    "q211_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  date_trunc('second', ts) AS ts FROM events),
+        |m AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |  THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        | CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_id
+        |FROM m ORDER BY event_id""".stripMargin,
+    // the integer recurrence replayed by list_reduce over each row's
+    // ordered prefix; // truncates toward zero exactly like the scan
+    "q212_ewma" ->
+      """WITH e AS (SELECT event_id, user_id % 25 AS k,
+        |  date_trunc('second', ts) AS ts,
+        |  CAST(floor(value * 100) AS BIGINT) AS xv FROM events),
+        |p AS (SELECT event_id, k, xv,
+        |  list(xv) OVER (PARTITION BY k ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        | FROM e)
+        |SELECT event_id, k, xv,
+        | CAST(list_reduce(xs, (acc, x) -> (1*x + 3*acc) // 4) AS BIGINT)
+        |   AS ewma
+        |FROM p ORDER BY event_id""".stripMargin,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,
