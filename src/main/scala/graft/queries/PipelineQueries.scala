@@ -1136,7 +1136,11 @@ object PipelineQueries {
       def run(): Long = graft.streaming.StreamIntervalJoin.runAvailableNow(
         s, aDir, bDir, a.schema, b.schema,
         aLenSec = 7200L, bLenSec = 2700L, delay = "2 hours",
-        outDir = s"$base/out", checkpointPath = s"$base/ckpt")
+        outDir = s"$base/out", checkpointPath = s"$base/ckpt",
+        // per-user in-window row counts are tiny at every gate SF; 8
+        // state partitions cut the 4-stores-per-partition-per-side
+        // file-IO floor that dominated under 32 (33.6 s → see STATUS)
+        statePartitions = Some(8))
       def wave(cond: org.apache.spark.sql.Column
           => org.apache.spark.sql.Column): Unit = {
         a.filter(cond(col("a_start"))).coalesce(1)

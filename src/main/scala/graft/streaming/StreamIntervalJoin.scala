@@ -34,11 +34,21 @@ object StreamIntervalJoin {
   /** Drain both landing dirs with Trigger.AvailableNow, appending
     * matched `(a_id, b_id, user_id)` rows to `outDir`. Schemas:
     * `aDir` parquet = (a_id, user_id, a_start), `bDir` parquet =
-    * (b_id, b_user_id, b_start). Returns micro-batches that saw rows. */
+    * (b_id, b_user_id, b_start). Returns micro-batches that saw rows.
+    *
+    * `statePartitions` sizes the join's state layout (a stream-stream
+    * join carries FOUR state stores per partition per side, so partition
+    * count is pure per-batch file-IO overhead until state actually
+    * outgrows it — the measured gate cost is lifecycle-fixed: 33.6 s at
+    * sf0.1 vs 29.6 s at 10× data under 32 partitions). The count is
+    * baked into the checkpoint at first start, exactly like
+    * [[Scd2Stream]]'s adaptive buckets; pick it from expected concurrent
+    * in-window rows per key-window, not from input size. */
   def runAvailableNow(spark: SparkSession, aDir: String, bDir: String,
                       aSchema: StructType, bSchema: StructType,
                       aLenSec: Long, bLenSec: Long, delay: String,
-                      outDir: String, checkpointPath: String): Long = {
+                      outDir: String, checkpointPath: String,
+                      statePartitions: Option[Int] = None): Long = {
     val a = spark.readStream.schema(aSchema).parquet(aDir)
       .withWatermark("a_start", delay)
     val b = spark.readStream.schema(bSchema).parquet(bDir)
@@ -48,13 +58,18 @@ object StreamIntervalJoin {
         col("b_start") >= col("a_start") - expr(s"INTERVAL $bLenSec SECONDS") &&
         col("b_start") <= col("a_start") + expr(s"INTERVAL $aLenSec SECONDS"))
       .select(col("a_id"), col("b_id"), col("user_id"))
-    val query = joined.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    query.recentProgress.count(_.numInputRows > 0)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val query = joined.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      query.recentProgress.count(_.numInputRows > 0)
+    } finally spark.conf.set(key, saved)
   }
 }
