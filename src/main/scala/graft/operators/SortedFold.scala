@@ -81,6 +81,24 @@ object SortedFold {
       })
   }
 
+  /** One-sided CUSUM change-point statistic per key: appends `cusum`
+    * where `S₀ = 0` and `Sₜ = max(0, Sₜ₋₁ + xₜ − drift)` (Page 1954) —
+    * the sequential alarm that catches a sustained rate shift a
+    * threshold-per-point test misses. Pure integer arithmetic over
+    * pre-scaled longs; pair with [[GapFill.densify]] so silent periods
+    * (x = 0) decay the statistic instead of vanishing from it. Alarm
+    * when `cusum` exceeds the caller's h. */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+            valueCol: String, drift: Long): DataFrame = {
+    val vi = df.schema.fieldIndex(valueCol)
+    def next(s: Long, r: Row): Long =
+      Math.max(0L, Math.addExact(s, r.getLong(vi) - drift))
+    appendScan[Long](df, Seq(keyCol), orderCols,
+      StructField("cusum", LongType, nullable = false))(
+      first = r => { val s = next(0L, r); (s, s) },
+      step = { (s, r) => val s2 = next(s, r); (s2, s2) })
+  }
+
   /** Fixed-point integer EWMA per key: appends `ewma` where
     * `e₁ = x₁` and `eₜ = (αNum·xₜ + (αDen−αNum)·eₜ₋₁) quot αDen`
     * (TRUNCATING division — Java `/`, same semantics as Spark's `div`

@@ -464,6 +464,55 @@ object EtlOps {
       .orderBy(col("event_id"))
   }
 
+  /** CUSUM change-point monitoring under the gate (q213): the q209
+    * densified per-cohort daily event counts fed through
+    * [[graft.operators.SortedFold.cusum]] at drift 2/day — gap days
+    * (zero events) DECAY the statistic, which is exactly why the
+    * densify step precedes it — with alarms at h = 3. Cohort maxima
+    * straddle the threshold at the gate SF (1–5), so a lost gap day, a
+    * wrong max(0,·) clamp, or a seed slip flips alarm rows. The oracle
+    * replays the recurrence by list_reduce over zero-seeded prefixes. */
+  def cusumQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 11 === 0)
+      .groupBy((col("user_id") % 25).as("k"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val dense = graft.operators.GapFill.densify(daily, Seq("k"), "day")
+      .select(col("k"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("x"))
+    graft.operators.SortedFold.cusum(dense, "k", Seq("day"), "x", drift = 2)
+      .withColumn("alarm", col("cusum") > 3)
+      .orderBy(col("k"), col("day"))
+  }
+
+  /** Degree-oriented triangle counting under the gate (q214): per-part
+    * triangle participation in the co-order graph (parts sharing an
+    * order, canonical u < v edges) through
+    * [[graft.operators.Triangles.perNodeCounts]]. The first three line
+    * items per order define the graph — the full clique-per-order graph
+    * carries 41M wedges at sf0.1 (30× the work) purely by gate-data
+    * construction; the operator's m^{3/2} bound is what's under test,
+    * not the dataset's density. 13.8k triangles over 1999 of 2000 parts
+    * (counts 1–76) at sf0.01, so a double-generated triangle, a broken
+    * (degree, id) orientation, or a lost closing edge moves many
+    * counts. The oracle is the naive three-way self-join on a < b < c —
+    * agreement pins that orientation generates each triangle exactly
+    * once. */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val edges = graft.operators.Triangles.canonicalEdges(pairs, "u", "v")
+    graft.operators.Triangles.perNodeCounts(edges)
+      .orderBy(col("node"))
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -764,6 +813,8 @@ object EtlOps {
     "q209_gap_fill"       -> gapFillQ _,
     "q211_sessionize"     -> sessionizeQ _,
     "q212_ewma"           -> ewmaQ _,
+    "q213_cusum"          -> cusumQ _,
+    "q214_triangles"      -> trianglesQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1227,6 +1278,43 @@ object EtlOps {
         | CAST(list_reduce(xs, (acc, x) -> (1*x + 3*acc) // 4) AS BIGINT)
         |   AS ewma
         |FROM p ORDER BY event_id""".stripMargin,
+    // the q209 densified grid, then the zero-seeded max(0, S+x−2)
+    // recurrence replayed over each row's ordered prefix
+    "q213_cusum" ->
+      """WITH daily AS (SELECT user_id % 25 AS k,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS n FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi)) AS day
+        |         FROM (SELECT k, min(day) AS lo, max(day) AS hi
+        |               FROM daily GROUP BY k)),
+        |d AS (SELECT g.k, g.day, COALESCE(daily.n, 0) AS x
+        |      FROM grid g LEFT JOIN daily USING (k, day)),
+        |p AS (SELECT k, day, x,
+        |  list(x) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        | FROM d)
+        |SELECT k, day, x,
+        | CAST(list_reduce(list_prepend(0, xs),
+        |   (acc, x) -> greatest(0, acc + x - 2)) AS BIGINT) AS cusum,
+        | (list_reduce(list_prepend(0, xs),
+        |   (acc, x) -> greatest(0, acc + x - 2)) > 3) AS alarm
+        |FROM p ORDER BY k, day""".stripMargin,
+    // the naive a < b < c three-way self-join over canonical co-order
+    // edges; per-node credit via the three-vertex unpivot
+    "q214_triangles" ->
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pe e1 JOIN pe e2 ON e2.u = e1.v
+        |  JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_triangles FROM
+        | (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,

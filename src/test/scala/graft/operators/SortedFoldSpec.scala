@@ -50,6 +50,15 @@ class SortedFoldSpec extends SparkSpec {
     assert(got == Map(1L -> -1L, 2L -> -1L))
   }
 
+  test("cusum: zero seed, max(0,·) clamp, drift subtraction") {
+    val e = Seq(("k", 1L, 5L), ("k", 2L, 0L), ("k", 3L, 0L),
+      ("k", 4L, 0L), ("k", 5L, 4L)).toDF("k", "i", "xv")
+    val got = SortedFold.cusum(e, "k", Seq("i"), "xv", drift = 2)
+      .select("i", "cusum").as[(Long, Long)].collect().toMap
+    // S: max(0,0+5−2)=3, 1, 0 (clamped), 0, max(0,0+4−2)=2
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 2L))
+  }
+
   test("keys never leak state across the sorted stream") {
     // interleaved keys, many partitions: each key folds independently
     val rows = (1L to 200L).map(i => (s"k${i % 7}", i, i % 13))
