@@ -513,6 +513,54 @@ object EtlOps {
       .orderBy(col("node"))
   }
 
+  /** k-core decomposition under the gate (q215): 5 synchronous peeling
+    * rounds at k = 12 over the symmetrized sparse co-order graph (the
+    * q214 slice) through [[graft.operators.KCore.kCore]] — at the gate
+    * SF the cascade removes nodes in each of rounds 1–4 (1832 → 1808 →
+    * 1804 → 1803 survivors of 1999) and round 5 confirms the fixpoint,
+    * so an off-by-one on `>= k`, an asynchronous peel, or a stale-degree
+    * slip each move a different round. The oracle unrolls the rounds:
+    * one degree count + two-sided membership join per peel. */
+  def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val canon = graft.operators.Triangles.canonicalEdges(pairs, "u", "v")
+    val sym = canon.unionAll(
+      canon.select(col("v").as("u"), col("u").as("v")))
+    graft.operators.KCore.kCore(sym, "u", "v", k = 12, rounds = 5)
+      .orderBy(col("node"))
+  }
+
+  /** q215's oracle: the synchronous peels unrolled — per round the
+    * survivor set from the previous round's degrees, applied to BOTH
+    * edge endpoints before the next count. */
+  private def kCoreOracle(k: Long, rounds: Int): String = {
+    val head =
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3),
+        |e0 AS (SELECT u AS src, v AS dst FROM pe
+        |       UNION ALL SELECT v, u FROM pe)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s""",
+         |k$r AS (SELECT src FROM (SELECT src, count(*) AS c
+         |        FROM e${r - 1} GROUP BY src) WHERE c >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN k$r a ON e.src = a.src
+         |        JOIN k$r b ON e.dst = b.src)""".stripMargin
+    }.mkString
+    head + peels +
+      s"\nSELECT src AS node, count(*) AS deg FROM e$rounds" +
+      "\nGROUP BY src ORDER BY node"
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -815,6 +863,7 @@ object EtlOps {
     "q212_ewma"           -> ewmaQ _,
     "q213_cusum"          -> cusumQ _,
     "q214_triangles"      -> trianglesQ _,
+    "q215_kcore"          -> kCoreQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1213,6 +1262,7 @@ object EtlOps {
         |ORDER BY a_id, b_id""".stripMargin,
     "q201_graph_rank" -> graphRankOracle(5),
     "q206_label_prop" -> labelPropOracle(4),
+    "q215_kcore" -> kCoreOracle(12, 5),
     // exact rational chi-squared per category: d = ref_n·C − cur_n·R in
     // HUGEINT, verdict by cross-multiplication at t = 1/4
     "q207_chi2_drift" ->

@@ -500,6 +500,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p3.contains("Generate"), p3)
   }
 
+  test("triangle wedge join and k-core peels are equi-joins — no " +
+       "cartesian, no nested loop, no window") {
+    val pairs = (1 to 300).map(i => ((i % 23).toLong, (i % 17).toLong))
+      .toDF("a", "b")
+    val edges = graft.operators.Triangles.canonicalEdges(pairs, "a", "b")
+    val tri = graft.operators.Triangles.perNodeCounts(edges)
+    tri.collect()
+    val p1 = tri.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p1.contains("CartesianProduct"), p1)
+    assert(!p1.contains("BroadcastNestedLoopJoin"), p1)
+    assert(!p1.contains("Window"), p1)
+    val sym = edges.unionAll(edges.select(col("v").as("u"),
+      col("u").as("v")))
+    val kc = graft.operators.KCore.kCore(sym, "u", "v", 3, 2)
+    kc.collect()
+    val p2 = kc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(!p2.contains("Window"), p2)
+  }
+
   test("interval-overlap join rides the (key, bucket) equi-join: no " +
        "cartesian, no nested loop, no window") {
     import java.sql.Timestamp
