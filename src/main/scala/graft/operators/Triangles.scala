@@ -79,4 +79,23 @@ object Triangles {
       .unionAll(t.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient as an EXACT rational — `(node, deg,
+    * n_triangles, cc_num, cc_den)` with `cc = cc_num/cc_den =
+    * 2·triangles / (deg·(deg−1))`, every node of the graph present
+    * (degree-1 nodes report 0/0 → cc_den 0, the standard undefined
+    * case, emitted rather than silently dropped). Float coefficients
+    * cannot hash-compare across engines; the rational does. One degree
+    * aggregation left-joined with [[perNodeCounts]] — no extra wedge
+    * work. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(perNodeCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (coalesce(col("n_triangles"), lit(0L)) * 2).as("cc_num"),
+        (col("deg") * (col("deg") - 1)).as("cc_den"))
+  }
 }

@@ -536,6 +536,24 @@ object EtlOps {
       .orderBy(col("node"))
   }
 
+  /** Local clustering coefficient under the gate (q216): the q214
+    * triangle counts normalized to the exact rational 2·t/(deg·(deg−1))
+    * per part via [[graft.operators.Triangles.clusteringCoefficient]] —
+    * every node present including the triangle-free and the
+    * degree-undefined (cc_den 0) edges of the contract. */
+  def clusteringQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    graft.operators.Triangles.clusteringCoefficient(
+        graft.operators.Triangles.canonicalEdges(pairs, "u", "v"))
+      .orderBy(col("node"))
+  }
+
   /** q215's oracle: the synchronous peels unrolled — per round the
     * survivor set from the previous round's degrees, applied to BOTH
     * edge endpoints before the next count. */
@@ -864,6 +882,7 @@ object EtlOps {
     "q213_cusum"          -> cusumQ _,
     "q214_triangles"      -> trianglesQ _,
     "q215_kcore"          -> kCoreQ _,
+    "q216_clustering"     -> clusteringQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1263,6 +1282,29 @@ object EtlOps {
     "q201_graph_rank" -> graphRankOracle(5),
     "q206_label_prop" -> labelPropOracle(4),
     "q215_kcore" -> kCoreOracle(12, 5),
+    // q214's triangle CTE normalized to the exact rational per node;
+    // zero-fill for triangle-free nodes, cc_den 0 for degree-1 nodes
+    "q216_clustering" ->
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM pe e1 JOIN pe e2 ON e2.u = e1.v
+        |  JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, count(*) AS t FROM
+        | (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY node),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        | (SELECT u AS node FROM pe UNION ALL SELECT v FROM pe)
+        | GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(pn.t, 0) AS n_triangles,
+        | COALESCE(pn.t, 0) * 2 AS cc_num,
+        | d.deg * (d.deg - 1) AS cc_den
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
     // exact rational chi-squared per category: d = ref_n·C − cur_n·R in
     // HUGEINT, verdict by cross-multiplication at t = 1/4
     "q207_chi2_drift" ->

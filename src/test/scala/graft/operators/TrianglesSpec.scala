@@ -59,6 +59,20 @@ class TrianglesSpec extends SparkSpec {
     assert(tris(pairs).size.toLong == naive(pairs))
   }
 
+  test("clusteringCoefficient: exact rational, zero-fill, undefined den") {
+    // triangle + pendant 4: nodes 1,2 cc = 2/2; 3 has deg 3 → 2/6;
+    // 4 has deg 1 → 0/0 (undefined, still emitted)
+    val got = Triangles.clusteringCoefficient(
+        Triangles.canonicalEdges(
+          Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b"),
+          "a", "b"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 2L, 2L)), 2L -> ((2L, 1L, 2L, 2L)),
+      3L -> ((3L, 1L, 2L, 6L)), 4L -> ((1L, 0L, 0L, 0L))))
+  }
+
   test("perNodeCounts credits all three vertices") {
     val got = Triangles.perNodeCounts(
         Triangles.canonicalEdges(
