@@ -295,4 +295,36 @@ object Sharding {
         sum(col(weightCol).cast("long")).as("total_weight"),
         min(col(keyCol)).as("first_key"), max(col(keyCol)).as("last_key"))
       .orderBy(col("shard_id"))
+
+  /** Rendezvous (highest-random-weight) shard routing (Thaler & Ravishankar
+    * 1996): every key goes to the shard maximizing `hash60(key # shard)` —
+    * KEY-AFFINE like hash-mod, but with the property hash-mod lacks:
+    * removing or adding one shard moves ONLY the keys that hashed to it
+    * (expected 1/n of traffic), where `mod n → mod n−1` reshuffles almost
+    * everything. That is the routing a stateful 100 TB serving tier
+    * (feature stores, dedup index shards, ANN partitions) needs to
+    * survive elastic resizes; spec-pinned as the minimal-disruption
+    * invariant and gated as data (q217).
+    *
+    * Scale shape: a PURE PROJECTION — the |shards| candidate scores fold
+    * into one `greatest` of (hash, shard) structs inside whole-stage
+    * codegen; no shuffle, no window, no driver state. Built on the md5
+    * [[Sketches.hash60]] seam so an external engine restates every
+    * assignment. Ties (two shards at the same 60-bit hash for one key,
+    * ~2⁻⁶⁰) break to the lexicographically larger shard name. */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+                       shards: Seq[String], as: String = "shard"): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign: need at least one shard")
+    require(shards.distinct.size == shards.size,
+      "rendezvousAssign: duplicate shard names")
+    val scored = shards.map { s =>
+      struct(
+        Sketches.hash60(concat(col(keyCol).cast("string"), lit("#" + s)))
+          .as("h"),
+        lit(s).as("s"))
+    }
+    val winner =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn(as, winner.getField("s"))
+  }
 }

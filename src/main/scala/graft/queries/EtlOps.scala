@@ -579,6 +579,27 @@ object EtlOps {
       "\nGROUP BY src ORDER BY node"
   }
 
+  /** Rendezvous shard routing under the gate (q217): every part key
+    * routed over 7 shards, then over the same ring with shard s3
+    * REMOVED ([[graft.functions.Sharding.rendezvousAssign]] on the md5
+    * hash60 seam). The minimal-disruption law rides the output as data:
+    * `moved` is true exactly for the keys whose old shard was s3
+    * (~1/7 of keys), because removing a candidate can only promote the
+    * runner-up where that candidate had won — a hash-mod router would
+    * move ~6/7. The oracle replays every per-(key, shard) hash and both
+    * argmaxes. */
+  def rendezvousQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sharding
+    val keys = Tables.load(s, dir, "part").select(col("p_partkey"))
+    val ring = (0 to 6).map(i => s"s$i")
+    val routed = Sharding.rendezvousAssign(
+      Sharding.rendezvousAssign(keys, "p_partkey", ring, "shard_old"),
+      "p_partkey", ring.filterNot(_ == "s3"), "shard_new")
+    routed.select(col("p_partkey"), col("shard_old"), col("shard_new"),
+        (col("shard_old") =!= col("shard_new")).as("moved"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -883,6 +904,7 @@ object EtlOps {
     "q214_triangles"      -> trianglesQ _,
     "q215_kcore"          -> kCoreQ _,
     "q216_clustering"     -> clusteringQ _,
+    "q217_rendezvous"     -> rendezvousQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1407,6 +1429,28 @@ object EtlOps {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin,
+    // every (key, shard) md5 hash replayed, both argmaxes by
+    // (hash DESC, shard DESC), the removed-shard disruption as data
+    "q217_rendezvous" ->
+      """WITH k AS (SELECT p_partkey FROM part),
+        |s7 AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6'])
+        |         AS shard),
+        |a7 AS (SELECT p_partkey, shard,
+        |  ('0x' || substring(md5(CAST(p_partkey AS VARCHAR) || '#' ||
+        |    shard), 1, 15))::BIGINT AS h
+        | FROM k CROSS JOIN s7),
+        |w7 AS (SELECT p_partkey, shard FROM
+        |  (SELECT p_partkey, shard, row_number() OVER
+        |    (PARTITION BY p_partkey ORDER BY h DESC, shard DESC) AS rn
+        |   FROM a7) WHERE rn = 1),
+        |w6 AS (SELECT p_partkey, shard FROM
+        |  (SELECT p_partkey, shard, row_number() OVER
+        |    (PARTITION BY p_partkey ORDER BY h DESC, shard DESC) AS rn
+        |   FROM a7 WHERE shard <> 's3') WHERE rn = 1)
+        |SELECT k.p_partkey, w7.shard AS shard_old, w6.shard AS shard_new,
+        | (w7.shard <> w6.shard) AS moved
+        |FROM k JOIN w7 USING (p_partkey) JOIN w6 USING (p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,

@@ -154,6 +154,48 @@ class ShardingSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("rendezvous routing: deterministic, total, and minimally " +
+       "disruptive under shard removal") {
+    val keys = (1L to 400L).toDF("k")
+    val ring = (0 to 4).map(i => s"n$i")
+    val a = Sharding.rendezvousAssign(keys, "k", ring)
+      .as[(Long, String)].collect().toMap
+    // total and deterministic
+    assert(a.size == 400 && a.values.forall(ring.contains))
+    assert(Sharding.rendezvousAssign(keys, "k", ring)
+      .as[(Long, String)].collect().toMap == a)
+    // roughly balanced: each shard gets a nontrivial share
+    val byShard = a.groupBy(_._2).view.mapValues(_.size)
+    assert(ring.forall(s => byShard.getOrElse(s, 0) > 40))
+    // THE rendezvous law: dropping n2 moves exactly n2's keys
+    val b = Sharding.rendezvousAssign(keys, "k", ring.filterNot(_ == "n2"))
+      .as[(Long, String)].collect().toMap
+    keys.as[Long].collect().foreach { k =>
+      if (a(k) == "n2") assert(b(k) != "n2")
+      else assert(b(k) == a(k), s"key $k moved without cause")
+    }
+    // ...and adding it back restores every assignment (hash is stable)
+    val c = Sharding.rendezvousAssign(keys, "k", ring)
+      .as[(Long, String)].collect().toMap
+    assert(c == a)
+  }
+
+  test("rendezvous hash matches the md5 hash60 reference chain") {
+    // the assignment must be exactly argmax of the restatable hash
+    val keys = (1L to 50L).toDF("k")
+    val ring = Seq("a", "b", "c")
+    val got = Sharding.rendezvousAssign(keys, "k", ring)
+      .as[(Long, String)].collect().toMap
+    val ref = keys.select((col("k") +:
+        ring.map(s => Sketches.hash60Sql(
+          concat(col("k").cast("string"), lit("#" + s))).as(s))): _*)
+      .collect().map { r =>
+        r.getLong(0) -> ring.zipWithIndex
+          .map { case (s, i) => (r.getLong(i + 1), s) }.max._2
+      }.toMap
+    assert(got == ref)
+  }
+
   test("shardManifest totals reconcile with the input") {
     val packed = Sharding.packShards(docs, "id", "toks", 200, 4)
     val manifest = Sharding.shardManifest(packed, "id", "toks")
