@@ -66,6 +66,52 @@ object PageRank {
     ranks
   }
 
+  /** PERSONALIZED fixed-point PageRank (random walk with restart): the
+    * damped share of mass teleports back to the SEED set instead of to
+    * every node, so ranks measure relevance-to-the-seeds rather than
+    * global centrality — the "similar items to this catalog slice" /
+    * "accounts near these known-bad actors" primitive. Same integer
+    * contract as [[pagerank]] (micro-unit ranks, rational damping,
+    * truncating division — restates exactly in SQL); seeds start at
+    * `scale`, everything else at 0, and only seeds receive the restart
+    * term. Seeds ride the node table as a 0/1 flag (one broadcast-sized
+    * semi-join at setup; iterations move only the node-sized rank
+    * frame). */
+  def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String, iters: Int,
+                           dampNum: Long = 17L, dampDen: Long = 20L,
+                           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("_s", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(0L)).as("seed"))
+      .localCheckpoint()
+    val base = scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes.select(col("node"),
+      (col("seed") * scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (col("seed") * base +
+            expr(s"coalesce(s, bigint(0)) * $dampNum div $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** TextRank co-occurrence edges: adjacent-token pairs with corpus count
     * ≥ `minCount`, symmetrized and deduplicated — an undirected graph (no
     * dangling nodes by construction). */

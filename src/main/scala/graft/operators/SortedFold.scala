@@ -81,6 +81,19 @@ object SortedFold {
       })
   }
 
+  /** Event-order lag per key: appends the PREVIOUS row's `valueCol`
+    * (null on each key's first row) — the building block for Markov
+    * transition counting and consecutive-delta features, with the same
+    * O(1)-state scan instead of a buffering `lag` window. */
+  def lagged(df: DataFrame, keyCol: String, orderCols: Seq[String],
+             valueCol: String, as: String = "prev"): DataFrame = {
+    val vi = df.schema.fieldIndex(valueCol)
+    val field = df.schema(valueCol).copy(name = as, nullable = true)
+    appendScan[Any](df, Seq(keyCol), orderCols, field)(
+      first = r => (r.get(vi), null),
+      step = { (prev, r) => (r.get(vi), prev) })
+  }
+
   /** One-sided CUSUM change-point statistic per key: appends `cusum`
     * where `S₀ = 0` and `Sₜ = max(0, Sₜ₋₁ + xₜ − drift)` (Page 1954) —
     * the sequential alarm that catches a sustained rate shift a

@@ -600,6 +600,89 @@ object EtlOps {
       .orderBy(col("p_partkey"))
   }
 
+  /** Markov transition counts under the gate (q218): the per-user
+    * event-type transition matrix through
+    * [[graft.operators.Paths.transitionCounts]] — first events count
+    * from the `^start` entry state; the lag rides the O(1)-state
+    * [[graft.operators.SortedFold.lagged]] scan, never a buffering
+    * window. 30 (from, to) cells whose counts pin per-key ordering,
+    * the entry-state convention, and cross-key isolation. */
+  def transitionsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"))
+    graft.operators.Paths.transitionCounts(e, "user_id",
+        Seq("ts", "event_id"), "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Top session paths under the gate (q219): 15-minute-gap sessions'
+    * ordered event-type journeys through
+    * [[graft.operators.Paths.topPaths]] — 9774 sessions collapse to 34
+    * distinct paths at sf0.01, top 20 reported with ties on the path
+    * string. The collect_list is SESSION-bounded (the gap closes
+    * runaway sessions), the only collect_list discipline that survives
+    * a bot user. */
+  def topPathsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"))
+    graft.operators.Paths.topPaths(e, "user_id", "ts", "event_id",
+        "event_type", gapSec = 900, k = 20)
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  /** Personalized PageRank under the gate (q220): random walk with
+    * restart to the PART side of the sparse co-order bipartite graph
+    * ([[graft.operators.PageRank.personalizedPagerank]], seeds = the
+    * even-coded part nodes) — supplier ranks now measure proximity to
+    * parts, not global centrality, and non-seed restart mass is zero
+    * (a node unreachable from the seeds must read rank 0, which the
+    * oracle's seed CASE restates). Same exact integer contract as
+    * q201. */
+  def personalizedRankQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+    val pairs = li.select((col("l_partkey") * 2).as("pn"),
+        (col("l_suppkey") * 2 + 1).as("sn")).distinct()
+    val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("pn").as("dst")))
+    val seeds = pairs.select(col("pn").as("node")).distinct()
+    graft.operators.PageRank.personalizedPagerank(edges, "src", "dst",
+        seeds, "node", iters = 4)
+      .orderBy(col("node"))
+  }
+
+  /** q220's oracle: q201's integer iteration with the restart term
+    * gated on the seed flag (even node code = part side). */
+  private def personalizedRankOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS pn,
+        |  l_suppkey * 2 + 1 AS sn FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT pn AS src, sn AS dst FROM pairs
+        |      UNION ALL SELECT sn, pn FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |n AS (SELECT node, CAST(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END
+        |        AS BIGINT) AS seed
+        |      FROM (SELECT DISTINCT src AS node FROM e
+        |            UNION SELECT DISTINCT dst FROM e)),
+        |r0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS rank FROM n)"""
+        .stripMargin
+    val rounds = (0 until iters).map { k =>
+      s""",
+         |s$k AS (SELECT e.dst AS node,
+         |  CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         | FROM e JOIN r$k r ON r.node = e.src
+         |   JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r${k + 1} AS (SELECT n.node,
+         |  CAST(n.seed * 150000 + COALESCE(s.s, 0) * 17 // 20 AS BIGINT)
+         |    AS rank
+         | FROM n LEFT JOIN s$k s ON s.node = n.node)""".stripMargin
+    }.mkString
+    head + rounds + s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -905,6 +988,9 @@ object EtlOps {
     "q215_kcore"          -> kCoreQ _,
     "q216_clustering"     -> clusteringQ _,
     "q217_rendezvous"     -> rendezvousQ _,
+    "q218_transitions"    -> transitionsQ _,
+    "q219_top_paths"      -> topPathsQ _,
+    "q220_personalized_rank" -> personalizedRankQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1451,6 +1537,34 @@ object EtlOps {
         | (w7.shard <> w6.shard) AS moved
         |FROM k JOIN w7 USING (p_partkey) JOIN w6 USING (p_partkey)
         |ORDER BY p_partkey""".stripMargin,
+    // lag per user by (ts, event_id), first events from '^start'
+    "q218_transitions" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |m AS (SELECT event_type AS to_type,
+        |  COALESCE(lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), '^start')
+        |    AS from_type
+        | FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM m
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // 15-min-gap sessions -> ordered type journey -> top 20 by count,
+    // ties on the path string
+    "q219_top_paths" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  date_trunc('second', ts) AS ts, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 900000000
+        |  THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        | FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "q220_personalized_rank" -> personalizedRankOracle(4),
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,

@@ -60,6 +60,37 @@ class PageRankSpec extends SparkSpec {
     assert(total <= full && total > full - iters * n * 20L)
   }
 
+  test("personalizedPagerank: restart mass flows only to seeds") {
+    import org.apache.spark.sql.functions.col
+    // chain s -> x -> y with a detached pair (p -> q): seeding {s}
+    // leaves the detached pair at EXACTLY zero forever, and the chain
+    // decays by the damping factor per hop
+    val edges = Seq(("s", "x"), ("x", "y"), ("p", "q"))
+      .toDF("src", "dst")
+    val seeds = Seq("s").toDF("node")
+    val got = PageRank.personalizedPagerank(edges, "src", "dst",
+        seeds, "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("p") == 0L && got("q") == 0L)
+    assert(got("s") == 150000L) // restart term only (nothing points at s)
+    // x receives s's damped mass: 150000*17/20 over its hop history
+    assert(got("x") == 150000L * 17L / 20L)
+    assert(got("y") == got("x") * 17L / 20L)
+    // reference cross-check: a literal serial run of the same contract
+    val nodes = Seq("s", "x", "y", "p", "q")
+    var rank = nodes.map(n => n -> (if (n == "s") 1000000L else 0L)).toMap
+    val es = Seq(("s", "x"), ("x", "y"), ("p", "q"))
+    val deg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    for (_ <- 1 to 3) {
+      val sums = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      es.foreach { case (a, b) => sums(b) += rank(a) / deg(a) }
+      rank = nodes.map(n => n ->
+        ((if (n == "s") 150000L else 0L) + sums(n) * 17L / 20L)).toMap
+    }
+    assert(got == rank)
+  }
+
   test("textRankEdges thresholds, symmetrizes, and dedupes") {
     val docs = Seq((1L, "x y x y x y z"), (2L, "x y q")).toDF("id", "text")
     // bigram counts: (x,y)=4, (y,x)=2, (y,z)=1, (y,q)=1
