@@ -2172,7 +2172,12 @@ object TrainingData {
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
     "q179_index_delete"     -> indexDeleteQ _,
-    "q177_tar_stream"       -> tarStreamExportQ _,
+    // 8 state partitions: the streaming-gate layout knob (see
+    // PipelineQueries.withSP — state-store IO is the family cost floor)
+    "q177_tar_stream"       -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamState.withStatePartitions(s, 8) {
+        tarStreamExportQ(s, dir)
+      }),
     "q175_binary_ingest"    -> binaryIngestQ _,
     "q174_pca_moments"      -> pcaMomentsQ _,
     "q172_tar_roundtrip"    -> tarRoundTripQ _,

@@ -11,6 +11,25 @@ import org.apache.spark.sql.types.StructType
   * and recomputes the identical result. */
 object StreamState {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * previous value after. This is the streaming STATE-LAYOUT knob: a
+    * stateful query carries one state store per shuffle partition per
+    * stateful operator (four per partition per side for a stream-stream
+    * join), each committing delta/snapshot files every micro-batch, so
+    * partition count is pure per-batch file-IO overhead until state
+    * actually outgrows it — the q205 measurement (33.6 s → 11.5 s at 8
+    * partitions, while 10× data moved the 32-partition run by −12%) is
+    * the family-wide shape. The count bakes into the checkpoint at first
+    * start (Scd2Stream's adaptive-bucket contract); size it from expected
+    * CONCURRENT state rows, not input size. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    require(n > 0, "withStatePartitions: n must be positive")
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, saved)
+  }
+
   /** The standing state excluding the current batch's own directories —
     * a replayed batch must not probe (or anti-join) against its previous
     * attempt's output. */
