@@ -683,6 +683,56 @@ object EtlOps {
     head + rounds + s"\nSELECT node, rank FROM r$iters ORDER BY node"
   }
 
+  /** Multi-source BFS under the gate (q222): hop distances from the
+    * low-key part seeds (partkey ≤ 20) over the symmetrized sparse
+    * co-order graph, 3 hops ([[graft.operators.Bfs
+    * .multiSourceDistances]]) — output layers 0–3 with unreached parts
+    * absent, so a leaked frontier, a non-min merge, or an extra hop all
+    * move rows. The oracle unrolls the frontier rounds with null-safe
+    * least merges. */
+  def bfsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val canon = graft.operators.Triangles.canonicalEdges(pairs, "u", "v")
+    val sym = canon.unionAll(
+      canon.select(col("v").as("u"), col("u").as("v")))
+    val seeds = sym.select(col("u").as("node"))
+      .filter(col("node") <= 20).distinct()
+    graft.operators.Bfs.multiSourceDistances(sym, "u", "v", seeds, "node",
+        maxHops = 3)
+      .orderBy(col("node"))
+  }
+
+  /** q222's oracle: the frontier rounds unrolled — per hop a grouped
+    * `min(dist + 1)` over the previous distance set, merged null-safely. */
+  private def bfsOracle(hops: Int): String = {
+    val head =
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3),
+        |e AS (SELECT u AS src, v AS dst FROM pe
+        |      UNION ALL SELECT v, u FROM pe),
+        |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE src <= 20)""".stripMargin
+    val rounds = (1 to hops).map { h =>
+      s""",
+         |f$h AS (SELECT e.dst AS node, min(d.dist + 1) AS c
+         | FROM e JOIN d${h - 1} d ON e.src = d.node GROUP BY 1),
+         |d$h AS (SELECT node,
+         |  CAST(least(COALESCE(d.dist, f.c), COALESCE(f.c, d.dist))
+         |    AS BIGINT) AS dist
+         | FROM d${h - 1} d FULL JOIN f$h f USING (node))""".stripMargin
+    }.mkString
+    head + rounds + s"\nSELECT node, dist FROM d$hops ORDER BY node"
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -991,6 +1041,7 @@ object EtlOps {
     "q218_transitions"    -> transitionsQ _,
     "q219_top_paths"      -> topPathsQ _,
     "q220_personalized_rank" -> personalizedRankQ _,
+    "q222_bfs"            -> bfsQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1565,6 +1616,7 @@ object EtlOps {
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q220_personalized_rank" -> personalizedRankOracle(4),
+    "q222_bfs" -> bfsOracle(3),
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,

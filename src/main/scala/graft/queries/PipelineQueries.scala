@@ -1078,6 +1078,50 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING CUSUM monitor under the gate (q221): the q213 alarm
+    * family's batch≡stream invariant — the same sparse event slice
+    * drains through [[graft.streaming.StreamCusum]] in three day-ordered
+    * waves (per-key (lastDay, S) state; silent days SYNTHESIZED by the
+    * fold, decaying the statistic exactly as the batch densify+cusum
+    * composition does), and the full emitted (k, day, x, cusum) series
+    * with alarms must hash-equal the batch pipeline — q213's oracle
+    * verbatim. A no-data fourth drain must leave the sink untouched. */
+  def streamCusumQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q221") { base =>
+      val src = s"$base/landing"
+      val days = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 11 === 0)
+        .select((col("user_id") % 25).as("k"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+      def run(): Unit = graft.streaming.StreamCusum.runAvailableNow(
+        s, src, days.schema, "k", "day", drift = 2,
+        s"$base/sink", s"$base/ckpt")
+      val bounds = days.agg(min(col("day")), max(col("day")))
+        .collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      // day-ordered waves; a calendar day never spans two batches
+      days.filter(col("day") <= cut1).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      days.filter(col("day") > cut1 && col("day") <= cut2).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      days.filter(col("day") > cut2).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: nothing may append
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamCusumQ: no-data replay appended monitor rows")
+      graft.streaming.StreamCusum.emittedSeries(s, s"$base/sink")
+        .withColumn("alarm", col("cusum") > 3)
+        .orderBy(col("k"), col("day"))
+        .localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1541,6 +1585,7 @@ object PipelineQueries {
     "q157_scd2_stream"    -> withSP(scd2StreamQ _),
     "q195_funnel_stream"  -> withSP(funnelStreamQ _),
     "q210_stream_drift"   -> withSP(streamDriftQ _),
+    "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
     "q164_enrich_stream"  -> withSP(scd2EnrichStreamQ _),
@@ -1852,6 +1897,27 @@ object PipelineQueries {
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |        LEFT JOIN s4 ON s1.user_id = s4.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    // the full emitted day series must equal the batch densify+cusum
+    // pipeline — the oracle IS q213's verbatim
+    "q221_stream_cusum" ->
+      """WITH daily AS (SELECT user_id % 25 AS k,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS n FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi)) AS day
+        |         FROM (SELECT k, min(day) AS lo, max(day) AS hi
+        |               FROM daily GROUP BY k)),
+        |d AS (SELECT g.k, g.day, COALESCE(daily.n, 0) AS x
+        |      FROM grid g LEFT JOIN daily USING (k, day)),
+        |p AS (SELECT k, day, x,
+        |  list(x) OVER (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        | FROM d)
+        |SELECT k, day, x,
+        | CAST(list_reduce(list_prepend(0, xs),
+        |   (acc, x) -> greatest(0, acc + x - 2)) AS BIGINT) AS cusum,
+        | (list_reduce(list_prepend(0, xs),
+        |   (acc, x) -> greatest(0, acc + x - 2)) > 3) AS alarm
+        |FROM p ORDER BY k, day""".stripMargin,
     // the streaming monitor's standing counts must equal the batch
     // recompute — the oracle IS q207's exact rational audit verbatim
     "q210_stream_drift" ->
