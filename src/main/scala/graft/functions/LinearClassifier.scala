@@ -54,22 +54,31 @@ object LinearClassifier {
         col(c).cast("long").as(s"_x$j")
       }
     val feats = df.select(cols: _*).na.drop().localCheckpoint()
+    // margin and update sums run in DECIMAL(38,0): raw long arithmetic
+    // wraps SILENTLY under Spark's non-ANSI default (while an external
+    // engine errors) — at 100 TB row counts the per-round deltas
+    // genuinely approach 2^63. Decimal keeps every round exact; the
+    // driver-side extraction below fails loudly if a weight ever
+    // outgrows a long.
+    val dec = "decimal(38,0)"
     var w = IndexedSeq.fill(featureCols.size + 1)(0L)
     (1 to iters).map { it =>
-      val margin = col("_y") * featureCols.indices
-        .map(j => lit(w(j + 1)) * col(s"_x$j"))
-        .foldLeft(lit(w(0)): Column)(_ + _)
-      val sums = count(lit(1)).as("_n") +: sum(col("_y")).as("_db") +:
+      val margin = col("_y").cast(dec) * featureCols.indices
+        .map(j => lit(w(j + 1)).cast(dec) * col(s"_x$j"))
+        .foldLeft(lit(w(0)).cast(dec): Column)(_ + _)
+      val sums = count(lit(1)).as("_n") +:
+        sum(col("_y").cast(dec)).as("_db") +:
         featureCols.indices.map(j =>
-          sum(col("_y") * col(s"_x$j")).as(s"_d$j"))
+          sum(col("_y").cast(dec) * col(s"_x$j")).as(s"_d$j"))
       // a 1-row aggregate is the only thing that ever reaches the driver
       val row = feats.filter(margin <= 0).agg(sums.head, sums.tail: _*)
         .collect()(0)
       val nMis = row.getLong(0)
       val deltas = (0 to featureCols.size).map { j =>
-        if (row.isNullAt(j + 1)) 0L else row.getLong(j + 1)
+        if (row.isNullAt(j + 1)) 0L
+        else row.getDecimal(j + 1).toBigInteger.longValueExact()
       }
-      w = w.lazyZip(deltas).map(_ + _)
+      w = w.lazyZip(deltas).map(Math.addExact(_, _))
       Round(it, nMis, w)
     }
   }

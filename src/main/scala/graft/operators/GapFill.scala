@@ -32,7 +32,13 @@ object GapFill {
 
   /** One row per key per `step` between that key's min and max observed
     * bucket; unobserved buckets carry the observed frame's columns as
-    * null. Keys never observed don't appear (there is no span to fill). */
+    * null. Keys never observed don't appear (there is no span to fill);
+    * null keys are keys like any other (null-safe join — their observed
+    * payloads survive onto the grid). With `step > 1` the OUTPUT IS THE
+    * GRID: observed buckets off the stride (including possibly the
+    * key's max) do not appear — stride semantics are a resample, not a
+    * superset; pre-bucket to the stride if every observation must
+    * survive. */
   def densify(df: DataFrame, keyCols: Seq[String], bucketCol: String,
               step: Long = 1L): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
@@ -42,7 +48,20 @@ object GapFill {
       .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
     val grid = spans.select(keys :+
       explode(sequence(col("_lo"), col("_hi"), lit(step))).as(bucketCol): _*)
-    grid.join(df, keyCols :+ bucketCol, "left")
+    // null-safe on the keys (a null cohort's payloads must not be
+    // silently nulled off the grid); the bucket itself is never null
+    // (it came from the observed frame's min/max). Aliased explicitly:
+    // the grid derives from df, so bare column refs would be ambiguous.
+    val g = grid.alias("_gf_grid")
+    val o = df.alias("_gf_obs")
+    val cond = (keyCols.map(c =>
+      col(s"_gf_grid.$c") <=> col(s"_gf_obs.$c")) :+
+      (col(s"_gf_grid.$bucketCol") === col(s"_gf_obs.$bucketCol")))
+      .reduce(_ && _)
+    g.join(o, cond, "left")
+      .select((keyCols :+ bucketCol).map(c => col(s"_gf_grid.$c")) ++
+        df.columns.filterNot((keyCols :+ bucketCol).contains)
+          .map(c => col(s"_gf_obs.$c")): _*)
   }
 
   /** Carry the last non-null value of each `fillCols` forward along

@@ -22,16 +22,25 @@ object Paths {
 
   /** First-order transition counts `(from_type, to_type, n)` over each
     * key's event-ordered stream; each key's first event counts from
-    * `startToken` (the Markov chain's entry state). */
+    * `startToken` (the Markov chain's entry state). A NULL event type is
+    * a state like any other (it lags through a sentinel internally, so
+    * first-in-key and null-valued-previous stay distinct — a
+    * null-from-lag coalesce would silently fold null states into the
+    * entry state). */
   def transitionCounts(df: DataFrame, keyCol: String,
                        orderCols: Seq[String], typeCol: String,
-                       startToken: String = "^start"): DataFrame =
-    SortedFold.lagged(df, keyCol, orderCols, typeCol, as = "_prev")
+                       startToken: String = "^start"): DataFrame = {
+    val sentinel = "\u0000null"
+    val tagged = df.withColumn("_tt",
+      coalesce(col(typeCol).cast("string"), lit(sentinel)))
+    SortedFold.lagged(tagged, keyCol, orderCols, "_tt", as = "_prev")
       .groupBy(
-        coalesce(col("_prev").cast("string"), lit(startToken))
-          .as("from_type"),
+        when(col("_prev").isNull, lit(startToken))
+          .when(col("_prev") === sentinel, lit(null).cast("string"))
+          .otherwise(col("_prev")).as("from_type"),
         col(typeCol).cast("string").as("to_type"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** One row per (key, session): the session's ordered event-type path
     * as a `sep`-joined string, with its length. Ties in `tsCol` order

@@ -45,8 +45,14 @@ object SortedFold {
       var cur: Seq[Any] = null
       var started = false
       var st: Option[S] = None
+      // binary keys compare by reference under Seq equality — normalize
+      // to a value-comparable form so a digest-keyed frame still groups
+      def keyOf(r: Row): Seq[Any] = kis.map(r.get).map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }
       it.map { r =>
-        val k = kis.map(r.get)
+        val k = keyOf(r)
         val (s2, out) =
           if (!started || k != cur) first(r) else step(st.get, r)
         cur = k; started = true; st = Some(s2)

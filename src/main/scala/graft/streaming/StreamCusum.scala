@@ -54,6 +54,13 @@ object StreamCusum {
           else {
             var (last, s) = state.getOption.getOrElse(
               (counts.firstKey - 1L, 0L))
+            // the arrival contract fails LOUDLY: a batch reaching back to
+            // an already-emitted day would silently drop its events AND
+            // move lastDay backward (re-emitting wrong duplicate rows)
+            require(counts.firstKey > last,
+              s"StreamCusum: key $k received day ${counts.firstKey} <= " +
+                s"already-folded day $last — waves must be day-ordered " +
+                "and a day must not span batches")
             val out = Seq.newBuilder[(Long, Long, Long, Long)]
             ((last + 1) to counts.lastKey).foreach { day =>
               val x = counts.getOrElse(day, 0L)

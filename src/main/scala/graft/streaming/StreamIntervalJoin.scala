@@ -58,10 +58,7 @@ object StreamIntervalJoin {
         col("b_start") >= col("a_start") - expr(s"INTERVAL $bLenSec SECONDS") &&
         col("b_start") <= col("a_start") + expr(s"INTERVAL $aLenSec SECONDS"))
       .select(col("a_id"), col("b_id"), col("user_id"))
-    val key = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(key)
-    statePartitions.foreach(n => spark.conf.set(key, n.toString))
-    try {
+    def go(): Long = {
       val query = joined.writeStream
         .format("parquet")
         .option("path", outDir)
@@ -70,6 +67,10 @@ object StreamIntervalJoin {
         .start()
       query.awaitTermination()
       query.recentProgress.count(_.numInputRows > 0)
-    } finally spark.conf.set(key, saved)
+    }
+    statePartitions match {
+      case Some(n) => StreamState.withStatePartitions(spark, n)(go())
+      case None => go()
+    }
   }
 }

@@ -29,6 +29,19 @@ class GapFillSpec extends SparkSpec {
     assert(got(("a", 4L)).isEmpty) // observed-but-null stays null
   }
 
+  test("null keys keep their observed payloads (null-safe grid join)") {
+    val df = Seq((Option.empty[String], 1L, Some(7L)),
+      (Option.empty[String], 3L, Some(9L)), (Some("a"), 1L, Some(1L)))
+      .toDF("k", "day", "v")
+    val got = GapFill.densify(df, Seq("k"), "day")
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(
+      (None, 1L) -> Some(7L), (None, 2L) -> None, (None, 3L) -> Some(9L),
+      (Some("a"), 1L) -> Some(1L)))
+  }
+
   test("step > 1 strides the grid") {
     val got = GapFill.densify(observed.filter(col("k") === "a"),
         Seq("k"), "day", step = 2L)

@@ -33,6 +33,23 @@ class PathsSpec extends SparkSpec {
       ("buy", "view") -> 1L))     // u1's cross-session hop still counts
   }
 
+  test("a null event type is a state, not the entry state") {
+    val e = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00"), Option.empty[String]),
+      (2L, "u", ts("2024-01-01 10:01:00"), Some("buy")))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Paths.transitionCounts(e, "user_id",
+        Seq("ts", "event_id"), "event_type")
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        r.getLong(2)).toMap
+    // first event (null type) enters from ^start; the buy transitions
+    // FROM the null state, not from ^start
+    assert(got == Map(
+      (Some("^start"), None) -> 1L,
+      (None, Some("buy")) -> 1L))
+  }
+
   test("lagged emits null on each key's first row, previous value after") {
     val got = SortedFold.lagged(
         Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))

@@ -73,6 +73,16 @@ class SortedFoldSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("binary keys group by VALUE, not reference") {
+    // two equal digests from different array instances must be one key
+    val rows = Seq((Array[Byte](1, 2), 1L, 10L), (Array[Byte](1, 2), 2L, 20L),
+      (Array[Byte](9), 3L, 30L))
+    val got = SortedFold.ewma(rows.toDF("k", "i", "xv"), "k", Seq("i"),
+        "xv", 1, 2)
+      .select("i", "ewma").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 15L, 3L -> 30L))
+  }
+
   test("null keys group together") {
     val e = Seq((Option.empty[String], 1L, 10L),
       (Option.empty[String], 2L, 20L), (Some("a"), 3L, 30L))

@@ -53,6 +53,22 @@ class StreamCusumSpec extends SparkSpec {
     assert(StreamCusum.emittedSeries(spark, s"$dir/sink").count() == 4L)
   }
 
+  test("an out-of-order wave fails loudly instead of corrupting state") {
+    val (dir, run) = setup("scu4")
+    Seq((1L, 20L)).toDF("k", "day")
+      .write.mode("append").parquet(s"$dir/landing")
+    run()
+    // a late file reaching back to an already-folded day must raise,
+    // not silently drop events and rewind lastDay
+    Seq((1L, 19L)).toDF("k", "day")
+      .write.mode("append").parquet(s"$dir/landing")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    assert(e.getMessage.contains("day-ordered") ||
+      Option(e.getCause).exists(_.getMessage.contains("day-ordered")))
+  }
+
   test("matches the batch densify + cusum composition") {
     import org.apache.spark.sql.functions._
     val (dir, run) = setup("scu3")
