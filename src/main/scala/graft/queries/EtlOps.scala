@@ -733,6 +733,50 @@ object EtlOps {
     head + rounds + s"\nSELECT node, dist FROM d$hops ORDER BY node"
   }
 
+  /** Model SERVING under the gate (q223): the q208-trained weights
+    * applied as a pure scoring projection
+    * ([[graft.functions.LinearClassifier.predict]]) — train 2 rounds on
+    * the same planted-truth corpus, then score every row with the
+    * resulting model; margins and the `> 0` boundary restate as one
+    * linear CASE. Output is id-keyed per row, so a single mis-scored
+    * margin breaks the hash. */
+  def perceptronPredictQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_linenumber").cast("long").as("line"),
+      (col("l_partkey") % 13).as("pmod"),
+      (when((col("l_quantity") - col("l_linenumber") * 3 -
+        (col("l_partkey") % 13) * 2 + 5) > 0, 1L).otherwise(-1L) *
+        when(col("l_orderkey") % 13 === 0, -1L).otherwise(1L)).as("y"))
+    val model = graft.functions.LinearClassifier.trainPerceptron(
+      li, "y", Seq("qty", "line", "pmod"), iters = 2).last.weights
+    graft.functions.LinearClassifier.predict(
+        li, Seq("qty", "line", "pmod"), model)
+      .select(col("rid"), col("margin"), col("pred"))
+      .orderBy(col("rid"))
+  }
+
+  /** q223's oracle: the 2 training rounds (q208's CTE chain truncated)
+    * plus the scoring projection under the final single-row weights. */
+  private def perceptronPredictOracle: String = {
+    val train = perceptronOracle(2)
+    // reuse the training chain's CTEs; replace its report tail with the
+    // scoring projection joined against the final weight row
+    val upToRows = train.substring(0, train.indexOf("\nSELECT CAST(1"))
+    upToRows +
+      """
+        |, scored AS (SELECT
+        |  l_orderkey * 10 + l_linenumber AS rid,
+        |  w.b + w.wx0 * CAST(l_quantity AS BIGINT) +
+        |   w.wx1 * CAST(l_linenumber AS BIGINT) +
+        |   w.wx2 * CAST(l_partkey % 13 AS BIGINT) AS margin
+        | FROM lineitem, w2 w)
+        |SELECT rid, margin,
+        | CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+        |FROM scored ORDER BY rid""".stripMargin
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -1042,6 +1086,7 @@ object EtlOps {
     "q219_top_paths"      -> topPathsQ _,
     "q220_personalized_rank" -> personalizedRankQ _,
     "q222_bfs"            -> bfsQ _,
+    "q223_model_predict"  -> perceptronPredictQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1617,6 +1662,7 @@ object EtlOps {
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q220_personalized_rank" -> personalizedRankOracle(4),
     "q222_bfs" -> bfsOracle(3),
+    "q223_model_predict" -> perceptronPredictOracle,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,
