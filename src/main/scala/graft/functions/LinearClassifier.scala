@@ -101,15 +101,29 @@ object LinearClassifier {
 
   /** Apply a trained model: appends integer `margin` (w·x + b) and `pred`
     * (+1 on margin > 0, else −1 — the training rule's own decision
-    * boundary). `weights` as returned by [[trainPerceptron]]. */
+    * boundary). `weights` as returned by [[trainPerceptron]].
+    *
+    * The dot product accumulates in DECIMAL(38,0) — the same hazard the
+    * trainer guards against: a raw long multiply-add wraps silently
+    * under Spark's non-ANSI default, and large trained weights × wide
+    * features could flip the sign. The SIGN (and hence `pred`) is
+    * decided on the exact decimal; `margin` is cast back to long for
+    * the serving schema (exact whenever |w·x+b| < 2^63, null past it —
+    * never silently wrapped). */
   def predict(df: DataFrame, featureCols: Seq[String],
               weights: IndexedSeq[Long]): DataFrame = {
     require(weights.size == featureCols.size + 1,
       "weights must be bias +: one per feature")
-    val margin = featureCols.zipWithIndex
-      .map { case (c, j) => lit(weights(j + 1)) * col(c).cast("long") }
-      .foldLeft(lit(weights(0)): Column)(_ + _)
-    df.withColumn("margin", margin)
-      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+    val dec = "decimal(38,0)"
+    val marginDec = featureCols.zipWithIndex
+      .map { case (c, j) =>
+        lit(weights(j + 1)).cast(dec) * col(c).cast(dec)
+      }
+      .foldLeft(lit(weights(0)).cast(dec): Column)(_ + _)
+    df.withColumn("_margin_dec", marginDec)
+      .withColumn("margin", col("_margin_dec").cast("long"))
+      .withColumn("pred",
+        when(col("_margin_dec") > 0, 1L).otherwise(-1L))
+      .drop("_margin_dec")
   }
 }

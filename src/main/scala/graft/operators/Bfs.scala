@@ -11,15 +11,84 @@ import org.apache.spark.sql.functions._
   * paths is path-order-free), so the frontier rounds restate exactly in
   * an external engine.
   *
-  * Scale shape: the [[PageRank]]/[[LabelProp]] iteration pattern — the
-  * edge list materializes ONCE hash-partitioned on src; each hop joins
-  * the node-sized distance table on src, partial-aggregates the
-  * candidate `min(dist + 1)` per dst (map-side combine — a hub's
-  * frontier never funnels), and folds it into the standing distances
-  * with a null-safe `least`. Unreached nodes never materialize rows.
-  * Plans stay flat via per-round `localCheckpoint`.
+  * Scale shape: the delta-frontier formulation — the edge list
+  * materializes ONCE hash-partitioned on src; each hop expands ONLY the
+  * nodes discovered in the previous round (the frontier), never the
+  * full standing distance table, so per-hop join work tracks the wave
+  * being explored instead of everything reached so far (the classic
+  * deep-graph fix: settled nodes stop generating candidates). In
+  * unweighted BFS a node's first-discovered distance is already
+  * minimal, so the fold into the standing table is a left-anti (keep
+  * candidates for unseen nodes only) — no re-least over settled rows.
+  * Candidate `min(dist + 1)` per dst partial-aggregates (map-side
+  * combine — a hub's frontier never funnels). Unreached nodes never
+  * materialize rows. Plans stay flat via per-round `localCheckpoint`,
+  * and the loop stops early once a wave discovers nothing new.
   */
 object Bfs {
+
+  /** One delta-frontier hop: expand `frontier` over `e`, keep only
+    * nodes absent from `dists`. Returns (standing ∪ discovered,
+    * discovered) — `discovered` IS the next frontier, and equals
+    * exactly the rows added to the standing table this hop (the
+    * invariant BfsSpec pins round by round). */
+  private[operators] def step(e: DataFrame, dists: DataFrame,
+                              frontier: DataFrame): (DataFrame, DataFrame) = {
+    val discovered = e
+      .join(frontier.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+      .join(dists.select("node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    (dists.union(discovered), discovered)
+  }
+
+  /** Bounded Bellman-Ford: `(node, dist)` where dist is the CHEAPEST
+    * path cost from any seed using at most `rounds` edges — the
+    * weighted companion to [[multiSourceDistances]] ("cheapest path to
+    * a trusted source"), exact over integer weights. Same delta-frontier
+    * skeleton, but since a cheaper path CAN arrive later here, each
+    * round least-merges candidates into the standing table and the next
+    * frontier is exactly the nodes whose distance improved (new or
+    * strictly smaller) — the SPFA observation: a relaxation out of a
+    * node whose distance didn't change this round was already applied
+    * with the same source value in an earlier round, so settled nodes
+    * generate no work. One `localCheckpoint` per round (the merged
+    * table), candidates partial-aggregate `min(dist + w)` map-side.
+    * Stops early when a round improves nothing. Weights may be any
+    * Long (negative edges are legal — `rounds` bounds path length, so
+    * there is no cycle divergence); costs must stay within Long. */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, seeds: DataFrame, seedCol: String,
+                        rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .repartition(col("src")).localCheckpoint()
+    var dists = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dists
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      val cand = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("_c"))
+        .groupBy("node").agg(min(col("_c")).as("_c"))
+      val merged = dists.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("_c")),
+            coalesce(col("_c"), col("dist"))).as("dist"),
+          (col("_c").isNotNull &&
+            (col("dist").isNull || col("_c") < col("dist")))
+            .as("_improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("_improved")).select("node", "dist")
+      dists = merged.select("node", "dist")
+      r += 1
+    }
+    dists
+  }
 
   /** `(node, dist)` for every node within `maxHops` of a seed (seeds at
     * 0). Distances are exact shortest-path hop counts over the DIRECTED
@@ -33,16 +102,13 @@ object Bfs {
       .repartition(col("src")).localCheckpoint()
     var dists = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().withColumn("dist", lit(0L)).localCheckpoint()
-    for (_ <- 1 to maxHops) {
-      val frontier = e.join(dists.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("dist") + 1).as("_c"))
-        .groupBy("node").agg(min(col("_c")).as("_c"))
-      dists = dists.as("d")
-        .join(frontier.as("f"), Seq("node"), "full_outer")
-        .select(col("node"),
-          least(coalesce(col("dist"), col("_c")),
-            coalesce(col("_c"), col("dist"))).as("dist"))
-        .localCheckpoint()
+    var frontier = dists
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      val (d, f) = step(e, dists, frontier)
+      dists = d
+      frontier = f
+      hop += 1
     }
     dists
   }

@@ -43,17 +43,28 @@ object GapFill {
               step: Long = 1L): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(step > 0, "step must be positive")
+    // A null bucket has no place on a min/max grid: min/max would skip
+    // it and the === grid join would drop its payload SILENTLY. Fail
+    // loudly instead — the check rides the row path (no extra action),
+    // codegen'd, and can't be pruned because the bucket feeds both the
+    // span agg and the grid join.
+    val src = df.withColumn(bucketCol,
+      when(col(bucketCol).isNotNull, col(bucketCol))
+        .otherwise(raise_error(lit(
+          s"densify: null $bucketCol — null buckets cannot be gridded; " +
+            "filter or default them before densify"))))
     val keys = keyCols.map(col)
-    val spans = df.groupBy(keys: _*)
+    val spans = src.groupBy(keys: _*)
       .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
     val grid = spans.select(keys :+
       explode(sequence(col("_lo"), col("_hi"), lit(step))).as(bucketCol): _*)
     // null-safe on the keys (a null cohort's payloads must not be
     // silently nulled off the grid); the bucket itself is never null
-    // (it came from the observed frame's min/max). Aliased explicitly:
-    // the grid derives from df, so bare column refs would be ambiguous.
+    // (checked above, and the grid carries only min/max spans).
+    // Aliased explicitly: the grid derives from the same frame, so
+    // bare column refs would be ambiguous.
     val g = grid.alias("_gf_grid")
-    val o = df.alias("_gf_obs")
+    val o = src.alias("_gf_obs")
     val cond = (keyCols.map(c =>
       col(s"_gf_grid.$c") <=> col(s"_gf_obs.$c")) :+
       (col(s"_gf_grid.$bucketCol") === col(s"_gf_obs.$bucketCol")))

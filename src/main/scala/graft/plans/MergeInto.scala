@@ -177,6 +177,13 @@ case class GraftMergeCommand(targetTable: String, sourceTable: String,
     val isTempView =
       spark.sessionState.catalog.getTempView(targetTable).isDefined
     if (mode == "insert_only") { runInsertOnly(spark, isTempView); return Nil }
+    // opt-in wrong-key tripwire (upsert/delete only: those shapes EXPECT
+    // matches; a zero-overlap insert_only is just a fresh batch). Runs
+    // before any partition probe or rewrite — two column-pruned sketch
+    // scans, no shuffle (see MergeGuard).
+    if (spark.conf.getOption("spark.graft.merge.guard").exists(_.toBoolean))
+      MergeGuard.check(spark.table(targetTable), spark.table(sourceTable),
+        keys, targetTable, sourceTable)
     val partCols = if (isTempView) Nil else partitionColumns(spark)
     if (partCols.nonEmpty) runPartitionPruned(spark, partCols)
     else {

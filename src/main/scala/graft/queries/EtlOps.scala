@@ -334,12 +334,18 @@ object EtlOps {
     * contributions straddle 0.25 at every tested SF (2 of 5 categories
     * drift at sf0.01, 4 of 5 at sf0.1) — an expected-count drift, a
     * squared-term slip, or a cross-multiplication off-by-one flips
-    * verdicts. The oracle restates the exact rational in HUGEINT. */
+    * verdicts. The oracle restates the exact rational in HUGEINT.
+    * Gate output carries chi_num/chi_den as BIGINT (gate-stable across
+    * reader paths; values ≤ ~1.3e14 at every tested SF vs 9.2e18
+    * headroom) — the operator's DECIMAL(38,0) arithmetic is internal
+    * and spec-pinned at billion-scale counts in DriftSpec. */
   def chiDriftQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
     graft.functions.Drift.chiSquaredAudit(
         e.filter(col("value") <= 50), e.filter(col("value") > 50),
         "event_type", tNum = 1, tDen = 4)
+      .withColumn("chi_num", col("chi_num").cast("long"))
+      .withColumn("chi_den", col("chi_den").cast("long"))
       .orderBy(col("category"))
   }
 
@@ -708,6 +714,61 @@ object EtlOps {
       .orderBy(col("node"))
   }
 
+  /** Bounded Bellman-Ford under the gate (q224): CHEAPEST-path cost
+    * from the low-key part seeds over the same symmetrized co-order
+    * graph as q222, edge weight `1 + (u + v) % 7`, 4 relaxation rounds
+    * ([[graft.operators.Bfs.weightedDistances]]). The weights decouple
+    * cost from hop count (costs reach 7 where hops stop at 3), and the
+    * rounds still move values at the gate (round 3 → 4 drops the sf0.01
+    * distance sum 6939 → 6765 before converging), so a short-counted
+    * round, a non-least merge, or a frontier that misses an IMPROVED
+    * (not just new) node each shifts the output. The oracle unrolls the
+    * relaxation rounds as CTEs, q222-style. */
+  def weightedPathsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val canon = graft.operators.Triangles.canonicalEdges(pairs, "u", "v")
+      .withColumn("w", lit(1L) + (col("u") + col("v")) % 7)
+    val sym = canon.unionAll(
+      canon.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val seeds = sym.select(col("u").as("node"))
+      .filter(col("node") <= 20).distinct()
+    graft.operators.Bfs.weightedDistances(sym, "u", "v", "w", seeds,
+        "node", rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  /** q224's oracle: the Bellman-Ford rounds unrolled — per round a
+    * grouped `min(dist + w)` over the previous distance set, merged
+    * null-safely with `least`. */
+  private def weightedPathsOracle(rounds: Int): String = {
+    val head =
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3),
+        |e AS (SELECT u AS src, v AS dst, 1 + (u + v) % 7 AS w FROM pe
+        |      UNION ALL SELECT v, u, 1 + (u + v) % 7 FROM pe),
+        |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e WHERE src <= 20)""".stripMargin
+    val rs = (1 to rounds).map { h =>
+      s""",
+         |f$h AS (SELECT e.dst AS node, min(d.dist + e.w) AS c
+         | FROM e JOIN d${h - 1} d ON e.src = d.node GROUP BY 1),
+         |d$h AS (SELECT node,
+         |  CAST(least(COALESCE(d.dist, f.c), COALESCE(f.c, d.dist))
+         |    AS BIGINT) AS dist
+         | FROM d${h - 1} d FULL JOIN f$h f USING (node))""".stripMargin
+    }.mkString
+    head + rs + s"\nSELECT node, dist FROM d$rounds ORDER BY node"
+  }
+
   /** q222's oracle: the frontier rounds unrolled — per hop a grouped
     * `min(dist + 1)` over the previous distance set, merged null-safely. */
   private def bfsOracle(hops: Int): String = {
@@ -870,6 +931,69 @@ object EtlOps {
         col("ov.est_intersection").as("est_intersection"),
         col("n_exact_intersection"))
       .orderBy(col("est_union"))
+  }
+
+  /** Pre-merge wrong-key guard under the gate (q226): the
+    * [[graft.plans.MergeGuard]] overlap report — the exact seam
+    * `GraftMergeCommand` consults under `spark.graft.merge.guard` —
+    * on a correct staging→warehouse key pairing (orders.o_custkey vs
+    * customer.c_custkey: est ≈ 1597 at sf0.01, never refused) and a
+    * deliberately disjoint one (negated source keys: est exactly 0,
+    * refused). Both sides saturate the k=256 sketch at every SF, so the
+    * estimate exercises the saturated est_union/est_jaccard arithmetic,
+    * not just complete-sketch counting. The oracle restates the q121
+    * KMV pipeline per case. MergeIntoSpec pins the refusal itself (the
+    * thrown merge); this gate pins the numbers the refusal reads. */
+  def mergeGuardQ(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.load(s, dir, "orders").select(col("o_custkey").as("k"))
+    val matched = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"))
+    val disjoint = Tables.load(s, dir, "customer")
+      .select((lit(0L) - col("c_custkey")).as("k"))
+    def report(name: String, src: DataFrame) =
+      graft.plans.MergeGuard.overlapReport(target, src, Seq("k"))
+        .withColumn("case_name", lit(name))
+    report("matched", matched).unionByName(report("disjoint", disjoint))
+      .withColumn("would_refuse",
+        col("n_target_keys") > 0 && col("n_source_keys") > 0 &&
+          col("est_intersection") === 0.0)
+      .select(col("case_name"), col("n_target_keys"), col("n_source_keys"),
+        col("est_intersection"), col("would_refuse"))
+      .orderBy(col("case_name"))
+  }
+
+  /** q226's oracle: the q121 KMV pipeline per case — target sketch from
+    * orders, source sketch from (possibly negated) customer keys,
+    * bottom-k union, intersection count, saturated union estimate. */
+  private def mergeGuardOracle: String = {
+    def bottomK(inner: String) =
+      s"""(SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM $inner) WHERE rn <= 256)""".stripMargin
+    def hashed(expr: String, table: String) =
+      s"""(SELECT DISTINCT ('0x' ||
+         |  substring(md5(CAST($expr AS VARCHAR)), 1, 15))::BIGINT AS h
+         | FROM $table)""".stripMargin
+    val st = bottomK(hashed("o_custkey", "orders"))
+    def caseSql(name: String, srcExpr: String) = {
+      val ss = bottomK(hashed(srcExpr, "customer"))
+      val su = bottomK(s"(SELECT h FROM $st UNION SELECT h FROM $ss)")
+      s"""SELECT '$name' AS case_name,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $st) AS n_target_keys,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $ss) AS n_source_keys,
+         | (SELECT (i.ni::DOUBLE / m.sz::DOUBLE) *
+         |   (CASE WHEN m.sz < 256 THEN m.sz::DOUBLE
+         |         ELSE CAST(255 AS DOUBLE) /
+         |           (m.hmax::DOUBLE / 1152921504606846976.0::DOUBLE) END)
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS sz, max(h) AS hmax
+         |        FROM $su) m,
+         |       (SELECT CAST(count(*) AS BIGINT) AS ni FROM $su
+         |        JOIN $st USING (h) JOIN $ss USING (h)) i)
+         |   AS est_intersection,
+         | (SELECT count(*) = 0 FROM $su
+         |  JOIN $st USING (h) JOIN $ss USING (h)) AS would_refuse""".stripMargin
+    }
+    caseSql("disjoint", "0 - c_custkey") + "\nUNION ALL\n" +
+      caseSql("matched", "c_custkey") + "\nORDER BY case_name"
   }
 
   /** Key-skew audit over the events user key — measure BEFORE salting:
@@ -1087,6 +1211,8 @@ object EtlOps {
     "q220_personalized_rank" -> personalizedRankQ _,
     "q222_bfs"            -> bfsQ _,
     "q223_model_predict"  -> perceptronPredictQ _,
+    "q224_weighted_paths" -> weightedPathsQ _,
+    "q226_merge_guard"    -> mergeGuardQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1523,8 +1649,8 @@ object EtlOps {
         |t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j)
         |SELECT category, ref_n, cur_n,
         | CAST((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr)
-        |   AS DECIMAL(38,0)) AS chi_num,
-        | CAST(tr * tc * (ref_n + cur_n) AS DECIMAL(38,0)) AS chi_den,
+        |   AS BIGINT) AS chi_num,
+        | CAST(tr * tc * (ref_n + cur_n) AS BIGINT) AS chi_den,
         | ((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr) * 4 >
         |   tr * tc * (ref_n + cur_n) * 1) AS drifted
         |FROM j, t ORDER BY category""".stripMargin,
@@ -1633,15 +1759,18 @@ object EtlOps {
         | (w7.shard <> w6.shard) AS moved
         |FROM k JOIN w7 USING (p_partkey) JOIN w6 USING (p_partkey)
         |ORDER BY p_partkey""".stripMargin,
-    // lag per user by (ts, event_id), first events from '^start'
+    // lag per user by (ts, event_id); first-in-key comes from '^start'
+    // by POSITION (row_number = 1), NOT by COALESCE on the lag — a
+    // genuinely-null previous event type must stay a null from_type
+    // (the operator treats null as a state like any other), exactly the
+    // conflation Paths.transitionCounts' docstring warns against
     "q218_transitions" ->
       """WITH e AS (SELECT event_id, user_id,
         |  date_trunc('second', ts) AS ts, event_type FROM events),
         |m AS (SELECT event_type AS to_type,
-        |  COALESCE(lag(event_type) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id), '^start')
-        |    AS from_type
-        | FROM e)
+        |  CASE WHEN row_number() OVER w = 1 THEN '^start'
+        |       ELSE lag(event_type) OVER w END AS from_type
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT from_type, to_type, count(*) AS n FROM m
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     // 15-min-gap sessions -> ordered type journey -> top 20 by count,
@@ -1662,6 +1791,8 @@ object EtlOps {
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q220_personalized_rank" -> personalizedRankOracle(4),
     "q222_bfs" -> bfsOracle(3),
+    "q224_weighted_paths" -> weightedPathsOracle(4),
+    "q226_merge_guard" -> mergeGuardOracle,
     "q223_model_predict" -> perceptronPredictOracle,
     "q52_percentiles" ->
       """SELECT event_type,

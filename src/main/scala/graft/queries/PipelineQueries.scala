@@ -163,6 +163,106 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** OAuth-authenticated cursor extraction under the gate (q227): the
+    * q46 cursor walk re-run against a LIVE in-process HTTP server —
+    * pages AND token endpoint — with server-side token revocation
+    * tuned so authentication DIES MID-WALK, deterministically: every
+    * minted access token is good for at most two page GETs, the chain
+    * is five pages long, so the driver-side header walk alone must
+    * survive ≥ 2 mid-scan 401s (invalidate → re-grant → retry, the
+    * [[graft.sources.lakesim.HttpTransport]] hardening path) and every
+    * executor page fetch re-authenticates through the same
+    * [[graft.sources.lakesim.OAuthTokenProvider]] lifecycle. The
+    * output is the scanned record set — pushdown filter included — so
+    * the oracle pins that re-authentication is INVISIBLE to the data:
+    * a dropped page, a double-served page, or a retry that skips
+    * records all hash-mismatch. In-gate requires pin ≥ 2 rejected
+    * requests and ≥ 3 grants, so the 401 path provably ran. */
+  def cursorOAuthQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = collectFixture(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")), "cursorOAuthQ")
+    val pages = docs.grouped(math.max(docs.length / 4, 1)).toSeq
+    val pageBody = scala.collection.mutable.Map.empty[String, String]
+    pages.zipWithIndex.foreach { case (rows, i) =>
+      val next = if (i + 1 < pages.length) s"page${i + 1}.json" else "terminal.json"
+      val header =
+        s"""{"_count": ${rows.length}, "_links": [{"href": "page$i.json"}, {"href": "$next"}]}"""
+      val recs = rows.map(r =>
+        s"""{"_fields": {"doc_id": ${r.getLong(0)}, "lang": "${r.getString(1)}",
+           | "source": "${r.getString(2)}", "n_chars": ${r.getLong(3)}}}"""
+          .stripMargin.replace("\n", ""))
+      pageBody(s"page$i.json") = (header +: recs).mkString("[", ",", "]")
+    }
+    pageBody("terminal.json") =
+      """[{"_count": 0, "_links": [{"href": "terminal.json"}, {"href": "page0.json"}]}]"""
+    // live server: POST /token mints tok-N (rotating refresh token);
+    // each access token serves at most TWO page GETs, then 401s —
+    // server-side revocation the client clock cannot foresee
+    val minted = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val nTok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nGrant = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nRejected = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        nGrant.incrementAndGet()
+        val i = nTok.incrementAndGet()
+        val tok = s"tok-$i"
+        minted.put(tok, new java.util.concurrent.atomic.AtomicInteger(0))
+        val body =
+          s"""{"access_token": "$tok", "refresh_token": "rt-$i",
+             | "token_type": "Bearer", "expires_in": 3600}""".stripMargin
+        val bytes = body.getBytes(UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.createContext("/lake",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val tok = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .map(_.stripPrefix("Bearer ")).orNull
+        val uses = Option(tok).map(minted.get).orNull
+        val name = ex.getRequestURI.getPath.stripPrefix("/lake/")
+        if (uses == null || uses.incrementAndGet() > 2) {
+          nRejected.incrementAndGet()
+          ex.sendResponseHeaders(401, -1); ex.close()
+        } else {
+          val bytes = pageBody(name).getBytes(UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      val out = s.read
+        .format(classOf[graft.sources.lakesim.CursorSimSource].getName)
+        .schema(schema)
+        .option("url", s"http://127.0.0.1:$port/lake")
+        .option("start", "page0.json")
+        .option("tokenUrl", s"http://127.0.0.1:$port/token")
+        .option("clientId", "graft-gate").option("clientSecret", "s3cr3t")
+        .load()
+        .filter(col("n_chars") <= 400 && col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      require(nRejected.get() >= 2,
+        s"cursorOAuthQ: expected >= 2 mid-scan 401s, saw ${nRejected.get()}")
+      require(nGrant.get() >= 3,
+        s"cursorOAuthQ: expected >= 3 token grants, saw ${nGrant.get()}")
+      out
+    } finally server.stop(0)
+  }
+
   /** DSv2 lake WRITE path end-to-end (S10 push side) under the oracle:
     * the documents table is pushed through [[graft.sources.lakesim
     * .LakeSimWrite]]'s real `BatchWrite` commit protocol — task temp
@@ -1074,6 +1174,8 @@ object PipelineQueries {
       graft.functions.Drift.chiSquaredAuditFromCounts(refCounts,
           graft.streaming.StreamDrift.currentCounts(s, s"$base/sink"),
           tNum = 1, tDen = 4)
+        .withColumn("chi_num", col("chi_num").cast("long"))
+        .withColumn("chi_den", col("chi_den").cast("long"))
         .orderBy(col("category"))
         .localCheckpoint()
     }
@@ -1119,6 +1221,52 @@ object PipelineQueries {
       graft.streaming.StreamCusum.emittedSeries(s, s"$base/sink")
         .withColumn("alarm", col("cusum") > 3)
         .orderBy(col("k"), col("day"))
+        .localCheckpoint()
+    }
+
+  /** STREAMING heavy-hitter sketch under the gate (q225): the q93
+    * count-min family's batch≡stream invariant — the corpus token
+    * stream drains through [[graft.streaming.StreamSketch]] in three
+    * doc-keyed waves (per-cell cumulative counts as
+    * flatMapGroupsWithState state, batch_id-keyed emission). The
+    * standing 4×1024 grid must equal the one-shot batch
+    * [[graft.functions.Sketches.countMinCells]] REGISTER FOR REGISTER
+    * (asserted in-gate, both directions), and the top-20 heavy hitters
+    * SERVED off the maintained grid must hash-equal the batch
+    * estimates — q93's oracle verbatim. A no-data fourth drain must
+    * leave the sink untouched. */
+  def streamHeavyQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q225") { base =>
+      val src = s"$base/landing"
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(lower(col("text"))))
+            .as("term"))
+      def run(): Unit = graft.streaming.StreamSketch.runAvailableNow(
+        s, src, toks.select("term").schema, "term",
+        s"$base/sink", s"$base/ckpt")
+      for (wv <- 0 to 2) {
+        toks.filter(col("doc_id") % 3 === wv).select("term").coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing cells must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamHeavyQ: no-data replay appended monitor rows")
+      val cells = graft.streaming.StreamSketch
+        .currentCells(s, s"$base/sink").localCheckpoint()
+      val batch = graft.functions.Sketches.countMinCells(
+        toks.select("term"), "term")
+      require(cells.exceptAll(batch).isEmpty &&
+          batch.exceptAll(cells).isEmpty,
+        "streamHeavyQ: maintained cells diverge from the batch sketch")
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+      graft.functions.Sketches.countMinEstimate(cells, top, "term")
+        .join(top, "term")
+        .select(col("term"), col("cnt"), col("est_count"))
+        .orderBy(col("cnt").desc, col("term"))
         .localCheckpoint()
     }
 
@@ -1556,6 +1704,7 @@ object PipelineQueries {
     "q37_lakesim_scan"    -> lakesimScanQ _,
     "q44_registry_roundtrip" -> registryRoundTripQ _,
     "q46_cursor_scan"     -> cursorScanQ _,
+    "q227_cursor_oauth"   -> cursorOAuthQ _,
     "q54_nested_ingest"   -> nestedIngestQ _,
     "q98_stream_ingest"   -> withSP(streamIngestQ _),
     "q104_stream_dedup"   -> withSP(streamDedupQ _),
@@ -1585,6 +1734,7 @@ object PipelineQueries {
     "q157_scd2_stream"    -> withSP(scd2StreamQ _),
     "q195_funnel_stream"  -> withSP(funnelStreamQ _),
     "q210_stream_drift"   -> withSP(streamDriftQ _),
+    "q225_stream_heavy"   -> withSP(streamHeavyQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -1680,6 +1830,11 @@ object PipelineQueries {
     "q46_cursor_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars <= 300 AND source = 'src7' ORDER BY doc_id""".stripMargin,
+    // the re-authenticating walk must be invisible to the data: the
+    // oracle is the plain table restatement of the q227 slice
+    "q227_cursor_oauth" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars <= 400 AND lang = 'en' ORDER BY doc_id""".stripMargin,
     // the streamed per-source sketch state is a pure set function of
     // everything ingested, so the final monitor rows equal the one-shot
     // batch sketch — q110's whole-corpus restatement verbatim
@@ -1918,6 +2073,31 @@ object PipelineQueries {
         | (list_reduce(list_prepend(0, xs),
         |   (acc, x) -> greatest(0, acc + x - 2)) > 3) AS alarm
         |FROM p ORDER BY k, day""".stripMargin,
+    // the maintained grid serves the batch estimates — the oracle IS
+    // q93's one-shot count-min construction verbatim
+    "q225_stream_heavy" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |cells AS (
+        | SELECT depth,
+        |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
+        |    1, 15))::BIGINT % 1024 AS bucket,
+        |  count(*) AS c
+        | FROM toks, (SELECT unnest(generate_series(0, 3)) AS depth)
+        | GROUP BY depth, bucket),
+        |top AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |        ORDER BY cnt DESC, term LIMIT 20),
+        |probe AS (
+        | SELECT term, depth,
+        |  ('0x' || substring(md5(CAST(depth AS VARCHAR) || ':' || term),
+        |    1, 15))::BIGINT % 1024 AS bucket
+        | FROM top, (SELECT unnest(generate_series(0, 3)) AS depth)),
+        |est AS (SELECT term, min(coalesce(c, 0)) AS est_count
+        |        FROM probe LEFT JOIN cells USING (depth, bucket) GROUP BY term)
+        |SELECT t.term, t.cnt, e.est_count
+        |FROM top t JOIN est e USING (term)
+        |ORDER BY cnt DESC, term""".stripMargin,
     // the streaming monitor's standing counts must equal the batch
     // recompute — the oracle IS q207's exact rational audit verbatim
     "q210_stream_drift" ->
@@ -1932,8 +2112,8 @@ object PipelineQueries {
         |t AS (SELECT sum(ref_n) AS tr, sum(cur_n) AS tc FROM j)
         |SELECT category, ref_n, cur_n,
         | CAST((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr)
-        |   AS DECIMAL(38,0)) AS chi_num,
-        | CAST(tr * tc * (ref_n + cur_n) AS DECIMAL(38,0)) AS chi_den,
+        |   AS BIGINT) AS chi_num,
+        | CAST(tr * tc * (ref_n + cur_n) AS BIGINT) AS chi_den,
         | ((ref_n*tc - cur_n*tr) * (ref_n*tc - cur_n*tr) * 4 >
         |   tr * tc * (ref_n + cur_n) * 1) AS drifted
         |FROM j, t ORDER BY category""".stripMargin,

@@ -57,6 +57,35 @@ class DriftSpec extends SparkSpec {
     assert(verdictAt(1, 9))
   }
 
+  test("billion-scale counts stay exact in the DECIMAL(38,0) path") {
+    // 2e9-scale counts: chi_num ~ (r·C − c·R)² ≈ 1e37 — far past
+    // Long.MaxValue, so the internal DECIMAL(38,0) arithmetic is the
+    // only thing keeping the rational exact. The gate queries cast the
+    // OUTPUT to BIGINT (values ≤ ~1.3e14 at gate SFs); this pin keeps
+    // that cast from ever leaking into the operator itself.
+    val r = BigInt(2100000000L); val c = BigInt(1900000000L)
+    val refCounts = Seq(("a", 2100000000L), ("b", 400000000L))
+      .toDF("category", "ref_n")
+    val curCounts = Seq(("a", 1900000000L), ("b", 900000000L))
+      .toDF("category", "cur_n")
+    val got = Drift.chiSquaredAuditFromCounts(refCounts, curCounts, 1, 4)
+      .collect()
+      .map(row => (row.getString(0), BigDecimal(row.getDecimal(3)).toBigInt,
+        BigDecimal(row.getDecimal(4)).toBigInt, row.getBoolean(5)))
+      .map { case (k, n, d, v) => k -> ((n, d, v)) }
+      .toMap
+    val R = BigInt(2500000000L); val C = BigInt(2800000000L)
+    def expect(rn: BigInt, cn: BigInt) = {
+      val dd = rn * C - cn * R
+      (dd * dd, R * C * (rn + cn))
+    }
+    val (na, da) = expect(r, c)
+    assert(na > BigInt(Long.MaxValue), "pin must exceed BIGINT range")
+    assert(got("a") == ((na, da, na * 4 > da)))
+    val (nb, db) = expect(BigInt(400000000L), BigInt(900000000L))
+    assert(got("b") == ((nb, db, nb * 4 > db)))
+  }
+
   test("null categories audit like any other (null-safe join)") {
     val ref = Seq[Option[String]](None, None, Some("a")).toDF("cat")
     val cur = Seq[Option[String]](None, Some("a")).toDF("cat")

@@ -36,6 +36,74 @@ class BfsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("delta frontier == exactly the nodes that changed each round") {
+    import org.apache.spark.sql.functions._
+    // diamond + tail: layers {1}, {2,3}, {4}, {5}; node 2 is re-reached
+    // at hop 2 via 3 but must NOT reappear in any later frontier
+    val g = Seq((1L, 2L), (1L, 3L), (3L, 2L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val e = g.toDF("src", "dst").repartition(col("src")).localCheckpoint()
+    var dists = Seq(1L).toDF("node")
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dists
+    val layers = Seq(Set(2L -> 1L, 3L -> 1L), Set(4L -> 2L), Set(5L -> 3L),
+      Set.empty[(Long, Long)])
+    for (expect <- layers) {
+      val before = dists.as[(Long, Long)].collect().toSet
+      val (d, f) = Bfs.step(e, dists, frontier)
+      val after = d.as[(Long, Long)].collect().toSet
+      val front = f.as[(Long, Long)].collect().toSet
+      assert(front == expect) // frontier is exactly this hop's layer...
+      assert(after -- before == front) // ...and exactly the rows added
+      dists = d; frontier = f
+    }
+  }
+
+  private def bf(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                 rounds: Int): Map[Long, Long] =
+    Bfs.weightedDistances(edges.toDF("s", "d", "w"), "s", "d", "w",
+        seeds.toDF("n"), "n", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("cheapest path beats fewest hops") {
+    // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(bf(g, Seq(1L), 2) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+    // with only 1 round the 2-edge path is out of budget: direct wins
+    assert(bf(g, Seq(1L), 1) == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+  }
+
+  test("a later round IMPROVES a settled node (frontier must re-open it)") {
+    // 1 -> 4 direct 10 (settled round 1); 1->2->3->4 = 1+1+1 (round 3)
+    val g = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(bf(g, Seq(1L), 1)(4L) == 10L)
+    assert(bf(g, Seq(1L), 3)(4L) == 3L)
+  }
+
+  test("negative edge on a bounded budget relaxes exactly") {
+    // rounds bound path LENGTH, so a negative edge cannot diverge
+    val g = Seq((1L, 2L, 5L), (2L, 3L, -3L))
+    assert(bf(g, Seq(1L), 2) == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+  }
+
+  test("matches driver Bellman-Ford on a random weighted graph") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rng.nextInt(30).toLong,
+      rng.nextInt(30).toLong, 1L + rng.nextInt(9)))
+    val seeds = Seq(0L, 1L)
+    val rounds = 5
+    val got = bf(edges, seeds, rounds)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relax = dist.toSeq.flatMap { case (n, dn) =>
+        edges.collect { case (s, d, w) if s == n => d -> (dn + w) }
+      }
+      relax.foreach { case (n, c) =>
+        if (!dist.contains(n) || dist(n) > c) dist += n -> c
+      }
+    }
+    assert(got == dist)
+  }
+
   test("matches driver BFS on a random graph") {
     val rng = new scala.util.Random(3)
     val edges = Seq.fill(200)(

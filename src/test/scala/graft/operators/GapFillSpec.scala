@@ -42,6 +42,18 @@ class GapFillSpec extends SparkSpec {
       (Some("a"), 1L) -> Some(1L)))
   }
 
+  test("a null bucket fails loudly instead of silently vanishing") {
+    val df = Seq((Some("a"), Some(1L), 10L), (Some("a"), None, 99L))
+      .toDF("k", "day", "v")
+    val ex = intercept[Exception] {
+      GapFill.densify(df, Seq("k"), "day").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("null buckets cannot be gridded")))
+  }
+
   test("step > 1 strides the grid") {
     val got = GapFill.densify(observed.filter(col("k") === "a"),
         Seq("k"), "day", step = 2L)

@@ -236,6 +236,45 @@ class MergeIntoSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("merge"))
   }
 
+  test("guard refuses a wrong-key merge loudly; right key still merges") {
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "amt")
+      .createOrReplaceTempView("warehouse5")
+    // keys 1001/1002: zero overlap with the warehouse — the wrong-key smell
+    Seq((1001L, 9.0), (1002L, 8.0)).toDF("k", "amt")
+      .createOrReplaceTempView("staging5")
+    spark.conf.set("spark.graft.merge.guard", "true")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO warehouse5 USING staging5 ON warehouse5.k = staging5.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e.getMessage.contains("guard") ||
+        Option(e.getCause).exists(_.getMessage.contains("guard")))
+      // untouched: the refusal happened before any rewrite
+      assert(spark.table("warehouse5").count() == 2L)
+
+      // overlapping keys pass the guard and merge normally
+      Seq((2L, 9.0), (3L, 3.0)).toDF("k", "amt")
+        .createOrReplaceTempView("staging5b")
+      spark.sql(
+        """MERGE INTO warehouse5 USING staging5b ON warehouse5.k = staging5b.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.table("warehouse5").orderBy("k")
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
+
+      // insert_only is exempt: a fresh batch legitimately has no overlap
+      Seq((50L, 5.0)).toDF("k", "amt").createOrReplaceTempView("staging5c")
+      spark.sql(
+        """MERGE INTO warehouse5 USING staging5c ON warehouse5.k = staging5c.k
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.table("warehouse5").count() == 4L)
+    } finally spark.conf.unset("spark.graft.merge.guard")
+  }
+
   test("rule converts the logical plan shape (keys, tables)") {
     Seq((1L, 1.0)).toDF("k", "amt").createOrReplaceTempView("warehouse4")
     Seq((1L, 2.0)).toDF("k", "amt").createOrReplaceTempView("staging4")
