@@ -60,6 +60,54 @@ object SnapshotDiff {
     diff(oldDf, newDf, idCol, compareCols)
       .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
 
+  /** Column-attributed churn: [[summary]]'s row accounting PLUS one
+    * `changed:<col>` count per compared column — WHICH column drove the
+    * churn (the release-gate follow-up question: 9 % changed rows is
+    * fine if it's all `last_seen_ts`, alarming if it's `text`). A row
+    * with several changed columns counts once in `changed` and once
+    * per column, so the per-column counts may sum past the row count.
+    *
+    * Same no-join scale shape as [[diff]], one fingerprint per column
+    * instead of one per row: the exchange carries id + C narrow md5s,
+    * then a second global aggregate folds the boolean flags — both
+    * map-side combinable, no shuffle of content. Presence is tracked
+    * separately from the fingerprints, so a NULL value (null
+    * fingerprint) in a present row never reads as an absent row, and
+    * null→null compares unchanged while null→value counts. */
+  def columnChurn(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def tagged(df: DataFrame, side: Int): DataFrame =
+      df.select(col(idCol) +: lit(side).as("_side") +:
+        compareCols.map(c => md5(col(c).cast("string")).as(s"_fp_$c")): _*)
+    val perId = tagged(oldDf, 0).unionByName(tagged(newDf, 1))
+      .groupBy(col(idCol))
+      .agg(max(when(col("_side") === 0, 1)).as("_in_old"),
+        max(when(col("_side") === 1, 1)).as("_in_new") +:
+          compareCols.flatMap(c => Seq(
+            max(when(col("_side") === 0, col(s"_fp_$c"))).as(s"_o_$c"),
+            max(when(col("_side") === 1, col(s"_fp_$c"))).as(s"_n_$c"))): _*)
+    val both = col("_in_old").isNotNull && col("_in_new").isNotNull
+    val colChanged = compareCols.map(c =>
+      both && !(col(s"_o_$c") <=> col(s"_n_$c")))
+    val anyChanged = colChanged.reduce(_ || _)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = perId.agg(
+      cnt(col("_in_old").isNull && col("_in_new").isNotNull).as("added"),
+      Seq(cnt(col("_in_old").isNotNull && col("_in_new").isNull)
+          .as("removed"),
+        cnt(anyChanged).as("changed"),
+        cnt(both && !anyChanged).as("unchanged")) ++
+        compareCols.zip(colChanged).map { case (c, ch) =>
+          cnt(ch).as(s"changed:$c")
+        }: _*)
+    val metrics = agg.columns
+    agg.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(s"`$m`").as("n"))).toIndexedSeq: _*))
+        .as("kv"))
+      .select(col("kv.metric"), col("kv.n"))
+  }
+
   /** MINIMAL CDC patch from `oldDf` to `newDf`: one row per added /
     * changed / removed id — `(id, op, payloadCols…)`, payload taken from
     * the NEW snapshot (null payload on removed rows). Unchanged rows are

@@ -996,6 +996,62 @@ object EtlOps {
       caseSql("matched", "c_custkey") + "\nORDER BY case_name"
   }
 
+  /** Keyed snapshot diff under the gate (q229): yesterday's load vs
+    * today's, simulated from orders — the new snapshot drops every 7th
+    * key (removed), lacks every 5th from the old side (added), bumps
+    * custkey on every 3rd and flips status on every 11th
+    * ([[graft.operators.SnapshotDiff.columnChurn]]). The per-column
+    * changed counts OVERLAP (3428 + 935 > 4051 changed rows at
+    * sf0.01), so the any-column-changed dedup is value-checked, not
+    * just the per-column sums. No join — the operator's side-tagged
+    * per-column fingerprints fold in one keyed aggregate. */
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_custkey"),
+        col("o_orderstatus"))
+    val nw = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 3 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+    graft.operators.SnapshotDiff.columnChurn(old, nw, "k",
+        Seq("o_custkey", "o_orderstatus"))
+      .orderBy(col("metric"))
+  }
+
+  /** Robust median/MAD outlier audit under the gate (q230): the events
+    * value column in exact cents (floor(value·100) — identical IEEE
+    * steps in both engines), per event type, flagged at 3·MAD
+    * ([[graft.functions.RobustStats.madOutlierReport]]). The value
+    * distribution is heavy-tailed (median ≈ 35, max 490), so the
+    * median yardstick and the 3·MAD fence both sit where a mean/stddev
+    * formulation would land elsewhere — med2/mad4/n_outliers all move
+    * under an off-by-one rank, a non-strict fence, or a dev2 scale
+    * slip. The oracle restates the doubled order statistics with
+    * window ranks. */
+  def robustOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.RobustStats.madOutlierReport(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "cents", kNum = 3, kDen = 1)
+      .orderBy(col("event_type"))
+
+  /** Quantile-mapping score calibration under the gate (q231): every
+    * event type's cent-value distribution mapped onto the 'view'
+    * type's ([[graft.functions.Calibration.quantileNormalize]]) —
+    * per-row output, so ONE row landing on the wrong reference order
+    * statistic (rank off-by-one, a ceil that floors, a tie broken the
+    * other way) breaks the hash. 'view' rows must self-map; ~99 % of
+    * other rows shift. */
+  def quantileNormQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Calibration.quantileNormalize(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_id", "event_type", "cents", refGroup = "view")
+      .orderBy(col("event_id"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1213,6 +1269,9 @@ object EtlOps {
     "q223_model_predict"  -> perceptronPredictQ _,
     "q224_weighted_paths" -> weightedPathsQ _,
     "q226_merge_guard"    -> mergeGuardQ _,
+    "q229_snapshot_diff"  -> snapshotDiffQ _,
+    "q230_robust_outliers" -> robustOutliersQ _,
+    "q231_quantile_norm"  -> quantileNormQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1793,6 +1852,83 @@ object EtlOps {
     "q222_bfs" -> bfsOracle(3),
     "q224_weighted_paths" -> weightedPathsOracle(4),
     "q226_merge_guard" -> mergeGuardOracle,
+    // per-source rank -> ceil-scaled reference position -> reference
+    // order statistic; ties broken by id in both engines
+    "q231_quantile_norm" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |rk AS (SELECT event_id, event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS r,
+        |  count(*) OVER (PARTITION BY event_type) AS ng FROM v),
+        |ref AS (SELECT r AS p, cents AS x_norm FROM rk
+        |        WHERE event_type = 'view'),
+        |nr AS (SELECT count(*) AS n_ref FROM ref)
+        |SELECT event_id, event_type, cents, x_norm
+        |FROM rk, nr JOIN ref
+        |  ON ref.p = (rk.r * nr.n_ref + rk.ng - 1) // rk.ng
+        |ORDER BY event_id""".stripMargin,
+    // doubled order statistics: med2 = sum of the two middle ranks,
+    // dev2 = |2x - med2|, mad4 likewise over dev2; strict 3*MAD fence
+    // cross-multiplied as 2*dev2 > 3*mad4
+    "q230_robust_outliers" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x)
+        |        AS rn, count(*) OVER (PARTITION BY g) AS n FROM v),
+        |m AS (SELECT g, max(n) AS n,
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN x END) +
+        |       sum(CASE WHEN rn = n // 2 + 1 THEN x END) AS BIGINT)
+        |    AS med2
+        | FROM r GROUP BY g),
+        |d AS (SELECT v.g, abs(2 * v.x - m.med2) AS dev2
+        |      FROM v JOIN m USING (g)),
+        |dr AS (SELECT g, dev2, row_number() OVER
+        |        (PARTITION BY g ORDER BY dev2) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n FROM d),
+        |mm AS (SELECT g,
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 END) +
+        |       sum(CASE WHEN rn = n // 2 + 1 THEN dev2 END) AS BIGINT)
+        |    AS mad4
+        | FROM dr GROUP BY g),
+        |o AS (SELECT d.g, CAST(count(*) FILTER
+        |        (2 * d.dev2 * 1 > 3 * mm.mad4) AS BIGINT) AS n_outliers
+        |      FROM d JOIN mm USING (g) GROUP BY d.g)
+        |SELECT m.g AS event_type, m.n, m.med2, mm.mad4, o.n_outliers
+        |FROM m JOIN mm USING (g) JOIN o USING (g)
+        |ORDER BY event_type""".stripMargin,
+    // the diff restated as one FULL JOIN with FILTERed counts
+    "q229_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |new AS (SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT old.k AS ok, new.k AS nk,
+        |  old.o_custkey AS oc, new.o_custkey AS nc,
+        |  old.o_orderstatus AS os, new.o_orderstatus AS ns
+        | FROM old FULL JOIN new ON old.k = new.k)
+        |SELECT * FROM (
+        | SELECT 'added' AS metric,
+        |   CAST(count(*) FILTER (ok IS NULL) AS BIGINT) AS n FROM j
+        | UNION ALL SELECT 'removed',
+        |   count(*) FILTER (nk IS NULL) FROM j
+        | UNION ALL SELECT 'changed', count(*) FILTER (ok IS NOT NULL
+        |   AND nk IS NOT NULL AND (oc IS DISTINCT FROM nc
+        |   OR os IS DISTINCT FROM ns)) FROM j
+        | UNION ALL SELECT 'unchanged', count(*) FILTER (ok IS NOT NULL
+        |   AND nk IS NOT NULL AND oc IS NOT DISTINCT FROM nc
+        |   AND os IS NOT DISTINCT FROM ns) FROM j
+        | UNION ALL SELECT 'changed:o_custkey', count(*) FILTER
+        |   (ok IS NOT NULL AND nk IS NOT NULL
+        |    AND oc IS DISTINCT FROM nc) FROM j
+        | UNION ALL SELECT 'changed:o_orderstatus', count(*) FILTER
+        |   (ok IS NOT NULL AND nk IS NOT NULL
+        |    AND os IS DISTINCT FROM ns) FROM j
+        |) ORDER BY metric""".stripMargin,
     "q223_model_predict" -> perceptronPredictOracle,
     "q52_percentiles" ->
       """SELECT event_type,

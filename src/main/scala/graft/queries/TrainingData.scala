@@ -2050,6 +2050,54 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** Greedy max-coverage selection under the gate (q228): pick 6
+    * documents (every-5th-doc candidate pool) that together cover the
+    * most distinct token bigrams, via
+    * [[graft.operators.Selection.greedyMaxCoverage]]. The synthetic
+    * corpus's bigram vocabulary overlaps heavily across documents
+    * (sf0.01: gains 94→84→76→73→58→52), so every round's pick DEPENDS
+    * on the accumulated covered set — a stale gain table, a missed
+    * dedup, or a tie-order slip changes the remaining picks. The
+    * oracle unrolls the 6 greedy rounds as anti-join-count + argmax
+    * CTEs (the q201/q222 pattern). */
+  def maxCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 5 === 0)
+      .withColumn("_toks", TextAnalysis.tokens(lower(col("text"))))
+    val pairs = d.select(col("doc_id"),
+      explode(QualityFilters.bigrams(col("_toks"))).as("s"))
+    graft.operators.Selection.greedyMaxCoverage(pairs, "doc_id", "s", 6)
+      .orderBy(col("k"))
+  }
+
+  /** q228's oracle: the greedy rounds unrolled — per round an
+    * uncovered-bigram count per candidate, a (gain DESC, doc_id)
+    * argmax, and the covered-set union. */
+  private def maxCoverageOracle(rounds: Int): String = {
+    val head =
+      """WITH toks AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        | FROM documents WHERE doc_id % 5 = 0),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |   i -> t[i] || ' ' || t[i + 1])) AS s
+        | FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, s FROM bg),
+        |c0 AS (SELECT s FROM sh WHERE 1 = 0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s""",
+         |g$r AS (SELECT sh.doc_id, count(*) AS gain FROM sh
+         |  LEFT JOIN c${r - 1} ON sh.s = c${r - 1}.s
+         |  WHERE c${r - 1}.s IS NULL GROUP BY sh.doc_id),
+         |p$r AS (SELECT doc_id, gain FROM g$r
+         |        ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS (SELECT s FROM c${r - 1}
+         |        UNION SELECT sh.s FROM sh JOIN p$r USING (doc_id))""".stripMargin
+    }.mkString
+    val tail = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS k, doc_id, CAST(gain AS BIGINT) AS gain FROM p$r")
+      .mkString("\nSELECT k, doc_id, gain FROM (", "\nUNION ALL ", ") ORDER BY k")
+    head + rs + tail
+  }
+
   /** BPE tokenizer training under the gate (q196): 8 merges learned
     * from the documents word vocabulary through
     * [[graft.functions.Bpe.train]] — exact integer pair counts over the
@@ -2172,6 +2220,7 @@ object TrainingData {
     "q197_bpe_tokenize"     -> bpeTokenizeQ _,
     "q196_bpe_train"        -> bpeTrainQ _,
     "q191_rank_eval"        -> rankEvalQ _,
+    "q228_max_coverage"     -> maxCoverageQ _,
     "q189_temperature_alloc" -> temperatureAllocQ _,
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
@@ -2915,6 +2964,7 @@ object TrainingData {
     // the whole evaluation restated: sequential squared-diff list_sum
     // (l2TopKBatch's fold order), (dist, vec_id) ranking, same-label
     // relevance, cumulative-hit AP terms scaled by lcm(1..10)=2520
+    "q228_max_coverage" -> maxCoverageOracle(6),
     "q191_rank_eval" ->
       """WITH q AS (SELECT vec_id AS qid, embedding, label
         | FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),

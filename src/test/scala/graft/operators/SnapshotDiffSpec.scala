@@ -52,6 +52,36 @@ class SnapshotDiffSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("columnChurn attributes changes per column and dedups row-level") {
+    val got = SnapshotDiff.columnChurn(oldSnap, newSnap, "id",
+        Seq("text", "tag"))
+      .as[(String, Long)].collect().toMap
+    // ids 2 (text) and 3 (tag) changed — one row each, one column each
+    assert(got == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 1L, "changed:text" -> 1L, "changed:tag" -> 1L))
+    // a row changing BOTH columns counts once in changed, twice per-col
+    val both = Seq((1L, "X", "Y")).toDF("id", "text", "tag")
+    val g2 = SnapshotDiff.columnChurn(
+        Seq((1L, "a", "b")).toDF("id", "text", "tag"), both, "id",
+        Seq("text", "tag"))
+      .as[(String, Long)].collect().toMap
+    assert(g2("changed") == 1L &&
+      g2("changed:text") == 1L && g2("changed:tag") == 1L)
+  }
+
+  test("columnChurn: null values are values, absent rows are absent") {
+    val o = Seq((Some(1L), Option.empty[String], Some("t")),
+      (Some(2L), Some("x"), Option.empty[String])).toDF("id", "text", "tag")
+    val n = Seq((Some(1L), Some("now"), Some("t")), // text: null -> value
+      (Some(2L), Some("x"), Option.empty[String]))  // tag: null -> null
+      .toDF("id", "text", "tag")
+    val got = SnapshotDiff.columnChurn(o, n, "id", Seq("text", "tag"))
+      .as[(String, Long)].collect().toMap
+    assert(got("added") == 0L && got("removed") == 0L)
+    assert(got("changed") == 1L && got("changed:text") == 1L)
+    assert(got("changed:tag") == 0L && got("unchanged") == 1L)
+  }
+
   test("patch is churn-sized and applyPatch replays it to the exact new " +
        "snapshot") {
     val p = SnapshotDiff.patch(oldSnap, newSnap, "id", Seq("text", "tag"),
