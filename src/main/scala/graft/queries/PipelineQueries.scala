@@ -134,7 +134,8 @@ object PipelineQueries {
   def cursorScanQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val docs = collectFixture(Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
       .orderBy(col("doc_id")), "cursorScanQ")
     val lakeDir = java.nio.file.Files.createTempDirectory("graft_cursorsim").toString
     val pages = docs.grouped(math.max(docs.length / 4, 1)).toSeq
@@ -182,7 +183,8 @@ object PipelineQueries {
     import org.apache.spark.sql.types._
     import java.nio.charset.StandardCharsets.UTF_8
     val docs = collectFixture(Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
       .orderBy(col("doc_id")), "cursorOAuthQ")
     val pages = docs.grouped(math.max(docs.length / 4, 1)).toSeq
     val pageBody = scala.collection.mutable.Map.empty[String, String]
