@@ -1272,6 +1272,48 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING churn monitor under the gate (q232): the q229 snapshot
+    * diff's batch≡stream invariant — the NEW snapshot (q229's modified
+    * orders slice) drains through [[graft.streaming.StreamChurn]] in
+    * three key-split waves, each micro-batch classifying against the
+    * static old-side fingerprints and appending disjoint metric
+    * increments; the summed standing report (with `removed` derived
+    * from the old-side count) must hash-equal the batch
+    * [[graft.operators.SnapshotDiff.columnChurn]] — q229's oracle
+    * verbatim. A no-data fourth drain must leave the sink untouched. */
+  def streamChurnQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q232") { base =>
+      val src = s"$base/landing"
+      val orders = Tables.load(s, dir, "orders")
+      val cols = Seq("o_custkey", "o_orderstatus")
+      val old = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey"),
+          col("o_orderstatus"))
+      val nw = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      val oldFps = graft.streaming.StreamChurn
+        .oldFingerprints(old, "k", cols).localCheckpoint()
+      val nOld = old.count()
+      def run(): Unit = graft.streaming.StreamChurn.runAvailableNow(
+        s, src, nw.schema, oldFps, "k", cols, s"$base/sink", s"$base/ckpt")
+      for (wv <- 0 to 2) {
+        nw.filter(col("k") % 3 === wv).coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing increments must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamChurnQ: no-data replay appended monitor rows")
+      graft.streaming.StreamChurn.currentChurn(s, s"$base/sink", nOld)
+        .orderBy(col("metric"))
+        .localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1737,6 +1779,7 @@ object PipelineQueries {
     "q195_funnel_stream"  -> withSP(funnelStreamQ _),
     "q210_stream_drift"   -> withSP(streamDriftQ _),
     "q225_stream_heavy"   -> withSP(streamHeavyQ _),
+    "q232_stream_churn"   -> streamChurnQ _,
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2075,6 +2118,39 @@ object PipelineQueries {
         | (list_reduce(list_prepend(0, xs),
         |   (acc, x) -> greatest(0, acc + x - 2)) > 3) AS alarm
         |FROM p ORDER BY k, day""".stripMargin,
+    // the streamed increments plus the derived removed row must equal
+    // the batch columnChurn — the oracle IS q229's restatement verbatim
+    "q232_stream_churn" ->
+      """WITH old AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |new AS (SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS o_custkey,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT old.k AS ok, new.k AS nk,
+        |  old.o_custkey AS oc, new.o_custkey AS nc,
+        |  old.o_orderstatus AS os, new.o_orderstatus AS ns
+        | FROM old FULL JOIN new ON old.k = new.k)
+        |SELECT * FROM (
+        | SELECT 'added' AS metric,
+        |   CAST(count(*) FILTER (ok IS NULL) AS BIGINT) AS n FROM j
+        | UNION ALL SELECT 'removed',
+        |   count(*) FILTER (nk IS NULL) FROM j
+        | UNION ALL SELECT 'changed', count(*) FILTER (ok IS NOT NULL
+        |   AND nk IS NOT NULL AND (oc IS DISTINCT FROM nc
+        |   OR os IS DISTINCT FROM ns)) FROM j
+        | UNION ALL SELECT 'unchanged', count(*) FILTER (ok IS NOT NULL
+        |   AND nk IS NOT NULL AND oc IS NOT DISTINCT FROM nc
+        |   AND os IS NOT DISTINCT FROM ns) FROM j
+        | UNION ALL SELECT 'changed:o_custkey', count(*) FILTER
+        |   (ok IS NOT NULL AND nk IS NOT NULL
+        |    AND oc IS DISTINCT FROM nc) FROM j
+        | UNION ALL SELECT 'changed:o_orderstatus', count(*) FILTER
+        |   (ok IS NOT NULL AND nk IS NOT NULL
+        |    AND os IS DISTINCT FROM ns) FROM j
+        |) ORDER BY metric""".stripMargin,
     // the maintained grid serves the batch estimates — the oracle IS
     // q93's one-shot count-min construction verbatim
     "q225_stream_heavy" ->
