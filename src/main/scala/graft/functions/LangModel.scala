@@ -103,4 +103,54 @@ object LangModel {
         col("sum_bits").cast("double") /
           greatest(col("n_pairs"), lit(1L)).cast("double"))
   }
+
+  /** Interpolated Kneser–Ney bigram model, EXACT: one row per distinct
+    * bigram with its smoothed conditional probability as a reduced-free
+    * integer rational —
+    *
+    * {{{
+    *   P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+    *            + (D · N1+(w1·) / c(w1·)) · (N1+(·w2) / N1+(··))
+    * }}}
+    *
+    * with discount `D = dNum/dDen`, cleared to the common denominator
+    * `pkn_den = dDen · c(w1·) · N1+(··)`:
+    *
+    * {{{
+    *   pkn_num = max(c·dDen − dNum, 0) · N1+(··)
+    *           + dNum · N1+(w1·) · N1+(·w2)
+    * }}}
+    *
+    * The continuation distribution N1+(·w2)/N1+(··) is what separates
+    * KN from plain absolute discounting — "francisco" is frequent but
+    * follows only "san", so its continuation mass stays low. All
+    * counts are exact integers; nothing transcendental, so the whole
+    * model restates in SQL and comparisons/rankings cross-multiply.
+    *
+    * Scale shape: one corpus scan into per-occurrence pairs, then
+    * map-side-combinable aggregates on bigram types; the fan-out
+    * frames (per-w1, per-w2, 1-row type total) are type-cardinality
+    * and broadcast back. Long bound: `c(w1·) · N1+(··) · dDen` must
+    * ride a Long — pre-aggregate per shard or widen to DECIMAL(38,0)
+    * past ~10¹⁴ pair occurrences against ~10⁴ types. */
+  def kneserNeyBigrams(df: DataFrame, idCol: String, textCol: String,
+                       dNum: Long = 3, dDen: Long = 4): DataFrame = {
+    require(dNum >= 0 && dDen > 0 && dNum < dDen,
+      s"discount $dNum/$dDen must sit in [0, 1)")
+    val pc = TermStats.bigramPairs(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // three aggregates fan out of the type table
+    val byW1 = pc.groupBy(col("w1"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_fwd"))
+    val byW2 = pc.groupBy(col("w2")).agg(count(lit(1)).as("n1p_back"))
+    val types = pc.agg(count(lit(1)).as("n_types"))
+    pc.join(byW1, Seq("w1")).join(byW2, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
+        col("n1p_fwd"), col("n1p_back"), col("n_types"),
+        (greatest(col("c_ab") * dDen - dNum, lit(0L)) * col("n_types") +
+          lit(dNum) * col("n1p_fwd") * col("n1p_back")).as("pkn_num"),
+        (lit(dDen) * col("c_a") * col("n_types")).as("pkn_den"))
+  }
 }

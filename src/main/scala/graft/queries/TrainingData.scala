@@ -2098,6 +2098,35 @@ object TrainingData {
     head + rs + tail
   }
 
+  /** Interpolated Kneser–Ney bigram model under the gate (q233): the
+    * full-corpus bigram table (916 types at sf0.01) with exact-rational
+    * smoothed conditionals at D = 3/4
+    * ([[graft.functions.LangModel.kneserNeyBigrams]]) — every count
+    * surface rides the row (c_ab, c_a, N1+ forward/backward, type
+    * total), so a discount slip, a continuation count taken over
+    * OCCURRENCES instead of TYPES, or a swapped N1+ direction each
+    * moves pkn_num on specific rows. Observed-continuation mass per w1
+    * sums ≤ 1 with the deficit = backoff mass (sanity-checked at
+    * build time). */
+  def kneserNeyQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.LangModel.kneserNeyBigrams(docs(s, dir),
+        "doc_id", "text", dNum = 3, dDen = 4)
+      .orderBy(col("w1"), col("w2"))
+
+  /** Embedding centroid alignment under the gate (q234): each label
+    * cluster's quantized centroid sum against the global centroid at
+    * cos ≥ 35/100 ([[graft.functions.EmbeddingDrift
+    * .centroidAlignment]]). The synthetic clusters' cosines span
+    * 0.07–0.50 at sf0.01, so the threshold splits the verdicts —
+    * and dot/na2/nb2 ride the row as exact integers, so a quantize
+    * slip, a float-summed centroid, or a squared-norm swap each move
+    * specific cells. */
+  def centroidAlignQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.EmbeddingDrift.centroidAlignment(
+        Tables.load(s, dir, "embeddings"), "label", "embedding",
+        dims = 64, tNum = 35, tDen = 100)
+      .orderBy(col("label"))
+
   /** BPE tokenizer training under the gate (q196): 8 merges learned
     * from the documents word vocabulary through
     * [[graft.functions.Bpe.train]] — exact integer pair counts over the
@@ -2221,6 +2250,8 @@ object TrainingData {
     "q196_bpe_train"        -> bpeTrainQ _,
     "q191_rank_eval"        -> rankEvalQ _,
     "q228_max_coverage"     -> maxCoverageQ _,
+    "q233_kneser_ney"       -> kneserNeyQ _,
+    "q234_centroid_align"   -> centroidAlignQ _,
     "q189_temperature_alloc" -> temperatureAllocQ _,
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
@@ -2965,6 +2996,49 @@ object TrainingData {
     // (l2TopKBatch's fold order), (dist, vec_id) ranking, same-label
     // relevance, cumulative-hit AP terms scaled by lcm(1..10)=2520
     "q228_max_coverage" -> maxCoverageOracle(6),
+    // quantize-first exact centroid sums; cross-multiplied cosine at
+    // 35/100 in HUGEINT
+    "q234_centroid_align" ->
+      """WITH e AS (SELECT label, list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS q
+        | FROM embeddings),
+        |x AS (SELECT label, i AS pos, q[i] AS v FROM e,
+        |      (SELECT unnest(range(1, 65)) AS i)),
+        |g AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS gs,
+        |      count(*) AS cnt FROM x GROUP BY label, pos),
+        |gl AS (SELECT pos, CAST(sum(v) AS BIGINT) AS gv
+        |       FROM x GROUP BY pos),
+        |n AS (SELECT label, CAST(max(cnt) AS BIGINT) AS n
+        |      FROM g GROUP BY label),
+        |d AS (SELECT g.label,
+        |  CAST(sum(g.gs * gl.gv) AS BIGINT) AS dot,
+        |  CAST(sum(g.gs * g.gs) AS BIGINT) AS na2,
+        |  CAST(sum(gl.gv * gl.gv) AS BIGINT) AS nb2
+        | FROM g JOIN gl USING (pos) GROUP BY g.label)
+        |SELECT d.label, n.n, d.dot, d.na2, d.nb2,
+        | (d.dot >= 0 AND CAST(d.dot AS HUGEINT) * d.dot * 100 * 100 >=
+        |   CAST(d.na2 AS HUGEINT) * d.nb2 * 35 * 35) AS aligned
+        |FROM d JOIN n USING (label) ORDER BY d.label""".stripMargin,
+    // exact-rational interpolated KN at D=3/4: max(4c-3,0)*T + 3*fwd*back
+    // over 4*c_a*T; continuation counts are TYPE counts
+    "q233_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+        |   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p FROM toks),
+        |pc AS (SELECT p.w1 AS w1, p.w2 AS w2,
+        |       CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+        |a AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a,
+        |      CAST(count(*) AS BIGINT) AS n1p_fwd FROM pc GROUP BY w1),
+        |b AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_back
+        |      FROM pc GROUP BY w2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM pc)
+        |SELECT w1, w2, c_ab, c_a, n1p_fwd, n1p_back, n_types,
+        | CAST(greatest(c_ab * 4 - 3, 0) * n_types
+        |   + 3 * n1p_fwd * n1p_back AS BIGINT) AS pkn_num,
+        | CAST(4 * c_a * n_types AS BIGINT) AS pkn_den
+        |FROM pc JOIN a USING (w1) JOIN b USING (w2), t
+        |ORDER BY w1, w2""".stripMargin,
     "q191_rank_eval" ->
       """WITH q AS (SELECT vec_id AS qid, embedding, label
         | FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),

@@ -79,4 +79,36 @@ class LangModelSpec extends SparkSpec {
       .select($"doc_id", $"n_pairs").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("Kneser-Ney: hand-checked rationals on the san-francisco shape") {
+    // corpus: "san francisco" x3, "san diego", "new york"
+    // pc: (san,francisco) c=3, (san,diego) 1, (new,york) 1 → T=3
+    // c_san=4 fwd=2; back(francisco)=1, back(diego)=1, back(york)=1
+    val docs = Seq(1L -> "san francisco", 2L -> "san francisco",
+      3L -> "san francisco", 4L -> "san diego", 5L -> "new york")
+      .toDF("doc_id", "text")
+    val got = LangModel.kneserNeyBigrams(docs, "doc_id", "text")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._8, r._9))).toMap
+    // P(francisco|san) = max(12-3,0)*3 + 3*2*1 = 33 over 4*4*3 = 48
+    assert(got(("san", "francisco")) == ((33L, 48L)))
+    // P(diego|san) = max(4-3,0)*3 + 3*2*1 = 9 over 48
+    assert(got(("san", "diego")) == ((9L, 48L)))
+    // P(york|new) = max(4-3,0)*3 + 3*1*1 = 6 over 4*1*3 = 12
+    assert(got(("new", "york")) == ((6L, 12L)))
+  }
+
+  test("Kneser-Ney: observed mass per context never exceeds 1 " +
+      "(cross-multiplied)") {
+    val docs = Seq(1L -> "a b a c a b b c c a a a")
+      .toDF("doc_id", "text")
+    val rows = LangModel.kneserNeyBigrams(docs, "doc_id", "text")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    rows.groupBy(_._1).foreach { case (w1, grp) =>
+      val den = grp.head._9
+      assert(grp.forall(_._9 == den))
+      assert(grp.map(_._8).sum <= den, s"context $w1 oversubscribed")
+    }
+  }
 }
