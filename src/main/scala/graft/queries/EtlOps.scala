@@ -1052,6 +1052,45 @@ object EtlOps {
         "event_id", "event_type", "cents", refGroup = "view")
       .orderBy(col("event_id"))
 
+  /** Functional-dependency audit under the gate (q235): four candidate
+    * dependencies across three tables through
+    * [[graft.operators.Profiling.fdAudit]] — the key dependency holds
+    * (o_orderkey → o_custkey, 0 violations), the other three fail with
+    * DISTINCT violation shapes (12386 fanning orders / 18389 surplus
+    * flags; 2000/49731; 25/100 at sf0.01), so the two violation
+    * counters are value-checked independently, not just the boolean. */
+  def fdAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val cust = Tables.load(s, dir, "customer")
+    graft.operators.Profiling
+      .fdAudit(orders, Seq("o_orderkey" -> "o_custkey"))
+      .unionByName(graft.operators.Profiling.fdAudit(li,
+        Seq("l_orderkey" -> "l_returnflag", "l_partkey" -> "l_suppkey")))
+      .unionByName(graft.operators.Profiling.fdAudit(cust,
+        Seq("c_nationkey" -> "c_mktsegment")))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
+  /** Referential-integrity audit under the gate (q236): three declared
+    * relationships through [[graft.operators.Profiling.riAudit]] — two
+    * intact (lineitem→orders, events→customer) and one broken BY
+    * CONSTRUCTION (lineitem.l_partkey against a parent missing every
+    * 3rd part — the half-loaded dimension), so zero and non-zero
+    * orphan paths are both value-checked. */
+  def riAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val p = graft.operators.Profiling
+    p.riAudit(li, "l_orderkey", Tables.load(s, dir, "orders"),
+        "o_orderkey", "lineitem->orders")
+      .unionByName(p.riAudit(li, "l_partkey",
+        Tables.load(s, dir, "part").filter(col("p_partkey") % 3 =!= 0),
+        "p_partkey", "lineitem->part_partial"))
+      .unionByName(p.riAudit(Tables.load(s, dir, "events"), "user_id",
+        Tables.load(s, dir, "customer"), "c_custkey", "events->customer"))
+      .orderBy(col("relation"))
+  }
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1272,6 +1311,8 @@ object EtlOps {
     "q229_snapshot_diff"  -> snapshotDiffQ _,
     "q230_robust_outliers" -> robustOutliersQ _,
     "q231_quantile_norm"  -> quantileNormQ _,
+    "q235_fd_audit"       -> fdAuditQ _,
+    "q236_ri_audit"       -> riAuditQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1852,6 +1893,63 @@ object EtlOps {
     "q222_bfs" -> bfsOracle(3),
     "q224_weighted_paths" -> weightedPathsOracle(4),
     "q226_merge_guard" -> mergeGuardOracle,
+    // per-candidate: distinct lhs, fanning lhs, surplus rhs mappings
+    "q235_fd_audit" ->
+      """SELECT * FROM (
+        | SELECT 'c_nationkey' AS lhs, 'c_mktsegment' AS rhs,
+        |  CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(count(*) FILTER (k > 1) AS BIGINT) AS n_violating_lhs,
+        |  CAST(sum(greatest(k - 1, 0)) AS BIGINT) AS n_extra_rhs,
+        |  (sum(greatest(k - 1, 0)) = 0) AS holds
+        | FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS k
+        |       FROM customer GROUP BY 1)
+        | UNION ALL
+        | SELECT 'l_orderkey', 'l_returnflag', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (k > 1) AS BIGINT),
+        |  CAST(sum(greatest(k - 1, 0)) AS BIGINT),
+        |  sum(greatest(k - 1, 0)) = 0
+        | FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS k
+        |       FROM lineitem GROUP BY 1)
+        | UNION ALL
+        | SELECT 'l_partkey', 'l_suppkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (k > 1) AS BIGINT),
+        |  CAST(sum(greatest(k - 1, 0)) AS BIGINT),
+        |  sum(greatest(k - 1, 0)) = 0
+        | FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS k
+        |       FROM lineitem GROUP BY 1)
+        | UNION ALL
+        | SELECT 'o_orderkey', 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (k > 1) AS BIGINT),
+        |  CAST(sum(greatest(k - 1, 0)) AS BIGINT),
+        |  sum(greatest(k - 1, 0)) = 0
+        | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
+        |       FROM orders GROUP BY 1)
+        |) ORDER BY lhs, rhs""".stripMargin,
+    // orphans per declared FK; the part parent misses every 3rd key
+    "q236_ri_audit" ->
+      """WITH r AS (
+        | SELECT 'events->customer' AS relation,
+        |  CAST((SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+        |    AS BIGINT) AS n_child,
+        |  CAST((SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = e.user_id))
+        |    AS BIGINT) AS n_orphans
+        | UNION ALL
+        | SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_orderkey = l.l_orderkey))
+        | UNION ALL
+        | SELECT 'lineitem->part_partial',
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+        |  (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM part p
+        |                   WHERE p.p_partkey % 3 <> 0
+        |                     AND p.p_partkey = l.l_partkey)))
+        |SELECT relation, n_child, n_orphans, (n_orphans = 0) AS intact
+        |FROM r ORDER BY relation""".stripMargin,
     // per-source rank -> ceil-scaled reference position -> reference
     // order statistic; ties broken by id in both engines
     "q231_quantile_norm" ->
