@@ -108,4 +108,50 @@ object AggMaintain {
                        keyCol: String, valCol: String, p: Int): DataFrame =
     distinctMerge(baseState, distinctState(delta, keyCol, valCol, p),
       keyCol, p)
+
+  /** Per-key QUANTILE state as a bounded mergeable sketch `(key,
+    * q_sketch)` — [[graft.functions.Sketches.quantileSketch]]'s
+    * distinct-value histogram restricted to the `capacity`
+    * smallest-hash values with EXACT total weights. The third
+    * maintainable non-invertible summary after min/max and HLL: the
+    * sketch is a pure set function of the distinct values (bottom-k by
+    * a global hash order) carrying group-additive weights, so a value
+    * in the union's bottom-k is in every contributing batch's bottom-k
+    * and its weights just add — maintained state is ENTRY-IDENTICAL to
+    * a one-shot recompute under any batching (the q237 gate invariant).
+    * Values are cast to long; quantiles read via
+    * [[graft.functions.Sketches.sketchQuantile]]. */
+  def quantileState(df: DataFrame, keyCol: String, valCol: String,
+                    capacity: Int): DataFrame =
+    df.select(col(keyCol), col(valCol).cast("long").as("_v"))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.Sketches.quantileSketch(
+        graft.functions.Sketches.hash60(col("_v").cast("string")),
+        col("_v"), lit(1L), capacity).as("q_sketch"))
+
+  /** Fold a delta sketch state into the stored base state: explode both
+    * sides' entries, re-sum weights per (key, value), re-sketch — the
+    * entry value's hash is recomputable from the value itself, so the
+    * same spec-pinned aggregate rebuilds the bottom-capacity histogram
+    * (no second trim implementation to keep entry-identical). State
+    * rows shuffled are ≤ 2 · capacity per key — never the base data. */
+  def quantileMerge(baseState: DataFrame, deltaState: DataFrame,
+                    keyCol: String, capacity: Int): DataFrame =
+    baseState.select(col(keyCol), col("q_sketch"))
+      .unionByName(deltaState.select(col(keyCol), col("q_sketch")))
+      .select(col(keyCol), explode(col("q_sketch")).as("_e"))
+      .groupBy(col(keyCol), col("_e.value").as("_v"))
+      .agg(sum(col("_e.count")).as("_w"))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.Sketches.quantileSketch(
+        graft.functions.Sketches.hash60(col("_v").cast("string")),
+        col("_v"), col("_w"), capacity).as("q_sketch"))
+
+  /** One-shot convenience: fold a raw delta batch into a stored
+    * quantile-sketch state. `capacity` must match the state's. */
+  def maintainQuantiles(baseState: DataFrame, delta: DataFrame,
+                        keyCol: String, valCol: String,
+                        capacity: Int): DataFrame =
+    quantileMerge(baseState, quantileState(delta, keyCol, valCol, capacity),
+      keyCol, capacity)
 }

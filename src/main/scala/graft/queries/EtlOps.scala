@@ -1236,6 +1236,34 @@ object EtlOps {
       .orderBy(col("l_partkey"))
   }
 
+  /** Incremental QUANTILE-sketch maintenance under the gate (q237):
+    * the per-event-type cent-value histogram sketch (capacity 256,
+    * SATURATED — thousands of distinct cents per type), maintained
+    * through a three-way event split via [[graft.operators.AggMaintain
+    * .maintainQuantiles]]. The sketch is a pure set function with
+    * additive weights, so the maintained entries must be IDENTICAL to
+    * the one-shot sketch — the oracle restates exactly that: the 256
+    * smallest-hash distinct values per type with their FULL-table
+    * counts. A batch-local trim that drops a value before its later
+    * batches arrive, or a weight that fails to re-sum, breaks rows. */
+  def quantileMaintainQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggMaintain
+    val e = Tables.load(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val base = AggMaintain.quantileState(
+      e.filter(col("event_id") % 3 === 0), "event_type", "cents", 256)
+    val folded = Seq(col("event_id") % 3 === 1, col("event_id") % 3 === 2)
+      .foldLeft(base) { (st, pred) =>
+        AggMaintain.maintainQuantiles(st, e.filter(pred), "event_type",
+          "cents", 256)
+      }
+    folded
+      .select(col("event_type"), explode(col("q_sketch")).as("e"))
+      .select(col("event_type"), col("e.value").as("value"),
+        col("e.count").as("count"))
+      .orderBy(col("event_type"), col("value"))
+  }
+
   /** Incremental DISTINCT-count maintenance under the gate (q193):
     * distinct parts per supplier as an HLL register file (p=4, m=16),
     * maintained through the same base/delta split as q190 via
@@ -1267,6 +1295,7 @@ object EtlOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_funnel"        -> funnelQ _,
     "q193_distinct_maintain" -> distinctMaintainQ _,
+    "q237_quantile_maintain" -> quantileMaintainQ _,
     "q194_l_diversity"   -> lDiversityQ _,
     "q202_t_closeness"   -> tClosenessQ _,
     "q192_windowed_funnel" -> windowedFunnelQ _,
@@ -1462,6 +1491,20 @@ object EtlOps {
     // part key over the FULL lineitem (p=4: bucket = h // 2^56, rho =
     // 57 - bitlength(h % 2^56), 57 for an all-zero tail), zeros via
     // the supplier x bucket grid
+    // maintained sketch == one-shot: the 256 smallest-hash distinct
+    // cents per type with exact full-table counts
+    "q237_quantile_maintain" ->
+      """WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT)
+        |    AS x FROM events),
+        |vc AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM v GROUP BY event_type, x),
+        |h AS (SELECT event_type, x, c,
+        |  ('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hv FROM vc),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY hv) AS r FROM h)
+        |SELECT event_type, x AS value, c AS count FROM rk
+        |WHERE r <= 256 ORDER BY event_type, value""".stripMargin,
     "q193_distinct_maintain" ->
       """WITH h AS (SELECT DISTINCT l_suppkey,
         |  ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))

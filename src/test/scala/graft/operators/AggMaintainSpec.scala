@@ -85,6 +85,44 @@ class AggMaintainSpec extends SparkSpec {
       regsOf(AggMaintain.distinctState(b0.unionByName(d1), "k", "v", 4)))
   }
 
+  test("quantile-sketch maintenance equals the one-shot sketch, " +
+      "SATURATED: batch-dropped values resurface when the union keeps them") {
+    // capacity 3; 6 distinct values per key, split so each batch holds
+    // values the OTHER batch lacks — a batch-local trim that forgets a
+    // dropped value's weight cannot reproduce the one-shot entries
+    val b0 = Seq(("k", 10L), ("k", 10L), ("k", 20L), ("k", 30L),
+      ("k", 40L)).toDF("g", "v")
+    val d1 = Seq(("k", 10L), ("k", 50L), ("k", 60L), ("k", 20L))
+      .toDF("g", "v")
+    def entries(st: org.apache.spark.sql.DataFrame) =
+      st.select($"g", explode($"q_sketch").as("e"))
+        .select($"g", $"e.value", $"e.count")
+        .as[(String, Long, Long)].collect().toSet
+    val maintained = AggMaintain.maintainQuantiles(
+      AggMaintain.quantileState(b0, "g", "v", 3), d1, "g", "v", 3)
+    val oneShot = AggMaintain.quantileState(
+      b0.unionByName(d1), "g", "v", 3)
+    assert(entries(maintained) == entries(oneShot))
+    // weights in the surviving entries are FULL-table counts
+    val m = entries(maintained).map(t => t._2 -> t._3).toMap
+    val truth = (b0.unionByName(d1)).groupBy($"v").count()
+      .as[(Long, Long)].collect().toMap
+    m.foreach { case (v, c) => assert(truth(v) == c, s"value $v") }
+  }
+
+  test("quantile maintenance: quantiles read identically off the " +
+      "maintained state") {
+    val b0 = (1 to 40).map(i => ("k", i.toLong)).toDF("g", "v")
+    val d1 = (41 to 100).map(i => ("k", i.toLong)).toDF("g", "v")
+    val st = AggMaintain.maintainQuantiles(
+      AggMaintain.quantileState(b0, "g", "v", 256), d1, "g", "v", 256)
+      .withColumn("_t", aggregate($"q_sketch", lit(0L),
+        (acc, e) => acc + e.getField("count")))
+    val p50 = st.select(graft.functions.Sketches
+      .sketchQuantile($"q_sketch", $"_t", 0.5)).as[Long].head()
+    assert(p50 == 50L) // unsaturated: exact
+  }
+
   test("register estimate recovers small exact cardinalities") {
     // p=8 (m=256): linear counting regime is exact-ish for tiny sets
     val df = (1 to 50).map(i => ("k", s"val$i")).toDF("k", "v")
