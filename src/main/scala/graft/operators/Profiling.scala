@@ -48,6 +48,48 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Benford first-significant-digit shares in parts-per-million —
+    * log10(1 + 1/d) · 10⁶, rounded; the standard audit constants. */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301030L, 2 -> 176091L,
+    3 -> 124939L, 4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+    8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit — the anomalous-amounts tripwire
+    * (fabricated or unit-mangled monetary columns drift off the
+    * log-uniform digit law). One row per digit: observed count, the
+    * expected ppm share, the exact scaled deviation
+    * `|n · 10⁶ − N · ppm|`, and `off_digit` when the deviation exceeds
+    * `tolPpm · N` — all integer arithmetic (the only non-integers in
+    * Benford's law are the published constants, carried as literal ppm
+    * in engine and oracle alike; first digits come from the exact
+    * integer's string form, never from float formatting or logs).
+    * `valueCol` is cast to long; non-positive values drop (no first
+    * significant digit). Long bound: `n · 10⁶` — exact to ~9·10¹² rows.
+    *
+    * Scale shape: one scan, one 9-row aggregate, a broadcast total. */
+  def benfordAudit(df: DataFrame, valueCol: String,
+                   tolPpm: Long): DataFrame = {
+    require(tolPpm >= 0, "tolerance must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = df.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x") > 0)
+      .select(substring(col("x").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"))
+    val e = BenfordPpm.map { case (d, p) => (d.toLong, p) }
+      .toDF("digit", "expected_ppm")
+    e.join(c, Seq("digit"), "left").crossJoin(broadcast(t))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_ppm"),
+        abs(coalesce(col("n"), lit(0L)) * 1000000L -
+          col("total") * col("expected_ppm")).as("dev"),
+        (abs(coalesce(col("n"), lit(0L)) * 1000000L -
+          col("total") * col("expected_ppm")) >
+          lit(tolPpm) * col("total")).as("off_digit"))
+  }
+
   /** One row per declared relationship: `(relation, n_child,
     * n_orphans, intact)`. `n_child` counts non-null child keys (a null
     * FK is legal, not an orphan). */

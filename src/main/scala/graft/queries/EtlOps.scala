@@ -1091,6 +1091,20 @@ object EtlOps {
       .orderBy(col("relation"))
   }
 
+  /** Benford first-digit audit under the gate (q238): lineitem price
+    * cents at 2 % ppm tolerance ([[graft.operators.Profiling
+    * .benfordAudit]]). TPC-H prices are range-uniform, not
+    * log-uniform, so eight digits sit off the law while digit 4 lands
+    * inside tolerance at sf0.01 — both verdict paths value-checked,
+    * and the exact scaled deviations ride the rows. */
+  def benfordQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.benfordAudit(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("cents",
+            floor(col("l_extendedprice") * 100).cast("long")),
+        "cents", tolPpm = 20000)
+      .orderBy(col("digit"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1342,6 +1356,7 @@ object EtlOps {
     "q231_quantile_norm"  -> quantileNormQ _,
     "q235_fd_audit"       -> fdAuditQ _,
     "q236_ri_audit"       -> riAuditQ _,
+    "q238_benford"        -> benfordQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1968,6 +1983,26 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // literal Benford ppm constants; first digit from the exact
+    // integer's string form; all-integer deviations
+    "q238_benford" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    AS x FROM lineitem WHERE floor(l_extendedprice * 100) > 0),
+        |d AS (SELECT CAST(substring(CAST(x AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit FROM v),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |      GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |e AS (SELECT CAST(digit AS BIGINT) AS digit,
+        |        CAST(ppm AS BIGINT) AS ppm FROM (VALUES (1, 301030),
+        |  (2, 176091), (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |  (7, 57992), (8, 51153), (9, 45757)) AS b(digit, ppm))
+        |SELECT e.digit, COALESCE(c.n, 0) AS n, e.ppm AS expected_ppm,
+        | CAST(abs(COALESCE(c.n, 0) * 1000000 - t.total * e.ppm)
+        |   AS BIGINT) AS dev,
+        | (abs(COALESCE(c.n, 0) * 1000000 - t.total * e.ppm) >
+        |   20000 * t.total) AS off_digit
+        |FROM e LEFT JOIN c USING (digit), t ORDER BY e.digit""".stripMargin,
     // orphans per declared FK; the part parent misses every 3rd key
     "q236_ri_audit" ->
       """WITH r AS (

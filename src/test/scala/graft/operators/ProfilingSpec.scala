@@ -34,6 +34,31 @@ class ProfilingSpec extends SparkSpec {
     assert(got == (("c->p", 3L, 1L, false)))
   }
 
+  test("benfordAudit: exact digit counts, deviations, and verdicts") {
+    // 6 values: digits 1,1,1,2,9 (and 0 dropped): N=5
+    val df = Seq(1L, 19L, 150L, 250L, 900L, 0L).toDF("x")
+    val got = Profiling.benfordAudit(df, "x", tolPpm = 200000)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    assert(got.keySet == (1L to 9L).toSet) // absent digits report 0
+    // digit 1: n=3 → dev = |3e6 − 5·301030| = 1494850; tol·N = 1e6 → off
+    assert(got(1L) == ((3L, 1494850L, true)))
+    // digit 2: n=1 → dev = |1e6 − 5·176091| = 119545 → within
+    assert(got(2L) == ((1L, 119545L, false)))
+    // digit 3: n=0 → dev = 5·124939 = 624695 → within 1e6
+    assert(got(3L) == ((0L, 624695L, false)))
+    // digit 9: n=1 → dev = |1e6 − 5·45757| = 771215 → within
+    assert(got(9L) == ((1L, 771215L, false)))
+  }
+
+  test("benfordAudit: non-positive values carry no first digit") {
+    val df = Seq(-5L, 0L, 10L).toDF("x")
+    val got = Profiling.benfordAudit(df, "x", 0)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got(1L) == 1L && got.values.sum == 1L)
+  }
+
   test("riAudit intact relationship reports zero orphans") {
     val child = Seq(1L, 1L, 2L).toDF("fk")
     val parent = Seq(1L, 2L).toDF("pk")
