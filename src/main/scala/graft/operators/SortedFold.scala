@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Per-key ORDERED folds — the secondary-sort scan pattern for the
   * operators that are inherently sequential per entity: session
@@ -116,6 +116,37 @@ object SortedFold {
       StructField("cusum", LongType, nullable = false))(
       first = r => { val s = next(0L, r); (s, s) },
       step = { (s, r) => val s2 = next(s, r); (s2, s2) })
+  }
+
+  /** Cooldown filter per key: appends boolean `emitted` — a row emits
+    * when at least `cooldownSec` has passed since the key's LAST
+    * EMITTED row (the key's first row always emits). The rate-limit /
+    * notification-dedup primitive: unlike a fixed-window dedup, the
+    * reference point is the previous EMISSION, so a burst arriving
+    * just under the cooldown keeps sliding the non-emitting window —
+    * a recursive dependence only an ordered fold (or a list_reduce
+    * replay, which is how the oracle restates it) expresses; no
+    * window-function formulation exists. O(1) state: the last emitted
+    * timestamp, microsecond precision, ≥ comparison (a gap of exactly
+    * the cooldown emits). Ties on `tsCol` break by `idCol`. */
+  def cooldownFilter(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, cooldownSec: Long): DataFrame = {
+    require(cooldownSec >= 0, "cooldownFilter: cooldown must be >= 0")
+    val ti = df.schema.fieldIndex(tsCol)
+    val cdMicros = Math.multiplyExact(cooldownSec, 1000000L)
+    def micros(r: Row): Long = {
+      val ts = r.getTimestamp(ti)
+      Math.addExact(Math.multiplyExact(ts.getTime, 1000L),
+        (ts.getNanos / 1000L) % 1000L)
+    }
+    appendScan[Long](df, Seq(keyCol), Seq(tsCol, idCol),
+      StructField("emitted", BooleanType, nullable = false))(
+      first = r => (micros(r), true),
+      step = { (lastEmitted, r) =>
+        val t = micros(r)
+        if (t - lastEmitted >= cdMicros) (t, true)
+        else (lastEmitted, false)
+      })
   }
 
   /** Fixed-point integer EWMA per key: appends `ewma` where

@@ -1105,6 +1105,61 @@ object EtlOps {
         "cents", tolPpm = 20000)
       .orderBy(col("digit"))
 
+  /** Time-weighted value sum under the gate (q239): per-user TWAP
+    * numerator over the event stream in exact value·microseconds
+    * ([[graft.operators.TimeSeries.timeWeightedSum]]) — each gap
+    * attributed to the EARLIER row with (ts, event_id) tie order, so
+    * a lead taken over the wrong order, a gap attributed to the later
+    * row, or a float duration anywhere moves per-user sums. */
+  def twapQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.timeWeightedSum(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents")
+      .orderBy(col("user_id"))
+
+  /** Interval-union coverage under the gate (q240): 45-minute activity
+    * intervals per user merged by the running-max sweep
+    * ([[graft.operators.TimeSeries.intervalCoverage]]) — island counts
+    * AND covered micros both ride the row, so a sweep that misses a
+    * contained interval or double-counts an overlap moves one of them. */
+  def coverageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.intervalCoverage(
+        Tables.load(s, dir, "events")
+          .withColumn("s_us", unix_micros(col("ts")))
+          .withColumn("e_us", unix_micros(col("ts")) + 2700000000L),
+        "user_id", "s_us", "e_us", "event_id")
+      .orderBy(col("user_id"))
+
+  /** Consecutive-day streaks under the gate (q241): the q213 cohort
+    * slice's active-day islands
+    * ([[graft.operators.TimeSeries.dayStreaks]]) — streak counts,
+    * longest run, and total active days per cohort. */
+  def streaksQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.dayStreaks(
+        Tables.load(s, dir, "events")
+          .filter(col("event_id") % 11 === 0)
+          .withColumn("k", col("user_id") % 25)
+          .withColumn("day",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long")),
+        "k", "day")
+      .orderBy(col("k"))
+
+  /** Cooldown filter under the gate (q242): per-user 6-hour emission
+    * rate limit ([[graft.operators.SortedFold.cooldownFilter]]) — the
+    * reference point is the previous EMISSION, a recursive dependence
+    * no window function expresses; the oracle replays the fold with an
+    * encoded (lastEmitted·2 + flag) list_reduce. 64 % of rows emit at
+    * sf0.01, so both paths carry weight; per-row output. */
+  def cooldownQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SortedFold.cooldownFilter(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", cooldownSec = 21600)
+      .select(col("event_id"), col("user_id"), col("emitted"))
+      .orderBy(col("event_id"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1357,6 +1412,10 @@ object EtlOps {
     "q235_fd_audit"       -> fdAuditQ _,
     "q236_ri_audit"       -> riAuditQ _,
     "q238_benford"        -> benfordQ _,
+    "q239_twap"           -> twapQ _,
+    "q240_coverage"       -> coverageQ _,
+    "q241_streaks"        -> streaksQ _,
+    "q242_cooldown"       -> cooldownQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -1983,6 +2042,62 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // step-function gap attribution, (ts, event_id) tie order
+    "q239_twap" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t,
+        |  CAST(floor(value * 100) AS BIGINT) AS v, event_id FROM events),
+        |l AS (SELECT k, t, v, lead(t) OVER (PARTITION BY k
+        |        ORDER BY t, event_id) AS nt FROM e)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
+        | CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        | CAST(COALESCE(sum(v * (nt - t)), 0) AS BIGINT) AS twsum
+        |FROM l GROUP BY k ORDER BY user_id""".stripMargin,
+    // running-max island sweep over half-open 45-min intervals
+    "q240_coverage" ->
+      """WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+        |  epoch_us(ts) + 2700000000 AS e, event_id FROM events),
+        |m AS (SELECT k, s, e, event_id, max(e) OVER (PARTITION BY k
+        |  ORDER BY s, e, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        | FROM iv),
+        |g AS (SELECT k, s, e, event_id,
+        |  CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END AS brk FROM m),
+        |i AS (SELECT k, s, e, sum(brk) OVER (PARTITION BY k
+        |  ORDER BY s, e, event_id ROWS UNBOUNDED PRECEDING) AS island
+        | FROM g),
+        |c AS (SELECT k, island, max(e) - min(s) AS cov
+        |      FROM i GROUP BY k, island)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(cov) AS BIGINT) AS covered_us
+        |FROM c GROUP BY k ORDER BY user_id""".stripMargin,
+    // day - row_number island trick over the distinct active days
+    "q241_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id % 25 AS k,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        | FROM events WHERE event_id % 11 = 0),
+        |r AS (SELECT k, day, day - row_number() OVER (PARTITION BY k
+        |        ORDER BY day) AS grp FROM d),
+        |s AS (SELECT k, grp, CAST(count(*) AS BIGINT) AS len
+        |      FROM r GROUP BY k, grp)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(max(len) AS BIGINT) AS longest,
+        | CAST(sum(len) AS BIGINT) AS n_days
+        |FROM s GROUP BY k ORDER BY k""".stripMargin,
+    // the fold replayed per row: acc encodes lastEmitted*2 + flag; //
+    // truncation is exact here (acc is even-negative only at the seed)
+    "q242_cooldown" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events),
+        |p AS (SELECT event_id, user_id, t,
+        |  list(t) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        | FROM e)
+        |SELECT event_id, user_id,
+        | (list_reduce(list_prepend(-4611686018427387904, xs),
+        |   (acc, t) -> CASE WHEN t - acc // 2 >= 21600000000
+        |               THEN t * 2 + 1 ELSE (acc // 2) * 2 END) % 2 = 1)
+        |   AS emitted
+        |FROM p ORDER BY event_id""".stripMargin,
     // literal Benford ppm constants; first digit from the exact
     // integer's string form; all-integer deviations
     "q238_benford" ->

@@ -91,4 +91,29 @@ class SortedFoldSpec extends SparkSpec {
       .select("i", "ewma").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 10L, 2L -> 15L, 3L -> 30L))
   }
+
+  test("cooldownFilter: reference point is the last EMISSION, " +
+      "so a just-under burst keeps sliding") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // cooldown 10s; events at 0, 9, 18, 27: 0 emits; 9 (gap 9) no;
+    // 18 (gap 18 from 0) yes; 27 (gap 9 from 18) no — a fixed-window
+    // dedup would emit 18 AND 27
+    val e = Seq((1L, ts(0), 1L), (1L, ts(9), 2L), (1L, ts(18), 3L),
+      (1L, ts(27), 4L)).toDF("k", "t", "id")
+    val got = SortedFold.cooldownFilter(e, "k", "t", "id", 10)
+      .select("id", "emitted").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("cooldownFilter: exact-gap boundary emits (>=); first row " +
+      "always emits per key") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val e = Seq((1L, ts(100), 1L), (1L, ts(110), 2L),
+      (2L, ts(0), 3L)).toDF("k", "t", "id")
+    val got = SortedFold.cooldownFilter(e, "k", "t", "id", 10)
+      .select("id", "emitted").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Exact-integer time-series aggregates: gap attribution, island
+  * merging, streak islands. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("timeWeightedSum attributes each gap to the earlier row") {
+    // k: v=10 at t=0, v=20 at t=5, v=30 at t=15 (last holds no gap)
+    // twsum = 10·5e6 + 20·10e6 = 250e6; span = 15e6
+    val df = Seq((1L, ts(0), 100L, 10L), (1L, ts(5), 101L, 20L),
+      (1L, ts(15), 102L, 30L)).toDF("k", "t", "id", "v")
+    val got = TimeSeries.timeWeightedSum(df, "k", "t", "id", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 3L, 15000000L, 250000000L)))
+  }
+
+  test("timeWeightedSum: singleton key sums zero over zero span") {
+    val df = Seq((1L, ts(9), 1L, 42L)).toDF("k", "t", "id", "v")
+    val got = TimeSeries.timeWeightedSum(df, "k", "t", "id", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("intervalCoverage merges overlaps, keeps gaps, absorbs contained") {
+    // [0,10) [5,12) merge -> 12; [20,25) separate -> 5; [21,23) contained
+    val df = Seq((1L, 0L, 10L, 1L), (1L, 5L, 12L, 2L),
+      (1L, 20L, 25L, 3L), (1L, 21L, 23L, 4L)).toDF("k", "s", "e", "id")
+    val got = TimeSeries.intervalCoverage(df, "k", "s", "e", "id")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 2L, 17L)))
+  }
+
+  test("intervalCoverage: adjacent half-open intervals merge") {
+    val df = Seq((1L, 0L, 10L, 1L), (1L, 10L, 20L, 2L)).toDF("k", "s", "e", "id")
+    val got = TimeSeries.intervalCoverage(df, "k", "s", "e", "id")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 20L)))
+  }
+
+  test("dayStreaks: islands, longest run, duplicates collapse") {
+    // days {1,2,3, 7, 9,10} (3 visits on day 2)
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (1L, 7L), (1L, 9L), (1L, 10L)).toDF("k", "day")
+    val got = TimeSeries.dayStreaks(df, "k", "day")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 3L, 3L, 6L)))
+  }
+}
