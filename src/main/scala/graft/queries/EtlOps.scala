@@ -1160,6 +1160,42 @@ object EtlOps {
       .select(col("event_id"), col("user_id"), col("emitted"))
       .orderBy(col("event_id"))
 
+  /** RANGE-frame trailing window under the gate (q243): the 7-day
+    * trailing event count per cohort over the sparse day slice —
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on the DAY VALUE, so
+    * sparse days genuinely age out by value (a ROWS frame would count
+    * the last 7 OBSERVATIONS however far apart — the classic trailing-
+    * window bug this gate distinguishes). Exact integers. */
+  def rollingRangeQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 11 === 0)
+      .groupBy((col("user_id") % 25).as("k"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n")).over(w))
+      .withColumn("days_seen_7d", count(lit(1)).over(w))
+      .orderBy(col("k"), col("day"))
+  }
+
+  /** Z-order clustering keys under the gate (q244): Morton-interleaved
+    * (l_partkey, l_suppkey) low-16-bit keys per lineitem
+    * ([[graft.functions.ZOrder.interleave2]]) — a static unrolled
+    * bit-arithmetic chain (codegen-friendly, no UDF) whose oracle
+    * restates every shift/mask term; one swapped bit lane or a
+    * dropped mask moves rows. Per-row output. */
+  def zorderQ(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder.interleave2(col("l_partkey"),
+          col("l_suppkey"), 16).as("z"))
+      .orderBy(col("rid"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1416,6 +1452,8 @@ object EtlOps {
     "q240_coverage"       -> coverageQ _,
     "q241_streaks"        -> streaksQ _,
     "q242_cooldown"       -> cooldownQ _,
+    "q243_rolling_range"  -> rollingRangeQ _,
+    "q244_zorder"         -> zorderQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2042,6 +2080,26 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // value-based RANGE frame: sparse days age out by day arithmetic
+    "q243_rolling_range" ->
+      """WITH daily AS (SELECT user_id % 25 AS k,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2)
+        |SELECT k, day, n,
+        | CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+        | CAST(count(*) OVER w AS BIGINT) AS days_seen_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY k ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY k, day""".stripMargin,
+    // the identical unrolled shift/mask chain, term for term
+    "q244_zorder" ->
+      s"""SELECT l_orderkey * 10 + l_linenumber AS rid,
+         | l_partkey, l_suppkey,
+         | CAST(${graft.functions.ZOrder.interleave2Sql("l_partkey",
+            "l_suppkey", 16)} AS BIGINT) AS z
+         |FROM lineitem ORDER BY rid""".stripMargin,
     // step-function gap attribution, (ts, event_id) tie order
     "q239_twap" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t,
