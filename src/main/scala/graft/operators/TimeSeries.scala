@@ -62,6 +62,63 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("n_islands"), col("covered_us"))
   }
 
+  /** Per-key event-time lateness audit — how out-of-order is the
+    * stream: in ARRIVAL order (`arrivalCol`), an event is late when
+    * its event time (`tsMicrosCol`, long micros) sits below the key's
+    * running high-water mark, and its lateness is the distance below.
+    * THE watermark-tuning input: `withWatermark` bounds state by
+    * declaring "nothing later than X", and this report says what X
+    * the data actually needs (pair with the q110 quantile sketch for
+    * p99 lateness at scale). Output `(keyCol, n, n_late,
+    * max_late_us)` — exact integers. */
+  def latenessAudit(df: DataFrame, keyCol: String, arrivalCol: String,
+                    tsMicrosCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("k"), col(arrivalCol).as("a"),
+        col(tsMicrosCol).cast("long").as("t"))
+      .withColumn("hw", max(col("t")).over(w))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hw").isNotNull && col("t") < col("hw"), 1L)
+          .otherwise(0L)).as("n_late"),
+        coalesce(max(when(col("hw").isNotNull && col("t") < col("hw"),
+          col("hw") - col("t"))), lit(0L)).as("max_late_us"))
+      .select(col("k").as(keyCol), col("n"), col("n_late"),
+        col("max_late_us"))
+  }
+
+  /** Per-group exact OLS trend: slope of `yCol` against `xCol` as the
+    * integer rational `slope_num/slope_den = (nΣxy − ΣxΣy) /
+    * (nΣxx − (Σx)²)`, with `rising = slope_num > 0` — segment-level
+    * trend detection ("is this source's quality score drifting down")
+    * with no floats anywhere: the sufficient statistics are exact long
+    * sums (one map-side-combinable aggregate), and only the final
+    * products run in DECIMAL(38,0) before casting back (gate-stable
+    * BIGINT outputs; callers at the 10¹²-rows-per-group regime read
+    * the sums and keep the products decimal). `xCol` is re-based per
+    * group (x − min x) to keep the products small — slope-invariant. */
+  def groupTrend(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val wMin = Window.partitionBy(col("g"))
+    val dec = "decimal(38,0)"
+    val b = df.select(col(groupCol).as("g"), col(xCol).cast("long").as("x0"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("x", col("x0") - min(col("x0")).over(wMin))
+    b.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("g").as(groupCol), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"),
+        (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+          .cast("long").as("slope_num"),
+        (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+          .cast("long").as("slope_den"),
+        (col("n").cast(dec) * col("sxy") >
+          col("sx").cast(dec) * col("sy")).as("rising"))
+  }
+
   /** Per-key consecutive-day streaks over `(keyCol, dayCol)` activity
     * (duplicates collapse): `(keyCol, n_streaks, longest, n_days)` via
     * the day − row_number island trick. */

@@ -1196,6 +1196,38 @@ object EtlOps {
           col("l_suppkey"), 16).as("z"))
       .orderBy(col("rid"))
 
+  /** Event-time lateness audit under the gate (q245): arrival order is
+    * event_id; event time is ts pulled back by a planted
+    * (event_id % 7)·30 min jitter — the disorder a real ingest shows
+    * and the synthetic stream lacks — through
+    * [[graft.operators.TimeSeries.latenessAudit]]. ~5 % of rows run
+    * late with per-user counts and max-lateness varying, so a
+    * high-water mark that includes the current row, a ≤ vs <, or a
+    * lateness measured against the wrong mark all move cells. */
+  def latenessQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.latenessAudit(
+        Tables.load(s, dir, "events")
+          .withColumn("et_us",
+            unix_micros(col("ts")) - (col("event_id") % 7) * 1800000000L),
+        "user_id", "event_id", "et_us")
+      .orderBy(col("user_id"))
+
+  /** Per-group exact OLS trend under the gate (q246): daily cent
+    * values regressed on the re-based day per event type
+    * ([[graft.operators.TimeSeries.groupTrend]]) — the synthetic mix
+    * puts signup falling while the rest rise at sf0.01, so the
+    * cross-multiplied verdict splits, and all five sufficient sums
+    * ride the row. */
+  def groupTrendQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.groupTrend(
+        Tables.load(s, dir, "events")
+          .withColumn("day",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long"))
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "day", "cents")
+      .orderBy(col("event_type"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1454,6 +1486,8 @@ object EtlOps {
     "q242_cooldown"       -> cooldownQ _,
     "q243_rolling_range"  -> rollingRangeQ _,
     "q244_zorder"         -> zorderQ _,
+    "q245_lateness"       -> latenessQ _,
+    "q246_group_trend"    -> groupTrendQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2080,6 +2114,36 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // exact OLS sufficient statistics, re-based x, cross-multiplied
+    // slope sign
+    "q246_group_trend" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |b AS (SELECT g, day - min(day) OVER (PARTITION BY g) AS x, y
+        |      FROM v),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |      CAST(sum(x * y) AS BIGINT) AS sxy,
+        |      CAST(sum(x * x) AS BIGINT) AS sxx FROM b GROUP BY g)
+        |SELECT g AS event_type, n, sx, sy, sxy, sxx,
+        | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        | (n * sxy - sx * sy > 0) AS rising
+        |FROM s ORDER BY event_type""".stripMargin,
+    // running high-water mark over arrival order, strict < for late
+    "q245_lateness" ->
+      """WITH e AS (SELECT user_id AS k, event_id,
+        |  epoch_us(ts) - (event_id % 7) * 1800000000 AS t FROM events),
+        |m AS (SELECT k, t, max(t) OVER (PARTITION BY k ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        | FROM e)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (hw IS NOT NULL AND t < hw) AS BIGINT)
+        |   AS n_late,
+        | CAST(COALESCE(max(CASE WHEN hw IS NOT NULL AND t < hw
+        |   THEN hw - t END), 0) AS BIGINT) AS max_late_us
+        |FROM m GROUP BY k ORDER BY user_id""".stripMargin,
     // value-based RANGE frame: sparse days age out by day arithmetic
     "q243_rolling_range" ->
       """WITH daily AS (SELECT user_id % 25 AS k,

@@ -1314,6 +1314,46 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING lateness monitor under the gate (q247): the q245
+    * out-of-orderness audit's batch≡stream invariant — the jittered
+    * event stream drains through [[graft.streaming.StreamLateness]] in
+    * three ARRIVAL-ORDERED waves (event_id range split, the append-log
+    * shape; per-key high-water/count state, batch_id-keyed emission),
+    * and the standing per-user audit must hash-equal the batch
+    * [[graft.operators.TimeSeries.latenessAudit]] — q245's oracle
+    * verbatim. A no-data fourth drain must leave the sink untouched. */
+  def streamLatenessQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q247") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) -
+            (col("event_id") % 7) * 1800000000L).as("et_us"))
+      val bounds = e.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (c1, c2) = (bounds / 3, 2 * bounds / 3)
+      def run(): Unit = graft.streaming.StreamLateness.runAvailableNow(
+        s, src, e.schema, "user_id", "event_id", "et_us",
+        s"$base/sink", s"$base/ckpt")
+      e.filter(col("event_id") <= c1).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      e.filter(col("event_id") > c1 && col("event_id") <= c2).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      e.filter(col("event_id") > c2).coalesce(1)
+        .write.mode("append").parquet(src)
+      run()
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing audits must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamLatenessQ: no-data replay appended monitor rows")
+      graft.streaming.StreamLateness.currentAudit(s, s"$base/sink")
+        .select(col("k").as("user_id"), col("n"), col("n_late"),
+          col("max_late_us"))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1780,6 +1820,7 @@ object PipelineQueries {
     "q210_stream_drift"   -> withSP(streamDriftQ _),
     "q225_stream_heavy"   -> withSP(streamHeavyQ _),
     "q232_stream_churn"   -> streamChurnQ _,
+    "q247_stream_lateness" -> withSP(streamLatenessQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2151,6 +2192,20 @@ object PipelineQueries {
         |   (ok IS NOT NULL AND nk IS NOT NULL
         |    AND os IS DISTINCT FROM ns) FROM j
         |) ORDER BY metric""".stripMargin,
+    // the standing per-user audit must equal the batch recompute —
+    // the oracle IS q245's restatement verbatim
+    "q247_stream_lateness" ->
+      """WITH e AS (SELECT user_id AS k, event_id,
+        |  epoch_us(ts) - (event_id % 7) * 1800000000 AS t FROM events),
+        |m AS (SELECT k, t, max(t) OVER (PARTITION BY k ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        | FROM e)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (hw IS NOT NULL AND t < hw) AS BIGINT)
+        |   AS n_late,
+        | CAST(COALESCE(max(CASE WHEN hw IS NOT NULL AND t < hw
+        |   THEN hw - t END), 0) AS BIGINT) AS max_late_us
+        |FROM m GROUP BY k ORDER BY user_id""".stripMargin,
     // the maintained grid serves the batch estimates — the oracle IS
     // q93's one-shot count-min construction verbatim
     "q225_stream_heavy" ->

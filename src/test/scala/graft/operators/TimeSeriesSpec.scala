@@ -44,6 +44,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == ((1L, 1L, 20L)))
   }
 
+  test("latenessAudit: strict < against the prior high-water mark") {
+    // arrival 1..5, event times 10, 30, 20, 30, 25:
+    // late: t=20 (hw 30, late 10), t=25 (hw 30, late 5); t=30 ties hw
+    // -> NOT late (strict)
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 20L),
+      (1L, 4L, 30L), (1L, 5L, 25L)).toDF("k", "a", "t")
+    val got = TimeSeries.latenessAudit(df, "k", "a", "t")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 5L, 2L, 10L)))
+  }
+
+  test("latenessAudit: an in-order key reports zero") {
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k", "a", "t")
+    val got = TimeSeries.latenessAudit(df, "k", "a", "t")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 2L, 0L, 0L)))
+  }
+
+  test("groupTrend: exact OLS rationals on a hand-checked line") {
+    // y = 3x + 10 exactly: slope_num/slope_den must reduce to 3
+    val df = Seq((1L, 100L, 310L), (1L, 101L, 313L), (1L, 102L, 316L),
+      (1L, 103L, 319L)).toDF("g", "x", "y")
+    val got = TimeSeries.groupTrend(df, "g", "x", "y")
+      .selectExpr("g", "slope_num", "slope_den", "rising")
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(got._2 == 3 * got._3 && got._3 > 0 && got._4)
+    // re-based x: sums must reflect x in {0,1,2,3}, not {100..103}
+    val sums = TimeSeries.groupTrend(df, "g", "x", "y")
+      .selectExpr("sx", "sxx").as[(Long, Long)].collect().head
+    assert(sums == ((6L, 14L)))
+  }
+
+  test("groupTrend: a falling series reports rising = false") {
+    val df = Seq((1L, 0L, 100L), (1L, 1L, 90L), (1L, 2L, 95L))
+      .toDF("g", "x", "y")
+    val got = TimeSeries.groupTrend(df, "g", "x", "y")
+      .selectExpr("slope_num", "rising")
+      .as[(Long, Boolean)].collect().head
+    assert(got._1 < 0 && !got._2)
+  }
+
   test("dayStreaks: islands, longest run, duplicates collapse") {
     // days {1,2,3, 7, 9,10} (3 visits on day 2)
     val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L),
