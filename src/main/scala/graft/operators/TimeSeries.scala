@@ -119,6 +119,46 @@ object TimeSeries {
           col("sx").cast(dec) * col("sy")).as("rising"))
   }
 
+  /** Trailing-window distinct count as HLL registers: for each
+    * OBSERVED day, the register file over the values active in
+    * `[day − windowDays + 1, day]` — the "7-day active users" report,
+    * which is exactly the aggregate a sliding window makes expensive
+    * (distinct does not subtract, so exact needs the window's full
+    * value set per day) and registers make linear: build ONE register
+    * file per day, replicate each day's m-int array to the ≤
+    * `windowDays` target days it feeds, and element-max-merge per
+    * target — the register monoid ([[graft.functions.Sketches
+    * .hllMerge]]) absorbs the overlap. Output `(dayCol, bucket,
+    * register)`, register-exact and SQL-restatable (estimates derive
+    * via [[graft.functions.Sketches.hllEstimate]]).
+    *
+    * Scale shape: the only row-scale pass is the daily register build
+    * (map-side combinable); everything after is days × m rows. */
+  def slidingDistinctRegisters(df: DataFrame, dayCol: String,
+                               valueCol: String, windowDays: Int,
+                               p: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    import graft.functions.Sketches
+    val daily = df.select(col(dayCol).cast("long").as("day"),
+        Sketches.hash60(col(valueCol).cast("string")).as("_h"))
+      .groupBy(col("day"))
+      .agg(Sketches.hllSketch(col("_h"), p).as("regs"))
+      .localCheckpoint() // reused: expansion source and observed-day set
+    val observed = daily.select(col("day").as("target"))
+    val merged = daily
+      .select(col("day"), col("regs"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .withColumn("target", col("day") + col("off"))
+      .join(observed, Seq("target"), "left_semi")
+      .groupBy(col("target"))
+      .agg(Sketches.hllMerge(col("regs"), p).as("regs"))
+    merged
+      .select(col("target").as(dayCol),
+        posexplode(col("regs")).as(Seq("bucket", "register")))
+      .select(col(dayCol), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"))
+  }
+
   /** Per-key consecutive-day streaks over `(keyCol, dayCol)` activity
     * (duplicates collapse): `(keyCol, n_streaks, longest, n_days)` via
     * the day − row_number island trick. */

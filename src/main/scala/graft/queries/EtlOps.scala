@@ -1228,6 +1228,22 @@ object EtlOps {
         "event_type", "day", "cents")
       .orderBy(col("event_type"))
 
+  /** Sliding-window distinct users under the gate (q248): per observed
+    * day, the 7-day-trailing distinct-user HLL register file (p = 4)
+    * via [[graft.operators.TimeSeries.slidingDistinctRegisters]] —
+    * register-exact against the oracle's from-scratch rebuild over
+    * each day's actual trailing window, so an off-by-one window edge,
+    * a max-merge slip, or a day replicated to the wrong targets all
+    * move registers. */
+  def slidingDistinctQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.slidingDistinctRegisters(
+        Tables.load(s, dir, "events")
+          .withColumn("day",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long")),
+        "day", "user_id", windowDays = 7, p = 4)
+      .orderBy(col("day"), col("bucket"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1488,6 +1504,7 @@ object EtlOps {
     "q244_zorder"         -> zorderQ _,
     "q245_lateness"       -> latenessQ _,
     "q246_group_trend"    -> groupTrendQ _,
+    "q248_sliding_distinct" -> slidingDistinctQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2114,6 +2131,32 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // per-day trailing-window registers rebuilt from scratch (q193's
+    // register formula, group = day, window = BETWEEN day-6 AND day)
+    "q248_sliding_distinct" ->
+      """WITH v AS (SELECT DISTINCT
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM v),
+        |win AS (SELECT DISTINCT d.day, p.user_id FROM days d
+        |        JOIN v p ON p.day BETWEEN d.day - 6 AND d.day),
+        |h AS (SELECT DISTINCT day,
+        |  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        | FROM win),
+        |rr AS (SELECT day, h // 72057594037927936 AS bucket,
+        |  CASE WHEN h % 72057594037927936 = 0 THEN 57
+        |       ELSE 57 - length(bin(h % 72057594037927936)) END AS rho
+        | FROM h),
+        |regs AS (SELECT day, bucket, CAST(max(rho) AS BIGINT) AS register
+        |         FROM rr GROUP BY 1, 2),
+        |grid AS (SELECT d.day, b.bucket FROM days d,
+        |         (SELECT unnest(range(0, 16)) AS bucket) b)
+        |SELECT g.day, CAST(g.bucket AS BIGINT) AS bucket,
+        | coalesce(r.register, 0) AS register
+        |FROM grid g LEFT JOIN regs r
+        |  ON g.day = r.day AND g.bucket = r.bucket
+        |ORDER BY g.day, g.bucket""".stripMargin,
     // exact OLS sufficient statistics, re-based x, cross-multiplied
     // slope sign
     "q246_group_trend" ->

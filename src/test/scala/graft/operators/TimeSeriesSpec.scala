@@ -85,6 +85,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got._1 < 0 && !got._2)
   }
 
+  test("slidingDistinctRegisters: window edges and register merges " +
+      "equal the from-scratch rebuild") {
+    import graft.functions.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    // activity on days 1, 2, 9 — day 2's window spans {1,2}; day 9's
+    // window (3..9) must NOT see them
+    val df = Seq((1L, "u1"), (1L, "u2"), (2L, "u2"), (2L, "u3"),
+      (9L, "u1")).toDF("day", "u")
+    val got = TimeSeries.slidingDistinctRegisters(df, "day", "u", 7, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    def oneShot(day: Long, users: Seq[String]) =
+      users.toDF("u")
+        .select(Sketches.hash60(col("u").cast("string")).as("h"))
+        .agg(Sketches.hllSketch(col("h"), 4).as("r"))
+        .select(org.apache.spark.sql.functions.posexplode(col("r")))
+        .as[(Int, Int)].collect()
+        .map { case (b, r) => (day, b.toLong, r.toLong) }.toSet
+    val want = oneShot(1L, Seq("u1", "u2")) ++
+      oneShot(2L, Seq("u1", "u2", "u3")) ++ oneShot(9L, Seq("u1"))
+    assert(got == want)
+  }
+
   test("dayStreaks: islands, longest run, duplicates collapse") {
     // days {1,2,3, 7, 9,10} (3 visits on day 2)
     val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L),
