@@ -1244,6 +1244,20 @@ object EtlOps {
         "day", "user_id", windowDays = 7, p = 4)
       .orderBy(col("day"), col("bucket"))
 
+  /** Exact bitmap distinct under the gate (q249): per-event-type user
+    * bitmaps over the 1/4 event slice ([[graft.functions.Bitmap]]) —
+    * the raw 63-bit bucket words ride the output (13 distinct
+    * patterns at sf0.01), so one wrong bit anywhere breaks the hash;
+    * popcounts are emitted per row and must sum to the exact distinct
+    * count (spec-pinned against countDistinct). */
+  def bitmapDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    val bm = graft.functions.Bitmap.bitmaps(
+      Tables.load(s, dir, "events").filter(col("event_id") % 4 === 0),
+      "event_type", "user_id")
+    bm.withColumn("n_bits", bit_count(col("bits")).cast("long"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1505,6 +1519,7 @@ object EtlOps {
     "q245_lateness"       -> latenessQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
+    "q249_bitmap_distinct" -> bitmapDistinctQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2131,6 +2146,14 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // 63-bit bucket words: signed-shift-safe in both engines
+    "q249_bitmap_distinct" ->
+      """WITH b AS (SELECT event_type, user_id // 63 AS bucket,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+        | FROM events WHERE event_id % 4 = 0 GROUP BY 1, 2)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, bits,
+        | CAST(bit_count(bits) AS BIGINT) AS n_bits
+        |FROM b ORDER BY event_type, bucket""".stripMargin,
     // per-day trailing-window registers rebuilt from scratch (q193's
     // register formula, group = day, window = BETWEEN day-6 AND day)
     "q248_sliding_distinct" ->
