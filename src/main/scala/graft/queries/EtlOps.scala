@@ -452,6 +452,30 @@ object EtlOps {
       .orderBy(col("event_id"))
   }
 
+  /** Session dwell/bounce report under the gate (q250): q211's
+    * sessions rolled up per user — session counts, single-event
+    * bounces, total and max dwell microseconds — the product-analytics
+    * trio on top of [[graft.operators.SortedFold.sessionize]]. Dwell
+    * is exact (last − first micros per session); a session split or
+    * merged anywhere moves bounces AND dwell together. */
+  def sessionReportQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"))
+    graft.operators.SortedFold.sessionize(e, "user_id", "ts", "event_id",
+        gapSec = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dwell_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("dwell_us")).as("total_dwell_us"),
+        max(col("dwell_us")).as("max_dwell_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Fixed-point EWMA smoothing under the gate (q212): per user-cohort
     * (user_id mod 25) event values in cents, smoothed at α = 1/4 in
     * exact integer arithmetic ([[graft.operators.SortedFold.ewma]]).
@@ -1520,6 +1544,7 @@ object EtlOps {
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
+    "q250_session_report" -> sessionReportQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2146,6 +2171,28 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // q211's session construction + per-session then per-user rollup
+    "q250_session_report" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  date_trunc('second', ts) AS ts FROM events),
+        |m AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |  THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM m),
+        |ses AS (SELECT user_id, session_id,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+        |    AS dwell_us
+        | FROM sid GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounces,
+        | CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+        | CAST(max(dwell_us) AS BIGINT) AS max_dwell_us
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
     // 63-bit bucket words: signed-shift-safe in both engines
     "q249_bitmap_distinct" ->
       """WITH b AS (SELECT event_type, user_id // 63 AS bucket,
