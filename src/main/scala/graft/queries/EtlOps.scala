@@ -1282,6 +1282,23 @@ object EtlOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** A/B conversion audit under the gate (q251): users split into
+    * three hash variants, conversion = any purchase over 150, shift
+    * fence 5 pp vs variant 0 ([[graft.operators.Experiment
+    * .conversionAudit]]) — at sf0.01 variant 1 (21/50, −6 pp) trips
+    * the fence while variant 2 (22/50, −4 pp) stays inside, so both
+    * verdict paths and the exact diff rationals are value-checked. */
+  def abAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val units = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 3).as("variant"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 150, 1L).otherwise(0L)).as("conv"))
+      .withColumn("converted", col("conv") === 1L)
+    graft.operators.Experiment.conversionAudit(units, "variant",
+        "converted", control = "0", tolPpm = 50000)
+      .orderBy(col("variant"))
+  }
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1545,6 +1562,7 @@ object EtlOps {
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
     "q250_session_report" -> sessionReportQ _,
+    "q251_ab_audit"       -> abAuditQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2171,6 +2189,22 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // exact diff rationals vs the control variant, ppm cross-multiplied
+    "q251_ab_audit" ->
+      """WITH u AS (SELECT user_id, CAST(user_id % 3 AS VARCHAR)
+        |    AS variant,
+        |  max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1, 2),
+        |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(conv) AS BIGINT) AS k FROM u GROUP BY 1),
+        |c AS (SELECT n AS n0, k AS k0 FROM v WHERE variant = '0')
+        |SELECT v.variant, v.n, v.k,
+        | CAST(v.k * c.n0 - c.k0 * v.n AS BIGINT) AS diff_num,
+        | CAST(v.n * c.n0 AS BIGINT) AS diff_den,
+        | (abs(v.k * c.n0 - c.k0 * v.n) * 1000000 >
+        |   50000 * v.n * c.n0) AS shifted
+        |FROM v, c ORDER BY v.variant""".stripMargin,
     // q211's session construction + per-session then per-user rollup
     "q250_session_report" ->
       """WITH e AS (SELECT event_id, user_id,
