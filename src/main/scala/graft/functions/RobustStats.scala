@@ -44,6 +44,45 @@ object RobustStats {
           .as(out))
   }
 
+  /** Per-group winsorized sum: values clamped to the exact
+    * [p·lo, p·hi] order statistics before summing — the robust mean's
+    * numerator (divide by n downstream), the standard tail-taming
+    * transform for quality-score aggregation. Order statistics use
+    * the [[graft.functions.Sketches.sketchQuantile]] rank convention
+    * (smallest value whose 1-based rank reaches `max(1, ceil(q·n))`),
+    * so the clamps restate as window ranks. Output `(groupCol, n, lo,
+    * hi, sum_raw, sum_winsorized)` — all exact longs; ties keep
+    * whole-value semantics (clamping never manufactures values).
+    * Same scale shape as [[madOutlierReport]]: one per-group rank
+    * sort, group-cardinality clamp frame broadcast back. */
+  def winsorizedSum(df: DataFrame, groupCol: String, valueCol: String,
+                    loQNum: Long, hiQNum: Long, qDen: Long): DataFrame = {
+    require(qDen > 0 && loQNum >= 0 && hiQNum <= qDen && loQNum <= hiQNum,
+      s"quantiles $loQNum/$qDen..$hiQNum/$qDen must be ordered in [0,1]")
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+    val ranked = v.select(col("g"), col("x"),
+      row_number().over(w).as("_rn"),
+      count(lit(1)).over(Window.partitionBy(col("g"))).as("_n"))
+    // target rank max(1, ceil(q·n)) = max(1, (q_num·n + q_den − 1) div q_den)
+    def rankFor(qNum: Long) =
+      greatest(lit(1L),
+        expr(s"(${qNum}L * `_n` + ${qDen}L - 1) div ${qDen}L"))
+    val cuts = ranked.groupBy(col("g"))
+      .agg(max(when(col("_rn") === rankFor(loQNum), col("x"))).as("lo"),
+        max(when(col("_rn") === rankFor(hiQNum), col("x"))).as("hi"))
+      .select(col("g").as("_cg"), col("lo"), col("hi"))
+    v.join(broadcast(cuts), col("g") <=> col("_cg"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), sum(col("x")).as("sum_raw"),
+        sum(greatest(col("lo"), least(col("hi"), col("x"))))
+          .as("sum_winsorized"))
+      .select(col("g").as(groupCol), col("n"), col("lo"), col("hi"),
+        col("sum_raw"), col("sum_winsorized"))
+  }
+
   /** Per-group robust report: `(groupCol, n, med2, mad4, n_outliers)`
     * where a row is an outlier when `|x − median| > (kNum/kDen) · MAD`
     * (strict, cross-multiplied — a MAD of 0 flags every row off the

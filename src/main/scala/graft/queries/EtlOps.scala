@@ -1299,6 +1299,19 @@ object EtlOps {
       .orderBy(col("variant"))
   }
 
+  /** Winsorized sums under the gate (q252): event cents clamped to the
+    * exact p10/p90 order statistics per type
+    * ([[graft.functions.RobustStats.winsorizedSum]]) — clamps, raw and
+    * winsorized sums all ride the row, so a rank convention slip
+    * (floor vs ceil), a clamp taken from the wrong side, or a
+    * manufactured mid-value each move specific cells. */
+  def winsorizeQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.RobustStats.winsorizedSum(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "cents", loQNum = 1, hiQNum = 9, qDen = 10)
+      .orderBy(col("event_type"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1563,6 +1576,7 @@ object EtlOps {
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
     "q250_session_report" -> sessionReportQ _,
     "q251_ab_audit"       -> abAuditQ _,
+    "q252_winsorize"      -> winsorizeQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2189,6 +2203,25 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // exact p10/p90 order-stat clamps (rank = max(1, ceil(q*n)))
+    "q252_winsorize" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+        |r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x)
+        |        AS rn, count(*) OVER (PARTITION BY g) AS n FROM v),
+        |c AS (SELECT g,
+        |  max(CASE WHEN rn = greatest(1, (1 * n + 9) // 10)
+        |      THEN x END) AS lo,
+        |  max(CASE WHEN rn = greatest(1, (9 * n + 9) // 10)
+        |      THEN x END) AS hi
+        | FROM r GROUP BY g)
+        |SELECT v.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(max(c.lo) AS BIGINT) AS lo, CAST(max(c.hi) AS BIGINT) AS hi,
+        | CAST(sum(v.x) AS BIGINT) AS sum_raw,
+        | CAST(sum(greatest(c.lo, least(c.hi, v.x))) AS BIGINT)
+        |   AS sum_winsorized
+        |FROM v JOIN c USING (g) GROUP BY v.g
+        |ORDER BY event_type""".stripMargin,
     // exact diff rationals vs the control variant, ppm cross-multiplied
     "q251_ab_audit" ->
       """WITH u AS (SELECT user_id, CAST(user_id % 3 AS VARCHAR)

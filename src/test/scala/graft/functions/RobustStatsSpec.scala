@@ -45,6 +45,27 @@ class RobustStatsSpec extends SparkSpec {
     assert(got(Some("a"))._1 == 1L)
   }
 
+  test("winsorizedSum: clamps at the exact ceil-rank order statistics") {
+    // {1..10}: p10 rank = ceil(1) = 1 -> lo=1? ceil(0.1·10)=1 -> lo=1;
+    // p90 rank = ceil(9) = 9 -> hi=9; clamp only the 10 -> 54
+    val rows = (1L to 10L).map(("a", _)).toDF("g", "x")
+    val got = RobustStats.winsorizedSum(rows, "g", "x", 1, 9, 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("a", 10L, 1L, 9L, 55L, 54L)))
+    // heavier clamp 25/75: ranks ceil(2.5)=3, ceil(7.5)=8 -> lo=3, hi=8
+    // sum = 3+3 + 3..8 + 8+8 = 6 + 33 + 16 = 55 -> 3·2+sum(3..8)+8·2
+    val g2 = RobustStats.winsorizedSum(rows, "g", "x", 1, 3, 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(g2 == (("a", 10L, 3L, 8L, 55L, 3L + 3L + 33L + 8L + 8L)))
+  }
+
+  test("winsorizedSum: tiny groups clamp to themselves (rank floor 1)") {
+    val rows = Seq(("a", 7L)).toDF("g", "x")
+    val got = RobustStats.winsorizedSum(rows, "g", "x", 1, 9, 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("a", 1L, 7L, 7L, 7L, 7L)))
+  }
+
   test("matches a driver reference on random heavy-tailed data") {
     val rng = new scala.util.Random(5)
     val rows = Seq.fill(300)(
