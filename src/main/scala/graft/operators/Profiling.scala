@@ -90,6 +90,31 @@ object Profiling {
           lit(tolPpm) * col("total")).as("off_digit"))
   }
 
+  /** Per-group categorical profile: `(group, n, n_distinct, mode,
+    * mode_n, gini_num, gini_den)` — the shape summary for a label-ish
+    * column (status codes, priorities, sources): majority value (ties
+    * to the LARGER value under the (count, value) struct order —
+    * deterministic in any engine), and Gini impurity as the exact
+    * rational `1 − Σ(cᵢ/n)² = (n² − Σcᵢ²) / n²` (no logs — the
+    * entropy-free impurity measure that stays hash-comparable).
+    * Two map-side-combinable aggregations, value-cardinality
+    * intermediate. Null values are a category like any other. Long
+    * bound: n² — exact to ~3·10⁹ rows per group; past that keep the
+    * counts and form the rational in DECIMAL(38,0). */
+  def categoricalProfile(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("g"),
+        col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        max(struct(col("c"), col("v"))).as("m"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("g").as(groupCol), col("n"), col("n_distinct"),
+        col("m.v").as("mode"), col("m.c").as("mode_n"),
+        (col("n") * col("n") - col("ss")).as("gini_num"),
+        (col("n") * col("n")).as("gini_den"))
+
   /** One row per declared relationship: `(relation, n_child,
     * n_orphans, intact)`. `n_child` counts non-null child keys (a null
     * FK is legal, not an orphan). */

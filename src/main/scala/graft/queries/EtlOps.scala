@@ -1312,6 +1312,17 @@ object EtlOps {
         "event_type", "cents", loQNum = 1, hiQNum = 9, qDen = 10)
       .orderBy(col("event_type"))
 
+  /** Categorical profile under the gate (q253): order status per
+    * priority ([[graft.operators.Profiling.categoricalProfile]]) —
+    * the mode FLIPS between priorities (O for urgent, P elsewhere at
+    * sf0.01) and the exact Gini rationals vary per row, so the
+    * (count, value) argmax order and the Σc² term are both
+    * value-checked. */
+  def categoricalProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.categoricalProfile(
+        Tables.load(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+      .orderBy(col("o_orderpriority"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1577,6 +1588,7 @@ object EtlOps {
     "q250_session_report" -> sessionReportQ _,
     "q251_ab_audit"       -> abAuditQ _,
     "q252_winsorize"      -> winsorizeQ _,
+    "q253_cat_profile"    -> categoricalProfileQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2203,6 +2215,19 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // (count, value) struct argmax; Gini as (n^2 - sum c^2) / n^2
+    "q253_cat_profile" ->
+      """WITH vc AS (SELECT o_orderpriority AS g, o_orderstatus AS v,
+        |  CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2),
+        |agg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  max(struct_pack(c := c, v := v)) AS m,
+        |  CAST(sum(c * c) AS BIGINT) AS ss FROM vc GROUP BY g)
+        |SELECT g AS o_orderpriority, n, n_distinct, m.v AS mode,
+        | m.c AS mode_n,
+        | CAST(n * n - ss AS BIGINT) AS gini_num,
+        | CAST(n * n AS BIGINT) AS gini_den
+        |FROM agg ORDER BY o_orderpriority""".stripMargin,
     // exact p10/p90 order-stat clamps (rank = max(1, ceil(q*n)))
     "q252_winsorize" ->
       """WITH v AS (SELECT event_type AS g,

@@ -34,6 +34,18 @@ class ProfilingSpec extends SparkSpec {
     assert(got == (("c->p", 3L, 1L, false)))
   }
 
+  test("categoricalProfile: mode tie goes to the larger value; " +
+      "Gini rationals exact; nulls are a category") {
+    val df = Seq(("g", Some("a")), ("g", Some("a")), ("g", Some("b")),
+      ("g", Some("b")), ("g", None)).toDF("k", "v")
+    val got = Profiling.categoricalProfile(df, "k", "v").collect().head
+    // counts {a:2, b:2, null:1}: tie a/b -> mode b (larger value)
+    assert(got.getLong(1) == 5L && got.getLong(2) == 3L)
+    assert(got.getString(3) == "b" && got.getLong(4) == 2L)
+    // gini = (25 - (4+4+1)) / 25 = 16/25
+    assert(got.getLong(5) == 16L && got.getLong(6) == 25L)
+  }
+
   test("benfordAudit: exact digit counts, deviations, and verdicts") {
     // 6 values: digits 1,1,1,2,9 (and 0 dropped): N=5
     val df = Seq(1L, 19L, 150L, 250L, 900L, 0L).toDF("x")
