@@ -32,7 +32,8 @@ object RobustStats {
     * statistics: rank (n+1) div 2 and n div 2 + 1 (equal when n is
     * odd). Ties sort arbitrarily but the VALUES at fixed ranks are
     * order-deterministic. Returns `(g, _n, <out>)`. */
-  private def med2Of(in: DataFrame, xc: String, out: String): DataFrame = {
+  private[graft] def med2Of(in: DataFrame, xc: String,
+                            out: String): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col(xc))
     in.select(col("g"), col(xc),
         row_number().over(w).as("_rn"),

@@ -100,6 +100,37 @@ object Funnels {
         col("_r.users_reached"))
   }
 
+  /** Time-to-convert distribution per cohort: for users completing the
+    * two-step funnel `fromStep → toStep` ([[funnelTimes]] semantics —
+    * first fromStep, then the first strictly-later toStep), the
+    * conversion latency `t₂ − t₁` in exact microseconds, reported as
+    * `(cohort, n_converted, min_us, med2_us, max_us)` with the median
+    * in doubled units (the [[graft.functions.RobustStats]] two-middle-
+    * ranks convention — x_lo + x_hi, exact in SQL). The question
+    * behind every funnel: not just HOW MANY convert, but how long the
+    * window keeping them takes. `cohortCol` must be constant per user
+    * (a user attribute or hash bucket). One rank sort over the
+    * CONVERTED-user frame — funnel-output-sized, not event-sized. */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromStep: String, toStep: String,
+                        cohortCol: String): DataFrame = {
+    val times = funnelTimes(events, userCol, tsCol, typeCol,
+        Seq(fromStep, toStep))
+      .filter(col("step_2_ts").isNotNull)
+      .select(col(userCol),
+        (unix_micros(col("step_2_ts")) - unix_micros(col("step_1_ts")))
+          .as("x"))
+    val cohorts = events.select(col(userCol), col(cohortCol)).distinct()
+    val d = times.join(cohorts, Seq(userCol))
+      .select(col(cohortCol).as("g"), col("x"))
+    val m = graft.functions.RobustStats.med2Of(d, "x", "med2_us")
+    val ends = d.groupBy(col("g").as("_eg"))
+      .agg(min(col("x")).as("min_us"), max(col("x")).as("max_us"))
+    m.join(broadcast(ends), col("g") <=> col("_eg"))
+      .select(col("g").as(cohortCol), col("_n").as("n_converted"),
+        col("min_us"), col("med2_us"), col("max_us"))
+  }
+
   /** Cohort retention matrix: `(cohort_week, week_offset, n_users)` — users
     * bucketed by the week of their FIRST event (integer weeks since
     * `epochDay`, so the boundary is engine-portable: no date_trunc locale /

@@ -1323,6 +1323,19 @@ object EtlOps {
         Tables.load(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
       .orderBy(col("o_orderpriority"))
 
+  /** Conversion latency under the gate (q254): view→purchase time per
+    * user-hash cohort ([[graft.operators.Funnels.conversionLatency]])
+    * — the doubled-median convention over exact microsecond deltas,
+    * plus min/max envelopes; a funnel step taken non-strictly, a
+    * median rank off by one, or a cohort joined per event instead of
+    * per user all move cells. */
+  def conversionLatencyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnels.conversionLatency(
+        Tables.load(s, dir, "events")
+          .withColumn("k", col("user_id") % 5),
+        "user_id", "ts", "event_type", "view", "purchase", "k")
+      .orderBy(col("k"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1589,6 +1602,7 @@ object EtlOps {
     "q251_ab_audit"       -> abAuditQ _,
     "q252_winsorize"      -> winsorizeQ _,
     "q253_cat_profile"    -> categoricalProfileQ _,
+    "q254_conversion_latency" -> conversionLatencyQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2215,6 +2229,26 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // strict-> funnel steps, doubled-median over exact micro deltas
+    "q254_conversion_latency" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY 1),
+        |d AS (SELECT s1.user_id % 5 AS k, s2.t2 - s1.t1 AS delta
+        |      FROM s1 JOIN s2 ON s1.user_id = s2.user_id),
+        |r AS (SELECT k, delta, row_number() OVER (PARTITION BY k
+        |        ORDER BY delta) AS rn,
+        |      count(*) OVER (PARTITION BY k) AS n FROM d)
+        |SELECT k, CAST(max(n) AS BIGINT) AS n_converted,
+        | CAST(min(delta) AS BIGINT) AS min_us,
+        | CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN delta END) +
+        |      sum(CASE WHEN rn = n // 2 + 1 THEN delta END) AS BIGINT)
+        |   AS med2_us,
+        | CAST(max(delta) AS BIGINT) AS max_us
+        |FROM r GROUP BY k ORDER BY k""".stripMargin,
     // (count, value) struct argmax; Gini as (n^2 - sum c^2) / n^2
     "q253_cat_profile" ->
       """WITH vc AS (SELECT o_orderpriority AS g, o_orderstatus AS v,
