@@ -132,6 +132,23 @@ object Components {
       .filter(col(idCol).cast("long") === col("cluster_id"))
       .drop("cluster_id")
 
+  /** Dedup telemetry off a cluster-labeled frame (the
+    * [[assignClusters]] output): the cluster-SIZE histogram
+    * `(cluster_size, n_clusters, n_docs)` — the release-note numbers a
+    * dedup pass reports (how much of the corpus sits in duplicate
+    * mass, and whether it's many small clusters or one pathological
+    * giant; the latter is usually a join-key bug, not data). Dup rate
+    * derives as `1 − Σn_clusters / Σn_docs`. Two map-side-combinable
+    * aggregations, cluster-cardinality intermediate. */
+  def clusterSizeHistogram(clustered: DataFrame,
+                           clusterCol: String = "cluster_id"): DataFrame =
+    clustered.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** QUALITY-weighted representative selection: flag, in a
     * cluster-labeled frame (the [[assignClusters]] output), the one
     * member per cluster with the HIGHEST `scoreCol` (ties to the

@@ -283,6 +283,38 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup cluster-size telemetry under the gate (q255): q56's
+    * transitive-closure fixture rolled up to the size histogram
+    * ([[graft.operators.Components.clusterSizeHistogram]]) — the
+    * chain-of-3 clusters and the same-text merged clusters land at
+    * different sizes, so a closure that under-merges (sizes split) or
+    * a histogram that counts docs where it should count clusters both
+    * move rows. */
+  def clusterHistogramQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val ids = d.select(col("doc_id"))
+      .unionByName(d.select((col("doc_id") + 100000).as("doc_id")))
+      .unionByName(d.select((col("doc_id") + 200000).as("doc_id")))
+    val chain = d.select(col("doc_id").as("a"),
+        (col("doc_id") + 100000).as("b"))
+      .unionByName(d.select((col("doc_id") + 100000).as("a"),
+        (col("doc_id") + 200000).as("b")))
+    val sameText = d.toDF("a", "ta")
+      .join(d.toDF("b", "tb"), col("ta") === col("tb") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    // planted chain-merging edges so the histogram carries three sizes
+    // (3 / 6 / 9 at sf0.01: 390 / 40 / 10 clusters)
+    def mergeEdges(step: Long, every: Long) = d.select(col("doc_id").as("a"))
+      .join(d.select(col("doc_id").as("b")), col("b") === col("a") + step)
+      .filter(col("a") % every === 0)
+    val pairs = chain.unionByName(sameText)
+      .unionByName(mergeEdges(1, 10)).unionByName(mergeEdges(2, 50))
+    graft.operators.Components.clusterSizeHistogram(
+        graft.operators.Components.assignClusters(ids, "doc_id",
+          pairs, "a", "b"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Top-3 BM25-salient terms per document. `logIdf = false` keeps every
     * arithmetic step transcendental-free (+,−,×,÷ on doubles are IEEE
     * bit-identical across engines; ln is not guaranteed correctly rounded
@@ -2252,6 +2284,7 @@ object TrainingData {
     "q228_max_coverage"     -> maxCoverageQ _,
     "q233_kneser_ney"       -> kneserNeyQ _,
     "q234_centroid_align"   -> centroidAlignQ _,
+    "q255_cluster_histogram" -> clusterHistogramQ _,
     "q189_temperature_alloc" -> temperatureAllocQ _,
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
@@ -5048,6 +5081,36 @@ object TrainingData {
         |ORDER BY occurrences DESC, term LIMIT 20""".stripMargin,
     // Independent transitive closure: min-label reachability via a
     // recursive CTE over the SAME chain + exact-text pair list.
+    // q56's recursive closure rolled up to (size, n_clusters, n_docs)
+    "q255_cluster_histogram" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |ids AS (
+        | SELECT doc_id FROM base
+        | UNION ALL SELECT doc_id + 100000 FROM base
+        | UNION ALL SELECT doc_id + 200000 FROM base),
+        |pairs AS (
+        | SELECT doc_id AS a, doc_id + 100000 AS b FROM base
+        | UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM base
+        | UNION ALL
+        | SELECT x.doc_id, y.doc_id FROM base x JOIN base y
+        |  ON x.text = y.text AND x.doc_id < y.doc_id
+        | UNION ALL SELECT x.doc_id, x.doc_id + 1 FROM base x
+        |  JOIN base y ON y.doc_id = x.doc_id + 1 WHERE x.doc_id % 10 = 0
+        | UNION ALL SELECT x.doc_id, x.doc_id + 2 FROM base x
+        |  JOIN base y ON y.doc_id = x.doc_id + 2
+        |  WHERE x.doc_id % 50 = 0),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |reach(id, lbl) AS (
+        | SELECT doc_id, doc_id FROM ids
+        | UNION
+        | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+        |cl AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+        |         AS cluster_size FROM cl GROUP BY cluster_id)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q56_dedup_clusters" ->
       """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
         |ids AS (
