@@ -159,6 +159,41 @@ object TimeSeries {
         col("register").cast("long").as("register"))
   }
 
+  /** EXACT trailing-window distinct count via bitmap buckets — the
+    * DAU/WAU stickiness feed when the id domain is machine-bounded:
+    * daily [[graft.functions.Bitmap]] words, replicated to their ≤
+    * `windowDays` targets and OR-merged (idempotent — overlap between
+    * days is free), popcounted per day. Output `(dayCol, dau, wau)`
+    * with `wau` over `[day − windowDays + 1, day]` — both EXACT, which
+    * is why the oracle is plain `count(DISTINCT …)`: the bitmap path
+    * must reproduce the true numbers, not an estimate. The sketched
+    * sibling [[slidingDistinctRegisters]] takes over when the domain
+    * is unbounded. Day-bucket-cardinality shuffles only. */
+  def slidingDistinctExact(df: DataFrame, dayCol: String,
+                           valueCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    import graft.functions.Bitmap
+    val daily = Bitmap.bitmaps(
+        df.select(col(dayCol).cast("long").as("day"), col(valueCol)),
+        "day", valueCol)
+      .localCheckpoint()
+    val dau = Bitmap.distinctCounts(daily, "day")
+      .select(col("day"), col("n_distinct").as("dau"))
+    val observed = daily.select(col("day").as("target")).distinct()
+    val wau = daily
+      .select(col("day"), col("bucket"), col("bits"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .withColumn("target", col("day") + col("off"))
+      .join(observed, Seq("target"), "left_semi")
+      .groupBy(col("target"), col("bucket"))
+      .agg(bit_or(col("bits")).as("bits"))
+      .groupBy(col("target"))
+      .agg(sum(bit_count(col("bits")).cast("long")).as("wau"))
+      .select(col("target").as("day"), col("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day").as(dayCol), col("dau"), col("wau"))
+  }
+
   /** Per-key consecutive-day streaks over `(keyCol, dayCol)` activity
     * (duplicates collapse): `(keyCol, n_streaks, longest, n_days)` via
     * the day − row_number island trick. */

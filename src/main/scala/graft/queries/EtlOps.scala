@@ -1336,6 +1336,21 @@ object EtlOps {
         "user_id", "ts", "event_type", "view", "purchase", "k")
       .orderBy(col("k"))
 
+  /** Exact DAU/WAU under the gate (q256): daily and 7-day-trailing
+    * distinct users per observed day via bitmap OR-merges
+    * ([[graft.operators.TimeSeries.slidingDistinctExact]]) — the
+    * oracle is PLAIN `count(DISTINCT …)`, so the whole bitmap path
+    * (placement, replication, OR idempotence, popcount) must land on
+    * the true numbers. Complements q248's sketched sibling. */
+  def dauWauQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.slidingDistinctExact(
+        Tables.load(s, dir, "events")
+          .withColumn("day",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long")),
+        "day", "user_id", windowDays = 7)
+      .orderBy(col("day"))
+
   /** Key-skew audit over the events user key — measure BEFORE salting:
     * the hottest keys, their table share, the uniform-key ratio, and the
     * salt factor for a 1000-rows-per-task target (small target so the
@@ -1603,6 +1618,7 @@ object EtlOps {
     "q252_winsorize"      -> winsorizeQ _,
     "q253_cat_profile"    -> categoricalProfileQ _,
     "q254_conversion_latency" -> conversionLatencyQ _,
+    "q256_dau_wau"        -> dauWauQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2229,6 +2245,20 @@ object EtlOps {
         | FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
         |       FROM orders GROUP BY 1)
         |) ORDER BY lhs, rhs""".stripMargin,
+    // the truth itself: plain distinct counts per day and window
+    "q256_dau_wau" ->
+      """WITH v AS (SELECT DISTINCT
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM v),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM v GROUP BY day),
+        |wau AS (SELECT d.day,
+        |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        | FROM days d JOIN v p ON p.day BETWEEN d.day - 6 AND d.day
+        | GROUP BY d.day)
+        |SELECT day, dau.dau, wau.wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     // strict-> funnel steps, doubled-median over exact micro deltas
     "q254_conversion_latency" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
