@@ -171,4 +171,24 @@ class FunnelsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(m == Seq((0L, 0L, 2L), (0L, 2L, 1L), (2L, 0L, 1L)))
   }
+
+  test("conversionLatency: strict funnel deltas, doubled median, " +
+      "non-converters excluded") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "buy"),   // 600s
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "buy"),   // 1800s
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "buy"),   // 3600s
+      (4L, ts("2024-01-01 10:00:00"), "buy"),   // buy BEFORE view
+      (4L, ts("2024-01-01 11:00:00"), "view"))
+      .toDF("user_id", "ts", "etype")
+      .withColumn("k", lit(0L))
+    val got = Funnels.conversionLatency(e, "user_id", "ts", "etype",
+        "view", "buy", "k")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 3 converters; med2 = 2·1800s (odd n); user 4 never converts
+    assert(got == ((0L, 3L, 600000000L, 3600000000L, 3600000000L)))
+  }
 }

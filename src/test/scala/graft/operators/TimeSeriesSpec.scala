@@ -107,6 +107,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("slidingDistinctExact: window edges, OR idempotence, true counts") {
+    // day 1 {u1,u2}, day 2 {u2,u3}, day 9 {u1}: wau(2) = 3 (overlap u2
+    // counted once), wau(9) = 1 (days 1-2 aged out)
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (9L, 1L))
+      .toDF("day", "u")
+    val got = TimeSeries.slidingDistinctExact(df, "day", "u", 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (2L, 2L, 3L), (9L, 1L, 1L)))
+  }
+
   test("dayStreaks: islands, longest run, duplicates collapse") {
     // days {1,2,3, 7, 9,10} (3 visits on day 2)
     val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L),
