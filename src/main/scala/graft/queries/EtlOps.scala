@@ -862,6 +862,73 @@ object EtlOps {
         |FROM scored ORDER BY rid""".stripMargin
   }
 
+  /** Model lift table under the gate (q257): the q223 scoring
+    * projection binned into 10 margin deciles by the WINDOWLESS
+    * distributed ntile ([[graft.functions.Sharding.ntileByScore]] —
+    * no global-order single-partition exchange), then per-decile
+    * positives and the top-down cumulative — the decile lift curve
+    * every model release reads. A trained model must concentrate
+    * positives in the high-margin bins; the gate pins the exact
+    * per-bin counts, so a rank formula drift, a front-loaded NTILE
+    * remainder, or a margin scored with wrapped longs all move rows. */
+  def liftTableQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_linenumber").cast("long").as("line"),
+      (col("l_partkey") % 13).as("pmod"),
+      (when((col("l_quantity") - col("l_linenumber") * 3 -
+        (col("l_partkey") % 13) * 2 + 5) > 0, 1L).otherwise(-1L) *
+        when(col("l_orderkey") % 13 === 0, -1L).otherwise(1L)).as("y"))
+    val model = graft.functions.LinearClassifier.trainPerceptron(
+      li, "y", Seq("qty", "line", "pmod"), iters = 2).last.weights
+    val scored = graft.functions.LinearClassifier.predict(
+      li, Seq("qty", "line", "pmod"), model)
+    val binned = graft.functions.Sharding.ntileByScore(
+      scored.select(col("rid"), col("margin"), col("y")),
+      "rid", "margin", k = 10)
+    val perBin = binned.groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    // the 10-row lift frame: a global window here is a 10-row sort
+    perBin.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .orderBy(col("bin"))
+  }
+
+  /** q257's oracle: the q223 scoring chain + the planted label, global
+    * (margin, rid) rank, bin = (rank·10) div n, per-bin counts and the
+    * top-down cumulative. */
+  private def liftTableOracle: String = {
+    val train = perceptronOracle(2)
+    val upToRows = train.substring(0, train.indexOf("\nSELECT CAST(1"))
+    upToRows +
+      """
+        |, scored AS (SELECT
+        |  l_orderkey * 10 + l_linenumber AS rid,
+        |  w.b + w.wx0 * CAST(l_quantity AS BIGINT) +
+        |   w.wx1 * CAST(l_linenumber AS BIGINT) +
+        |   w.wx2 * CAST(l_partkey % 13 AS BIGINT) AS margin,
+        |  (CASE WHEN CAST(l_quantity AS BIGINT) - 3 * l_linenumber
+        |     - 2 * (l_partkey % 13) + 5 > 0 THEN 1 ELSE -1 END) *
+        |  (CASE WHEN l_orderkey % 13 = 0 THEN -1 ELSE 1 END) AS y
+        | FROM lineitem, w2 w),
+        |r AS (SELECT margin, y,
+        |  row_number() OVER (ORDER BY margin, rid) - 1 AS rnk,
+        |  count(*) OVER () AS n FROM scored),
+        |b AS (SELECT (rnk * 10) // n AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (y = 1) AS BIGINT) AS n_pos
+        | FROM r GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        | CAST(sum(n_pos) OVER (ORDER BY bin DESC
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |FROM b ORDER BY bin""".stripMargin
+  }
+
   /** Exact percentiles per group (linear interpolation — same formula in
     * both engines). */
   def percentilesQ(s: SparkSession, dir: String): DataFrame = {
@@ -1619,6 +1686,7 @@ object EtlOps {
     "q253_cat_profile"    -> categoricalProfileQ _,
     "q254_conversion_latency" -> conversionLatencyQ _,
     "q256_dau_wau"        -> dauWauQ _,
+    "q257_lift_table"     -> liftTableQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2612,6 +2680,7 @@ object EtlOps {
         |    AND os IS DISTINCT FROM ns) FROM j
         |) ORDER BY metric""".stripMargin,
     "q223_model_predict" -> perceptronPredictOracle,
+    "q257_lift_table" -> liftTableOracle,
     "q52_percentiles" ->
       """SELECT event_type,
         | quantile_cont(value, 0.5) AS p50,
