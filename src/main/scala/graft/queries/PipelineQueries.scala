@@ -1354,6 +1354,55 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING exact-bitmap monitor under the gate (q258): the q249
+    * family's batch≡stream invariant on the EXACT side — the full
+    * event stream drains through [[graft.streaming.StreamBitmap]] in
+    * three waves (per-(type, bucket) OR-word state), and the standing
+    * words must equal the one-shot batch
+    * [[graft.functions.Bitmap.bitmaps]] WORD FOR WORD (asserted
+    * in-gate both ways); the output serves the words plus popcounts —
+    * q249's oracle shape over the full corpus. Waves OVERLAP on
+    * purpose (the %3 split re-delivers boundary users' events across
+    * waves): idempotent OR state must absorb re-delivery, the property
+    * the HLL monitors share and counters lack. A no-data fourth drain
+    * must leave the sink untouched. */
+  def streamBitmapQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q258") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      def run(): Unit = graft.streaming.StreamBitmap.runAvailableNow(
+        s, src, e.schema, "event_type", "user_id",
+        s"$base/sink", s"$base/ckpt")
+      for (wv <- 0 to 2) {
+        // overlapping waves: each repeats the previous boundary slice
+        e.filter(col("event_id") % 3 === wv ||
+            col("event_id") % 7 === wv).coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      // top up with the full set so the standing words cover everything
+      e.coalesce(1).write.mode("append").parquet(src)
+      run()
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing words must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamBitmapQ: no-data replay appended monitor rows")
+      val standing = graft.streaming.StreamBitmap
+        .currentBitmap(s, s"$base/sink").localCheckpoint()
+      val batch = graft.functions.Bitmap.bitmaps(
+        e.select(col("event_type").cast("string").as("g"), col("user_id")),
+        "g", "user_id")
+      require(standing.exceptAll(batch).isEmpty &&
+          batch.exceptAll(standing).isEmpty,
+        "streamBitmapQ: standing words diverge from the batch bitmap")
+      standing
+        .select(col("g").as("event_type"), col("bucket"), col("bits"),
+          bit_count(col("bits")).cast("long").as("n_bits"))
+        .orderBy(col("event_type"), col("bucket"))
+        .localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1821,6 +1870,7 @@ object PipelineQueries {
     "q225_stream_heavy"   -> withSP(streamHeavyQ _),
     "q232_stream_churn"   -> streamChurnQ _,
     "q247_stream_lateness" -> withSP(streamLatenessQ _),
+    "q258_stream_bitmap"  -> withSP(streamBitmapQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2206,6 +2256,15 @@ object PipelineQueries {
         | CAST(COALESCE(max(CASE WHEN hw IS NOT NULL AND t < hw
         |   THEN hw - t END), 0) AS BIGINT) AS max_late_us
         |FROM m GROUP BY k ORDER BY user_id""".stripMargin,
+    // the standing words must equal the one-shot batch bitmap —
+    // q249's construction over the full corpus
+    "q258_stream_bitmap" ->
+      """WITH b AS (SELECT event_type, user_id // 63 AS bucket,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS bits
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, bits,
+        | CAST(bit_count(bits) AS BIGINT) AS n_bits
+        |FROM b ORDER BY event_type, bucket""".stripMargin,
     // the maintained grid serves the batch estimates — the oracle IS
     // q93's one-shot count-min construction verbatim
     "q225_stream_heavy" ->
