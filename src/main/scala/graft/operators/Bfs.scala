@@ -90,6 +90,54 @@ object Bfs {
     dists
   }
 
+  /** [[weightedDistances]] with PATH RECONSTRUCTION: `(node, dist,
+    * pred)` where `pred` is the upstream neighbor on the cheapest
+    * ≤-`rounds`-edge path (seeds point at themselves) — ties at equal
+    * cost break to the SMALLEST predecessor id, so the tree is unique
+    * and restates exactly. State per node is the lexicographic-min
+    * `(dist, pred)` struct; the fold is still a monotone lattice merge
+    * (struct `least`), so the delta-frontier rounds produce the same
+    * standing table as full per-round relaxation: a node whose struct
+    * didn't improve re-offers nothing new — its outgoing candidates
+    * `(dist + w, node)` depend on its DIST, not its own pred. Walking
+    * `pred` upstream from any node reaches a seed in ≤ `rounds`
+    * steps. */
+  def weightedPathTree(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, seeds: DataFrame, seedCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .repartition(col("src")).localCheckpoint()
+    var dists = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"),
+        struct(lit(0L).as("dist"), col("node").as("pred")).as("s"))
+      .localCheckpoint()
+    var frontier = dists
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      val cand = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          struct((col("s.dist") + col("w")).as("dist"),
+            col("src").as("pred")).as("_c"))
+        .groupBy("node").agg(min(col("_c")).as("_c"))
+      val merged = dists.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(col("s"), col("_c")).as("s"),
+          (col("_c").isNotNull &&
+            (col("s").isNull || col("_c") < col("s"))).as("_improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("_improved")).select("node", "s")
+      dists = merged.select("node", "s")
+      r += 1
+    }
+    dists.select(col("node"), col("s.dist").as("dist"),
+      col("s.pred").as("pred"))
+  }
+
   /** `(node, dist)` for every node within `maxHops` of a seed (seeds at
     * 0). Distances are exact shortest-path hop counts over the DIRECTED
     * edge list (symmetrize for undirected semantics). */

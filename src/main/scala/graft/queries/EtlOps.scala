@@ -793,6 +793,64 @@ object EtlOps {
     head + rs + s"\nSELECT node, dist FROM d$rounds ORDER BY node"
   }
 
+  /** Cheapest-path TREE under the gate (q259): q224's graph and
+    * rounds, but with predecessor reconstruction
+    * ([[graft.operators.Bfs.weightedPathTree]]) — the lexicographic
+    * (dist, pred) struct state makes the tree unique, and the oracle
+    * unrolls the same struct-min rounds, so a tie broken to the wrong
+    * predecessor, a pred carried from a stale round, or a struct-vs-
+    * scalar merge slip all move rows even where distances agree. */
+  def weightedPathTreeQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    val canon = graft.operators.Triangles.canonicalEdges(pairs, "u", "v")
+      .withColumn("w", lit(1L) + (col("u") + col("v")) % 7)
+    val sym = canon.unionAll(
+      canon.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val seeds = sym.select(col("u").as("node"))
+      .filter(col("node") <= 20).distinct()
+    graft.operators.Bfs.weightedPathTree(sym, "u", "v", "w", seeds,
+        "node", rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  /** q259's oracle: the q224 relaxation rounds with (dist, pred)
+    * struct-min candidates and a struct-least merge. */
+  private def weightedPathTreeOracle(rounds: Int): String = {
+    val head =
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_linenumber <= 3 AND b.l_linenumber <= 3),
+        |e AS (SELECT u AS src, v AS dst, 1 + (u + v) % 7 AS w FROM pe
+        |      UNION ALL SELECT v, u, 1 + (u + v) % 7 FROM pe),
+        |d0 AS (SELECT DISTINCT src AS node,
+        |  struct_pack(dist := CAST(0 AS BIGINT),
+        |              pred := CAST(src AS BIGINT)) AS s
+        |       FROM e WHERE src <= 20)""".stripMargin
+    val rs = (1 to rounds).map { h =>
+      s""",
+         |f$h AS (SELECT e.dst AS node,
+         |  min(struct_pack(dist := d.s.dist + e.w,
+         |                  pred := CAST(e.src AS BIGINT))) AS c
+         | FROM e JOIN d${h - 1} d ON e.src = d.node GROUP BY 1),
+         |d$h AS (SELECT node, CASE
+         |   WHEN d.s IS NULL THEN f.c
+         |   WHEN f.c IS NULL THEN d.s
+         |   WHEN f.c < d.s THEN f.c ELSE d.s END AS s
+         | FROM d${h - 1} d FULL JOIN f$h f USING (node))""".stripMargin
+    }.mkString
+    head + rs +
+      s"\nSELECT node, CAST(s.dist AS BIGINT) AS dist," +
+      s" CAST(s.pred AS BIGINT) AS pred FROM d$rounds ORDER BY node"
+  }
+
   /** q222's oracle: the frontier rounds unrolled — per hop a grouped
     * `min(dist + 1)` over the previous distance set, merged null-safely. */
   private def bfsOracle(hops: Int): String = {
@@ -1687,6 +1745,7 @@ object EtlOps {
     "q254_conversion_latency" -> conversionLatencyQ _,
     "q256_dau_wau"        -> dauWauQ _,
     "q257_lift_table"     -> liftTableQ _,
+    "q259_path_tree"      -> weightedPathTreeQ _,
     "q53_pivot"           -> pivotQ _,
     "q114_skew_audit"     -> skewAuditQ _,
     "q120_table_stats"    -> tableStatsQ _,
@@ -2280,6 +2339,7 @@ object EtlOps {
     "q220_personalized_rank" -> personalizedRankOracle(4),
     "q222_bfs" -> bfsOracle(3),
     "q224_weighted_paths" -> weightedPathsOracle(4),
+    "q259_path_tree" -> weightedPathTreeOracle(4),
     "q226_merge_guard" -> mergeGuardOracle,
     // per-candidate: distinct lhs, fanning lhs, surplus rhs mappings
     "q235_fd_audit" ->

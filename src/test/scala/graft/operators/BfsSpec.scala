@@ -85,6 +85,44 @@ class BfsSpec extends SparkSpec {
     assert(bf(g, Seq(1L), 2) == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
   }
 
+  private def tree(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                   rounds: Int): Map[Long, (Long, Long)] =
+    Bfs.weightedPathTree(edges.toDF("s", "d", "w"), "s", "d", "w",
+        seeds.toDF("n"), "n", rounds)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("path tree: preds trace the cheapest route; seeds self-point") {
+    // 1 -> 4 direct 10; 1 -> 2 -> 3 -> 4 = 3: pred chain 4<-3<-2<-1
+    val g = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val t = tree(g, Seq(1L), 3)
+    assert(t(1L) == ((0L, 1L)))
+    assert(t(2L) == ((1L, 1L)) && t(3L) == ((2L, 2L)) &&
+      t(4L) == ((3L, 3L)))
+    // with 1 round, the direct edge wins and pred is the seed
+    assert(tree(g, Seq(1L), 1)(4L) == ((10L, 1L)))
+  }
+
+  test("path tree: equal-cost tie breaks to the smaller predecessor") {
+    // 3 reachable at cost 5 via 1 AND via 2 — pred must be 1
+    val g = Seq((0L, 1L, 2L), (0L, 2L, 2L), (1L, 3L, 3L), (2L, 3L, 3L))
+    assert(tree(g, Seq(0L), 2)(3L) == ((5L, 1L)))
+  }
+
+  test("path tree: every pred walk reaches a seed within rounds") {
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(150)((rng.nextInt(25).toLong,
+      rng.nextInt(25).toLong, 1L + rng.nextInt(5)))
+    val t = tree(edges, Seq(0L, 1L), 5)
+    t.keys.foreach { n =>
+      var cur = n
+      var steps = 0
+      while (t(cur)._2 != cur && steps <= 5) { cur = t(cur)._2; steps += 1 }
+      assert(t(cur)._2 == cur && Seq(0L, 1L).contains(cur),
+        s"node $n walked to $cur in $steps")
+    }
+  }
+
   test("matches driver Bellman-Ford on a random weighted graph") {
     val rng = new scala.util.Random(7)
     val edges = Seq.fill(200)((rng.nextInt(30).toLong,
