@@ -1403,6 +1403,51 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING quantile-sketch monitor under the gate (q260): the
+    * q237 maintenance invariant, streamed — the per-event-type cent
+    * histogram (capacity 256, SATURATED) maintained by
+    * [[graft.streaming.StreamQuantile]] across three waves; the
+    * standing entries must equal the one-shot batch
+    * [[graft.operators.AggMaintain.quantileState]] ENTRY FOR ENTRY
+    * (asserted in-gate both ways — the once-evicted-never-returns
+    * hash-rank argument is what makes bounded streaming state exact),
+    * and the output is the standing histogram under q237's oracle
+    * verbatim. A no-data fourth drain must leave the sink untouched. */
+  def streamQuantileQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q260") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("event_type"), col("cents"))
+      def run(): Unit = graft.streaming.StreamQuantile.runAvailableNow(
+        s, src, e.schema, "event_type", "cents", 256,
+        s"$base/sink", s"$base/ckpt")
+      for (wv <- 0 to 2) {
+        e.filter(col("event_id") % 3 === wv).coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing entries must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamQuantileQ: no-data replay appended monitor rows")
+      val standing = graft.streaming.StreamQuantile
+        .currentEntries(s, s"$base/sink").localCheckpoint()
+      val batch = graft.operators.AggMaintain
+        .quantileState(e.select(col("event_type").cast("string").as("g"),
+          col("cents")), "g", "cents", 256)
+        .select(col("g"), explode(col("q_sketch")).as("e"))
+        .select(col("g"), col("e.value").as("value"),
+          col("e.count").as("count"))
+      require(standing.exceptAll(batch).isEmpty &&
+          batch.exceptAll(standing).isEmpty,
+        "streamQuantileQ: standing entries diverge from the batch sketch")
+      standing
+        .select(col("g").as("event_type"), col("value"), col("count"))
+        .orderBy(col("event_type"), col("value"))
+        .localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1871,6 +1916,7 @@ object PipelineQueries {
     "q232_stream_churn"   -> streamChurnQ _,
     "q247_stream_lateness" -> withSP(streamLatenessQ _),
     "q258_stream_bitmap"  -> withSP(streamBitmapQ _),
+    "q260_stream_quantile" -> withSP(streamQuantileQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2265,6 +2311,20 @@ object PipelineQueries {
         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, bits,
         | CAST(bit_count(bits) AS BIGINT) AS n_bits
         |FROM b ORDER BY event_type, bucket""".stripMargin,
+    // the standing entries must equal the one-shot sketch — q237's
+    // 256-smallest-hash restatement verbatim
+    "q260_stream_quantile" ->
+      """WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT)
+        |    AS x FROM events),
+        |vc AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+        |       FROM v GROUP BY event_type, x),
+        |h AS (SELECT event_type, x, c,
+        |  ('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hv FROM vc),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY hv) AS r FROM h)
+        |SELECT event_type, x AS value, c AS count FROM rk
+        |WHERE r <= 256 ORDER BY event_type, value""".stripMargin,
     // the maintained grid serves the batch estimates — the oracle IS
     // q93's one-shot count-min construction verbatim
     "q225_stream_heavy" ->
