@@ -48,16 +48,24 @@ object EmbeddingDrift {
     val global = x.groupBy(col("pos")).agg(sum(col("v")).as("gv"))
     val dec = "decimal(38,0)"
     val joined = perGroup.join(global, Seq("pos"))
+    // the per-pos products run in DECIMAL(38,0) BEFORE summing: gv is
+    // ~N·1024 for the global centroid, so Long-summed gv² wraps at
+    // ~10M-row corpora under the non-ANSI default and would flip the
+    // verdict — the decimal sums keep `aligned` exact. The BIGINT
+    // casts below are display-level only (gate-stable hashing); they
+    // null past ±9.2e18 while the decimal verdict stays correct.
     val d = joined.groupBy(col("g"))
       .agg(max(col("cnt")).as("n"),
-        sum(col("gs") * col("gv")).as("dot"),
-        sum(col("gs") * col("gs")).as("na2"),
-        sum(col("gv") * col("gv")).as("nb2"))
-    d.select(col("g").as(groupCol), col("n"), col("dot"), col("na2"),
-        col("nb2"),
-        (col("dot") >= 0 &&
-          col("dot").cast(dec) * col("dot") * lit(tDen) * lit(tDen) >=
-            col("na2").cast(dec) * col("nb2") * lit(tNum) * lit(tNum))
+        sum(col("gs").cast(dec) * col("gv")).as("dotd"),
+        sum(col("gs").cast(dec) * col("gs")).as("na2d"),
+        sum(col("gv").cast(dec) * col("gv")).as("nb2d"))
+    d.select(col("g").as(groupCol), col("n"),
+        col("dotd").cast("long").as("dot"),
+        col("na2d").cast("long").as("na2"),
+        col("nb2d").cast("long").as("nb2"),
+        (col("dotd") >= 0 &&
+          col("dotd") * col("dotd") * lit(tDen) * lit(tDen) >=
+            col("na2d") * col("nb2d") * lit(tNum) * lit(tNum))
           .as("aligned"))
   }
 }

@@ -72,11 +72,14 @@ object TimeSeries {
     * p99 lateness at scale). Output `(keyCol, n, n_late,
     * max_late_us)` — exact integers. */
   def latenessAudit(df: DataFrame, keyCol: String, arrivalCol: String,
-                    tsMicrosCol: String): DataFrame = {
-    val w = Window.partitionBy(col("k")).orderBy(col("a"))
+                    tsMicrosCol: String, idCol: String): DataFrame = {
+    // idCol breaks arrival-order ties so the high-water window is a
+    // total order — duplicate arrival values would otherwise make
+    // n_late/max_late_us partition-order-dependent
+    val w = Window.partitionBy(col("k")).orderBy(col("a"), col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(keyCol).as("k"), col(arrivalCol).as("a"),
-        col(tsMicrosCol).cast("long").as("t"))
+        col(tsMicrosCol).cast("long").as("t"), col(idCol).as("id"))
       .withColumn("hw", max(col("t")).over(w))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"),
@@ -90,7 +93,8 @@ object TimeSeries {
 
   /** Per-group exact OLS trend: slope of `yCol` against `xCol` as the
     * integer rational `slope_num/slope_den = (nΣxy − ΣxΣy) /
-    * (nΣxx − (Σx)²)`, with `rising = slope_num > 0` — segment-level
+    * (nΣxx − (Σx)²)`, with `rising = slope_num > 0` (NULL when
+    * `slope_den = 0` — all-x-equal groups have no slope) — segment-level
     * trend detection ("is this source's quality score drifting down")
     * with no floats anywhere: the sufficient statistics are exact long
     * sums (one map-side-combinable aggregate), and only the final
@@ -115,8 +119,15 @@ object TimeSeries {
           .cast("long").as("slope_num"),
         (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
           .cast("long").as("slope_den"),
-        (col("n").cast(dec) * col("sxy") >
-          col("sx").cast(dec) * col("sy")).as("rising"))
+        // a degenerate group (all x equal → slope_den = 0) has no
+        // defined slope: rising is NULL, not a sign comparison. The
+        // long casts above null silently past ±9.2e18 (non-ANSI) —
+        // callers at that regime read the sums and recompute in
+        // decimal; rising itself is decided in decimal either way.
+        when(col("n").cast(dec) * col("sxx") ===
+            col("sx").cast(dec) * col("sx"), lit(null).cast("boolean"))
+          .otherwise(col("n").cast(dec) * col("sxy") >
+            col("sx").cast(dec) * col("sy")).as("rising"))
   }
 
   /** Trailing-window distinct count as HLL registers: for each

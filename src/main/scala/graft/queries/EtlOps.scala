@@ -1358,7 +1358,7 @@ object EtlOps {
         Tables.load(s, dir, "events")
           .withColumn("et_us",
             unix_micros(col("ts")) - (col("event_id") % 7) * 1800000000L),
-        "user_id", "event_id", "et_us")
+        "user_id", "event_id", "et_us", "event_id")
       .orderBy(col("user_id"))
 
   /** Per-group exact OLS trend under the gate (q246): daily cent
@@ -2526,7 +2526,8 @@ object EtlOps {
         |SELECT g AS event_type, n, sx, sy, sxy, sxx,
         | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
         | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-        | (n * sxy - sx * sy > 0) AS rising
+        | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
     // running high-water mark over arrival order, strict < for late
     "q245_lateness" ->

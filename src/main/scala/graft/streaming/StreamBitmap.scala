@@ -32,6 +32,13 @@ object StreamBitmap {
     val cells = spark.readStream.schema(schema).parquet(sourcePath)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
+      // mirror the batch Bitmap.bitmaps contract: a negative id would
+      // silently produce a negative bucket and a negative shift count,
+      // diverging the maintained state from the batch invariant
+      .select(col("g"),
+        when(col("v") >= 0, col("v")).otherwise(raise_error(lit(
+          s"StreamBitmap: negative $valueCol has no bit — offset the " +
+            "domain first"))).as("v"))
       .select(col("g"), expr("v div 63").as("bucket"),
         expr("shiftleft(cast(1 as bigint), cast(v % 63 as int))").as("b"))
       .as[(String, Long, Long)]

@@ -50,14 +50,14 @@ class TimeSeriesSpec extends SparkSpec {
     // -> NOT late (strict)
     val df = Seq((1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 20L),
       (1L, 4L, 30L), (1L, 5L, 25L)).toDF("k", "a", "t")
-    val got = TimeSeries.latenessAudit(df, "k", "a", "t")
+    val got = TimeSeries.latenessAudit(df, "k", "a", "t", "a")
       .as[(Long, Long, Long, Long)].collect().head
     assert(got == ((1L, 5L, 2L, 10L)))
   }
 
   test("latenessAudit: an in-order key reports zero") {
     val df = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("k", "a", "t")
-    val got = TimeSeries.latenessAudit(df, "k", "a", "t")
+    val got = TimeSeries.latenessAudit(df, "k", "a", "t", "a")
       .as[(Long, Long, Long, Long)].collect().head
     assert(got == ((1L, 2L, 0L, 0L)))
   }
@@ -74,6 +74,23 @@ class TimeSeriesSpec extends SparkSpec {
     val sums = TimeSeries.groupTrend(df, "g", "x", "y")
       .selectExpr("sx", "sxx").as[(Long, Long)].collect().head
     assert(sums == ((6L, 14L)))
+  }
+
+  test("latenessAudit: duplicate arrival values break ties by idCol") {
+    // two rows share arrival 1; id order (10, 20) then (5): with the
+    // id tie-break the t=5 row sees hw=20 (late 15) deterministically
+    val df = Seq((1L, 1L, 10L, 1L), (1L, 1L, 20L, 2L), (1L, 2L, 5L, 3L))
+      .toDF("k", "a", "t", "id")
+    val got = TimeSeries.latenessAudit(df, "k", "a", "t", "id")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 3L, 1L, 15L)))
+  }
+
+  test("groupTrend: all-x-equal group reports rising = NULL") {
+    val df = Seq((1L, 5L, 10L), (1L, 5L, 99L)).toDF("g", "x", "y")
+    val got = TimeSeries.groupTrend(df, "g", "x", "y")
+      .selectExpr("slope_den", "rising").collect().head
+    assert(got.getLong(0) == 0L && got.isNullAt(1))
   }
 
   test("groupTrend: a falling series reports rising = false") {

@@ -25,7 +25,7 @@ class StreamLatenessSpec extends SparkSpec {
     run()
     val got = StreamLateness.currentAudit(spark, s"$dir/sink")
       .as[(Long, Long, Long, Long)].collect().toSet
-    val want = graft.operators.TimeSeries.latenessAudit(all, "k", "a", "t")
+    val want = graft.operators.TimeSeries.latenessAudit(all, "k", "a", "t", "a")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == want)
     assert(got.contains((1L, 4L, 2L, 10L)))
