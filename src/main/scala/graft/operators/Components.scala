@@ -109,6 +109,47 @@ object Components {
     toNeighbors.union(toSelf).distinct()
   }
 
+  /** INCREMENTAL cluster maintenance: fold a wave of new near-dup pairs
+    * into a standing assignment `(id, cluster_id)` — the dedup family's
+    * maintenance member. At warehouse scale the daily edge delta is tiny
+    * against the standing cluster table, so recomputing components over
+    * ALL historical pairs each day is the wrong plan; instead the
+    * standing assignment is itself replayed as a STAR FOREST (one edge
+    * `id → cluster_id` per non-root member), unioned with the new wave,
+    * and re-converged. Stars are connectivity-preserving (every
+    * historical component stays one component) and id-preserving (the
+    * component minimum of the union graph is the true minimum over all
+    * waves, because star edges only reference ids that exist), so the
+    * result row-matches a one-shot [[connectedComponents]] over the
+    * union of every wave — and since set union commutes, the standing
+    * assignment is WAVE-ORDER INVARIANT. Cost per wave:
+    * O(standing + delta) edges, converging in very few rounds because
+    * the standing part is already star-shaped — only chains introduced
+    * by cluster-merging delta edges need flattening.
+    *
+    * Output: one row per id in `standing` ∪ the wave's endpoints;
+    * singleton ids (no edges ever) label themselves. */
+  def maintainClusters(standing: DataFrame, newPairs: DataFrame,
+                       aCol: String, bCol: String): DataFrame = {
+    val starEdges = standing
+      .select(col("id").cast("long").as("u"),
+        col("cluster_id").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val waveEdges = newPairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    val allIds = standing.select(col("id").cast("long").as("id"))
+      .union(waveEdges.select(col("u").as("id")))
+      .union(waveEdges.select(col("v").as("id")))
+      .distinct()
+    val labels = connectedComponents(
+      starEdges.union(waveEdges), "u", "v")
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Label every row of `df` with its duplicate-cluster id: nodes absent
     * from the pair list are their own singleton cluster. The join against
     * the component labels is keyed on the id — at warehouse scale the

@@ -1448,6 +1448,56 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** STREAMING connected-components maintenance under the gate (q261):
+    * the dedup-cluster family's maintenance member — two waves of
+    * synthetic near-dup pairs drain through
+    * [[graft.streaming.StreamComponents]] (star-forest replay + delta
+    * edges per micro-batch, delta-only writes), and the standing
+    * assignment must row-match a one-shot
+    * [[graft.operators.Components.connectedComponents]] over the UNION
+    * of both waves (asserted in-gate both ways). Wave 2 re-delivers a
+    * slice of wave 1 (idempotent under the star forest), absorbs fresh
+    * singletons, and bridges pairs of standing clusters — the merge
+    * relabels every member of the losing cluster, the path a
+    * from-scratch recompute never exercises. A no-data third drain
+    * must leave the sink untouched. */
+  def streamComponentsQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q261") { base =>
+      val src = s"$base/landing"
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val w1 = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
+        .union(d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("a"),
+            (col("doc_id") + 200000L).as("b")))
+      val w2 = d.filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
+        .union(d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 3L).as("b")))
+        .union(d.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 200000L).as("a"),
+            (col("doc_id") + 100002L).as("b")))
+      def run(): Unit = graft.streaming.StreamComponents.runAvailableNow(
+        s, src, w1.schema, "a", "b", s"$base/sink", s"$base/ckpt")
+      w1.coalesce(1).write.mode("append").parquet(src)
+      run()
+      w2.coalesce(1).write.mode("append").parquet(src)
+      run()
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing assignment must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamComponentsQ: no-data replay appended assignment rows")
+      val standing = graft.streaming.StreamComponents
+        .currentAssignment(s, s"$base/sink").localCheckpoint()
+      val oneShot = graft.operators.Components
+        .connectedComponents(w1.union(w2), "a", "b")
+      require(standing.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(standing).isEmpty,
+        "streamComponentsQ: standing assignment diverges from one-shot")
+      standing.orderBy(col("id")).localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -1917,6 +1967,7 @@ object PipelineQueries {
     "q247_stream_lateness" -> withSP(streamLatenessQ _),
     "q258_stream_bitmap"  -> withSP(streamBitmapQ _),
     "q260_stream_quantile" -> withSP(streamQuantileQ _),
+    "q261_stream_components" -> withSP(streamComponentsQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2311,6 +2362,28 @@ object PipelineQueries {
         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, bits,
         | CAST(bit_count(bits) AS BIGINT) AS n_bits
         |FROM b ORDER BY event_type, bucket""".stripMargin,
+    // the standing assignment must equal min-label components over
+    // the union of both waves — q56's recursive-CTE restatement
+    "q261_stream_components" ->
+      """WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+        |pairs AS (
+        | SELECT doc_id AS a, doc_id + 100000 AS b FROM base
+        |  WHERE doc_id % 2 = 0
+        | UNION SELECT doc_id + 100000, doc_id + 200000 FROM base
+        |  WHERE doc_id % 4 = 0
+        | UNION SELECT doc_id, doc_id + 3 FROM base WHERE doc_id % 10 = 0
+        | UNION SELECT doc_id + 200000, doc_id + 100002 FROM base
+        |  WHERE doc_id % 20 = 0),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |ids AS (SELECT u AS id FROM edges UNION SELECT v FROM edges),
+        |reach(id, lbl) AS (
+        | SELECT id, id FROM ids
+        | UNION
+        | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT)
+        |  AS cluster_id
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // the standing entries must equal the one-shot sketch — q237's
     // 256-smallest-hash restatement verbatim
     "q260_stream_quantile" ->

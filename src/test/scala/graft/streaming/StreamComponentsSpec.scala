@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Components
+
+/** Incremental connected-components maintenance: the standing
+  * assignment equals the one-shot computation over the union of all
+  * waves, in ANY wave order, and merges relabel the losing cluster. */
+class StreamComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // wave A: two separate chains {1,2,3} and {10,11}
+  private val waveA = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+  // wave B: re-delivers (1,2), bridges the two chains, adds {20,21}
+  private val waveB = Seq((1L, 2L), (3L, 10L), (20L, 21L))
+  private val oneShot = Components
+    .connectedComponents((waveA ++ waveB).toDF("a", "b"), "a", "b")
+
+  private def drain(waves: Seq[Seq[(Long, Long)]]): Set[(Long, Long)] = {
+    val dir = Files.createTempDirectory("scomp").toString
+    val src = s"$dir/landing"
+    val schema = waveA.toDF("a", "b").schema
+    waves.foreach { w =>
+      w.toDF("a", "b").coalesce(1).write.mode("append").parquet(src)
+      StreamComponents.runAvailableNow(spark, src, schema, "a", "b",
+        s"$dir/sink", s"$dir/ckpt")
+    }
+    StreamComponents.currentAssignment(spark, s"$dir/sink")
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("standing assignment equals one-shot over the union of waves") {
+    val got = drain(Seq(waveA, waveB))
+    val want = oneShot.as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // the bridge merged {1,2,3} and {10,11}: every member relabels to 1
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (11L, 1L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("wave order is irrelevant: [B, A] converges to the same standing " +
+      "assignment as [A, B]") {
+    assert(drain(Seq(waveB, waveA)) == drain(Seq(waveA, waveB)))
+  }
+
+  test("batch maintainClusters folds a wave onto a standing assignment") {
+    val standing = Components
+      .connectedComponents(waveA.toDF("a", "b"), "a", "b")
+    val got = Components
+      .maintainClusters(standing, waveB.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == oneShot.as[(Long, Long)].collect().toSet)
+  }
+
+  test("a standing singleton joins a wave cluster without losing rows") {
+    val standing = Seq((5L, 5L), (1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val got = Components
+      .maintainClusters(standing, Seq((5L, 9L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (5L, 5L), (9L, 5L)))
+  }
+}
