@@ -69,4 +69,32 @@ object RangeJoin {
         col(b) === bucketOf(greatest(col(lStart), col(rStart))))
       .drop(b)
   }
+
+  /** LEFT OUTER interval overlap: [[intervalOverlap]]'s pairs plus every
+    * unmatched left row null-extended — unmatched work surfaces instead
+    * of vanishing (the posture the streaming variant shares,
+    * [[graft.streaming.StreamIntervalJoin]] with `left_outer`). The
+    * bucket-replicated join cannot express outerness directly (a left
+    * row occupies many buckets, most of them legitimately matchless), so
+    * the unmatched set derives from ONE extra left-anti join on
+    * `leftIdCol` (a unique left id) against the matched ids — both sides
+    * of the union keep the bucketed plan's per-key bounds. */
+  def intervalOverlapLeft(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketSeconds: Long,
+                          leftIdCol: String): DataFrame = {
+    val inner = intervalOverlap(left, right, keys, lStart, lEnd, rStart,
+      rEnd, bucketSeconds)
+    val leftCols = left.columns.toSet
+    val rightOnly = right.schema.filter(f => !leftCols.contains(f.name))
+    val unmatched = left
+      .join(inner.select(col(leftIdCol)).distinct(), Seq(leftIdCol),
+        "left_anti")
+      .select(left.columns.map(col) ++
+        rightOnly.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    // degenerate left rows (end < start) are dropped by intervalOverlap
+    // and must not resurface as "unmatched"
+    inner.unionByName(unmatched.filter(col(lEnd) >= col(lStart)))
+  }
 }

@@ -1588,6 +1588,77 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** Stream-stream LEFT OUTER interval join under the gate (q262):
+    * q205's inner join covers matches; the reference's late/failed-
+    * record posture (unmatched work SURFACES, it doesn't vanish —
+    * `datalakewrapper.py:286-297`) wants the outer variant, which
+    * Spark bounds with the identical watermark state: unmatched left
+    * rows emit null-extended when the global watermark passes their
+    * join window. The 1/5 slices leave ~97% of left rows unmatched at
+    * sf0.01, so the expiry path dominates the output — a join that
+    * silently drops them is unmistakable. The final far-future
+    * sentinel wave (both sides; the global watermark is the min across
+    * sources) flushes every straggler; sentinels are filtered out, and
+    * the result must equal the batch LEFT join under identical bounds
+    * (asserted in-gate both ways, stated by the oracle). */
+  def streamLeftIntervalQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q262") { base =>
+      val (aDir, bDir) = (s"$base/a", s"$base/b")
+      val e = Tables.load(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val a = e.filter(col("event_id") % 5 === 1)
+        .select(col("event_id").as("a_id"), col("user_id"),
+          col("ts").as("a_start"))
+      val b = e.filter(col("event_id") % 5 === 2)
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user_id"),
+          col("ts").as("b_start"))
+      def run(): Long = graft.streaming.StreamIntervalJoin.runAvailableNow(
+        s, aDir, bDir, a.schema, b.schema,
+        aLenSec = 3600L, bLenSec = 1800L, delay = "1 hour",
+        outDir = s"$base/out", checkpointPath = s"$base/ckpt",
+        statePartitions = Some(8), joinType = "left_outer")
+      def wave(cond: org.apache.spark.sql.Column
+          => org.apache.spark.sql.Column): Unit = {
+        a.filter(cond(col("a_start"))).coalesce(1)
+          .write.mode("append").parquet(aDir)
+        b.filter(cond(col("b_start"))).coalesce(1)
+          .write.mode("append").parquet(bDir)
+      }
+      wave(ts => ts < lit("2024-01-16").cast("timestamp"))
+      run()
+      wave(ts => ts >= lit("2024-01-16").cast("timestamp"))
+      run()
+      // far-future sentinels on BOTH sides push the global watermark
+      // past every buffered row so the expiry path emits; a second,
+      // later pair guarantees an emitting batch follows the advance
+      for (off <- Seq(0, 1)) {
+        val t = lit(s"2024-03-0${1 + off}").cast("timestamp")
+        a.limit(0).union(s.range(1).select(lit(-1L).as("a_id"),
+          lit(-999L).as("user_id"), t.as("a_start")))
+          .coalesce(1).write.mode("append").parquet(aDir)
+        b.limit(0).union(s.range(1).select(lit(-1L).as("b_id"),
+          lit(-998L).as("b_user_id"), t.as("b_start")))
+          .coalesce(1).write.mode("append").parquet(bDir)
+        run()
+      }
+      val out = s.read.parquet(s"$base/out")
+        .filter(col("a_id") >= 0)
+        .select(col("a_id"), coalesce(col("b_id"), lit(-1L)).as("b_id"),
+          col("user_id")).localCheckpoint()
+      val batch = graft.operators.RangeJoin.intervalOverlapLeft(
+          a.withColumn("a_end", col("a_start") + expr("INTERVAL 3600 SECONDS")),
+          b.select(col("b_id"), col("b_user_id").as("user_id"),
+            col("b_start"),
+            (col("b_start") + expr("INTERVAL 1800 SECONDS")).as("b_end")),
+          Seq("user_id"), "a_start", "a_end", "b_start", "b_end",
+          bucketSeconds = 3600L, leftIdCol = "a_id")
+        .select(col("a_id"), coalesce(col("b_id"), lit(-1L)).as("b_id"),
+          col("user_id"))
+      require(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+        "streamLeftIntervalQ: streamed left join diverges from batch")
+      out.orderBy(col("a_id"), col("b_id")).localCheckpoint()
+    }
+
   /** SCD2 snapshot COMPACTION under the gate (q165): the same staged
     * drain as q157, but [[graft.streaming.Scd2Stream.compact]] runs
     * MID-CHAIN (after wave 2) and again after the final wave — the
@@ -1968,6 +2039,7 @@ object PipelineQueries {
     "q258_stream_bitmap"  -> withSP(streamBitmapQ _),
     "q260_stream_quantile" -> withSP(streamQuantileQ _),
     "q261_stream_components" -> withSP(streamComponentsQ _),
+    "q262_stream_left_interval" -> streamLeftIntervalQ _,
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2124,6 +2196,23 @@ object PipelineQueries {
         | FROM e WHERE event_id % 3 = 2)
         |SELECT a.a_id, b.b_id, a.user_id
         |FROM a JOIN b ON a.user_id = b.user_id
+        | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the streamed left join equals the batch LEFT join under the same
+    // bounds; unmatched left rows surface as b_id = -1
+    "q262_stream_left_interval" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events),
+        |a AS (
+        | SELECT event_id AS a_id, user_id, ts AS a_start,
+        |  ts + INTERVAL 1 HOUR AS a_end
+        | FROM e WHERE event_id % 5 = 1),
+        |b AS (
+        | SELECT event_id AS b_id, user_id, ts AS b_start,
+        |  ts + INTERVAL 30 MINUTE AS b_end
+        | FROM e WHERE event_id % 5 = 2)
+        |SELECT a.a_id, COALESCE(b.b_id, -1) AS b_id, a.user_id
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id
         | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
         |ORDER BY a_id, b_id""".stripMargin,
     // the bloom-pruned point lookups return exactly the source rows

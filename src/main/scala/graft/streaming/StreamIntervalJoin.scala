@@ -28,6 +28,17 @@ import org.apache.spark.sql.types.StructType
   * arriving files respect the watermark delay (the gate feeds
   * time-ordered waves, the production contract for any watermarked
   * pipeline).
+  *
+  * LEFT OUTER (`joinType = "left_outer"`, the q262 gate): unmatched
+  * left rows emit null-extended once the global watermark passes their
+  * join window — unmatched work SURFACES on expiry instead of
+  * vanishing (the reference's failed/late-record posture,
+  * `datalakewrapper.py:286-297`), with the same bounded state. Because
+  * expiry is watermark-driven, rows within `delay` of the newest event
+  * stay buffered across drains; a caller needing a complete flush
+  * feeds a far-future sentinel row on BOTH sides (the global watermark
+  * is the minimum across sources) and filters it from the output —
+  * q262 does exactly that.
   */
 object StreamIntervalJoin {
 
@@ -48,7 +59,8 @@ object StreamIntervalJoin {
                       aSchema: StructType, bSchema: StructType,
                       aLenSec: Long, bLenSec: Long, delay: String,
                       outDir: String, checkpointPath: String,
-                      statePartitions: Option[Int] = None): Long = {
+                      statePartitions: Option[Int] = None,
+                      joinType: String = "inner"): Long = {
     val a = spark.readStream.schema(aSchema).parquet(aDir)
       .withWatermark("a_start", delay)
     val b = spark.readStream.schema(bSchema).parquet(bDir)
@@ -56,7 +68,8 @@ object StreamIntervalJoin {
     val joined = a.join(b,
       col("user_id") === col("b_user_id") &&
         col("b_start") >= col("a_start") - expr(s"INTERVAL $bLenSec SECONDS") &&
-        col("b_start") <= col("a_start") + expr(s"INTERVAL $aLenSec SECONDS"))
+        col("b_start") <= col("a_start") + expr(s"INTERVAL $aLenSec SECONDS"),
+      joinType)
       .select(col("a_id"), col("b_id"), col("user_id"))
     def go(): Long = {
       val query = joined.writeStream

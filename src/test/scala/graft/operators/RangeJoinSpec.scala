@@ -78,6 +78,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, 10L)))
   }
 
+  test("intervalOverlapLeft: unmatched lefts null-extend, matched pairs " +
+      "are the inner join, degenerate lefts stay dropped") {
+    val left = Seq(
+      (1L, 1L, 100L, 200L),   // overlaps right 10
+      (2L, 1L, 500L, 600L),   // no overlap -> null-extended
+      (3L, 2L, 100L, 200L),   // key with no right rows -> null-extended
+      (4L, 1L, 300L, 250L))   // degenerate (end < start) -> dropped
+      .toDF("a_id", "k", "a_start", "a_end")
+    val right = Seq((10L, 1L, 150L, 260L), (11L, 1L, 700L, 800L))
+      .toDF("b_id", "k", "b_start", "b_end")
+    val out = RangeJoin.intervalOverlapLeft(left, right, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 60L,
+        leftIdCol = "a_id")
+      .select($"a_id", coalesce($"b_id", lit(-1L)))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, -1L), (3L, -1L)))
+  }
+
   test("bounds are inclusive on both ends") {
     val iv = Seq((1L, 1L, 100L, 200L)).toDF("iv_id", "k", "start_ts", "end_ts")
       .select($"iv_id", $"k", $"start_ts".cast("timestamp"), $"end_ts".cast("timestamp"))
