@@ -1236,7 +1236,11 @@ object PipelineQueries {
     * (asserted in-gate, both directions), and the top-20 heavy hitters
     * SERVED off the maintained grid must hash-equal the batch
     * estimates — q93's oracle verbatim. A no-data fourth drain must
-    * leave the sink untouched. */
+    * leave the sink untouched. [[graft.streaming.StreamSinkCompact]]
+    * runs MID-CHAIN (after wave 2) and again before serving: the
+    * folded `batch_id=-1` snapshot must be a valid maintenance
+    * substrate and leave the served grid identical, while bounding the
+    * serving scan by state size instead of batches elapsed. */
   def streamHeavyQ(s: SparkSession, dir: String): DataFrame =
     withTempDir("graft_q225") { base =>
       val src = s"$base/landing"
@@ -1251,13 +1255,27 @@ object PipelineQueries {
         toks.filter(col("doc_id") % 3 === wv).select("term").coalesce(1)
           .write.mode("append").parquet(src)
         run()
+        // MID-CHAIN compaction after wave 2: the folded batch_id=-1
+        // snapshot must be a valid serving AND maintenance substrate
+        if (wv == 1)
+          graft.streaming.StreamSinkCompact.compactLatest(
+            s, s"$base/sink", Seq("depth", "bucket"))
       }
       val emitted = s.read.parquet(s"$base/sink").count()
       run() // no new files: the standing cells must not change
       require(s.read.parquet(s"$base/sink").count() == emitted,
         "streamHeavyQ: no-data replay appended monitor rows")
+      // serving identity through compaction: the final fold must leave
+      // the resolved grid untouched while bounding the sink scan
+      val preCompact = graft.streaming.StreamSketch
+        .currentCells(s, s"$base/sink").localCheckpoint()
+      graft.streaming.StreamSinkCompact.compactLatest(
+        s, s"$base/sink", Seq("depth", "bucket"))
       val cells = graft.streaming.StreamSketch
         .currentCells(s, s"$base/sink").localCheckpoint()
+      require(cells.exceptAll(preCompact).isEmpty &&
+          preCompact.exceptAll(cells).isEmpty,
+        "streamHeavyQ: compaction changed the served grid")
       val batch = graft.functions.Sketches.countMinCells(
         toks.select("term"), "term")
       require(cells.exceptAll(batch).isEmpty &&
