@@ -250,6 +250,69 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic weighted reservoir sampling WITHOUT replacement —
+    * Efraimidis–Spirakis bottom-k, restated portably: item priority
+    * `u^(1/w)` becomes the exact integer rank `hash60(key) div w`
+    * (for the k smallest ranks, `−ln u ≈ 1−u`, so ranking by
+    * `u'/w` with `u' = hash60 ∈ [0, 2^60)` is the E-S order in the
+    * regime bottom-k ever reads), ties broken by `(hash, key)` — a
+    * total order both engines compute bit-identically with pure BIGINT
+    * ops: no ticket explosion (any weight magnitude at O(1) rows, where
+    * [[weightedSample]] explodes `w` tickets), no transcendentals, no
+    * floats. Output: the sampled rows plus `sample_rank` 1..k in
+    * selection order (the oracle-pinned order).
+    *
+    * MAINTENANCE is the KMV eviction argument: an item's rank is a pure
+    * function of (key, weight), and the k-th smallest rank only ever
+    * decreases — once evicted, never re-admitted, so the standing
+    * reservoir folds per wave at ≤ k state rows
+    * ([[weightedReservoirMaintain]]), and re-delivered rows are
+    * idempotent (same key → same rank → same slot).
+    *
+    * Scale shape: one projection + TakeOrdered top-k (partial per
+    * partition, k rows to the driver-side heap) — the only window runs
+    * over the ≤ k post-limit rows. Weights must be ≥ 1 (fail loudly);
+    * keys non-null and unique. */
+  def weightedReservoir(df: DataFrame, keyCol: String, weightCol: String,
+                        k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wGuard = when(col(weightCol).isNull || col(weightCol) < 1,
+        raise_error(concat(lit(s"weightedReservoir: weight column " +
+          s"'$weightCol' must be non-null and >= 1, got "),
+          col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val keyStr = coalesce(col(keyCol).cast("string"),
+      raise_error(lit(s"weightedReservoir: key column '$keyCol' contains " +
+        "a null - keys must be non-null and unique")).cast("string"))
+    val ranked = df
+      .withColumn("_graft_h", Sketches.hash60(keyStr))
+      .withColumn("_graft_w", wGuard)
+      .withColumn("_graft_rank", expr("_graft_h div _graft_w"))
+    val topK = ranked
+      .orderBy(col("_graft_rank"), col("_graft_h"), col(keyCol))
+      .limit(k)
+    topK.withColumn("sample_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_graft_rank"), col("_graft_h"), col(keyCol))))
+      .drop("_graft_h", "_graft_w", "_graft_rank")
+  }
+
+  /** Fold one wave into a standing weighted reservoir: bottom-k of
+    * (state ∪ wave) with re-delivered keys deduplicated — entry-
+    * identical to a one-shot [[weightedReservoir]] over every wave, in
+    * any wave order (ranks are pure functions of the rows; set union
+    * commutes). `state` is a prior output of this function or of
+    * [[weightedReservoir]]; pass an empty frame to start. */
+  def weightedReservoirMaintain(state: DataFrame, wave: DataFrame,
+                                keyCol: String, weightCol: String,
+                                k: Int): DataFrame = {
+    val cols = wave.columns.filter(_ != "sample_rank")
+    val union = state.select(cols.map(col): _*)
+      .unionByName(wave.select(cols.map(col): _*))
+      .dropDuplicates(keyCol)
+    weightedReservoir(union, keyCol, weightCol, k)
+  }
+
   /** Sub-linear BUDGET ALLOCATION across strata: give stratum s
     * k_s = ⌊budget · √n_s / Σ√n⌋ rows — the square-root rule that damps
     * head-heavy corpora (a 100× bigger source gets 10× the rows, not

@@ -1031,6 +1031,21 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic weighted reservoir under the gate (q263):
+    * Efraimidis–Spirakis bottom-k over documents weighted by n_chars
+    * ([[graft.functions.Sampling.weightedReservoir]]) — rank =
+    * hash60(doc_id) div n_chars, selection order pinned by
+    * sample_rank. The sampled docs average ~355 chars vs ~284 for the
+    * rejected at sf0.01, so a rank built from the wrong hash input, a
+    * floor-vs-truncate slip, or an unweighted order all move rows. */
+  def weightedReservoirQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.weightedReservoir(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+      .select(col("sample_rank").cast("long").as("sample_rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("sample_rank"))
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2332,6 +2347,7 @@ object TrainingData {
     "q109_url_dedup"        -> urlDedupQ _,
     "q108_boilerplate"      -> boilerplateQ _,
     "q107_weighted_sample"  -> weightedSampleQ _,
+    "q263_weighted_reservoir" -> weightedReservoirQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4046,6 +4062,19 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The identical integer rank: hash60(doc_id) // n_chars (both
+    // engines truncate toward zero), (rank, hash, id) total order
+    "q263_weighted_reservoir" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hv
+        | FROM documents),
+        |r AS (SELECT doc_id, n_chars, hv, hv // n_chars AS rnk FROM h),
+        |s AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY rnk, hv, doc_id) AS sample_rank
+        | FROM r)
+        |SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+        |FROM s WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin,
     // Same boilerplate injection, same per-(source, line) distinct-doc
     // threshold, same drop-every-occurrence semantics and ordered
     // newline reassembly.

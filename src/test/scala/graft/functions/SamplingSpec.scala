@@ -478,4 +478,60 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(out.forall(_._4 == 0L))
   }
+
+  // --- weightedReservoir (deterministic E-S bottom-k) ---
+
+  private def esRank(id: Long, w: Long): (Long, Long) = {
+    val h = graft.expressions.Hash60Expr.hash60(
+      id.toString.getBytes("UTF-8"))
+    (h / w, h)
+  }
+
+  test("weightedReservoir matches the naive rank restatement, in order") {
+    val rows = (1L to 200L).map(i => (i, 1L + i % 13))
+    val got = Sampling.weightedReservoir(
+        rows.toDF("id", "w"), "id", "w", k = 25)
+      .select($"sample_rank".cast("long"), $"id", $"w")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = rows.map { case (id, w) =>
+        val (r, h) = esRank(id, w); (r, h, id, w)
+      }.sortBy(t => (t._1, t._2, t._3)).take(25).zipWithIndex
+      .map { case ((_, _, id, w), i) => (i + 1L, id, w) }
+    assert(got == want)
+  }
+
+  test("weightedReservoir: maintenance is entry-identical to one-shot " +
+      "under any batching, in any wave order, with re-delivery") {
+    val rows = (1L to 300L).map(i => (i, 1L + i % 29))
+    val oneShot = Sampling.weightedReservoir(
+        rows.toDF("id", "w"), "id", "w", k = 20)
+      .select($"id", $"w", $"sample_rank".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    // waves split 3 ways; wave 2 re-delivers a slice of wave 1
+    val w1 = rows.filter(_._1 % 3 == 0)
+    val w2 = rows.filter(_._1 % 3 == 1) ++ w1.filter(_._1 % 2 == 0)
+    val w3 = rows.filter(_._1 % 3 == 2)
+    def fold(waves: Seq[Seq[(Long, Long)]]): Set[(Long, Long, Long)] =
+      waves.foldLeft(empty) { (st, wv) =>
+        val next = Sampling.weightedReservoirMaintain(
+          st, wv.toDF("id", "w"), "id", "w", k = 20)
+        assert(next.count() <= 20) // state stays bounded at k
+        next
+      }.select($"id", $"w", $"sample_rank".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(fold(Seq(w1, w2, w3)) == oneShot)
+    assert(fold(Seq(w3, w1, w2)) == oneShot)
+  }
+
+  test("weightedReservoir fails loudly on weight < 1") {
+    val e = intercept[Exception] {
+      Sampling.weightedReservoir(
+        Seq((1L, 0L)).toDF("id", "w"), "id", "w", k = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("weightedReservoir")))
+  }
 }
