@@ -1516,6 +1516,50 @@ object PipelineQueries {
       standing.orderBy(col("id")).localCheckpoint()
     }
 
+  /** STREAMING weighted reservoir under the gate (q264): q263's
+    * Efraimidis–Spirakis bottom-k MAINTAINED — three doc-keyed waves
+    * (wave 2 re-delivers a slice of wave 1) drain through
+    * [[graft.streaming.StreamReservoir]], folding each batch into the
+    * standing k-row reservoir; the standing sample must row-match the
+    * one-shot [[graft.functions.Sampling.weightedReservoir]] over the
+    * full corpus (asserted in-gate both ways — the KMV eviction
+    * argument: ranks are pure row functions and the k-th rank only
+    * decreases), and the output is q263's oracle verbatim. A no-data
+    * fourth drain must leave the sink untouched. */
+  def streamReservoirQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q264") { base =>
+      val src = s"$base/landing"
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      def run(): Unit = graft.streaming.StreamReservoir.runAvailableNow(
+        s, src, d.schema, "doc_id", "n_chars", 100,
+        s"$base/sink", s"$base/ckpt")
+      for (wv <- 0 to 2) {
+        // wave 2 re-delivers wave 1's %5 slice: idempotent under
+        // rank-identical re-arrival
+        d.filter(col("doc_id") % 3 === wv ||
+            (lit(wv) === 1 && col("doc_id") % 3 === 0 &&
+              col("doc_id") % 5 === 0)).coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing reservoir must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamReservoirQ: no-data replay appended reservoir rows")
+      val standing = graft.streaming.StreamReservoir
+        .currentReservoir(s, s"$base/sink").localCheckpoint()
+      val oneShot = graft.functions.Sampling
+        .weightedReservoir(d, "doc_id", "n_chars", 100)
+      require(standing.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(standing).isEmpty,
+        "streamReservoirQ: standing reservoir diverges from one-shot")
+      standing
+        .select(col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy(col("sample_rank")).localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -2058,6 +2102,7 @@ object PipelineQueries {
     "q260_stream_quantile" -> withSP(streamQuantileQ _),
     "q261_stream_components" -> withSP(streamComponentsQ _),
     "q262_stream_left_interval" -> streamLeftIntervalQ _,
+    "q264_stream_reservoir" -> withSP(streamReservoirQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2216,6 +2261,19 @@ object PipelineQueries {
         |FROM a JOIN b ON a.user_id = b.user_id
         | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
         |ORDER BY a_id, b_id""".stripMargin,
+    // the standing reservoir equals the one-shot bottom-k — q263's
+    // exact integer rank restatement verbatim
+    "q264_stream_reservoir" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hv
+        | FROM documents),
+        |r AS (SELECT doc_id, n_chars, hv, hv // n_chars AS rnk FROM h),
+        |s AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY rnk, hv, doc_id) AS sample_rank
+        | FROM r)
+        |SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+        |FROM s WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin,
     // the streamed left join equals the batch LEFT join under the same
     // bounds; unmatched left rows surface as b_id = -1
     "q262_stream_left_interval" ->
