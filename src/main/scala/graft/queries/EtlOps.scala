@@ -1345,6 +1345,19 @@ object EtlOps {
           col("l_suppkey"), 16).as("z"))
       .orderBy(col("rid"))
 
+  /** Join-cardinality pre-flight under the gate (q265): the exact
+    * output size and hot-key profile of the lineitem⋈lineitem
+    * self-join on l_partkey, computed from two distinct-key-sized
+    * aggregates ([[graft.operators.JoinAudit.joinCardinality]]) — the
+    * "would this join explode" check a planner runs before shipping a
+    * join at scale. Per-key counts at sf0.01 span 20–49, so contrib,
+    * total and ppm all discriminate; a count-vs-contrib swap, a lost
+    * key, or float ppm rounding each move cells. */
+  def joinCardinalityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.JoinAudit.joinCardinality(
+      Tables.load(s, dir, "lineitem"), Tables.load(s, dir, "lineitem"),
+      "l_partkey", "l_partkey", topK = 15)
+
   /** Event-time lateness audit under the gate (q245): arrival order is
     * event_id; event time is ts pulled back by a planted
     * (event_id % 7)·30 min jitter — the disorder a real ingest shows
@@ -1735,6 +1748,7 @@ object EtlOps {
     "q243_rolling_range"  -> rollingRangeQ _,
     "q244_zorder"         -> zorderQ _,
     "q245_lateness"       -> latenessQ _,
+    "q265_join_cardinality" -> joinCardinalityQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2529,6 +2543,19 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // exact per-key join contributions from two distinct-key-sized
+    // aggregates; ppm by truncating integer division
+    "q265_join_cardinality" ->
+      """WITH la AS (SELECT l_partkey AS join_key,
+        |  CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+        |m AS (SELECT a.join_key, a.n AS n_left, b.n AS n_right,
+        |  a.n * b.n AS contrib FROM la a JOIN la b USING (join_key)),
+        |t AS (SELECT sum(contrib) AS tot,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM m)
+        |SELECT join_key, n_left, n_right, contrib,
+        | CAST(tot AS BIGINT) AS total_rows, n_keys,
+        | CAST(contrib * 1000000 // tot AS BIGINT) AS contrib_ppm
+        |FROM m, t ORDER BY contrib DESC, join_key LIMIT 15""".stripMargin,
     // running high-water mark over arrival order, strict < for late
     "q245_lateness" ->
       """WITH e AS (SELECT user_id AS k, event_id,
