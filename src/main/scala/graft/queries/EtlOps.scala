@@ -1345,6 +1345,24 @@ object EtlOps {
           col("l_suppkey"), 16).as("z"))
       .orderBy(col("rid"))
 
+  /** First/last-touch attribution under the gate (q266): user
+    * timelines segmented at purchases, segment-scoped first and last
+    * view/click credited with the purchase cents
+    * ([[graft.operators.Attribution.firstLastTouch]]). The synthetic
+    * mix leaves ~35% of purchases direct and splits the rest across
+    * view/click with the two models disagreeing (first_touch click
+    * 638 vs last_touch 635 at sf0.01) — a frame slip, a segment
+    * boundary off by one, or credit bleeding across conversions each
+    * move cells. */
+  def attributionQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Attribution.firstLastTouch(
+        Tables.load(s, dir, "events")
+          .withColumn("t", unix_micros(col("ts")))
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "user_id", "event_id", "t", "event_type", "cents",
+        Seq("view", "click"), "purchase")
+      .orderBy(col("model"), col("touch_type"))
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1749,6 +1767,7 @@ object EtlOps {
     "q244_zorder"         -> zorderQ _,
     "q245_lateness"       -> latenessQ _,
     "q265_join_cardinality" -> joinCardinalityQ _,
+    "q266_attribution"    -> attributionQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2543,6 +2562,37 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // segment at purchases via the prior-purchase running count,
+    // windowed first/last touch per segment, direct when touchless
+    "q266_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS t, CAST(floor(value * 100) AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s2 AS (SELECT *, COALESCE(count(*) FILTER (event_type = 'purchase')
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        | FROM e),
+        |touch AS (
+        | SELECT DISTINCT user_id, seg,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        | FROM s2 WHERE event_type <> 'purchase'
+        | WINDOW w AS (PARTITION BY user_id, seg ORDER BY t, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |conv AS (SELECT user_id, seg, cents FROM s2
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.cents,
+        |  COALESCE(t.first_type, 'direct') AS first_type,
+        |  COALESCE(t.last_type, 'direct') AS last_type
+        | FROM conv c LEFT JOIN touch t USING (user_id, seg))
+        |SELECT 'first_touch' AS model, first_type AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM j GROUP BY 2
+        |UNION ALL
+        |SELECT 'last_touch', last_type, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT) FROM j GROUP BY 2
+        |ORDER BY model, touch_type""".stripMargin,
     // exact per-key join contributions from two distinct-key-sized
     // aggregates; ppm by truncating integer division
     "q265_join_cardinality" ->
