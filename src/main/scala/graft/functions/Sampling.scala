@@ -313,6 +313,60 @@ object Sampling {
     weightedReservoir(union, keyCol, weightCol, k)
   }
 
+  /** EXACT-total stratified allocation — largest-remainder (Hamilton)
+    * apportionment: split `budget` rows across strata in EXACT
+    * proportion to stratum sizes, Σk_s = budget always (floor-based
+    * allocations like [[mixtureSample]]'s lose up to |strata|−1 rows to
+    * rounding; an eval/holdout budget is usually a contract, not a
+    * hint). Pure integer arithmetic: floor_s = budget·n_s div N,
+    * remainder r_s = budget·n_s mod N, and the `budget − Σfloor` spare
+    * rows go to the largest remainders (ties: larger stratum, then
+    * stratum value) — both engines restate it term for term (products
+    * in DECIMAL(38,0); budget·n_s would overflow Long at warehouse
+    * counts). Selection within a stratum is the stable md5 pick of
+    * [[perGroupSample]] riding the same range-partitioned grouped
+    * prefix sum — no PARTITION BY stratum window over row-scale frames.
+    * The only ordered window ranks ONE ROW PER STRATUM (the
+    * low-cardinality contract all per-stratum samplers share).
+    * `budget` > corpus fails loudly (quota q_s ≤ n_s requires
+    * budget ≤ N, and silently under-delivering a contract is worse
+    * than failing). Keys must be unique and non-null. */
+  def largestRemainderSample(df: DataFrame, keyCol: String,
+                             stratumCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "largestRemainderSample: budget must be >= 0")
+    if (budget == 0) return df.limit(0)
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(col("_n")).as("_nt"))
+      .select(when(col("_nt") >= budget, col("_nt"))
+        .otherwise(raise_error(concat(
+          lit(s"largestRemainderSample: budget $budget exceeds corpus "),
+          col("_nt").cast("string")))).as("_nt"))
+    val alloc0 = counts.crossJoin(broadcast(tot))
+      .withColumn("_floor",
+        expr(s"CAST($budget AS $dec) * _n div _nt"))
+      .withColumn("_rem",
+        expr(s"CAST(CAST($budget AS $dec) * _n % _nt AS BIGINT)"))
+    val spare = alloc0.agg((lit(budget) - sum(col("_floor"))).as("_x"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col("_n").desc, col(stratumCol))
+    val alloc = alloc0.crossJoin(broadcast(spare))
+      .withColumn("_k", col("_floor") +
+        when(row_number().over(wr) <= col("_x"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("_k"))
+    val narrow = df.select(col(stratumCol), col(keyCol))
+      .withColumn("_graft_coord",
+        coordOrFail(keyCol, "largestRemainderSample"))
+      .withColumn("_graft_one", lit(1L))
+    val winners = Sharding.groupedPrefixSum(narrow, Seq(stratumCol),
+        Seq("_graft_coord", keyCol), "_graft_one")
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("cum_weight") < col("_k"))
+      .select(col(keyCol))
+    df.join(winners, Seq(keyCol), "left_semi")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Sub-linear BUDGET ALLOCATION across strata: give stratum s
     * k_s = ⌊budget · √n_s / Σ√n⌋ rows — the square-root rule that damps
     * head-heavy corpora (a 100× bigger source gets 10× the rows, not

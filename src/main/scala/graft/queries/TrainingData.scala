@@ -1046,6 +1046,19 @@ object TrainingData {
         col("doc_id"), col("n_chars"))
       .orderBy(col("sample_rank"))
 
+  /** Largest-remainder stratified allocation under the gate (q267):
+    * budget 137 (prime — every stratum carries a nonzero remainder)
+    * split across the five languages
+    * ([[graft.functions.Sampling.largestRemainderSample]]). Plain
+    * floors deliver 135; the two spare rows must land on en and zh by
+    * remainder rank, so the apportionment arithmetic, the spare-row
+    * tie order, and the md5 within-stratum pick all pin cells. */
+  def largestRemainderQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.largestRemainderSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", budget = 137L)
+      .orderBy(col("doc_id"))
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2348,6 +2361,7 @@ object TrainingData {
     "q108_boilerplate"      -> boilerplateQ _,
     "q107_weighted_sample"  -> weightedSampleQ _,
     "q263_weighted_reservoir" -> weightedReservoirQ _,
+    "q267_largest_remainder" -> largestRemainderQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4062,6 +4076,25 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Hamilton apportionment term for term: integer floor/remainder,
+    // spare rows by (rem DESC, n DESC, lang), md5 pick within stratum
+    "q267_largest_remainder" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n) AS nt FROM c),
+        |a0 AS (SELECT lang, n, (137 * n) // nt AS fl,
+        |  (137 * n) % nt AS rem FROM c, t),
+        |x AS (SELECT 137 - sum(fl) AS spare FROM a0),
+        |a AS (SELECT lang, fl + CASE WHEN row_number()
+        |    OVER (ORDER BY rem DESC, n DESC, lang) <= spare
+        |    THEN 1 ELSE 0 END AS k
+        |  FROM a0, x),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN a USING (lang)
+        |WHERE rk <= k ORDER BY doc_id""".stripMargin,
     // The identical integer rank: hash60(doc_id) // n_chars (both
     // engines truncate toward zero), (rank, hash, id) total order
     "q263_weighted_reservoir" ->

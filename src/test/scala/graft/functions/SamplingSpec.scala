@@ -524,6 +524,32 @@ class SamplingSpec extends SparkSpec {
     assert(fold(Seq(w3, w1, w2)) == oneShot)
   }
 
+  test("largestRemainderSample: allocations sum to the budget exactly " +
+      "and spare rows follow the remainder order") {
+    // strata sizes 7 / 5 / 3 (N=15), budget 7: quotas 49/15, 35/15,
+    // 21/15 -> floors 3,2,1 (sum 6), remainders 4,5,6 -> spare to "c"
+    val rows = (1L to 7L).map((_, "a")) ++ (8L to 12L).map((_, "b")) ++
+      (13L to 15L).map((_, "c"))
+    val got = Sampling.largestRemainderSample(
+        rows.toDF("id", "g"), "id", "g", budget = 7L)
+      .groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    assert(got.values.sum == 7L)
+  }
+
+  test("largestRemainderSample: budget equal to corpus keeps everything; " +
+      "budget beyond it fails loudly") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "g")
+    assert(Sampling.largestRemainderSample(df, "id", "g", 2L).count() == 2L)
+    val e = intercept[Exception] {
+      Sampling.largestRemainderSample(df, "id", "g", 3L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("largestRemainderSample")))
+  }
+
   test("weightedReservoir fails loudly on weight < 1") {
     val e = intercept[Exception] {
       Sampling.weightedReservoir(
