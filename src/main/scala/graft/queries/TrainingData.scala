@@ -1059,6 +1059,21 @@ object TrainingData {
         "doc_id", "lang", budget = 137L)
       .orderBy(col("doc_id"))
 
+  /** Top-k rank-shift report under the gate (q268): the even-doc and
+    * odd-doc halves' top-25 term leaderboards diffed by
+    * [[graft.operators.RankShift.rankShift]] — at sf0.01 all five
+    * statuses occur (1 stable, 10 up, 10 down, 4 entered, 4 exited),
+    * so the classification boundaries, the −1 missing-rank fill, and
+    * the signed delta all discriminate. */
+  def rankShiftQ(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(graft.functions.TextAnalysis.tokens(lower(col("text"))))
+        .as("term"))
+    def side(m: Int) = tok.filter(col("doc_id") % 2 === m)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    graft.operators.RankShift.rankShift(side(0), side(1), "term", "c", 25)
+  }
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2362,6 +2377,7 @@ object TrainingData {
     "q107_weighted_sample"  -> weightedSampleQ _,
     "q263_weighted_reservoir" -> weightedReservoirQ _,
     "q267_largest_remainder" -> largestRemainderQ _,
+    "q268_rank_shift"       -> rankShiftQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4076,6 +4092,30 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the same (count DESC, term) leaderboards, full-outer diffed;
+    // QUALIFY keeps each side's top-25 before the join
+    "q268_rank_shift" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        | FROM documents),
+        |o AS (SELECT term, count(*) AS c FROM tok WHERE doc_id % 2 = 0
+        |      GROUP BY 1),
+        |n AS (SELECT term, count(*) AS c FROM tok WHERE doc_id % 2 = 1
+        |      GROUP BY 1),
+        |ot AS (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+        |       FROM o QUALIFY r <= 25),
+        |nt AS (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS r
+        |       FROM n QUALIFY r <= 25)
+        |SELECT COALESCE(ot.term, nt.term) AS term,
+        | CAST(COALESCE(ot.r, -1) AS BIGINT) AS old_rank,
+        | CAST(COALESCE(nt.r, -1) AS BIGINT) AS new_rank,
+        | CASE WHEN ot.r IS NULL THEN 'entered'
+        |      WHEN nt.r IS NULL THEN 'exited'
+        |      WHEN ot.r = nt.r THEN 'stable'
+        |      WHEN nt.r < ot.r THEN 'up' ELSE 'down' END AS status,
+        | CAST(CASE WHEN ot.r IS NOT NULL AND nt.r IS NOT NULL
+        |      THEN ot.r - nt.r ELSE 0 END AS BIGINT) AS delta
+        |FROM ot FULL JOIN nt USING (term) ORDER BY term""".stripMargin,
     // Hamilton apportionment term for term: integer floor/remainder,
     // spare rows by (rem DESC, n DESC, lang), md5 pick within stratum
     "q267_largest_remainder" ->
