@@ -150,6 +150,54 @@ object Components {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Cluster EVOLUTION telemetry between two assignments — the release
+    * note for a dedup refresh: after folding a new wave
+    * ([[maintainClusters]] / [[graft.streaming.StreamComponents]]), say
+    * per standing cluster whether it is `new` (all members unseen),
+    * `unchanged` (exactly one old cluster, intact, no new members),
+    * `grown` (one old cluster plus new members), or `merged` (members
+    * from ≥ 2 old clusters — the relabel-heavy case a reviewer audits
+    * first). `top_source` is the old cluster contributing the most
+    * members (ties to the smallest id; −1 for `new`).
+    *
+    * Exact integers off the (old, new) overlap contingency — two
+    * cluster-cardinality aggregates, one id-keyed join; the only window
+    * ranks each new cluster's SOURCE list (bounded by merge fan-in,
+    * not member count). */
+  def clusterEvolution(oldAssign: DataFrame,
+                       newAssign: DataFrame): DataFrame = {
+    val o = oldAssign.select(col("id"), col("cluster_id").as("old_c"))
+    val n = newAssign.select(col("id"), col("cluster_id").as("new_c"))
+    val ov = n.join(o, Seq("id"), "left")
+      .groupBy(col("new_c"), col("old_c"))
+      .agg(count(lit(1)).as("shared"))
+    val oldSize = o.groupBy(col("old_c")).agg(count(lit(1)).as("old_size"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_c"))
+      .orderBy(col("shared").desc, col("old_c"))
+    val top = ov.filter(col("old_c").isNotNull)
+      .withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") === 1)
+      .select(col("new_c"), col("old_c").as("top_source"),
+        col("shared").as("top_shared"))
+    val agg = ov.groupBy(col("new_c"))
+      .agg(sum(col("shared")).as("n_members"),
+        coalesce(sum(when(col("old_c").isNull, col("shared"))), lit(0L))
+          .as("n_new_members"),
+        count(when(col("old_c").isNotNull, lit(1))).as("n_sources"))
+    agg.join(top, Seq("new_c"), "left")
+      .join(oldSize.withColumnRenamed("old_c", "top_source"),
+        Seq("top_source"), "left")
+      .select(col("new_c").as("cluster_id"), col("n_members"),
+        col("n_new_members"), col("n_sources"),
+        coalesce(col("top_source"), lit(-1L)).as("top_source"),
+        when(col("n_sources") === 0, lit("new"))
+          .when(col("n_sources") >= 2, lit("merged"))
+          .when(col("n_new_members") === 0 &&
+            col("top_shared") === col("old_size"), lit("unchanged"))
+          .otherwise(lit("grown")).as("status"))
+  }
+
   /** Label every row of `df` with its duplicate-cluster id: nodes absent
     * from the pair list are their own singleton cluster. The join against
     * the component labels is keyed on the id — at warehouse scale the

@@ -1074,6 +1074,35 @@ object TrainingData {
     graft.operators.RankShift.rankShift(side(0), side(1), "term", "c", 25)
   }
 
+  /** Cluster-evolution telemetry under the gate (q269): q261's wave-1
+    * assignment diffed against the wave-1+2 assignment (plus a
+    * disjoint %25 family only the new side sees) through
+    * [[graft.operators.Components.clusterEvolution]] — at sf0.01 the
+    * report splits 175 unchanged / 25 merged / 25 grown / 20 new, so
+    * every classification branch, the overlap counts, and the
+    * deterministic top-source pick all pin cells. */
+  def clusterEvolutionQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+    val w1 = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
+      .union(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000L).as("a"),
+          (col("doc_id") + 200000L).as("b")))
+    val w12 = w1
+      .union(d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 3L).as("b")))
+      .union(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000L).as("a"),
+          (col("doc_id") + 100002L).as("b")))
+      .union(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 300000L).as("a"),
+          (col("doc_id") + 400000L).as("b")))
+    graft.operators.Components.clusterEvolution(
+        graft.operators.Components.connectedComponents(w1, "a", "b"),
+        graft.operators.Components.connectedComponents(w12, "a", "b"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2378,6 +2407,7 @@ object TrainingData {
     "q263_weighted_reservoir" -> weightedReservoirQ _,
     "q267_largest_remainder" -> largestRemainderQ _,
     "q268_rank_shift"       -> rankShiftQ _,
+    "q269_cluster_evolution" -> clusterEvolutionQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4092,6 +4122,64 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // both assignments via the q56 recursive-CTE min-label components,
+    // overlap contingency + window-deterministic top source
+    "q269_cluster_evolution" ->
+      """WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+        |o_pairs AS (
+        | SELECT doc_id AS a, doc_id + 100000 AS b FROM base
+        |  WHERE doc_id % 2 = 0
+        | UNION SELECT doc_id + 100000, doc_id + 200000 FROM base
+        |  WHERE doc_id % 4 = 0),
+        |n_pairs AS (
+        | SELECT a, b FROM o_pairs
+        | UNION SELECT doc_id, doc_id + 3 FROM base WHERE doc_id % 10 = 0
+        | UNION SELECT doc_id + 200000, doc_id + 100002 FROM base
+        |  WHERE doc_id % 20 = 0
+        | UNION SELECT doc_id + 300000, doc_id + 400000 FROM base
+        |  WHERE doc_id % 25 = 0),
+        |o_edges AS (SELECT a AS u, b AS v FROM o_pairs
+        |            UNION SELECT b, a FROM o_pairs),
+        |o_ids AS (SELECT u AS id FROM o_edges UNION SELECT v FROM o_edges),
+        |o_reach(id, lbl) AS (
+        | SELECT id, id FROM o_ids
+        | UNION
+        | SELECT e.u, r.lbl FROM o_edges e JOIN o_reach r ON e.v = r.id),
+        |o_asg AS (SELECT id, min(lbl) AS c FROM o_reach GROUP BY id),
+        |n_edges AS (SELECT a AS u, b AS v FROM n_pairs
+        |            UNION SELECT b, a FROM n_pairs),
+        |n_ids AS (SELECT u AS id FROM n_edges UNION SELECT v FROM n_edges),
+        |n_reach(id, lbl) AS (
+        | SELECT id, id FROM n_ids
+        | UNION
+        | SELECT e.u, r.lbl FROM n_edges e JOIN n_reach r ON e.v = r.id),
+        |n_asg AS (SELECT id, min(lbl) AS c FROM n_reach GROUP BY id),
+        |j AS (SELECT n.id, n.c AS new_c, o.c AS old_c
+        |      FROM n_asg n LEFT JOIN o_asg o USING (id)),
+        |ov AS (SELECT new_c, old_c, CAST(count(*) AS BIGINT) AS shared
+        |       FROM j GROUP BY 1, 2),
+        |osz AS (SELECT c AS old_c, CAST(count(*) AS BIGINT) AS old_size
+        |        FROM o_asg GROUP BY 1),
+        |top AS (SELECT new_c, old_c AS top_source, shared AS top_shared,
+        |  row_number() OVER (PARTITION BY new_c
+        |    ORDER BY shared DESC, old_c) AS rn
+        | FROM ov WHERE old_c IS NOT NULL QUALIFY rn = 1),
+        |agg AS (SELECT new_c,
+        |  CAST(sum(shared) AS BIGINT) AS n_members,
+        |  CAST(COALESCE(sum(shared) FILTER (old_c IS NULL), 0) AS BIGINT)
+        |    AS n_new_members,
+        |  CAST(count(*) FILTER (old_c IS NOT NULL) AS BIGINT) AS n_sources
+        | FROM ov GROUP BY 1)
+        |SELECT a.new_c AS cluster_id, a.n_members, a.n_new_members,
+        | a.n_sources, COALESCE(t.top_source, -1) AS top_source,
+        | CASE WHEN a.n_sources = 0 THEN 'new'
+        |      WHEN a.n_sources >= 2 THEN 'merged'
+        |      WHEN a.n_new_members = 0 AND t.top_shared = s.old_size
+        |        THEN 'unchanged'
+        |      ELSE 'grown' END AS status
+        |FROM agg a LEFT JOIN top t USING (new_c)
+        | LEFT JOIN osz s ON t.top_source = s.old_c
+        |ORDER BY cluster_id""".stripMargin,
     // the same (count DESC, term) leaderboards, full-outer diffed;
     // QUALIFY keeps each side's top-25 before the join
     "q268_rank_shift" ->

@@ -54,6 +54,27 @@ class StreamComponentsSpec extends SparkSpec {
     assert(got == oneShot.as[(Long, Long)].collect().toSet)
   }
 
+  test("clusterEvolution classifies new/unchanged/grown/merged against " +
+      "a hand-built diff") {
+    // old: {1,2} (c=1), {5,6} (c=5), {8,9} (c=8)
+    val oldA = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (8L, 8L),
+      (9L, 8L)).toDF("id", "cluster_id")
+    // new: {1,2,5,6} merged (c=1), {8,9,10} grown (c=8),
+    //      {20,21} new (c=20)
+    val newA = Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (8L, 8L),
+      (9L, 8L), (10L, 8L), (20L, 20L), (21L, 20L)).toDF("id", "cluster_id")
+    val got = Components.clusterEvolution(oldA, newA)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 4L, 0L, 2L, 1L, "merged"),
+      (8L, 3L, 1L, 1L, 8L, "grown"),
+      (20L, 2L, 2L, 0L, -1L, "new")))
+    // identity diff: everything unchanged
+    val same = Components.clusterEvolution(oldA, oldA)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(same.forall(_._6 == "unchanged"))
+  }
+
   test("a standing singleton joins a wave cluster without losing rows") {
     val standing = Seq((5L, 5L), (1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
     val got = Components
