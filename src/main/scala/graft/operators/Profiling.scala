@@ -130,4 +130,43 @@ object Profiling {
       .select(lit(relation).as("relation"), col("n_child"),
         col("n_orphans"), (col("n_orphans") === 0).as("intact"))
   }
+  /** Per-group exact Pearson correlation audit — "are these two
+    * columns actually related": the five sufficient sums ride one
+    * map-side-combinable aggregate (x re-based per group, the
+    * [[TimeSeries.groupTrend]] convention), and the strength verdict
+    * `corr² >= (tNum/tDen)²` is decided by the cross-multiplied exact
+    * comparison `cov² · tDen² >= var_x · var_y · tNum²` in
+    * DECIMAL(38,0) — no division, no floats, both engines agree
+    * bit-for-bit. `direction` is the sign of the covariance numerator;
+    * `related` is NULL when either variance is zero (correlation
+    * undefined — constant column), mirroring groupTrend's degenerate
+    * rule. `cov_num` is emitted as BIGINT for the gate (nulls past
+    * ±9.2e18; the verdict itself stays decimal-exact). */
+  def correlationAudit(df: DataFrame, groupCol: String, xCol: String,
+                       yCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0,
+      s"correlationAudit: need tNum >= 0, tDen > 0, got $tNum/$tDen")
+    val dec = "decimal(38,0)"
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    val b = df.select(col(groupCol).as("g"), col(xCol).cast("long").as("x0"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("x", col("x0") - min(col("x0")).over(wMin))
+    val s = b.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+    val cov = col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy")
+    val varX = col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")
+    val varY = col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy")
+    s.select(col("g").as(groupCol), col("n"), col("sx"), col("sy"),
+      col("sxy"), col("sxx"), col("syy").cast("long").as("syy"),
+      cov.cast("long").as("cov_num"),
+      when(cov > 0, lit(1L)).when(cov < 0, lit(-1L)).otherwise(lit(0L))
+        .as("direction"),
+      when(varX === 0 || varY === 0, lit(null).cast("boolean"))
+        .otherwise(cov * cov * lit(tDen) * lit(tDen) >=
+          varX * varY * lit(tNum) * lit(tNum)).as("related"))
+  }
 }

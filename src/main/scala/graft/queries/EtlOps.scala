@@ -1363,6 +1363,23 @@ object EtlOps {
         Seq("view", "click"), "purchase")
       .orderBy(col("model"), col("touch_type"))
 
+  /** Exact correlation audit under the gate (q270): day vs cents per
+    * event type at |corr| ≥ 1/100
+    * ([[graft.operators.Profiling.correlationAudit]]) — the synthetic
+    * mix puts signup/error/click just over the fence (corr² of 6/2/1
+    * in 1e-4 units) and purchase/view under it, with signup the only
+    * negative direction, so the cross-multiplied verdict, the sign,
+    * and all six sufficient sums discriminate. */
+  def correlationQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.correlationAudit(
+        Tables.load(s, dir, "events")
+          .withColumn("day",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long"))
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "day", "cents", tNum = 1L, tDen = 100L)
+      .orderBy(col("event_type"))
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1768,6 +1785,7 @@ object EtlOps {
     "q245_lateness"       -> latenessQ _,
     "q265_join_cardinality" -> joinCardinalityQ _,
     "q266_attribution"    -> attributionQ _,
+    "q270_correlation"    -> correlationQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2562,6 +2580,31 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // the same sufficient sums; verdict by cross-multiplied HUGEINT
+    // comparison, no division anywhere
+    "q270_correlation" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x0,
+        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |b AS (SELECT g, x0 - min(x0) OVER (PARTITION BY g) AS x, y
+        |      FROM v),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy FROM b GROUP BY g),
+        |d AS (SELECT *,
+        |  n::HUGEINT * sxy - sx::HUGEINT * sy AS cov,
+        |  n::HUGEINT * sxx - sx::HUGEINT * sx AS vx,
+        |  n::HUGEINT * syy - sy::HUGEINT * sy AS vy FROM s)
+        |SELECT g AS event_type, n, sx, sy, sxy, sxx, syy,
+        | CAST(cov AS BIGINT) AS cov_num,
+        | CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+        |   AS BIGINT) AS direction,
+        | CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |      ELSE cov * cov * 100 * 100 >= vx * vy * 1 * 1 END
+        |   AS related
+        |FROM d ORDER BY event_type""".stripMargin,
     // segment at purchases via the prior-purchase running count,
     // windowed first/last touch per segment, direct when touchless
     "q266_attribution" ->

@@ -78,4 +78,23 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean)].collect().head
     assert(got == (("ok", 3L, 0L, true)))
   }
+  test("correlationAudit: perfect line is related, constant column is " +
+      "NULL, anti-correlation flips direction") {
+    import spark.implicits._
+    // g=a: y = 2x exactly (corr 1); g=b: y constant (undefined);
+    // g=c: y = -x (corr -1)
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 1L, 7L), ("b", 2L, 7L),
+      ("c", 1L, 3L), ("c", 2L, 2L), ("c", 3L, 1L))
+      .toDF("g", "x", "y")
+    val got = Profiling.correlationAudit(df, "g", "x", "y", 1L, 2L)
+      .selectExpr("g", "direction", "related").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+      .toMap
+    assert(got("a") == ((1L, Some(true))))
+    assert(got("b") == ((0L, None)))
+    assert(got("c") == ((-1L, Some(true))))
+  }
 }
