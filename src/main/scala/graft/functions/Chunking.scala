@@ -48,4 +48,69 @@ object Chunking {
       .select(col(idCol), col("chunk_idx"),
         col("_c")("chunk_text").as("chunk_text"),
         col("_c")("n_tokens").cast("long").as("n_tokens"))
+
+  // --- Content-defined chunking (CDC) ---------------------------------
+  // Blob-level dedup's unit of work: split at positions where the hash
+  // of the trailing w-gram lands on a residue class, so boundaries are
+  // ANCHORED TO CONTENT, not offsets — a prefix edit shifts fixed-size
+  // blocks (every block hash changes) while CDC boundaries downstream
+  // re-align and the unchanged tail keeps its hashes; that is why
+  // near-identical blob revisions dedup at chunk granularity when
+  // whole-doc hashing sees two distinct documents. Expected chunk
+  // length ~= modulus chars. The boundary predicate is the
+  // oracle-restatable Sketches.hash60 of the w-gram; production swaps
+  // a true rolling hash (Rabin-Karp, O(1)/position) behind the same
+  // residue rule — the hash60Fast seam precedent. No min/max clamps:
+  // the plain residue rule keeps every position's verdict independent,
+  // making chunking ONE ARRAY EXPRESSION per row (codegen projection,
+  // no shuffle until the caller aggregates).
+
+  /** `(idCol, chunk_idx, start_pos, chunk_len, chunk_hash)` — 1-based
+    * `start_pos`, `chunk_idx` 0-based in document order. Documents
+    * shorter than `w` are one whole-doc chunk; empty texts emit no
+    * rows. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           w: Int, modulus: Int): DataFrame = {
+    require(w >= 1, "contentDefinedChunks: w must be positive")
+    require(modulus >= 2, "contentDefinedChunks: modulus must be >= 2")
+    val t = col("_t")
+    // sequence(a, b) counts DOWN when a > b (the house gotcha): guard
+    // short docs to an empty boundary set
+    val positions = when(length(t) >= w,
+      sequence(lit(w), length(t))).otherwise(array().cast("array<int>"))
+    val boundaries = filter(
+      transform(positions, p =>
+        when(pmod(Sketches.hash60(t.substr(p - lit(w) + lit(1), lit(w))),
+          lit(modulus.toLong)) === 0, p)),
+      b => b.isNotNull)
+    val bounds = array_distinct(concat(
+      array(lit(0)), boundaries, array(length(t))))
+    val spans = filter(
+      transform(sequence(lit(1), size(col("_bounds")) - 1),
+        i => struct(
+          element_at(col("_bounds"), i).as("s"),
+          element_at(col("_bounds"), i + 1).as("e"))),
+      c => c.getField("e") > c.getField("s"))
+    df.select(col(idCol), col(textCol).cast("string").as("_t"))
+      .filter(t.isNotNull && length(t) > 0)
+      .withColumn("_bounds", bounds)
+      .select(col(idCol), t,
+        posexplode(spans).as(Seq("chunk_idx", "_span")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("_span.s") + 1).cast("long").as("start_pos"),
+        (col("_span.e") - col("_span.s")).cast("long").as("chunk_len"),
+        Sketches.hash60(t.substr(col("_span.s") + lit(1),
+          col("_span.e") - col("_span.s"))).as("chunk_hash"))
+  }
+
+  /** Chunk-level dedup telemetry per group: `(groupCol, n_chunks,
+    * n_distinct, dup_ppm)` — the savings estimate a blob-dedup pass
+    * reports before anyone builds the content store. */
+  def chunkDedupReport(chunks: DataFrame, groupCol: String): DataFrame =
+    chunks.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("chunk_hash")).as("n_distinct"))
+      .select(col(groupCol), col("n_chunks"), col("n_distinct"),
+        expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+          .as("dup_ppm"))
 }

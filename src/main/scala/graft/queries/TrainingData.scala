@@ -1103,6 +1103,24 @@ object TrainingData {
       .orderBy(col("cluster_id"))
   }
 
+  /** Content-defined chunking under the gate (q271): every document
+    * split at hash60(trailing 8-gram) % 64 == 0 boundaries
+    * ([[graft.functions.Chunking.contentDefinedChunks]]), then the
+    * per-source chunk dedup report — at sf0.01 dup_ppm spans 0 to
+    * ~51k across the 20 sources, so the boundary predicate, the span
+    * arithmetic (1-based, half-open to closed), and the distinct-hash
+    * count all discriminate. */
+  def cdcChunksQ(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.functions.Chunking.contentDefinedChunks(
+      docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+      "doc_id", "text", w = 8, modulus = 64)
+    graft.functions.Chunking.chunkDedupReport(
+        chunks.join(docs(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id")),
+        "source")
+      .orderBy(col("source"))
+  }
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2408,6 +2426,7 @@ object TrainingData {
     "q267_largest_remainder" -> largestRemainderQ _,
     "q268_rank_shift"       -> rankShiftQ _,
     "q269_cluster_evolution" -> clusterEvolutionQ _,
+    "q271_cdc_chunks"       -> cdcChunksQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4122,6 +4141,37 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the same residue boundaries, span arithmetic, and 60-bit chunk
+    // hashes; lag() rebuilds the spans the array expression builds
+    "q271_cdc_chunks" ->
+      """WITH pos AS (
+        | SELECT doc_id, source, text,
+        |   unnest(range(8, length(text) + 1)) AS p
+        | FROM documents),
+        |bd AS (
+        | SELECT doc_id, p AS b FROM pos
+        | WHERE ('0x' || substring(md5(substring(text, p - 7, 8)), 1, 15))
+        |   ::BIGINT % 64 = 0),
+        |spans AS (
+        | SELECT doc_id,
+        |   COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS s,
+        |   b AS e
+        | FROM bd
+        | UNION ALL
+        | SELECT d.doc_id,
+        |   COALESCE((SELECT max(b) FROM bd WHERE bd.doc_id = d.doc_id), 0),
+        |   length(d.text)
+        | FROM documents d),
+        |chunks AS (
+        | SELECT c.doc_id, d.source,
+        |   ('0x' || substring(md5(substring(d.text, c.s + 1, c.e - c.s)),
+        |     1, 15))::BIGINT AS h
+        | FROM spans c JOIN documents d USING (doc_id) WHERE c.e > c.s)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        | CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*)
+        |   AS BIGINT) AS dup_ppm
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
     // both assignments via the q56 recursive-CTE min-label components,
     // overlap contingency + window-deterministic top source
     "q269_cluster_evolution" ->
