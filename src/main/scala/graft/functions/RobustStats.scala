@@ -116,4 +116,49 @@ object RobustStats {
       .select(col("g").as(groupCol), col("n"), col("med2"), col("mad4"),
         col("n_outliers"))
   }
+  /** Per-group EXACT nearest-rank quantiles — the SLA report (p50 /
+    * p90 / p99 latency per service) with no sketch error and no
+    * interpolation: for each requested `p = num/den`, the value at
+    * 1-based rank `max(1, ceil(p·n))` (the [[winsorizedSum]] / q110
+    * rank convention, computed as exact integer arithmetic). Output is
+    * LONG format — one row per (group, quantile): `(groupCol, n,
+    * p_num, p_den, q_value)` — so callers join or pivot as they like.
+    *
+    * Scale shape: ONE per-key rank sort serves every requested
+    * quantile (the when-guards all read the same ranked pass), then a
+    * group-cardinality explode. Exact quantiles need the full order
+    * statistic — per-key sorted frames, the [[SortedFold]] cost class;
+    * for corpus-wide percentiles at unbounded key cardinality use the
+    * q110 sketch instead. */
+  def nearestRankQuantiles(df: DataFrame, groupCol: String,
+                           valueCol: String,
+                           ps: Seq[(Long, Long)]): DataFrame = {
+    require(ps.nonEmpty, "nearestRankQuantiles: need at least one quantile")
+    ps.foreach { case (n, d) =>
+      require(d > 0 && n >= 0 && n <= d,
+        s"nearestRankQuantiles: quantile $n/$d outside [0, 1]")
+    }
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+    val ranked = v.select(col("g"), col("x"),
+      row_number().over(w).as("_rn"),
+      count(lit(1)).over(Window.partitionBy(col("g"))).as("_n"))
+    def rankFor(num: Long, den: Long) =
+      greatest(lit(1L),
+        expr(s"(${num}L * `_n` + ${den}L - 1) div ${den}L"))
+    val aggs = ps.zipWithIndex.map { case ((num, den), i) =>
+      max(when(col("_rn") === rankFor(num, den), col("x"))).as(s"_q$i")
+    }
+    val packed = ranked.groupBy(col("g"))
+      .agg(max(col("_n")).as("n"), aggs: _*)
+    val entries = array(ps.zipWithIndex.map { case ((num, den), i) =>
+      struct(lit(num).as("p_num"), lit(den).as("p_den"),
+        col(s"_q$i").as("q_value"))
+    }: _*)
+    packed.select(col("g").as(groupCol), col("n"),
+        explode(entries).as("_e"))
+      .select(col(groupCol), col("n"), col("_e.p_num"), col("_e.p_den"),
+        col("_e.q_value"))
+  }
 }

@@ -1380,6 +1380,19 @@ object EtlOps {
         "event_type", "day", "cents", tNum = 1L, tDen = 100L)
       .orderBy(col("event_type"))
 
+  /** Exact nearest-rank quantiles under the gate (q272): the per-type
+    * p50/p90/p99 cent report
+    * ([[graft.functions.RobustStats.nearestRankQuantiles]]) — no
+    * sketch, no interpolation, the value AT the ceil(p·n) order
+    * statistic; a rank convention slip (floor, 0-based, ties), a
+    * wrong n, or sketch drift each move specific cells. */
+  def nearestRankQuantilesQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.RobustStats.nearestRankQuantiles(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "cents", Seq((1L, 2L), (9L, 10L), (99L, 100L)))
+      .orderBy(col("event_type"), col("p_num"))
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1786,6 +1799,7 @@ object EtlOps {
     "q265_join_cardinality" -> joinCardinalityQ _,
     "q266_attribution"    -> attributionQ _,
     "q270_correlation"    -> correlationQ _,
+    "q272_exact_quantiles" -> nearestRankQuantilesQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2580,6 +2594,20 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // the same ceil(p*n) nearest-rank convention as window ranks
+    "q272_exact_quantiles" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+        |r AS (SELECT g, x,
+        |  row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v),
+        |ps AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (9, 10), (99, 100)) t(p_num, p_den))
+        |SELECT g AS event_type, n, p_num, p_den,
+        |  max(CASE WHEN rn = greatest(1, (p_num * n + p_den - 1) // p_den)
+        |      THEN x END) AS q_value
+        |FROM r, ps GROUP BY g, n, p_num, p_den
+        |ORDER BY event_type, p_num""".stripMargin,
     // the same sufficient sums; verdict by cross-multiplied HUGEINT
     // comparison, no division anywhere
     "q270_correlation" ->

@@ -83,4 +83,14 @@ class RobustStatsSpec extends SparkSpec {
       assert(got(g) == ((n.toLong, med2, mad4, out.toLong)), s"group $g")
     }
   }
+  test("nearestRankQuantiles: hand-checked ranks, min and max quantiles") {
+    import spark.implicits._
+    val df = (1L to 10L).map(("a", _)).toDF("g", "x")
+    val got = RobustStats.nearestRankQuantiles(df, "g", "x",
+        Seq((0L, 1L), (1L, 2L), (9L, 10L), (1L, 1L)))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // p=0 -> rank max(1,0)=1 -> 1; p=.5 -> rank 5 -> 5; p=.9 -> 9; p=1 -> 10
+    assert(got == Set(("a", 10L, 0L, 1L, 1L), ("a", 10L, 1L, 2L, 5L),
+      ("a", 10L, 9L, 10L, 9L), ("a", 10L, 1L, 1L, 10L)))
+  }
 }
