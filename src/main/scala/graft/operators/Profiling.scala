@@ -169,4 +169,29 @@ object Profiling {
         .otherwise(cov * cov * lit(tDen) * lit(tDen) >=
           varX * varY * lit(tNum) * lit(tNum)).as("related"))
   }
+  /** Per-group LOG2 (exponential-bucket) histogram — the cheap exact
+    * distribution profile: one row per (group, power-of-two bucket)
+    * with count and exact min/max, the shape report for long-tailed
+    * columns (latencies, sizes, counts) where uniform buckets waste
+    * rows on the head and lose the tail. Bucket = floor(log2(v)),
+    * computed EXACTLY as `length(bin(v)) − 1` (binary-string length —
+    * no float log anywhere, both engines agree on every boundary);
+    * v = 0 lands in bucket −1, negatives fail loudly. One map-side-
+    * combinable aggregate — nothing else. */
+  def log2Histogram(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val v = when(col(valueCol).cast("long") >= 0, col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"log2Histogram: negative $valueCol has no log2 bucket: "),
+        col(valueCol).cast("string"))).cast("long"))
+    df.select(col(groupCol).as("g"), v.as("v"))
+      .withColumn("bucket",
+        when(col("v") === 0, lit(-1L))
+          .otherwise(length(bin(col("v"))).cast("long") - 1))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .select(col("g").as(groupCol), col("bucket"), col("n"),
+        col("min_v"), col("max_v"))
+  }
 }

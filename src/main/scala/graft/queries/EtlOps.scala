@@ -1393,6 +1393,19 @@ object EtlOps {
         "event_type", "cents", Seq((1L, 2L), (9L, 10L), (99L, 100L)))
       .orderBy(col("event_type"), col("p_num"))
 
+  /** Log2 histogram under the gate (q273): the per-type cent
+    * distribution in power-of-two buckets
+    * ([[graft.operators.Profiling.log2Histogram]]) — cents span
+    * buckets ~5–14 with varying counts and exact min/max per cell, so
+    * the binary-length bucket rule and the boundary values (2^k −
+    * 1 vs 2^k) discriminate. */
+  def log2HistogramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.log2Histogram(
+        Tables.load(s, dir, "events")
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "cents")
+      .orderBy(col("event_type"), col("bucket"))
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1800,6 +1813,7 @@ object EtlOps {
     "q266_attribution"    -> attributionQ _,
     "q270_correlation"    -> correlationQ _,
     "q272_exact_quantiles" -> nearestRankQuantilesQ _,
+    "q273_log2_histogram" -> log2HistogramQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2594,6 +2608,15 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // bucket = length(bin(v)) - 1, the exact binary-length log2
+    "q273_log2_histogram" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT g AS event_type,
+        | CAST(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END
+        |   AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
+        |FROM v GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     // the same ceil(p*n) nearest-rank convention as window ranks
     "q272_exact_quantiles" ->
       """WITH v AS (SELECT event_type AS g,

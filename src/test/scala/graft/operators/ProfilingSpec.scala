@@ -97,4 +97,23 @@ class ProfilingSpec extends SparkSpec {
     assert(got("b") == ((0L, None)))
     assert(got("c") == ((-1L, Some(true))))
   }
+  test("log2Histogram: power-of-two boundaries land in the right " +
+      "buckets; zero is bucket -1; negatives fail") {
+    import spark.implicits._
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("a", 7L), ("a", 8L)).toDF("g", "v")
+    val got = Profiling.log2Histogram(df, "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", -1L, 1L, 0L, 0L), ("a", 0L, 1L, 1L, 1L),
+      ("a", 1L, 2L, 2L, 3L), ("a", 2L, 2L, 4L, 7L),
+      ("a", 3L, 1L, 8L, 8L)))
+    val e = intercept[Exception] {
+      Profiling.log2Histogram(Seq(("a", -5L)).toDF("g", "v"), "g", "v")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("log2Histogram")))
+  }
 }
