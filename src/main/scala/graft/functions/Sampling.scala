@@ -297,6 +297,45 @@ object Sampling {
       .drop("_graft_h", "_graft_w", "_graft_rank")
   }
 
+  /** PER-GROUP weighted reservoir — [[weightedReservoir]]'s exact
+    * integer rank (`hash60(key) div w`, ties `(hash, key)`) applied
+    * with a k-per-group budget: "20 weighted-representative docs per
+    * language". The per-group bottom-k rides
+    * [[Sharding.groupedPrefixSum]] (range exchange, broadcast offsets)
+    * rather than a PARTITION BY group window, so a hot group never
+    * funnels onto one task; groups must be LOW-cardinality (the
+    * grouped-prefix-sum driver contract). Output adds `sample_rank`
+    * (1..k within the group, selection order). Same maintenance
+    * algebra as the global variant: ranks are pure row functions, so
+    * per-group bottom-k folds wave-by-wave with the KMV eviction
+    * argument. */
+  def weightedReservoirByGroup(df: DataFrame, keyCol: String,
+                               groupCol: String, weightCol: String,
+                               k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wGuard = when(col(weightCol).isNull || col(weightCol) < 1,
+        raise_error(concat(lit(s"weightedReservoirByGroup: weight column " +
+          s"'$weightCol' must be non-null and >= 1, got "),
+          col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val keyStr = coalesce(col(keyCol).cast("string"),
+      raise_error(lit(s"weightedReservoirByGroup: key column '$keyCol' " +
+        "contains a null - keys must be non-null and unique"))
+        .cast("string"))
+    val narrow = df.select(col(groupCol), col(keyCol), col(weightCol))
+      .withColumn("_graft_h", Sketches.hash60(keyStr))
+      .withColumn("_graft_w", wGuard)
+      .withColumn("_graft_rank", expr("_graft_h div _graft_w"))
+      .withColumn("_graft_one", lit(1L))
+      .drop(weightCol)
+    val winners = Sharding.groupedPrefixSum(narrow, Seq(groupCol),
+        Seq("_graft_rank", "_graft_h", keyCol), "_graft_one")
+      .filter(col("cum_weight") < k)
+      .select(col(keyCol), (col("cum_weight") + 1).as("sample_rank"))
+    df.join(winners, Seq(keyCol))
+      .select(df.columns.map(col) :+ col("sample_rank"): _*)
+  }
+
   /** Fold one wave into a standing weighted reservoir: bottom-k of
     * (state ∪ wave) with re-delivered keys deduplicated — entry-
     * identical to a one-shot [[weightedReservoir]] over every wave, in

@@ -1121,6 +1121,20 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** Per-group weighted reservoir under the gate (q274): 20
+    * n_chars-weighted docs per language
+    * ([[graft.functions.Sampling.weightedReservoirByGroup]]) — the
+    * q263 rank with a per-lang budget; the grouped-prefix-sum rank,
+    * the per-group cutoff, and the within-group selection order all
+    * pin rows. */
+  def weightedReservoirByGroupQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sampling.weightedReservoirByGroup(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", k = 20)
+      .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2427,6 +2441,7 @@ object TrainingData {
     "q268_rank_shift"       -> rankShiftQ _,
     "q269_cluster_evolution" -> clusterEvolutionQ _,
     "q271_cdc_chunks"       -> cdcChunksQ _,
+    "q274_group_reservoir"  -> weightedReservoirByGroupQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4141,6 +4156,21 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the q263 rank with a per-lang row_number cutoff
+    "q274_group_reservoir" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    AS hv
+        | FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars, hv,
+        |  hv // n_chars AS rnk FROM h),
+        |s AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY rnk, hv, doc_id) AS sample_rank
+        | FROM r)
+        |SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id,
+        | n_chars
+        |FROM s WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
     // the same residue boundaries, span arithmetic, and 60-bit chunk
     // hashes; lag() rebuilds the spans the array expression builds
     "q271_cdc_chunks" ->

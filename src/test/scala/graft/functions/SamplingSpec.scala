@@ -560,4 +560,21 @@ class SamplingSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("weightedReservoir")))
   }
+  test("weightedReservoirByGroup matches the per-group naive rank order " +
+      "and caps each group at k") {
+    val rows = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      1L + i % 9))
+    val got = Sampling.weightedReservoirByGroup(
+        rows.toDF("id", "g", "w"), "id", "g", "w", k = 5)
+      .select($"g", $"sample_rank", $"id")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (g, members) =>
+      members.map { case (id, _, w) =>
+        val (r, h) = esRank(id, w); (r, h, id)
+      }.sortBy(t => (t._1, t._2, t._3)).take(5).zipWithIndex
+        .map { case ((_, _, id), i) => (g, i + 1L, id) }
+    }.sorted
+    assert(got == want)
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 5)
+  }
 }
