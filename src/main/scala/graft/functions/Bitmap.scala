@@ -48,4 +48,38 @@ object Bitmap {
   def distinctCounts(bm: DataFrame, groupCol: String): DataFrame =
     bm.groupBy(col(groupCol))
       .agg(sum(bit_count(col("bits")).cast("long")).as("n_distinct"))
+
+  /** EXACT set overlap between two bitmap frames sharing group keys —
+    * the retention question ("how many of day d's users came back on
+    * day d+1") answered by one AND of the standing words instead of a
+    * row-scale distinct-intersection join: per group, `n_a`, `n_b`,
+    * `n_common` (popcount of the AND-merged words) and the Jaccard in
+    * ppm (`common·10⁶ div (n_a + n_b − common)`, exact truncating
+    * division; 0 when both sides are empty). Groups present on either
+    * side report (full outer on the word grid); a group×bucket word
+    * missing on one side intersects as zero. Word-grid-sized join,
+    * never user-row-sized. */
+  def jaccardReport(a: DataFrame, b: DataFrame,
+                    groupCol: String): DataFrame = {
+    val aw = a.select(col(groupCol).as("_g"), col("bucket").as("_k"),
+      col("bits").as("_wa"))
+    val bw = b.select(col(groupCol).as("_g"), col("bucket").as("_k"),
+      col("bits").as("_wb"))
+    aw.join(bw, Seq("_g", "_k"), "full_outer")
+      .groupBy(col("_g"))
+      .agg(
+        sum(bit_count(coalesce(col("_wa"), lit(0L))).cast("long"))
+          .as("n_a"),
+        sum(bit_count(coalesce(col("_wb"), lit(0L))).cast("long"))
+          .as("n_b"),
+        sum(bit_count(coalesce(col("_wa"), lit(0L))
+          .bitwiseAND(coalesce(col("_wb"), lit(0L)))).cast("long"))
+          .as("n_common"))
+      .select(col("_g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_common"),
+        when(col("n_a") + col("n_b") - col("n_common") === 0, lit(0L))
+          .otherwise(expr(
+            "n_common * 1000000 div (n_a + n_b - n_common)"))
+          .as("jaccard_ppm"))
+  }
 }

@@ -1406,6 +1406,30 @@ object EtlOps {
         "event_type", "cents")
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Exact day-over-day retention under the gate (q275): the q249
+    * bitmap words AND-merged across consecutive days
+    * ([[graft.functions.Bitmap.jaccardReport]]) — |users_d ∩
+    * users_d+1| and the Jaccard in ppm from word popcounts, never a
+    * user-row intersection join; the oracle recomputes the overlap as
+    * the exact distinct self-join. Overlaps vary per pair (~77–81% at
+    * sf0.01), so a word misalignment, an OR-for-AND slip, or a
+    * popcount-of-coalesce bug each move cells. */
+  def bitmapRetentionQ(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(s, dir, "events")
+      .select(datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("user_id"))
+    val words = graft.functions.Bitmap.bitmaps(du, "day", "user_id")
+    val days = du.select(col("day")).distinct()
+    val paired = days.as("d")
+      .join(days.as("e"), col("e.day") === col("d.day") + 1)
+      .select(col("d.day").as("day"))
+    graft.functions.Bitmap.jaccardReport(
+        words, words.withColumn("day", col("day") - 1), "day")
+      .join(paired, Seq("day"), "left_semi")
+      .orderBy(col("day"))
+  }
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1814,6 +1838,7 @@ object EtlOps {
     "q270_correlation"    -> correlationQ _,
     "q272_exact_quantiles" -> nearestRankQuantilesQ _,
     "q273_log2_histogram" -> log2HistogramQ _,
+    "q275_bitmap_retention" -> bitmapRetentionQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2608,6 +2633,32 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // the bitmap AND restated as the exact distinct intersection join
+    "q275_bitmap_retention" ->
+      """WITH du AS (SELECT DISTINCT
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  user_id
+        | FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |p AS (SELECT d.day AS g FROM days d JOIN days e
+        |      ON e.day = d.day + 1),
+        |a AS (SELECT day AS g, CAST(count(*) AS BIGINT) AS n_a FROM du
+        |      GROUP BY 1),
+        |b AS (SELECT day - 1 AS g, CAST(count(*) AS BIGINT) AS n_b
+        |      FROM du GROUP BY 1),
+        |c AS (SELECT x.day AS g, CAST(count(*) AS BIGINT) AS n_common
+        |      FROM du x JOIN du y ON y.day = x.day + 1
+        |        AND y.user_id = x.user_id
+        |      GROUP BY 1)
+        |SELECT p.g AS day, a.n_a, b.n_b,
+        | COALESCE(c.n_common, 0) AS n_common,
+        | CASE WHEN a.n_a + b.n_b - COALESCE(c.n_common, 0) = 0 THEN 0
+        |  ELSE COALESCE(c.n_common, 0) * 1000000 //
+        |       (a.n_a + b.n_b - COALESCE(c.n_common, 0)) END
+        |   AS jaccard_ppm
+        |FROM p JOIN a ON a.g = p.g JOIN b ON b.g = p.g
+        | LEFT JOIN c ON c.g = p.g
+        |ORDER BY day""".stripMargin,
     // bucket = length(bin(v)) - 1, the exact binary-length log2
     "q273_log2_histogram" ->
       """WITH v AS (SELECT event_type AS g,

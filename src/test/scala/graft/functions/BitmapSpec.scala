@@ -48,4 +48,18 @@ class BitmapSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("has no bit")))
   }
+  test("jaccardReport: AND popcounts equal the exact set intersection, " +
+      "missing words intersect as zero") {
+    import spark.implicits._
+    // group g: A = {1, 63, 64}, B = {63, 64, 200} -> common {63, 64};
+    // group h: only on the A side -> n_b = 0
+    val a = Bitmap.bitmaps(Seq(("g", 1L), ("g", 63L), ("g", 64L),
+      ("h", 5L)).toDF("g", "v"), "g", "v")
+    val b = Bitmap.bitmaps(Seq(("g", 63L), ("g", 64L), ("g", 200L))
+      .toDF("g", "v"), "g", "v")
+    val got = Bitmap.jaccardReport(a, b, "g")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g", 3L, 3L, 2L, 500000L),
+      ("h", 1L, 0L, 0L, 0L)))
+  }
 }
