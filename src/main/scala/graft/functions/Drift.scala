@@ -83,4 +83,52 @@ object Drift {
       .select(col("category"), col("ref_n"), col("cur_n"),
         col("chi_num"), col("chi_den"), col("drifted"))
   }
+  /** Per-group TOTAL VARIATION DISTANCE drift — the exact-rational
+    * sibling of [[chiSquaredAudit]]: TVD(P, Q) = ½·Σ|p_i − q_i| is the
+    * largest probability mass any event class can disagree by, the
+    * drift number with a direct operational reading ("6% of traffic
+    * changed class"). With integer counts it is the exact rational
+    * `Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b)`, and the verdict
+    * `tvd >= tNum/tDen` cross-multiplies in DECIMAL(38,0) — no
+    * division, no logs (χ²'s advantage is tail sensitivity; TVD's is
+    * exactness and interpretability — run both). Output: one row per
+    * (group, bucket) with both counts, the bucket's |cross| term, and
+    * the group verdict riding every row; buckets absent on one side
+    * count as zero. `contrib`/`tvd_num` are BIGINT gate outputs
+    * (nulls past ±9.2e18 — the decimal verdict stays exact).
+    *
+    * Scale shape: two map-side-combinable counts, a bucket-grid full
+    * outer join, one group-cardinality total broadcast back. */
+  def tvdDrift(a: DataFrame, b: DataFrame, groupCol: String,
+               bucketCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0,
+      s"tvdDrift: need tNum >= 0, tDen > 0, got $tNum/$tDen")
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, out: String) = df
+      .groupBy(col(groupCol).as("_g"), col(bucketCol).as("_b"))
+      .agg(count(lit(1)).as(out))
+    val j = counts(a, "_ca").join(counts(b, "_cb"), Seq("_g", "_b"),
+        "full_outer")
+      .select(col("_g"), col("_b"),
+        coalesce(col("_ca"), lit(0L)).as("c_a"),
+        coalesce(col("_cb"), lit(0L)).as("c_b"))
+    val tot = j.groupBy(col("_g").as("_tg"))
+      .agg(sum(col("c_a")).as("_na"), sum(col("c_b")).as("_nb"))
+    val d = j.join(tot, col("_g") === col("_tg"))
+      .withColumn("_contrib",
+        abs(col("c_a").cast(dec) * col("_nb") -
+          col("c_b").cast(dec) * col("_na")))
+    val perGroup = d.groupBy(col("_g").as("_sg"))
+      .agg(sum(col("_contrib")).as("_num"), max(col("_na")).as("_sna"),
+        max(col("_nb")).as("_snb"))
+      .withColumn("_drifted",
+        col("_num") * lit(tDen) >=
+          col("_sna").cast(dec) * col("_snb") * lit(2L) * lit(tNum))
+    d.join(perGroup, col("_g") === col("_sg"))
+      .select(col("_g").as(groupCol), col("_b").as(bucketCol),
+        col("c_a"), col("c_b"),
+        col("_contrib").cast("long").as("contrib"),
+        col("_num").cast("long").as("tvd_num"),
+        col("_drifted").as("drifted"))
+  }
 }

@@ -1430,6 +1430,25 @@ object EtlOps {
       .orderBy(col("day"))
   }
 
+  /** TVD drift under the gate (q276): the event-type mix of the first
+    * half-month vs the second, per user_id%4 cohort, with a planted
+    * signup drop (1/3 of cohort-0/1 signups vanish from side B)
+    * through [[graft.functions.Drift.tvdDrift]] at tvd ≥ 3/100 — the
+    * planted cohorts read ~0.058–0.064, natural noise 0.017–0.040, so
+    * the verdict splits 3/1 and every |cross| term rides the row. */
+  def tvdDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select((col("user_id") % 4).as("cohort"), col("event_type"),
+        col("event_id"),
+        (dayofmonth(col("ts").cast("date")) <= 15).as("is_a"))
+    val b = e.filter(!col("is_a"))
+      .filter(!(col("event_type") === "signup" && col("cohort") <= 1 &&
+        col("event_id") % 3 === 0))
+    graft.functions.Drift.tvdDrift(e.filter(col("is_a")), b,
+        "cohort", "event_type", tNum = 3L, tDen = 100L)
+      .orderBy(col("cohort"), col("event_type"))
+  }
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1839,6 +1858,7 @@ object EtlOps {
     "q272_exact_quantiles" -> nearestRankQuantilesQ _,
     "q273_log2_histogram" -> log2HistogramQ _,
     "q275_bitmap_retention" -> bitmapRetentionQ _,
+    "q276_tvd_drift"      -> tvdDriftQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2633,6 +2653,34 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // exact TVD: |c_a*N_b - c_b*N_a| per bucket, cross-multiplied
+    // verdict in HUGEINT, no division
+    "q276_tvd_drift" ->
+      """WITH e AS (SELECT user_id % 4 AS g, event_type AS bucket,
+        |  day(CAST(ts AS DATE)) <= 15 AS is_a, event_id
+        | FROM events),
+        |f AS (SELECT * FROM e WHERE is_a OR NOT (bucket = 'signup'
+        |  AND g <= 1 AND event_id % 3 = 0)),
+        |ca AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS c_a FROM f
+        |       WHERE is_a GROUP BY 1, 2),
+        |cb AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS c_b FROM f
+        |       WHERE NOT is_a GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(ca.g, cb.g) AS g,
+        |  COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |  COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        | FROM ca FULL JOIN cb USING (g, bucket)),
+        |t AS (SELECT g, sum(c_a) AS na, sum(c_b) AS nb FROM j GROUP BY g),
+        |d AS (SELECT j.g, bucket, c_a, c_b,
+        |  abs(c_a::HUGEINT * nb - c_b::HUGEINT * na) AS contrib, na, nb
+        | FROM j JOIN t ON t.g = j.g),
+        |v AS (SELECT g, sum(contrib) AS num, max(na) AS na,
+        |  max(nb) AS nb FROM d GROUP BY g)
+        |SELECT d.g AS cohort, d.bucket AS event_type, d.c_a, d.c_b,
+        | CAST(d.contrib AS BIGINT) AS contrib,
+        | CAST(v.num AS BIGINT) AS tvd_num,
+        | v.num * 100 >= v.na::HUGEINT * v.nb * 2 * 3 AS drifted
+        |FROM d JOIN v ON v.g = d.g
+        |ORDER BY cohort, event_type""".stripMargin,
     // the bitmap AND restated as the exact distinct intersection join
     "q275_bitmap_retention" ->
       """WITH du AS (SELECT DISTINCT

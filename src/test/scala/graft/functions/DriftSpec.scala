@@ -95,4 +95,26 @@ class DriftSpec extends SparkSpec {
     val nullRow = rows.find(_.isNullAt(0)).get
     assert(nullRow.getLong(1) == 2L && nullRow.getLong(2) == 1L)
   }
+  test("tvdDrift: hand-checked rational, absent buckets count as zero, " +
+      "verdict splits at the fence") {
+    import spark.implicits._
+    // A: x=3 y=1 (N=4); B: x=1 y=2 z=1 (N=4)
+    // contribs: x |3*4-1*4|=8, y |1*4-2*4|=4, z |0-1*4|=4 -> num=16
+    // tvd = 16 / (2*16) = 1/2
+    val a = Seq(("g", "x"), ("g", "x"), ("g", "x"), ("g", "y"))
+      .toDF("g", "b")
+    val b = Seq(("g", "x"), ("g", "y"), ("g", "y"), ("g", "z"))
+      .toDF("g", "b")
+    val at = Drift.tvdDrift(a, b, "g", "b", 1L, 2L)
+      .as[(String, String, Long, Long, Long, Long, Boolean)]
+      .collect().toSet
+    assert(at == Set(
+      ("g", "x", 3L, 1L, 8L, 16L, true),
+      ("g", "y", 1L, 2L, 4L, 16L, true),
+      ("g", "z", 0L, 1L, 4L, 16L, true)))
+    // just above the fence: tvd = 1/2 < 51/100 -> not drifted
+    val over = Drift.tvdDrift(a, b, "g", "b", 51L, 100L)
+      .selectExpr("drifted").distinct().collect()
+    assert(over.length == 1 && !over.head.getBoolean(0))
+  }
 }
