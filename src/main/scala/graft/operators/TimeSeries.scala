@@ -62,6 +62,37 @@ object TimeSeries {
       .select(col("k").as(keyCol), col("n_islands"), col("covered_us"))
   }
 
+  /** Per-key INTERSECTION coverage of two interval sets — "microseconds
+    * where BOTH were active" (co-presence, ad viewability × player
+    * visibility, session × incident overlap): every same-key A×B
+    * overlap pair is clipped to `[max(start), min(end))` via the
+    * bucketed [[RangeJoin.intervalOverlap]] (never a per-key quadratic
+    * join), and the clips — which may themselves overlap — collapse
+    * through the [[intervalCoverage]] island sweep. Half-open
+    * semantics: pairs that merely TOUCH (a.end == b.start) contribute
+    * nothing. Output `(keyCol, n_islands, covered_us)` over keys with
+    * at least one non-empty clip. Inputs carry `(keyCol, idCol, sCol,
+    * eCol)` with long microsecond bounds (`bucketUs` is the overlap
+    * join's bucket width in the SAME units); ids make the sweep's tie
+    * order deterministic. */
+  def intervalIntersection(a: DataFrame, b: DataFrame, keyCol: String,
+                           idCol: String, sCol: String, eCol: String,
+                           bucketUs: Long): DataFrame = {
+    def narrow(df: DataFrame, side: String) =
+      df.select(col(keyCol).as("k"), col(idCol).cast("string").as(s"_i$side"),
+        col(sCol).cast("long").as(s"_s$side"),
+        col(eCol).cast("long").as(s"_e$side"))
+    val pairs = RangeJoin.intervalOverlap(narrow(a, "a"), narrow(b, "b"),
+      Seq("k"), "_sa", "_ea", "_sb", "_eb", bucketUs)
+    val clips = pairs.select(col("k"),
+        concat_ws(":", col("_ia"), col("_ib")).as("id"),
+        greatest(col("_sa"), col("_sb")).as("s"),
+        least(col("_ea"), col("_eb")).as("e"))
+      .filter(col("e") > col("s"))
+    intervalCoverage(clips, "k", "s", "e", "id")
+      .withColumnRenamed("k", keyCol)
+  }
+
   /** Per-key event-time lateness audit — how out-of-order is the
     * stream: in ARRIVAL order (`arrivalCol`), an event is late when
     * its event time (`tsMicrosCol`, long micros) sits below the key's

@@ -1449,6 +1449,29 @@ object EtlOps {
       .orderBy(col("cohort"), col("event_type"))
   }
 
+  /** Interval intersection under the gate (q277): per user, the
+    * microseconds where an even-event interval (40 min) and an
+    * odd-event interval (30 min) were BOTH active
+    * ([[graft.operators.TimeSeries.intervalIntersection]]) — bucketed
+    * overlap join, clip to [max(s), min(e)), island sweep. 127 users
+    * with 1–4 islands at sf0.01; a clip-bound swap, an inclusive/
+    * half-open slip, or double-counted overlapping clips each move
+    * covered_us. */
+  def intervalIntersectionQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val a = e.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id"), col("t").as("s"),
+        (col("t") + 2400000000L).as("e"))
+    val b = e.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("event_id"), col("t").as("s"),
+        (col("t") + 1800000000L).as("e"))
+    graft.operators.TimeSeries.intervalIntersection(a, b, "user_id",
+        "event_id", "s", "e", bucketUs = 3600000000L)
+      .orderBy(col("user_id"))
+  }
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1859,6 +1882,7 @@ object EtlOps {
     "q273_log2_histogram" -> log2HistogramQ _,
     "q275_bitmap_retention" -> bitmapRetentionQ _,
     "q276_tvd_drift"      -> tvdDriftQ _,
+    "q277_interval_intersect" -> intervalIntersectionQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2653,6 +2677,34 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // inclusive overlap join, clip to [max(s), min(e)), half-open
+    // island sweep over the clips — restated with window functions
+    "q277_interval_intersect" ->
+      """WITH e AS (SELECT user_id AS k, event_id, epoch_us(ts) AS t
+        |  FROM events),
+        |a AS (SELECT k, event_id AS id, t AS s, t + 2400000000 AS e
+        |      FROM e WHERE event_id % 2 = 0),
+        |b AS (SELECT k, event_id AS id, t AS s, t + 1800000000 AS e
+        |      FROM e WHERE event_id % 2 = 1),
+        |clips AS (
+        | SELECT a.k, greatest(a.s, b.s) AS s, least(a.e, b.e) AS e,
+        |  CAST(a.id AS VARCHAR) || ':' || CAST(b.id AS VARCHAR) AS id
+        | FROM a JOIN b ON a.k = b.k AND a.s <= b.e AND b.s <= a.e),
+        |c2 AS (SELECT * FROM clips WHERE e > s),
+        |m AS (SELECT k, s, e, id,
+        |  max(e) OVER (PARTITION BY k ORDER BY s, e, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        | FROM c2),
+        |isl AS (SELECT *,
+        |  sum(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY k ORDER BY s, e, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m),
+        |cov AS (SELECT k, island, max(e) - min(s) AS c FROM isl
+        |        GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(c) AS BIGINT) AS covered_us
+        |FROM cov GROUP BY k ORDER BY user_id""".stripMargin,
     // exact TVD: |c_a*N_b - c_b*N_a| per bucket, cross-multiplied
     // verdict in HUGEINT, no division
     "q276_tvd_drift" ->

@@ -142,4 +142,26 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(got == ((1L, 3L, 3L, 6L)))
   }
+  test("intervalIntersection: clips, touch-only pairs, and overlapping " +
+      "clips collapse correctly") {
+    // A: [0,100), [200,300); B: [50,250), [300,400)
+    // clips: [50,100), [200,250); touch at 300 contributes nothing
+    val a = Seq((1L, 1L, 0L, 100L), (1L, 2L, 200L, 300L))
+      .toDF("k", "id", "s", "e")
+    val b = Seq((1L, 10L, 50L, 250L), (1L, 11L, 300L, 400L))
+      .toDF("k", "id", "s", "e")
+    val got = TimeSeries.intervalIntersection(a, b, "k", "id", "s", "e",
+        bucketUs = 100L)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 2L, 100L)))
+    // overlapping clips dedupe through the island sweep: two A
+    // intervals both intersecting one B window must not double-count
+    val a2 = Seq((1L, 1L, 0L, 80L), (1L, 2L, 40L, 120L))
+      .toDF("k", "id", "s", "e")
+    val b2 = Seq((1L, 10L, 0L, 200L)).toDF("k", "id", "s", "e")
+    val got2 = TimeSeries.intervalIntersection(a2, b2, "k", "id", "s", "e",
+        bucketUs = 100L)
+      .as[(Long, Long, Long)].collect().head
+    assert(got2 == ((1L, 1L, 120L)))
+  }
 }
