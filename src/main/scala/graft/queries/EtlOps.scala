@@ -1472,6 +1472,39 @@ object EtlOps {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental join-view maintenance under the gate (q278): the
+    * revenue-per-customer view of orders⋈lineitem maintained under an
+    * append-only wave on BOTH sides (¼ of orders and ⅓ of lineitems
+    * arrive as the delta) via the bilinear delta rule
+    * ([[graft.operators.ViewMaintain.maintainJoinSum]]); the folded
+    * standing aggregate must row-match the one-shot re-join over the
+    * full tables (asserted in-gate both ways — a dropped ΔA⋈ΔB term,
+    * a stale-side mixup, or double-counting the overlap each break
+    * whole rows), and the oracle is the one-shot join. */
+  def joinViewMaintainQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (aOld, dA) = (o.filter(col("o_orderkey") % 4 =!= 0),
+      o.filter(col("o_orderkey") % 4 === 0))
+    val (bOld, dB) = (l.filter(col("o_orderkey") % 3 =!= 0),
+      l.filter(col("o_orderkey") % 3 === 0))
+    val standing = graft.operators.ViewMaintain.joinSum(
+      aOld, bOld, "o_orderkey", "o_custkey", "cents")
+    val folded = graft.operators.ViewMaintain.maintainJoinSum(
+        standing, aOld, dA, bOld, dB, "o_orderkey", "o_custkey", "cents")
+      .localCheckpoint()
+    val oneShot = graft.operators.ViewMaintain.joinSum(
+      o, l, "o_orderkey", "o_custkey", "cents")
+    require(folded.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(folded).isEmpty,
+      "joinViewMaintainQ: folded view diverges from the one-shot re-join")
+    folded.select(col("o_custkey"), col("n_items"), col("total"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1883,6 +1916,7 @@ object EtlOps {
     "q275_bitmap_retention" -> bitmapRetentionQ _,
     "q276_tvd_drift"      -> tvdDriftQ _,
     "q277_interval_intersect" -> intervalIntersectionQ _,
+    "q278_join_view_maintain" -> joinViewMaintainQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2677,6 +2711,15 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // the folded view equals the one-shot re-join (the gate asserts
+    // the fold; the oracle states the target)
+    "q278_join_view_maintain" ->
+      """SELECT o.o_custkey,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS total
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     // inclusive overlap join, clip to [max(s), min(e)), half-open
     // island sweep over the clips — restated with window functions
     "q277_interval_intersect" ->
