@@ -101,14 +101,25 @@ object Drift {
     * outer join, one group-cardinality total broadcast back. */
   def tvdDrift(a: DataFrame, b: DataFrame, groupCol: String,
                bucketCol: String, tNum: Long, tDen: Long): DataFrame = {
-    require(tDen > 0 && tNum >= 0,
-      s"tvdDrift: need tNum >= 0, tDen > 0, got $tNum/$tDen")
-    val dec = "decimal(38,0)"
     def counts(df: DataFrame, out: String) = df
       .groupBy(col(groupCol).as("_g"), col(bucketCol).as("_b"))
       .agg(count(lit(1)).as(out))
-    val j = counts(a, "_ca").join(counts(b, "_cb"), Seq("_g", "_b"),
-        "full_outer")
+    tvdDriftFromCounts(counts(a, "c"), counts(b, "c"), groupCol,
+      bucketCol, tNum, tDen)
+  }
+
+  /** [[tvdDrift]] off pre-aggregated `(_g, _b, c)` count frames — the
+    * entry the streaming monitor serves from (its standing state IS
+    * the current-side counts). */
+  def tvdDriftFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+                         groupCol: String, bucketCol: String,
+                         tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0,
+      s"tvdDrift: need tNum >= 0, tDen > 0, got $tNum/$tDen")
+    val dec = "decimal(38,0)"
+    val j = aCounts.select(col("_g"), col("_b"), col("c").as("_ca"))
+      .join(bCounts.select(col("_g"), col("_b"), col("c").as("_cb")),
+        Seq("_g", "_b"), "full_outer")
       .select(col("_g"), col("_b"),
         coalesce(col("_ca"), lit(0L)).as("c_a"),
         coalesce(col("_cb"), lit(0L)).as("c_b"))

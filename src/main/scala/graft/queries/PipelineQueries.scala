@@ -1560,6 +1560,50 @@ object PipelineQueries {
         .orderBy(col("sample_rank")).localCheckpoint()
     }
 
+  /** STREAMING TVD monitor under the gate (q279): q276's exact
+    * total-variation drift maintained while the current side lands —
+    * the second-half event mix (with q276's planted cohort-0/1 signup
+    * drop) drains through [[graft.streaming.StreamTvd]] in three
+    * event-keyed waves of per-batch count increments; the standing
+    * report must row-match the one-shot batch
+    * [[graft.functions.Drift.tvdDrift]] (asserted in-gate both ways),
+    * and the output is q276's oracle verbatim. A no-data fourth drain
+    * must leave the sink untouched. */
+  def streamTvdQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q279") { base =>
+      val src = s"$base/landing"
+      val e = Tables.load(s, dir, "events")
+        .select((col("user_id") % 4).as("cohort"), col("event_type"),
+          col("event_id"),
+          (dayofmonth(col("ts").cast("date")) <= 15).as("is_a"))
+      val ref = e.filter(col("is_a"))
+      val cur = e.filter(!col("is_a"))
+        .filter(!(col("event_type") === "signup" && col("cohort") <= 1 &&
+          col("event_id") % 3 === 0))
+        .select(col("cohort"), col("event_type"), col("event_id"))
+      def run(): Unit = graft.streaming.StreamTvd.runAvailableNow(
+        s, src, cur.schema, "cohort", "event_type",
+        s"$base/sink", s"$base/ckpt")
+      for (wv <- 0 to 2) {
+        cur.filter(col("event_id") % 3 === wv).coalesce(1)
+          .write.mode("append").parquet(src)
+        run()
+      }
+      val emitted = s.read.parquet(s"$base/sink").count()
+      run() // no new files: the standing counts must not change
+      require(s.read.parquet(s"$base/sink").count() == emitted,
+        "streamTvdQ: no-data replay appended monitor rows")
+      val standing = graft.streaming.StreamTvd.currentDrift(
+          s, s"$base/sink", ref, "cohort", "event_type", 3L, 100L)
+        .localCheckpoint()
+      val batch = graft.functions.Drift.tvdDrift(ref, cur,
+        "cohort", "event_type", 3L, 100L)
+      require(standing.exceptAll(batch).isEmpty &&
+          batch.exceptAll(standing).isEmpty,
+        "streamTvdQ: standing report diverges from the batch TVD")
+      standing.orderBy(col("cohort"), col("event_type")).localCheckpoint()
+    }
+
   /** STREAMING funnel maintenance under the gate (q195): the q186
     * funnel family's batch≡stream invariant — three event-time-ordered
     * waves of the 1/7 event slice drain through
@@ -2102,6 +2146,7 @@ object PipelineQueries {
     "q261_stream_components" -> withSP(streamComponentsQ _),
     "q262_stream_left_interval" -> streamLeftIntervalQ _,
     "q264_stream_reservoir" -> withSP(streamReservoirQ _),
+    "q279_stream_tvd"     -> withSP(streamTvdQ _),
     "q221_stream_cusum"   -> withSP(streamCusumQ _),
     "q160_dlq_routing"    -> dlqRoutingQ _,
     "q163_index_append"   -> indexAppendQ _,
@@ -2260,6 +2305,34 @@ object PipelineQueries {
         |FROM a JOIN b ON a.user_id = b.user_id
         | AND a.a_start <= b.b_end AND b.b_start <= a.a_end
         |ORDER BY a_id, b_id""".stripMargin,
+    // the standing report equals the one-shot TVD — q276's oracle
+    // verbatim
+    "q279_stream_tvd" ->
+      """WITH e AS (SELECT user_id % 4 AS g, event_type AS bucket,
+        |  day(CAST(ts AS DATE)) <= 15 AS is_a, event_id
+        | FROM events),
+        |f AS (SELECT * FROM e WHERE is_a OR NOT (bucket = 'signup'
+        |  AND g <= 1 AND event_id % 3 = 0)),
+        |ca AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS c_a FROM f
+        |       WHERE is_a GROUP BY 1, 2),
+        |cb AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS c_b FROM f
+        |       WHERE NOT is_a GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(ca.g, cb.g) AS g,
+        |  COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |  COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        | FROM ca FULL JOIN cb USING (g, bucket)),
+        |t AS (SELECT g, sum(c_a) AS na, sum(c_b) AS nb FROM j GROUP BY g),
+        |d AS (SELECT j.g, bucket, c_a, c_b,
+        |  abs(c_a::HUGEINT * nb - c_b::HUGEINT * na) AS contrib, na, nb
+        | FROM j JOIN t ON t.g = j.g),
+        |v AS (SELECT g, sum(contrib) AS num, max(na) AS na,
+        |  max(nb) AS nb FROM d GROUP BY g)
+        |SELECT d.g AS cohort, d.bucket AS event_type, d.c_a, d.c_b,
+        | CAST(d.contrib AS BIGINT) AS contrib,
+        | CAST(v.num AS BIGINT) AS tvd_num,
+        | v.num * 100 >= v.na::HUGEINT * v.nb * 2 * 3 AS drifted
+        |FROM d JOIN v ON v.g = d.g
+        |ORDER BY cohort, event_type""".stripMargin,
     // the standing reservoir equals the one-shot bottom-k — q263's
     // exact integer rank restatement verbatim
     "q264_stream_reservoir" ->
