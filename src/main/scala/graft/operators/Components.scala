@@ -150,6 +150,25 @@ object Components {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Duplicate-DISCOUNTED training weights — the soft alternative to
+    * dropping near-duplicates: every member of a duplicate cluster
+    * keeps its row but carries `weight_ppm = 10⁶ div cluster_size`,
+    * so each CLUSTER (not each copy) contributes one unit of training
+    * mass — the standard repetition-discount when dedup would lose
+    * legitimate variation (boilerplate-heavy domains, templated
+    * pages). Singletons weigh 10⁶. One size aggregate over the
+    * [[assignClusters]] output; truncating integer division restates
+    * exactly. */
+  def dedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String, bCol: String): DataFrame = {
+    val clustered = assignClusters(df, idCol, pairs, aCol, bCol)
+    val sizes = clustered.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clustered.join(sizes, Seq("cluster_id"))
+      .withColumn("weight_ppm",
+        expr("CAST(1000000 AS BIGINT) div cluster_size"))
+  }
+
   /** Cluster EVOLUTION telemetry between two assignments — the release
     * note for a dedup refresh: after folding a new wave
     * ([[maintainClusters]] / [[graft.streaming.StreamComponents]]), say

@@ -1135,6 +1135,24 @@ object TrainingData {
         col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("sample_rank"))
 
+  /** Duplicate-discounted weights under the gate (q280): chain pairs
+    * (d, d+1) at %5 and (d+1, d+2) at %10 give cluster sizes 1/2/3,
+    * so [[graft.operators.Components.dedupWeights]] emits ppm weights
+    * 10⁶ / 500000 / 333333 — every copy keeps its row, every cluster
+    * contributes one unit of mass; the min-label assignment, the size
+    * join, and the truncating division all pin cells. */
+  def dedupWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+    val pairs = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
+      .union(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1L).as("a"), (col("doc_id") + 2L).as("b")))
+    graft.operators.Components.dedupWeights(d, "doc_id", pairs, "a", "b")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Boilerplate strip: per-source nav/subscribe/copyright lines injected
     * into every page (plus a per-doc unique ref line) must vanish — a line
     * is boilerplate when ≥ 10 distinct docs of the SAME source carry it,
@@ -2442,6 +2460,7 @@ object TrainingData {
     "q269_cluster_evolution" -> clusterEvolutionQ _,
     "q271_cdc_chunks"       -> cdcChunksQ _,
     "q274_group_reservoir"  -> weightedReservoirByGroupQ _,
+    "q280_dedup_weights"    -> dedupWeightsQ _,
     "q103_epoch_shuffle"    -> epochShufflePackQ _,
     "q102_grouped_pack"     -> groupedPackQ _,
     "q101_top_terms"        -> topTermsQ _,
@@ -4156,6 +4175,32 @@ object TrainingData {
         | ORDER BY priority, CAST(doc_id AS VARCHAR) LIMIT 100)
         |SELECT w.doc_id, w.lang, CAST(w.w AS BIGINT) AS w
         |FROM w JOIN win USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // min-label components over the chain pairs, size join, 10^6 //
+    // size truncating weights; absent-from-pairs docs are singletons
+    "q280_dedup_weights" ->
+      """WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+        |pairs AS (
+        | SELECT doc_id AS a, doc_id + 1 AS b FROM base
+        |  WHERE doc_id % 5 = 0
+        | UNION SELECT doc_id + 1, doc_id + 2 FROM base
+        |  WHERE doc_id % 10 = 0),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION SELECT b, a FROM pairs),
+        |ids AS (SELECT u AS id FROM edges UNION SELECT v FROM edges),
+        |reach(id, lbl) AS (
+        | SELECT id, id FROM ids
+        | UNION
+        | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+        |asg AS (SELECT id, min(lbl) AS c FROM reach GROUP BY id),
+        |lab AS (SELECT b.doc_id, COALESCE(a.c, b.doc_id) AS cluster_id
+        |        FROM base b LEFT JOIN asg a ON a.id = b.doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+        |         AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+        | CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+        |FROM lab l JOIN sz s USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     // the q263 rank with a per-lang row_number cutoff
     "q274_group_reservoir" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,

@@ -82,4 +82,14 @@ class StreamComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 1L), (2L, 1L), (5L, 5L), (9L, 5L)))
   }
+  test("dedupWeights: cluster mass sums to one unit per cluster, " +
+      "singletons weigh 1e6") {
+    val df = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Components.dedupWeights(df, "id", pairs, "a", "b")
+      .selectExpr("id", "cluster_id", "cluster_size", "weight_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L), (9L, 9L, 1L, 1000000L)))
+  }
 }
