@@ -1505,6 +1505,22 @@ object EtlOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** Basket co-occurrence lift under the gate (q281): event types
+    * co-occurring within (user, day) baskets
+    * ([[graft.operators.Baskets.pairLift]]) at lift ≥ 9/10 — the ten
+    * pair lifts span 0.856–0.927 at sf0.01, so the fence splits 5/5
+    * and the exact ppm, both marginals, and the basket total all ride
+    * each row. */
+  def basketLiftQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Baskets.pairLift(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("day"),
+            col("event_type")),
+        Seq("user_id", "day"), "event_type", tNum = 9L, tDen = 10L)
+      .orderBy(col("item_a"), col("item_b"))
+
   /** Join-cardinality pre-flight under the gate (q265): the exact
     * output size and hot-key profile of the lineitem⋈lineitem
     * self-join on l_partkey, computed from two distinct-key-sized
@@ -1917,6 +1933,7 @@ object EtlOps {
     "q276_tvd_drift"      -> tvdDriftQ _,
     "q277_interval_intersect" -> intervalIntersectionQ _,
     "q278_join_view_maintain" -> joinViewMaintainQ _,
+    "q281_basket_lift"    -> basketLiftQ _,
     "q246_group_trend"    -> groupTrendQ _,
     "q248_sliding_distinct" -> slidingDistinctQ _,
     "q249_bitmap_distinct" -> bitmapDistinctQ _,
@@ -2711,6 +2728,29 @@ object EtlOps {
         | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |      ELSE (n * sxy - sx * sy > 0) END AS rising
         |FROM s ORDER BY event_type""".stripMargin,
+    // distinct (basket, item) rows, basket-keyed pair join, exact
+    // ppm by truncating division, cross-multiplied fence
+    "q281_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT
+        |  CAST(user_id AS VARCHAR) || ':' ||
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS VARCHAR) AS bk,
+        |  event_type AS it
+        | FROM events),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        |c1 AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM b
+        |       GROUP BY 1),
+        |p AS (SELECT x.it AS item_a, y.it AS item_b,
+        |  CAST(count(*) AS BIGINT) AS c_ab
+        | FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.c_ab, a.c AS c_a, bb.c AS c_b,
+        | n.nb AS n_baskets,
+        | CAST(p.c_ab::HUGEINT * n.nb * 1000000 //
+        |   (a.c::HUGEINT * bb.c) AS BIGINT) AS lift_ppm,
+        | p.c_ab::HUGEINT * n.nb * 10 >= a.c::HUGEINT * bb.c * 9 AS assoc
+        |FROM p JOIN c1 a ON a.it = p.item_a
+        | JOIN c1 bb ON bb.it = p.item_b CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin,
     // the folded view equals the one-shot re-join (the gate asserts
     // the fold; the oracle states the target)
     "q278_join_view_maintain" ->
