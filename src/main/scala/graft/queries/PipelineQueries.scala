@@ -68,7 +68,10 @@ object PipelineQueries {
   def lakesimScanQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val docs = collectFixture(Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      // explicit long casts: regenerated corpora (target/sf1) may store
+      // these as INT32 parquet, and the fixture reads them as longs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
       .orderBy(col("doc_id")), "lakesimScanQ")
     val lakeDir = java.nio.file.Files.createTempDirectory("graft_lakesim").toString
     val objects = docs.grouped(math.max(docs.length / 5, 1)).zipWithIndex.toSeq
