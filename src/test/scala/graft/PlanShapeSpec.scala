@@ -599,4 +599,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+  test("weightedReservoir: rank projection stays codegen, top-k is a " +
+      "TakeOrdered, the only window ranks the post-limit rows") {
+    val df = (1L to 500L).map(i => (i, 1L + i % 7)).toDF("id", "w")
+    val out = graft.functions.Sampling.weightedReservoir(df, "id", "w", 25)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan) // no global sort
+    // exactly one Window, and it sits ABOVE the TakeOrdered (<= k rows)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("Window", winIdx + 1) < 0, plan)
+    assert(winIdx < plan.indexOf("TakeOrderedAndProject"), plan)
+  }
+
+  test("joinCardinality: the audit never joins row-scale tables — both " +
+      "join inputs are aggregates") {
+    val l = (1L to 300L).map(i => i % 40).toDF("k")
+    val out = graft.operators.JoinAudit.joinCardinality(l, l, "k", "k", 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every SortMergeJoin/HashJoin block must sit above HashAggregates
+    // (the per-key count frames), and the total rides one broadcast
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tvdDrift: counts aggregate map-side before the bucket-grid " +
+      "full outer join; no windows anywhere") {
+    val a = (1L to 200L).map(i => (i % 3, s"t${i % 5}")).toDF("g", "b")
+    val out = graft.functions.Drift.tvdDrift(a, a, "g", "b", 1L, 10L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("contentDefinedChunks: the chunker is a pure projection — no " +
+      "exchange, no window, codegen boundary scan") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog " * 3))
+      .toDF("id", "t")
+    val out = graft.functions.Chunking.contentDefinedChunks(
+      df, "id", "t", 8, 16)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
