@@ -28,7 +28,7 @@ object Baskets {
       s"pairLift: need tNum >= 0, tDen > 0, got $tNum/$tDen")
     val dec = "decimal(38,0)"
     val b = df.select(
-        concat_ws("", basketCols.map(c => col(c).cast("string")): _*)
+        concat_ws(":", basketCols.map(c => col(c).cast("string")): _*)
           .as("_bk"),
         col(itemCol).as("_it"))
       .distinct()
