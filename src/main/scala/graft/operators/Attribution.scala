@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * gap — is one report.
   *
   * Exact integers end to end: values in cents, counts and sums as
-  * longs. Scale shape: one key-partitioned window pass to segment
-  * (per-user frames), one windowed first/last per (user, segment), one
+  * longs. Scale shape: one key-partitioned RUNNING window to segment
+  * (streaming frame — O(1) state per row), then first/last touch per
+  * (user, segment) as ONE map-side-combinable `min_by`/`max_by`
+  * aggregate — never a full-frame buffering window (a no-conversion
+  * bot user's whole segment would sit in one task's sort buffer, the
+  * exact shape the Funnels/SortedFold discipline bans) — one
   * distinct-key join conversions⋈touches, two map-side-combinable
-  * aggregates. No global windows, no driver data. */
+  * aggregates. No unbounded-following windows, no driver data. */
 object Attribution {
 
   /** `(model, touch_type, n_conv, cents)` for `model ∈ {first_touch,
@@ -39,14 +43,10 @@ object Attribution {
       .rowsBetween(Window.unboundedPreceding, -1)
     val seg = e.withColumn("seg",
       coalesce(sum(when(col("ty") === convType, 1L)).over(wSeg), lit(0L)))
-    val wTouch = Window.partitionBy(col("u"), col("seg"))
-      .orderBy(col("t"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val touches = seg.filter(col("ty") =!= convType)
-      .select(col("u"), col("seg"),
-        first(col("ty")).over(wTouch).as("first_type"),
-        last(col("ty")).over(wTouch).as("last_type"))
-      .distinct()
+      .groupBy(col("u"), col("seg"))
+      .agg(min_by(col("ty"), struct(col("t"), col("id"))).as("first_type"),
+        max_by(col("ty"), struct(col("t"), col("id"))).as("last_type"))
     val conv = seg.filter(col("ty") === convType)
       .select(col("u"), col("seg"), col("cents"))
     val j = conv.join(touches, Seq("u", "seg"), "left")

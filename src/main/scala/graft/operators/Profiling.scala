@@ -140,8 +140,9 @@ object Profiling {
     * bit-for-bit. `direction` is the sign of the covariance numerator;
     * `related` is NULL when either variance is zero (correlation
     * undefined — constant column), mirroring groupTrend's degenerate
-    * rule. `cov_num` is emitted as BIGINT for the gate (nulls past
-    * ±9.2e18; the verdict itself stays decimal-exact). */
+    * rule. `sxy`/`sxx`/`syy`/`cov_num` are emitted as BIGINT for the
+    * gate (nulls past ±9.2e18; the verdict itself stays
+    * decimal-exact). */
   def correlationAudit(df: DataFrame, groupCol: String, xCol: String,
                        yCol: String, tNum: Long, tDen: Long): DataFrame = {
     require(tDen > 0 && tNum >= 0,
@@ -152,17 +153,24 @@ object Profiling {
     val b = df.select(col(groupCol).as("g"), col(xCol).cast("long").as("x0"),
         col(yCol).cast("long").as("y"))
       .withColumn("x", col("x0") - min(col("x0")).over(wMin))
+    // all three product sums accumulate in DECIMAL(38,0): x·y and x·x
+    // reach overflow scale on realistic inputs (big cent values at
+    // warehouse row counts) just like y·y, and a silent Long wrap
+    // would flip `direction` and `related`
     val s = b.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
         sum(col("y").cast(dec) * col("y")).as("syy"))
     val cov = col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy")
     val varX = col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")
     val varY = col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy")
+    val lt = org.apache.spark.sql.types.LongType
     s.select(col("g").as(groupCol), col("n"), col("sx"), col("sy"),
-      col("sxy"), col("sxx"), col("syy").cast("long").as("syy"),
-      cov.cast("long").as("cov_num"),
+      col("sxy").try_cast(lt).as("sxy"), col("sxx").try_cast(lt).as("sxx"),
+      col("syy").try_cast(lt).as("syy"),
+      cov.try_cast(lt).as("cov_num"),
       when(cov > 0, lit(1L)).when(cov < 0, lit(-1L)).otherwise(lit(0L))
         .as("direction"),
       when(varX === 0 || varY === 0, lit(null).cast("boolean"))

@@ -2731,18 +2731,18 @@ object EtlOps {
     // distinct (basket, item) rows, basket-keyed pair join, exact
     // ppm by truncating division, cross-multiplied fence
     "q281_basket_lift" ->
-      """WITH b AS (SELECT DISTINCT
-        |  CAST(user_id AS VARCHAR) || ':' ||
-        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-        |    AS VARCHAR) AS bk,
+      """WITH b AS (SELECT DISTINCT user_id,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |  event_type AS it
         | FROM events),
-        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM
+        |      (SELECT DISTINCT user_id, day FROM b)),
         |c1 AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM b
         |       GROUP BY 1),
         |p AS (SELECT x.it AS item_a, y.it AS item_b,
         |  CAST(count(*) AS BIGINT) AS c_ab
-        | FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2)
+        | FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+        |   AND x.it < y.it GROUP BY 1, 2)
         |SELECT p.item_a, p.item_b, p.c_ab, a.c AS c_a, bb.c AS c_b,
         | n.nb AS n_baskets,
         | CAST(p.c_ab::HUGEINT * n.nb * 1000000 //

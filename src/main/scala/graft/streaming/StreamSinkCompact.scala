@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * checkpoint didn't commit, its replay rewrites the same directory,
   * and `-1` sorting below every live id keeps the readers' newest-wins
   * resolution correct through the rewrite. Serving results are
-  * IDENTICAL before and after compaction at any point between drains.
+  * IDENTICAL before and after compaction at any point between drains,
+  * and through a crash at ANY point in the snapshot swap (the
+  * retire → land → delete rename protocol with startup self-heal,
+  * shared with [[FunnelStream.compact]] / [[Scd2Stream.compact]]).
   */
 object StreamSinkCompact {
 
@@ -37,6 +40,15 @@ object StreamSinkCompact {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
+    val prior = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
+    val retired = new org.apache.hadoop.fs.Path(path + "_retired")
+    // self-heal a crash between the two swap renames below (the
+    // FunnelStream/Scd2Stream protocol): the retired snapshot still
+    // exists and the new one never landed — restore it; the absorbed
+    // dirs were not yet deleted, so serving stays identical
+    if (!fs.exists(prior) && fs.exists(retired))
+      require(fs.rename(retired, prior),
+        s"compactLatest: could not restore $retired to $prior")
     val live = fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
         s.getPath.getName != "batch_id=-1")
@@ -45,7 +57,6 @@ object StreamSinkCompact {
     // the newest live batch may be an uncommitted replay candidate — keep it
     val absorb = live.dropRight(1).map(_._2)
     if (absorb.isEmpty) return
-    val prior = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
     val sources = (if (fs.exists(prior)) Seq(prior) else Nil) ++ absorb
     // basePath keeps the batch_id partition column so newest-wins
     // resolution runs across the absorbed set (prior counts as oldest)
@@ -59,8 +70,23 @@ object StreamSinkCompact {
       .select(folded.columns.filter(_ != "batch_id").map(col): _*)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     snapshot.coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(prior)) fs.delete(prior, true)
-    fs.rename(tmp, prior)
+    // swap, never leaving a window where the prior snapshot's rows are
+    // gone but the new one hasn't landed (a crash there would lose
+    // every row whose source batch dirs earlier compactions removed):
+    // retire the old snapshot, land the new one, only then drop
+    // retired + absorbed. Hadoop rename reports failure by RETURNING
+    // false — unchecked, a failed landing would delete the absorbed
+    // dirs and lose state.
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(prior))
+      require(fs.rename(prior, retired),
+        s"compactLatest: could not retire $prior")
+    if (!fs.rename(tmp, prior)) {
+      if (fs.exists(retired)) fs.rename(retired, prior) // roll back
+      throw new java.io.IOException(
+        s"compactLatest: could not publish $tmp to $prior")
+    }
+    fs.delete(retired, true)
     absorb.foreach(fs.delete(_, true))
   }
 }

@@ -19,6 +19,18 @@ class JoinAuditSpec extends SparkSpec {
     assert(actual == 7L)
   }
 
+  test("non-numeric keys are audited raw — never cast to null and " +
+      "dropped from the report") {
+    val left = Seq("a", "a", "b").toDF("k")
+    val right = Seq("a", "x").toDF("k")
+    val got = JoinAudit.joinCardinality(left, right, "k", "k")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // key "a": 2*1 = 2 rows; "b"/"x" unmatched — a long-cast audit
+    // would null every key and report "no explosion"
+    assert(got == Seq(("a", 2L, 1L, 2L, 2L, 1L, 1000000L)))
+    assert(left.join(right, "k").count() == 2L)
+  }
+
   test("a key missing from one side contributes nothing") {
     val got = JoinAudit.joinCardinality(
         Seq(5L).toDF("k"), Seq(6L).toDF("k"), "k", "k")

@@ -97,6 +97,23 @@ class ProfilingSpec extends SparkSpec {
     assert(got("b") == ((0L, None)))
     assert(got("c") == ((-1L, Some(true))))
   }
+  test("correlationAudit: x·y and x·x products past Long range never " +
+      "wrap — direction and verdict stay exact") {
+    import spark.implicits._
+    // y = x exactly at 4e9-scale values: single products reach 6.4e19
+    // (> Long.MaxValue). A LongType accumulation wraps negative and
+    // flips the covariance sign; the DECIMAL(38,0) sums must read
+    // direction = +1. (`related` is not selected: at this magnitude
+    // cov² exceeds 38 digits and fails LOUDLY in both engines — the
+    // silent-wrap defect was in the sums.)
+    val df = Seq(("h", 0L, 0L), ("h", 4000000000L, 4000000000L),
+      ("h", 8000000000L, 8000000000L)).toDF("g", "x", "y")
+    val got = Profiling.correlationAudit(df, "g", "x", "y", 1L, 2L)
+      .selectExpr("g", "direction", "sxy").collect().head
+    assert(got.getLong(1) == 1L)
+    assert(got.isNullAt(2)) // BIGINT display gate nulls past ±9.2e18
+  }
+
   test("log2Histogram: power-of-two boundaries land in the right " +
       "buckets; zero is bucket -1; negatives fail") {
     import spark.implicits._

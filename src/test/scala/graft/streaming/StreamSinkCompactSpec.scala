@@ -70,6 +70,37 @@ class StreamSinkCompactSpec extends SparkSpec {
     assert(!after.exists { case (_, v, _) => v == 20L })
   }
 
+  test("a crash between retiring the old snapshot and landing the new " +
+      "one self-heals: serving is identical on the next invocation") {
+    val dir = Files.createTempDirectory("compact4").toString
+    val sink = s"$dir/sink"
+    Seq((0, 1L, 5L), (0, 2L, 3L)).toDF("depth", "bucket", "c")
+      .write.parquet(s"$sink/batch_id=0")
+    Seq((0, 1L, 9L)).toDF("depth", "bucket", "c")
+      .write.parquet(s"$sink/batch_id=1")
+    StreamSinkCompact.compactLatest(spark, sink, Seq("depth", "bucket"))
+    // cell (0,2) now lives ONLY in batch_id=-1 (its source dir is gone)
+    assert(dirs(sink) == Set("batch_id=-1", "batch_id=1"))
+    val before = StreamSketch.currentCells(spark, sink)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(before.contains((0, 2L, 3L)))
+    // simulate the crash window: the old snapshot was renamed aside
+    // but the new one never landed
+    val p = new org.apache.hadoop.fs.Path(sink)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p, "batch_id=-1"),
+      new org.apache.hadoop.fs.Path(sink + "_retired")))
+    Seq((0, 1L, 12L)).toDF("depth", "bucket", "c")
+      .write.parquet(s"$sink/batch_id=2")
+    StreamSinkCompact.compactLatest(spark, sink, Seq("depth", "bucket"))
+    val after = StreamSketch.currentCells(spark, sink)
+      .as[(Int, Long, Long)].collect().toSet
+    // (0,2)=3 survived the crash; (0,1) advanced to batch 2's value
+    assert(after == Set((0, 1L, 12L), (0, 2L, 3L)))
+    assert(dirs(sink) == Set("batch_id=-1", "batch_id=2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink + "_retired")))
+  }
+
   test("a single live batch is never absorbed and a fresh fold extends " +
       "a prior batch_id=-1 snapshot") {
     val dir = Files.createTempDirectory("compact3").toString
