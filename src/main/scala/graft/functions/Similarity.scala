@@ -503,6 +503,72 @@ object Similarity {
       tombstones.select(col(tombIdCol).as("_graft_del_id")).distinct(),
       col(idCol) === col("_graft_del_id"), "left_anti")
 
+  /** Per-cell occupancy of a stored `(id, cell, codes)` index:
+    * `(cellCol, n_vecs)` — the standing state [[ivfPqMaintain]] folds
+    * wave counts into. One map-side-combinable aggregate. */
+  def ivfPqCellCounts(index: DataFrame, cellCol: String): DataFrame =
+    index.groupBy(col(cellCol)).agg(count(lit(1)).as("n_vecs"))
+
+  /** Incremental IVF-PQ index MAINTENANCE — the daily-embedding-wave
+    * upkeep the rest of the maintenance family (q190 aggregates, q193
+    * distinct counts, q278 joins, q261 components, q264 reservoirs)
+    * already has: a new wave encodes against the FROZEN coarse
+    * quantizer and residual codebooks (they are trained artifacts, not
+    * per-row state — the [[indexDelete]] argument) and appends to the
+    * stored index, while per-cell occupancy counts fold as a
+    * commutative monoid (state + wave counts — any wave order, any
+    * batching, same counts). The index never rescans and never
+    * reshuffles: per wave the work is encode (one codegen projection
+    * per row) + one wave-sized count aggregate.
+    *
+    * Returns `(index', counts')`: the grown index and the folded
+    * per-cell counts. Feed `counts'` to [[ivfPqCellBalance]] for the
+    * rebalance trigger — the point of maintaining counts at all is
+    * knowing WHEN the frozen quantizer has drifted from the data
+    * (a hot cell degrades ADC resolution and probe selectivity) and a
+    * retrain is due, without ever scanning the index. */
+  def ivfPqMaintain(index: DataFrame, counts: DataFrame, wave: DataFrame,
+                    idCol: String, vecCol: String, cellCol: String,
+                    codesCol: String, coarse: Seq[Seq[Double]],
+                    codebooks: Seq[Seq[Seq[Double]]])
+      : (DataFrame, DataFrame) = {
+    val encoded = ivfPqEncode(wave.select(col(idCol), col(vecCol)),
+        vecCol, coarse, codebooks, cellCol, codesCol)
+      .select(col(idCol), col(cellCol), col(codesCol))
+    val folded = counts
+      .unionByName(ivfPqCellCounts(encoded, cellCol))
+      .groupBy(col(cellCol)).agg(sum(col("n_vecs")).as("n_vecs"))
+    (index.unionByName(encoded), folded)
+  }
+
+  /** Cell-skew report over maintained counts — [[
+    * graft.operators.SkewAudit]]'s uniform-ratio machinery in EXACT
+    * integer form: `skew_ppm = n_vecs·n_cells·10⁶ div total` (ppm of
+    * the perfectly-uniform occupancy) and the `rebalance` trigger
+    * `n_vecs·n_cells ≥ total·tNum/tDen` decided by cross-multiplied
+    * DECIMAL(38,0) comparison — both engines agree on every fence.
+    * One 1-row broadcast onto the cell-count frame; no window, no
+    * driver data. A tripped trigger means the frozen quantizer no
+    * longer matches the data distribution: retrain coarse/codebooks
+    * and re-encode (the one full-scan operation, now scheduled by
+    * MEASUREMENT instead of by calendar). */
+  def ivfPqCellBalance(counts: DataFrame, cellCol: String,
+                       tNum: Long, tDen: Long): DataFrame = {
+    require(tDen > 0 && tNum >= 0,
+      s"ivfPqCellBalance: need tNum >= 0, tDen > 0, got $tNum/$tDen")
+    val dec = "decimal(38,0)"
+    val lt = org.apache.spark.sql.types.LongType
+    val tot = counts.agg(sum(col("n_vecs")).as("_total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(cellCol), col("n_vecs"), col("n_cells"),
+        col("_total").as("total_vecs"),
+        expr(s"CAST(n_vecs AS $dec) * n_cells * 1000000 div _total")
+          .try_cast(lt).as("skew_ppm"),
+        (expr(s"CAST(n_vecs AS $dec) * n_cells * $tDen") >=
+          expr(s"CAST(_total AS $dec) * $tNum")).as("rebalance"))
+  }
+
   /** BATCHED IVF-PQ serving over a stored index — offline retrieval
     * evaluation's shape: a query *DataFrame* `(qid, vector)` joins the
     * standing `(id, cell, codes)` index cell-wise, with NO per-query

@@ -1994,6 +1994,58 @@ object TrainingData {
       .orderBy(col("adc_dist"), col("vec_id"))
   }
 
+  /** IVF-PQ index MAINTENANCE under the gate (q282): the corpus splits
+    * into a standing base (4/5 of vectors) and a daily wave (every 5th
+    * vector); the wave encodes against the FROZEN coarse/codebook
+    * artifacts and folds into the stored index + per-cell counts
+    * through [[graft.functions.Similarity.ivfPqMaintain]], and the
+    * report joins the q147 "nearest to vec 0" serve (run over the
+    * MAINTAINED index) with each hit cell's
+    * [[graft.functions.Similarity.ivfPqCellBalance]] row at the 21/20
+    * uniform-ratio fence (splits 5/3 at sf0.01). The gate REQUIRES the
+    * maintained index to serve row-identically to a one-shot re-encode
+    * of the full corpus and the folded counts to equal a fresh recount
+    * — a dropped wave row, a double-encoded vector, or count drift
+    * fails loudly before the oracle even runs; the oracle restates the
+    * whole chain (assignment, residual codes, probe, ADC, counts,
+    * cross-multiplied fence). */
+  def ivfPqMaintainQ(s: SparkSession, dir: String): DataFrame = {
+    val (e, coarse, cbs, rebuild, _) = ivfPqFixture(s, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val wave = e.filter(col("vec_id") % 5 === 0)
+    val idx0 = Similarity.ivfPqEncode(
+        base.select(col("vec_id"), col("embedding")), "embedding", coarse,
+        cbs, cellCol = "cell", codesCol = "codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val counts0 = Similarity.ivfPqCellCounts(idx0, "cell")
+    val (idx1, counts1) = Similarity.ivfPqMaintain(idx0, counts0, wave,
+      "vec_id", "embedding", "cell", "codes", coarse, cbs)
+    val idxM = idx1.localCheckpoint() // serve + recount + cell join read it
+    // folded counts ≡ a fresh recount of the maintained index
+    val recount = Similarity.ivfPqCellCounts(idxM, "cell")
+    require(counts1.exceptAll(recount).isEmpty &&
+        recount.exceptAll(counts1).isEmpty,
+      "ivfPqMaintainQ: folded cell counts diverge from a fresh recount")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    def serve(ix: DataFrame) = Similarity.ivfPqTopKFromIndex(
+      ix, "vec_id", "cell", "codes", q, coarse, cbs, k = 10, nProbe = 4)
+    val served = serve(idxM).localCheckpoint()
+    // the maintained index serves identically to a one-shot rebuild
+    val oneShot = serve(rebuild)
+    require(served.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(served).isEmpty,
+      "ivfPqMaintainQ: maintained index diverges from a one-shot rebuild")
+    served
+      .join(idxM.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(Similarity.ivfPqCellBalance(counts1, "cell",
+        tNum = 21L, tDen = 20L), Seq("cell"))
+      .select(col("vec_id"), col("adc_dist"), col("cell").cast("long")
+          .as("cell"), col("n_vecs"), col("n_cells"), col("total_vecs"),
+        col("skew_ppm"), col("rebalance"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+  }
+
   /** Offline retrieval EVALUATION under the gate (q167): the complete
     * index-quality harness — the q166 batched IVF-PQ serving run
     * side-by-side with the exact batched L2 ground truth
@@ -2411,6 +2463,7 @@ object TrainingData {
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
+    "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -3404,6 +3457,82 @@ object TrainingData {
         |     ORDER BY adc_dist, vec_id) AS rk
         |  FROM pervec) WHERE rk <= 10
         |ORDER BY qid, adc_dist, vec_id""".stripMargin,
+    // the q147 chain (the maintained index ≡ the full encode — the
+    // gate asserts that equality in-process) + per-cell occupancy from
+    // the same assignment, skew ppm by truncating division, rebalance
+    // by HUGEINT cross-multiplication at the 21/20 fence
+    "q282_ivfpq_maintain" ->
+      """WITH sm AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    vec_id) AS rn
+        | FROM embeddings),
+        |c0 AS (SELECT vec_id, embedding,
+        |  row_number() OVER (ORDER BY vec_id) - 1 AS cell0
+        | FROM (SELECT vec_id, embedding FROM sm WHERE rn <= 4096
+        |       ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, embedding, cell0 FROM (
+        |  SELECT v.vec_id, v.embedding, c.cell0,
+        |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 65), i ->
+        |       (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |       * (v.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+        |     c.cell0) AS rk
+        |  FROM embeddings v, c0 c) WHERE rk = 1),
+        |rv AS (SELECT a.vec_id, a.cell0,
+        |  list_transform(range(1, 65), i ->
+        |    a.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) AS r
+        | FROM assign a JOIN c0 c ON a.cell0 = c.cell0),
+        |cbr AS (SELECT
+        |  row_number() OVER (ORDER BY rv.vec_id) - 1 AS cid, rv.r
+        | FROM rv JOIN (SELECT vec_id FROM sm WHERE rn <= 4096
+        |               ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (SELECT rv.vec_id, rv.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i])
+        |    * (rv.r[8*sp.s + i] - cbr.r[8*sp.s + i]))) AS dd
+        | FROM rv, sp, cbr),
+        |best AS (SELECT vec_id, cell0, s, cid FROM (
+        |  SELECT vec_id, cell0, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid) AS rk
+        |  FROM d) WHERE rk = 1),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT c.cell0 FROM c0 c, q
+        | ORDER BY list_sum(list_transform(range(1, 65), i ->
+        |    (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |    * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), c.cell0
+        | LIMIT 4),
+        |lut AS (SELECT c.cell0, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])
+        |    * ((q.embedding[8*sp.s + i]::DOUBLE
+        |        - c.embedding[8*sp.s + i]::DOUBLE) - cbr.r[8*sp.s + i])))
+        |    AS dd
+        | FROM c0 c, sp, cbr, q WHERE c.cell0 IN (SELECT cell0 FROM probe)),
+        |pervec AS (SELECT b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cell0 = b.cell0 AND l.s = b.s AND l.cid = b.cid
+        | WHERE b.cell0 IN (SELECT cell0 FROM probe)
+        | GROUP BY b.vec_id),
+        |top AS (SELECT vec_id, adc_dist FROM pervec
+        |        ORDER BY adc_dist, vec_id LIMIT 10),
+        |cnt AS (SELECT cell0, CAST(count(*) AS BIGINT) AS n_vecs
+        |        FROM assign GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total_vecs,
+        |       CAST(count(*) AS BIGINT) AS n_cells FROM cnt),
+        |rep AS (SELECT cell0, n_vecs, n_cells, total_vecs,
+        |  CAST(n_vecs::HUGEINT * n_cells * 1000000 // total_vecs
+        |    AS BIGINT) AS skew_ppm,
+        |  n_vecs::HUGEINT * n_cells * 20 >= total_vecs::HUGEINT * 21
+        |    AS rebalance
+        | FROM cnt, tt)
+        |SELECT t.vec_id, t.adc_dist, CAST(a.cell0 + 1 AS BIGINT) AS cell,
+        | r.n_vecs, r.n_cells, r.total_vecs, r.skew_ppm, r.rebalance
+        |FROM top t JOIN assign a USING (vec_id)
+        | JOIN rep r ON r.cell0 = a.cell0
+        |ORDER BY t.adc_dist, t.vec_id""".stripMargin,
     "q147_ivfpq_topk" ->
       """WITH sm AS (SELECT vec_id, embedding,
         |  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),

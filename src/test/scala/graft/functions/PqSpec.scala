@@ -200,6 +200,70 @@ class PqSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("ivfPqMaintain: wave order never changes the index, the counts, " +
+      "or what the index serves; folded counts equal a recount") {
+    val all = df(400)
+    val base = all.filter($"vec_id" % 3 === 0)
+    val waveA = all.filter($"vec_id" % 3 === 1)
+    val waveB = all.filter($"vec_id" % 3 === 2)
+    val coarse = Similarity.ivfCentroidsTrainedPortable(
+      base, "embedding", "vec_id", k = 8, iters = 2)
+    val cbs = Similarity.ivfPqCodebooks(base, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 2)
+    val idx0 = Similarity.ivfPqEncode(
+        base.select($"vec_id", $"embedding"), "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val c0 = Similarity.ivfPqCellCounts(idx0, "cell")
+    def fold(waves: Seq[org.apache.spark.sql.DataFrame]) =
+      waves.foldLeft((idx0, c0)) { case ((ix, ct), w) =>
+        Similarity.ivfPqMaintain(ix, ct, w, "vec_id", "embedding",
+          "cell", "codes", coarse, cbs)
+      }
+    val (ixAB, ctAB) = fold(Seq(waveA, waveB))
+    val (ixBA, ctBA) = fold(Seq(waveB, waveA))
+    // wave-order invariance: same rows, same counts
+    assert(ixAB.exceptAll(ixBA).isEmpty && ixBA.exceptAll(ixAB).isEmpty)
+    assert(ctAB.as[(Int, Long)].collect().toSet ==
+      ctBA.as[(Int, Long)].collect().toSet)
+    // folded counts ≡ recount of the maintained index
+    assert(ctAB.as[(Int, Long)].collect().toSet ==
+      Similarity.ivfPqCellCounts(ixAB, "cell")
+        .as[(Int, Long)].collect().toSet)
+    // serving from the maintained index ≡ a one-shot encode of all rows
+    val oneShot = Similarity.ivfPqEncode(
+        all.select($"vec_id", $"embedding"), "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val query = vectors(1).head._2.map(_.toDouble)
+    def serve(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKFromIndex(ix, "vec_id", "cell", "codes",
+          query, coarse, cbs, k = 20, nProbe = 3)
+        .as[(Long, Double)].collect().toSeq
+    assert(serve(ixAB) == serve(oneShot))
+    assert(serve(ixAB) == serve(ixBA))
+  }
+
+  test("ivfPqCellBalance: exact ppm and cross-multiplied fence on " +
+      "hand-checked counts") {
+    val counts = Seq((1, 60L), (2, 30L), (3, 10L)).toDF("cell", "n_vecs")
+    val got = Similarity.ivfPqCellBalance(counts, "cell", 3L, 2L)
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // total 100, 3 cells; ratio_ppm = n*3*1e6 div 100
+    assert(got(1) == ((1, 60L, 3L, 100L, 1800000L, true)))  // 1.8 >= 1.5
+    assert(got(2) == ((2, 30L, 3L, 100L, 900000L, false)))  // 0.9 < 1.5
+    assert(got(3) == ((3, 10L, 3L, 100L, 300000L, false)))
+    // exact boundary: ratio == tNum/tDen trips the trigger (>=)
+    val edge = Similarity.ivfPqCellBalance(
+        Seq((1, 75L), (2, 25L)).toDF("cell", "n_vecs"), "cell", 3L, 2L)
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(edge(1) && !edge(2)) // 75*2 = 150 = 100*3/2 exactly
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqCellBalance(counts, "cell", 1L, 0L))
+  }
+
   test("ivfPqTopKBatch equals the single-query serving path for every " +
       "query in the frame — no cross-query leak, same tie rules") {
     val all = df(400)
