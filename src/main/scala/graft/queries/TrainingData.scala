@@ -2046,6 +2046,40 @@ object TrainingData {
       .orderBy(col("adc_dist"), col("vec_id"))
   }
 
+  /** Perceptual image dedup under the gate (q283): REAL pixel decode —
+    * `javax.imageio` bound into the [[graft.multimodal.Multimodal
+    * .decodePartitions]] seam — over a planted media corpus (one
+    * deterministic PNG per doc_id < 24, plus 2×-resized
+    * brightness-shifted BMP re-encodes of every third image under
+    * clone ids, plus one TRUNCATED payload that must survive as a
+    * null-hash row, not a crash), then 64-bit dHash + the SimHash
+    * chunk-pigeonhole join ([[graft.multimodal.ImagePixels
+    * .imageNearDups]]) at hamming ≤ 4. Every clone must pair its
+    * original at distance 0 (cell-aligned resize + shift invariance is
+    * constructive); distinct patterns sit > 8 bits apart
+    * (ImagePixelsSpec), so the fence discriminates. The oracle
+    * restates the per-image hashes as literals from the same fixed
+    * fixture bytes (the q92 interpolation precedent) and the exhaustive
+    * all-pairs hamming join — the engine's blocked join is
+    * pigeonhole-exact, so the sets match. */
+  def imageNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.multimodal.ImagePixels
+    val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+    val media = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
+      .unionByName(P.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", 144, 128, "bmp", shift = 3, idOffset = 100000L))
+      .unionByName(P.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", 36, 32, "png", idOffset = 999999L, truncateTo = 12))
+    val hashes = P.dhashFrame(media, "media_id", "payload")
+      .localCheckpoint()
+    require(hashes.filter(col("dhash").isNull).count() == 1,
+      "imageNearDupQ: the corrupt payload must survive as one null-hash row")
+    graft.functions.Dedup.simhashNearDups(
+        hashes.filter(col("dhash").isNotNull), "media_id", "dhash",
+        maxDist = 4, numChunks = 8, chunkBits = 8, simBits = 64)
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** Offline retrieval EVALUATION under the gate (q167): the complete
     * index-quality harness — the q166 batched IVF-PQ serving run
     * side-by-side with the exact batched L2 ground truth
@@ -2463,6 +2497,7 @@ object TrainingData {
     "q185_recall_by_label"  -> recallByLabelQ _,
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
+    "q283_image_neardup"    -> imageNearDupQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -4880,6 +4915,28 @@ object TrainingData {
          | FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    // per-image dHash values restated as literals from the SAME fixed
+    // fixture bytes (render -> ImageIO encode -> decode -> dHash on the
+    // driver; the q92 matrix-interpolation precedent), then the
+    // exhaustive all-pairs hamming join — the engine's 8x8-bit-chunk
+    // candidate stage is pigeonhole-exact at maxDist 4, so sets match
+    "q283_image_neardup" -> {
+      val P = graft.multimodal.ImagePixels
+      val rows = (0L until 24L).map(s =>
+          s -> P.dHashOf(P.fixturePayload(s, 72, 64, "png")).get) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+          P.dHashOf(P.fixturePayload(s, 144, 128, "bmp", shift = 3)).get)
+      val vals = rows
+        .map { case (id, h) =>
+          s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH h(media_id, dhash) AS (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
     // All-pairs hamming over the clone corpus: the engine's 15-bit-chunk
     // candidate stage is pigeonhole-exact, so the exhaustive SQL matches.
     "q38_simhash_neardup" ->

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Real pixel decode + perceptual dHash: exact bit semantics, keep path
+  * for corrupt payloads, clone invariances, exhaustive pair recount. */
+class ImagePixelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gray(l: Int): Int = (l << 16) | (l << 8) | l
+
+  test("dHash bits follow strict left<right cell comparisons exactly") {
+    // 9 columns of strictly increasing luminance -> all 64 bits set
+    val up = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) up.setRGB(x, y, gray(x * 20))
+    assert(ImagePixels.dHash64(up) == -1L)
+    // decreasing -> no bit set; constant -> no bit set (strict <)
+    val down = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) down.setRGB(x, y, gray(200 - x * 20))
+    assert(ImagePixels.dHash64(down) == 0L)
+    val flat = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) flat.setRGB(x, y, gray(7))
+    assert(ImagePixels.dHash64(flat) == 0L)
+    // one row's single comparison flips exactly one bit (row 3, col 5)
+    val one = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) one.setRGB(x, y, gray(7))
+    one.setRGB(6, 3, gray(8))
+    assert(ImagePixels.dHash64(one) == (1L << (3 * 8 + 5)))
+  }
+
+  test("decode keep path: null, empty, truncated, and garbage payloads " +
+      "yield None; dhashFrame keeps them as null-hash rows") {
+    assert(ImagePixels.decode(null).isEmpty)
+    assert(ImagePixels.decode(Array.emptyByteArray).isEmpty)
+    val png = ImagePixels.fixturePayload(1L, 36, 32, "png")
+    assert(ImagePixels.decode(png.take(12)).isEmpty) // truncated header
+    assert(ImagePixels.decode("not an image".getBytes).isEmpty)
+    val rows = Seq((1L, png), (2L, png.take(12)),
+      (3L, "garbage".getBytes)).toDF("media_id", "payload")
+    val got = ImagePixels.dhashFrame(rows, "media_id", "payload")
+      .orderBy($"media_id")
+      .select($"media_id", $"dhash".isNull, $"width")
+      .as[(Long, Boolean, Option[Int])].collect().toSeq
+    assert(got == Seq((1L, false, Some(36)), (2L, true, None),
+      (3L, true, None)))
+  }
+
+  test("clone invariances: a cell-aligned 2x resize + brightness shift + " +
+      "BMP re-encode reproduces the PNG original's hash exactly") {
+    (0L until 24L).foreach { seed =>
+      val orig = ImagePixels.dHashOf(
+        ImagePixels.fixturePayload(seed, 72, 64, "png")).get
+      val clone = ImagePixels.dHashOf(
+        ImagePixels.fixturePayload(seed, 144, 128, "bmp", shift = 3)).get
+      assert(orig == clone, s"seed $seed")
+      // and the encode/decode round trip matches the in-memory render
+      assert(orig == ImagePixels.dHash64(
+        ImagePixels.renderImage(seed, 72, 64)), s"seed $seed render")
+    }
+  }
+
+  test("distinct pattern seeds separate far beyond the pairing fence") {
+    val hs = (0L until 24L).map(s => ImagePixels.dHashOf(
+      ImagePixels.fixturePayload(s, 72, 64, "png")).get)
+    val minDist = (for {
+      i <- hs.indices; j <- hs.indices if i < j
+    } yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minDist > 8, s"cross-seed min hamming $minDist too small")
+  }
+
+  test("imageNearDups equals the exhaustive driver recount on a planted " +
+      "clone corpus and drops only undecodable rows") {
+    val ids = (0L until 24L).toDF("id")
+    val originals = ImagePixels.fixtureFrame(ids, "id", 72, 64, "png")
+    val clones = ImagePixels.fixtureFrame(
+      ids.filter($"id" % 3 === 0), "id", 144, 128, "bmp",
+      shift = 3, idOffset = 100000L)
+    val corrupt = ImagePixels.fixtureFrame(
+      ids.filter($"id" === 0), "id", 36, 32, "png",
+      idOffset = 999999L, truncateTo = 12)
+    val media = originals.unionByName(clones).unionByName(corrupt)
+    val got = ImagePixels.imageNearDups(media, "media_id", "payload",
+        maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // driver recount over every decodable payload
+    val hs = ((0L until 24L).map(s => s ->
+        ImagePixels.dHashOf(ImagePixels.fixturePayload(s, 72, 64, "png")).get)
+      ++ (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+        ImagePixels.dHashOf(
+          ImagePixels.fixturePayload(s, 144, 128, "bmp", shift = 3)).get))
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(want.size == 8) // each clone pairs its original, nothing else
+    assert(want.forall { case (a, b, d) => b - a == 100000L && d == 0 })
+  }
+}
