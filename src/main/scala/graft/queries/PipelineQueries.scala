@@ -456,6 +456,103 @@ object PipelineQueries {
         .localCheckpoint()
     }
 
+  /** FULL MULTI-BUSINESS-CLASS ORCHESTRATION under the gate (q284) —
+    * the reference's daily `workflow.ps1` shape end to end
+    * (`workflow.ps1:469-509`, `run.ps1:16-30`): one subject area of
+    * four business classes with MIXED incremental/full flags and
+    * DRIFTING schemas, driven through
+    * [[graft.jobs.PipelineRunner.runSubjectArea]] for two extract
+    * waves with persisted per-BC schema registries.
+    *
+    *  - `bc_clicks` (incremental on event_id): wave A lands the even
+    *    click ids; wave B redelivers EVERY click with a drifted record
+    *    shape (new `cents` field — version 2) and the key-history
+    *    anti-join appends only the odds.
+    *  - `bc_views` (full load): wave A evens, wave B the full drifted
+    *    set — run 2 OVERWRITES, so silver is exactly wave B.
+    *  - `bc_signups` (incremental, stable schema): id%3==0 then the
+    *    rest; the registry stays at one version.
+    *  - `bc_poison`: its extract file never lands — BOTH runs must
+    *    fail IN ISOLATION (`workflow.ps1:192-203`: log, record, keep
+    *    going) while the other three classes load.
+    *
+    * The gate reconciles in-process (per-BC loaded-rows vs final
+    * silver counts — the reference's A3 validation step) and the
+    * oracle restates the whole run report — per-wave success flags,
+    * loaded row counts, the drift-version census, and final warehouse
+    * counts — straight from the events table. */
+  def orchestrationQ(s: SparkSession, dir: String): DataFrame =
+    withTempDir("graft_q284") { base =>
+      import graft.jobs.{EngineConfig, TableConfig, PipelineRunner}
+      val lake = s"$base/lake"
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      def land(df: DataFrame, bc: String): Unit =
+        df.write.mode("overwrite").text(s"$lake/$bc.ndjson")
+      def recA(t: String, pred: org.apache.spark.sql.Column) =
+        e.filter(col("event_type") === t && pred)
+          .select(to_json(struct(col("event_id"), col("user_id"))).as("r"))
+      def recB(t: String) = e.filter(col("event_type") === t)
+        .select(to_json(struct(col("cents"), col("event_id"),
+          col("user_id"))).as("r"))
+      val config = EngineConfig(
+        tables = Map(
+          "clicks" -> TableConfig("bc_clicks", "clicks_dl", "rs1",
+            incremental = true, keyColumn = Some("event_id")),
+          "views" -> TableConfig("bc_views", "views_dl", "rs1",
+            incremental = false),
+          "signups" -> TableConfig("bc_signups", "signups_dl", "rs1",
+            incremental = true, keyColumn = Some("event_id")),
+          "poison" -> TableConfig("bc_poison", "poison_dl", "rs1",
+            incremental = false)),
+        subjectAreas = Map(
+          "daily" -> Seq("clicks", "poison", "signups", "views")))
+      def run() = PipelineRunner.runSubjectArea(s, config, "daily", lake,
+        s"$base/bronze", s"$base/silver", registryRoot = Some(s"$base/reg"))
+      // wave A
+      land(recA("click", col("event_id") % 2 === 0), "bc_clicks")
+      land(recA("view", col("event_id") % 2 === 0), "bc_views")
+      land(recA("signup", col("event_id") % 3 === 0), "bc_signups")
+      val r1 = run()
+      // wave B: full redelivery; clicks/views drift, signups stay stable
+      land(recB("click"), "bc_clicks")
+      land(recB("view"), "bc_views")
+      land(recA("signup", lit(true)), "bc_signups")
+      val r2 = run()
+      // per-class failure isolation: poison fails BOTH runs, others land
+      require(r1.zip(r2).forall { case (a, b) =>
+        a.businessClass == b.businessClass &&
+        (a.success == (a.businessClass != "bc_poison")) &&
+        (b.success == (b.businessClass != "bc_poison"))
+      }, "orchestrationQ: per-class success/failure isolation broken")
+      def silverCount(table: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$base/silver/$table")
+        if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+          s.read.parquet(p.toString).count()
+        else 0L
+      }
+      val silver = Map("bc_clicks" -> silverCount("clicks"),
+        "bc_views" -> silverCount("views"),
+        "bc_signups" -> silverCount("signups"), "bc_poison" -> 0L)
+      // A3 reconciliation: loaded rows must account for final silver
+      r1.zip(r2).foreach { case (a, b) =>
+        val want = silver(a.businessClass)
+        val got =
+          if (a.businessClass == "bc_views") b.rows // full load: run 2 wins
+          else a.rows + b.rows                      // incremental: appends
+        require(got == want, s"orchestrationQ: ${a.businessClass} loaded " +
+          s"$got rows but silver holds $want")
+      }
+      import s.implicits._
+      r1.zip(r2).map { case (a, b) =>
+        (a.businessClass, a.success, a.rows, a.schemaVersions,
+          b.success, b.rows, b.schemaVersions, silver(a.businessClass))
+      }.toDF("business_class", "ok_run1", "rows_run1", "versions_run1",
+        "ok_run2", "rows_run2", "versions_run2", "silver_rows")
+        .orderBy(col("business_class"))
+    }
+
   /** Lake TIME TRAVEL under the gate (q178): three VERSIONED commits —
     * the low half, an append of the rest, then a truncate down to one
     * lang — and the query reads versions 1-3 side-by-side through
@@ -2126,6 +2223,7 @@ object PipelineQueries {
     "q178_lake_time_travel" -> lakeTimeTravelQ _,
     "q180_jdbc_evolve"    -> jdbcEvolveQ _,
     "q183_daily_pipeline" -> dailyPipelineQ _,
+    "q284_orchestration"  -> orchestrationQ _,
     "q184_lake_agg_pushdown" -> lakeAggPushdownQ _,
     "q144_expectations"   -> expectationsQ _,
     "q145_lake_compact"   -> lakeCompactQ _,
@@ -2162,6 +2260,41 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the whole two-wave orchestration report restated from events:
+    // per-wave loaded rows (incremental appends = the anti-joined
+    // remainder; full load = wave B), the drift-version census (clicks/
+    // views mint a second keyset in wave B, signups stay at one), the
+    // poisoned class failing both waves, and final warehouse counts
+    "q284_orchestration" ->
+      """WITH c AS (SELECT
+        |  CAST(count(*) FILTER (event_type = 'click' AND event_id % 2 = 0)
+        |    AS BIGINT) AS click_even,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+        |    AS click_all,
+        |  CAST(count(*) FILTER (event_type = 'view' AND event_id % 2 = 0)
+        |    AS BIGINT) AS view_even,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_all,
+        |  CAST(count(*) FILTER (event_type = 'signup' AND event_id % 3 = 0)
+        |    AS BIGINT) AS signup_3,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+        |    AS signup_all
+        | FROM events)
+        |SELECT * FROM (
+        | SELECT 'bc_clicks' AS business_class, true AS ok_run1,
+        |  click_even AS rows_run1, CAST(1 AS INTEGER) AS versions_run1,
+        |  true AS ok_run2, click_all - click_even AS rows_run2,
+        |  CAST(2 AS INTEGER) AS versions_run2, click_all AS silver_rows
+        | FROM c
+        | UNION ALL SELECT 'bc_poison', false, CAST(0 AS BIGINT),
+        |  CAST(0 AS INTEGER), false, CAST(0 AS BIGINT),
+        |  CAST(0 AS INTEGER), CAST(0 AS BIGINT) FROM c
+        | UNION ALL SELECT 'bc_signups', true, signup_3,
+        |  CAST(1 AS INTEGER), true, signup_all - signup_3,
+        |  CAST(1 AS INTEGER), signup_all FROM c
+        | UNION ALL SELECT 'bc_views', true, view_even,
+        |  CAST(1 AS INTEGER), true, view_all, CAST(2 AS INTEGER),
+        |  view_all FROM c)
+        |ORDER BY business_class""".stripMargin,
     // the q50 ASOF shape with left_value = event_id so every emitted row
     // is uniquely keyed; right_ts rides along so the oracle pins WHICH
     // quote each probe joined, not just its value
