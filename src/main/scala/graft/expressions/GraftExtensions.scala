@@ -95,6 +95,12 @@ object GraftExtensions {
     "quantile_sketch" -> arity("quantile_sketch", 4)(exprs =>
       QuantileSketchAgg(exprs(0), exprs(1), exprs(2),
         intArg(exprs, 3, "quantile_sketch")).toAggregateExpression()),
+    "kll_sketch" -> arity("kll_sketch", 2)(exprs =>
+      KllSketchAgg(exprs.head, intArg(exprs, 1, "kll_sketch"))
+        .toAggregateExpression()),
+    "kll_merge" -> arity("kll_merge", 2)(exprs =>
+      KllMergeAgg(exprs.head, intArg(exprs, 1, "kll_merge"))
+        .toAggregateExpression()),
     "bottom_k_by_score" -> arity("bottom_k_by_score", 3)(exprs =>
       BottomKAgg(exprs(0), exprs(1), intArg(exprs, 2, "bottom_k_by_score"))
         .toAggregateExpression()),

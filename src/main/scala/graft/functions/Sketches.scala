@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.{KmvMergeAgg, KmvSketchAgg, QuantileSketchAgg}
+import graft.expressions.{KllMergeAgg, KllSketchAgg, KmvMergeAgg, KmvSketchAgg, QuantileSketchAgg}
 
 /** Mergeable cardinality sketches for corpus observability at 100 TB:
   * "how many distinct tokens / urls / fingerprints per source" without an
@@ -277,6 +277,60 @@ object Sketches {
         qs.map { case (name, q) =>
           sketchQuantile(col("_graft_sk"), col("_graft_total"), q).as(name)
         }: _*)
+  }
+
+  /** Aggregate: KLL-style bounded-RANK-error quantile sketch over a
+    * bigint column — the HIGH-CARDINALITY companion to [[quantileSketch]]
+    * (which stays the exact/oracle path below capacity): `k`-item level
+    * buffers with weight 2^level, deterministic alternating compaction,
+    * O(k·log(n/k)) longs of mergeable partial state. The summary is
+    * order-dependent (inherent to compaction sketches) so gates assert
+    * its rank-error bound against exact quantiles rather than hashing
+    * it; see [[graft.expressions.KllSketchAgg]]. */
+  def kllSketch(value: Column, k: Int): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** Aggregate: roll stored [[kllSketch]] summaries up into one sketch —
+    * per-shard quantile state unions without rescanning any shard, the
+    * [[kmvMerge]] pattern with level structure preserved. */
+  def kllMerge(sketch: Column, k: Int): Column =
+    ColumnBridge.column(
+      KllMergeAgg(ColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  /** Total mass of a KLL sketch: Σ 2^level over its entries — EXACTLY
+    * the number of inserted values (compaction is weight-preserving;
+    * spec-pinned). */
+  def kllMass(sketch: Column): Column =
+    aggregate(sketch, lit(0L), (acc, e) =>
+      acc + call_function("shiftleft", lit(1L), e.getField("level")))
+
+  /** Quantile estimate from a KLL sketch given a MATERIALIZED total
+    * (the [[sketchQuantile]] binding discipline): the smallest sketch
+    * value whose cumulative weight (value-ascending) reaches
+    * `ceil(pNum/pDen · total)`, floored at rank 1. Rank error is the
+    * sketch's compaction bound — q285 asserts it against exact
+    * quantiles in-gate. Empty sketch → null. */
+  def kllQuantile(sketch: Column, total: Column, pNum: Long,
+                  pDen: Long): Column = {
+    require(pDen > 0 && pNum >= 0 && pNum <= pDen,
+      s"kllQuantile: need 0 <= pNum/pDen <= 1, got $pNum/$pDen")
+    val target = greatest(lit(1L),
+      ceil(lit(pNum) * total.cast("double") / lit(pDen)).cast("long"))
+    val byValue = array_sort(sketch, (a, b) =>
+      when(a.getField("value") < b.getField("value"), -1)
+        .when(a.getField("value") > b.getField("value"), 1)
+        .otherwise(0))
+    aggregate(byValue,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, s) => {
+        val w = call_function("shiftleft", lit(1L), s.getField("level"))
+        struct(
+          (acc.getField("cum") + w).as("cum"),
+          coalesce(acc.getField("ans"),
+            when(acc.getField("cum") + w >= target,
+              s.getField("value"))).as("ans"))
+      }).getField("ans")
   }
 
   /** Set-overlap estimates from two KMV sketches — the join-size

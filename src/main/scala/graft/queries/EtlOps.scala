@@ -1393,6 +1393,64 @@ object EtlOps {
         "event_type", "cents", Seq((1L, 2L), (9L, 10L), (99L, 100L)))
       .orderBy(col("event_type"), col("p_num"))
 
+  /** KLL quantile monitor under the gate (q285): the per-type cent
+    * p50/p90/p99 served from the bounded-RANK-error sketch
+    * ([[graft.functions.Sketches.kllSketch]], k = 256 — the
+    * high-cardinality companion the portable bottom-K-by-hash sketch
+    * saturates into a value histogram on). The sketch summary is
+    * order-dependent (inherent to compaction sketches), so the gate
+    * asserts the ACCURACY CONTRACT in-process: for every (type, p) the
+    * estimate's exact rank interval [cnt_lt+1, cnt_le] must intersect
+    * [⌈p·n⌉ − ε·n, ⌈p·n⌉ + ε·n] at ε = 2/100, checked in exact integer
+    * arithmetic against the raw rows — and the oracle restates the
+    * EXACT nearest-rank quantiles (the q272 machinery) plus the
+    * always-true contract flag. A sketch whose error crosses the fence
+    * fails the require loudly before the oracle ever runs. */
+  def kllMonitorQ(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq((1L, 2L), (9L, 10L), (99L, 100L))
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("v"))
+    val sk = e.groupBy(col("g"))
+      .agg(graft.functions.Sketches.kllSketch(col("v"), 256).as("sk"))
+      .withColumn("n", graft.functions.Sketches.kllMass(col("sk")))
+    val est = sk.select(col("g") +: col("n") +: ps.map { case (pn, pd) =>
+      graft.functions.Sketches.kllQuantile(col("sk"), col("n"), pn, pd)
+        .as(s"q_${pn}_$pd") }: _*)
+      .select(col("g"), col("n"), expr(
+        s"stack(${ps.size}, " + ps.map { case (pn, pd) =>
+          s"${pn}L, ${pd}L, q_${pn}_$pd" }.mkString(", ") +
+        ") AS (p_num, p_den, q_est)"))
+    val checks = est.join(e, Seq("g"))
+      .groupBy(col("g"), col("p_num"), col("p_den"), col("n"), col("q_est"))
+      .agg(count(when(col("v") < col("q_est"), 1)).as("cnt_lt"),
+        count(when(col("v") <= col("q_est"), 1)).as("cnt_le"))
+      .select(col("g"), col("p_num"), col("p_den"),
+        // target = ceil(p·n); eps = ceil(2n/100); the estimate's rank
+        // interval must intersect [target − eps, target + eps]
+        expr("(p_num * n + p_den - 1) div p_den").as("target"),
+        expr("(2 * n + 99) div 100").as("eps"),
+        col("cnt_lt"), col("cnt_le"))
+      .withColumn("within_eps",
+        col("cnt_lt") + 1 <= col("target") + col("eps") &&
+          col("cnt_le") >= col("target") - col("eps"))
+    val rows = checks.collect()
+    require(rows.nonEmpty && rows.forall(_.getAs[Boolean]("within_eps")),
+      "kllMonitorQ: sketch rank error crossed the 2% fence: " +
+        rows.filterNot(_.getAs[Boolean]("within_eps")).mkString("; "))
+    import s.implicits._
+    val flags = rows.toSeq.map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getAs[Boolean]("within_eps")))
+      .toDF("event_type", "p_num", "p_den", "within_eps")
+    graft.functions.RobustStats.nearestRankQuantiles(
+        e.withColumnRenamed("g", "event_type")
+          .withColumnRenamed("v", "cents"), "event_type", "cents", ps)
+      .join(flags, Seq("event_type", "p_num", "p_den"))
+      .select(col("event_type"), col("n"), col("p_num"), col("p_den"),
+        col("q_value"), col("within_eps"))
+      .orderBy(col("event_type"), col("p_num"))
+  }
+
   /** Log2 histogram under the gate (q273): the per-type cent
     * distribution in power-of-two buckets
     * ([[graft.operators.Profiling.log2Histogram]]) — cents span
@@ -1927,6 +1985,7 @@ object EtlOps {
     "q265_join_cardinality" -> joinCardinalityQ _,
     "q266_attribution"    -> attributionQ _,
     "q270_correlation"    -> correlationQ _,
+    "q285_kll_monitor"    -> kllMonitorQ _,
     "q272_exact_quantiles" -> nearestRankQuantilesQ _,
     "q273_log2_histogram" -> log2HistogramQ _,
     "q275_bitmap_retention" -> bitmapRetentionQ _,
@@ -2851,6 +2910,24 @@ object EtlOps {
         |   AS BIGINT) AS bucket,
         | CAST(count(*) AS BIGINT) AS n, min(v) AS min_v, max(v) AS max_v
         |FROM v GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // the exact nearest-rank quantiles (the q272 machinery) + the KLL
+    // accuracy-contract flag: the gate asserts the sketch estimate's
+    // rank interval intersects [ceil(p*n) +/- 2% n] IN-PROCESS and
+    // fails loudly otherwise, so the oracle states the contract held
+    "q285_kll_monitor" ->
+      """WITH v AS (SELECT event_type AS g,
+        |  CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+        |r AS (SELECT g, x,
+        |  row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v),
+        |ps AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (9, 10), (99, 100)) t(p_num, p_den))
+        |SELECT g AS event_type, n, p_num, p_den,
+        |  max(CASE WHEN rn = greatest(1, (p_num * n + p_den - 1) // p_den)
+        |      THEN x END) AS q_value,
+        |  true AS within_eps
+        |FROM r, ps GROUP BY g, n, p_num, p_den
+        |ORDER BY event_type, p_num""".stripMargin,
     // the same ceil(p*n) nearest-rank convention as window ranks
     "q272_exact_quantiles" ->
       """WITH v AS (SELECT event_type AS g,
