@@ -193,11 +193,12 @@ object Dedup {
     * Docs sharing any full band agree on r consecutive minhashes —
     * the classic (b, r) S-curve candidate filter. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .toDF(idCol, "band_idx", "band_sig")
+               bands: Int, rowsPerBand: Int,
+               carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: carry.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))): _*)
+      .toDF((idCol +: carry) ++ Seq("band_idx", "band_sig"): _*)
 
   /** Candidate near-dup pairs via the band-bucket self-join (id_a < id_b).
     *
@@ -223,7 +224,8 @@ object Dedup {
     * on the same keys the candidate join shuffles on anyway. Same hazard
     * class LineDedup.dedupLines documents and avoids. PlanShapeSpec pins
     * this plan window-free. */
-  def capBuckets(bandsDf: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+  def capBuckets(bandsDf: DataFrame, idCol: String, maxBucket: Int,
+                 carry: Seq[String] = Nil): DataFrame = {
     val surviving = bandsDf
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(count(lit(1)).as("_bucket_n"))
@@ -232,8 +234,40 @@ object Dedup {
     // the using-columns join moves (band_idx, band_sig) to the front —
     // restore the (id, band_idx, band_sig) order positional renames need
     bandsDf.join(surviving, Seq("band_idx", "band_sig"), "left_semi")
-      .select(col(idCol), col("band_idx"), col("band_sig"))
+      .select(col(idCol) +: col("band_idx") +: col("band_sig") +:
+        carry.map(col): _*)
   }
+
+  /** Geometric size-band boundaries for Jaccard threshold `t`:
+    * `b₀ = 1, b_{k+1} = ceil(b_k · 10000 / ⌊t·10000⌋)` — a pure INTEGER
+    * recurrence (no float log whose 1-ulp jitter could flip a floor at
+    * a band edge), growing by ≥ 1/t̂ per step with t̂ = ⌊t·10⁴⌋/10⁴ ≤ t.
+    * Guarantee: any pair with size ratio ≥ t (a J ≥ t prerequisite —
+    * |A∩B|/|A∪B| ≥ t forces min/max ≥ t) has at most ONE boundary
+    * between its sizes, so its band ids differ by ≤ 1: probing a size
+    * band ± 1 is EXACT (no false negatives), and every pair the ratio
+    * would kill anyway never leaves the join. This is the LSH length
+    * filter moved INTO the bucket key — on saturated shingle spaces
+    * (tiny vocabularies, boilerplate corpora) random band collisions
+    * between very-different-length docs grow superlinearly, and this
+    * kills them before the join emits them. */
+  def sizeBandBounds(threshold: Double, maxN: Long = Int.MaxValue.toLong)
+      : Seq[Long] = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"sizeBandBounds: threshold must be in (0,1), got $threshold")
+    val num = math.floor(threshold * 10000).toLong
+    require(num >= 1, s"sizeBandBounds: threshold $threshold too small")
+    val buf = scala.collection.mutable.ArrayBuffer(1L)
+    while (buf.last <= maxN)
+      buf += math.max(buf.last + 1, (buf.last * 10000L + num - 1) / num)
+    buf.toSeq
+  }
+
+  /** 1-based size-band id of `n` under [[sizeBandBounds]]: the count of
+    * boundaries ≤ n (n = 0 → band 0). O(|bounds|) per row over a
+    * literal array — trivial next to shingling. */
+  def sizeBand(n: Column, bounds: Seq[Long]): Column =
+    size(filter(typedLit(bounds), b => b <= n))
 
   def lshCandidates(bandsDf: DataFrame, idCol: String,
                     maxBucket: Int = 64): DataFrame = {

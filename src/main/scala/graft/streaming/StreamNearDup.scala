@@ -20,7 +20,15 @@ import graft.functions.Dedup
   * State layout under `statePath` (all batch_id-keyed for exactly-once,
   * the [[IncrementalIngest]] overwrite discipline):
   *   - `accepted/batch_id=N/` — accepted input rows (the sink);
-  *   - `bands/batch_id=N/`    — (id, band_idx, band_sig) of accepted docs;
+  *   - `bands/batch_id=N/`    — (id, band_idx, band_sig, size_band) of
+  *     accepted docs; `size_band` is the geometric shingle-count band
+  *     ([[graft.functions.Dedup.sizeBandBounds]]) baked into the PROBE
+  *     KEY: a qualifying pair's bands differ by ≤ 1, so the batch side
+  *     probes band ± 1 and every pair the size-ratio prefilter would
+  *     kill never leaves the bucket join — on saturated shingle spaces
+  *     random band collisions between very-different-length docs grow
+  *     superlinearly (measured 47.8× candidates on 10× docs at sf1
+  *     before banding), and this is the exact no-false-negative cut;
   *   - `shingles/batch_id=N/` — (id, hs, n_hs) hashed shingle sets of
   *     accepted docs, the verification material for exact-Jaccard
   *     confirmation of band collisions (signatures alone would make the
@@ -61,15 +69,17 @@ object StreamNearDup {
         val session = batch.sparkSession
         // one persisted frame carries shingles + signature (the
         // minhashNearDups cache discipline — wide rows, columnar persist)
+        val bounds = Dedup.sizeBandBounds(threshold)
         val signed = batch.select(col(idCol),
             Dedup.hashedCharShingles(lower(col(textCol)), shingleSize).as("hs"))
           .withColumn("sig",
             Dedup.minhashSignatureFromHashes(col("hs"), numHashes))
+          .withColumn("size_band", Dedup.sizeBand(size(col("hs")), bounds))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val batchBands = Dedup.lshBands(
-            signed.select(col(idCol), col("sig")), idCol, "sig",
-            bands, rowsPerBand)
+            signed.select(col(idCol), col("size_band"), col("sig")), idCol,
+            "sig", bands, rowsPerBand, carry = Seq("size_band"))
           val standingBands = readState(session, s"$statePath/bands", batchId,
             StructType(Seq(
               batch.schema(idCol),
@@ -77,7 +87,9 @@ object StreamNearDup {
                 org.apache.spark.sql.types.IntegerType),
               org.apache.spark.sql.types.StructField("band_sig",
                 org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.LongType)))), idCol)
+                  org.apache.spark.sql.types.LongType)),
+              org.apache.spark.sql.types.StructField("size_band",
+                org.apache.spark.sql.types.IntegerType))), idCol)
           val standingHs = readState(session, s"$statePath/shingles", batchId,
             StructType(Seq(
               batch.schema(idCol),
@@ -86,12 +98,19 @@ object StreamNearDup {
                   org.apache.spark.sql.types.LongType)),
               org.apache.spark.sql.types.StructField("n_hs",
                 org.apache.spark.sql.types.IntegerType))), idCol)
-          // bipartite band probe, both sides agg-capped (never a window)
-          val cands = Dedup.capBuckets(batchBands, idCol, maxBucket)
-            .toDF(s"${idCol}_new", "band_idx", "band_sig")
-            .join(Dedup.capBuckets(standingBands, idCol, maxBucket)
-              .toDF(s"${idCol}_old", "band_idx", "band_sig"),
-              Seq("band_idx", "band_sig"))
+          // bipartite band probe, both sides agg-capped (never a window);
+          // the batch side probes its size band ± 1 (exact — a J ≥ t
+          // pair's bands differ by ≤ 1), so far-size collisions never
+          // leave the join
+          val cands = Dedup.capBuckets(batchBands, idCol, maxBucket,
+              carry = Seq("size_band"))
+            .toDF(s"${idCol}_new", "band_idx", "band_sig", "size_band")
+            .withColumn("size_band", explode(array(
+              col("size_band") - 1, col("size_band"), col("size_band") + 1)))
+            .join(Dedup.capBuckets(standingBands, idCol, maxBucket,
+                carry = Seq("size_band"))
+              .toDF(s"${idCol}_old", "band_idx", "band_sig", "size_band"),
+              Seq("band_idx", "band_sig", "size_band"))
             .select(col(s"${idCol}_new"), col(s"${idCol}_old")).distinct()
           // size-ratio prefilter on NARROW columns first: the batch side's
           // sizes come off the persisted signed frame, the standing side's

@@ -244,4 +244,32 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshPlan(1, 0.9) }
     intercept[IllegalArgumentException] { Dedup.lshPlan(64, 1.0) }
   }
+
+  test("size bands: integer boundaries grow by >= 1/t and ANY ratio->t " +
+      "pair lands within one band (probe +-1 is exact)") {
+    val t = 0.95
+    val bounds = Dedup.sizeBandBounds(t, maxN = 2000000L)
+    // boundary growth: strictly increasing, factor >= 10000/9500
+    bounds.sliding(2).foreach { case Seq(a, b2) =>
+      assert(b2 > a && b2 >= math.max(a + 1, (a * 10000L + 9499) / 9500))
+      case _ =>
+    }
+    def band(n: Long): Int = bounds.count(_ <= n)
+    // exhaustive sweep: every integer pair at exactly the threshold
+    // ratio must differ by <= 1 band — including boundary-straddlers
+    (1L to 50000L by 7L).foreach { nSmall =>
+      val nBig = (nSmall * 100L) / 95L // largest size ratio-0.95-compatible
+      if (nBig * 95 <= nSmall * 100 || nSmall * 95 <= nBig * 100) {
+        val d = math.abs(band(nBig) - band(nSmall))
+        assert(d <= 1, s"sizes $nSmall/$nBig bands differ by $d")
+      }
+    }
+    // far sizes separate: a half-size doc sits many bands away
+    assert(band(10000) - band(5000) > 5)
+    // DataFrame expression agrees with the driver count
+    import spark.implicits._
+    val got = Seq(0L, 1L, 5000L, 10000L).toDF("n")
+      .select(Dedup.sizeBand($"n", bounds)).as[Int].collect().toSeq
+    assert(got == Seq(0, 1, band(5000), band(10000)))
+  }
 }
