@@ -461,6 +461,36 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** BIPARTITE SimHash pairing — `(idCol_new, idCol_old, hamming)` for
+    * every cross pair within `maxDist`: the [[simhashNearDups]] chunk
+    * pigeonhole with a probe side and an index side instead of a
+    * self-join (the [[crossCorpusNearDups]] semantics for hash
+    * fingerprints — within-side pairs are never generated, so a batch
+    * probing a standing index never re-pairs the index with itself).
+    * Both sides chunk-explode; candidates meet on an equal chunk
+    * (exact for maxDist < numChunks). */
+  def simhashCrossPairs(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+                        simCol: String, maxDist: Int = 3,
+                        numChunks: Int = 4, chunkBits: Int = 16,
+                        simBits: Int = 64): DataFrame = {
+    require(maxDist < numChunks,
+      s"pigeonhole needs maxDist < numChunks, got $maxDist >= $numChunks")
+    require(numChunks * chunkBits >= simBits,
+      s"chunk grid covers only ${numChunks * chunkBits} of $simBits simhash " +
+        "bits - uncovered bits would silently lose qualifying pairs")
+    def chunks(df: DataFrame, side: String) =
+      df.select(col(idCol), col(simCol),
+        posexplode(transform(sequence(lit(0), lit(numChunks - 1)), i =>
+          call_function("shiftright", col(simCol), i * lit(chunkBits))
+            .bitwiseAND(lit((1L << chunkBits) - 1)))))
+        .toDF(s"${idCol}_$side", s"sim_$side", "chunk_idx", "chunk")
+    chunks(newDf, "new").join(chunks(oldDf, "old"), Seq("chunk_idx", "chunk"))
+      .select(col(s"${idCol}_new"), col(s"${idCol}_old"),
+        bit_count(col("sim_new").bitwiseXOR(col("sim_old"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** EXACT prefix-filter candidate pairs (the AllPairs/PPJoin principle):
     * J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so A's last ⌈t·|A|⌉−1 elements (in
     * the global sort order the hashed-gram arrays already carry) can be

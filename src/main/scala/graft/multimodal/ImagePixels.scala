@@ -126,6 +126,57 @@ object ImagePixels {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Canonical PIXEL fingerprint: md5 over `width × height` followed by
+    * the row-major RGB triples of the decoded image — the same picture
+    * re-encoded losslessly in another container (PNG ↔ BMP ↔ GIF
+    * round trips) fingerprints IDENTICALLY, where a raw payload md5
+    * sees distinct files. The cross-format exact-dedup key an image
+    * corpus needs before any perceptual pass (and the cheap first
+    * stage: exact clones never reach the dHash join). None when the
+    * payload doesn't decode. */
+  def pixelFingerprint(bytes: Array[Byte]): Option[String] =
+    decode(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w.toLong * h <= maxPixels,
+        s"pixelFingerprint: image $w x $h exceeds the $maxPixels-pixel fence")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+      val row = new Array[Byte](w * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          row(x * 3) = ((rgb >> 16) & 0xFF).toByte
+          row(x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+          row(x * 3 + 2) = (rgb & 0xFF).toByte
+          x += 1
+        }
+        md.update(row)
+        y += 1
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+  /** `(idCol, pixel_fp)` per payload row — null fingerprint for
+    * undecodable payloads (kept). Same partition-wise seam as
+    * [[dhashFrame]]. */
+  def fingerprintFrame(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("pixel_fp", StringType)))
+    val rdd = df.select(col(idCol), col(payloadCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0),
+          pixelFingerprint(r.getAs[Array[Byte]](1)).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Perceptual image near-dup pairs `(idCol_a, idCol_b, hamming)` at
     * hamming ≤ `maxDist`: real pixel decode → dHash → the SimHash
     * chunk-pigeonhole join (8 chunks of 8 bits — exact for maxDist ≤ 7,

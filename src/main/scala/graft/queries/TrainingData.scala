@@ -2080,6 +2080,80 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** STREAMING image dedup under the gate (q286): the multimodal
+    * sibling of q106 — binary image payloads drain through
+    * [[graft.streaming.StreamImageDedup]] (real pixel decode → dHash →
+    * bipartite chunk-pigeonhole probe of the PERSISTED hash index).
+    * Wave 1 lands 24 originals (index empty — all accepted). Wave 2
+    * lands a resized brightness-shifted BMP re-encode of every EVEN
+    * original (hamming 0 against the stored hash → dropped without
+    * ever re-reading the original's bytes), 12 fresh patterns
+    * (accepted), and one truncated payload (accepted via the null-hash
+    * keep path, never indexed). A third run with no new files must be
+    * a no-op. The oracle restates per-image hashes as literals from
+    * the fixed fixture bytes and the greedy cross-wave drop rule; the
+    * output pins each accepted image AND which wave accepted it. */
+  def streamImageDedupQ(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.withTempDir("graft_q286") { base =>
+      val P = graft.multimodal.ImagePixels
+      val src = s"$base/landing"
+      val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+      val originals = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
+      def run(): Long = graft.streaming.StreamImageDedup.runAvailableNow(
+        s, src, originals.schema, "media_id", "payload",
+        s"$base/state", s"$base/ckpt")
+      originals.coalesce(1).write.mode("append").parquet(src)
+      require(run() == 1L, "streamImageDedupQ: wave 1 must be one batch")
+      val wave2 = P.fixtureFrame(ids.filter(col("doc_id") % 2 === 0),
+          "doc_id", 144, 128, "bmp", shift = 3, idOffset = 100000L)
+        .unionByName(P.fixtureFrame(
+          docs(s, dir).filter(col("doc_id") >= 24 && col("doc_id") < 36)
+            .select(col("doc_id")), "doc_id", 72, 64, "png",
+          idOffset = 200000L))
+        .unionByName(P.fixtureFrame(ids.filter(col("doc_id") === 0),
+          "doc_id", 36, 32, "png", idOffset = 999999L, truncateTo = 12))
+      wave2.coalesce(1).write.mode("append").parquet(src)
+      require(run() == 1L, "streamImageDedupQ: wave 2 must be one batch")
+      require(run() <= 1L, "streamImageDedupQ: replay must be a no-op")
+      s.read.parquet(s"$base/state/accepted")
+        .select(col("media_id"), col("batch_id").cast("long").as("wave"))
+        .orderBy(col("media_id"))
+        .localCheckpoint()
+    }
+
+  /** Cross-format PIXEL-EXACT image dedup under the gate (q287): the
+    * cheap first stage before any perceptual pass —
+    * [[graft.multimodal.ImagePixels.pixelFingerprint]] hashes the
+    * DECODED canonical RGB pixels (dims + row-major triples), so a
+    * lossless re-encode (PNG ↔ BMP) collapses onto its original where
+    * a raw payload md5 sees distinct files (asserted in-gate: all 49
+    * payload byte strings are distinct). Min-id keeper per
+    * fingerprint; the truncated payload keeps as a null-fingerprint
+    * row. Oracle restates the fingerprints as literals from the fixed
+    * fixture bytes + the min-id rule. */
+  def pixelDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.multimodal.ImagePixels
+    val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+    val media = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
+      .unionByName(P.fixtureFrame(ids, "doc_id", 72, 64, "bmp",
+        idOffset = 100000L))
+      .unionByName(P.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", 36, 32, "png", idOffset = 999999L, truncateTo = 12))
+      .localCheckpoint()
+    // raw BYTE identity must NOT collapse the cross-format pairs — the
+    // whole point of decoding to canonical pixels first
+    require(media.select(md5(col("payload"))).distinct().count() == 49L,
+      "pixelDedupQ: expected 49 distinct payload byte strings")
+    val fp = P.fingerprintFrame(media, "media_id", "payload")
+    val keepers = fp.filter(col("pixel_fp").isNotNull)
+      .groupBy(col("pixel_fp")).agg(min(col("media_id")).as("keeper"))
+    fp.join(keepers, Seq("pixel_fp"), "left")
+      .select(col("media_id"),
+        (col("pixel_fp").isNull || col("media_id") === col("keeper"))
+          .as("keep"))
+      .orderBy(col("media_id"))
+  }
+
   /** Offline retrieval EVALUATION under the gate (q167): the complete
     * index-quality harness — the q166 batched IVF-PQ serving run
     * side-by-side with the exact batched L2 ground truth
@@ -2498,6 +2572,11 @@ object TrainingData {
     "q182_mass_budget_lang" -> massBudgetByLangQ _,
     "q181_mass_budget"      -> massBudgetQ _,
     "q283_image_neardup"    -> imageNearDupQ _,
+    "q286_stream_image_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamState.withStatePartitions(s, 8) {
+        streamImageDedupQ(s, dir)
+      }),
+    "q287_pixel_dedup"      -> pixelDedupQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -4915,6 +4994,50 @@ object TrainingData {
          | FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    // wave-1 and wave-2 dHash literals from the SAME fixed fixture
+    // bytes + the greedy cross-wave drop rule (within-batch pairs are
+    // deliberately not compared, matching the runner); the truncated
+    // payload keeps via the null-hash path
+    "q286_stream_image_dedup" -> {
+      val P = graft.multimodal.ImagePixels
+      def v(rows: Seq[(Long, Long)]): String = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      val w1 = (0L until 24L).map(s =>
+        s -> P.dHashOf(P.fixturePayload(s, 72, 64, "png")).get)
+      val w2 = (0L until 24L).filter(_ % 2 == 0).map(s => (s + 100000L) ->
+          P.dHashOf(P.fixturePayload(s, 144, 128, "bmp", shift = 3)).get) ++
+        (24L until 36L).map(s => (s + 200000L) ->
+          P.dHashOf(P.fixturePayload(s, 72, 64, "png")).get)
+      s"""WITH w1(media_id, dhash) AS (VALUES ${v(w1)}),
+         |w2(media_id, dhash) AS (VALUES ${v(w2)}),
+         |drops AS (SELECT DISTINCT n.media_id FROM w2 n JOIN w1 o
+         |          ON bit_count(xor(n.dhash, o.dhash)) <= 4)
+         |SELECT media_id, CAST(0 AS BIGINT) AS wave FROM w1
+         |UNION ALL SELECT media_id, CAST(1 AS BIGINT) FROM w2
+         | WHERE media_id NOT IN (SELECT media_id FROM drops)
+         |UNION ALL SELECT CAST(999999 AS BIGINT), CAST(1 AS BIGINT)
+         |ORDER BY media_id""".stripMargin
+    },
+    // canonical-pixel fingerprints as literals from the fixed fixture
+    // bytes: the BMP re-encode of each PNG shares its fingerprint, so
+    // min-id keeps exactly the originals; NULL fp (truncated) keeps
+    "q287_pixel_dedup" -> {
+      val P = graft.multimodal.ImagePixels
+      val rows = (0L until 24L).flatMap { s =>
+        val fp = P.pixelFingerprint(P.fixturePayload(s, 72, 64, "png")).get
+        Seq(s -> fp, (s + 100000L) -> fp)
+      }
+      val vals = (rows.map { case (id, fp) =>
+        s"(CAST($id AS BIGINT), '$fp')" } :+
+        "(CAST(999999 AS BIGINT), NULL)").mkString(", ")
+      s"""WITH f(media_id, pixel_fp) AS (VALUES $vals),
+         |k AS (SELECT pixel_fp, min(media_id) AS keeper FROM f
+         |      WHERE pixel_fp IS NOT NULL GROUP BY 1)
+         |SELECT f.media_id,
+         | (f.pixel_fp IS NULL OR f.media_id = k.keeper) AS keep
+         |FROM f LEFT JOIN k ON k.pixel_fp = f.pixel_fp
+         |ORDER BY f.media_id""".stripMargin
+    },
     // per-image dHash values restated as literals from the SAME fixed
     // fixture bytes (render -> ImageIO encode -> decode -> dHash on the
     // driver; the q92 matrix-interpolation precedent), then the

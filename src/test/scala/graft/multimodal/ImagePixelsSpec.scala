@@ -64,6 +64,28 @@ class ImagePixelsSpec extends SparkSpec {
     }
   }
 
+  test("pixelFingerprint: identical pixels fingerprint identically across " +
+      "containers while raw payload bytes differ; resize and pattern " +
+      "changes separate; corrupt payloads keep as null rows") {
+    val png = ImagePixels.fixturePayload(9L, 72, 64, "png")
+    val bmp = ImagePixels.fixturePayload(9L, 72, 64, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp)) // different container bytes
+    val fp = ImagePixels.pixelFingerprint(png).get
+    assert(fp == ImagePixels.pixelFingerprint(bmp).get)
+    // different size or pattern -> different pixels -> different fp
+    assert(fp != ImagePixels.pixelFingerprint(
+      ImagePixels.fixturePayload(9L, 144, 128, "png")).get)
+    assert(fp != ImagePixels.pixelFingerprint(
+      ImagePixels.fixturePayload(10L, 72, 64, "png")).get)
+    assert(ImagePixels.pixelFingerprint(png.take(12)).isEmpty)
+    val rows = Seq((1L, png), (2L, bmp), (3L, png.take(12)))
+      .toDF("media_id", "payload")
+    val got = ImagePixels.fingerprintFrame(rows, "media_id", "payload")
+      .orderBy($"media_id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, Some(fp)), (2L, Some(fp)), (3L, None)))
+  }
+
   test("distinct pattern seeds separate far beyond the pairing fence") {
     val hs = (0L until 24L).map(s => ImagePixels.dHashOf(
       ImagePixels.fixturePayload(s, 72, 64, "png")).get)
