@@ -1,0 +1,219 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL sample-level audio operators — the [[ImagePixels]] discipline
+  * for sound: a dependency-free WAV PCM16 decoder (RIFF chunk walk →
+  * raw samples, mono-mixed by exact channel SUM) and a 64-bit
+  * energy-envelope fingerprint for perceptual audio dedup — the audio
+  * analog of dHash: the same recording re-encoded at another gain,
+  * duplicated-sample upsampled, or re-labeled at another sample rate
+  * must collide; different recordings must not.
+  *
+  * The fingerprint is EXACT integer arithmetic end to end: the sample
+  * stream splits into 65 equal windows, each window's energy is the
+  * Long sum of |sample|, and bit i is set where
+  * `E(i)/len(i) < E(i+1)/len(i+1)` decided by cross-multiplication —
+  * no division, no floats, bit-reproducible on any JVM. Global gain
+  * scaling multiplies every energy by the same factor and cancels in
+  * every comparison; window-aligned resampling scales every (E, len)
+  * pair uniformly — both invariances are BY CONSTRUCTION, not tuned.
+  *
+  * Undecodable payloads (truncated, not RIFF, compressed codecs)
+  * return None — the keep path; [[AudioHeaders]] still classifies
+  * them. Scale shape: decode + hash run per partition
+  * ([[Multimodal.decodePartitions]] contract); pairing reuses the
+  * SimHash chunk-pigeonhole join. */
+object AudioSamples {
+
+  /** Sample-count fence keeping every cross-multiplied comparison
+    * (energy × length) exact in Long. */
+  val maxSamples: Long = 1L << 29
+
+  /** Decode a WAV PCM16 payload: (sampleRate, channels, mono-mixed
+    * samples — per frame the exact SUM over channels). None on
+    * anything unparseable/truncated/non-PCM16. */
+  def decodePcm16(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s16(i: Int): Int = (le16(i) << 16) >> 16
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    def ascii(i: Int, n: Int): String =
+      if (b.length >= i + n) new String(b.slice(i, i + n), "US-ASCII") else ""
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var i = 12
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var pcm = false
+    var dataOff = -1
+    var dataLen = 0L
+    while (i + 8 <= b.length && (rate == 0 || dataOff < 0)) {
+      val id = ascii(i, 4)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        pcm = le16(i + 8) == 1
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        bits = le16(i + 22)
+      }
+      if (id == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || i < 0) return None
+    }
+    if (!pcm || bits != 16 || channels < 1 || rate <= 0 || dataOff < 0 ||
+      dataOff + dataLen > b.length) return None
+    val frameBytes = 2 * channels
+    val nFrames = (dataLen / frameBytes).toInt
+    if (nFrames.toLong > maxSamples) return None
+    val out = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      var acc = 0
+      while (c < channels) {
+        acc += s16(dataOff + f * frameBytes + 2 * c)
+        c += 1
+      }
+      out(f) = acc
+      f += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  /** 64-bit energy-envelope fingerprint over mono-mixed samples: 65
+    * equal windows, bit i set where mean |energy| strictly rises from
+    * window i to i + 1 (cross-multiplied — exact). */
+  def audioHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 1, "audioHash64: need at least one sample")
+    require(n.toLong <= maxSamples,
+      s"audioHash64: $n samples exceeds the $maxSamples exactness fence")
+    val e = new Array[Long](65)
+    val len = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val x0 = (w.toLong * n / 65).toInt
+      val x1 = math.max(x0 + 1, ((w + 1).toLong * n / 65).toInt)
+      var s = 0L
+      var x = x0
+      while (x < math.min(x1, n)) { s += math.abs(samples(x).toLong); x += 1 }
+      e(w) = s
+      len(w) = math.max(1, math.min(x1, n) - x0)
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < 64) {
+      if (e(w) * len(w + 1) < e(w + 1) * len(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Decode-then-hash; None when the payload doesn't decode. */
+  def audioHashOf(bytes: Array[Byte]): Option[Long] =
+    decodePcm16(bytes).map { case (_, _, samples) => audioHash64(samples) }
+
+  /** `(idCol, ahash, sample_rate, n_samples)` per payload row —
+    * nulls for undecodable payloads (rows KEPT). */
+  def audioHashFrame(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("ahash", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType)))
+    val rdd = df.select(col(idCol), col(payloadCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodePcm16(r.getAs[Array[Byte]](1)) match {
+          case Some((rate, _, samples)) =>
+            Row(r.getLong(0), audioHash64(samples), rate, samples.length)
+          case None => Row(r.getLong(0), null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual audio near-dup pairs at hamming ≤ `maxDist` — the
+    * [[ImagePixels.imageNearDups]] shape on the audio fingerprint. */
+  def audioNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                    maxDist: Int = 4): DataFrame =
+    graft.functions.Dedup.simhashNearDups(
+      audioHashFrame(df, idCol, payloadCol).filter(col("ahash").isNotNull),
+      idCol, "ahash", maxDist, numChunks = 8, chunkBits = 8, simBits = 64)
+
+  // --- Deterministic fixture generation --------------------------------
+  // Square-wave recordings whose amplitude is piecewise-constant on the
+  // SAME 65-window grid the fingerprint reads (the ImagePixels
+  // patternLum discipline): a 65k-sample render reproduces the hash
+  // exactly at ANY 65-aligned length, gain shift, or channel count.
+
+  /** Pseudo-random EVEN amplitude (0..16382) for window `w` of `seed`
+    * — even so a 1-bit gain shift divides every sample exactly. */
+  def envelopeAmp(seed: Long, w: Int): Int = {
+    var z = seed * 0x9E3779B97F4A7C15L + w * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((((z ^ (z >>> 31)) >>> 16) & 0x1FFFL) * 2).toInt
+  }
+
+  /** A complete RIFF/WAVE PCM16 payload: `nSamples` frames of an
+    * alternating-sign square wave with the seed's window envelope,
+    * amplitude >> `gainShift`, identical on every channel.
+    * `truncateTo >= 0` keeps only that many leading bytes. */
+  def wavPayload(seed: Long, nSamples: Int, sampleRate: Int,
+                 channels: Int = 1, gainShift: Int = 0,
+                 truncateTo: Int = -1): Array[Byte] = {
+    require(nSamples % 65 == 0,
+      s"wavPayload: nSamples must be 65-aligned, got $nSamples")
+    val dataLen = nSamples * 2 * channels
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * 2 * channels).putShort((2 * channels).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val win = nSamples / 65
+    var i = 0
+    while (i < nSamples) {
+      val amp = envelopeAmp(seed, i / win) >> gainShift
+      val v = (if (i % 2 == 0) amp else -amp).toShort
+      var c = 0
+      while (c < channels) { bb.putShort(v); c += 1 }
+      i += 1
+    }
+    val bytes = bb.array()
+    if (truncateTo >= 0) bytes.take(truncateTo) else bytes
+  }
+
+  /** `(media_id, payload)` WAV fixture frame over an id column —
+    * pattern keyed by the ORIGINAL id, media_id = id + `idOffset`
+    * (the [[ImagePixels.fixtureFrame]] shape). */
+  def fixtureFrame(df: DataFrame, idCol: String, nSamples: Int,
+                   sampleRate: Int, channels: Int = 1, gainShift: Int = 0,
+                   idOffset: Long = 0L, truncateTo: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id + idOffset, wavPayload(id, nSamples, sampleRate, channels,
+          gainShift, truncateTo))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -2121,6 +2121,36 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** Perceptual AUDIO dedup under the gate (q288): real WAV PCM16
+    * decode ([[graft.multimodal.AudioSamples]] — dependency-free RIFF
+    * chunk walk, exact channel-sum mono mix) over a planted recording
+    * corpus (one deterministic square-wave WAV per doc_id < 24, plus a
+    * gain-halved 2×-length stereo 22.05 kHz re-encode of every third
+    * recording under clone ids — SAME energy envelope, so hamming 0 by
+    * construction — plus one TRUNCATED payload that must survive as a
+    * null-hash row), then the 64-bit energy-envelope fingerprint + the
+    * SimHash chunk-pigeonhole join at hamming ≤ 4. The oracle restates
+    * the per-recording hashes as literals from the fixed fixture bytes
+    * (the q283 discipline) and the exhaustive all-pairs hamming join. */
+  def audioNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val A = graft.multimodal.AudioSamples
+    val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+    val media = A.fixtureFrame(ids, "doc_id", 65 * 60, 44100)
+      .unionByName(A.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", 65 * 120, 22050, channels = 2, gainShift = 1,
+        idOffset = 100000L))
+      .unionByName(A.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", 65 * 2, 8000, idOffset = 999999L, truncateTo = 20))
+    val hashes = A.audioHashFrame(media, "media_id", "payload")
+      .localCheckpoint()
+    require(hashes.filter(col("ahash").isNull).count() == 1,
+      "audioNearDupQ: the corrupt payload must survive as one null-hash row")
+    graft.functions.Dedup.simhashNearDups(
+        hashes.filter(col("ahash").isNotNull), "media_id", "ahash",
+        maxDist = 4, numChunks = 8, chunkBits = 8, simBits = 64)
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** Cross-format PIXEL-EXACT image dedup under the gate (q287): the
     * cheap first stage before any perceptual pass —
     * [[graft.multimodal.ImagePixels.pixelFingerprint]] hashes the
@@ -2577,6 +2607,7 @@ object TrainingData {
         streamImageDedupQ(s, dir)
       }),
     "q287_pixel_dedup"      -> pixelDedupQ _,
+    "q288_audio_neardup"    -> audioNearDupQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -4994,6 +5025,27 @@ object TrainingData {
          | FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    // per-recording energy-envelope hashes restated as literals from
+    // the SAME fixed WAV fixture bytes (decode -> mono mix -> 65-window
+    // envelope on the driver; the q283 discipline), then the exhaustive
+    // all-pairs hamming join — the 8x8-bit chunk stage is
+    // pigeonhole-exact at maxDist 4
+    "q288_audio_neardup" -> {
+      val A = graft.multimodal.AudioSamples
+      val rows = (0L until 24L).map(s =>
+          s -> A.audioHashOf(A.wavPayload(s, 65 * 60, 44100)).get) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+          A.audioHashOf(A.wavPayload(s, 65 * 120, 22050, channels = 2,
+            gainShift = 1)).get)
+      val vals = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, ahash) AS (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
     // wave-1 and wave-2 dHash literals from the SAME fixed fixture
     // bytes + the greedy cross-wave drop rule (within-batch pairs are
     // deliberately not compared, matching the runner); the truncated
