@@ -2286,6 +2286,38 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** WebDataset → perceptual-dedup COMPOSITION under the gate (q289):
+    * the flow a multimodal training pipeline actually runs — the image
+    * corpus (q283's planted originals + resized/re-encoded clones)
+    * exports into size-bounded POSIX tar shards
+    * ([[graft.multimodal.TarShards.writeTarShards]]), re-imports
+    * through the checksum-verifying loader-side reader, and the
+    * IMPORTED payloads feed the real pixel decode → dHash →
+    * pigeonhole-join dedup ([[graft.multimodal.ImagePixels
+    * .imageNearDups]]). Byte-exact shard round-trip is what makes the
+    * oracle valid: the pair set must equal q283's literal-hash
+    * restatement exactly — a sample lost in packing, a truncated tar
+    * entry, or any decode drift through the round trip breaks the
+    * hash. */
+  def tarImageDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q289") { base =>
+      val P = graft.multimodal.ImagePixels
+      val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+      val media = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
+        .unionByName(P.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+          "doc_id", 144, 128, "bmp", shift = 3, idOffset = 100000L))
+      graft.multimodal.TarShards.writeTarShards(media, "media_id",
+        "payload", s"$base/shards", shardBytes = 65536L)
+      val imported = graft.multimodal.TarShards
+        .readTarShards(s, s"$base/shards")
+        .select(col("key").cast("long").as("media_id"), col("payload"))
+      require(imported.count() == 32L,
+        "tarImageDedupQ: expected all 32 samples back from the shards")
+      P.imageNearDups(imported, "media_id", "payload", maxDist = 4)
+        .orderBy(col("media_id_a"), col("media_id_b"))
+        .localCheckpoint()
+    }
+
   /** Token-budget corpus selection under the gate (q181): keep the
     * LONGEST documents until they hold 60% of total corpus chars —
     * [[graft.functions.Sampling.massBudgetSelect]] over the
@@ -2608,6 +2640,7 @@ object TrainingData {
       }),
     "q287_pixel_dedup"      -> pixelDedupQ _,
     "q288_audio_neardup"    -> audioNearDupQ _,
+    "q289_tar_image_dedup"  -> tarImageDedupQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -5025,6 +5058,24 @@ object TrainingData {
          | FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    // the q283 literal-hash restatement verbatim: the tar round trip
+    // is byte-exact, so the imported corpus decodes to the SAME hashes
+    // and the same exhaustive pair set
+    "q289_tar_image_dedup" -> {
+      val P = graft.multimodal.ImagePixels
+      val rows = (0L until 24L).map(s =>
+          s -> P.dHashOf(P.fixturePayload(s, 72, 64, "png")).get) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+          P.dHashOf(P.fixturePayload(s, 144, 128, "bmp", shift = 3)).get)
+      val vals = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, dhash) AS (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
     // per-recording energy-envelope hashes restated as literals from
     // the SAME fixed WAV fixture bytes (decode -> mono mix -> 65-window
     // envelope on the driver; the q283 discipline), then the exhaustive

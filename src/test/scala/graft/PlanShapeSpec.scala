@@ -157,6 +157,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_top_k"), plan)
   }
 
+  test("kll sketch aggregates partially before the exchange (map-side)") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    val plan = df.groupBy($"g")
+      .agg(graft.functions.Sketches.kllSketch($"v", 64))
+      .queryExecution.executedPlan.toString
+    // O(k log(n/k)) level buffers reduce per partition BEFORE the
+    // exchange — a final-only aggregate would ship raw values
+    assert(plan.contains("partial_kll_sketch"), plan)
+  }
+
+  test("perceptual media dedup pairing stays window-free (the LSH cap " +
+      "discipline applies to hash fingerprint joins too)") {
+    import graft.multimodal.ImagePixels
+    val media = ImagePixels.fixtureFrame(
+      Seq(1L, 2L, 3L).toDF("id"), "id", 36, 32, "png")
+    val plan = ImagePixels.imageNearDups(media, "media_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("snapshot diff runs join-free on one id exchange") {
     val o = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
     val n = Seq((1L, "a"), (3L, "c")).toDF("id", "text")
