@@ -2151,6 +2151,39 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** VIDEO near-dup under the gate (q290): frame-signature dedup over
+    * REAL multi-frame decode ([[graft.multimodal.VideoFrames]] —
+    * animated GIF, the in-JDK multi-frame container, read pixel-exactly
+    * via ImageIO): each video fingerprints as the dHashes of 8 evenly-
+    * sampled frames and a pair qualifies when ≥ 4 positions agree
+    * within hamming 4. The planted corpus: 12 originals (12 frames
+    * each), an upscaled frame-rate-doubled brightness-shifted
+    * re-encode of every third (rate-invariant sampling ⇒ all 8
+    * positions match), a HALF-DIVERGED copy of every fourth (frames
+    * ≥ 6 re-keyed ⇒ exactly 4 of 8 positions match — ON the fence),
+    * and one truncated payload surviving as a null row in-gate. The
+    * oracle restates every (video, position, hash) as literals from
+    * the fixed fixture bytes and the per-position hamming + match-count
+    * rule in SQL. */
+  def videoNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val V = graft.multimodal.VideoFrames
+    val ids = docs(s, dir).filter(col("doc_id") < 12).select(col("doc_id"))
+    val media = V.fixtureFrame(ids, "doc_id", 12, 72, 64)
+      .unionByName(V.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", 12, 144, 128, shift = 3, rate = 2, idOffset = 100000L))
+      .unionByName(V.fixtureFrame(ids.filter(col("doc_id") % 4 === 0),
+        "doc_id", 12, 72, 64, idOffset = 200000L, divergeFrom = 6))
+      .unionByName(V.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", 4, 36, 32, idOffset = 999999L, truncateTo = 15))
+    val hashes = V.videoHashFrame(media, "media_id", "payload", k = 8)
+      .localCheckpoint()
+    require(hashes.filter(col("fhash").isNull).count() == 1,
+      "videoNearDupQ: the corrupt payload must survive as one null row")
+    V.videoNearDupsFromHashes(hashes.filter(col("fhash").isNotNull),
+        "media_id", k = 8, maxDist = 4)
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** Cross-format PIXEL-EXACT image dedup under the gate (q287): the
     * cheap first stage before any perceptual pass —
     * [[graft.multimodal.ImagePixels.pixelFingerprint]] hashes the
@@ -2641,6 +2674,7 @@ object TrainingData {
     "q287_pixel_dedup"      -> pixelDedupQ _,
     "q288_audio_neardup"    -> audioNearDupQ _,
     "q289_tar_image_dedup"  -> tarImageDedupQ _,
+    "q290_video_neardup"    -> videoNearDupQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -5058,6 +5092,33 @@ object TrainingData {
          | FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    // every (video, sampled position, frame dHash) restated as literals
+    // from the fixed fixture bytes (decoded through the same ImageIO
+    // reader), then the per-position hamming + match-count rule in SQL
+    "q290_video_neardup" -> {
+      val V = graft.multimodal.VideoFrames
+      def hs(id: Long, seed: Long, w: Int, h: Int, shift: Int, rate: Int,
+             div: Int): Seq[(Long, Int, Long)] =
+        V.sampledHashes(V.gifPayload(seed, 12, w, h, shift, rate, div), 8)
+          .get._2.zipWithIndex.map { case (fh, j) => (id, j, fh) }
+      val rows = (0L until 12L).flatMap(s =>
+          hs(s, s, 72, 64, 0, 1, Int.MaxValue)) ++
+        (0L until 12L).filter(_ % 3 == 0).flatMap(s =>
+          hs(s + 100000L, s, 144, 128, 3, 2, Int.MaxValue)) ++
+        (0L until 12L).filter(_ % 4 == 0).flatMap(s =>
+          hs(s + 200000L, s, 72, 64, 0, 1, 6))
+      val vals = rows.map { case (id, j, fh) =>
+        s"(CAST($id AS BIGINT), $j, CAST($fh AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, sample_idx, fhash) AS (VALUES $vals),
+         |p AS (SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         |  CAST(count(*) AS BIGINT) AS n_matched
+         | FROM h a JOIN h b ON a.media_id < b.media_id
+         |   AND a.sample_idx = b.sample_idx
+         |   AND bit_count(xor(a.fhash, b.fhash)) <= 4
+         | GROUP BY 1, 2)
+         |SELECT * FROM p WHERE n_matched >= 4
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
     // the q283 literal-hash restatement verbatim: the tar round trip
     // is byte-exact, so the imported corpus decodes to the SAME hashes
     // and the same exhaustive pair set
