@@ -209,16 +209,23 @@ object ImagePixels {
 
   /** Render the seed's 9×8 block pattern at w×h, all channels =
     * min(255, lum + shift) — a global brightness shift the dHash must
-    * be invariant to. */
-  def renderImage(seed: Long, w: Int, h: Int, shift: Int = 0)
-      : BufferedImage = {
+    * be invariant to. Grid rows in `divergeRows` re-key with an offset
+    * seed: each diverged row re-rolls ONLY its own 8 dHash bits, the
+    * controlled-partial-edit fixture (a one-row variant sits ≤ 8 bits
+    * away; a two-row variant stacks two independent 8-bit bands —
+    * what a near-dup CHAIN fixture needs: O~X and X~Y close, O—Y
+    * far). */
+  def renderImage(seed: Long, w: Int, h: Int, shift: Int = 0,
+                  divergeRows: Seq[Int] = Nil): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val diverged = divergeRows.toSet
     var y = 0
     while (y < h) {
       val by = y * 8 / h
+      val rowSeed = if (diverged(by)) seed + 900000L else seed
       var x = 0
       while (x < w) {
-        val l = math.min(255, patternLum(seed, x * 9 / w, by) + shift)
+        val l = math.min(255, patternLum(rowSeed, x * 9 / w, by) + shift)
         img.setRGB(x, y, (l << 16) | (l << 8) | l)
         x += 1
       }
@@ -238,8 +245,10 @@ object ImagePixels {
   /** Fixture payload: render + encode; `truncateTo >= 0` keeps only
     * that many leading bytes (the corrupt-payload fixture). */
   def fixturePayload(seed: Long, w: Int, h: Int, format: String,
-                     shift: Int = 0, truncateTo: Int = -1): Array[Byte] = {
-    val bytes = encodeImage(renderImage(seed, w, h, shift), format)
+                     shift: Int = 0, truncateTo: Int = -1,
+                     divergeRows: Seq[Int] = Nil): Array[Byte] = {
+    val bytes = encodeImage(renderImage(seed, w, h, shift, divergeRows),
+      format)
     if (truncateTo >= 0) bytes.take(truncateTo) else bytes
   }
 
@@ -249,7 +258,8 @@ object ImagePixels {
     * ids). Rendering runs executor-side per partition. */
   def fixtureFrame(df: DataFrame, idCol: String, w: Int, h: Int,
                    format: String, shift: Int = 0, idOffset: Long = 0L,
-                   truncateTo: Int = -1): DataFrame = {
+                   truncateTo: Int = -1,
+                   divergeRows: Seq[Int] = Nil): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -257,7 +267,8 @@ object ImagePixels {
     val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        Row(id + idOffset, fixturePayload(id, w, h, format, shift, truncateTo))
+        Row(id + idOffset, fixturePayload(id, w, h, format, shift,
+          truncateTo, divergeRows))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -2151,6 +2151,52 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** GOLDEN-IMAGE consolidation under the gate (q291): perceptual
+    * pairs → TRANSITIVE CLOSURE → one canonical image per cluster —
+    * the q130 golden-records shape on the image modality, and the
+    * reason closure matters here: similarity is not transitive. The
+    * planted corpus layers controlled partial edits (the divergeRows
+    * fixture re-rolls exactly one dHash row band per variant):
+    * original O, a one-row variant X, and a two-row variant Y chain as
+    * O~X and X~Y within hamming 4 while O—Y sits beyond the fence —
+    * asserted in-gate for the seed-0 chain — so {O, X, Y} becomes ONE
+    * cluster only through the closure ([[graft.operators.Components
+    * .assignClusters]]), never through direct pairing. Exact resized
+    * BMP clones ride along at distance 0. The oracle restates the
+    * literal hashes, the pair fence, and the closure as a recursive
+    * CTE with min-label clusters. */
+  def goldenImagesQ(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.multimodal.ImagePixels
+    val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+    val media = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
+      .unionByName(P.fixtureFrame(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", 72, 64, "png", idOffset = 100000L,
+        divergeRows = Seq(2)))
+      .unionByName(P.fixtureFrame(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", 72, 64, "png", idOffset = 200000L,
+        divergeRows = Seq(2, 5)))
+      .unionByName(P.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", 144, 128, "bmp", shift = 3, idOffset = 300000L))
+    val hashes = P.dhashFrame(media, "media_id", "payload")
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint()
+    // the planted chain is REAL: O~X and X~Y pair, O—Y does not
+    val chain = hashes
+      .filter(col("media_id").isin(0L, 100000L, 200000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(chain(a) ^ chain(b))
+    require(d(0L, 100000L) <= 4 && d(100000L, 200000L) <= 4 &&
+      d(0L, 200000L) > 4,
+      "goldenImagesQ: the seed-0 chain fixture lost its O~X~Y shape")
+    val pairs = graft.functions.Dedup.simhashNearDups(hashes, "media_id",
+      "dhash", maxDist = 4, numChunks = 8, chunkBits = 8, simBits = 64)
+    graft.operators.Components.assignClusters(hashes, "media_id", pairs,
+        "media_id_a", "media_id_b")
+      .select(col("media_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("canonical"))
+      .orderBy(col("media_id"))
+  }
+
   /** VIDEO near-dup under the gate (q290): frame-signature dedup over
     * REAL multi-frame decode ([[graft.multimodal.VideoFrames]] —
     * animated GIF, the in-JDK multi-frame container, read pixel-exactly
@@ -2675,6 +2721,7 @@ object TrainingData {
     "q288_audio_neardup"    -> audioNearDupQ _,
     "q289_tar_image_dedup"  -> tarImageDedupQ _,
     "q290_video_neardup"    -> videoNearDupQ _,
+    "q291_golden_images"    -> goldenImagesQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -5092,6 +5139,39 @@ object TrainingData {
          | FROM documents)
          |SELECT doc_id, ${simhashSql("hs")} AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    // literal hashes -> pair fence -> transitive closure as a recursive
+    // CTE with min-label clusters (the q56/q130 pattern): the planted
+    // O~X~Y chain merges only through the closure
+    "q291_golden_images" -> {
+      val P = graft.multimodal.ImagePixels
+      val rows = (0L until 24L).map(s =>
+          s -> P.dHashOf(P.fixturePayload(s, 72, 64, "png")).get) ++
+        (0L until 24L).filter(_ % 2 == 0).map(s => (s + 100000L) ->
+          P.dHashOf(P.fixturePayload(s, 72, 64, "png",
+            divergeRows = Seq(2))).get) ++
+        (0L until 24L).filter(_ % 2 == 0).map(s => (s + 200000L) ->
+          P.dHashOf(P.fixturePayload(s, 72, 64, "png",
+            divergeRows = Seq(2, 5))).get) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s => (s + 300000L) ->
+          P.dHashOf(P.fixturePayload(s, 144, 128, "bmp", shift = 3)).get)
+      val vals = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      s"""WITH RECURSIVE h(media_id, dhash) AS (VALUES $vals),
+         |p AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+         | FROM h a JOIN h b ON a.media_id < b.media_id
+         |  AND bit_count(xor(a.dhash, b.dhash)) <= 4),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, lbl) AS (
+         | SELECT media_id, media_id FROM h
+         | UNION
+         | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+         |cl AS (SELECT id AS media_id, CAST(min(lbl) AS BIGINT)
+         |         AS cluster_id
+         |       FROM reach GROUP BY id)
+         |SELECT media_id, cluster_id, media_id = cluster_id AS canonical
+         |FROM cl ORDER BY media_id""".stripMargin
+    },
     // every (video, sampled position, frame dHash) restated as literals
     // from the fixed fixture bytes (decoded through the same ImageIO
     // reader), then the per-position hamming + match-count rule in SQL

@@ -86,6 +86,25 @@ class ImagePixelsSpec extends SparkSpec {
     assert(got == Seq((1L, Some(fp)), (2L, Some(fp)), (3L, None)))
   }
 
+  test("divergeRows re-rolls ONLY its own 8-bit dHash band — the " +
+      "controlled-partial-edit fixture for chain/closure gates") {
+    (0L until 8L).foreach { seed =>
+      val o = ImagePixels.dHashOf(
+        ImagePixels.fixturePayload(seed, 72, 64, "png")).get
+      val x = ImagePixels.dHashOf(ImagePixels.fixturePayload(
+        seed, 72, 64, "png", divergeRows = Seq(2))).get
+      val y = ImagePixels.dHashOf(ImagePixels.fixturePayload(
+        seed, 72, 64, "png", divergeRows = Seq(2, 5))).get
+      val row2 = 0xFFL << (2 * 8)
+      val row5 = 0xFFL << (5 * 8)
+      assert(((o ^ x) & ~row2) == 0L, s"seed $seed: X leaked outside row 2")
+      assert(((x ^ y) & ~row5) == 0L, s"seed $seed: Y leaked outside row 5")
+      // the two edits stack on disjoint bands: d(O,Y) = d(O,X) + d(X,Y)
+      assert(java.lang.Long.bitCount(o ^ y) ==
+        java.lang.Long.bitCount(o ^ x) + java.lang.Long.bitCount(x ^ y))
+    }
+  }
+
   test("distinct pattern seeds separate far beyond the pairing fence") {
     val hs = (0L until 24L).map(s => ImagePixels.dHashOf(
       ImagePixels.fixturePayload(s, 72, 64, "png")).get)
