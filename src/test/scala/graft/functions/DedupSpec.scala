@@ -245,6 +245,38 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshPlan(64, 1.0) }
   }
 
+  test("simhashCrossPairs: bipartite only (within-side pairs never " +
+      "generated), equal to the exhaustive cross recount, pigeonhole-" +
+      "exact at the chunk fence") {
+    import spark.implicits._
+    // planted hashes: newA==oldA (d0), newB 3 bits from oldB, newC far
+    val oldSide = Seq((1L, 0x1111222233334444L), (2L, 0x00FF00FF00FF00FFL),
+      (3L, 0x7777777777777777L)).toDF("id", "sim")
+    val newSide = Seq((10L, 0x1111222233334444L),
+      (11L, 0x00FF00FF00FF00F8L), // 3 low bits flipped vs old 2
+      (12L, -1L)).toDF("id", "sim")
+    val got = Dedup.simhashCrossPairs(newSide, oldSide, "id", "sim",
+        maxDist = 3, numChunks = 8, chunkBits = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val oldRows = Seq((1L, 0x1111222233334444L),
+      (2L, 0x00FF00FF00FF00FFL), (3L, 0x7777777777777777L))
+    val newRows = Seq((10L, 0x1111222233334444L),
+      (11L, 0x00FF00FF00FF00F8L), (12L, -1L))
+    val want = (for {
+      (n, hn) <- newRows; (o, ho) <- oldRows
+      d = java.lang.Long.bitCount(hn ^ ho) if d <= 3
+    } yield (n, o, d)).toSet
+    assert(got == want)
+    assert(want == Set((10L, 1L, 0), (11L, 2L, 3)))
+    // within-side pairs never appear even for identical hashes
+    val self = Dedup.simhashCrossPairs(newSide, newSide.limit(0), "id",
+      "sim", 3, 8, 8)
+    assert(self.count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.simhashCrossPairs(newSide, oldSide, "id", "sim", maxDist = 8,
+        numChunks = 8, chunkBits = 8))
+  }
+
   test("size bands: integer boundaries grow by >= 1/t and ANY ratio->t " +
       "pair lands within one band (probe +-1 is exact)") {
     val t = 0.95
