@@ -569,6 +569,69 @@ object Similarity {
           expr(s"CAST(_total AS $dec) * $tNum")).as("rebalance"))
   }
 
+  /** Execute the rebalance [[ivfPqCellBalance]]'s fence calls for —
+    * without the full-corpus retrain the calendar path would burn:
+    * each flagged hot cell SPLITS into `splitK` sub-cells by training
+    * sub-centroids on ONLY that cell's vectors (the bounded-sample
+    * portable Lloyd path — deterministic, oracle-restatable), and ONLY
+    * the hot cell's rows re-encode (residual PQ codes against their
+    * new sub-centroid, codebooks stay frozen). Sub-centroid 1 splices
+    * into the split cell's slot and the rest append, so every
+    * untouched cell keeps its centroid, its cell id, and its code rows
+    * BYTE-IDENTICAL — serving, probe order, and stored state for the
+    * cold 99% of the index never move.
+    *
+    * `source` supplies the raw vectors for re-encoding (codes are
+    * lossy, so a rebalance necessarily re-reads the hot rows' vectors
+    * from the lake — and ONLY those: the join keys on the hot cell's
+    * ids, a corpus fraction, never a full scan). Returns
+    * `(coarse', index')`; recount with [[ivfPqCellCounts]].
+    *
+    * At 100 TB: work is (hot-cell rows) × encode + one bounded driver
+    * sample per split — proportional to the skew, not the index. */
+  def ivfPqRebalance(index: DataFrame, idCol: String, cellCol: String,
+                     codesCol: String, source: DataFrame, vecCol: String,
+                     coarse: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]],
+                     hotCells: Seq[Int], splitK: Int, iters: Int = 3,
+                     sampleN: Int = 4096)
+      : (Seq[Seq[Double]], DataFrame) = {
+    require(splitK >= 2, s"ivfPqRebalance: splitK must be >= 2, got $splitK")
+    require(hotCells.nonEmpty && hotCells.toSet.size == hotCells.size,
+      "ivfPqRebalance: hotCells must be non-empty and distinct")
+    require(hotCells.forall(c => c >= 1 && c <= coarse.size),
+      s"ivfPqRebalance: hot cell out of range 1..${coarse.size}")
+    var coarseNew = coarse
+    var pieces = List.empty[DataFrame]
+    val src = source.select(col(idCol), col(vecCol))
+    hotCells.foreach { c =>
+      val rows = index.filter(col(cellCol) === c).select(col(idCol))
+        .join(src, Seq(idCol))
+      val subs = ivfCentroidsTrainedPortable(rows, vecCol, idCol, splitK,
+        iters, sampleN)
+      require(subs.nonEmpty,
+        s"ivfPqRebalance: hot cell $c has no source vectors to train on")
+      val base = coarseNew.size
+      // global cell ids: sub 1 keeps slot c, subs 2.. append past base
+      val globalIds: Seq[Int] = c +: (1 until subs.size).map(base + _)
+      // sub assignment, new cell, and residual each materialize as
+      // their own projection (the ivfPqEncode anti-re-evaluation rule)
+      val re = rows
+        .withColumn("_graft_sub", ivfCell(col(vecCol), subs))
+        .withColumn(cellCol,
+          element_at(typedLit(globalIds), col("_graft_sub")).cast("int"))
+        .withColumn("_graft_resid", zip_with(col(vecCol),
+          element_at(typedLit(subs), col("_graft_sub")),
+          (x, cc) => x.cast("double") - cc))
+        .withColumn(codesCol, pqEncode(col("_graft_resid"), codebooks))
+        .select(col(idCol), col(cellCol), col(codesCol))
+      pieces ::= re
+      coarseNew = coarseNew.updated(c - 1, subs.head) ++ subs.tail
+    }
+    val untouched = index.filter(!col(cellCol).isin(hotCells: _*))
+    (coarseNew, pieces.foldLeft(untouched)(_.unionByName(_)))
+  }
+
   /** BATCHED IVF-PQ serving over a stored index — offline retrieval
     * evaluation's shape: a query *DataFrame* `(qid, vector)` joins the
     * standing `(id, cell, codes)` index cell-wise, with NO per-query

@@ -56,6 +56,11 @@ object AudioSamples {
     while (i + 8 <= b.length && (rate == 0 || dataOff < 0)) {
       val id = ascii(i, 4)
       val size = le32(i + 4)
+      // A size field larger than the bytes that remain is corruption
+      // (or an adversarial 0xFFFFFFF8-style value whose padded advance
+      // wraps to 0 and spins the chunk walk forever) — bail, never
+      // advance by a non-positive step.
+      if (size > b.length.toLong - i - 8) return None
       if (id == "fmt " && i + 24 <= b.length) {
         pcm = le16(i + 8) == 1
         channels = le16(i + 10)
@@ -63,14 +68,17 @@ object AudioSamples {
         bits = le16(i + 22)
       }
       if (id == "data") { dataOff = i + 8; dataLen = size }
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || i < 0) return None
+      val advance = 8 + size.toInt + (size.toInt & 1)
+      if (advance <= 0) return None
+      i += advance
     }
     if (!pcm || bits != 16 || channels < 1 || rate <= 0 || dataOff < 0 ||
       dataOff + dataLen > b.length) return None
     val frameBytes = 2 * channels
     val nFrames = (dataLen / frameBytes).toInt
-    if (nFrames.toLong > maxSamples) return None
+    // A structurally valid WAV with an EMPTY data chunk has nothing to
+    // fingerprint — undecodable (keep path), never a downstream throw.
+    if (nFrames < 1 || nFrames.toLong > maxSamples) return None
     val out = new Array[Int](nFrames)
     var f = 0
     while (f < nFrames) {
@@ -120,6 +128,171 @@ object AudioSamples {
   def audioHashOf(bytes: Array[Byte]): Option[Long] =
     decodePcm16(bytes).map { case (_, _, samples) => audioHash64(samples) }
 
+  // --- Cross-format decode (PCM8/16/24/32 + IEEE-float WAV) -------------
+  // All RIFF variants normalize to ONE canonical 16-bit integer sample
+  // domain, so the scale-invariant envelope fingerprint collapses the
+  // same signal across bit depths: PCM8 shifts up (<<8 — exact), PCM24/
+  // 32 shift down (arithmetic >>8 / >>16 — deterministic truncation),
+  // float quantizes by rint(f · 2^15) (exact for any float that was
+  // produced FROM an integer sample, ≤ half-LSB rounding otherwise).
+  // A fresh decoder rather than flags on decodePcm16: the PCM16 path is
+  // the q288 oracle's literal source and stays byte-identical.
+
+  /** Decoded WAV in the canonical domain: sample rate, channel count,
+    * source format tag ("pcm8" | "pcm16" | "pcm24" | "pcm32" | "f32" |
+    * "f64"), and mono-mixed samples (exact channel SUM, Long). None on
+    * anything unparseable, truncated, empty, non-finite-float, or past
+    * the exactness fence. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, String, Array[Long])] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s16(i: Int): Int = (le16(i) << 16) >> 16
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    def s24(i: Int): Int =
+      ((u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)) << 8) >> 8
+    def s32(i: Int): Int = le32(i).toInt
+    def ascii(i: Int, n: Int): String =
+      if (b.length >= i + n) new String(b.slice(i, i + n), "US-ASCII") else ""
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var i = 12
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var fmtTag = 0
+    var dataOff = -1
+    var dataLen = 0L
+    while (i + 8 <= b.length && (rate == 0 || dataOff < 0)) {
+      val id = ascii(i, 4)
+      val size = le32(i + 4)
+      if (size > b.length.toLong - i - 8) return None
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtTag = le16(i + 8)
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        bits = le16(i + 22)
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the leading
+        // 16 bits of the SubFormat GUID after cbSize + validBits + mask
+        if (fmtTag == 0xFFFE && i + 34 + 2 <= b.length && size >= 40)
+          fmtTag = le16(i + 32)
+      }
+      if (id == "data") { dataOff = i + 8; dataLen = size }
+      val advance = 8 + size.toInt + (size.toInt & 1)
+      if (advance <= 0) return None
+      i += advance
+    }
+    val fmt = (fmtTag, bits) match {
+      case (1, 8)  => "pcm8"
+      case (1, 16) => "pcm16"
+      case (1, 24) => "pcm24"
+      case (1, 32) => "pcm32"
+      case (3, 32) => "f32"
+      case (3, 64) => "f64"
+      case _       => return None
+    }
+    if (channels < 1 || rate <= 0 || dataOff < 0 ||
+      dataOff + dataLen > b.length) return None
+    val bytesPer = bits / 8
+    val frameBytes = bytesPer * channels
+    val nFrames = (dataLen / frameBytes).toInt
+    // fence scales with the mono-mix amplitude: channels multiply the
+    // canonical-domain magnitude, so frames × channels stays bounded
+    if (nFrames < 1 || nFrames.toLong * channels > maxSamples) return None
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      var acc = 0L
+      while (c < channels) {
+        val o = dataOff + f * frameBytes + bytesPer * c
+        acc += (fmt match {
+          case "pcm8"  => (u8(o) - 128).toLong << 8
+          case "pcm16" => s16(o).toLong
+          case "pcm24" => (s24(o) >> 8).toLong
+          case "pcm32" => (s32(o) >> 16).toLong
+          case "f32" =>
+            val v = java.lang.Float.intBitsToFloat(s32(o))
+            if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+              return None
+            math.rint(math.max(-32.0, math.min(32.0, v.toDouble)) *
+              32768.0).toLong
+          case "f64" =>
+            val v = java.lang.Double.longBitsToDouble(
+              le32(o) | (le32(o + 4) << 32))
+            if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+              return None
+            math.rint(math.max(-32.0, math.min(32.0, v)) * 32768.0).toLong
+        })
+        c += 1
+      }
+      out(f) = acc
+      f += 1
+    }
+    Some((rate, channels, fmt, out))
+  }
+
+  /** [[audioHash64]] on canonical-domain Long samples (same 65-window
+    * exact cross-multiplied envelope). */
+  def audioHash64L(samples: Array[Long]): Long = {
+    val n = samples.length
+    require(n >= 1, "audioHash64L: need at least one sample")
+    require(n.toLong <= maxSamples,
+      s"audioHash64L: $n samples exceeds the $maxSamples exactness fence")
+    val e = new Array[Long](65)
+    val len = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val x0 = (w.toLong * n / 65).toInt
+      val x1 = math.max(x0 + 1, ((w + 1).toLong * n / 65).toInt)
+      var s = 0L
+      var x = x0
+      while (x < math.min(x1, n)) { s += math.abs(samples(x)); x += 1 }
+      e(w) = s
+      len(w) = math.max(1, math.min(x1, n) - x0)
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < 64) {
+      if (e(w) * len(w + 1) < e(w + 1) * len(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Cross-format decode-then-hash; None when the payload doesn't
+    * decode. A PCM16 payload hashes IDENTICALLY to [[audioHashOf]]
+    * (same samples, same envelope). */
+  def audioHashOfAny(bytes: Array[Byte]): Option[Long] =
+    decodeWav(bytes).map { case (_, _, _, samples) => audioHash64L(samples) }
+
+  /** `(idCol, ahash, sample_rate, n_samples, fmt)` per payload row
+    * across ALL supported WAV variants — nulls for undecodable
+    * payloads (rows KEPT). */
+  def audioHashFrameAny(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("ahash", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("fmt", StringType)))
+    val rdd = df.select(col(idCol), col(payloadCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some((rate, _, fmt, samples)) =>
+            Row(r.getLong(0), audioHash64L(samples), rate, samples.length,
+              fmt)
+          case None => Row(r.getLong(0), null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** `(idCol, ahash, sample_rate, n_samples)` per payload row —
     * nulls for undecodable payloads (rows KEPT). */
   def audioHashFrame(df: DataFrame, idCol: String, payloadCol: String)
@@ -148,6 +321,15 @@ object AudioSamples {
                     maxDist: Int = 4): DataFrame =
     graft.functions.Dedup.simhashNearDups(
       audioHashFrame(df, idCol, payloadCol).filter(col("ahash").isNotNull),
+      idCol, "ahash", maxDist, numChunks = 8, chunkBits = 8, simBits = 64)
+
+  /** [[audioNearDups]] across ALL supported WAV variants (the
+    * cross-format pairing a format-diverse crawl needs). */
+  def audioNearDupsAny(df: DataFrame, idCol: String, payloadCol: String,
+                       maxDist: Int = 4): DataFrame =
+    graft.functions.Dedup.simhashNearDups(
+      audioHashFrameAny(df, idCol, payloadCol)
+        .filter(col("ahash").isNotNull),
       idCol, "ahash", maxDist, numChunks = 8, chunkBits = 8, simBits = 64)
 
   // --- Deterministic fixture generation --------------------------------
@@ -195,6 +377,100 @@ object AudioSamples {
     }
     val bytes = bb.array()
     if (truncateTo >= 0) bytes.take(truncateTo) else bytes
+  }
+
+  /** The [[envelopeAmp]] envelope quantized to multiples of 256 in the
+    * canonical 16-bit domain — the amplitude grid on which EVERY
+    * supported depth's round trip is an exact scaling (PCM8 carries
+    * amp/256, PCM24 amp·256, float amp/2^15 — all lossless), so one
+    * signal re-encoded at any bit depth fingerprints IDENTICALLY. */
+  def envelopeAmpQ(seed: Long, w: Int): Int = envelopeAmp(seed, w) & 0xFF00
+
+  /** A complete RIFF/WAVE payload of the quantized square-wave signal
+    * at any supported depth: `fmt` ∈ pcm8 | pcm16 | pcm24 | pcm32 |
+    * f32 | f64. `extensible` wraps the format in a WAVE_FORMAT_
+    * EXTENSIBLE (0xFFFE) header with the real code in the SubFormat
+    * GUID — the header shape high-depth encoders actually emit. */
+  def wavPayloadDepth(seed: Long, nSamples: Int, sampleRate: Int,
+                      fmt: String, channels: Int = 1,
+                      extensible: Boolean = false,
+                      truncateTo: Int = -1): Array[Byte] = {
+    require(nSamples % 65 == 0,
+      s"wavPayloadDepth: nSamples must be 65-aligned, got $nSamples")
+    val (tag, bits) = fmt match {
+      case "pcm8"  => (1, 8)
+      case "pcm16" => (1, 16)
+      case "pcm24" => (1, 24)
+      case "pcm32" => (1, 32)
+      case "f32"   => (3, 32)
+      case "f64"   => (3, 64)
+      case other => throw new IllegalArgumentException(
+        s"wavPayloadDepth: unsupported fmt '$other'")
+    }
+    val bytesPer = bits / 8
+    val dataLen = nSamples * bytesPer * channels
+    val fmtLen = if (extensible) 40 else 16
+    val bb = java.nio.ByteBuffer.allocate(20 + fmtLen + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + fmtLen + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      .putShort(if (extensible) 0xFFFE.toShort else tag.toShort)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * bytesPer * channels)
+      .putShort((bytesPer * channels).toShort).putShort(bits.toShort)
+    if (extensible) {
+      bb.putShort(22).putShort(bits.toShort).putInt(0)
+      // SubFormat GUID: format code ++ the fixed KSDATAFORMAT tail
+      bb.putShort(tag.toShort).putShort(0)
+      bb.put(Array[Byte](0x00, 0x00, 0x10, 0x00, 0x80.toByte, 0x00, 0x00,
+        0xAA.toByte, 0x00, 0x38, 0x9B.toByte, 0x71))
+    }
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val win = nSamples / 65
+    var i = 0
+    while (i < nSamples) {
+      val amp = envelopeAmpQ(seed, i / win)
+      val v = if (i % 2 == 0) amp else -amp
+      var c = 0
+      while (c < channels) {
+        fmt match {
+          case "pcm8"  => bb.put((128 + (v >> 8)).toByte)
+          case "pcm16" => bb.putShort(v.toShort)
+          case "pcm24" =>
+            val x = v << 8
+            bb.put((x & 0xFF).toByte).put(((x >> 8) & 0xFF).toByte)
+              .put(((x >> 16) & 0xFF).toByte)
+          case "pcm32" => bb.putInt(v << 16)
+          case "f32"   => bb.putFloat(v / 32768.0f)
+          case "f64"   => bb.putDouble(v / 32768.0)
+        }
+        c += 1
+      }
+      i += 1
+    }
+    val bytes = bb.array()
+    if (truncateTo >= 0) bytes.take(truncateTo) else bytes
+  }
+
+  /** `(media_id, payload)` fixture frame of [[wavPayloadDepth]]
+    * payloads — the cross-format clone-wave generator. */
+  def fixtureFrameDepth(df: DataFrame, idCol: String, nSamples: Int,
+                        sampleRate: Int, fmt: String, channels: Int = 1,
+                        extensible: Boolean = false, idOffset: Long = 0L,
+                        truncateTo: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rdd = df.select(col(idCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id + idOffset, wavPayloadDepth(id, nSamples, sampleRate, fmt,
+          channels, extensible, truncateTo))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** `(media_id, payload)` WAV fixture frame over an id column —

@@ -99,8 +99,18 @@ object ImagePixels {
     hash
   }
 
-  /** Decode-then-hash; None when the payload doesn't decode. */
-  def dHashOf(bytes: Array[Byte]): Option[Long] = decode(bytes).map(dHash64)
+  /** Decode for hashing: like [[decode]] but ALSO rejects images whose
+    * pixel count breaches the [[maxPixels]] exactness fence — a
+    * decodable decompression-bomb PNG in an untrusted corpus must be
+    * telemetry (null-hash keep row), never an executor-killing throw
+    * from the `require` inside [[dHash64]]/[[pixelFingerprint]]. */
+  def decodeBounded(bytes: Array[Byte]): Option[BufferedImage] =
+    decode(bytes).filter(img => img.getWidth.toLong * img.getHeight <= maxPixels)
+
+  /** Decode-then-hash; None when the payload doesn't decode or is
+    * oversized. */
+  def dHashOf(bytes: Array[Byte]): Option[Long] =
+    decodeBounded(bytes).map(dHash64)
 
   /** `(idCol, dhash, width, height)` per payload row — dhash/width/
     * height null for undecodable payloads (rows are KEPT: a corrupt
@@ -116,7 +126,7 @@ object ImagePixels {
       StructField("height", IntegerType)))
     val rdd = df.select(col(idCol), col(payloadCol)).rdd.mapPartitions { it =>
       it.map { r =>
-        decode(r.getAs[Array[Byte]](1)) match {
+        decodeBounded(r.getAs[Array[Byte]](1)) match {
           case Some(img) =>
             Row(r.getLong(0), dHash64(img), img.getWidth, img.getHeight)
           case None => Row(r.getLong(0), null, null, null)
@@ -133,13 +143,13 @@ object ImagePixels {
     * sees distinct files. The cross-format exact-dedup key an image
     * corpus needs before any perceptual pass (and the cheap first
     * stage: exact clones never reach the dHash join). None when the
-    * payload doesn't decode. */
+    * payload doesn't decode or breaches the [[maxPixels]] fence
+    * (enforced by [[decodeBounded]] — oversized is keep-path, not a
+    * throw). */
   def pixelFingerprint(bytes: Array[Byte]): Option[String] =
-    decode(bytes).map { img =>
+    decodeBounded(bytes).map { img =>
       val w = img.getWidth
       val h = img.getHeight
-      require(w.toLong * h <= maxPixels,
-        s"pixelFingerprint: image $w x $h exceeds the $maxPixels-pixel fence")
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
       val row = new Array[Byte](w * 3)

@@ -2046,6 +2046,101 @@ object TrainingData {
       .orderBy(col("adc_dist"), col("vec_id"))
   }
 
+  /** The q294 synthetic clustered embedding frame: 4 well-separated
+    * clusters (`vec_id % 4`, centers 100 apart per dim), the planted
+    * hot cluster 3 bimodal (ids ≡ 7 mod 8 carry a +10 lobe offset),
+    * per-(id, dim) jitter `((id·37 + i·101) mod 19) / 16` — every
+    * value exactly float-representable, so the DuckDB oracle restates
+    * vectors, distances, and codes bit-for-bit at any SF. */
+  private def rebalanceSynth(ids: DataFrame): DataFrame =
+    ids.withColumn("embedding",
+      transform(sequence(lit(1), lit(8)), i =>
+        ((col("vec_id") % 4).cast("double") * 100.0
+          + when(col("vec_id") % 8 === 7, 10.0).otherwise(0.0)
+          + pmod(col("vec_id") * 37 + i * 101, lit(19)).cast("double")
+            / 16.0).cast("float")))
+
+  /** IVF-PQ rebalance EXECUTION under the gate (q294): q282's fence
+    * *detects* a hot cell; this gate *acts* on it through
+    * [[graft.functions.Similarity.ivfPqRebalance]] — the flagged cell
+    * splits on sub-centroids trained (bounded-sample portable Lloyd)
+    * on ONLY its own vectors, only its rows re-encode against the
+    * frozen codebooks, and the spliced index must be row-identical to
+    * a FULL re-encode against the post-split coarse list (required
+    * in-gate, both directions), with every untouched cell's code rows
+    * byte-identical to the pre-rebalance index (required in-gate) and
+    * the fence QUIET afterwards (required in-gate — the split actually
+    * fixed the skew). The corpus is the planted [[rebalanceSynth]]
+    * fixture: base wave balances 4 cells, a cluster-3 clone wave
+    * (ids + 10⁷ ≡ same cluster and lobe mod 4/8) doubles cell 4 and
+    * trips the 21/20 fence, and the split lands exactly on the two
+    * planted lobes. Output: the q282-shaped serve + balance report
+    * over the REBALANCED index for a lobe-1 query; the oracle restates
+    * the entire post-split chain (synthetic vectors, split centroid
+    * table, residual codes, probe, ADC, counts, fence) from scratch. */
+  def ivfPqRebalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val bigN = 1 << 20 // sample bound >> any SF's rows: training is
+                       // exhaustive and id-deterministic at every SF
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+    val base = rebalanceSynth(e)
+    val wave = rebalanceSynth(e.filter(col("vec_id") % 4 === 3)
+      .select((col("vec_id") + 10000000L).as("vec_id")))
+    // coarse artifact: one given centroid per planted cluster (the
+    // trainer is gated by q42/q282; the unit under test here is the
+    // maintain -> fence -> rebalance loop over a FROZEN artifact)
+    val coarse: Seq[Seq[Double]] =
+      Seq.tabulate(4)(j => Seq.fill(8)(j * 100.0 + 0.5))
+    val cbs = Similarity.ivfPqCodebooks(base, "embedding", "vec_id",
+      coarse, m = 4, ksub = 4, iters = 0, sampleN = bigN)
+    val idx0 = Similarity.ivfPqEncode(base, "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val counts0 = Similarity.ivfPqCellCounts(idx0, "cell")
+    val (idx1, counts1) = Similarity.ivfPqMaintain(idx0, counts0, wave,
+      "vec_id", "embedding", "cell", "codes", coarse, cbs)
+    val idx1c = idx1.localCheckpoint()
+    val flagged = Similarity.ivfPqCellBalance(counts1, "cell", 21L, 20L)
+      .filter(col("rebalance")).select(col("cell"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    require(flagged == Seq(4),
+      s"ivfPqRebalanceQ: fence must flag exactly the planted hot cell 4, " +
+        s"got $flagged")
+    val source = base.unionByName(wave).localCheckpoint()
+    val (coarse2, idx2) = Similarity.ivfPqRebalance(idx1c, "vec_id",
+      "cell", "codes", source, "embedding", coarse, cbs, flagged,
+      splitK = 2, iters = 0, sampleN = bigN)
+    require(coarse2.size == 5, "ivfPqRebalanceQ: 4 cells must become 5")
+    val idx2c = idx2.localCheckpoint()
+    // untouched cells' rows are BYTE-identical to the pre-split index
+    val before = idx1c.filter(col("cell") =!= 4)
+    val after = idx2c.filter(col("cell") =!= 4 && col("cell") =!= 5)
+    require(before.exceptAll(after).isEmpty && after.exceptAll(before)
+      .isEmpty, "ivfPqRebalanceQ: untouched cells' code rows moved")
+    // the spliced index IS the full rebuild against the split coarse
+    val full = Similarity.ivfPqEncode(source, "embedding", coarse2, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    require(idx2c.exceptAll(full).isEmpty && full.exceptAll(idx2c).isEmpty,
+      "ivfPqRebalanceQ: spliced index diverges from a full rebuild")
+    // and the fence is QUIET on the rebalanced counts
+    val bal2 = Similarity.ivfPqCellBalance(
+        Similarity.ivfPqCellCounts(idx2c, "cell"), "cell", 21L, 20L)
+      .localCheckpoint()
+    require(bal2.filter(col("rebalance")).count() == 0,
+      "ivfPqRebalanceQ: the split must leave every cell under the fence")
+    val q = rebalanceSynth(e.filter(col("vec_id") === 7))
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    Similarity.ivfPqTopKFromIndex(idx2c, "vec_id", "cell", "codes", q,
+        coarse2, cbs, k = 10, nProbe = 3)
+      .join(idx2c.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(bal2, Seq("cell"))
+      .select(col("vec_id"), col("adc_dist"),
+        col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("n_cells"), col("total_vecs"), col("skew_ppm"),
+        col("rebalance"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+  }
+
   /** Perceptual image dedup under the gate (q283): REAL pixel decode —
     * `javax.imageio` bound into the [[graft.multimodal.Multimodal
     * .decodePartitions]] seam — over a planted media corpus (one
@@ -2151,6 +2246,48 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** CROSS-FORMAT audio dedup under the gate (q293): a crawl's audio
+    * is bit-depth-diverse, so [[graft.multimodal.AudioSamples
+    * .decodeWav]] normalizes every RIFF variant — PCM8/16/24/32 and
+    * IEEE float32/64, plain or WAVE_FORMAT_EXTENSIBLE-wrapped — into
+    * ONE canonical 16-bit integer sample domain where the quantized
+    * fixture signal round-trips EXACTLY at every depth; the
+    * energy-envelope fingerprint then collapses the same recording
+    * across formats at hamming 0. The planted corpus: 24 PCM16
+    * originals, a PCM24-extensible stereo re-encode of every third, a
+    * float32 half-rate re-encode of every fourth, a PCM8 re-encode of
+    * every sixth, and one truncated payload surviving as a null row
+    * in-gate. Oracle: per-recording fingerprints restated as literals
+    * from the SAME fixed fixture bytes (driver-decoded through the
+    * same normalization), then the exhaustive all-pairs hamming join
+    * the chunk-pigeonhole stage is exact against. */
+  def audioCrossFormatQ(s: SparkSession, dir: String): DataFrame = {
+    val A = graft.multimodal.AudioSamples
+    val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+    val media = A.fixtureFrameDepth(ids, "doc_id", 65 * 60, 44100, "pcm16")
+      .unionByName(A.fixtureFrameDepth(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", 65 * 60, 44100, "pcm24", channels = 2, extensible = true,
+        idOffset = 100000L))
+      .unionByName(A.fixtureFrameDepth(ids.filter(col("doc_id") % 4 === 0),
+        "doc_id", 65 * 30, 22050, "f32", idOffset = 200000L))
+      .unionByName(A.fixtureFrameDepth(ids.filter(col("doc_id") % 6 === 0),
+        "doc_id", 65 * 60, 44100, "pcm8", idOffset = 300000L))
+      .unionByName(A.fixtureFrameDepth(ids.filter(col("doc_id") === 0),
+        "doc_id", 65 * 2, 8000, "pcm32", idOffset = 999999L,
+        truncateTo = 30))
+    val hashes = A.audioHashFrameAny(media, "media_id", "payload")
+      .localCheckpoint()
+    require(hashes.filter(col("ahash").isNull).count() == 1,
+      "audioCrossFormatQ: the corrupt payload must keep as one null row")
+    require(hashes.filter(col("fmt").isNotNull).select(col("fmt"))
+      .distinct().count() == 4,
+      "audioCrossFormatQ: all four planted formats must decode")
+    graft.functions.Dedup.simhashNearDups(
+        hashes.filter(col("ahash").isNotNull), "media_id", "ahash",
+        maxDist = 4, numChunks = 8, chunkBits = 8, simBits = 64)
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** GOLDEN-IMAGE consolidation under the gate (q291): perceptual
     * pairs → TRANSITIVE CLOSURE → one canonical image per cluster —
     * the q130 golden-records shape on the image modality, and the
@@ -2228,6 +2365,43 @@ object TrainingData {
     V.videoNearDupsFromHashes(hashes.filter(col("fhash").isNotNull),
         "media_id", k = 8, maxDist = 4)
       .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
+  /** DELTA-FRAME GIF compositing under the gate (q292): real optimized
+    * GIFs store partial frames + GIF89a disposal, so frame hashes must
+    * fingerprint what a PLAYER shows, not what a frame STORES.
+    * [[graft.multimodal.VideoFrames.sampledHashes]] replays the
+    * disposal spec onto a logical-screen canvas; the planted corpus is
+    * 10 full-frame encodes and 10 genuinely delta-encoded copies of
+    * the SAME content (frame 0 full, later frames store only a
+    * changing patch rect — asserted in-gate: the raw per-frame path
+    * diverges from the composited one, so compositing is load-bearing,
+    * and the delta payload is strictly smaller than its full-frame
+    * twin), plus one truncated payload surviving as a null row. The
+    * oracle restates every (video, position, hash) from the CONTENT
+    * frames directly — [[graft.multimodal.ImagePixels.dHash64]] over
+    * [[graft.multimodal.VideoFrames.deltaContentFrame]] renders,
+    * never through the GIF reader — so both encodes must land on the
+    * renderer-independent content fingerprint. */
+  def videoDeltaCompositeQ(s: SparkSession, dir: String): DataFrame = {
+    val V = graft.multimodal.VideoFrames
+    // compositing must be doing real work: the raw per-stored-frame
+    // path diverges on a delta encode, and the delta encode is
+    // materially smaller than the full-frame encode of the same content
+    val deltaBytes = V.deltaGifPayload(0L, 12, 72, 64)
+    require(V.sampledHashes(deltaBytes, 8, composite = false) !=
+      V.sampledHashes(deltaBytes, 8),
+      "videoDeltaCompositeQ: raw path must diverge on a delta encode")
+    require(deltaBytes.length < V.fullGifPayload(0L, 12, 72, 64).length,
+      "videoDeltaCompositeQ: the delta encode must actually be a delta")
+    val ids = docs(s, dir).filter(col("doc_id") < 10).select(col("doc_id"))
+    val media = V.deltaFixtureFrame(ids, "doc_id", 12, 72, 64, delta = false)
+      .unionByName(V.deltaFixtureFrame(ids, "doc_id", 12, 72, 64,
+        delta = true, idOffset = 100000L))
+      .unionByName(V.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", 4, 36, 32, idOffset = 999999L, truncateTo = 15))
+    V.videoHashFrame(media, "media_id", "payload", k = 8)
+      .orderBy(col("media_id"), col("sample_idx"))
   }
 
   /** Cross-format PIXEL-EXACT image dedup under the gate (q287): the
@@ -2722,6 +2896,8 @@ object TrainingData {
     "q289_tar_image_dedup"  -> tarImageDedupQ _,
     "q290_video_neardup"    -> videoNearDupQ _,
     "q291_golden_images"    -> goldenImagesQ _,
+    "q292_video_delta"      -> videoDeltaCompositeQ _,
+    "q293_audio_crossfmt"   -> audioCrossFormatQ _,
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
@@ -5199,6 +5375,32 @@ object TrainingData {
          |SELECT * FROM p WHERE n_matched >= 4
          |ORDER BY media_id_a, media_id_b""".stripMargin
     },
+    // every (video, sampled position, hash) restated from the CONTENT
+    // frames directly — dHash64 over the deltaContentFrame render,
+    // never through the GIF reader — so the composited decode of BOTH
+    // the full-frame and the delta encode must land on the same
+    // renderer-independent literal; the truncated payload keeps as the
+    // one null row
+    "q292_video_delta" -> {
+      val V = graft.multimodal.VideoFrames
+      val P = graft.multimodal.ImagePixels
+      val rows = (0L until 10L).flatMap { seed =>
+        val hs = (0 until 8).map { j =>
+          (j, P.dHash64(V.deltaContentFrame(seed, (j.toLong * 12 / 8).toInt,
+            72, 64)))
+        }
+        hs.map { case (j, fh) => (seed, 12, j, fh) } ++
+          hs.map { case (j, fh) => (seed + 100000L, 12, j, fh) }
+      }
+      val vals = rows.map { case (id, n, j, fh) =>
+        s"(CAST($id AS BIGINT), $n, $j, CAST($fh AS BIGINT))"
+      }.mkString(", ") +
+        ", (CAST(999999 AS BIGINT), CAST(NULL AS INTEGER), " +
+        "CAST(NULL AS INTEGER), CAST(NULL AS BIGINT))"
+      s"""WITH h(media_id, n_frames, sample_idx, fhash) AS (VALUES $vals)
+         |SELECT media_id, n_frames, sample_idx, fhash FROM h
+         |ORDER BY media_id, sample_idx""".stripMargin
+    },
     // the q283 literal-hash restatement verbatim: the tar round trip
     // is byte-exact, so the imported corpus decodes to the SAME hashes
     // and the same exhaustive pair set
@@ -5231,6 +5433,33 @@ object TrainingData {
             gainShift = 1)).get)
       val vals = rows.map { case (id, h) =>
         s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, ahash) AS (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
+    // per-recording fingerprints restated as literals from the SAME
+    // fixed multi-depth fixture bytes (driver-decoded through the same
+    // canonical-domain normalization), then the exhaustive all-pairs
+    // hamming join — every planted cross-format clone collides at 0
+    "q293_audio_crossfmt" -> {
+      val A = graft.multimodal.AudioSamples
+      def h(id: Long, seed: Long, n: Int, rate: Int, fmt: String,
+            ch: Int = 1, ext: Boolean = false): (Long, Long) =
+        id -> A.audioHashOfAny(
+          A.wavPayloadDepth(seed, n, rate, fmt, ch, ext)).get
+      val rows = (0L until 24L).map(s =>
+          h(s, s, 65 * 60, 44100, "pcm16")) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s =>
+          h(s + 100000L, s, 65 * 60, 44100, "pcm24", ch = 2, ext = true)) ++
+        (0L until 24L).filter(_ % 4 == 0).map(s =>
+          h(s + 200000L, s, 65 * 30, 22050, "f32")) ++
+        (0L until 24L).filter(_ % 6 == 0).map(s =>
+          h(s + 300000L, s, 65 * 60, 44100, "pcm8"))
+      val vals = rows.map { case (id, v) =>
+        s"(CAST($id AS BIGINT), CAST($v AS BIGINT))" }.mkString(", ")
       s"""WITH h(media_id, ahash) AS (VALUES $vals)
          |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
          | CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming

@@ -92,4 +92,102 @@ class AudioSamplesSpec extends SparkSpec {
     assert(want.size == 8)
     assert(want.forall { case (a, b, d) => b - a == 100000L && d == 0 })
   }
+
+  test("cross-format collapse: the same quantized signal re-encoded at " +
+      "every supported depth — plain or extensible header — hashes " +
+      "identically, and the PCM16 depth agrees with the legacy decoder") {
+    (0L until 6L).foreach { seed =>
+      val base = AudioSamples.audioHashOfAny(
+        AudioSamples.wavPayloadDepth(seed, 65 * 60, 44100, "pcm16")).get
+      // legacy PCM16 decoder sees the identical samples
+      assert(AudioSamples.audioHashOf(
+        AudioSamples.wavPayloadDepth(seed, 65 * 60, 44100, "pcm16"))
+        .contains(base), s"seed $seed: legacy/any drift")
+      for (fmt <- Seq("pcm8", "pcm24", "pcm32", "f32", "f64");
+           ext <- Seq(false, true)) {
+        val got = AudioSamples.audioHashOfAny(AudioSamples.wavPayloadDepth(
+          seed, 65 * 60, 44100, fmt, extensible = ext))
+        assert(got.contains(base), s"seed $seed fmt $fmt ext $ext")
+      }
+      // stereo + half-rate re-encodes collapse too (channel-sum and
+      // window-aligned-resample invariances carry over)
+      assert(AudioSamples.audioHashOfAny(AudioSamples.wavPayloadDepth(
+        seed, 65 * 30, 22050, "pcm24", channels = 2, extensible = true))
+        .contains(base), s"seed $seed stereo half-rate")
+    }
+  }
+
+  test("cross-format separation and keep paths: distinct seeds stay far; " +
+      "truncated, empty, and non-finite-float payloads are undecodable") {
+    val hs = (0L until 24L).map(s => AudioSamples.audioHashOfAny(
+      AudioSamples.wavPayloadDepth(s, 65 * 60, 44100, "pcm24")).get)
+    val minDist = (for {
+      i <- hs.indices; j <- hs.indices if i < j
+    } yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minDist > 8, s"cross-seed min hamming $minDist too small")
+    assert(AudioSamples.decodeWav(AudioSamples.wavPayloadDepth(
+      1L, 65 * 2, 8000, "pcm32", truncateTo = 30)).isEmpty)
+    assert(AudioSamples.decodeWav(null).isEmpty)
+    // a float WAV carrying NaN is adversarial input, not a crash
+    val nanWav = AudioSamples.wavPayloadDepth(1L, 65, 8000, "f32")
+    val bb = java.nio.ByteBuffer.wrap(nanWav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(44 + 8, Float.NaN)
+    assert(AudioSamples.decodeWav(nanWav).isEmpty)
+    // fmt surfaces per row; undecodables keep as null rows
+    val frame = AudioSamples.audioHashFrameAny(
+      Seq((1L, AudioSamples.wavPayloadDepth(5L, 65 * 60, 44100, "pcm8")),
+        (2L, nanWav)).toDF("media_id", "payload"), "media_id", "payload")
+      .collect().sortBy(_.getLong(0))
+    assert(frame(0).getString(4) == "pcm8" && frame(1).isNullAt(1))
+  }
+
+  test("adversarial chunk sizes terminate: a size field whose padded " +
+      "advance is zero or overruns the payload returns None, never spins") {
+    def wavWithChunkSize(size: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII"))
+      // one junk chunk with the adversarial size field
+      bb.put("JUNK".getBytes("US-ASCII")).putInt(size.toInt)
+      bb.put(new Array[Byte](24))
+      bb.array()
+    }
+    // 0xFFFFFFF8 and 0xFFFFFFF7: 8 + size + pad wraps to exactly 0 —
+    // pre-fix these spun the chunk walk forever (ADVICE r18)
+    for (size <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFFFL, 0x7FFFFFFFL)) {
+      val fut = scala.concurrent.Future(
+        AudioSamples.decodePcm16(wavWithChunkSize(size)))(
+        scala.concurrent.ExecutionContext.global)
+      val got = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(10, "s"))
+      assert(got.isEmpty, s"size $size")
+    }
+    // a plausible size that simply overruns the remaining bytes also
+    // rejects (corruption, not a hang source)
+    assert(AudioSamples.decodePcm16(wavWithChunkSize(1000L)).isEmpty)
+  }
+
+  test("a structurally valid WAV with an empty data chunk is " +
+      "undecodable — the keep path, never a poison-pill throw") {
+    // wavPayload(0 samples) is a legal RIFF with dataLen = 0
+    val empty = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(44100).putInt(88200)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(0)
+      bb.array()
+    }
+    assert(AudioSamples.decodePcm16(empty).isEmpty)
+    // and through the frame: a null-hash KEEP row, not a task failure
+    val rows = AudioSamples.audioHashFrame(
+      Seq((1L, empty)).toDF("media_id", "payload"), "media_id", "payload")
+      .collect()
+    assert(rows.length == 1 && rows(0).isNullAt(1))
+  }
 }

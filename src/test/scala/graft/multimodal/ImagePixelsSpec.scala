@@ -142,4 +142,28 @@ class ImagePixelsSpec extends SparkSpec {
     assert(want.size == 8) // each clone pairs its original, nothing else
     assert(want.forall { case (a, b, d) => b - a == 100000L && d == 0 })
   }
+
+  test("a decodable decompression-bomb image beyond the maxPixels fence " +
+      "routes to the null-hash keep path, never an executor throw") {
+    // an all-black 16390x16384 grayscale PNG: a few hundred KB of
+    // payload that decodes to 268.5M pixels — just over the 2^28 fence
+    val w = 16390
+    val h = 16384
+    assert(w.toLong * h > ImagePixels.maxPixels)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bomb = ImagePixels.encodeImage(img, "png")
+    assert(bomb.length < (1 << 21), "bomb payload should be small")
+    assert(ImagePixels.decode(bomb).isDefined, "the bomb DOES decode")
+    assert(ImagePixels.dHashOf(bomb).isEmpty)
+    assert(ImagePixels.pixelFingerprint(bomb).isEmpty)
+    val media = Seq((1L, bomb),
+      (2L, ImagePixels.fixturePayload(2L, 36, 32, "png")))
+      .toDF("media_id", "payload")
+    val dh = ImagePixels.dhashFrame(media, "media_id", "payload").collect()
+    assert(dh.count(_.isNullAt(1)) == 1 && dh.count(!_.isNullAt(1)) == 1)
+    val fp = ImagePixels.fingerprintFrame(media, "media_id", "payload")
+      .collect()
+    assert(fp.count(_.isNullAt(1)) == 1 && fp.count(!_.isNullAt(1)) == 1)
+  }
 }

@@ -75,4 +75,92 @@ class VideoFramesSpec extends SparkSpec {
     assert(want.contains((0L, 100L, 8L)))
     assert(want.contains((1L, 201L, 4L)))
   }
+
+  test("delta-frame GIFs composite to the full-frame encode of the same " +
+      "content; the raw path diverges; the delta encode is smaller") {
+    (0L until 4L).foreach { seed =>
+      val delta = VideoFrames.deltaGifPayload(seed, 12, 72, 64)
+      val full = VideoFrames.fullGifPayload(seed, 12, 72, 64)
+      assert(delta.length < full.length, s"seed $seed: not a real delta")
+      val dh = VideoFrames.sampledHashes(delta, 8)
+      val fh = VideoFrames.sampledHashes(full, 8)
+      assert(dh == fh, s"seed $seed: composited decode diverged")
+      // and both equal the renderer-level content fingerprint
+      val content = (0 until 8).map(j => ImagePixels.dHash64(
+        VideoFrames.deltaContentFrame(seed, (j.toLong * 12 / 8).toInt,
+          72, 64)))
+      assert(fh.get._2 == content, s"seed $seed: content drift")
+      // the raw per-stored-frame path hashes the PATCH, not the screen
+      assert(VideoFrames.sampledHashes(delta, 8, composite = false) != dh,
+        s"seed $seed: raw path should diverge on a delta encode")
+    }
+  }
+
+  test("restoreToBackgroundColor clears the frame rect; restoreToPrevious " +
+      "rewinds the canvas — per the GIF89a disposal spec") {
+    val base = VideoFrames.deltaContentFrame(3L, 0, 72, 64)
+    val patch = ImagePixels.renderImage(991L, 24, 21)
+    // frame 0 shows base then clears the patch rect to black; frame 1
+    // is a 1x1 no-op so the cleared canvas is observable at a sample
+    val bg = VideoFrames.encodeDeltaGif(72, 64, Seq(
+      VideoFrames.DeltaFrame(base, 0, 0, "restoreToBackgroundColor"),
+      VideoFrames.DeltaFrame(ImagePixels.renderImage(5L, 1, 1), 0, 0,
+        "doNotDispose")))
+    val bgHs = VideoFrames.sampledHashes(bg, 2).get._2
+    val expectCleared = {
+      val img = VideoFrames.deltaContentFrame(3L, 0, 72, 64)
+      val g = img.createGraphics()
+      try {
+        g.setColor(java.awt.Color.BLACK)
+        g.fillRect(0, 0, 72, 64)
+      } finally g.dispose()
+      val pg = img.createGraphics()
+      try pg.drawImage(ImagePixels.renderImage(5L, 1, 1), 0, 0, null)
+      finally pg.dispose()
+      ImagePixels.dHash64(img)
+    }
+    assert(bgHs(0) == ImagePixels.dHash64(base))
+    assert(bgHs(1) == expectCleared)
+    // restoreToPrevious: an overlay flash frame leaves no trace
+    val flash = VideoFrames.encodeDeltaGif(72, 64, Seq(
+      VideoFrames.DeltaFrame(base, 0, 0, "doNotDispose"),
+      VideoFrames.DeltaFrame(patch, 9, 7, "restoreToPrevious"),
+      VideoFrames.DeltaFrame(ImagePixels.renderImage(5L, 1, 1), 0, 0,
+        "doNotDispose")))
+    val fHs = VideoFrames.sampledHashes(flash, 3).get._2
+    assert(fHs(0) == ImagePixels.dHash64(base))
+    assert(fHs(0) != fHs(1), "the flash frame must show the overlay")
+    val basePlusDot = {
+      val img = VideoFrames.deltaContentFrame(3L, 0, 72, 64)
+      val g = img.createGraphics()
+      try g.drawImage(ImagePixels.renderImage(5L, 1, 1), 0, 0, null)
+      finally g.dispose()
+      ImagePixels.dHash64(img)
+    }
+    assert(fHs(2) == basePlusDot, "restoreToPrevious must rewind the flash")
+  }
+
+  test("corrupt-metadata keep path: truncated delta payloads and non-GIF " +
+      "bytes survive as one null row; streams do not leak on either path") {
+    val delta = VideoFrames.deltaGifPayload(1L, 6, 36, 32)
+    assert(VideoFrames.sampledHashes(delta.take(30), 4).isEmpty)
+    // mid-stream truncation SALVAGES the complete leading frames (no
+    // crash, no hang): whatever n the reader reports, every sampled
+    // hash equals the composited content at that position
+    VideoFrames.sampledHashes(delta.take(delta.length / 2), 4) match {
+      case Some((n, hs)) =>
+        assert(n >= 1 && n < 6)
+        hs.zipWithIndex.foreach { case (fh, j) =>
+          val f = (j.toLong * n / 4).toInt
+          assert(fh == ImagePixels.dHash64(
+            VideoFrames.deltaContentFrame(1L, f, 36, 32)), s"pos $j")
+        }
+      case None => () // full rejection is also a valid keep path
+    }
+    val rows = VideoFrames.videoHashFrame(
+      Seq((1L, delta), (2L, delta.take(30))).toDF("media_id", "payload"),
+      "media_id", "payload", k = 4).collect()
+    assert(rows.count(_.isNullAt(3)) == 1)
+    assert(rows.count(!_.isNullAt(3)) == 4)
+  }
 }
