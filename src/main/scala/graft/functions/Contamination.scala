@@ -38,17 +38,33 @@ object Contamination {
     */
   def overlapReport(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
-                    n: Int = 8): DataFrame = {
-    val benchShingles = bench
+                    n: Int = 8): DataFrame =
+    overlapReportFromShingles(corpus, idCol, textCol,
+      benchShingleSet(bench, benchTextCol, n), "_g_sh", n)
+
+  /** The benchmark's distinct shingle set — the standing artifact a
+    * STREAMING decontamination gate persists once and probes per
+    * micro-batch ([[graft.streaming.StreamContamination]]). */
+  def benchShingleSet(bench: DataFrame, benchTextCol: String,
+                      n: Int = 8): DataFrame =
+    bench
       .select(TextAnalysis.tokens(lower(col(benchTextCol))).as("_g_toks"))
       .select(explode(shinglesFromTokens(col("_g_toks"), n)).as("_g_sh"))
       .distinct()
+
+  /** [[overlapReport]] against an ALREADY-MATERIALIZED benchmark
+    * shingle set (one column `shingleCol`, distinct) — the single
+    * definition both the batch and the streaming gates share. */
+  def overlapReportFromShingles(corpus: DataFrame, idCol: String,
+                                textCol: String, benchShingles: DataFrame,
+                                shingleCol: String, n: Int = 8): DataFrame = {
+    val bs = benchShingles.select(col(shingleCol).as("_g_sh"))
       .withColumn("_g_hit", lit(1))
     val docShingles = corpus
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_g_toks"))
       .select(col(idCol), explode(shinglesFromTokens(col("_g_toks"), n)).as("_g_sh"))
     docShingles
-      .join(broadcast(benchShingles), Seq("_g_sh"), "left")
+      .join(broadcast(bs), Seq("_g_sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         count(col("_g_hit")).as("n_hits"))

@@ -44,9 +44,14 @@ object TarShards {
     * payload still lands (alone in its shard) rather than failing the
     * export. */
   def writeTarShards(df: DataFrame, idCol: String, payloadCol: String,
-                     outDir: String, shardBytes: Long): DataFrame = {
+                     outDir: String, shardBytes: Long,
+                     metaCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val sized = df.select(col(idCol), col(payloadCol))
+    // optional caller-authored sidecar JSON (e.g. the caption half of an
+    // image-text pair — WebDataset samples carry BOTH modalities);
+    // default stays the writer's {"id", "n_bytes"} stamp
+    val metaSel = metaCol.map(c => col(c).cast("string")).toSeq
+    val sized = df.select(col(idCol) +: col(payloadCol) +: metaSel: _*)
       .withColumn("_graft_w", coalesce(length(col(payloadCol)), lit(0)))
     val packed = Sharding.packShards(sized, idCol, "_graft_w", shardBytes)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -56,7 +61,8 @@ object TarShards {
       StructField("n_samples", LongType),
       StructField("data_bytes", LongType)))
     val rows = packed
-      .select(col("shard_id"), col(idCol), col(payloadCol))
+      .select(col("shard_id") +: col(idCol) +: col(payloadCol) +:
+        metaCol.map(c => col(c)).toSeq: _*)
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col(idCol))
       .rdd.mapPartitions { it =>
@@ -85,9 +91,10 @@ object TarShards {
           }
           val key = "%012d".format(id)
           cur.addEntry(s"$key.bin", payload)
-          cur.addEntry(s"$key.json",
-            s"""{"id": $id, "n_bytes": ${payload.length}}"""
-              .getBytes(UTF_8))
+          val meta =
+            if (r.size > 3 && !r.isNullAt(3)) r.getString(3)
+            else s"""{"id": $id, "n_bytes": ${payload.length}}"""
+          cur.addEntry(s"$key.json", meta.getBytes(UTF_8))
           n += 1
           bytes += payload.length
         }

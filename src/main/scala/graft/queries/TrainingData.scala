@@ -2216,6 +2216,63 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** STREAMING contamination gate under the gate (q295): benchmark
+    * decontamination as ADMISSION CONTROL — each micro-batch of
+    * documents probes the standing benchmark shingle set
+    * ([[graft.streaming.StreamContamination]]) BEFORE landing;
+    * contaminated docs quarantine by wave (written, never silently
+    * dropped), clean docs admit, and the per-document report lands
+    * beside both. Two waves (doc_id < 30, then 30–59) drain against a
+    * benchmark of every 7th document; a third run must be a no-op
+    * (replay safety), and the union of streamed per-wave reports must
+    * EQUAL the batch [[graft.functions.Contamination.overlapReport]]
+    * over the same corpus (required in-gate both directions — the
+    * admission decision depends only on frozen benchmark state, so
+    * wave slicing cannot change it). The oracle restates the shingle
+    * overlap, the wave split, and both flags in SQL. */
+  def streamContaminationQ(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.withTempDir("graft_q295") { base =>
+      val d = docs(s, dir).persist()
+      releasing(d) {
+        val src = s"$base/landing"
+        graft.streaming.StreamContamination.seedBenchmark(s,
+          d.filter(col("doc_id") % 7 === 0), "text", s"$base/state")
+        val w1 = d.filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("text"))
+        val w2 = d.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+          .select(col("doc_id"), col("text"))
+        def run(): Long = graft.streaming.StreamContamination
+          .runAvailableNow(s, src, w1.schema, "doc_id", "text",
+            s"$base/state", s"$base/ckpt")
+        w1.coalesce(1).write.mode("append").parquet(src)
+        require(run() == 1L, "streamContaminationQ: wave 1 != one batch")
+        w2.coalesce(1).write.mode("append").parquet(src)
+        require(run() == 1L, "streamContaminationQ: wave 2 != one batch")
+        require(run() <= 1L, "streamContaminationQ: replay must be a no-op")
+        val reports = s.read.parquet(s"$base/state/reports")
+          .localCheckpoint()
+        // wave slicing must be invisible: streamed reports ≡ the batch
+        // operator over the union corpus
+        val batchReport = Contamination.overlapReport(
+          d.filter(col("doc_id") < 60), "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", n = 8)
+        val streamed = reports.select(col("doc_id"), col("n_shingles"),
+          col("n_hits"), col("contam_frac"), col("contaminated"))
+        require(streamed.exceptAll(batchReport).isEmpty &&
+          batchReport.exceptAll(streamed).isEmpty,
+          "streamContaminationQ: streamed reports diverge from batch")
+        val admitted = s.read.parquet(s"$base/state/admitted")
+          .select(col("doc_id"), lit(true).as("admitted"))
+        reports.join(admitted, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("batch_id").cast("long").as("wave"),
+            col("n_shingles"), col("n_hits"), col("contam_frac"),
+            col("contaminated"),
+            coalesce(col("admitted"), lit(false)).as("admitted"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      }
+    }
+
   /** Perceptual AUDIO dedup under the gate (q288): real WAV PCM16
     * decode ([[graft.multimodal.AudioSamples]] — dependency-free RIFF
     * chunk walk, exact channel-sum mono mix) over a planted recording
@@ -2571,6 +2628,92 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** IMAGE-TEXT pair curation under the gate (q296): what a multimodal
+    * training pipeline actually runs over WebDataset shards — a
+    * (caption, image) pair is redundant when EITHER modality
+    * duplicates an already-kept pair, and the drop decision must be
+    * taken over the TRANSITIVE closure of both edge sets (A shares an
+    * image with O, B shares a caption with A ⇒ O, A, B are one unit
+    * even though A–B share nothing directly — asserted in-gate: the
+    * planted cross-modal triple has no direct A–B edge in either pair
+    * set, yet lands in one cluster). The corpus round-trips through
+    * real tar shards with the caption riding the sample's JSON sidecar
+    * ([[graft.multimodal.TarShards.writeTarShards]] `metaCol`), then
+    * [[graft.multimodal.ImagePixels.imageNearDups]] (dHash ≤ 4) and
+    * [[graft.functions.Dedup.minhashNearDups]] (char-7 shingles,
+    * Jaccard ≥ 0.95) generate the two modality edge sets, and
+    * [[graft.operators.Components.assignClusters]] takes the joint
+    * min-id keep decision. Oracle: image hashes restated as literals
+    * from the fixed fixture bytes, caption Jaccard restated from the
+    * documents table, closure via the recursive reach CTE. */
+  def pairCurationQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q296") { base =>
+      val P = graft.multimodal.ImagePixels
+      val d = docs(s, dir).persist()
+      releasing(d) {
+        val ids = d.filter(col("doc_id") < 24).select(col("doc_id"))
+        // originals: image seed = caption doc = pair id
+        val originals = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
+          .withColumn("cap_doc", col("media_id"))
+        // image-dup wave: same picture re-encoded, FRESH caption
+        val imageDups = P.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+            "doc_id", 144, 128, "bmp", shift = 3, idOffset = 100000L)
+          .withColumn("cap_doc", col("media_id") - 100000L + 24L)
+        // text-dup wave: fresh picture, caption EQUAL to the original's
+        val textDups = P.fixtureFrame(ids.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 500L).as("doc_id")),
+            "doc_id", 72, 64, "png", idOffset = 200000L - 500L)
+          .withColumn("cap_doc", col("media_id") - 200000L)
+        val pairs = originals.unionByName(imageDups).unionByName(textDups)
+          .withColumnRenamed("media_id", "pair_id")
+          .join(d.select(col("doc_id").as("cap_doc"),
+            col("text").as("caption")), Seq("cap_doc"))
+          .withColumn("meta", to_json(struct(col("pair_id").as("id"),
+            col("caption"))))
+        graft.multimodal.TarShards.writeTarShards(pairs, "pair_id",
+          "payload", s"$base/shards", shardBytes = 65536L,
+          metaCol = Some("meta"))
+        val imported = graft.multimodal.TarShards
+          .readTarShards(s, s"$base/shards")
+          .select(col("key").cast("long").as("pair_id"), col("payload"),
+            get_json_object(col("meta_json"), "$.caption").as("caption"))
+          .localCheckpoint() // both modality passes read it
+        require(imported.count() == 38L,
+          "pairCurationQ: expected all 38 pairs back from the shards")
+        val imgPairs = P.imageNearDups(imported, "pair_id", "payload",
+          maxDist = 4).localCheckpoint()
+        val txtPairs = Dedup.minhashNearDups(
+          imported.select(col("pair_id"), col("caption")), "pair_id",
+          "caption", shingleSize = 7, numHashes = 32, bands = 8,
+          threshold = 0.95).localCheckpoint()
+        // the planted cross-modal triple: 0–100000 only via image,
+        // 0–200000 only via text, and NO direct 100000–200000 edge
+        def has(df2: DataFrame, a: Long, b: Long): Boolean =
+          df2.filter(col("pair_id_a") === a && col("pair_id_b") === b)
+            .count() == 1
+        require(has(imgPairs, 0L, 100000L) && !has(txtPairs, 0L, 100000L),
+          "pairCurationQ: 0-100000 must pair through the image only")
+        require(has(txtPairs, 0L, 200000L) && !has(imgPairs, 0L, 200000L),
+          "pairCurationQ: 0-200000 must pair through the caption only")
+        require(!has(imgPairs, 100000L, 200000L) &&
+          !has(txtPairs, 100000L, 200000L),
+          "pairCurationQ: the cross-modal pair must have no direct edge")
+        val edges = imgPairs.select(col("pair_id_a"), col("pair_id_b"))
+          .unionByName(txtPairs.select(col("pair_id_a"), col("pair_id_b")))
+        val clusters = graft.operators.Components.assignClusters(
+          imported.select(col("pair_id")), "pair_id", edges,
+          "pair_id_a", "pair_id_b")
+        require(clusters.filter(col("pair_id").isin(0L, 100000L, 200000L))
+          .select(col("cluster_id")).distinct().count() == 1,
+          "pairCurationQ: the cross-modal triple must close into one unit")
+        clusters
+          .select(col("pair_id"), col("cluster_id"),
+            (col("pair_id") === col("cluster_id")).as("keep"))
+          .orderBy(col("pair_id"))
+          .localCheckpoint()
+      }
+    }
+
   /** Token-budget corpus selection under the gate (q181): keep the
     * LONGEST documents until they hold 60% of total corpus chars —
     * [[graft.functions.Sampling.massBudgetSelect]] over the
@@ -2898,7 +3041,13 @@ object TrainingData {
     "q291_golden_images"    -> goldenImagesQ _,
     "q292_video_delta"      -> videoDeltaCompositeQ _,
     "q293_audio_crossfmt"   -> audioCrossFormatQ _,
+    "q295_stream_contam"    -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamState.withStatePartitions(s, 8) {
+        streamContaminationQ(s, dir)
+      }),
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
+    "q294_ivfpq_rebalance"  -> ivfPqRebalanceQ _,
+    "q296_pair_curation"    -> pairCurationQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -3967,6 +4116,107 @@ object TrainingData {
         | r.n_vecs, r.n_cells, r.total_vecs, r.skew_ppm, r.rebalance
         |FROM top t JOIN assign a USING (vec_id)
         | JOIN rep r ON r.cell0 = a.cell0
+        |ORDER BY t.adc_dist, t.vec_id""".stripMargin,
+    // the whole post-split chain restated from scratch: synthetic
+    // clustered vectors, argmin coarse assignment, the 21/20 fence
+    // picking the hot cell, iters=0 sub-centroids (the hot cell's two
+    // lowest-id rows), the spliced 5-centroid table, residual PQ codes,
+    // probe/ADC serve for the lobe-1 query, and the quiet post-split
+    // fence — the engine's spliced index must equal this full rebuild
+    "q294_ivfpq_rebalance" ->
+      """WITH ids AS (SELECT vec_id FROM embeddings
+        | UNION ALL SELECT vec_id + 10000000 FROM embeddings
+        | WHERE vec_id % 4 = 3),
+        |v AS (SELECT vec_id, list_transform(range(1, 9), i ->
+        |    (vec_id % 4) * 100.0
+        |    + (CASE WHEN vec_id % 8 = 7 THEN 10.0 ELSE 0.0 END)
+        |    + ((vec_id * 37 + i * 101) % 19) / 16.0) AS emb FROM ids),
+        |c0 AS (SELECT unnest(range(0, 4)) AS cell0),
+        |c0v AS (SELECT cell0, list_transform(range(1, 9), i ->
+        |    cell0 * 100.0 + 0.5) AS emb FROM c0),
+        |assign0 AS (SELECT vec_id, emb, cell0 FROM (
+        |  SELECT b.vec_id, b.emb, c.cell0,
+        |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 9), i ->
+        |       (b.emb[i] - c.emb[i]) * (b.emb[i] - c.emb[i]))),
+        |     c.cell0) AS rk
+        |  FROM v b, c0v c) WHERE rk = 1),
+        |rv0 AS (SELECT a.vec_id, list_transform(range(1, 9), i ->
+        |    a.emb[i] - c.emb[i]) AS r
+        |  FROM assign0 a JOIN c0v c USING (cell0)
+        |  WHERE a.vec_id < 10000000),
+        |cbr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, r
+        |  FROM (SELECT vec_id, r FROM rv0 ORDER BY vec_id LIMIT 4)),
+        |cnt1 AS (SELECT cell0, CAST(count(*) AS BIGINT) AS n
+        |         FROM assign0 GROUP BY 1),
+        |hot AS (SELECT cell0 FROM cnt1,
+        |  (SELECT CAST(sum(n) AS BIGINT) t, CAST(count(*) AS BIGINT) k
+        |   FROM cnt1)
+        |  WHERE n::HUGEINT * k * 20 >= t::HUGEINT * 21),
+        |subs AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, emb
+        |  FROM (SELECT a.vec_id, a.emb FROM assign0 a JOIN hot
+        |          USING (cell0)
+        |        ORDER BY a.vec_id LIMIT 2)),
+        |c1 AS (SELECT cell0 AS cellg, emb FROM c0v
+        |        WHERE cell0 NOT IN (SELECT cell0 FROM hot)
+        |       UNION ALL SELECT (SELECT cell0 FROM hot), emb FROM subs
+        |        WHERE sid = 0
+        |       UNION ALL SELECT 4, emb FROM subs WHERE sid = 1),
+        |assign1 AS (SELECT vec_id, emb, cellg FROM (
+        |  SELECT b.vec_id, b.emb, c.cellg,
+        |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |     list_sum(list_transform(range(1, 9), i ->
+        |       (b.emb[i] - c.emb[i]) * (b.emb[i] - c.emb[i]))),
+        |     c.cellg) AS rk
+        |  FROM v b, c1 c) WHERE rk = 1),
+        |rv1 AS (SELECT a.vec_id, a.cellg, list_transform(range(1, 9), i ->
+        |    a.emb[i] - c.emb[i]) AS r
+        |  FROM assign1 a JOIN c1 c USING (cellg)),
+        |sp AS (SELECT unnest(range(0, 4)) AS s),
+        |d AS (SELECT rv1.vec_id, rv1.cellg, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (rv1.r[2*sp.s + i] - cbr.r[2*sp.s + i])
+        |    * (rv1.r[2*sp.s + i] - cbr.r[2*sp.s + i]))) AS dd
+        | FROM rv1, sp, cbr),
+        |best AS (SELECT vec_id, cellg, s, cid FROM (
+        |  SELECT vec_id, cellg, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, cid)
+        |     AS rk
+        |  FROM d) WHERE rk = 1),
+        |q AS (SELECT emb FROM v WHERE vec_id = 7),
+        |probe AS (SELECT c.cellg FROM c1 c, q
+        | ORDER BY list_sum(list_transform(range(1, 9), i ->
+        |    (q.emb[i] - c.emb[i]) * (q.emb[i] - c.emb[i]))), c.cellg
+        | LIMIT 3),
+        |lut AS (SELECT c.cellg, sp.s, cbr.cid,
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    ((q.emb[2*sp.s + i] - c.emb[2*sp.s + i]) - cbr.r[2*sp.s + i])
+        |    * ((q.emb[2*sp.s + i] - c.emb[2*sp.s + i])
+        |       - cbr.r[2*sp.s + i]))) AS dd
+        | FROM c1 c, sp, cbr, q
+        | WHERE c.cellg IN (SELECT cellg FROM probe)),
+        |pervec AS (SELECT b.vec_id,
+        |  list_sum(list(l.dd ORDER BY b.s)) AS adc_dist
+        | FROM best b JOIN lut l
+        |   ON l.cellg = b.cellg AND l.s = b.s AND l.cid = b.cid
+        | WHERE b.cellg IN (SELECT cellg FROM probe)
+        | GROUP BY b.vec_id),
+        |top AS (SELECT vec_id, adc_dist FROM pervec
+        |        ORDER BY adc_dist, vec_id LIMIT 10),
+        |cnt2 AS (SELECT cellg, CAST(count(*) AS BIGINT) AS n_vecs
+        |         FROM assign1 GROUP BY 1),
+        |tt2 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total_vecs,
+        |        CAST(count(*) AS BIGINT) AS n_cells FROM cnt2),
+        |rep AS (SELECT cellg, n_vecs, n_cells, total_vecs,
+        |  CAST(n_vecs::HUGEINT * n_cells * 1000000 // total_vecs
+        |    AS BIGINT) AS skew_ppm,
+        |  n_vecs::HUGEINT * n_cells * 20 >= total_vecs::HUGEINT * 21
+        |    AS rebalance
+        | FROM cnt2, tt2)
+        |SELECT t.vec_id, t.adc_dist, CAST(a.cellg + 1 AS BIGINT) AS cell,
+        | r.n_vecs, r.n_cells, r.total_vecs, r.skew_ppm, r.rebalance
+        |FROM top t JOIN assign1 a USING (vec_id)
+        | JOIN rep r ON r.cellg = a.cellg
         |ORDER BY t.adc_dist, t.vec_id""".stripMargin,
     "q147_ivfpq_topk" ->
       """WITH sm AS (SELECT vec_id, embedding,
@@ -5175,6 +5425,25 @@ object TrainingData {
          | n_hits::DOUBLE / n_shingles::DOUBLE AS contam_frac,
          | n_hits > 0 AS contaminated
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // the q66 shingle-overlap machinery + the wave split and both
+    // admission flags: wave = which landing batch carried the doc,
+    // admitted ≡ zero benchmark hits (maxFrac = 0)
+    "q295_stream_contam" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         | FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM tk),
+         |bs AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+         |ds AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id < 60),
+         |agg AS (
+         | SELECT ds.doc_id, count(*) AS n_shingles, count(bs.g) AS n_hits
+         | FROM ds LEFT JOIN bs ON ds.g = bs.g GROUP BY ds.doc_id)
+         |SELECT doc_id,
+         | CAST(CASE WHEN doc_id < 30 THEN 0 ELSE 1 END AS BIGINT) AS wave,
+         | n_shingles, n_hits,
+         | n_hits::DOUBLE / n_shingles::DOUBLE AS contam_frac,
+         | n_hits > 0 AS contaminated, n_hits = 0 AS admitted
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // PII injection restated, then the same three-regex redact + counts.
     "q67_pii_redact" ->
       s"""WITH p AS (
@@ -5318,6 +5587,57 @@ object TrainingData {
     // literal hashes -> pair fence -> transitive closure as a recursive
     // CTE with min-label clusters (the q56/q130 pattern): the planted
     // O~X~Y chain merges only through the closure
+    // both modality pair sets in one statement — image hashes as
+    // literals from the fixed fixture bytes, caption Jaccard from the
+    // documents table via the q27 shingle machinery — then the joint
+    // transitive closure and the min-id keep rule
+    "q296_pair_curation" -> {
+      val P = graft.multimodal.ImagePixels
+      val rows = (0L until 24L).map(s =>
+          s -> P.dHashOf(P.fixturePayload(s, 72, 64, "png")).get) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+          P.dHashOf(P.fixturePayload(s, 144, 128, "bmp", shift = 3)).get) ++
+        (0L until 24L).filter(_ % 4 == 0).map(s => (s + 200000L) ->
+          P.dHashOf(P.fixturePayload(s + 500L, 72, 64, "png")).get)
+      val vals = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      s"""WITH RECURSIVE img(pair_id, dhash) AS (VALUES $vals),
+         |cap AS (
+         | SELECT doc_id AS pair_id, doc_id AS cap_doc FROM documents
+         |  WHERE doc_id < 24
+         | UNION ALL SELECT doc_id + 100000, doc_id + 24 FROM documents
+         |  WHERE doc_id < 24 AND doc_id % 3 = 0
+         | UNION ALL SELECT doc_id + 200000, doc_id FROM documents
+         |  WHERE doc_id < 24 AND doc_id % 4 = 0),
+         |ct AS (SELECT c.pair_id, lower(d.text) AS t
+         |       FROM cap c JOIN documents d ON d.doc_id = c.cap_doc),
+         |g AS (SELECT pair_id,
+         |  list_distinct(list_transform(
+         |    range(1, greatest(length(t) - 6, 1) + 1),
+         |    i -> substring(t, CAST(i AS INT), 7))) AS sh
+         | FROM ct),
+         |tp AS (SELECT a.pair_id AS u, b.pair_id AS v
+         | FROM g a JOIN g b ON a.pair_id < b.pair_id
+         | WHERE len(a.sh) >= 0.95 * len(b.sh)
+         |   AND len(b.sh) >= 0.95 * len(a.sh)
+         |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / greatest(len(a.sh) + len(b.sh)
+         |                - len(list_intersect(a.sh, b.sh)), 1) >= 0.95),
+         |ip AS (SELECT a.pair_id AS u, b.pair_id AS v
+         | FROM img a JOIN img b ON a.pair_id < b.pair_id
+         |  AND bit_count(xor(a.dhash, b.dhash)) <= 4),
+         |e0 AS (SELECT u, v FROM ip UNION SELECT u, v FROM tp),
+         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach(id, lbl) AS (
+         | SELECT pair_id, pair_id FROM cap
+         | UNION
+         | SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+         |cl AS (SELECT id AS pair_id, CAST(min(lbl) AS BIGINT)
+         |         AS cluster_id
+         |       FROM reach GROUP BY id)
+         |SELECT pair_id, cluster_id, pair_id = cluster_id AS keep
+         |FROM cl ORDER BY pair_id""".stripMargin
+    },
     "q291_golden_images" -> {
       val P = graft.multimodal.ImagePixels
       val rows = (0L until 24L).map(s =>

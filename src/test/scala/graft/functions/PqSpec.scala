@@ -244,6 +244,81 @@ class PqSpec extends SparkSpec {
     assert(serve(ixAB) == serve(ixBA))
   }
 
+  test("ivfPqRebalance: the flagged cell splits on its own lobes, only " +
+      "its rows re-encode, the spliced index equals a full rebuild, the " +
+      "fence goes quiet, and wave order never changes the outcome") {
+    // planted geometry: cluster = id % 4 (centers 100 apart/dim), the
+    // hot cluster 3 bimodal (ids ≡ 7 mod 8 sit +10 away), exact dyadic
+    // jitter — the q294 fixture in miniature
+    def vec(id: Long): Seq[Float] = (1 to 8).map { i =>
+      ((id % 4) * 100.0 + (if (id % 8 == 7) 10.0 else 0.0)
+        + ((id * 37 + i * 101) % 19) / 16.0).toFloat }
+    def frame(ids: Seq[Long]) = ids.map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val base = frame(0L until 120L)
+    // two clone waves of the hot cluster, one per lobe; the +10M/+20M
+    // offsets preserve id mod 4 and mod 8, so clones stay in-lobe
+    val waveA = frame((0L until 120L).filter(_ % 8 == 3).map(_ + 10000000L))
+    val waveB = frame((0L until 120L).filter(_ % 8 == 7).map(_ + 20000000L))
+    val coarse = Seq.tabulate(4)(j => Seq.fill(8)(j * 100.0 + 0.5))
+    val big = 1 << 20
+    val cbs = Similarity.ivfPqCodebooks(base, "embedding", "vec_id",
+      coarse, m = m, ksub = 8, iters = 0, sampleN = big)
+    val idx0 = Similarity.ivfPqEncode(
+        base.select($"vec_id", $"embedding"), "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val c0 = Similarity.ivfPqCellCounts(idx0, "cell")
+    def rebalanced(waves: Seq[org.apache.spark.sql.DataFrame]) = {
+      val (ix, ct) = waves.foldLeft((idx0, c0)) { case ((i, c), w) =>
+        Similarity.ivfPqMaintain(i, c, w, "vec_id", "embedding",
+          "cell", "codes", coarse, cbs)
+      }
+      val flagged = Similarity.ivfPqCellBalance(ct, "cell", 21L, 20L)
+        .filter($"rebalance").select($"cell")
+        .collect().map(_.getInt(0)).toSeq.sorted
+      assert(flagged == Seq(4), s"fence must flag cell 4, got $flagged")
+      val source = base.unionByName(waves.reduce(_.unionByName(_)))
+      val (coarse2, ix2) = Similarity.ivfPqRebalance(ix.localCheckpoint(),
+        "vec_id", "cell", "codes", source, "embedding", coarse, cbs,
+        flagged, splitK = 2, iters = 0, sampleN = big)
+      (ix.localCheckpoint(), coarse2, ix2.localCheckpoint(), source)
+    }
+    val (pre, coarse2, spliced, source) = rebalanced(Seq(waveA, waveB))
+    val (_, coarse2r, splicedR, _) = rebalanced(Seq(waveB, waveA))
+    // wave-order invariance: identical split centroids and rows
+    assert(coarse2 == coarse2r)
+    assert(spliced.exceptAll(splicedR).isEmpty &&
+      splicedR.exceptAll(spliced).isEmpty)
+    // the split landed on the two planted lobes (sub-centroids are the
+    // hot cell's two lowest-id rows: id 3 = lobe 0, id 7 = lobe 1)
+    assert(coarse2.size == 5)
+    assert(coarse2(3) == vec(3L).map(_.toDouble).toSeq)
+    assert(coarse2(4) == vec(7L).map(_.toDouble).toSeq)
+    // untouched cells' code rows are byte-identical
+    val before = pre.filter($"cell" =!= 4)
+    val after = spliced.filter($"cell" =!= 4 && $"cell" =!= 5)
+    assert(before.exceptAll(after).isEmpty &&
+      after.exceptAll(before).isEmpty)
+    // spliced == full rebuild against the split coarse list
+    val full = Similarity.ivfPqEncode(
+        source.select($"vec_id", $"embedding"), "embedding", coarse2, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    assert(spliced.exceptAll(full).isEmpty && full.exceptAll(spliced)
+      .isEmpty)
+    // serving equivalence and the quiet fence
+    val query = vec(7L).map(_.toDouble)
+    def serve(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKFromIndex(ix, "vec_id", "cell", "codes",
+          query, coarse2, cbs, k = 10, nProbe = 3)
+        .as[(Long, Double)].collect().toSeq
+    assert(serve(spliced) == serve(full) && serve(spliced).nonEmpty)
+    assert(Similarity.ivfPqCellBalance(
+        Similarity.ivfPqCellCounts(spliced, "cell"), "cell", 21L, 20L)
+      .filter($"rebalance").count() == 0)
+  }
+
   test("ivfPqCellBalance: exact ppm and cross-multiplied fence on " +
       "hand-checked counts") {
     val counts = Seq((1, 60L), (2, 30L), (3, 10L)).toDF("cell", "n_vecs")
