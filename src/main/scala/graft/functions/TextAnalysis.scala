@@ -125,6 +125,30 @@ object TextAnalysis {
   def cleanText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
 
+  /** Full HTML → text extraction for crawl ingest ([[cleanText]] plus
+    * the parts a real page needs): `<script>`/`<style>` blocks drop
+    * WHOLE (their contents are code, not text — a tag-strip alone
+    * would leak JavaScript into the corpus), remaining tags → space,
+    * the six ubiquitous character entities decode (`&amp;` LAST so
+    * `&amp;lt;` stays the literal `&lt;` the author wrote), then
+    * whitespace collapses. Pure codegen'd regexp/replace chain —
+    * RE2-compatible patterns (non-greedy, (?is), no backrefs), so the
+    * DuckDB oracle restates it verbatim. */
+  def htmlText(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, "(?is)<script.*?</script>", " "),
+      "(?is)<style.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (col0, (ent, ch)) =>
+      replace(col0, lit(ent), lit(ch)) // literal, not regex — and the
+                                       // same builtin DuckDB restates
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   private val P = 1000000007L
 
   /** Order-sensitive rolling token hash (polynomial, mod 1e9+7). ANSI-safe:

@@ -2628,6 +2628,64 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** WARC crawl ingest under the gate (q297): the container a web
+    * corpus actually arrives in — Common-Crawl-layout `.warc.gz`
+    * (every record its own gzip member, inflated natively by
+    * `java.util.zip` — REAL decode, no stub) plus plain `.warc`, both
+    * ingested through one scan by [[graft.multimodal.WarcArchives
+    * .readWarcRecords]], then the full front door: HTTP header split
+    * ([[graft.multimodal.WarcArchives.httpBodyText]]) and HTML → text
+    * extraction ([[graft.functions.TextAnalysis.htmlText]] — script/
+    * style blocks drop whole, tags strip, the six ubiquitous entities
+    * decode, whitespace collapses). 48 pages (40 gzip + 8 plain, 16
+    * records/file by the distributed prefix sum; warcinfo leaders
+    * counted in-gate) wrap the documents table's text in real HTML
+    * with planted entities; the oracle rebuilds the pages and restates
+    * the identical extraction chain in SQL, so one leaked script
+    * character, a mis-split header, or an entity mis-decode breaks the
+    * hash. */
+  def warcIngestQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q297") { base =>
+      val W = graft.multimodal.WarcArchives
+      val d = docs(s, dir).filter(col("doc_id") < 48)
+      def pages(dd: DataFrame) = dd.select(col("doc_id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        encode(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><script>var x = 1 &amp;&amp; 2;</script>" +
+            "<p>A &amp; B &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>" +
+            "</body></html>")), "UTF-8").as("payload"))
+      val m1 = W.writeWarcFiles(pages(d.filter(col("doc_id") < 40)),
+        "doc_id", "uri", "payload", s"$base/warc", recordsPerFile = 16)
+      require(m1.count() == 3,
+        "warcIngestQ: 40 records at 16/file must pack to 3 files")
+      // wave 2 lands UNCOMPRESSED .warc in the same directory — both
+      // container forms ingest through one scan
+      val m2 = W.writeWarcFiles(pages(d.filter(col("doc_id") >= 40)),
+        "doc_id", "uri", "payload", s"$base/warc", recordsPerFile = 16,
+        compress = false)
+      require(m2.count() == 1,
+        "warcIngestQ: 8 records must pack to one plain file")
+      val recs = W.readWarcRecords(s, s"$base/warc").localCheckpoint()
+      require(recs.filter(col("warc_type") === "warcinfo").count() == 4,
+        "warcIngestQ: every file must lead with its warcinfo record")
+      recs.filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("target_uri"),
+          graft.functions.TextAnalysis.htmlText(
+            W.httpBodyText(col("payload"))).as("txt"))
+        .select(col("doc_id"), col("target_uri"),
+          md5(col("txt")).as("text_md5"),
+          length(col("txt")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+
   /** IMAGE-TEXT pair curation under the gate (q296): what a multimodal
     * training pipeline actually runs over WebDataset shards — a
     * (caption, image) pair is redundant when EITHER modality
@@ -3048,6 +3106,7 @@ object TrainingData {
     "q282_ivfpq_maintain"   -> ivfPqMaintainQ _,
     "q294_ivfpq_rebalance"  -> ivfPqRebalanceQ _,
     "q296_pair_curation"    -> pairCurationQ _,
+    "q297_warc_ingest"      -> warcIngestQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -5587,6 +5646,47 @@ object TrainingData {
     // literal hashes -> pair fence -> transitive closure as a recursive
     // CTE with min-label clusters (the q56/q130 pattern): the planted
     // O~X~Y chain merges only through the closure
+    // the pages rebuilt in SQL (same HTTP wrap, same HTML, same planted
+    // entities), then the IDENTICAL extraction chain: header split at
+    // the first CRLFCRLF, script/style blocks whole, tags, the six
+    // entities (&amp; last), whitespace collapse
+    "q297_warc_ingest" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 48),
+        |pg AS (SELECT doc_id,
+        |  'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |  'Content-Type: text/html' || chr(13)||chr(10)||chr(13)||chr(10) ||
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p{margin:0}</style></head><body><h1>Doc ' ||
+        |  CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |  '</p><script>var x = 1 &amp;&amp; 2;</script>' ||
+        |  '<p>A &amp; B &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>' ||
+        |  '</body></html>' AS payload FROM d),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) = 0
+        |   THEN payload
+        |   ELSE substring(payload,
+        |     strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+        |  END AS s FROM pg),
+        |x1 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?is)<script.*?</script>', ' ', 'g') AS s
+        | FROM b),
+        |x2 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?is)<style.*?</style>', ' ', 'g') AS s
+        | FROM x1),
+        |x3 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM x2),
+        |x4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+        | FROM x3),
+        |x5 AS (SELECT doc_id,
+        |  trim(regexp_replace(s, '\s+', ' ', 'g')) AS s FROM x4)
+        |SELECT doc_id,
+        | 'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+        |   AS target_uri,
+        | md5(s) AS text_md5, CAST(length(s) AS BIGINT) AS n_chars
+        |FROM x5 ORDER BY doc_id""".stripMargin,
     // both modality pair sets in one statement — image hashes as
     // literals from the fixed fixture bytes, caption Jaccard from the
     // documents table via the q27 shingle machinery — then the joint
