@@ -2686,6 +2686,78 @@ object TrainingData {
         .localCheckpoint()
     }
 
+  /** CRAWL-TO-CORPUS capstone under the gate (q298): the whole front
+    * door as ONE chain — the q284 orchestration discipline applied to
+    * the crawl side. Real `.warc.gz` ingest ([[graft.multimodal
+    * .WarcArchives]]) of 48 originals plus 10 exact-duplicate pages
+    * under fresh URIs (same content id in the HTML, so the EXTRACTED
+    * text is byte-identical — URL-level dedup cannot catch these; text
+    * dedup must), HTTP split + HTML extraction, then the curation
+    * battery every stage of which is an existing gated operator:
+    * language ID, quality score, exact dedup
+    * ([[graft.functions.Dedup.exactDedup]] min-id keeper), and
+    * benchmark contamination ([[graft.functions.Contamination
+    * .overlapReport]] against every 7th document — the raw benchmark
+    * text rides INSIDE the extracted page, so its interior 8-gram
+    * shingles must still hit). admitted = dedup-keeper ∧ clean ∧
+    * English. The oracle rebuilds the pages, restates the extraction
+    * chain, and re-runs every stage in SQL — one flag wrong on one
+    * record breaks the hash. */
+  def crawlCurationQ(s: SparkSession, dir: String): DataFrame =
+    graft.queries.PipelineQueries.withTempDir("graft_q298") { base =>
+      val W = graft.multimodal.WarcArchives
+      val T = TextAnalysis
+      val d = docs(s, dir).persist()
+      releasing(d) {
+        val base48 = d.filter(col("doc_id") < 48)
+        val originals = base48.select(col("doc_id").as("rec_id"),
+          col("doc_id").as("content_id"), col("text"))
+        val dups = base48.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000L).as("rec_id"),
+            col("doc_id").as("content_id"), col("text"))
+        val pages = originals.unionByName(dups).select(col("rec_id"),
+          concat(lit("https://example.com/doc/"), col("rec_id")).as("uri"),
+          encode(concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            lit("<html><head><title>Doc "), col("content_id"),
+            lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
+            col("content_id"), lit("</h1><p>"), col("text"),
+            lit("</p><script>var x = 1 &amp;&amp; 2;</script>" +
+              "<p>A &amp; B &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>" +
+              "</body></html>")), "UTF-8").as("payload"))
+        W.writeWarcFiles(pages, "rec_id", "uri", "payload",
+          s"$base/warc", recordsPerFile = 16)
+        val txt = W.readWarcRecords(s, s"$base/warc")
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long")
+              .as("rec_id"),
+            T.htmlText(W.httpBodyText(col("payload"))).as("txt"))
+          .localCheckpoint() // extraction feeds four curation branches
+        require(txt.count() == 58L,
+          "crawlCurationQ: expected 58 response records back")
+        val scored = txt.select(col("rec_id"), col("txt"),
+          T.langId(col("txt")).as("lang_pred"),
+          T.qualityScore(col("txt")).as("quality"))
+        val kept = Dedup.exactDedup(txt, "txt", "rec_id")
+          .select(col("rec_id"), lit(true).as("keep_dedup"))
+        val contam = Contamination.overlapReport(txt, "rec_id", "txt",
+            d.filter(col("doc_id") % 7 === 0), "text", n = 8)
+          .select(col("rec_id"), col("contaminated"))
+        scored
+          .join(kept, Seq("rec_id"), "left")
+          .join(contam, Seq("rec_id"))
+          .select(col("rec_id"), col("lang_pred"), col("quality"),
+            coalesce(col("keep_dedup"), lit(false)).as("keep_dedup"),
+            col("contaminated"),
+            (coalesce(col("keep_dedup"), lit(false)) &&
+              !col("contaminated") && col("lang_pred") === "en")
+              .as("admitted"))
+          .orderBy(col("rec_id"))
+          .localCheckpoint()
+      }
+    }
+
   /** IMAGE-TEXT pair curation under the gate (q296): what a multimodal
     * training pipeline actually runs over WebDataset shards — a
     * (caption, image) pair is redundant when EITHER modality
@@ -3107,6 +3179,7 @@ object TrainingData {
     "q294_ivfpq_rebalance"  -> ivfPqRebalanceQ _,
     "q296_pair_curation"    -> pairCurationQ _,
     "q297_warc_ingest"      -> warcIngestQ _,
+    "q298_crawl_curation"   -> crawlCurationQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -5646,6 +5719,88 @@ object TrainingData {
     // literal hashes -> pair fence -> transitive closure as a recursive
     // CTE with min-label clusters (the q56/q130 pattern): the planted
     // O~X~Y chain merges only through the closure
+    // the q297 page-rebuild + extraction chain (dup pages share the
+    // original's content id, so their extracted text is identical),
+    // then every curation stage re-run in SQL: q24 lang scores, q23
+    // quality formula, min-id window dedup, q66 shingle contamination
+    "q298_crawl_curation" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 48),
+         |recs AS (SELECT doc_id AS rec_id, doc_id AS content_id, text
+         |          FROM d
+         |         UNION ALL SELECT doc_id + 1000, doc_id, text FROM d
+         |          WHERE doc_id % 5 = 0),
+         |pg AS (SELECT rec_id,
+         |  'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+         |  'Content-Type: text/html' || chr(13)||chr(10)||chr(13)||chr(10) ||
+         |  '<html><head><title>Doc ' || CAST(content_id AS VARCHAR) ||
+         |  '</title><style>p{margin:0}</style></head><body><h1>Doc ' ||
+         |  CAST(content_id AS VARCHAR) || '</h1><p>' || text ||
+         |  '</p><script>var x = 1 &amp;&amp; 2;</script>' ||
+         |  '<p>A &amp; B &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>' ||
+         |  '</body></html>' AS payload FROM recs),
+         |b AS (SELECT rec_id,
+         |  substring(payload,
+         |    strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+         |    AS s FROM pg),
+         |x1 AS (SELECT rec_id,
+         |  regexp_replace(s, '(?is)<script.*?</script>', ' ', 'g') AS s
+         | FROM b),
+         |x2 AS (SELECT rec_id,
+         |  regexp_replace(s, '(?is)<style.*?</style>', ' ', 'g') AS s
+         | FROM x1),
+         |x3 AS (SELECT rec_id,
+         |  regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM x2),
+         |x4 AS (SELECT rec_id,
+         |  replace(replace(replace(replace(replace(replace(s,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+         | FROM x3),
+         |x5 AS (SELECT rec_id,
+         |  trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM x4),
+         |sc AS (SELECT rec_id, s,
+         |  len(list_filter(regexp_extract_all(lower(s), '\\S+'),
+         |    x -> x IN ('the','and','of','is'))) AS s_en,
+         |  len(list_filter(regexp_extract_all(lower(s), '\\S+'),
+         |    x -> x IN ('el','la','de','los'))) AS s_es,
+         |  len(list_filter(regexp_extract_all(lower(s), '\\S+'),
+         |    x -> x IN ('der','und','die','das'))) AS s_de,
+         |  len(list_filter(regexp_extract_all(lower(s), '\\S+'),
+         |    x -> x IN ('le','et','les','des'))) AS s_fr,
+         |  CAST(length(s) AS BIGINT) AS len,
+         |  len(regexp_extract_all(s, '[^A-Za-z0-9\\s]'))::DOUBLE
+         |    / greatest(length(s), 1)::DOUBLE AS punct_ratio,
+         |  len(list_filter(regexp_extract_all(lower(s), '\\S+'),
+         |    x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+         |    / greatest(len(regexp_extract_all(s, '\\S+')), 1)::DOUBLE
+         |    AS stopword_ratio
+         | FROM x5),
+         |lq AS (SELECT rec_id, s,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+         |        THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+         |  0.5 * least(len::DOUBLE / 1000.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+         |   + 0.2 * stopword_ratio AS quality
+         | FROM sc),
+         |kd AS (SELECT rec_id, s, lang_pred, quality,
+         |  rec_id = min(rec_id) OVER (PARTITION BY s) AS keep_dedup
+         | FROM lq),
+         |btk AS (SELECT regexp_extract_all(lower(text), '\\S+') AS toks
+         |        FROM documents WHERE doc_id % 7 = 0),
+         |bs AS (SELECT DISTINCT unnest(${shinglesSql("toks")}) AS g
+         |       FROM btk),
+         |dtk AS (SELECT rec_id, regexp_extract_all(lower(s), '\\S+')
+         |          AS toks FROM kd),
+         |dsh AS (SELECT rec_id, unnest(${shinglesSql("toks")}) AS g
+         |        FROM dtk),
+         |ct AS (SELECT dsh.rec_id, count(bs.g) AS n_hits
+         |       FROM dsh LEFT JOIN bs ON dsh.g = bs.g GROUP BY 1)
+         |SELECT k.rec_id, k.lang_pred, k.quality, k.keep_dedup,
+         | ct.n_hits > 0 AS contaminated,
+         | k.keep_dedup AND ct.n_hits = 0 AND k.lang_pred = 'en'
+         |   AS admitted
+         |FROM kd k JOIN ct USING (rec_id)
+         |ORDER BY rec_id""".stripMargin,
     // the pages rebuilt in SQL (same HTTP wrap, same HTML, same planted
     // entities), then the IDENTICAL extraction chain: header split at
     // the first CRLFCRLF, script/style blocks whole, tags, the six
