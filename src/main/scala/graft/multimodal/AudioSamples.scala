@@ -262,15 +262,26 @@ object AudioSamples {
     hash
   }
 
-  /** Cross-format decode-then-hash; None when the payload doesn't
-    * decode. A PCM16 payload hashes IDENTICALLY to [[audioHashOf]]
-    * (same samples, same envelope). */
+  /** Codec dispatch: RIFF/WAVE variants via [[decodeWav]], FLAC via
+    * [[FlacCodec.decode]] — ONE canonical sample domain either way, so
+    * the fingerprint collapses a recording across CODECS, not just
+    * across bit depths. */
+  def decodeAudio(b: Array[Byte]): Option[(Int, Int, String, Array[Long])] =
+    if (b != null && b.length >= 4 && b(0) == 'f' && b(1) == 'L' &&
+      b(2) == 'a' && b(3) == 'C')
+      FlacCodec.decode(b).map { case (r, c, s) => (r, c, "flac", s) }
+    else decodeWav(b)
+
+  /** Cross-format decode-then-hash (any WAV variant or FLAC); None
+    * when the payload doesn't decode. A PCM16 payload hashes
+    * IDENTICALLY to [[audioHashOf]] (same samples, same envelope). */
   def audioHashOfAny(bytes: Array[Byte]): Option[Long] =
-    decodeWav(bytes).map { case (_, _, _, samples) => audioHash64L(samples) }
+    decodeAudio(bytes).map { case (_, _, _, samples) =>
+      audioHash64L(samples) }
 
   /** `(idCol, ahash, sample_rate, n_samples, fmt)` per payload row
-    * across ALL supported WAV variants — nulls for undecodable
-    * payloads (rows KEPT). */
+    * across ALL supported WAV variants AND FLAC — nulls for
+    * undecodable payloads (rows KEPT). */
   def audioHashFrameAny(df: DataFrame, idCol: String, payloadCol: String)
       : DataFrame = {
     val spark = df.sparkSession
@@ -282,7 +293,7 @@ object AudioSamples {
       StructField("fmt", StringType)))
     val rdd = df.select(col(idCol), col(payloadCol)).rdd.mapPartitions { it =>
       it.map { r =>
-        decodeWav(r.getAs[Array[Byte]](1)) match {
+        decodeAudio(r.getAs[Array[Byte]](1)) match {
           case Some((rate, _, fmt, samples)) =>
             Row(r.getLong(0), audioHash64L(samples), rate, samples.length,
               fmt)

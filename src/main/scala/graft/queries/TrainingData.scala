@@ -2345,6 +2345,44 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** CROSS-CODEC audio dedup under the gate (q299): the q293 bit-depth
+    * collapse extended across CONTAINERS — [[graft.multimodal
+    * .FlacCodec]] is a dependency-free FLAC subset decoder (frame
+    * sync, UTF-8 frame numbers, CONSTANT/VERBATIM/FIXED subframes,
+    * partitioned Rice residuals, both CRCs verified) normalizing into
+    * the same canonical sample domain as the WAV paths, so one
+    * recording's WAV PCM16 and FLAC encodes fingerprint IDENTICALLY
+    * (hamming 0) while remaining byte-level disjoint containers. The
+    * planted corpus: 24 WAV originals, a stereo order-2 FLAC re-encode
+    * of every third, a half-rate 4-partition order-1 FLAC of every
+    * fourth, and one truncated FLAC surviving as a null row in-gate.
+    * Oracle: fingerprint literals from the SAME fixture bytes + the
+    * exhaustive pairs join (the q288/q293 discipline). */
+  def audioCrossCodecQ(s: SparkSession, dir: String): DataFrame = {
+    val A = graft.multimodal.AudioSamples
+    val F = graft.multimodal.FlacCodec
+    val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+    val media = A.fixtureFrameDepth(ids, "doc_id", 65 * 60, 44100, "pcm16")
+      .unionByName(F.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", 65 * 60, 44100, channels = 2, order = 2,
+        idOffset = 100000L))
+      .unionByName(F.fixtureFrame(ids.filter(col("doc_id") % 4 === 0),
+        "doc_id", 65 * 30, 22050, order = 1, partitionOrder = 2,
+        idOffset = 200000L))
+      .unionByName(F.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", 65 * 2, 8000, idOffset = 999999L, truncateTo = 40))
+    val hashes = A.audioHashFrameAny(media, "media_id", "payload")
+      .localCheckpoint()
+    require(hashes.filter(col("ahash").isNull).count() == 1,
+      "audioCrossCodecQ: the corrupt payload must keep as one null row")
+    require(hashes.filter(col("fmt") === "flac").count() == 14L,
+      "audioCrossCodecQ: all 14 intact FLAC payloads must decode")
+    graft.functions.Dedup.simhashNearDups(
+        hashes.filter(col("ahash").isNotNull), "media_id", "ahash",
+        maxDist = 4, numChunks = 8, chunkBits = 8, simBits = 64)
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** GOLDEN-IMAGE consolidation under the gate (q291): perceptual
     * pairs → TRANSITIVE CLOSURE → one canonical image per cluster —
     * the q130 golden-records shape on the image modality, and the
@@ -3180,6 +3218,7 @@ object TrainingData {
     "q296_pair_curation"    -> pairCurationQ _,
     "q297_warc_ingest"      -> warcIngestQ _,
     "q298_crawl_curation"   -> crawlCurationQ _,
+    "q299_audio_crosscodec" -> audioCrossCodecQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -6006,6 +6045,29 @@ object TrainingData {
         (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
           A.audioHashOf(A.wavPayload(s, 65 * 120, 22050, channels = 2,
             gainShift = 1)).get)
+      val vals = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, ahash) AS (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
+    // fingerprint literals from the same fixture bytes — WAV through
+    // the RIFF normalization, FLAC through the full subset decoder —
+    // then the exhaustive pairs join: cross-CODEC clones collide at 0
+    "q299_audio_crosscodec" -> {
+      val A = graft.multimodal.AudioSamples
+      val F = graft.multimodal.FlacCodec
+      val rows = (0L until 24L).map(s => s -> A.audioHashOfAny(
+          A.wavPayloadDepth(s, 65 * 60, 44100, "pcm16")).get) ++
+        (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+          A.audioHashOfAny(F.flacPayload(s, 65 * 60, 44100, channels = 2,
+            order = 2)).get) ++
+        (0L until 24L).filter(_ % 4 == 0).map(s => (s + 200000L) ->
+          A.audioHashOfAny(F.flacPayload(s, 65 * 30, 22050, order = 1,
+            partitionOrder = 2)).get)
       val vals = rows.map { case (id, h) =>
         s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
       s"""WITH h(media_id, ahash) AS (VALUES $vals)

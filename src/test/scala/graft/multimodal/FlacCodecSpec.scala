@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** FLAC subset codec: exact round trips across predictor orders,
+  * partitions, block sizes, and channel counts; CRC/truncation keep
+  * paths; cross-codec fingerprint collapse against WAV. */
+class FlacCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def signal(seed: Long, n: Int): Array[Int] = {
+    val win = n / 65
+    Array.tabulate(n) { i =>
+      val amp = AudioSamples.envelopeAmpQ(seed, i / win)
+      if (i % 2 == 0) amp else -amp
+    }
+  }
+
+  test("decode(encode(s)) returns the exact samples for every FIXED " +
+      "order, partition order, multi-frame stream, and partial tail") {
+    val s = signal(3L, 65 * 80) // 5200 samples: 2 blocks incl. partial
+    for (order <- 0 to 4; pOrd <- Seq(0, 2)) {
+      val bytes = FlacCodec.encode(s, 44100, channels = 1,
+        blockSize = 4096, order = order, partitionOrder = pOrd)
+      val Some((rate, ch, out)) = FlacCodec.decode(bytes)
+      assert(rate == 44100 && ch == 1, s"order $order pOrd $pOrd")
+      assert(out.toSeq == s.map(_.toLong).toSeq, s"order $order pOrd $pOrd")
+    }
+    // tiny blocks force >128 frames (the 2-byte coded-number path)
+    val small = FlacCodec.encode(signal(4L, 65 * 40), 8000,
+      blockSize = 16)
+    assert(FlacCodec.decode(small).get._3.length == 65 * 40)
+  }
+
+  test("stereo mono-mixes by exact channel sum; FLAC and WAV encodes " +
+      "of one signal land on the SAME fingerprint") {
+    (0L until 6L).foreach { seed =>
+      val wav = AudioSamples.audioHashOfAny(
+        AudioSamples.wavPayloadDepth(seed, 65 * 60, 44100, "pcm16")).get
+      for ((ch, order) <- Seq((1, 0), (2, 2))) {
+        val flac = AudioSamples.audioHashOfAny(FlacCodec.flacPayload(
+          seed, 65 * 60, 44100, channels = ch, order = order))
+        assert(flac.contains(wav), s"seed $seed ch $ch order $order")
+      }
+    }
+    // channel sum is exact 2x (scale cancels in the hash, but pin the
+    // mix arithmetic directly too)
+    val mono = FlacCodec.decode(FlacCodec.flacPayload(1L, 65 * 4, 8000))
+      .get._3
+    val stereo = FlacCodec.decode(FlacCodec.flacPayload(1L, 65 * 4, 8000,
+      channels = 2)).get._3
+    assert(stereo.toSeq == mono.map(_ * 2).toSeq)
+  }
+
+  test("keep paths: truncation, a flipped byte (CRC), a wrong magic, " +
+      "and a wrong sync all decode to None — never a throw") {
+    val good = FlacCodec.flacPayload(2L, 65 * 60, 44100)
+    assert(FlacCodec.decode(good).isDefined)
+    assert(FlacCodec.decode(good.take(30)).isEmpty)
+    assert(FlacCodec.decode(good.take(good.length / 2)).isEmpty)
+    val flipped = good.clone()
+    flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x55).toByte
+    assert(FlacCodec.decode(flipped).isEmpty, "CRC must catch a flip")
+    assert(FlacCodec.decode("fLaX".getBytes ++ good.drop(4)).isEmpty)
+    val badSync = good.clone()
+    badSync(42) = 0 // somewhere in the first frame header region
+    assert(FlacCodec.decode(badSync).isEmpty)
+    assert(FlacCodec.decode(null).isEmpty)
+  }
+
+  test("audioHashFrameAny dispatches on magic: WAV and FLAC rows hash " +
+      "in one pass with their fmt surfaced; corrupt FLAC keeps as null") {
+    val rows = Seq(
+      (1L, AudioSamples.wavPayloadDepth(9L, 65 * 60, 44100, "pcm16")),
+      (2L, FlacCodec.flacPayload(9L, 65 * 60, 44100)),
+      (3L, FlacCodec.flacPayload(9L, 65 * 60, 44100, truncateTo = 40)))
+      .toDF("media_id", "payload")
+    val got = AudioSamples.audioHashFrameAny(rows, "media_id", "payload")
+      .select($"media_id", $"ahash", $"fmt")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2)))))
+      .toMap
+    assert(got(1L).isDefined && got(2L).isDefined && got(3L).isEmpty)
+    assert(got(1L).get._1 == got(2L).get._1, "cross-codec collapse")
+    assert(got(1L).get._2 == "pcm16" && got(2L).get._2 == "flac")
+  }
+}
