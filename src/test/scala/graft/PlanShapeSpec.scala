@@ -669,4 +669,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("contamination probe BROADCASTS the benchmark shingle set — the " +
+      "corpus side never shuffles for the membership join") {
+    val corpus = (1L to 50L)
+      .map(i => (i, s"document $i with some running text " * 3))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "a small benchmark sentence here ok " * 3))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Contamination.overlapReport(
+      corpus, "doc_id", "text", bench, "text", n = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchange below the probe join is the benchmark
+    // broadcast; the corpus's first shuffle is the per-doc aggregation
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("htmlText extraction is a pure codegen projection — no UDF, no " +
+      "exchange") {
+    // a real scan input: a local relation would be constant-folded to
+    // LocalTableScan, hiding the codegen question entirely
+    val df = graft.sources.Tables.load(spark, sfDir, "documents")
+    val out = df.select($"doc_id",
+      graft.functions.TextAnalysis.htmlText($"text").as("t"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+    assert(plan.contains("*(1) Project"), plan) // whole-stage codegen span
+  }
+
+  test("ivfPqRebalance re-encodes ONLY the hot cell: the re-encode " +
+      "join probes with the hot-cell id slice, never a full-index scan " +
+      "per cell") {
+    def vec(id: Long): Seq[Float] = (1 to 8).map { i =>
+      ((id % 4) * 100.0 + ((id * 37 + i * 101) % 19) / 16.0).toFloat }
+    val src = (0L until 64L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val S = graft.functions.Similarity
+    val coarse = Seq.tabulate(4)(j => Seq.fill(8)(j * 100.0 + 0.5))
+    val cbs = S.ivfPqCodebooks(src, "embedding", "vec_id", coarse,
+      m = 4, ksub = 4, iters = 0, sampleN = 1 << 20)
+    val idx = S.ivfPqEncode(src, "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes").localCheckpoint()
+    val (_, out) = S.ivfPqRebalance(idx, "vec_id", "cell", "codes",
+      src, "embedding", coarse, cbs, hotCells = Seq(4), splitK = 2,
+      iters = 0, sampleN = 1 << 20)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the union has exactly two legs: untouched-filter + one re-encode
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // pqEncode must stay materialized projections, not a window
+    assert(!plan.contains("Window"), plan)
+  }
 }
