@@ -8,18 +8,20 @@ package graft.multimodal
   * bit depths.
   *
   * Decode subset (everything the fixed-predictor profile of real
-  * encoders emits): fixed-blocksize streams, independent channels,
-  * 8/16/24/32-bit samples, CONSTANT / VERBATIM / FIXED(0-4) subframes,
-  * 4- and 5-bit Rice partitions with escape codes, UTF-8-coded frame
-  * numbers, and BOTH frame CRCs verified (CRC-8 header, CRC-16 frame)
-  * — a corrupt or truncated stream returns None (keep path), never a
-  * throw or a garbage sample. LPC subframes and side-stereo channel
-  * assignments return None (documented out of subset; the fingerprint
-  * keep path treats them as undecodable telemetry).
+  * encoders emits): fixed-blocksize streams, independent channels AND
+  * all three stereo decorrelations (left-side / right-side / mid-side
+  * — the default stereo output of real encoders; the side channel
+  * carries its extra bit), 8/16/24/32-bit samples, CONSTANT /
+  * VERBATIM / FIXED(0-4) subframes, 4- and 5-bit Rice partitions with
+  * escape codes, UTF-8-coded frame numbers, and BOTH frame CRCs
+  * verified (CRC-8 header, CRC-16 frame) — a corrupt or truncated
+  * stream returns None (keep path), never a throw or a garbage
+  * sample. LPC subframes return None (documented out of subset; the
+  * fingerprint keep path treats them as undecodable telemetry).
   *
-  * The encoder exists for fixtures/round-trips: FIXED order-0
-  * subframes under single-partition Rice — enough to exercise the
-  * full container + bitstream + Rice + CRC read path. Conformance
+  * The encoder exists for fixtures/round-trips: FIXED subframes
+  * (orders 0-4), partitioned Rice, and the three decorrelated stereo
+  * modes — enough to exercise every decode path. Conformance
   * against external decoders is untestable in this sandbox (no flac/
   * ffmpeg binary — same caveat class as the S3A/MSSQL items); the
   * bitstream follows the RFC field-for-field and every structural
@@ -162,7 +164,7 @@ object FlacCodec {
   /** Decode a FLAC stream of the supported subset to
     * `(sampleRate, channels, mono-mixed canonical-16-domain samples)`;
     * None on anything unparseable, truncated, CRC-corrupt, or out of
-    * subset (LPC, side stereo) — the keep path. */
+    * subset (LPC) — the keep path. */
   def decode(b: Array[Byte]): Option[(Int, Int, Array[Long])] =
     try decodeStrict(b) catch { case _: Exception => None }
 
@@ -232,20 +234,30 @@ object FlacCodec {
       val crc8End = r.bytePos
       val headerCrc = r.readBits(8).toInt
       if (crc8(b, frameStart, crc8End) != headerCrc) return None
-      if (chanAsg >= 8) return None // side stereo: out of subset
-      if (chanAsg + 1 != channels) return None
+      if (chanAsg > 10) return None
+      val sideStereo = chanAsg >= 8 // 8 left/side, 9 right/side, 10 mid/side
+      val frameCh = if (sideStereo) 2 else chanAsg + 1
+      if (frameCh != channels) return None
       val frameBps = if (bpsCode == 0) bps
         else bpsFromCode.getOrElse(bpsCode, return None)
       if (frameBps != bps) return None
       val n = math.min(blockSize.toLong, total - written).toInt
       if (n < blockSize && written + blockSize < total) return None
-      // subframes (independent channels; mono-mix by exact sum)
+      // decode each channel's subframe into its own buffer; the SIDE
+      // channel of a decorrelated pair carries one extra bit
+      def sideBitsFor(c: Int): Int = chanAsg match {
+        case 8  => if (c == 1) 1 else 0 // left/side
+        case 9  => if (c == 0) 1 else 0 // side/right
+        case 10 => if (c == 1) 1 else 0 // mid/side
+        case _  => 0
+      }
+      val chanBuf = new Array[Array[Long]](channels)
       var c = 0
       while (c < channels) {
         if (r.readBits(1) != 0L) return None
         val sfType = r.readBits(6).toInt
         val wasted = if (r.readBits(1) == 1L) r.readUnary() + 1 else 0
-        val effBps = bps - wasted
+        val effBps = bps + sideBitsFor(c) - wasted
         val samples = new Array[Long](blockSize)
         def signed(v: Long, bits: Int): Long = (v << (64 - bits)) >> (64 - bits)
         sfType match {
@@ -315,13 +327,45 @@ object FlacCodec {
           case _ => return None // LPC: out of subset
         }
         var i = 0
-        while (i < n) {
-          val full = samples(i) << wasted // restore the bps domain
-          val canon = if (shift >= 0) full >> shift else full << -shift
-          out(written + i) += canon
+        while (i < blockSize) {
+          samples(i) = samples(i) << wasted // restore the bps domain
           i += 1
         }
+        chanBuf(c) = samples
         c += 1
+      }
+      // undo the stereo decorrelation, then mono-mix by exact sum
+      val (l, rr) = chanAsg match {
+        case 8 => // left/side: R = L - S
+          val lch = chanBuf(0)
+          (lch, Array.tabulate(blockSize)(i => lch(i) - chanBuf(1)(i)))
+        case 9 => // side/right: L = R + S
+          val rch = chanBuf(1)
+          (Array.tabulate(blockSize)(i => rch(i) + chanBuf(0)(i)), rch)
+        case 10 => // mid/side: mid2 = (M<<1)|(S&1); L,R = (mid2 ± S)>>1
+          val m = chanBuf(0); val sd = chanBuf(1)
+          (Array.tabulate(blockSize) { i =>
+            ((m(i) << 1 | (sd(i) & 1L)) + sd(i)) >> 1
+          }, Array.tabulate(blockSize) { i =>
+            ((m(i) << 1 | (sd(i) & 1L)) - sd(i)) >> 1
+          })
+        case _ => (null, null) // independent: mix chanBuf directly
+      }
+      // canonical mapping PER CHANNEL before the sum — the decodeWav
+      // convention, so a 24-bit FLAC and its 24-bit WAV twin mix
+      // identically
+      def canon(v: Long): Long = if (shift >= 0) v >> shift else v << -shift
+      var i = 0
+      while (i < n) {
+        out(written + i) +=
+          (if (sideStereo) canon(l(i)) + canon(rr(i))
+          else {
+            var acc = 0L
+            var cc = 0
+            while (cc < channels) { acc += canon(chanBuf(cc)(i)); cc += 1 }
+            acc
+          })
+        i += 1
       }
       r.align()
       val crc16End = r.bytePos
@@ -339,11 +383,15 @@ object FlacCodec {
     * predictor `order`, `2^partitionOrder` Rice partitions with
     * per-partition adaptive parameters, both CRCs) — the fixture/
     * export half of the round trip, and the coverage driver for every
-    * decode path (orders 0-4, multi-partition residuals). Samples
+    * decode path (orders 0-4, multi-partition residuals, and the
+    * three STEREO DECORRELATIONS real encoders default to — pass
+    * `right` + `stereoMode` ∈ left-side | right-side | mid-side to
+    * store a genuine (channel, side-with-extra-bit) pair). Samples
     * must fit 16 bits. */
   def encode(samples: Array[Int], sampleRate: Int, channels: Int = 1,
              blockSize: Int = 4096, order: Int = 0,
-             partitionOrder: Int = 0): Array[Byte] = {
+             partitionOrder: Int = 0, right: Option[Array[Int]] = None,
+             stereoMode: String = "independent"): Array[Byte] = {
     require(samples.nonEmpty, "flac encode: need samples")
     require(channels >= 1 && channels <= 8, "flac encode: 1..8 channels")
     require(blockSize >= 16 && blockSize <= 65536, "flac encode: blockSize")
@@ -352,6 +400,20 @@ object FlacCodec {
       "flac encode: partitionOrder 0..4")
     require(samples.forall(s => s >= -32768 && s <= 32767),
       "flac encode: 16-bit samples only")
+    require(right.forall(r => r.length == samples.length &&
+      r.forall(s => s >= -32768 && s <= 32767)),
+      "flac encode: right channel must match length and fit 16 bits")
+    require(stereoMode == "independent" || (channels == 2 && right.isDefined),
+      s"flac encode: stereoMode '$stereoMode' needs channels=2 and a " +
+        "right channel")
+    val chanAsgCode = stereoMode match {
+      case "independent" => channels - 1
+      case "left-side"   => 8
+      case "right-side"  => 9
+      case "mid-side"    => 10
+      case other => throw new IllegalArgumentException(
+        s"flac encode: unknown stereoMode '$other'")
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     val si = new BitWriter
@@ -377,7 +439,7 @@ object FlacCodec {
       fw.writeBits(0L, 1) // fixed blocksize strategy
       fw.writeBits(7L, 4) // blocksize: 16-bit at end
       fw.writeBits(0L, 4) // sample rate: from STREAMINFO
-      fw.writeBits((channels - 1).toLong, 4) // independent
+      fw.writeBits(chanAsgCode.toLong, 4)
       fw.writeBits(4L, 3) // 16 bps
       fw.writeBits(0L, 1) // reserved
       writeCodedNumber(fw, frameNo)
@@ -392,30 +454,46 @@ object FlacCodec {
       var pOrd = partitionOrder
       while (pOrd > 0 && (n % (1 << pOrd) != 0 || (n >> pOrd) <= fOrder))
         pOrd -= 1
-      // residuals by repeated differencing (the FIXED predictor's
-      // exact inverse of the decoder's reconstruction)
-      val block = Array.tabulate(n)(i => samples(off + i).toLong)
-      val resid = {
-        var cur = block.clone()
-        var o = 0
-        while (o < fOrder) {
-          val next = new Array[Long](cur.length)
-          var i = cur.length - 1
-          while (i > o) { next(i) = cur(i) - cur(i - 1); i -= 1 }
-          System.arraycopy(cur, 0, next, 0, o + 1)
-          cur = next
-          o += 1
-        }
-        cur
+      // the stored channels: L/R pass through or decorrelate into the
+      // (channel, side) pair the assignment code names; SIDE carries
+      // one extra bit
+      val lBlock = Array.tabulate(n)(i => samples(off + i).toLong)
+      val rBlock = right.map(rc => Array.tabulate(n)(i => rc(off + i).toLong))
+      val stored: Seq[(Array[Long], Int)] = stereoMode match {
+        case "independent" =>
+          (0 until channels).map(c =>
+            (if (c == 1 && rBlock.isDefined) rBlock.get else lBlock, 16))
+        case "left-side" =>
+          Seq((lBlock, 16),
+            (Array.tabulate(n)(i => lBlock(i) - rBlock.get(i)), 17))
+        case "right-side" =>
+          Seq((Array.tabulate(n)(i => lBlock(i) - rBlock.get(i)), 17),
+            (rBlock.get, 16))
+        case "mid-side" =>
+          Seq((Array.tabulate(n)(i => (lBlock(i) + rBlock.get(i)) >> 1), 16),
+            (Array.tabulate(n)(i => lBlock(i) - rBlock.get(i)), 17))
       }
       def zig(v: Long): Long = if (v >= 0) v << 1 else ((-v) << 1) - 1
-      (0 until channels).foreach { _ =>
+      stored.foreach { case (block, chBits) =>
+        val resid = {
+          var cur = block.clone()
+          var o = 0
+          while (o < fOrder) {
+            val next = new Array[Long](cur.length)
+            var i = cur.length - 1
+            while (i > o) { next(i) = cur(i) - cur(i - 1); i -= 1 }
+            System.arraycopy(cur, 0, next, 0, o + 1)
+            cur = next
+            o += 1
+          }
+          cur
+        }
         head2.writeBits(0L, 1)
         head2.writeBits((8 + fOrder).toLong, 6) // FIXED, this order
         head2.writeBits(0L, 1) // no wasted bits
         var i = 0
         while (i < fOrder) { // warmup samples, raw
-          head2.writeBits(block(i) & 0xFFFFL, 16)
+          head2.writeBits(block(i) & ((1L << chBits) - 1), chBits)
           i += 1
         }
         head2.writeBits(0L, 2) // 4-bit Rice
@@ -462,6 +540,7 @@ object FlacCodec {
   def flacPayload(seed: Long, nSamples: Int, sampleRate: Int,
                   channels: Int = 1, blockSize: Int = 4096,
                   order: Int = 0, partitionOrder: Int = 0,
+                  stereoMode: String = "independent",
                   truncateTo: Int = -1): Array[Byte] = {
     require(nSamples % 65 == 0,
       s"flacPayload: nSamples must be 65-aligned, got $nSamples")
@@ -470,8 +549,14 @@ object FlacCodec {
       val amp = AudioSamples.envelopeAmpQ(seed, i / win)
       if (i % 2 == 0) amp else -amp
     }
+    // decorrelated modes carry a half-amplitude right channel (exact:
+    // the quantized amps are multiples of 256), so the SIDE channel is
+    // genuinely nonzero and the mono mix stays a pure scaling of the
+    // envelope — the fingerprint still collides with the WAV twin
+    val right = if (stereoMode == "independent") None
+      else Some(samples.map(_ / 2))
     val bytes = encode(samples, sampleRate, channels, blockSize, order,
-      partitionOrder)
+      partitionOrder, right, stereoMode)
     if (truncateTo >= 0) bytes.take(truncateTo) else bytes
   }
 
@@ -480,7 +565,9 @@ object FlacCodec {
   def fixtureFrame(df: org.apache.spark.sql.DataFrame, idCol: String,
                    nSamples: Int, sampleRate: Int, channels: Int = 1,
                    blockSize: Int = 4096, order: Int = 0,
-                   partitionOrder: Int = 0, idOffset: Long = 0L,
+                   partitionOrder: Int = 0,
+                   stereoMode: String = "independent",
+                   idOffset: Long = 0L,
                    truncateTo: Int = -1): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
@@ -493,7 +580,7 @@ object FlacCodec {
         val id = r.getLong(0)
         org.apache.spark.sql.Row(id + idOffset,
           flacPayload(id, nSamples, sampleRate, channels, blockSize,
-            order, partitionOrder, truncateTo))
+            order, partitionOrder, stereoMode, truncateTo))
       }
     }
     spark.createDataFrame(rdd, outSchema)

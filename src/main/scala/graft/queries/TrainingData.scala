@@ -2353,7 +2353,8 @@ object TrainingData {
     * the same canonical sample domain as the WAV paths, so one
     * recording's WAV PCM16 and FLAC encodes fingerprint IDENTICALLY
     * (hamming 0) while remaining byte-level disjoint containers. The
-    * planted corpus: 24 WAV originals, a stereo order-2 FLAC re-encode
+    * planted corpus: 24 WAV originals, a MID-SIDE-decorrelated stereo
+    * order-2 FLAC re-encode
     * of every third, a half-rate 4-partition order-1 FLAC of every
     * fourth, and one truncated FLAC surviving as a null row in-gate.
     * Oracle: fingerprint literals from the SAME fixture bytes + the
@@ -2365,7 +2366,7 @@ object TrainingData {
     val media = A.fixtureFrameDepth(ids, "doc_id", 65 * 60, 44100, "pcm16")
       .unionByName(F.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
         "doc_id", 65 * 60, 44100, channels = 2, order = 2,
-        idOffset = 100000L))
+        stereoMode = "mid-side", idOffset = 100000L))
       .unionByName(F.fixtureFrame(ids.filter(col("doc_id") % 4 === 0),
         "doc_id", 65 * 30, 22050, order = 1, partitionOrder = 2,
         idOffset = 200000L))
@@ -6064,7 +6065,7 @@ object TrainingData {
           A.wavPayloadDepth(s, 65 * 60, 44100, "pcm16")).get) ++
         (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
           A.audioHashOfAny(F.flacPayload(s, 65 * 60, 44100, channels = 2,
-            order = 2)).get) ++
+            order = 2, stereoMode = "mid-side")).get) ++
         (0L until 24L).filter(_ % 4 == 0).map(s => (s + 200000L) ->
           A.audioHashOfAny(F.flacPayload(s, 65 * 30, 22050, order = 1,
             partitionOrder = 2)).get)

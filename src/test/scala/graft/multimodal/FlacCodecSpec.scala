@@ -33,6 +33,34 @@ class FlacCodecSpec extends SparkSpec {
     assert(FlacCodec.decode(small).get._3.length == 65 * 40)
   }
 
+  test("stereo decorrelation round-trips exactly: left-side, right-side, " +
+      "and mid-side streams reconstruct asymmetric L/R and mono-mix to " +
+      "L+R") {
+    val l = signal(7L, 65 * 80)
+    val r = l.map(_ / 2) // exact: quantized amps are multiples of 256
+    val want = l.indices.map(i => l(i).toLong + r(i)).toSeq
+    for (mode <- Seq("left-side", "right-side", "mid-side");
+         order <- Seq(0, 2)) {
+      val bytes = FlacCodec.encode(l, 44100, channels = 2,
+        blockSize = 4096, order = order, right = Some(r),
+        stereoMode = mode)
+      val Some((_, ch, out)) = FlacCodec.decode(bytes)
+      assert(ch == 2 && out.toSeq == want, s"mode $mode order $order")
+      // and the decorrelated stream is not just independent in disguise
+      val indep = FlacCodec.encode(l, 44100, channels = 2,
+        blockSize = 4096, order = order, right = Some(r))
+      assert(FlacCodec.decode(indep).get._3.toSeq == want)
+      assert(!bytes.sameElements(indep), s"mode $mode stores differently")
+    }
+    // odd L+R exercises the mid-side parity bit: use L and L-1
+    val l2 = signal(8L, 65 * 4)
+    val r2 = l2.map(v => if (v > -32768) v - 1 else v)
+    val ms = FlacCodec.encode(l2, 8000, channels = 2, right = Some(r2),
+      stereoMode = "mid-side")
+    assert(FlacCodec.decode(ms).get._3.toSeq ==
+      l2.indices.map(i => l2(i).toLong + r2(i)).toSeq)
+  }
+
   test("stereo mono-mixes by exact channel sum; FLAC and WAV encodes " +
       "of one signal land on the SAME fingerprint") {
     (0L until 6L).foreach { seed =>
