@@ -140,9 +140,11 @@ object AudioSamples {
 
   /** Decoded WAV in the canonical domain: sample rate, channel count,
     * source format tag ("pcm8" | "pcm16" | "pcm24" | "pcm32" | "f32" |
-    * "f64"), and mono-mixed samples (exact channel SUM, Long). None on
-    * anything unparseable, truncated, empty, non-finite-float, or past
-    * the exactness fence. */
+    * "f64" | "ulaw" | "alaw" — the last two are G.711 telephony WAVs,
+    * expanded through the exact integer segment formulas), and
+    * mono-mixed samples (exact channel SUM, Long). None on anything
+    * unparseable, truncated, empty, non-finite-float, or past the
+    * exactness fence. */
   def decodeWav(b: Array[Byte]): Option[(Int, Int, String, Array[Long])] = {
     if (b == null || b.length < 44) return None
     def u8(i: Int): Int = b(i) & 0xFF
@@ -190,6 +192,8 @@ object AudioSamples {
       case (1, 32) => "pcm32"
       case (3, 32) => "f32"
       case (3, 64) => "f64"
+      case (6, 8)  => "alaw" // G.711 — the telephony WAV formats
+      case (7, 8)  => "ulaw"
       case _       => return None
     }
     if (channels < 1 || rate <= 0 || dataOff < 0 ||
@@ -212,6 +216,8 @@ object AudioSamples {
           case "pcm16" => s16(o).toLong
           case "pcm24" => (s24(o) >> 8).toLong
           case "pcm32" => (s32(o) >> 16).toLong
+          case "ulaw"  => ulawExpand(u8(o)).toLong
+          case "alaw"  => alawExpand(u8(o)).toLong
           case "f32" =>
             val v = java.lang.Float.intBitsToFloat(s32(o))
             if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
@@ -231,6 +237,29 @@ object AudioSamples {
       f += 1
     }
     Some((rate, channels, fmt, out))
+  }
+
+  /** G.711 µ-law expansion to the linear 16-bit domain (the classic
+    * CCITT segment/mantissa formula; output is the standard 14-bit
+    * linear magnitude ≤ 8031 — a pure scaling the envelope hash is
+    * invariant to). */
+  def ulawExpand(u0: Int): Int = {
+    val u = ~u0 & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion to the linear 16-bit domain (13-bit linear
+    * magnitude ≤ 4032·2, the standard table values). */
+  def alawExpand(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
   }
 
   /** [[audioHash64]] on canonical-domain Long samples (same 65-window

@@ -142,6 +142,52 @@ class AudioSamplesSpec extends SparkSpec {
     assert(frame(0).getString(4) == "pcm8" && frame(1).isNullAt(1))
   }
 
+  test("G.711 telephony WAVs decode through the exact segment formulas: " +
+      "ulaw/alaw expansion matches hand-computed table values and both " +
+      "formats hash through the any-format frame") {
+    // hand-checked G.711 anchor points
+    assert(AudioSamples.ulawExpand(0xFF) == 0)       // +0
+    assert(AudioSamples.ulawExpand(0x7F) == 0)       // -0
+    assert(AudioSamples.ulawExpand(0xFE) == 8)       // smallest +step
+    assert(AudioSamples.ulawExpand(0x80) == 32124)   // positive max
+    assert(AudioSamples.ulawExpand(0x00) == -32124)  // negative max
+    assert(AudioSamples.alawExpand(0x55) == -8)      // code^0x55 = 0
+    assert(AudioSamples.alawExpand(0xD5) == 8)
+    assert(AudioSamples.alawExpand(0x2A) == -32256)  // negative max
+    assert(AudioSamples.alawExpand(0xAA) == 32256)   // positive max
+    def g711Wav(tag: Int, codes: Array[Int], rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + codes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + codes.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(tag.toShort).putShort(1).putInt(rate)
+        .putInt(rate).putShort(1).putShort(8)
+      bb.put("data".getBytes("US-ASCII")).putInt(codes.length)
+      codes.foreach(c => bb.put(c.toByte))
+      bb.array()
+    }
+    // a 130-code µ-law payload: decode surfaces fmt + the expansions
+    val codes = Array.tabulate(130)(i => (i * 7) % 256)
+    val Some((rate, ch, fmt, samples)) =
+      AudioSamples.decodeWav(g711Wav(7, codes, 8000))
+    assert(rate == 8000 && ch == 1 && fmt == "ulaw")
+    assert(samples.toSeq ==
+      codes.map(c => AudioSamples.ulawExpand(c).toLong).toSeq)
+    val Some((_, _, fmtA, samplesA)) =
+      AudioSamples.decodeWav(g711Wav(6, codes, 8000))
+    assert(fmtA == "alaw")
+    assert(samplesA.toSeq ==
+      codes.map(c => AudioSamples.alawExpand(c).toLong).toSeq)
+    // and both hash (decodable, stable) through the dispatch frame
+    val rows = AudioSamples.audioHashFrameAny(
+      Seq((1L, g711Wav(7, codes, 8000)), (2L, g711Wav(6, codes, 8000)))
+        .toDF("media_id", "payload"), "media_id", "payload")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.forall(!_.isNullAt(1)))
+    assert(rows(0).getString(4) == "ulaw" && rows(1).getString(4) == "alaw")
+  }
+
   test("adversarial chunk sizes terminate: a size field whose padded " +
       "advance is zero or overruns the payload returns None, never spins") {
     def wavWithChunkSize(size: Long): Array[Byte] = {
