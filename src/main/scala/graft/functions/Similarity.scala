@@ -628,7 +628,13 @@ object Similarity {
       pieces ::= re
       coarseNew = coarseNew.updated(c - 1, subs.head) ++ subs.tail
     }
-    val untouched = index.filter(!col(cellCol).isin(hotCells: _*))
+    // null-SAFE keep predicate: `!isin` is NULL (row dropped) for a null
+    // cell — a malformed index row must fail loudly, not vanish from the
+    // rebuilt index
+    val untouched = index.filter(
+      when(col(cellCol).isNull, raise_error(lit(
+        s"ivfPqRebalance: null $cellCol in index — malformed index row")))
+        .otherwise(!col(cellCol).isin(hotCells: _*)))
     (coarseNew, pieces.foldLeft(untouched)(_.unionByName(_)))
   }
 

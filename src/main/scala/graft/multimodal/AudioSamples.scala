@@ -94,6 +94,19 @@ object AudioSamples {
     Some((rate, channels, out))
   }
 
+  /** Exact `a*b < c*d` for NON-NEGATIVE longs via 128-bit products
+    * (`Math.multiplyHigh`) — the raw 64-bit cross-multiply can wrap
+    * (float-format WAVs clamp samples to ±32.0 → canonical magnitude up
+    * to 2^20, so near the 2^29-sample fence the envelope-sum ×
+    * window-len product reaches ~7e19 > Long.MaxValue) and silently
+    * flip envelope bits on hot signals. */
+  private[multimodal] def crossLt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 < hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) < 0
+  }
+
   /** 64-bit energy-envelope fingerprint over mono-mixed samples: 65
     * equal windows, bit i set where mean |energy| strictly rises from
     * window i to i + 1 (cross-multiplied — exact). */
@@ -118,7 +131,7 @@ object AudioSamples {
     var hash = 0L
     w = 0
     while (w < 64) {
-      if (e(w) * len(w + 1) < e(w + 1) * len(w)) hash |= 1L << w
+      if (crossLt(e(w), len(w + 1), e(w + 1), len(w))) hash |= 1L << w
       w += 1
     }
     hash
@@ -285,7 +298,7 @@ object AudioSamples {
     var hash = 0L
     w = 0
     while (w < 64) {
-      if (e(w) * len(w + 1) < e(w + 1) * len(w)) hash |= 1L << w
+      if (crossLt(e(w), len(w + 1), e(w + 1), len(w))) hash |= 1L << w
       w += 1
     }
     hash

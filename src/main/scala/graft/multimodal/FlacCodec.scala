@@ -257,6 +257,11 @@ object FlacCodec {
         if (r.readBits(1) != 0L) return None
         val sfType = r.readBits(6).toInt
         val wasted = if (r.readBits(1) == 1L) r.readUnary() + 1 else 0
+        // reject rather than decode-to-garbage: an adversarial wasted
+        // count >= the subframe width makes effBps <= 0, and a shift
+        // count >= 64 wraps mod 64 on the JVM — only the 2^-16 CRC-16
+        // would stand between that and a wrong-but-accepted fingerprint
+        if (wasted >= bps + sideBitsFor(c) || wasted > 32) return None
         val effBps = bps + sideBitsFor(c) - wasted
         val samples = new Array[Long](blockSize)
         def signed(v: Long, bits: Int): Long = (v << (64 - bits)) >> (64 - bits)

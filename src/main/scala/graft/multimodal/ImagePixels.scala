@@ -99,13 +99,42 @@ object ImagePixels {
     hash
   }
 
+  /** Declared dimensions from the image HEADER only — no pixel decode,
+    * no raster allocation. None when no installed reader recognizes the
+    * payload (the same payloads [[decode]] returns None for). */
+  def probeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => None }
+
   /** Decode for hashing: like [[decode]] but ALSO rejects images whose
     * pixel count breaches the [[maxPixels]] exactness fence — a
     * decodable decompression-bomb PNG in an untrusted corpus must be
     * telemetry (null-hash keep row), never an executor-killing throw
-    * from the `require` inside [[dHash64]]/[[pixelFingerprint]]. */
+    * from the `require` inside [[dHash64]]/[[pixelFingerprint]]. The
+    * fence is checked on the HEADER dimensions ([[probeDims]]) BEFORE
+    * `ImageIO.read` materializes the raster — an oversized bomb is
+    * rejected without ever allocating its decoded pixels (the
+    * post-decode filter stays as a defense-in-depth re-check). */
   def decodeBounded(bytes: Array[Byte]): Option[BufferedImage] =
-    decode(bytes).filter(img => img.getWidth.toLong * img.getHeight <= maxPixels)
+    probeDims(bytes) match {
+      case Some((w, h)) if w.toLong * h > maxPixels => None
+      case _ =>
+        decode(bytes)
+          .filter(img => img.getWidth.toLong * img.getHeight <= maxPixels)
+    }
 
   /** Decode-then-hash; None when the payload doesn't decode or is
     * oversized. */

@@ -46,13 +46,72 @@ object WarcArchives {
   }
 
   /** Inflate a (possibly multi-member) gzip stream; plain bytes pass
-    * through untouched (uncompressed `.warc` support). */
+    * through untouched (uncompressed `.warc` support). Walks members
+    * MANUALLY (header parse + raw `Inflater` + trailer verify) instead
+    * of `GZIPInputStream`, because the JDK stream treats a malformed
+    * subsequent member header as clean EOF — which would silently drop
+    * every record after a corrupt member boundary. Here any bytes left
+    * after a member's trailer must start a well-formed next member, or
+    * the whole file fails loudly with byte-offset context. */
   def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
       (bytes(1) & 0xFF) != 0x8B) return bytes
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    var i = 0
+    while (i < bytes.length) i = inflateMember(bytes, i, out)
+    out.toByteArray
+  }
+
+  /** Inflate ONE gzip member starting at `start`, appending its
+    * plaintext to `out`; returns the offset just past the member's
+    * 8-byte trailer. Throws on any malformation: bad magic, unknown
+    * method, truncated header/deflate/trailer, CRC32 or ISIZE
+    * mismatch — the fail-loudly contract [[gunzipAll]] documents. */
+  private def inflateMember(b: Array[Byte], start: Int,
+                            out: java.io.ByteArrayOutputStream): Int = {
+    def die(msg: String): Nothing = throw new IllegalStateException(
+      s"gunzipAll: $msg (member at byte $start)")
+    def u8(j: Int): Int = {
+      if (j >= b.length) die("truncated gzip header")
+      b(j) & 0xFF
+    }
+    if (u8(start) != 0x1F || u8(start + 1) != 0x8B)
+      die("bytes after member trailer are not a gzip member")
+    if (u8(start + 2) != 8) die(s"unknown compression method ${u8(start + 2)}")
+    val flg = u8(start + 3)
+    var i = start + 10
+    if ((flg & 4) != 0) { val xlen = u8(i) | (u8(i + 1) << 8); i += 2 + xlen }
+    if ((flg & 8) != 0) { while (u8(i) != 0) i += 1; i += 1 }  // FNAME
+    if ((flg & 16) != 0) { while (u8(i) != 0) i += 1; i += 1 } // FCOMMENT
+    if ((flg & 2) != 0) i += 2                                 // FHCRC
+    if (i >= b.length) die("truncated gzip header")
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, i, b.length - i)
+      val crc = new java.util.zip.CRC32()
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            die(s"corrupt deflate stream: ${e.getMessage}") }
+        if (n == 0 && inf.needsInput()) die("truncated deflate stream")
+        crc.update(buf, 0, n)
+        out.write(buf, 0, n)
+        total += n
+      }
+      val next = i + (b.length - i - inf.getRemaining)
+      if (next + 8 > b.length) die("truncated gzip trailer")
+      def le32(j: Int): Long =
+        (u8(j) | (u8(j + 1) << 8) | (u8(j + 2) << 16) |
+          (u8(j + 3).toLong << 24)) & 0xFFFFFFFFL
+      if (le32(next) != crc.getValue)
+        die(f"CRC32 mismatch: stored ${le32(next)}%08x, computed ${crc.getValue}%08x")
+      if (le32(next + 4) != (total & 0xFFFFFFFFL))
+        die(s"ISIZE mismatch: stored ${le32(next + 4)}, inflated $total")
+      next + 8
+    } finally inf.end()
   }
 
   /** Parse a WARC byte stream to

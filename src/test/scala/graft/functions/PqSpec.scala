@@ -319,6 +319,32 @@ class PqSpec extends SparkSpec {
       .filter($"rebalance").count() == 0)
   }
 
+  test("ivfPqRebalance fails loudly on a null cell in the index — a " +
+      "bare !isin would evaluate NULL and silently drop the row") {
+    def vec(id: Long): Seq[Float] =
+      (1 to 8).map(i => ((id % 2) * 100.0 + i).toFloat)
+    val src = (0L until 16L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val coarse = Seq.tabulate(2)(j => Seq.fill(8)(j * 100.0 + 4.0))
+    val cbs = Similarity.ivfPqCodebooks(src, "embedding", "vec_id",
+      coarse, m = m, ksub = 4, iters = 0, sampleN = 1 << 20)
+    val idx = Similarity.ivfPqEncode(src, "embedding", coarse, cbs,
+        cellCol = "cell", codesCol = "codes")
+      .select($"vec_id", $"cell", $"codes")
+    val poisoned = idx.withColumn("cell",
+      when($"vec_id" === 5L, lit(null).cast("int")).otherwise($"cell"))
+    val e = intercept[Exception] {
+      Similarity.ivfPqRebalance(poisoned, "vec_id", "cell", "codes",
+        src, "embedding", coarse, cbs, Seq(1), splitK = 2, iters = 0,
+        sampleN = 1 << 20)._2.count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null cell")),
+      s"expected the null-cell raise_error, got: ${messages(e)}")
+  }
+
   test("ivfPqCellBalance: exact ppm and cross-multiplied fence on " +
       "hand-checked counts") {
     val counts = Seq((1, 60L), (2, 30L), (3, 10L)).toDF("cell", "n_vecs")

@@ -97,6 +97,45 @@ class FlacCodecSpec extends SparkSpec {
     assert(FlacCodec.decode(null).isEmpty)
   }
 
+  test("an adversarial wasted-bits count >= the subframe width is " +
+      "rejected, not decoded to garbage behind 2^-16 CRC odds") {
+    // encode() writes a mono 16-bit stream whose first frame starts at
+    // byte 42 ("fLaC" 4 + STREAMINFO block header 4 + STREAMINFO 34);
+    // the frame header is 7 bytes + 1 CRC8 byte, so the subframe header
+    // byte sits at offset 50: [0 | type:6 | wasted-flag]. FIXED order 0
+    // is type 8 → 0x10; setting the flag (0x11) makes the decoder read
+    // a unary wasted count from the following (ex-sample) bits.
+    val good = FlacCodec.encode(
+      Array.tabulate(64)(i => (i * 37 % 101) - 50), 44100, blockSize = 64)
+    assert(FlacCodec.decode(good).isDefined)
+    val evil = good.clone()
+    evil(50) = 0x11
+    evil(51) = 0x00 // 8 unary zeros
+    evil(52) = 0x00 // 8 more
+    evil(53) = 0x80.toByte // terminator → wasted = 16 + 1 = 17 >= bps 16
+    assert(FlacCodec.decode(evil).isEmpty,
+      "wasted >= bps must reject the stream")
+  }
+
+  test("audioHash64 cross-window compare is exact under 128-bit " +
+      "products — values that wrap a raw Long cross-multiply") {
+    // e * len near the fence: 2^20-magnitude canonical floats summed
+    // over ~2^29/65 samples, cross-multiplied by a 2^23 window length
+    val cases = Seq(
+      (8646911284551352320L, 8257536L, 8646911284551352319L, 8257536L),
+      (1L << 62, 4L, (1L << 62) - 1, 4L),
+      (7L, 3L, 2L, 11L),
+      (0L, 5L, 1L, 5L),
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue - 1))
+    cases.foreach { case (a, b, c, d) =>
+      val exact = (BigInt(a) * BigInt(b)) < (BigInt(c) * BigInt(d))
+      assert(AudioSamples.crossLt(a, b, c, d) == exact,
+        s"crossLt($a,$b,$c,$d)")
+      assert(AudioSamples.crossLt(c, d, a, b) ==
+        ((BigInt(c) * BigInt(d)) < (BigInt(a) * BigInt(b))))
+    }
+  }
+
   test("audioHashFrameAny dispatches on magic: WAV and FLAC rows hash " +
       "in one pass with their fmt surfaced; corrupt FLAC keeps as null") {
     val rows = Seq(

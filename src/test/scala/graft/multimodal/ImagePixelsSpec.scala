@@ -166,4 +166,36 @@ class ImagePixelsSpec extends SparkSpec {
       .collect()
     assert(fp.count(_.isNullAt(1)) == 1 && fp.count(!_.isNullAt(1)) == 1)
   }
+
+  test("the maxPixels fence fires on the HEADER, before the raster is " +
+      "allocated: a bomb whose decode would need ~40 GB rejects fast") {
+    // handcrafted PNG: signature + IHDR declaring 200000x200000 + empty
+    // IDAT + IEND. Only the header need parse — probeDims reads IHDR and
+    // decodeBounded must reject WITHOUT calling ImageIO.read (a real
+    // read of 4e10 gray pixels would OOM this JVM long before any
+    // post-decode filter ran).
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      val body = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      len ++ body ++
+        java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(200000).putInt(200000)
+      .put(8.toByte).put(0.toByte) // 8-bit grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val megabomb = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array.emptyByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(ImagePixels.probeDims(megabomb).contains((200000, 200000)))
+    assert(ImagePixels.decodeBounded(megabomb).isEmpty)
+    assert(ImagePixels.dHashOf(megabomb).isEmpty)
+    // probe agrees with decode on a real payload, and keeps on garbage
+    val ok = ImagePixels.fixturePayload(7L, 36, 32, "png")
+    assert(ImagePixels.probeDims(ok).contains((36, 32)))
+    assert(ImagePixels.probeDims("not an image".getBytes).isEmpty)
+    assert(ImagePixels.probeDims(null).isEmpty)
+  }
 }

@@ -71,6 +71,61 @@ class WarcArchivesSpec extends SparkSpec {
     assert(WarcArchives.parseWarc(WarcArchives.gunzipAll(two)).size == 2)
   }
 
+  test("gunzipAll fails loudly on a corrupt member boundary — the JDK " +
+      "stream would silently drop every record after it") {
+    val rec = WarcArchives.warcRecordBytes(Seq(
+      "WARC-Type" -> "response", "WARC-Target-URI" -> "u"),
+      "hello".getBytes("UTF-8"))
+    val m1 = WarcArchives.gzipMember(rec)
+    val m2 = WarcArchives.gzipMember(rec)
+    // corrupt SECOND member's magic: GZIPInputStream reports clean EOF
+    // after member 1 (silent tail loss); the member walk must throw
+    val badMagic = m1 ++ m2.clone()
+    badMagic(m1.length + 1) = 0x00
+    val e1 = intercept[IllegalStateException](
+      WarcArchives.gunzipAll(badMagic))
+    assert(e1.getMessage.contains("not a gzip member"))
+    // flipped CRC32 in the last member's trailer
+    val badCrc = m1 ++ m2.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0xFF).toByte
+    val e2 = intercept[IllegalStateException](WarcArchives.gunzipAll(badCrc))
+    assert(e2.getMessage.contains("CRC32 mismatch"))
+    // second member truncated mid-deflate
+    val e3 = intercept[IllegalStateException](
+      WarcArchives.gunzipAll(m1 ++ m2.dropRight(12)))
+    assert(e3.getMessage.contains("truncated"))
+    // ISIZE mismatch with a valid CRC is still rejected
+    val badIsize = m1 ++ m2.clone()
+    badIsize(badIsize.length - 1) = (badIsize(badIsize.length - 1) ^ 1).toByte
+    val e4 = intercept[IllegalStateException](
+      WarcArchives.gunzipAll(badIsize))
+    assert(e4.getMessage.contains("ISIZE mismatch"))
+    // intact multi-member (with an FNAME-flagged member in the middle)
+    // still inflates everything
+    val named = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val params = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      params.setInput(rec); params.finish()
+      val buf = new Array[Byte](1 << 16)
+      val deflated = new java.io.ByteArrayOutputStream()
+      while (!params.finished())
+        deflated.write(buf, 0, params.deflate(buf))
+      params.end()
+      val crc = new java.util.zip.CRC32(); crc.update(rec)
+      bos.write(Array[Byte](0x1F.toByte, 0x8B.toByte, 8, 8, 0, 0, 0, 0, 0, 0))
+      bos.write("f.warc".getBytes("UTF-8")); bos.write(0)
+      bos.write(deflated.toByteArray)
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      bos.write(le32(crc.getValue)); bos.write(le32(rec.length.toLong))
+      bos.toByteArray
+    }
+    assert(WarcArchives.parseWarc(
+      WarcArchives.gunzipAll(m1 ++ named ++ m2)).size == 3)
+  }
+
   test("htmlText drops script/style blocks whole, strips tags, decodes " +
       "entities with &amp; last, and collapses whitespace") {
     val html = "<html><head><title>T</title><style>p {color: red}</style>" +
