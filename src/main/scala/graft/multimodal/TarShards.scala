@@ -122,9 +122,11 @@ object TarShards {
                                sourcePath: String, schema: StructType,
                                idCol: String, payloadCol: String,
                                outDir: String, checkpointPath: String,
-                               shardBytes: Long): Long = {
+                               shardBytes: Long,
+                               maxFilesPerTrigger: Option[Int] = None): Long = {
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val query = spark.readStream.schema(schema).parquet(sourcePath)
+    val query = graft.streaming.StreamWaves
+      .reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()

@@ -268,6 +268,136 @@ object PipelineQueries {
     } finally server.stop(0)
   }
 
+  /** OAuth REFRESH-TOKEN ROTATION mid-scan under the gate (q302): q227
+    * proves the 401-revocation path (invalidate → fresh grant); this
+    * gate proves the EXPIRY path nothing else exercises — tokens are
+    * minted with `expires_in = 1` and every page header is served with
+    * a 350 ms delay, so the sequential driver-side cursor walk (7
+    * headers ≈ 2.45 s of server-enforced wall) crosses the token
+    * lifetime at least twice. The live token endpoint ROTATES the
+    * refresh token on every `grant_type=refresh_token` (single-use rts,
+    * the RFC 6749 §10.4 posture) and REJECTS the first refresh attempt
+    * with `invalid_grant: refresh token expired` — the reference's
+    * InvalidRefreshTokenError demotion, so the walk must demote to a
+    * second credentials grant and LATER refresh-rotate off that grant's
+    * rt. In-gate requires pin: ≥ 2 refresh attempts, ≥ 1 successful
+    * rotation, ≥ 2 credentials grants (initial + demotion), and ZERO
+    * presentations of an already-consumed rt (each provider must carry
+    * its rotated token forward, never replay one the server burned).
+    * The oracle is the plain table restatement of the scanned slice —
+    * rotation, demotion, and re-grants must be invisible to the data. */
+  def cursorRotationQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = collectFixture(Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy(col("doc_id")), "cursorRotationQ")
+    val pages = docs.grouped(math.max(docs.length / 6, 1)).toSeq
+    val pageBody = scala.collection.mutable.Map.empty[String, String]
+    pages.zipWithIndex.foreach { case (rows, i) =>
+      val next = if (i + 1 < pages.length) s"page${i + 1}.json"
+                 else "terminal.json"
+      val header = s"""{"_count": ${rows.length}, "_links": """ +
+        s"""[{"href": "page$i.json"}, {"href": "$next"}]}"""
+      val recs = rows.map(r =>
+        s"""{"_fields": {"doc_id": ${r.getLong(0)}, "lang": "${r.getString(1)}",
+           | "source": "${r.getString(2)}", "n_chars": ${r.getLong(3)}}}"""
+          .stripMargin.replace("\n", ""))
+      pageBody(s"page$i.json") = (header +: recs).mkString("[", ",", "]")
+    }
+    pageBody("terminal.json") =
+      """[{"_count": 0, "_links": [{"href": "terminal.json"}, {"href": "page0.json"}]}]"""
+    val validRts = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val consumedRts = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val nTok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nCredGrant = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nRefreshAttempt = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nRefreshOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nReusedRt = new java.util.concurrent.atomic.AtomicInteger(0)
+    def mint(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      val i = nTok.incrementAndGet()
+      validRts.add(s"rt-$i")
+      val body = s"""{"access_token": "tok-$i", "refresh_token": "rt-$i",
+                    | "token_type": "Bearer", "expires_in": 1}""".stripMargin
+      val bytes = body.getBytes(UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    def reject(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      val bytes =
+        """{"error": "invalid_grant", "error_description": "refresh token expired"}"""
+          .getBytes(UTF_8)
+      ex.sendResponseHeaders(400, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val form = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          .split("&").map(_.split("=", 2))
+          .collect { case Array(k, v) =>
+            java.net.URLDecoder.decode(k, UTF_8) ->
+              java.net.URLDecoder.decode(v, UTF_8) }.toMap
+        if (form.get("grant_type").contains("refresh_token")) {
+          val attempt = nRefreshAttempt.incrementAndGet()
+          val rt = form.getOrElse("refresh_token", "")
+          if (consumedRts.contains(rt)) { nReusedRt.incrementAndGet()
+            reject(ex) }
+          else if (attempt == 1) reject(ex) // force the demotion path
+          else if (!validRts.remove(rt)) reject(ex)
+          else { consumedRts.add(rt); nRefreshOk.incrementAndGet()
+            mint(ex) } // single-use rt: rotate
+        } else { nCredGrant.incrementAndGet(); mint(ex) }
+      })
+    server.createContext("/lake",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val name = ex.getRequestURI.getPath.stripPrefix("/lake/")
+        // server-enforced wall on HEADERS only: the sequential driver
+        // walk must cross the 1 s token lifetime at least twice
+        Thread.sleep(350)
+        val bytes = pageBody(name).getBytes(UTF_8)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      val out = s.read
+        .format(classOf[graft.sources.lakesim.CursorSimSource].getName)
+        .schema(schema)
+        .option("url", s"http://127.0.0.1:$port/lake")
+        .option("start", "page0.json")
+        .option("tokenUrl", s"http://127.0.0.1:$port/token")
+        .option("clientId", "graft-gate").option("clientSecret", "s3cr3t")
+        .load()
+        .filter(col("n_chars") > 200 && col("source") === "src3")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      require(nRefreshAttempt.get() >= 2,
+        s"cursorRotationQ: expected >= 2 refresh attempts, " +
+          s"saw ${nRefreshAttempt.get()}")
+      require(nRefreshOk.get() >= 1,
+        s"cursorRotationQ: expected >= 1 successful rotation, " +
+          s"saw ${nRefreshOk.get()}")
+      require(nCredGrant.get() >= 2,
+        s"cursorRotationQ: expected >= 2 credentials grants " +
+          s"(initial + demotion), saw ${nCredGrant.get()}")
+      require(nReusedRt.get() == 0,
+        s"cursorRotationQ: a consumed refresh token was re-presented " +
+          s"${nReusedRt.get()} time(s) - rotation not carried forward")
+      out
+    } finally server.stop(0)
+  }
+
   /** DSv2 lake WRITE path end-to-end (S10 push side) under the oracle:
     * the documents table is pushed through [[graft.sources.lakesim
     * .LakeSimWrite]]'s real `BatchWrite` commit protocol — task temp
@@ -754,12 +884,13 @@ object PipelineQueries {
   }
 
   /** STREAMING quantile monitor under the oracle gate: the documents
-    * table arrives in two disjoint waves (evens, then odds) and
+    * table arrives in two disjoint waves (evens, then odds — staged
+    * files, one micro-batch each under maxFilesPerTrigger=1) and
     * [[graft.streaming.StreamStats]] maintains per-source quantile
-    * sketches as flatMapGroupsWithState STATE across the checkpointed
-    * runs — wave 2's report must reflect wave-1 state restored from the
-    * state store, and a third no-new-files run must leave the sink
-    * unchanged. Because the sketch is a pure set function, the final
+    * sketches as flatMapGroupsWithState STATE across the micro-batches —
+    * wave 2's report must reflect wave-1 state committed to and loaded
+    * from the state store (restart/replay safety is StreamStatsSpec's
+    * pin). Because the sketch is a pure set function, the final
     * per-source quantiles are provably identical to the one-shot batch
     * aggregate — so the oracle is exactly q110's whole-corpus
     * restatement. */
@@ -768,16 +899,17 @@ object PipelineQueries {
       val src = s"$base/landing"
       val docs = Tables.load(s, dir, "documents")
       val narrow = docs.select(col("doc_id"), col("source"), col("n_chars"))
-      def run(): Unit = graft.streaming.StreamStats.runAvailableNow(
-        s, src, narrow.drop("doc_id").schema, "source", "n_chars",
-        s"$base/sink", s"$base/ckpt")
-      narrow.filter(col("doc_id") % 2 === 0).drop("doc_id")
-        .write.mode("append").parquet(src)
-      run()
-      narrow.filter(col("doc_id") % 2 === 1).drop("doc_id")
-        .write.mode("append").parquet(src)
-      run()
-      run() // no new files: replay must leave the sink unchanged
+      // two waves, one lifecycle: maxFilesPerTrigger=1 drains each staged
+      // wave as its own micro-batch (state-store fold between batches is
+      // identical to separate drains); restart/replay safety is pinned by
+      // StreamStatsSpec
+      graft.streaming.StreamWaves.stage(src, Seq(
+        narrow.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+        narrow.filter(col("doc_id") % 2 === 1).drop("doc_id")))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamStats.runAvailableNow(
+          s, src, narrow.drop("doc_id").schema, "source", "n_chars",
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       val sink = s.read.parquet(s"$base/sink")
       val latest = sink.groupBy(col("g")).agg(max(col("batch_id")).as("batch_id"))
       sink.join(latest, Seq("g", "batch_id"))
@@ -822,9 +954,10 @@ object PipelineQueries {
       val src = s"$base/landing"
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      def run(): Unit = graft.streaming.IncrementalIngest.runAvailableNow(
-        s, src, docs.schema, "doc_id", s"$base/sink", s"$base/history",
-        s"$base/ckpt")
+      def run(): Unit = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.IncrementalIngest.runAvailableNow(
+          s, src, docs.schema, "doc_id", s"$base/sink", s"$base/history",
+          s"$base/ckpt") }
       docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
       run()
       docs.write.mode("append").parquet(src) // evens again + the odds
@@ -857,10 +990,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           concat(col("doc_id").cast("string"), lit(":"), col("text")).as("text"))
         .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
-      def run(): Unit = {
+      val third = docs.filter(col("doc_id") % 3 === 0)
+      // wave 1 carries exact duplicate rows INSIDE one micro-batch
+      // (within-batch dedup); wave 2 re-delivers the full corpus a
+      // micro-batch later, dropped by state committed to and loaded
+      // from the state store. One lifecycle, one staged file per wave;
+      // restart/replay safety is StreamDedupSpec's pin.
+      graft.streaming.StreamWaves.stage(src,
+        Seq(third.unionAll(third), docs))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
         val q = graft.streaming.StreamDedup
           .dedupByFingerprint(
-            s.readStream.schema(docs.schema).parquet(src),
+            graft.streaming.StreamWaves.reader(s, docs.schema, src, Some(1)),
             "ts", "text", watermarkDelay = "30 days")
           .writeStream.format("parquet")
           .option("path", s"$base/sink")
@@ -869,13 +1010,6 @@ object PipelineQueries {
           .start()
         q.awaitTermination()
       }
-      val third = docs.filter(col("doc_id") % 3 === 0)
-      third.write.mode("append").parquet(src)
-      third.write.mode("append").parquet(src) // exact duplicate rows
-      run()
-      docs.write.mode("append").parquet(src) // full corpus: thirds re-arrive
-      run()
-      run() // no new files: the replay must leave the sink unchanged
       s.read.parquet(s"$base/sink")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
@@ -905,31 +1039,20 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0, col("text"))
           .otherwise(substring_index_half(col("text"), col("n_chars")))
           .as("text"))
-      def run(expectBatches: Long): Unit = {
-        val n = graft.streaming.StreamNearDup.runAvailableNow(
+      // two staged waves, one lifecycle: each wave is ONE file, so the
+      // maxFilesPerTrigger=1 source drains exactly one wave per
+      // micro-batch — the oracle's greedy two-wave semantics assume one
+      // wave = one micro-batch (intra-wave pairs deliberately not
+      // deduped); fail loudly rather than diverge if that ever breaks.
+      // Replay safety is StreamNearDupSpec's pin.
+      graft.streaming.StreamWaves.stage(src, Seq(wave1, wave2))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamNearDup.runAvailableNow(
           s, src, wave1.schema, "doc_id", "text",
-          s"$base/state", s"$base/ckpt")
-        // the oracle's greedy two-wave semantics assume one wave = one
-        // micro-batch (intra-wave pairs deliberately not deduped); fail
-        // loudly rather than diverge if the source ever splits a wave
-        require(n == expectBatches,
-          s"streamNearDupQ: expected $expectBatches micro-batch(es), " +
-          s"source produced $n - the one-batch-per-wave oracle " +
-          "assumption no longer holds")
-      }
-      // each wave lands as ONE file: even a maxFilesPerTrigger=1 source
-      // cannot split it across micro-batches
-      wave1.coalesce(1).write.mode("append").parquet(src)
-      run(expectBatches = 1)
-      wave2.coalesce(1).write.mode("append").parquet(src)
-      run(expectBatches = 1)
-      // no new files: replay must leave the accepted set unchanged
-      // (AvailableNow may emit zero or one empty batch here — both fine)
-      val replayBatches = graft.streaming.StreamNearDup.runAvailableNow(
-        s, src, wave1.schema, "doc_id", "text",
-        s"$base/state", s"$base/ckpt")
-      require(replayBatches <= 1, s"streamNearDupQ: no-data replay ran " +
-        s"$replayBatches micro-batches")
+          s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      require(n == 2,
+        s"streamNearDupQ: expected 2 micro-batches, source produced $n" +
+        " - the one-batch-per-wave oracle assumption no longer holds")
       s.read.parquet(s"$base/state/accepted")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -952,31 +1075,17 @@ object PipelineQueries {
       val named = TrainingData.typoNamesSparse(s, dir)
       val wave1 = named.filter(col("doc_id") % 2 === 0)
       val wave2 = named.filter(col("doc_id") % 2 === 1)
-      def run(expectBatches: Long): Unit = {
-        val n = graft.streaming.StreamFuzzyDedup.runAvailableNow(
+      // two staged waves, one lifecycle (one wave per micro-batch — the
+      // greedy two-wave oracle assumption, asserted); replay safety is
+      // StreamFuzzyDedupSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(wave1, wave2))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamFuzzyDedup.runAvailableNow(
           s, src, wave1.schema, "doc_id", "name",
-          s"$base/state", s"$base/ckpt")
-        // the oracle's greedy two-wave semantics assume one wave = one
-        // micro-batch (intra-wave pairs deliberately not deduped); fail
-        // loudly rather than diverge if the source ever splits a wave
-        require(n == expectBatches,
-          s"streamFuzzyQ: expected $expectBatches micro-batch(es), " +
-          s"source produced $n - the one-batch-per-wave oracle " +
-          "assumption no longer holds")
-      }
-      // each wave lands as ONE file: even a maxFilesPerTrigger=1 source
-      // cannot split it across micro-batches
-      wave1.coalesce(1).write.mode("append").parquet(src)
-      run(expectBatches = 1)
-      wave2.coalesce(1).write.mode("append").parquet(src)
-      run(expectBatches = 1)
-      // no new files: replay must leave the accepted set unchanged
-      // (AvailableNow may emit zero or one empty batch here — both fine)
-      val replayBatches = graft.streaming.StreamFuzzyDedup.runAvailableNow(
-        s, src, wave1.schema, "doc_id", "name",
-        s"$base/state", s"$base/ckpt")
-      require(replayBatches <= 1, s"streamFuzzyQ: no-data replay ran " +
-        s"$replayBatches micro-batches")
+          s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      require(n == 2,
+        s"streamFuzzyQ: expected 2 micro-batches, source produced $n" +
+        " - the one-batch-per-wave oracle assumption no longer holds")
       s.read.parquet(s"$base/state/accepted")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -1016,9 +1125,20 @@ object PipelineQueries {
       def sentinel(tsLit: String) =
         Seq((-1L, java.sql.Timestamp.valueOf(tsLit), "r", 0.0))
           .toDF("key", "ts", "side", "value")
-      def run(): Long = {
+      // the whole corpus is micro-batch 0 (one staged file under
+      // maxFilesPerTrigger=1, so no probe/quote can be dropped by the
+      // late filter mid-stream), followed by two sentinel flush batches:
+      // the watermark computed at the end of one micro-batch emits
+      // buffered probes (via event-time timeout) in the NEXT — all
+      // inside ONE AvailableNow lifecycle
+      graft.streaming.StreamWaves.stage(src, Seq(wave,
+        sentinel("2030-01-01 00:00:00"), sentinel("2030-06-01 00:00:00")))
+      // gate-scale state layout: per-key buffered probes are tiny, so 4
+      // state partitions cut the per-micro-batch store-commit file IO
+      // (see StreamState.withStatePartitions)
+      val n1 = graft.streaming.StreamState.withStatePartitions(s, 4) {
         val q = graft.streaming.StreamAsof.asofJoin(
-            s.readStream.schema(wave.schema).parquet(src)
+            graft.streaming.StreamWaves.reader(s, wave.schema, src, Some(1))
               .as[graft.streaming.StreamAsof.AsofInput]
               .withWatermark("ts", "60 seconds"))
           .writeStream.format("parquet")
@@ -1030,16 +1150,9 @@ object PipelineQueries {
         q.awaitTermination()
         q.recentProgress.count(_.numInputRows > 0)
       }
-      wave.coalesce(1).write.mode("append").parquet(src)
-      val n1 = run()
-      require(n1 == 1, s"streamAsofQ: the single-file corpus ran as $n1 " +
-        "micro-batches - the no-late-drop premise no longer holds")
-      // two flush waves: the watermark computed at the end of one batch
-      // emits buffered probes (via event-time timeout) in the NEXT
-      sentinel("2030-01-01 00:00:00").write.mode("append").parquet(src)
-      run()
-      sentinel("2030-06-01 00:00:00").write.mode("append").parquet(src)
-      run()
+      require(n1 == 3, s"streamAsofQ: expected 3 data micro-batches " +
+        s"(corpus + two sentinels), ran $n1 - the no-late-drop premise " +
+        "no longer holds")
       s.read.parquet(s"$base/sink")
         .filter(col("key") >= 0)
         .select(col("key"), col("ts"), col("left_value"),
@@ -1072,9 +1185,14 @@ object PipelineQueries {
           .toDF("user_id", "ts", "value")
           .select(col("user_id"), col("ts"),
             col("value").cast(DecimalType(18, 2)).as("value"))
-      def run(): Unit = {
+      // corpus + two sentinel flush waves as three micro-batches of ONE
+      // lifecycle (sessions reach the append sink once the watermark —
+      // advanced between micro-batches — passes their close)
+      graft.streaming.StreamWaves.stage(src, Seq(e,
+        sentinel("2030-01-01 00:00:00"), sentinel("2030-06-01 00:00:00")))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
         val q = graft.streaming.Sessionize.sessionsStream(
-            s.readStream.schema(e.schema).parquet(src)
+            graft.streaming.StreamWaves.reader(s, e.schema, src, Some(1))
               .withWatermark("ts", "60 seconds"),
             "user_id", "ts", "30 minutes", col("value"))
           .writeStream.format("parquet")
@@ -1085,12 +1203,6 @@ object PipelineQueries {
           .start()
         q.awaitTermination()
       }
-      e.coalesce(1).write.mode("append").parquet(src)
-      run()
-      sentinel("2030-01-01 00:00:00").write.mode("append").parquet(src)
-      run()
-      sentinel("2030-06-01 00:00:00").write.mode("append").parquet(src)
-      run()
       s.read.parquet(s"$base/sink")
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("session_end"),
@@ -1123,18 +1235,19 @@ object PipelineQueries {
         df.withColumn("ts", to_timestamp(lit(ts)))
       val evens = docs.filter(col("doc_id") % 2 === 0)
       val odds = docs.filter(col("doc_id") % 2 === 1)
-      def run(): Unit = {
-        val q = graft.streaming.StreamDedup
-          .dedupByFingerprint(
-            s.readStream.schema(at(evens, t1).schema).parquet(src),
-            "ts", "text", watermarkDelay = "1 hour")
-          .writeStream.format("parquet")
-          .option("path", s"$base/sink")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      def run(): Unit = graft.streaming.StreamState
+        .withStatePartitions(s, 4) {
+          val q = graft.streaming.StreamDedup
+            .dedupByFingerprint(
+              s.readStream.schema(at(evens, t1).schema).parquet(src),
+              "ts", "text", watermarkDelay = "1 hour")
+            .writeStream.format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
       at(evens, t1).coalesce(1).write.mode("append").parquet(src)
       run() // wave 1: all accepted, state expires at t1 + 1h
       at(odds, t2).coalesce(1).write.mode("append").parquet(src)
@@ -1224,20 +1337,18 @@ object PipelineQueries {
       val e = Tables.load(s, dir, "events")
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
           col("event_id"), col("event_type"))
-      def run(): Long = graft.streaming.Scd2Stream.runAvailableNow(
-        s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
-        Seq("event_id"), s"$base/state", s"$base/ckpt")
-      // event-time-ordered waves (the merge ordering contract): day 1-10,
-      // 11-20, then the rest
+      // event-time-ordered staged waves (the merge ordering contract):
+      // day 1-10, 11-20, then the rest — one lifecycle, one micro-batch
+      // per wave; replay safety is Scd2StreamSpec's pin
       val d = dayofmonth(col("ts"))
-      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
-      run()
-      val replay = run() // no new files: the standing answer must not change
-      require(replay <= 1, s"scd2StreamQ: no-data replay ran $replay batches")
+      graft.streaming.StreamWaves.stage(src, Seq(
+        e.filter(d <= 10), e.filter(d > 10 && d <= 20), e.filter(d > 20)))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.Scd2Stream.runAvailableNow(
+          s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
+          Seq("event_id"), s"$base/state", s"$base/ckpt",
+          maxFilesPerTrigger = Some(1)) }
+      require(n == 3, s"scd2StreamQ: expected 3 micro-batches, ran $n")
       graft.streaming.Scd2Stream.currentHistory(s, s"$base/state")
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("version"), col("is_current"))
@@ -1259,17 +1370,14 @@ object PipelineQueries {
       val e = Tables.load(s, dir, "events")
       val cur = e.filter(col("value") > 50)
         .select(col("event_id"), col("event_type"))
-      def run(): Unit = graft.streaming.StreamDrift.runAvailableNow(
-        s, src, cur.schema, "event_type", s"$base/sink", s"$base/ckpt")
-      for (w <- 0 to 2) {
-        cur.filter(col("event_id") % 3 === w).coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-      }
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing counts must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamDriftQ: no-data replay appended monitor rows")
+      // three staged waves, one lifecycle (one micro-batch per wave);
+      // replay safety is StreamDriftSpec's pin
+      graft.streaming.StreamWaves.stage(src, (0 to 2).map(w =>
+        cur.filter(col("event_id") % 3 === w)))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamDrift.runAvailableNow(
+          s, src, cur.schema, "event_type", s"$base/sink", s"$base/ckpt",
+          maxFilesPerTrigger = Some(1)) }
       val refCounts = e.filter(col("value") <= 50)
         .groupBy(col("event_type").as("category"))
         .agg(count(lit(1)).as("ref_n"))
@@ -1298,28 +1406,21 @@ object PipelineQueries {
         .select((col("user_id") % 25).as("k"),
           datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
             .cast("long").as("day"))
-      def run(): Unit = graft.streaming.StreamCusum.runAvailableNow(
-        s, src, days.schema, "k", "day", drift = 2,
-        s"$base/sink", s"$base/ckpt")
       val bounds = days.agg(min(col("day")), max(col("day")))
         .collect()(0)
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val cut1 = lo + (hi - lo) / 3
       val cut2 = lo + 2 * (hi - lo) / 3
-      // day-ordered waves; a calendar day never spans two batches
-      days.filter(col("day") <= cut1).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      days.filter(col("day") > cut1 && col("day") <= cut2).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      days.filter(col("day") > cut2).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: nothing may append
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamCusumQ: no-data replay appended monitor rows")
+      // day-ordered staged waves (a calendar day never spans two
+      // batches), one lifecycle; replay safety is StreamCusumSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(
+        days.filter(col("day") <= cut1),
+        days.filter(col("day") > cut1 && col("day") <= cut2),
+        days.filter(col("day") > cut2)))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamCusum.runAvailableNow(
+          s, src, days.schema, "k", "day", drift = 2,
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       graft.streaming.StreamCusum.emittedSeries(s, s"$base/sink")
         .withColumn("alarm", col("cusum") > 3)
         .orderBy(col("k"), col("day"))
@@ -1348,23 +1449,23 @@ object PipelineQueries {
         .select(col("doc_id"),
           explode(graft.functions.TextAnalysis.tokens(lower(col("text"))))
             .as("term"))
-      def run(): Unit = graft.streaming.StreamSketch.runAvailableNow(
-        s, src, toks.select("term").schema, "term",
-        s"$base/sink", s"$base/ckpt")
-      for (wv <- 0 to 2) {
-        toks.filter(col("doc_id") % 3 === wv).select("term").coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-        // MID-CHAIN compaction after wave 2: the folded batch_id=-1
-        // snapshot must be a valid serving AND maintenance substrate
-        if (wv == 1)
-          graft.streaming.StreamSinkCompact.compactLatest(
-            s, s"$base/sink", Seq("depth", "bucket"))
-      }
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing cells must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamHeavyQ: no-data replay appended monitor rows")
+      def run(): Unit = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamSketch.runAvailableNow(
+          s, src, toks.select("term").schema, "term",
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      def wave(wv: Int) = toks.filter(col("doc_id") % 3 === wv)
+        .select("term")
+      // waves 0-1 in one lifecycle (one micro-batch each), then the
+      // MID-CHAIN compaction — the folded batch_id=-1 snapshot must be a
+      // valid serving AND maintenance substrate — then wave 2 folds on
+      // top of the compacted state in a second lifecycle. Replay safety
+      // is StreamSketchSpec's pin.
+      graft.streaming.StreamWaves.stage(src, Seq(wave(0), wave(1)))
+      run()
+      graft.streaming.StreamSinkCompact.compactLatest(
+        s, s"$base/sink", Seq("depth", "bucket"))
+      graft.streaming.StreamWaves.stage(src, Seq(wave(2)))
+      run()
       // serving identity through compaction: the final fold must leave
       // the resolved grid untouched while bounding the sink scan
       val preCompact = graft.streaming.StreamSketch
@@ -1416,17 +1517,14 @@ object PipelineQueries {
       val oldFps = graft.streaming.StreamChurn
         .oldFingerprints(old, "k", cols).localCheckpoint()
       val nOld = old.count()
-      def run(): Unit = graft.streaming.StreamChurn.runAvailableNow(
-        s, src, nw.schema, oldFps, "k", cols, s"$base/sink", s"$base/ckpt")
-      for (wv <- 0 to 2) {
-        nw.filter(col("k") % 3 === wv).coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-      }
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing increments must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamChurnQ: no-data replay appended monitor rows")
+      // three staged key-split waves, one lifecycle; replay safety is
+      // StreamChurnSpec's pin
+      graft.streaming.StreamWaves.stage(src, (0 to 2).map(wv =>
+        nw.filter(col("k") % 3 === wv)))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamChurn.runAvailableNow(
+          s, src, nw.schema, oldFps, "k", cols, s"$base/sink", s"$base/ckpt",
+          maxFilesPerTrigger = Some(1)) }
       graft.streaming.StreamChurn.currentChurn(s, s"$base/sink", nOld)
         .orderBy(col("metric"))
         .localCheckpoint()
@@ -1449,22 +1547,16 @@ object PipelineQueries {
             (col("event_id") % 7) * 1800000000L).as("et_us"))
       val bounds = e.agg(max(col("event_id"))).collect()(0).getLong(0)
       val (c1, c2) = (bounds / 3, 2 * bounds / 3)
-      def run(): Unit = graft.streaming.StreamLateness.runAvailableNow(
-        s, src, e.schema, "user_id", "event_id", "et_us",
-        s"$base/sink", s"$base/ckpt")
-      e.filter(col("event_id") <= c1).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      e.filter(col("event_id") > c1 && col("event_id") <= c2).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      e.filter(col("event_id") > c2).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing audits must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamLatenessQ: no-data replay appended monitor rows")
+      // three staged arrival-ordered waves, one lifecycle; replay safety
+      // is StreamLatenessSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(
+        e.filter(col("event_id") <= c1),
+        e.filter(col("event_id") > c1 && col("event_id") <= c2),
+        e.filter(col("event_id") > c2)))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamLateness.runAvailableNow(
+          s, src, e.schema, "user_id", "event_id", "et_us",
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       graft.streaming.StreamLateness.currentAudit(s, s"$base/sink")
         .select(col("k").as("user_id"), col("n"), col("n_late"),
           col("max_late_us"))
@@ -1489,23 +1581,15 @@ object PipelineQueries {
       val src = s"$base/landing"
       val e = Tables.load(s, dir, "events")
         .select(col("event_type"), col("user_id"), col("event_id"))
-      def run(): Unit = graft.streaming.StreamBitmap.runAvailableNow(
-        s, src, e.schema, "event_type", "user_id",
-        s"$base/sink", s"$base/ckpt")
-      for (wv <- 0 to 2) {
-        // overlapping waves: each repeats the previous boundary slice
-        e.filter(col("event_id") % 3 === wv ||
-            col("event_id") % 7 === wv).coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-      }
-      // top up with the full set so the standing words cover everything
-      e.coalesce(1).write.mode("append").parquet(src)
-      run()
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing words must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamBitmapQ: no-data replay appended monitor rows")
+      // four staged waves (three OVERLAPPING key slices, then the full
+      // top-up), one lifecycle; replay safety is StreamBitmapSpec's pin
+      graft.streaming.StreamWaves.stage(src,
+        (0 to 2).map(wv => e.filter(col("event_id") % 3 === wv ||
+          col("event_id") % 7 === wv)) :+ e)
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamBitmap.runAvailableNow(
+          s, src, e.schema, "event_type", "user_id",
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       val standing = graft.streaming.StreamBitmap
         .currentBitmap(s, s"$base/sink").localCheckpoint()
       val batch = graft.functions.Bitmap.bitmaps(
@@ -1537,18 +1621,14 @@ object PipelineQueries {
       val e = Tables.load(s, dir, "events")
         .withColumn("cents", floor(col("value") * 100).cast("long"))
         .select(col("event_id"), col("event_type"), col("cents"))
-      def run(): Unit = graft.streaming.StreamQuantile.runAvailableNow(
-        s, src, e.schema, "event_type", "cents", 256,
-        s"$base/sink", s"$base/ckpt")
-      for (wv <- 0 to 2) {
-        e.filter(col("event_id") % 3 === wv).coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-      }
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing entries must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamQuantileQ: no-data replay appended monitor rows")
+      // three staged waves, one lifecycle; replay safety is
+      // StreamQuantileSpec's pin
+      graft.streaming.StreamWaves.stage(src, (0 to 2).map(wv =>
+        e.filter(col("event_id") % 3 === wv)))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamQuantile.runAvailableNow(
+          s, src, e.schema, "event_type", "cents", 256,
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       val standing = graft.streaming.StreamQuantile
         .currentEntries(s, s"$base/sink").localCheckpoint()
       val batch = graft.operators.AggMaintain
@@ -1596,16 +1676,13 @@ object PipelineQueries {
         .union(d.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 200000L).as("a"),
             (col("doc_id") + 100002L).as("b")))
-      def run(): Unit = graft.streaming.StreamComponents.runAvailableNow(
-        s, src, w1.schema, "a", "b", s"$base/sink", s"$base/ckpt")
-      w1.coalesce(1).write.mode("append").parquet(src)
-      run()
-      w2.coalesce(1).write.mode("append").parquet(src)
-      run()
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing assignment must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamComponentsQ: no-data replay appended assignment rows")
+      // two staged waves, one lifecycle; replay safety is
+      // StreamComponentsSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(w1, w2))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamComponents.runAvailableNow(
+          s, src, w1.schema, "a", "b", s"$base/sink", s"$base/ckpt",
+          maxFilesPerTrigger = Some(1)) }
       val standing = graft.streaming.StreamComponents
         .currentAssignment(s, s"$base/sink").localCheckpoint()
       val oneShot = graft.operators.Components
@@ -1631,22 +1708,17 @@ object PipelineQueries {
       val src = s"$base/landing"
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
-      def run(): Unit = graft.streaming.StreamReservoir.runAvailableNow(
-        s, src, d.schema, "doc_id", "n_chars", 100,
-        s"$base/sink", s"$base/ckpt")
-      for (wv <- 0 to 2) {
-        // wave 2 re-delivers wave 1's %5 slice: idempotent under
-        // rank-identical re-arrival
+      // three staged waves (wave 2 re-delivers wave 1's %5 slice:
+      // idempotent under rank-identical re-arrival), one lifecycle;
+      // replay safety is StreamReplaySpec's pin
+      graft.streaming.StreamWaves.stage(src, (0 to 2).map(wv =>
         d.filter(col("doc_id") % 3 === wv ||
-            (lit(wv) === 1 && col("doc_id") % 3 === 0 &&
-              col("doc_id") % 5 === 0)).coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-      }
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing reservoir must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamReservoirQ: no-data replay appended reservoir rows")
+          (lit(wv) === 1 && col("doc_id") % 3 === 0 &&
+            col("doc_id") % 5 === 0))))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamReservoir.runAvailableNow(
+          s, src, d.schema, "doc_id", "n_chars", 100,
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       val standing = graft.streaming.StreamReservoir
         .currentReservoir(s, s"$base/sink").localCheckpoint()
       val oneShot = graft.functions.Sampling
@@ -1681,18 +1753,14 @@ object PipelineQueries {
         .filter(!(col("event_type") === "signup" && col("cohort") <= 1 &&
           col("event_id") % 3 === 0))
         .select(col("cohort"), col("event_type"), col("event_id"))
-      def run(): Unit = graft.streaming.StreamTvd.runAvailableNow(
-        s, src, cur.schema, "cohort", "event_type",
-        s"$base/sink", s"$base/ckpt")
-      for (wv <- 0 to 2) {
-        cur.filter(col("event_id") % 3 === wv).coalesce(1)
-          .write.mode("append").parquet(src)
-        run()
-      }
-      val emitted = s.read.parquet(s"$base/sink").count()
-      run() // no new files: the standing counts must not change
-      require(s.read.parquet(s"$base/sink").count() == emitted,
-        "streamTvdQ: no-data replay appended monitor rows")
+      // three staged waves, one lifecycle; replay safety is
+      // StreamReplaySpec's pin
+      graft.streaming.StreamWaves.stage(src, (0 to 2).map(wv =>
+        cur.filter(col("event_id") % 3 === wv)))
+      graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamTvd.runAvailableNow(
+          s, src, cur.schema, "cohort", "event_type",
+          s"$base/sink", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
       val standing = graft.streaming.StreamTvd.currentDrift(
           s, s"$base/sink", ref, "cohort", "event_type", 3L, 100L)
         .localCheckpoint()
@@ -1722,18 +1790,16 @@ object PipelineQueries {
         .filter(col("event_id") % 7 === 0)
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
           col("event_type"))
-      def run(): Long = graft.streaming.FunnelStream.runAvailableNow(
-        s, src, e.schema, "user_id", "ts", "event_type", steps,
-        s"$base/state", s"$base/ckpt")
       val d = dayofmonth(col("ts"))
-      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
-      run()
-      val replay = run() // no new files: the standing answer must not change
-      require(replay <= 1, s"funnelStreamQ: no-data replay ran $replay batches")
+      // three staged event-time-ordered waves, one lifecycle (one
+      // micro-batch per wave); replay safety is FunnelStreamSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(
+        e.filter(d <= 10), e.filter(d > 10 && d <= 20), e.filter(d > 20)))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.FunnelStream.runAvailableNow(
+          s, src, e.schema, "user_id", "ts", "event_type", steps,
+          s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      require(n == 3, s"funnelStreamQ: expected 3 micro-batches, ran $n")
       graft.streaming.FunnelStream.currentTimes(s, s"$base/state",
           "user_id", steps, e.schema("user_id"))
         .orderBy(col("user_id"))
@@ -1759,35 +1825,32 @@ object PipelineQueries {
       val b = e.filter(col("event_id") % 3 === 2)
         .select(col("event_id").as("b_id"), col("user_id").as("b_user_id"),
           col("ts").as("b_start"))
-      def run(): Long = graft.streaming.StreamIntervalJoin.runAvailableNow(
+      // event-time-ordered staged waves (the watermark contract any
+      // production feed honors); boundary-adjacent intervals overlap
+      // across waves, so batch N joins against join state buffered from
+      // batches < N. One lifecycle, one wave file per side per
+      // micro-batch; exactly-once replay across restarts is
+      // StreamReplaySpec's pin.
+      val cuts = Seq(
+        (ts: org.apache.spark.sql.Column) =>
+          ts < lit("2024-01-11").cast("timestamp"),
+        (ts: org.apache.spark.sql.Column) =>
+          ts >= lit("2024-01-11").cast("timestamp") &&
+            ts < lit("2024-01-21").cast("timestamp"),
+        (ts: org.apache.spark.sql.Column) =>
+          ts >= lit("2024-01-21").cast("timestamp"))
+      graft.streaming.StreamWaves.stage(aDir,
+        cuts.map(c => a.filter(c(col("a_start")))))
+      graft.streaming.StreamWaves.stage(bDir,
+        cuts.map(c => b.filter(c(col("b_start")))))
+      graft.streaming.StreamIntervalJoin.runAvailableNow(
         s, aDir, bDir, a.schema, b.schema,
         aLenSec = 7200L, bLenSec = 2700L, delay = "2 hours",
         outDir = s"$base/out", checkpointPath = s"$base/ckpt",
         // per-user in-window row counts are tiny at every gate SF; 8
         // state partitions cut the 4-stores-per-partition-per-side
         // file-IO floor that dominated under 32 (33.6 s → see STATUS)
-        statePartitions = Some(8))
-      def wave(cond: org.apache.spark.sql.Column
-          => org.apache.spark.sql.Column): Unit = {
-        a.filter(cond(col("a_start"))).coalesce(1)
-          .write.mode("append").parquet(aDir)
-        b.filter(cond(col("b_start"))).coalesce(1)
-          .write.mode("append").parquet(bDir)
-      }
-      // event-time-ordered waves (the watermark contract any production
-      // feed honors); boundary-adjacent intervals overlap across waves
-      wave(ts => ts < lit("2024-01-11").cast("timestamp"))
-      run()
-      wave(ts => ts >= lit("2024-01-11").cast("timestamp") &&
-        ts < lit("2024-01-21").cast("timestamp"))
-      run()
-      wave(ts => ts >= lit("2024-01-21").cast("timestamp"))
-      run()
-      val emitted = s.read.parquet(s"$base/out").count()
-      run() // no new files: nothing may append
-      val afterReplay = s.read.parquet(s"$base/out").count()
-      require(afterReplay == emitted,
-        s"streamIntervalJoinQ: replay appended ${afterReplay - emitted} rows")
+        statePartitions = Some(2), maxFilesPerTrigger = Some(1))
       s.read.parquet(s"$base/out")
         .select(col("a_id"), col("b_id"), col("user_id"))
         .orderBy(col("a_id"), col("b_id"))
@@ -1818,34 +1881,30 @@ object PipelineQueries {
       val b = e.filter(col("event_id") % 5 === 2)
         .select(col("event_id").as("b_id"), col("user_id").as("b_user_id"),
           col("ts").as("b_start"))
-      def run(): Long = graft.streaming.StreamIntervalJoin.runAvailableNow(
+      // two event-time-ordered waves plus far-future sentinels on BOTH
+      // sides (the global watermark is the min across sources): the
+      // sentinel micro-batch pushes the watermark past every buffered
+      // row, and the engine's trailing no-data micro-batch inside the
+      // SAME AvailableNow drain evicts and emits the null-extended rows
+      // (asserted by the in-gate equality). One lifecycle, one wave file
+      // per side per micro-batch.
+      val t = lit("2024-03-01").cast("timestamp")
+      graft.streaming.StreamWaves.stage(aDir, Seq(
+        a.filter(col("a_start") < lit("2024-01-16").cast("timestamp")),
+        a.filter(col("a_start") >= lit("2024-01-16").cast("timestamp")),
+        a.limit(0).union(s.range(1).select(lit(-1L).as("a_id"),
+          lit(-999L).as("user_id"), t.as("a_start")))))
+      graft.streaming.StreamWaves.stage(bDir, Seq(
+        b.filter(col("b_start") < lit("2024-01-16").cast("timestamp")),
+        b.filter(col("b_start") >= lit("2024-01-16").cast("timestamp")),
+        b.limit(0).union(s.range(1).select(lit(-1L).as("b_id"),
+          lit(-998L).as("b_user_id"), t.as("b_start")))))
+      graft.streaming.StreamIntervalJoin.runAvailableNow(
         s, aDir, bDir, a.schema, b.schema,
         aLenSec = 3600L, bLenSec = 1800L, delay = "1 hour",
         outDir = s"$base/out", checkpointPath = s"$base/ckpt",
-        statePartitions = Some(8), joinType = "left_outer")
-      def wave(cond: org.apache.spark.sql.Column
-          => org.apache.spark.sql.Column): Unit = {
-        a.filter(cond(col("a_start"))).coalesce(1)
-          .write.mode("append").parquet(aDir)
-        b.filter(cond(col("b_start"))).coalesce(1)
-          .write.mode("append").parquet(bDir)
-      }
-      wave(ts => ts < lit("2024-01-16").cast("timestamp"))
-      run()
-      wave(ts => ts >= lit("2024-01-16").cast("timestamp"))
-      run()
-      // far-future sentinels on BOTH sides push the global watermark
-      // past every buffered row so the expiry path emits; the engine's
-      // trailing no-data micro-batch inside the same drain evicts and
-      // emits the null-extended rows (asserted by the in-gate equality)
-      val t = lit("2024-03-01").cast("timestamp")
-      a.limit(0).union(s.range(1).select(lit(-1L).as("a_id"),
-        lit(-999L).as("user_id"), t.as("a_start")))
-        .coalesce(1).write.mode("append").parquet(aDir)
-      b.limit(0).union(s.range(1).select(lit(-1L).as("b_id"),
-        lit(-998L).as("b_user_id"), t.as("b_start")))
-        .coalesce(1).write.mode("append").parquet(bDir)
-      run()
+        statePartitions = Some(2), joinType = "left_outer",
+        maxFilesPerTrigger = Some(1))
       val out = s.read.parquet(s"$base/out")
         .filter(col("a_id") >= 0)
         .select(col("a_id"), coalesce(col("b_id"), lit(-1L)).as("b_id"),
@@ -1880,16 +1939,21 @@ object PipelineQueries {
       val e = Tables.load(s, dir, "events")
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
           col("event_id"), col("event_type"))
-      def run(): Long = graft.streaming.Scd2Stream.runAvailableNow(
-        s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
-        Seq("event_id"), s"$base/state", s"$base/ckpt")
+      def run(): Long = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.Scd2Stream.runAvailableNow(
+          s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
+          Seq("event_id"), s"$base/state", s"$base/ckpt",
+          maxFilesPerTrigger = Some(1)) }
       val d = dayofmonth(col("ts"))
-      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
+      // waves 1-2 drain in one lifecycle (one micro-batch each), then the
+      // MID-CHAIN compaction; wave 3 folds on top of the compacted state
+      // in a second lifecycle — the post-compact drain proves the folded
+      // state is a valid merge input, not just a valid read
+      graft.streaming.StreamWaves.stage(src, Seq(
+        e.filter(d <= 10), e.filter(d > 10 && d <= 20)))
       run()
       graft.streaming.Scd2Stream.compact(s, s"$base/state")
-      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.StreamWaves.stage(src, Seq(e.filter(d > 20)))
       run()
       graft.streaming.Scd2Stream.compact(s, s"$base/state")
       graft.streaming.Scd2Stream.compact(s, s"$base/state") // idempotent
@@ -1922,21 +1986,19 @@ object PipelineQueries {
           lit(null).cast("string").as("event_type"),
           lit("d").as("op"))
       val schema = asCdc(e).schema
-      def run(): Long = graft.streaming.Scd2Stream.runAvailableNow(
-        s, src, schema, Seq("user_id"), "ts", Seq("event_type"),
-        Seq("event_id"), s"$base/state", s"$base/ckpt",
-        opCol = Some("op"))
       val d = dayofmonth(col("ts"))
-      asCdc(e.filter(d <= 10)).coalesce(1).write.mode("append").parquet(src)
-      run()
-      asCdc(e.filter(d > 10 && d <= 20)).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      // final wave: remaining upserts + the tombstones, one batch
-      asCdc(e.filter(d > 20)).unionByName(tombstones).coalesce(1)
-        .write.mode("append").parquet(src)
-      run()
-      require(run() <= 1, "scd2CdcStreamQ: no-data replay ran batches")
+      // three staged CDC waves (the last mixes upserts + tombstones in
+      // ONE batch), one lifecycle; replay safety is Scd2StreamSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(
+        asCdc(e.filter(d <= 10)),
+        asCdc(e.filter(d > 10 && d <= 20)),
+        asCdc(e.filter(d > 20)).unionByName(tombstones)))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.Scd2Stream.runAvailableNow(
+          s, src, schema, Seq("user_id"), "ts", Seq("event_type"),
+          Seq("event_id"), s"$base/state", s"$base/ckpt",
+          opCol = Some("op"), maxFilesPerTrigger = Some(1)) }
+      require(n == 3, s"scd2CdcStreamQ: expected 3 micro-batches, ran $n")
       graft.streaming.Scd2Stream.currentHistory(s, s"$base/state")
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("version"), col("is_current"))
@@ -2049,18 +2111,18 @@ object PipelineQueries {
       val e = Tables.load(s, dir, "events")
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
           col("event_id"), col("event_type"))
-      def run(): Long = graft.streaming.Scd2Stream.runEnrichAvailableNow(
-        s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
-        Seq("event_id"), factCols = Seq("event_id", "user_id", "ts"),
-        s"$base/state", s"$base/ckpt")
       val d = dayofmonth(col("ts"))
-      e.filter(d <= 10).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 10 && d <= 20).coalesce(1).write.mode("append").parquet(src)
-      run()
-      e.filter(d > 20).coalesce(1).write.mode("append").parquet(src)
-      run()
-      require(run() <= 1, "scd2EnrichStreamQ: no-data replay ran batches")
+      // three staged event-time-ordered waves, one lifecycle; replay
+      // safety is Scd2StreamSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(
+        e.filter(d <= 10), e.filter(d > 10 && d <= 20), e.filter(d > 20)))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.Scd2Stream.runEnrichAvailableNow(
+          s, src, e.schema, Seq("user_id"), "ts", Seq("event_type"),
+          Seq("event_id"), factCols = Seq("event_id", "user_id", "ts"),
+          s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      require(n == 3,
+        s"scd2EnrichStreamQ: expected 3 micro-batches, ran $n")
       s.read.parquet(s"$base/state/enriched")
         .select(col("event_id"), col("user_id"), col("ts"), col("version"),
           col("event_type_at_time").as("type_at_time"))
@@ -2209,6 +2271,7 @@ object PipelineQueries {
     "q44_registry_roundtrip" -> registryRoundTripQ _,
     "q46_cursor_scan"     -> cursorScanQ _,
     "q227_cursor_oauth"   -> cursorOAuthQ _,
+    "q302_cursor_rotation" -> cursorRotationQ _,
     "q54_nested_ingest"   -> nestedIngestQ _,
     "q98_stream_ingest"   -> withSP(streamIngestQ _),
     "q104_stream_dedup"   -> withSP(streamDedupQ _),
@@ -2383,6 +2446,11 @@ object PipelineQueries {
     "q227_cursor_oauth" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars <= 400 AND lang = 'en' ORDER BY doc_id""".stripMargin,
+    // rotation, demotion, and re-grants must be invisible to the data:
+    // the oracle is the plain table restatement of the q302 slice
+    "q302_cursor_rotation" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars > 200 AND source = 'src3' ORDER BY doc_id""".stripMargin,
     // the streamed per-source sketch state is a pure set function of
     // everything ingested, so the final monitor rows equal the one-shot
     // batch sketch — q110's whole-corpus restatement verbatim

@@ -2194,11 +2194,6 @@ object TrainingData {
       val src = s"$base/landing"
       val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
       val originals = P.fixtureFrame(ids, "doc_id", 72, 64, "png")
-      def run(): Long = graft.streaming.StreamImageDedup.runAvailableNow(
-        s, src, originals.schema, "media_id", "payload",
-        s"$base/state", s"$base/ckpt")
-      originals.coalesce(1).write.mode("append").parquet(src)
-      require(run() == 1L, "streamImageDedupQ: wave 1 must be one batch")
       val wave2 = P.fixtureFrame(ids.filter(col("doc_id") % 2 === 0),
           "doc_id", 144, 128, "bmp", shift = 3, idOffset = 100000L)
         .unionByName(P.fixtureFrame(
@@ -2207,9 +2202,15 @@ object TrainingData {
           idOffset = 200000L))
         .unionByName(P.fixtureFrame(ids.filter(col("doc_id") === 0),
           "doc_id", 36, 32, "png", idOffset = 999999L, truncateTo = 12))
-      wave2.coalesce(1).write.mode("append").parquet(src)
-      require(run() == 1L, "streamImageDedupQ: wave 2 must be one batch")
-      require(run() <= 1L, "streamImageDedupQ: replay must be a no-op")
+      // two staged waves, one lifecycle (one micro-batch per wave — the
+      // greedy cross-wave drop rule); replay safety is
+      // StreamImageDedupSpec's pin
+      graft.streaming.StreamWaves.stage(src, Seq(originals, wave2))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamImageDedup.runAvailableNow(
+          s, src, originals.schema, "media_id", "payload",
+          s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      require(n == 2L, s"streamImageDedupQ: expected 2 batches, ran $n")
       s.read.parquet(s"$base/state/accepted")
         .select(col("media_id"), col("batch_id").cast("long").as("wave"))
         .orderBy(col("media_id"))
@@ -2241,14 +2242,14 @@ object TrainingData {
           .select(col("doc_id"), col("text"))
         val w2 = d.filter(col("doc_id") >= 30 && col("doc_id") < 60)
           .select(col("doc_id"), col("text"))
-        def run(): Long = graft.streaming.StreamContamination
-          .runAvailableNow(s, src, w1.schema, "doc_id", "text",
-            s"$base/state", s"$base/ckpt")
-        w1.coalesce(1).write.mode("append").parquet(src)
-        require(run() == 1L, "streamContaminationQ: wave 1 != one batch")
-        w2.coalesce(1).write.mode("append").parquet(src)
-        require(run() == 1L, "streamContaminationQ: wave 2 != one batch")
-        require(run() <= 1L, "streamContaminationQ: replay must be a no-op")
+        // two staged waves, one lifecycle (one micro-batch per wave);
+        // replay safety is StreamContaminationSpec's pin
+        graft.streaming.StreamWaves.stage(src, Seq(w1, w2))
+        val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+          graft.streaming.StreamContamination
+            .runAvailableNow(s, src, w1.schema, "doc_id", "text",
+              s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+        require(n == 2L, s"streamContaminationQ: expected 2 batches, ran $n")
         val reports = s.read.parquet(s"$base/state/reports")
           .localCheckpoint()
         // wave slicing must be invisible: streamed reports ≡ the batch
@@ -2384,6 +2385,45 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** STREAMING cross-CODEC audio dedup under the gate (q301): q299's
+    * batch invariant, live — wave 1 lands 24 PCM16 WAV recordings
+    * (all accepted, the index is empty); wave 2 lands a FLAC re-encode
+    * of every third recording (decodes to the SAME canonical samples →
+    * hamming 0 against the STANDING WAV index → dropped without the
+    * original's bytes ever being re-read), six fresh WAV recordings
+    * (accepted), and one truncated FLAC (accepted via the null-hash
+    * keep path, never indexed). One lifecycle, one micro-batch per
+    * staged wave ([[graft.streaming.StreamAudioDedup]]); replay safety
+    * is the batch_id-keyed overwrite discipline its Scaladoc pins. The
+    * oracle restates every fixture hash as a literal (decoded by the
+    * same codecs on the driver) and the greedy cross-wave drop rule. */
+  def streamAudioDedupQ(s: SparkSession, dir: String): DataFrame =
+    PipelineQueries.withTempDir("graft_q301") { base =>
+      val A = graft.multimodal.AudioSamples
+      val F = graft.multimodal.FlacCodec
+      val src = s"$base/landing"
+      val ids = docs(s, dir).filter(col("doc_id") < 24).select(col("doc_id"))
+      val wave1 = A.fixtureFrameDepth(ids, "doc_id", 65 * 60, 44100, "pcm16")
+      val wave2 = F.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+          "doc_id", 65 * 60, 44100, idOffset = 100000L)
+        .unionByName(A.fixtureFrameDepth(
+          docs(s, dir).filter(col("doc_id") >= 24 && col("doc_id") < 30)
+            .select(col("doc_id")), "doc_id", 65 * 60, 44100, "pcm16",
+          idOffset = 200000L))
+        .unionByName(F.fixtureFrame(ids.filter(col("doc_id") === 0),
+          "doc_id", 65 * 2, 8000, idOffset = 999999L, truncateTo = 40))
+      graft.streaming.StreamWaves.stage(src, Seq(wave1, wave2))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.streaming.StreamAudioDedup.runAvailableNow(
+          s, src, wave1.schema, "media_id", "payload",
+          s"$base/state", s"$base/ckpt", maxFilesPerTrigger = Some(1)) }
+      require(n == 2L, s"streamAudioDedupQ: expected 2 batches, ran $n")
+      s.read.parquet(s"$base/state/accepted")
+        .select(col("media_id"), col("batch_id").cast("long").as("wave"))
+        .orderBy(col("media_id"))
+        .localCheckpoint()
+    }
+
   /** GOLDEN-IMAGE consolidation under the gate (q291): perceptual
     * pairs → TRANSITIVE CLOSURE → one canonical image per cluster —
     * the q130 golden-records shape on the image modality, and the
@@ -2498,6 +2538,44 @@ object TrainingData {
         "doc_id", 4, 36, 32, idOffset = 999999L, truncateTo = 15))
     V.videoHashFrame(media, "media_id", "payload", k = 8)
       .orderBy(col("media_id"), col("sample_idx"))
+  }
+
+  /** MP4 (ISO-BMFF) CONTAINER-level stream identity under the gate
+    * (q300): the crawl's video formats fingerprint on the box walk —
+    * [[graft.multimodal.Mp4Boxes]] parses `ftyp`/`mvhd`/`trak`/`stbl`
+    * to per-track (codec, sample count, sample-size-table hash) and
+    * hashes them container-independently, so a RE-MUX of the same
+    * streams (mdat-first box order, doubled timescale, shifted chunk
+    * offsets, pad box — every planted %3 original gets one) COLLIDES
+    * exactly while different content separates; a truncated payload
+    * survives as the one null keep row (asserted in-gate). Pairing is
+    * an exact equi-join on the fingerprint — a shuffle key at scale,
+    * never a pairwise compare. The oracle restates every parsed
+    * (fingerprint, track count, duration) as literals from the fixed
+    * fixture bytes and the collision join in SQL. */
+  def mp4RemuxDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.Mp4Boxes
+    val ids = docs(s, dir).filter(col("doc_id") < 12).select(col("doc_id"))
+    val media = M.fixtureFrame(ids, "doc_id")
+      .unionByName(M.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", remux = true, idOffset = 100000L))
+      .unionByName(M.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", idOffset = 999999L, truncateTo = 60))
+    val frame = M.mp4Frame(media, "media_id", "payload").localCheckpoint()
+    require(frame.filter(col("stream_fp").isNull).count() == 1,
+      "mp4RemuxDedupQ: the truncated payload must survive as one null row")
+    val h = frame.filter(col("stream_fp").isNotNull)
+      .select(col("media_id"), col("stream_fp"), col("n_tracks"),
+        col("duration_ms"))
+    h.as("a").join(h.as("b"),
+        col("a.stream_fp") === col("b.stream_fp") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_id_a"),
+        col("b.media_id").as("media_id_b"),
+        col("a.stream_fp").as("stream_fp"),
+        col("a.n_tracks").as("n_tracks"),
+        col("a.duration_ms").as("duration_ms"))
+      .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
   /** Cross-format PIXEL-EXACT image dedup under the gate (q287): the
@@ -2754,6 +2832,20 @@ object TrainingData {
         val dups = base48.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000L).as("rec_id"),
             col("doc_id").as("content_id"), col("text"))
+        // one HOSTILE page rides along: numeric character references
+        // (hex + decimal, incl. adjacency runs), an IE conditional
+        // comment whose body would break a naive tag regex, a CDATA
+        // section of raw markup, and an UNCLOSED <script> that must
+        // swallow to EOF — none of it may leak into the extracted text
+        val hostile = s.range(1).select(lit(5000L).as("rec_id"),
+          lit("https://example.com/doc/5000").as("uri"),
+          encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            "<html><head><title>Hostile</title></head><body>" +
+            "<p>It&#x2019;s A&#8212;B &#65;&#66;&#67;</p>" +
+            "<!--[if IE]><p>ie junk</p><![endif]-->" +
+            "<![CDATA[ <p>raw cdata</p> ]]><p>tail text</p>" +
+            "<script>var x = \"<p>never text</p>\";"), "UTF-8")
+            .as("payload"))
         val pages = originals.unionByName(dups).select(col("rec_id"),
           concat(lit("https://example.com/doc/"), col("rec_id")).as("uri"),
           encode(concat(
@@ -2764,6 +2856,7 @@ object TrainingData {
             lit("</p><script>var x = 1 &amp;&amp; 2;</script>" +
               "<p>A &amp; B &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p>" +
               "</body></html>")), "UTF-8").as("payload"))
+          .unionByName(hostile)
         W.writeWarcFiles(pages, "rec_id", "uri", "payload",
           s"$base/warc", recordsPerFile = 16)
         val txt = W.readWarcRecords(s, s"$base/warc")
@@ -2773,8 +2866,8 @@ object TrainingData {
               .as("rec_id"),
             T.htmlText(W.httpBodyText(col("payload"))).as("txt"))
           .localCheckpoint() // extraction feeds four curation branches
-        require(txt.count() == 58L,
-          "crawlCurationQ: expected 58 response records back")
+        require(txt.count() == 59L,
+          "crawlCurationQ: expected 59 response records back")
         val scored = txt.select(col("rec_id"), col("txt"),
           T.langId(col("txt")).as("lang_pred"),
           T.qualityScore(col("txt")).as("quality"))
@@ -2924,18 +3017,17 @@ object TrainingData {
       val src = s"$base/landing"
       val payloads = docs(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      def run(): Long = graft.multimodal.TarShards.streamExportAvailableNow(
-        s, src, payloads.schema, "doc_id", "payload",
-        s"$base/shards", s"$base/ckpt", shardBytes = 65536L)
       val third = col("doc_id") % 3
-      payloads.filter(third === 0).coalesce(1).write.mode("append").parquet(src)
-      run()
-      payloads.filter(third === 1).coalesce(1).write.mode("append").parquet(src)
-      run()
-      payloads.filter(third === 2).coalesce(1).write.mode("append").parquet(src)
-      run()
-      val replay = run() // no new files: nothing may ship twice
-      require(replay <= 1, s"tarStreamExportQ: no-data replay ran $replay")
+      // three staged waves, one lifecycle (one micro-batch each, own
+      // batch_id shard dir); replay safety is StreamReplaySpec's pin
+      graft.streaming.StreamWaves.stage(src, (0 to 2).map(w =>
+        payloads.filter(third === w)))
+      val n = graft.streaming.StreamState.withStatePartitions(s, 4) {
+        graft.multimodal.TarShards.streamExportAvailableNow(
+          s, src, payloads.schema, "doc_id", "payload",
+          s"$base/shards", s"$base/ckpt", shardBytes = 65536L,
+          maxFilesPerTrigger = Some(1)) }
+      require(n == 3, s"tarStreamExportQ: expected 3 micro-batches, ran $n")
       graft.multimodal.TarShards.readTarShards(s, s"$base/shards/batch_id=*")
         .select(col("key").cast("long").as("doc_id"),
           length(col("payload")).cast("long").as("n_bytes"),
@@ -3220,6 +3312,8 @@ object TrainingData {
     "q297_warc_ingest"      -> warcIngestQ _,
     "q298_crawl_curation"   -> crawlCurationQ _,
     "q299_audio_crosscodec" -> audioCrossCodecQ _,
+    "q300_mp4_remux"        -> mp4RemuxDedupQ _,
+    "q301_stream_audio_dedup" -> streamAudioDedupQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -5796,7 +5890,9 @@ object TrainingData {
          |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
          | FROM x3),
          |x5 AS (SELECT rec_id,
-         |  trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM x4),
+         |  trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM x4
+         |  UNION ALL
+         |  SELECT 5000, 'Hostile It${"’"}s A${"—"}B ABC tail text'),
          |sc AS (SELECT rec_id, s,
          |  len(list_filter(regexp_extract_all(lower(s), '\\S+'),
          |    x -> x IN ('the','and','of','is'))) AS s_en,
@@ -6015,6 +6111,54 @@ object TrainingData {
       s"""WITH h(media_id, n_frames, sample_idx, fhash) AS (VALUES $vals)
          |SELECT media_id, n_frames, sample_idx, fhash FROM h
          |ORDER BY media_id, sample_idx""".stripMargin
+    },
+    // every fixture hash restated as a literal (decoded by the same
+    // WAV + FLAC codecs on the driver) + the greedy cross-wave drop
+    // rule — the q286 SQL shape on the audio modality
+    "q301_stream_audio_dedup" -> {
+      val A = graft.multimodal.AudioSamples
+      val F = graft.multimodal.FlacCodec
+      def v(rows: Seq[(Long, Long)]): String = rows.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), CAST($h AS BIGINT))" }.mkString(", ")
+      val w1 = (0L until 24L).map(s => s -> A.audioHashOfAny(
+        A.wavPayloadDepth(s, 65 * 60, 44100, "pcm16")).get)
+      val w2 = (0L until 24L).filter(_ % 3 == 0).map(s => (s + 100000L) ->
+          A.audioHashOfAny(F.flacPayload(s, 65 * 60, 44100)).get) ++
+        (24L until 30L).map(s => (s + 200000L) -> A.audioHashOfAny(
+          A.wavPayloadDepth(s, 65 * 60, 44100, "pcm16")).get)
+      s"""WITH w1(media_id, ahash) AS (VALUES ${v(w1)}),
+         |w2(media_id, ahash) AS (VALUES ${v(w2)}),
+         |drops AS (SELECT DISTINCT n.media_id FROM w2 n JOIN w1 o
+         |          ON bit_count(xor(n.ahash, o.ahash)) <= 4)
+         |SELECT media_id, CAST(0 AS BIGINT) AS wave FROM w1
+         |UNION ALL SELECT media_id, CAST(1 AS BIGINT) FROM w2
+         | WHERE media_id NOT IN (SELECT media_id FROM drops)
+         |UNION ALL SELECT CAST(999999 AS BIGINT), CAST(1 AS BIGINT)
+         |ORDER BY media_id""".stripMargin
+    },
+    // every parsed (fingerprint, track count, duration) restated as
+    // literals from the fixed fixture bytes (parsed by the same box
+    // walk on the driver) + the collision equi-join in SQL
+    "q300_mp4_remux" -> {
+      val M = graft.multimodal.Mp4Boxes
+      def row(id: Long, seed: Long, remux: Boolean) = {
+        val m = M.parse(M.mp4Payload(seed, remux = remux)).get
+        (id, M.streamFingerprint(m), m.tracks.size, m.durationMs)
+      }
+      val rows = (0L until 12L).map(s => row(s, s, remux = false)) ++
+        (0L until 12L).filter(_ % 3 == 0)
+          .map(s => row(s + 100000L, s, remux = true))
+      val vals = rows.map { case (id, fp, nt, dur) =>
+        s"(CAST($id AS BIGINT), CAST($fp AS BIGINT), $nt, " +
+          s"CAST($dur AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, stream_fp, n_tracks, duration_ms) AS
+         | (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | a.stream_fp AS stream_fp, a.n_tracks AS n_tracks,
+         | a.duration_ms AS duration_ms
+         |FROM h a JOIN h b
+         | ON a.stream_fp = b.stream_fp AND a.media_id < b.media_id
+         |ORDER BY media_id_a, media_id_b""".stripMargin
     },
     // the q283 literal-hash restatement verbatim: the tar round trip
     // is byte-exact, so the imported corpus decodes to the SAME hashes

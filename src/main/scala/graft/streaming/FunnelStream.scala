@@ -45,14 +45,15 @@ object FunnelStream {
                       typeCol: String, steps: Seq[String],
                       statePath: String, checkpointPath: String,
                       maxStepGapSec: Option[Long] = None,
-                      maxTotalSec: Option[Long] = None): Long = {
+                      maxTotalSec: Option[Long] = None,
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // mirror Funnels.funnelTimes: the batch≡stream invariant needs the
     // stream to reject exactly the windows the batch recompute rejects
     require(maxStepGapSec.forall(_ > 0) && maxTotalSec.forall(_ > 0),
       "conversion windows must be positive")
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()

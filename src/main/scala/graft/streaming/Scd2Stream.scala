@@ -112,9 +112,10 @@ object Scd2Stream {
                       statePath: String, checkpointPath: String,
                       nBuckets: Int = Adaptive,
                       targetRowsPerBucket: Long = TargetRowsPerBucket,
-                      opCol: Option[String] = None): Long = {
+                      opCol: Option[String] = None,
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val query = spark.readStream.schema(schema).parquet(sourcePath)
+    val query = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()
@@ -155,9 +156,10 @@ object Scd2Stream {
                             statePath: String, checkpointPath: String,
                             bucketSeconds: Long = 86400L,
                             nBuckets: Int = Adaptive,
-                            targetRowsPerBucket: Long = TargetRowsPerBucket): Long = {
+                            targetRowsPerBucket: Long = TargetRowsPerBucket,
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val query = spark.readStream.schema(schema).parquet(sourcePath)
+    val query = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()

@@ -6,32 +6,22 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.functions.Dedup
-import graft.multimodal.ImagePixels
+import graft.multimodal.AudioSamples
 
-/** Streaming PERCEPTUAL IMAGE dedup against a standing dHash index —
-  * the multimodal sibling of [[StreamNearDup]]: each micro-batch of
-  * binary image payloads decodes ([[ImagePixels.dhashFrame]], real
-  * `javax.imageio` pixels) and probes a persisted index of every
-  * accepted image's 64-bit dHash via the bipartite chunk-pigeonhole
-  * join ([[Dedup.simhashCrossPairs]], 8 chunks × 8 bits — exact for
-  * hamming ≤ 7, never all-pairs); batch images within `maxDist` of an
-  * indexed image drop, survivors append to the accepted sink and the
-  * index. A re-encoded, cell-aligned-resized, or brightness-shifted
-  * copy of an already-accepted image is caught WITHOUT ever re-reading
-  * the original's bytes — the standing corpus is one long per image.
-  *
-  * Undecodable payloads (truncated, corrupt, not an image) are
-  * ACCEPTED but never indexed — the keep path: a broken file is
-  * telemetry for a downstream quality gate, not a crash, and with no
-  * hash it can neither match nor be matched.
-  *
-  * State layout under `statePath` (batch_id-keyed, the
-  * [[IncrementalIngest]] overwrite discipline — replay-safe):
-  * `accepted/batch_id=N/` (accepted input rows) and
-  * `hashes/batch_id=N/` (media_id, dhash of accepted DECODABLE rows).
-  * Within-batch pairs are deliberately not compared (the probe
-  * question is "is this image already in the corpus"). */
-object StreamImageDedup {
+/** Streaming PERCEPTUAL AUDIO dedup against a standing
+  * energy-envelope-hash index — [[StreamImageDedup]]'s audio sibling,
+  * closing the cross-CODEC loop in the STREAMING path: the hasher is
+  * [[AudioSamples.audioHashFrameAny]] (any supported WAV variant AND
+  * FLAC decode to ONE canonical sample domain before hashing), so a
+  * FLAC re-encode of an already-accepted WAV probes the standing index
+  * at hamming 0 and drops WITHOUT the original's bytes ever being
+  * re-read — the q299 batch invariant, live. Candidate pairing is the
+  * same bipartite 8×8-bit chunk-pigeonhole join (exact for hamming ≤ 7,
+  * never all-pairs); undecodable payloads are accepted but never
+  * indexed (the telemetry keep path); state is batch_id-keyed with the
+  * [[IncrementalIngest]] overwrite discipline (replay-safe, and
+  * [[compact]]-able to a bounded base). */
+object StreamAudioDedup {
 
   /** Runs the AvailableNow drain; returns the number of micro-batches
     * processed (callers with one-wave-per-batch oracles assert on it). */
@@ -48,16 +38,17 @@ object StreamImageDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()
         val session = batch.sparkSession
-        val hashes = ImagePixels.dhashFrame(batch, idCol, payloadCol)
-          .select(col(idCol), col("dhash"))
+        val hashes = AudioSamples
+          .audioHashFrameAny(batch, idCol, payloadCol)
+          .select(col(idCol), col("ahash"))
           .localCheckpoint() // decode once: probe + state write read it
         val standing = StreamState.readExcluding(session,
           s"$statePath/hashes", batchId,
           StructType(Seq(batch.schema(idCol),
-            StructField("dhash", LongType))))
+            StructField("ahash", LongType))))
         val dropped = Dedup.simhashCrossPairs(
-            hashes.filter(col("dhash").isNotNull), standing,
-            idCol, "dhash", maxDist, numChunks = 8, chunkBits = 8)
+            hashes.filter(col("ahash").isNotNull), standing,
+            idCol, "ahash", maxDist, numChunks = 8, chunkBits = 8)
           .select(col(s"${idCol}_new").as(idCol)).distinct()
         val accepted = batch.join(dropped, Seq(idCol), "left_anti")
           .select(batch.columns.map(col): _*)
@@ -65,7 +56,7 @@ object StreamImageDedup {
         try {
           accepted.write.mode("overwrite")
             .parquet(s"$statePath/accepted/batch_id=$batchId")
-          hashes.filter(col("dhash").isNotNull)
+          hashes.filter(col("ahash").isNotNull)
             .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
             .write.mode("overwrite")
             .parquet(s"$statePath/hashes/batch_id=$batchId")

@@ -27,9 +27,10 @@ object StreamBitmap {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, groupCol: String,
                       valueCol: String, sinkPath: String,
-                      checkpointPath: String): Unit = {
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
-    val cells = spark.readStream.schema(schema).parquet(sourcePath)
+    val cells = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       // mirror the batch Bitmap.bitmaps contract: a negative id would

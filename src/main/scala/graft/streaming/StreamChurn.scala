@@ -37,8 +37,9 @@ object StreamChurn {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, oldFps: DataFrame, idCol: String,
                       compareCols: Seq[String], sinkPath: String,
-                      checkpointPath: String): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fresh = batch.select(col(idCol).as("_id") +:

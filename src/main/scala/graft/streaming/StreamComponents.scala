@@ -38,8 +38,9 @@ object StreamComponents {
     * batch's pairs into the standing assignment. */
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, aCol: String, bCol: String,
-                      sinkPath: String, checkpointPath: String): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+                      sinkPath: String, checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession

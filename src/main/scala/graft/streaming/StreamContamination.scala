@@ -47,9 +47,10 @@ object StreamContamination {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, idCol: String, textCol: String,
                       statePath: String, checkpointPath: String,
-                      n: Int = 8, maxFrac: Double = 0.0): Long = {
+                      n: Int = 8, maxFrac: Double = 0.0,
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()

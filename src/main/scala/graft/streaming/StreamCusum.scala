@@ -33,9 +33,10 @@ object StreamCusum {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, keyCol: String, dayCol: String,
                       drift: Long, sinkPath: String,
-                      checkpointPath: String): Unit = {
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .select(col(keyCol).cast("long").as("k"),
         col(dayCol).cast("long").as("d"))
       .as[(Long, Long)]

@@ -31,9 +31,10 @@ object StreamDrift {
     * categories' rows to `sinkPath/batch_id=N` (overwrite — replay-safe). */
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, catCol: String,
-                      sinkPath: String, checkpointPath: String): Unit = {
+                      sinkPath: String, checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .select(col(catCol).cast("string").as("c")).as[String]
     val updates = stream.groupByKey(Option(_))
       .flatMapGroupsWithState[Long, (Option[String], Long)](

@@ -46,11 +46,12 @@ object StreamFuzzyDedup {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, idCol: String, textCol: String,
                       statePath: String, checkpointPath: String,
-                      maxDist: Int = 1, maxBucket: Int = 1 << 16): Long = {
+                      maxDist: Int = 1, maxBucket: Int = 1 << 16,
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
     require(maxDist == 1 || maxDist == 2,
       "StreamFuzzyDedup: maxDist must be 1 or 2")
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()

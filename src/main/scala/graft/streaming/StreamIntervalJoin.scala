@@ -60,10 +60,11 @@ object StreamIntervalJoin {
                       aLenSec: Long, bLenSec: Long, delay: String,
                       outDir: String, checkpointPath: String,
                       statePartitions: Option[Int] = None,
-                      joinType: String = "inner"): Long = {
-    val a = spark.readStream.schema(aSchema).parquet(aDir)
+                      joinType: String = "inner",
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val a = StreamWaves.reader(spark, aSchema, aDir, maxFilesPerTrigger)
       .withWatermark("a_start", delay)
-    val b = spark.readStream.schema(bSchema).parquet(bDir)
+    val b = StreamWaves.reader(spark, bSchema, bDir, maxFilesPerTrigger)
       .withWatermark("b_start", delay)
     val joined = a.join(b,
       col("user_id") === col("b_user_id") &&

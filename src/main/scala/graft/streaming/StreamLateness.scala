@@ -37,9 +37,10 @@ object StreamLateness {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, keyCol: String, arrivalCol: String,
                       tsMicrosCol: String, sinkPath: String,
-                      checkpointPath: String): Unit = {
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .select(col(keyCol).cast("long").as("k"),
         col(arrivalCol).cast("long").as("a"),
         col(tsMicrosCol).cast("long").as("t"))

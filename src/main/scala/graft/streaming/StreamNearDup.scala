@@ -59,10 +59,11 @@ object StreamNearDup {
                       statePath: String, checkpointPath: String,
                       shingleSize: Int = 7, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.95,
-                      maxBucket: Int = 1 << 16): Long = {
+                      maxBucket: Int = 1 << 16,
+                      maxFilesPerTrigger: Option[Int] = None): Long = {
     val rowsPerBand = numHashes / bands
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()

@@ -33,10 +33,11 @@ object StreamQuantile {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, groupCol: String,
                       valueCol: String, capacity: Int, sinkPath: String,
-                      checkpointPath: String): Unit = {
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
     require(capacity >= 1, "capacity must be positive")
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
       .as[(String, Long)]

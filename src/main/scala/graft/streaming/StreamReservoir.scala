@@ -29,8 +29,9 @@ object StreamReservoir {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, keyCol: String,
                       weightCol: String, k: Int, sinkPath: String,
-                      checkpointPath: String): Unit = {
-    val query = spark.readStream.schema(schema).parquet(sourcePath)
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val query = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession

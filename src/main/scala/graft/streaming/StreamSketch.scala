@@ -39,10 +39,11 @@ object StreamSketch {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, itemCol: String,
                       sinkPath: String, checkpointPath: String,
-                      d: Int = 4, w: Int = 1024): Unit = {
+                      d: Int = 4, w: Int = 1024,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
     require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
-    val cells = spark.readStream.schema(schema).parquet(sourcePath)
+    val cells = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       .select(col(itemCol).cast("string").as("_it"))
       .select(explode(sequence(lit(0), lit(d - 1))).as("depth"), col("_it"))
       .withColumn("bucket",

@@ -53,10 +53,11 @@ object StreamStats {
                       schema: StructType, groupCol: String, valueCol: String,
                       sinkPath: String, checkpointPath: String,
                       capacity: Int = 256,
-                      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): Unit = {
+                      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
     require(qs.nonEmpty, "need at least one quantile")
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
       // null values are SKIPPED, matching the batch aggregate's
       // semantics (QuantileSketchAgg.update) — without the filter the
       // non-nullable encoder would kill the whole monitor on one null

@@ -31,8 +31,9 @@ object StreamTvd {
   def runAvailableNow(spark: SparkSession, sourcePath: String,
                       schema: StructType, groupCol: String,
                       bucketCol: String, sinkPath: String,
-                      checkpointPath: String): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+                      checkpointPath: String,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val stream = StreamWaves.reader(spark, schema, sourcePath, maxFilesPerTrigger)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy(col(groupCol).as("_g"), col(bucketCol).as("_b"))
