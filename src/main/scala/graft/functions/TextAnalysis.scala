@@ -135,19 +135,40 @@ object TextAnalysis {
     * RE2-compatible patterns (non-greedy, (?is), no backrefs), so the
     * DuckDB oracle restates it verbatim. */
   def htmlText(c: Column): Column = {
-    val noBlocks = regexp_replace(
+    // 1. closed script/style blocks go whole; an UNCLOSED opener then
+    //    swallows to EOF (real crawl HTML truncates mid-script — the
+    //    leftover must not leak into text as words)
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(c, "(?is)<script.*?</script>", " "),
-      "(?is)<style.*?</style>", " ")
-    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+      "(?is)<style.*?</style>", " "),
+      "(?is)<script.*", " "), "(?is)<style.*", " ")
+    // 2. CDATA sections and comments (incl. IE conditional comments,
+    //    whose bodies contain '>' that breaks a naive tag regex);
+    //    unclosed variants swallow to EOF like scripts
+    val noCdata = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!\\[CDATA\\[.*?\\]\\]>", " "),
+      "(?s)<!\\[CDATA\\[.*", " "),
+      "(?s)<!--.*?-->", " "), "(?s)<!--.*", " ")
+    val noTags = regexp_replace(noCdata, "(?s)<[^>]*>", " ")
+    // 3. numeric character references (&#NNNN; / &#xHHHH;) BEFORE the
+    //    named table: '&amp;#65;' has no '&#' adjacency so stays
+    //    literal through this stage and decodes to '&#65;' at the end,
+    //    matching the named-entity double-escape discipline. Native
+    //    expression, not a split/transform/zip_with composition — the
+    //    lambda HOFs would drop the whole projection out of
+    //    whole-stage codegen (the PlanShapeSpec pin).
+    val numDecoded =
+      graft.expressions.HtmlNumericRefsExpr.htmlNumericRefs(noTags)
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&nbsp;" -> " ", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (col0, (ent, ch)) =>
+    ).foldLeft(numDecoded) { case (col0, (ent, ch)) =>
       replace(col0, lit(ent), lit(ch)) // literal, not regex — and the
                                        // same builtin DuckDB restates
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
 
   private val P = 1000000007L
 

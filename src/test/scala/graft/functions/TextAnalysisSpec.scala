@@ -95,4 +95,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == "plain text")
     assert(out(2) == "a 1") // '< b but 2 >' parses as a tag — regex, not HTML
   }
+  test("htmlText hostile-page hardening: numeric character references " +
+      "(hex, decimal, astral), CDATA, conditional comments, and " +
+      "unclosed blocks swallowed to EOF") {
+    val cases = Seq(
+      // hex + decimal refs, adjacency runs, astral surrogate pair
+      "<p>It&#x2019;s A&#8212;B &#65;&#66;&#67; &#x1F600;</p>" ->
+        ("It\u2019s A\u2014B ABC " +
+          new String(Character.toChars(0x1F600))),
+      // double-escaped numeric ref stays literal (the &amp; discipline)
+      "&amp;#65; stays" -> "&#65; stays",
+      // invalid codepoints render U+FFFD, never a throw
+      "<p>&#x110000; &#55296;</p>" -> "\uFFFD \uFFFD",
+      // IE conditional comment: body contains '>' that breaks a naive
+      // tag regex; CDATA raw markup; both gone whole
+      "<p>ok</p><!--[if IE]><p>ie junk</p><![endif]--><p>t</p>" -> "ok t",
+      "<p>a</p><![CDATA[ <p>raw</p> ]]><p>b</p>" -> "a b",
+      // unclosed script/comment/CDATA swallow to EOF
+      "<p>keep</p><script>var a = 1; <p>never text" -> "keep",
+      "<p>keep</p><!-- truncated comment <p>never" -> "keep",
+      "<p>keep</p><![CDATA[ truncated <p>never" -> "keep")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlText($"h")).as[String].collect()
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g == want, s"case $i: got [$g], want [$want]")
+    }
+  }
 }
