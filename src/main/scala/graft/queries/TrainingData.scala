@@ -2578,6 +2578,41 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** MP3 FRAME-WALK identity under the gate (q303): the q300 container
+    * discipline on the crawl's dominant audio format —
+    * [[graft.multimodal.Mp3Frames]] skips the ID3v2/ID3v1 tags and
+    * hashes the complete Layer III frame walk, so a RE-TAGGED copy of
+    * the same encode (different title/tag bytes, the universal music
+    * duplicate class) COLLIDES exactly while re-encodes separate; a
+    * mid-frame-truncated payload keeps as the one null row (asserted
+    * in-gate). Pairing is an exact equi-join on the fingerprint. The
+    * oracle restates every (fingerprint, frame count, duration) as
+    * literals from the fixed fixture bytes + the collision join. */
+  def mp3RetagDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.Mp3Frames
+    val ids = docs(s, dir).filter(col("doc_id") < 12).select(col("doc_id"))
+    val media = M.fixtureFrame(ids, "doc_id")
+      .unionByName(M.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", retagSeed = 77L, idOffset = 100000L))
+      .unionByName(M.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", idOffset = 999999L, truncateTo = 300))
+    val frame = M.mp3Frame(media, "media_id", "payload").localCheckpoint()
+    require(frame.filter(col("stream_fp").isNull).count() == 1,
+      "mp3RetagDedupQ: the truncated payload must survive as one null row")
+    val h = frame.filter(col("stream_fp").isNotNull)
+      .select(col("media_id"), col("stream_fp"), col("n_frames"),
+        col("duration_ms"))
+    h.as("a").join(h.as("b"),
+        col("a.stream_fp") === col("b.stream_fp") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_id_a"),
+        col("b.media_id").as("media_id_b"),
+        col("a.stream_fp").as("stream_fp"),
+        col("a.n_frames").as("n_frames"),
+        col("a.duration_ms").as("duration_ms"))
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** Cross-format PIXEL-EXACT image dedup under the gate (q287): the
     * cheap first stage before any perceptual pass —
     * [[graft.multimodal.ImagePixels.pixelFingerprint]] hashes the
@@ -3314,6 +3349,7 @@ object TrainingData {
     "q299_audio_crosscodec" -> audioCrossCodecQ _,
     "q300_mp4_remux"        -> mp4RemuxDedupQ _,
     "q301_stream_audio_dedup" -> streamAudioDedupQ _,
+    "q303_mp3_retag"        -> mp3RetagDedupQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -6111,6 +6147,30 @@ object TrainingData {
       s"""WITH h(media_id, n_frames, sample_idx, fhash) AS (VALUES $vals)
          |SELECT media_id, n_frames, sample_idx, fhash FROM h
          |ORDER BY media_id, sample_idx""".stripMargin
+    },
+    // every walked (fingerprint, frame count, duration) restated as
+    // literals from the fixed fixture bytes (same frame walk on the
+    // driver) + the collision equi-join — the q300 SQL shape
+    "q303_mp3_retag" -> {
+      val M = graft.multimodal.Mp3Frames
+      def row(id: Long, seed: Long, retag: Long) = {
+        val m = M.parse(M.mp3Payload(seed, retagSeed = retag)).get
+        (id, m.streamFp, m.nFrames, m.durationMs)
+      }
+      val rows = (0L until 12L).map(s => row(s, s, 0L)) ++
+        (0L until 12L).filter(_ % 3 == 0)
+          .map(s => row(s + 100000L, s, 77L))
+      val vals = rows.map { case (id, fp, nf, dur) =>
+        s"(CAST($id AS BIGINT), CAST($fp AS BIGINT), $nf, " +
+          s"CAST($dur AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, stream_fp, n_frames, duration_ms) AS
+         | (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | a.stream_fp AS stream_fp, a.n_frames AS n_frames,
+         | a.duration_ms AS duration_ms
+         |FROM h a JOIN h b
+         | ON a.stream_fp = b.stream_fp AND a.media_id < b.media_id
+         |ORDER BY media_id_a, media_id_b""".stripMargin
     },
     // every fixture hash restated as a literal (decoded by the same
     // WAV + FLAC codecs on the driver) + the greedy cross-wave drop
