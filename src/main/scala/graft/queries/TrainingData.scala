@@ -2578,6 +2578,42 @@ object TrainingData {
       .orderBy(col("media_id_a"), col("media_id_b"))
   }
 
+  /** Matroska/WebM TRACK identity under the gate (q304): the q300
+    * container discipline on the other crawl video format —
+    * [[graft.multimodal.WebmTracks]] walks the EBML tree and hashes
+    * per-track (codec id, CodecPrivate, de-laced frame payloads), so a
+    * RE-MUX of the same streams (one big cluster instead of many,
+    * Xiph-laced audio instead of unlaced blocks, a doubled
+    * TimestampScale with the Duration rescaled, a Void pad) COLLIDES
+    * exactly while different content separates; a truncated payload
+    * keeps as the one null row (asserted in-gate). The oracle restates
+    * every parsed (fingerprint, track count, duration) as literals
+    * from the fixed fixture bytes + the collision equi-join. */
+  def webmRemuxDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.multimodal.WebmTracks
+    val ids = docs(s, dir).filter(col("doc_id") < 12).select(col("doc_id"))
+    val media = M.fixtureFrame(ids, "doc_id")
+      .unionByName(M.fixtureFrame(ids.filter(col("doc_id") % 3 === 0),
+        "doc_id", remux = true, idOffset = 100000L))
+      .unionByName(M.fixtureFrame(ids.filter(col("doc_id") === 0),
+        "doc_id", idOffset = 999999L, truncateTo = 50))
+    val frame = M.webmFrame(media, "media_id", "payload").localCheckpoint()
+    require(frame.filter(col("stream_fp").isNull).count() == 1,
+      "webmRemuxDedupQ: the truncated payload must survive as one null row")
+    val h = frame.filter(col("stream_fp").isNotNull)
+      .select(col("media_id"), col("stream_fp"), col("n_tracks"),
+        col("duration_ms"))
+    h.as("a").join(h.as("b"),
+        col("a.stream_fp") === col("b.stream_fp") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_id_a"),
+        col("b.media_id").as("media_id_b"),
+        col("a.stream_fp").as("stream_fp"),
+        col("a.n_tracks").as("n_tracks"),
+        col("a.duration_ms").as("duration_ms"))
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
+
   /** MP3 FRAME-WALK identity under the gate (q303): the q300 container
     * discipline on the crawl's dominant audio format —
     * [[graft.multimodal.Mp3Frames]] skips the ID3v2/ID3v1 tags and
@@ -3350,6 +3386,7 @@ object TrainingData {
     "q300_mp4_remux"        -> mp4RemuxDedupQ _,
     "q301_stream_audio_dedup" -> streamAudioDedupQ _,
     "q303_mp3_retag"        -> mp3RetagDedupQ _,
+    "q304_webm_remux"       -> webmRemuxDedupQ _,
     "q179_index_delete"     -> indexDeleteQ _,
     // 8 state partitions: the streaming-gate layout knob (see
     // PipelineQueries.withSP — state-store IO is the family cost floor)
@@ -6147,6 +6184,30 @@ object TrainingData {
       s"""WITH h(media_id, n_frames, sample_idx, fhash) AS (VALUES $vals)
          |SELECT media_id, n_frames, sample_idx, fhash FROM h
          |ORDER BY media_id, sample_idx""".stripMargin
+    },
+    // every parsed (fingerprint, track count, duration) restated as
+    // literals from the fixed fixture bytes (same EBML walk on the
+    // driver) + the collision equi-join — the q300 SQL shape
+    "q304_webm_remux" -> {
+      val M = graft.multimodal.WebmTracks
+      def row(id: Long, seed: Long, remux: Boolean) = {
+        val m = M.parse(M.webmPayload(seed, remux = remux)).get
+        (id, M.streamFingerprint(m), m.tracks.size, m.durationMs)
+      }
+      val rows = (0L until 12L).map(s => row(s, s, remux = false)) ++
+        (0L until 12L).filter(_ % 3 == 0)
+          .map(s => row(s + 100000L, s, remux = true))
+      val vals = rows.map { case (id, fp, nt, dur) =>
+        s"(CAST($id AS BIGINT), CAST($fp AS BIGINT), $nt, " +
+          s"CAST($dur AS BIGINT))" }.mkString(", ")
+      s"""WITH h(media_id, stream_fp, n_tracks, duration_ms) AS
+         | (VALUES $vals)
+         |SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         | a.stream_fp AS stream_fp, a.n_tracks AS n_tracks,
+         | a.duration_ms AS duration_ms
+         |FROM h a JOIN h b
+         | ON a.stream_fp = b.stream_fp AND a.media_id < b.media_id
+         |ORDER BY media_id_a, media_id_b""".stripMargin
     },
     // every walked (fingerprint, frame count, duration) restated as
     // literals from the fixed fixture bytes (same frame walk on the
