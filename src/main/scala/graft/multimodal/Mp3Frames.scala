@@ -103,6 +103,10 @@ object Mp3Frames {
       val v = (u8(i + 1) >> 3) & 0x3
       val sr = srTables(v)((u8(i + 2) >> 2) & 0x3)
       val ch = if (((u8(i + 3) >> 6) & 0x3) == 3) 1 else 2
+      // version/sample-rate switches reject (they change frame timing);
+      // channel MODE is legal to vary mid-stream (e.g. stereo/joint-stereo
+      // per frame at the same layout), so Meta.channels reports the FIRST
+      // frame's mode as surfaced metadata — identity rides frame bytes
       if (nFrames == 0) { version = v; rate = sr; channels = ch }
       else if (v != version || sr != rate) return None // mid-stream switch
       brSeen += (u8(i + 2) >> 4) & 0xF

@@ -133,7 +133,10 @@ object Mp4Boxes {
             else {
               val v = bytes(s) & 0xFF
               if (v == 1) {
-                if (e - s < 28) false
+                // v1 payload: version/flags(4) + ctime(8) + mtime(8) +
+                // timescale(4) + duration(8) — u64(s+24) reads s+24..s+31,
+                // so the payload must be >= 32 bytes
+                if (e - s < 32) false
                 else { timescale = w.u32(s + 20); duration = w.u64(s + 24)
                   true }
               } else {
@@ -193,8 +196,15 @@ object Mp4Boxes {
         }
       case _ => true
     }
-    ok &&= brand != null && timescale > 0 && duration >= 0 && nTracks > 0
-    if (ok) Some(Meta(brand, timescale, duration, tracks.result())) else None
+    val tks = tracks.result()
+    // fragmented MP4 (DASH/CMAF) legally ships an EMPTY stsz in moov and
+    // carries every sample size in moof/traf/trun boxes this walk never
+    // visits — fingerprinting the all-tracks-zero-sample shape would
+    // collide every fMP4 sharing a codec layout, so it abstains (null
+    // keep path) instead of minting a degenerate identity
+    ok &&= brand != null && timescale > 0 && duration >= 0 && nTracks > 0 &&
+      tks.exists(_.sampleCount > 0)
+    if (ok) Some(Meta(brand, timescale, duration, tks)) else None
   }
 
   /** `(idCol, stream_fp, major_brand, n_tracks, duration_ms, codecs)`

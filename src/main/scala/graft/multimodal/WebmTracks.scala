@@ -220,22 +220,30 @@ object WebmTracks {
               out.toSeq
             case 3 => // EBML: first absolute, then signed-varint deltas
               val out = new Array[Int](nFrames)
-              val (first, fw) = readSize(bytes, i)
-              if (fw == 0 || first < 0) return false
-              i += fw
-              out(0) = first.toInt
-              var k = 1
-              while (k < nFrames - 1) {
-                val (raw, w) = readSize(bytes, i)
-                if (w == 0 || raw < 0) return false
-                i += w
-                val delta = raw - ((1L << (7 * w - 1)) - 1)
-                out(k) = out(k - 1) + delta.toInt
-                if (out(k) < 0) return false
-                k += 1
+              if (nFrames == 1) {
+                // Matroska encodes nFrames−1 lace sizes, so a single-frame
+                // EBML-laced block carries ZERO size fields — the whole
+                // remainder is the frame (the Xiph branch's n=1 shape);
+                // reading a size varint here would hash the wrong span
+                out(0) = end - i
+              } else {
+                val (first, fw) = readSize(bytes, i)
+                if (fw == 0 || first < 0) return false
+                i += fw
+                out(0) = first.toInt
+                var k = 1
+                while (k < nFrames - 1) {
+                  val (raw, w) = readSize(bytes, i)
+                  if (w == 0 || raw < 0) return false
+                  i += w
+                  val delta = raw - ((1L << (7 * w - 1)) - 1)
+                  out(k) = out(k - 1) + delta.toInt
+                  if (out(k) < 0) return false
+                  k += 1
+                }
+                out(nFrames - 1) = end - i - out.take(nFrames - 1).sum
+                if (out(nFrames - 1) < 0) return false
               }
-              out(nFrames - 1) = end - i - out.take(nFrames - 1).sum
-              if (nFrames > 1 && out(nFrames - 1) < 0) return false
               out.toSeq
           }
       }
@@ -381,26 +389,7 @@ object WebmTracks {
       : Array[Byte] = {
     val (vid, aud) = fixtureFrames(seed, nFrames)
     val scale = if (remux) 2000000L else 1000000L
-    val durTicks = durationSec * 1000.0 * 1000000.0 / scale
-    val header = el(EBML, Array.emptyByteArray)
-    val info = el(INFO, uintEl(TIMESTAMP_SCALE, scale),
-      el(DURATION, {
-        val bits = java.lang.Double.doubleToLongBits(durTicks)
-        (0 until 8).reverseIterator
-          .map(j => ((bits >> (8 * j)) & 0xFF).toByte).toArray
-      }))
-    def entry(num: Long, tpe: Int, codec: String, priv: Array[Byte]) =
-      el(TRACK_ENTRY, uintEl(TRACK_NUMBER, num), uintEl(TRACK_TYPE, tpe),
-        el(CODEC_ID, codec.getBytes("US-ASCII")),
-        el(CODEC_PRIVATE, priv))
-    val tracksEl = el(TRACKS,
-      entry(1L, 1, "V_VP9", Array.tabulate[Byte](16)(j =>
-        ((seed + j) % 97).toByte)),
-      entry(2L, 2, "A_OPUS", Array.tabulate[Byte](8)(j =>
-        ((seed * 3 + j) % 89).toByte)))
-    def simpleBlock(track: Long, frame: Array[Byte]): Array[Byte] =
-      el(SIMPLE_BLOCK, sizeBytes(track),
-        Array[Byte](0, 0, 0x80.toByte), frame) // timecode 0, keyframe
+    val (header, info, tracksEl) = containerParts(seed, durationSec, scale)
     def xiphBlock(track: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
       val laceSizes = frames.init.flatMap { f =>
         val full = f.length / 255
@@ -429,6 +418,53 @@ object WebmTracks {
       }
     val out = header ++ el(SEGMENT, info, tracksEl, body)
     if (truncateTo >= 0) out.take(truncateTo) else out
+  }
+
+  /** Shared fixture container assembly: EBML header, segment Info at
+    * `scale`, and the two-track Tracks element. */
+  private def containerParts(seed: Long, durationSec: Int, scale: Long)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val durTicks = durationSec * 1000.0 * 1000000.0 / scale
+    val header = el(EBML, Array.emptyByteArray)
+    val info = el(INFO, uintEl(TIMESTAMP_SCALE, scale),
+      el(DURATION, {
+        val bits = java.lang.Double.doubleToLongBits(durTicks)
+        (0 until 8).reverseIterator
+          .map(j => ((bits >> (8 * j)) & 0xFF).toByte).toArray
+      }))
+    def entry(num: Long, tpe: Int, codec: String, priv: Array[Byte]) =
+      el(TRACK_ENTRY, uintEl(TRACK_NUMBER, num), uintEl(TRACK_TYPE, tpe),
+        el(CODEC_ID, codec.getBytes("US-ASCII")),
+        el(CODEC_PRIVATE, priv))
+    val tracksEl = el(TRACKS,
+      entry(1L, 1, "V_VP9", Array.tabulate[Byte](16)(j =>
+        ((seed + j) % 97).toByte)),
+      entry(2L, 2, "A_OPUS", Array.tabulate[Byte](8)(j =>
+        ((seed * 3 + j) % 89).toByte)))
+    (header, info, tracksEl)
+  }
+
+  private def simpleBlock(track: Long, frame: Array[Byte]): Array[Byte] =
+    el(SIMPLE_BLOCK, sizeBytes(track),
+      Array[Byte](0, 0, 0x80.toByte), frame) // timecode 0, keyframe
+
+  /** [[webmPayload]]'s non-remux layout with every AUDIO frame in its own
+    * SINGLE-FRAME EBML-LACED SimpleBlock (lacing bits 11, lace-count byte
+    * 0, ZERO size fields — Matroska encodes nFrames−1 sizes): the minimal
+    * legal EBML lace a re-muxer that always sets the lacing flag emits.
+    * Same frames as the unlaced form, so fingerprints must collide. */
+  def webmPayloadEbmlSingle(seed: Long, nFrames: Int = 12,
+                            durationSec: Int = 10): Array[Byte] = {
+    val (vid, aud) = fixtureFrames(seed, nFrames)
+    val (header, info, tracksEl) = containerParts(seed, durationSec, 1000000L)
+    def ebmlSingle(track: Long, frame: Array[Byte]): Array[Byte] =
+      el(SIMPLE_BLOCK, sizeBytes(track),
+        Array[Byte](0, 0, 0x86.toByte), // keyframe + EBML lacing (11)
+        Array[Byte](0), frame)          // lace count 0 → one frame, no sizes
+    val body = (0 until nFrames).flatMap(f =>
+      el(CLUSTER, uintEl(0xE7L, f.toLong * 100L),
+        simpleBlock(1L, vid(f)), ebmlSingle(2L, aud(f)))).toArray
+    header ++ el(SEGMENT, info, tracksEl, body)
   }
 
   /** `(media_id, payload)` fixture frame on the executors. */

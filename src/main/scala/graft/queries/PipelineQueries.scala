@@ -272,9 +272,13 @@ object PipelineQueries {
     * proves the 401-revocation path (invalidate → fresh grant); this
     * gate proves the EXPIRY path nothing else exercises — tokens are
     * minted with `expires_in = 1` and every page header is served with
-    * a 350 ms delay, so the sequential driver-side cursor walk (7
-    * headers ≈ 2.45 s of server-enforced wall) crosses the token
-    * lifetime at least twice. The live token endpoint ROTATES the
+    * a 250 ms delay UNTIL the first successful rotation has happened
+    * (then full speed — the walk only needs enough server-enforced wall
+    * to cross the 1 s token lifetime twice: once into the demotion
+    * grant, once into the rotation off that grant; ≥ 5 delayed headers
+    * ≈ 1.25 s guarantees the second crossing before the delay stops
+    * because the rotation that stops it IS the second crossing). The
+    * live token endpoint ROTATES the
     * refresh token on every `grant_type=refresh_token` (single-use rts,
     * the RFC 6749 §10.4 posture) and REJECTS the first refresh attempt
     * with `invalid_grant: refresh token expired` — the reference's

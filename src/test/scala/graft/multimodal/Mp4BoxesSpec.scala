@@ -70,6 +70,34 @@ class Mp4BoxesSpec extends SparkSpec {
     assert(Mp4Boxes.parse(hostile).isEmpty)
   }
 
+  test("a version-1 mvhd with a truncated payload (28-31 bytes at EOF) " +
+      "takes the keep path instead of reading past the buffer") {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def bx(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = bx("ftyp", "isom".getBytes("US-ASCII") ++ be32(512L) ++
+      "isom".getBytes("US-ASCII"))
+    (28 to 31).foreach { n =>
+      // v1 mvhd needs a >= 32-byte payload (duration is u64 at +24);
+      // the box ends at EOF so an unguarded u64 read would throw
+      val short = bx("mvhd", Array[Byte](1, 0, 0, 0) ++
+        Array.fill[Byte](n - 4)(0))
+      assert(Mp4Boxes.parse(ftyp ++ bx("moov", short)).isEmpty, s"payload=$n")
+    }
+  }
+
+  test("an all-tracks-empty stsz (the fragmented-MP4 moov shape) " +
+      "abstains instead of minting a degenerate colliding fingerprint") {
+    // sample sizes live in moof/traf/trun for fMP4 — the walk never
+    // visits them, so fingerprinting (codec, 0, 0, fnvOffset) would
+    // merge every fMP4 with the same codec layout
+    assert(Mp4Boxes.parse(Mp4Boxes.mp4Payload(5L, nSamples = 0)).isEmpty)
+    assert(Mp4Boxes.parse(Mp4Boxes.mp4Payload(11L, nSamples = 0)).isEmpty)
+    // a container with real sample tables still parses
+    assert(Mp4Boxes.parse(Mp4Boxes.mp4Payload(5L, nSamples = 4)).isDefined)
+  }
+
   test("mp4Frame keeps unparsable rows as nulls and hashes the rest " +
       "in one distributed pass") {
     val rows = Seq(

@@ -65,6 +65,17 @@ class WebmTracksSpec extends SparkSpec {
     assert(WebmTracks.parse(rogue).isEmpty)
   }
 
+  test("a single-frame EBML-laced block (lace count 0, zero size fields) " +
+      "de-laces to the same payload as the unlaced form") {
+    val a = WebmTracks.parse(WebmTracks.webmPayload(9L)).get
+    val b = WebmTracks.parse(WebmTracks.webmPayloadEbmlSingle(9L)).get
+    assert(b.tracks.map(t => (t.number, t.nFrames)) ==
+      a.tracks.map(t => (t.number, t.nFrames)))
+    assert(WebmTracks.streamFingerprint(a) == WebmTracks.streamFingerprint(b))
+    val c = WebmTracks.parse(WebmTracks.webmPayloadEbmlSingle(10L)).get
+    assert(WebmTracks.streamFingerprint(c) != WebmTracks.streamFingerprint(b))
+  }
+
   test("webmFrame keeps unparsable rows as nulls in one distributed " +
       "pass") {
     val rows = Seq(
