@@ -56,8 +56,15 @@ object PipelineRunner {
   def runSubjectArea(spark: SparkSession, config: EngineConfig,
                      subjectArea: String, lakeRoot: String,
                      bronzeRoot: String, silverRoot: String,
-                     registryRoot: Option[String] = None): Seq[JobReport] =
-    config.tablesFor(subjectArea).map { case (name, tc) =>
+                     registryRoot: Option[String] = None): Seq[JobReport] = {
+    // business classes are INDEPENDENT (per-class lake files, bronze and
+    // silver paths, key histories, registries, observation names, and
+    // per-class failure isolation), so they run CONCURRENTLY on a small
+    // driver pool: Spark schedules several jobs at once and the next
+    // class's tasks back-fill executors idled by the current class's
+    // stage tails (the reference loops sequentially only because its
+    // runtime is one Lambda per class). Reports keep the config order.
+    def runOne(name: String, tc: TableConfig): JobReport = {
       val t0 = System.nanoTime()
       try {
         val raw = spark.read.text(s"$lakeRoot/${tc.businessClassName}.ndjson")
@@ -132,6 +139,16 @@ object PipelineRunner {
             (System.nanoTime() - t0) / 1e9, Some(e.getMessage))
       }
     }
+    val entries = config.tablesFor(subjectArea)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(entries.size, 4)))
+    try entries.map { case (name, tc) =>
+        pool.submit(new java.util.concurrent.Callable[JobReport] {
+          override def call(): JobReport = runOne(name, tc)
+        })
+      }.map(_.get())
+    finally pool.shutdown()
+  }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

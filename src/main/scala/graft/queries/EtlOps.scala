@@ -1535,10 +1535,12 @@ object EtlOps {
     * append-only wave on BOTH sides (¼ of orders and ⅓ of lineitems
     * arrive as the delta) via the bilinear delta rule
     * ([[graft.operators.ViewMaintain.maintainJoinSum]]); the folded
-    * standing aggregate must row-match the one-shot re-join over the
-    * full tables (asserted in-gate both ways — a dropped ΔA⋈ΔB term,
-    * a stale-side mixup, or double-counting the overlap each break
-    * whole rows), and the oracle is the one-shot join. */
+    * standing aggregate row-matches the one-shot re-join over the full
+    * tables — ViewMaintainSpec's pin (a dropped ΔA⋈ΔB term, a
+    * stale-side mixup, or double-counting the overlap each break whole
+    * rows), and the ORACLE IS the one-shot join, so a divergent fold
+    * still fails the gate without re-running the re-join in the timed
+    * region. */
   def joinViewMaintainQ(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -1551,15 +1553,9 @@ object EtlOps {
       l.filter(col("o_orderkey") % 3 === 0))
     val standing = graft.operators.ViewMaintain.joinSum(
       aOld, bOld, "o_orderkey", "o_custkey", "cents")
-    val folded = graft.operators.ViewMaintain.maintainJoinSum(
+    graft.operators.ViewMaintain.maintainJoinSum(
         standing, aOld, dA, bOld, dB, "o_orderkey", "o_custkey", "cents")
-      .localCheckpoint()
-    val oneShot = graft.operators.ViewMaintain.joinSum(
-      o, l, "o_orderkey", "o_custkey", "cents")
-    require(folded.exceptAll(oneShot).isEmpty &&
-        oneShot.exceptAll(folded).isEmpty,
-      "joinViewMaintainQ: folded view diverges from the one-shot re-join")
-    folded.select(col("o_custkey"), col("n_items"), col("total"))
+      .select(col("o_custkey"), col("n_items"), col("total"))
       .orderBy(col("o_custkey"))
   }
 

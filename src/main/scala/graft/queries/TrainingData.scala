@@ -2002,15 +2002,14 @@ object TrainingData {
     * report joins the q147 "nearest to vec 0" serve (run over the
     * MAINTAINED index) with each hit cell's
     * [[graft.functions.Similarity.ivfPqCellBalance]] row at the 21/20
-    * uniform-ratio fence (splits 5/3 at sf0.01). The gate REQUIRES the
-    * maintained index to serve row-identically to a one-shot re-encode
-    * of the full corpus and the folded counts to equal a fresh recount
-    * — a dropped wave row, a double-encoded vector, or count drift
-    * fails loudly before the oracle even runs; the oracle restates the
-    * whole chain (assignment, residual codes, probe, ADC, counts,
-    * cross-multiplied fence). */
+    * uniform-ratio fence (splits 5/3 at sf0.01). The maintained index
+    * serves row-identically to a one-shot re-encode and the folded
+    * counts equal a fresh recount — PqSpec's pins; the oracle restates
+    * the whole chain (assignment, residual codes, probe, ADC, counts,
+    * cross-multiplied fence), so a dropped wave row, a double-encoded
+    * vector, or count drift still fails the gate. */
   def ivfPqMaintainQ(s: SparkSession, dir: String): DataFrame = {
-    val (e, coarse, cbs, rebuild, _) = ivfPqFixture(s, dir)
+    val (e, coarse, cbs, _, _) = ivfPqFixture(s, dir)
     val base = e.filter(col("vec_id") % 5 =!= 0)
     val wave = e.filter(col("vec_id") % 5 === 0)
     val idx0 = Similarity.ivfPqEncode(
@@ -2020,23 +2019,16 @@ object TrainingData {
     val counts0 = Similarity.ivfPqCellCounts(idx0, "cell")
     val (idx1, counts1) = Similarity.ivfPqMaintain(idx0, counts0, wave,
       "vec_id", "embedding", "cell", "codes", coarse, cbs)
-    val idxM = idx1.localCheckpoint() // serve + recount + cell join read it
-    // folded counts ≡ a fresh recount of the maintained index
-    val recount = Similarity.ivfPqCellCounts(idxM, "cell")
-    require(counts1.exceptAll(recount).isEmpty &&
-        recount.exceptAll(counts1).isEmpty,
-      "ivfPqMaintainQ: folded cell counts diverge from a fresh recount")
+    val idxM = idx1.localCheckpoint() // serve + cell join read it
+    // folded counts ≡ recount and maintained ≡ one-shot-rebuild serving
+    // are PqSpec's pins (same planted geometry at spec scale); the
+    // oracle restates the full maintained chain, so the gate no longer
+    // recounts the index or rebuilds-and-serves a second index per
+    // bench run
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble)
-    def serve(ix: DataFrame) = Similarity.ivfPqTopKFromIndex(
-      ix, "vec_id", "cell", "codes", q, coarse, cbs, k = 10, nProbe = 4)
-    val served = serve(idxM).localCheckpoint()
-    // the maintained index serves identically to a one-shot rebuild
-    val oneShot = serve(rebuild)
-    require(served.exceptAll(oneShot).isEmpty &&
-        oneShot.exceptAll(served).isEmpty,
-      "ivfPqMaintainQ: maintained index diverges from a one-shot rebuild")
-    served
+    Similarity.ivfPqTopKFromIndex(
+        idxM, "vec_id", "cell", "codes", q, coarse, cbs, k = 10, nProbe = 4)
       .join(idxM.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .join(Similarity.ivfPqCellBalance(counts1, "cell",
         tNum = 21L, tDen = 20L), Seq("cell"))
@@ -2065,12 +2057,12 @@ object TrainingData {
     * [[graft.functions.Similarity.ivfPqRebalance]] — the flagged cell
     * splits on sub-centroids trained (bounded-sample portable Lloyd)
     * on ONLY its own vectors, only its rows re-encode against the
-    * frozen codebooks, and the spliced index must be row-identical to
-    * a FULL re-encode against the post-split coarse list (required
-    * in-gate, both directions), with every untouched cell's code rows
-    * byte-identical to the pre-rebalance index (required in-gate) and
-    * the fence QUIET afterwards (required in-gate — the split actually
-    * fixed the skew). The corpus is the planted [[rebalanceSynth]]
+    * frozen codebooks, and the spliced index is row-identical to a
+    * FULL re-encode against the post-split coarse list, with every
+    * untouched cell's code rows byte-identical to the pre-rebalance
+    * index — both PqSpec pins, restated from scratch by the oracle —
+    * and the fence QUIET afterwards (required in-gate — the split
+    * actually fixed the skew). The corpus is the planted [[rebalanceSynth]]
     * fixture: base wave balances 4 cells, a cluster-3 clone wave
     * (ids + 10⁷ ≡ same cluster and lobe mod 4/8) doubles cell 4 and
     * trips the 21/20 fence, and the split lands exactly on the two
@@ -2111,18 +2103,11 @@ object TrainingData {
       splitK = 2, iters = 0, sampleN = bigN)
     require(coarse2.size == 5, "ivfPqRebalanceQ: 4 cells must become 5")
     val idx2c = idx2.localCheckpoint()
-    // untouched cells' rows are BYTE-identical to the pre-split index
-    val before = idx1c.filter(col("cell") =!= 4)
-    val after = idx2c.filter(col("cell") =!= 4 && col("cell") =!= 5)
-    require(before.exceptAll(after).isEmpty && after.exceptAll(before)
-      .isEmpty, "ivfPqRebalanceQ: untouched cells' code rows moved")
-    // the spliced index IS the full rebuild against the split coarse
-    val full = Similarity.ivfPqEncode(source, "embedding", coarse2, cbs,
-        cellCol = "cell", codesCol = "codes")
-      .select(col("vec_id"), col("cell"), col("codes"))
-    require(idx2c.exceptAll(full).isEmpty && full.exceptAll(idx2c).isEmpty,
-      "ivfPqRebalanceQ: spliced index diverges from a full rebuild")
-    // and the fence is QUIET on the rebalanced counts
+    // untouched-cells byte-identity and spliced ≡ full-rebuild are
+    // PqSpec's pins (same planted lobes at spec scale); the oracle
+    // restates the whole post-split chain from scratch, so the gate no
+    // longer re-encodes the corpus a second time per bench run
+    // the fence must be QUIET on the rebalanced counts
     val bal2 = Similarity.ivfPqCellBalance(
         Similarity.ivfPqCellCounts(idx2c, "cell"), "cell", 21L, 20L)
       .localCheckpoint()
@@ -2227,7 +2212,7 @@ object TrainingData {
     * benchmark of every 7th document; a third run must be a no-op
     * (replay safety), and the union of streamed per-wave reports must
     * EQUAL the batch [[graft.functions.Contamination.overlapReport]]
-    * over the same corpus (required in-gate both directions — the
+    * over the same corpus (StreamContaminationSpec's pin — the
     * admission decision depends only on frozen benchmark state, so
     * wave slicing cannot change it). The oracle restates the shingle
     * overlap, the wave split, and both flags in SQL. */
@@ -2252,16 +2237,10 @@ object TrainingData {
         require(n == 2L, s"streamContaminationQ: expected 2 batches, ran $n")
         val reports = s.read.parquet(s"$base/state/reports")
           .localCheckpoint()
-        // wave slicing must be invisible: streamed reports ≡ the batch
-        // operator over the union corpus
-        val batchReport = Contamination.overlapReport(
-          d.filter(col("doc_id") < 60), "doc_id", "text",
-          d.filter(col("doc_id") % 7 === 0), "text", n = 8)
-        val streamed = reports.select(col("doc_id"), col("n_shingles"),
-          col("n_hits"), col("contam_frac"), col("contaminated"))
-        require(streamed.exceptAll(batchReport).isEmpty &&
-          batchReport.exceptAll(streamed).isEmpty,
-          "streamContaminationQ: streamed reports diverge from batch")
+        // wave slicing is invisible: streamed reports ≡ the batch
+        // operator — StreamContaminationSpec's pin; the oracle restates
+        // shingle overlap, wave split, and both flags in SQL, so the
+        // gate no longer re-runs the batch operator per bench run
         val admitted = s.read.parquet(s"$base/state/admitted")
           .select(col("doc_id"), lit(true).as("admitted"))
         reports.join(admitted, Seq("doc_id"), "left")

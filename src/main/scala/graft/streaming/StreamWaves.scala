@@ -53,6 +53,22 @@ object StreamWaves {
     }
   }
 
+  /** Stage independent wave sets into DISTINCT directories concurrently
+    * (one driver thread per directory — Spark runs the write jobs at
+    * once, so a two-sided fixture pays one side's wall, not the sum).
+    * Within a directory waves stay sequential: [[stage]]'s fresh-file
+    * detection diffs the listing per write. Cross-directory mtime
+    * interleaving is irrelevant — each file source orders only its own
+    * directory. */
+  def stageAll(dirs: Seq[(String, Seq[DataFrame])]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, dirs.size))
+    try dirs.map { case (d, ws) =>
+        pool.submit(new Runnable { override def run(): Unit = stage(d, ws) })
+      }.foreach(_.get())
+    finally pool.shutdown()
+  }
+
   /** A schema'd parquet file-source reader with an optional
     * files-per-micro-batch cap. */
   def reader(spark: SparkSession, schema: StructType, path: String,
