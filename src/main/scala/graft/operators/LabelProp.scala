@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
   * map-side-combining `groupBy(dst, label)`, reduce to the argmax with a
   * second partial-aggregating `min_by` on dst — never a `PARTITION BY dst`
   * window, which would funnel a hub node's full vote list onto one task.
-  * Each round ends in `localCheckpoint` to keep the plan flat across
-  * iterations instead of growing an exponential lineage.
+  * Each round ends in a LAZY `localCheckpoint(eager = false)` — plan cut
+  * to a leaf per round (no exponential lineage), but with the iteration
+  * count fixed no driver read forces per-round materialization, so every
+  * round runs inside the caller's single action (the [[PageRank]]
+  * job-count fix; per-round RDDs persist on first compute, nothing
+  * recomputes).
   */
 object LabelProp {
 
@@ -59,7 +63,7 @@ object LabelProp {
           struct((-col("c")).as("nc"), col("label"))).as("_w"))
       labels = labels.join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("_w"), col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     labels
   }

@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   * ONCE and is the reused big side; each iteration shuffles only the
   * node-sized rank table — join ranks on src, partial-aggregate
   * contributions on dst, left-join back to the node set. Each round ends
-  * in a `localCheckpoint` so the plan stays flat across iterations (the
-  * [[Components]] pattern) instead of growing a 3^iters lineage.
+  * in a LAZY `localCheckpoint(eager = false)`: the logical plan is cut to
+  * a leaf immediately (no 3^iters lineage), but — unlike [[Components]],
+  * whose convergence loop must read each round on the driver — the fixed
+  * iteration count means nothing forces per-round materialization, so all
+  * rounds execute inside the ONE job the caller's action launches
+  * (measured on q201: 38 jobs → a handful, the per-job fixed cost being
+  * the dominant wall at bench scale; at cluster scale the same change
+  * removes per-round scheduling barriers). Each round's RDD still persists
+  * on first compute (localCheckpoint's storage level), so nothing
+  * recomputes.
   */
 object PageRank {
 
@@ -61,7 +69,7 @@ object PageRank {
           (lit(base) +
             expr(s"coalesce(s, bigint(0)) * $dampNum div $dampDen"))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     ranks
   }
@@ -107,7 +115,7 @@ object PageRank {
           (col("seed") * base +
             expr(s"coalesce(s, bigint(0)) * $dampNum div $dampDen"))
             .as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     ranks
   }
