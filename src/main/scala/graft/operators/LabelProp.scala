@@ -43,14 +43,18 @@ object LabelProp {
   def propagate(edges: DataFrame, srcCol: String, dstCol: String,
                 iters: Int): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
+    // one edge checkpoint feeds both setup legs, which materialize
+    // concurrently (the [[PageRank]] setup shape)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
     // the per-iteration big side, materialized once and partitioned on the
     // join key so only the label table shuffles per round
-    val ed = e.repartition(col("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    val (ed, nodes) = Concurrent.inParallel(
+      e.repartition(col("src")).localCheckpoint(),
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().localCheckpoint())
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val votes = ed.join(labels.withColumnRenamed("node", "src"), "src")

@@ -47,17 +47,23 @@ object PageRank {
     require(iters >= 0, "iters must be non-negative")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    // materialize the caller's edge derivation ONCE: ed and nodes below
+    // each used to recompute it from scratch (two scans + distincts of
+    // the upstream plan); they now both read this checkpoint, and their
+    // own (independent) materializations overlap on a 2-thread pool
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // the per-iteration big side: (src, dst, deg), materialized once and
     // HASH-PARTITIONED ON src — every iteration's rank join then reuses
     // this partitioning and only the node-sized rank table moves; without
     // it the full edge table re-shuffles once per iteration (the actual
     // cost driver at any scale)
-    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    val (ed, nodes) = Concurrent.inParallel(
+      e.join(deg, "src").repartition(col("src")).localCheckpoint(),
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().localCheckpoint())
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
@@ -92,17 +98,21 @@ object PageRank {
     require(iters >= 0, "iters must be non-negative")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    // same setup shape as [[pagerank]]: one edge checkpoint feeds both
+    // legs, which materialize concurrently
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("_s", lit(1L))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .join(seedSet, Seq("node"), "left")
-      .select(col("node"), coalesce(col("_s"), lit(0L)).as("seed"))
-      .localCheckpoint()
+    val (ed, nodes) = Concurrent.inParallel(
+      e.join(deg, "src").repartition(col("src")).localCheckpoint(),
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .join(seedSet, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_s"), lit(0L)).as("seed"))
+        .localCheckpoint())
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.select(col("node"),
       (col("seed") * scale).as("rank"))

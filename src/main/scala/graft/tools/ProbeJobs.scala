@@ -29,9 +29,17 @@ object ProbeJobs {
     val rows = mutable.ArrayBuffer[(Int, Double, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        starts(js.jobId) = (js.time, site)
+        val p = Option(js.properties)
+        def prop(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+        val site = prop("callSite.short").getOrElse("?")
+        val desc = prop("spark.job.description").getOrElse("")
+        val nStages = js.stageInfos.size
+        val nTasks = js.stageInfos.map(_.numTasks).sum
+        val stageNames = js.stageInfos.map(_.name.takeWhile(_ != ' '))
+          .groupBy(identity).map { case (n, g) => s"$n x${g.size}" }
+          .mkString(",")
+        starts(js.jobId) =
+          (js.time, s"$site | st=$nStages tk=$nTasks [$stageNames] $desc")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.remove(je.jobId).foreach { case (t0, site) =>
