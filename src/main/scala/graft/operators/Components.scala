@@ -26,15 +26,15 @@ import org.apache.spark.sql.functions._
   * Scale posture: per round, 2 aggregations + 2 joins, all keyed on node id
   * (longs — no skew from wide payloads; a hot component minimum is bounded
   * by its component size, which LSH bucket caps already bound upstream).
-  * Convergence is detected EXACTLY (set equality via one symmetric-
-  * difference aggregation — both sides are distinct sets, so they are equal
-  * iff every edge of their union appears exactly twice), never by a lossy
-  * fingerprint. Each round materializes ONE `localCheckpoint` (the round's
-  * output): the stars reference their input twice (symmetrization), but
-  * within a single query Spark's ReuseExchange computes the shared shuffle
-  * once, and the checkpoint at the round boundary stops the logical plan
-  * from doubling round over round — without it the optimizer itself becomes
-  * the bottleneck.
+  * Convergence is detected EXACTLY (set equality, never a lossy
+  * fingerprint): the round's deduplicating groupBy is tagged with each
+  * edge's origin (new round vs previous set), so "shrunk == e" reads off
+  * the round's one checkpointed frame as a filter — one driver action per
+  * round, not a materialize-then-recheck pair. The stars reference their
+  * input twice (symmetrization), but within a single query Spark's
+  * ReuseExchange computes the shared shuffle once, and the checkpoint at
+  * the round boundary stops the logical plan from doubling round over
+  * round — without it the optimizer itself becomes the bottleneck.
   */
 object Components {
 
@@ -59,14 +59,20 @@ object Components {
     var converged = e.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      // one checkpoint per round: the star shuffles shared inside the
-      // single shrunk query are computed once (ReuseExchange)
-      val shrunk = smallStar(largeStar(e)).localCheckpoint()
-      // exact set equality in ONE job: both sides are distinct sets, so
-      // equal iff every (u,v) of the union appears exactly twice
-      converged = shrunk.union(e).groupBy("u", "v").count()
-        .filter(col("count") =!= 2).isEmpty
-      e = shrunk
+      // ONE driver action per round: the tagged groupBy that dedups the
+      // round's output (smallStar's trailing set semantics) ALSO records,
+      // per edge, whether it came from the new round (_mx = 1) and/or the
+      // previous set (_mn = 0) — so the exact set-equality convergence
+      // check is a filter over the already-checkpointed frame instead of
+      // a second union+groupBy job re-shuffling both edge sets
+      val tagged = smallStarRaw(largeStar(e)).withColumn("_t", lit(1))
+        .union(e.select(col("u"), col("v"), lit(0).as("_t")))
+        .groupBy("u", "v")
+        .agg(max(col("_t")).as("_mx"), min(col("_t")).as("_mn"))
+        .localCheckpoint()
+      // shrunk == e as sets iff every edge appears on BOTH sides
+      converged = tagged.filter(col("_mx") =!= 1 || col("_mn") =!= 0).isEmpty
+      e = tagged.filter(col("_mx") === 1).select(col("u"), col("v"))
       round += 1
     }
     if (!converged)
@@ -97,8 +103,10 @@ object Components {
   }
 
   /** small-star: for each node u, re-point every SMALLER neighbor and u
-    * itself at the minimum of the smaller neighborhood. */
-  private def smallStar(e: DataFrame): DataFrame = {
+    * itself at the minimum of the smaller neighborhood. RAW: may carry
+    * duplicate edges — the caller's tagged groupBy restores the set
+    * property (and reads convergence off the same aggregation). */
+  private def smallStarRaw(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val lt = sym.filter(col("v") < col("u"))
     val mins = lt.groupBy("u").agg(min("v").as("m"))
@@ -106,7 +114,7 @@ object Components {
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
     val toSelf = mins.select(col("u"), col("m").as("v"))
-    toNeighbors.union(toSelf).distinct()
+    toNeighbors.union(toSelf)
   }
 
   /** INCREMENTAL cluster maintenance: fold a wave of new near-dup pairs

@@ -1088,9 +1088,8 @@ object TrainingData {
       .union(d.filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 100000L).as("a"),
           (col("doc_id") + 200000L).as("b")))
-    val w12 = w1
-      .union(d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("a"), (col("doc_id") + 3L).as("b")))
+    val delta = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 3L).as("b"))
       .union(d.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 200000L).as("a"),
           (col("doc_id") + 100002L).as("b")))
@@ -1102,9 +1101,19 @@ object TrainingData {
     // sequential vs 5.60 s parallel, anchors flat) — two concurrent
     // convergence loops of tiny per-round actions contend on driver-side
     // planning instead of back-filling executor gaps; kept sequential.
+    // r22: the second assignment (over w12 = w1 ∪ delta) is computed by
+    // folding the delta into the FIRST assignment's star forest
+    // (maintainClusters) instead of re-converging the raw w12 edge set —
+    // output-identical by the star-forest replay contract (connectivity-
+    // and min-id-preserving, ComponentsSpec's maintenance pin; the oracle
+    // independently restates the full closure), and the standing side is
+    // already star-shaped so the re-convergence takes fewer rounds. The
+    // shared first assignment materializes once.
+    val oldA = graft.operators.Components.connectedComponents(w1, "a", "b")
+      .localCheckpoint()
     graft.operators.Components.clusterEvolution(
-        graft.operators.Components.connectedComponents(w1, "a", "b"),
-        graft.operators.Components.connectedComponents(w12, "a", "b"))
+        oldA,
+        graft.operators.Components.maintainClusters(oldA, delta, "a", "b"))
       .orderBy(col("cluster_id"))
   }
 
@@ -1487,9 +1496,13 @@ object TrainingData {
     val named = typoNamesSparse2(s, d)
     val pairs = graft.functions.FuzzyDedup.nearDupPairs(named,
       "doc_id", "name", maxBucket = 1 << 16)
+    // representatives() consumes its input twice (best-per-cluster agg +
+    // the join back); materialize the cluster-labeled frame once so the
+    // name-derivation joins don't re-execute per reference
     val clustered = graft.operators.Components.assignClusters(
         named.join(d.select(col("doc_id"), col("n_chars")), "doc_id"),
         "doc_id", pairs, "id_a", "id_b")
+      .localCheckpoint()
     releasing(d) {
       graft.operators.Components.representatives(clustered, "doc_id",
           "n_chars")
@@ -1656,20 +1669,27 @@ object TrainingData {
   def linkageCardQ(s: SparkSession, dir: String): DataFrame = {
     val named = typoNamesSparse(s, dir)
     val theta = 0.84
-    val sn = graft.functions.Linkage.sortedNeighborhoodPairs(
-        named, "doc_id", "name", window = 5, minScore = theta)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
-    val dn = graft.functions.FuzzyDedup.nearDupPairs(named,
-        "doc_id", "name", maxBucket = 1 << 16)
-      .join(named.select(col("doc_id").as("id_a"), col("name").as("_na")),
-        Seq("id_a"))
-      .join(named.select(col("doc_id").as("id_b"), col("name").as("_nb")),
-        Seq("id_b"))
-      .filter(graft.expressions.JaroWinklerExpr
-        .jaroWinkler(col("_na"), col("_nb")) >= theta)
-      .select(col("id_a"), col("id_b"))
+    // each pass's pair set is consumed THREE times below (its own row,
+    // the intersection, the union) — without materialization the whole
+    // blocking+verification DAG re-executes per reference. The two legs
+    // are independent, so they checkpoint concurrently (guide §2.6).
+    val (sn, dn) = graft.operators.Concurrent.inParallel(
+      graft.functions.Linkage.sortedNeighborhoodPairs(
+          named, "doc_id", "name", window = 5, minScore = theta)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+        .localCheckpoint(),
+      graft.functions.FuzzyDedup.nearDupPairs(named,
+          "doc_id", "name", maxBucket = 1 << 16)
+        .join(named.select(col("doc_id").as("id_a"), col("name").as("_na")),
+          Seq("id_a"))
+        .join(named.select(col("doc_id").as("id_b"), col("name").as("_nb")),
+          Seq("id_b"))
+        .filter(graft.expressions.JaroWinklerExpr
+          .jaroWinkler(col("_na"), col("_nb")) >= theta)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint())
     val both = sn.join(dn, Seq("id_a", "id_b"), "left_semi")
     val all = sn.unionByName(dn).distinct()
     def row(tag: String, df: DataFrame) = df.agg(
