@@ -82,46 +82,50 @@ object FunnelStream {
       batch.schema(userCol) +: cols.map(c => StructField(c, TimestampType)))
     val standing = readResolved(session, statePath, excludeBatch = batchId,
       userCol, stateSchema)
-    val b = batch.select(user, col(tsCol), col(typeCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // seed: the standing state of exactly the users this batch touches
-      val bUsers = b.select(user).distinct()
-      val seeded = bUsers.join(standing, Seq(userCol), "left")
-      // step 1: keep a completed MIN (prefix-stable under the ordering
-      // contract), else the batch's earliest step-1 event
-      val t1 = b.filter(col(typeCol) === steps.head)
-        .groupBy(user).agg(min(col(tsCol)).as("_n"))
-      val first = seeded.join(t1, Seq(userCol), "left")
-        .withColumn(cols.head, coalesce(col(cols.head), col("_n")))
-        .drop("_n")
-      // steps 2..k in order: each sees the just-updated previous time
-      val folded = steps.zipWithIndex.tail.foldLeft(first) {
-        case (acc, (step, i)) =>
-          val prev = col(s"step_${i}_ts")
-          val cur = s"step_${i + 1}_ts"
-          val inWindow = Seq(
-            maxStepGapSec.map(g =>
-              col(tsCol) <= prev + expr(s"INTERVAL $g SECOND")),
-            maxTotalSec.map(w =>
-              col(tsCol) <= col(cols.head) + expr(s"INTERVAL $w SECOND")))
-            .flatten.foldLeft(col(tsCol) > prev)(_ && _)
-          val carry = (Seq(cols.head, s"step_${i}_ts")).distinct.map(col)
-          val ni = b.filter(col(typeCol) === step)
-            .join(acc.filter(col(cur).isNull && prev.isNotNull)
-              .select(user +: carry: _*), Seq(userCol))
-            .filter(inWindow)
-            .groupBy(user).agg(min(col(tsCol)).as("_n"))
-          acc.join(ni, Seq(userCol), "left")
-            .withColumn(cur, coalesce(col(cur), col("_n")))
-            .drop("_n")
-      }
-      // users whose events never opened the funnel carry no information
-      folded.filter(col(cols.head).isNotNull)
-        .select(user +: cols.map(col): _*)
-        .write.mode("overwrite")
-        .parquet(s"$statePath/delta/batch_id=$batchId")
-    } finally b.unpersist()
+    // ONE aggregation of the batch side: each user's events as a
+    // ts-sorted array, so the chained-MIN fold runs as per-row column
+    // expressions over (sorted events × standing step times) — a
+    // micro-batch costs one exchange for the batch instead of one
+    // join+aggregation round per funnel step (identical algebra: "the
+    // earliest qualifying event after the just-updated previous step"
+    // is the FIRST qualifying element of the ts-sorted array; ties in
+    // ts carry the same ts value either way)
+    val evs = batch
+      .select(user, struct(col(tsCol).as("_ts"), col(typeCol).as("_tp"))
+        .as("_e"))
+      .groupBy(user).agg(array_sort(collect_list(col("_e"))).as("_evs"))
+    val seeded = evs.join(standing, Seq(userCol), "left")
+    val folded = steps.zipWithIndex.foldLeft(seeded) {
+      case (acc, (step, i)) =>
+        val cur = cols(i)
+        def qualifies(e: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column = {
+          val isStep = e.getField("_tp") === lit(step)
+          if (i == 0) isStep
+          else {
+            val prev = col(cols(i - 1))
+            // a null prev (step i−1 incomplete) nulls the predicate —
+            // filter() drops the element, so cur stays null, exactly
+            // the old `prev.isNotNull` gate
+            Seq(
+              maxStepGapSec.map(g => e.getField("_ts") <=
+                prev + expr(s"INTERVAL $g SECOND")),
+              maxTotalSec.map(w => e.getField("_ts") <=
+                col(cols.head) + expr(s"INTERVAL $w SECOND")))
+              .flatten
+              .foldLeft(isStep && e.getField("_ts") > prev)(_ && _)
+          }
+        }
+        // get() is out-of-bounds-null (no ANSI throw on the empty array)
+        val firstQualifying =
+          get(filter(col("_evs"), qualifies _), lit(0)).getField("_ts")
+        acc.withColumn(cur, coalesce(col(cur), firstQualifying))
+    }
+    // users whose events never opened the funnel carry no information
+    folded.filter(col(cols.head).isNotNull)
+      .select(user +: cols.map(col): _*)
+      .write.mode("overwrite")
+      .parquet(s"$statePath/delta/batch_id=$batchId")
   }
 
   /** The standing per-user state: each user's row from the latest batch
