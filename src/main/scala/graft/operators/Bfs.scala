@@ -39,7 +39,11 @@ object Bfs {
       .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       .groupBy("node").agg(min(col("dist")).as("dist"))
       .join(dists.select("node"), Seq("node"), "left_anti")
-      .localCheckpoint()
+      // LAZY: the caller's frontier-empty check is the round's ONE
+      // action; it materializes (and caches) this checkpoint's
+      // partitions on demand instead of paying a separate eager
+      // materialization barrier first
+      .localCheckpoint(eager = false)
     (dists.union(discovered), discovered)
   }
 
@@ -82,7 +86,8 @@ object Bfs {
           (col("_c").isNotNull &&
             (col("dist").isNull || col("_c") < col("dist")))
             .as("_improved"))
-        .localCheckpoint()
+        // LAZY: frontier.isEmpty is the round's one action (see step())
+        .localCheckpoint(eager = false)
       frontier = merged.filter(col("_improved")).select("node", "dist")
       dists = merged.select("node", "dist")
       r += 1
@@ -129,7 +134,8 @@ object Bfs {
           least(col("s"), col("_c")).as("s"),
           (col("_c").isNotNull &&
             (col("s").isNull || col("_c") < col("s"))).as("_improved"))
-        .localCheckpoint()
+        // LAZY: frontier.isEmpty is the round's one action (see step())
+        .localCheckpoint(eager = false)
       frontier = merged.filter(col("_improved")).select("node", "s")
       dists = merged.select("node", "s")
       r += 1

@@ -44,10 +44,14 @@ object KCore {
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("src"))
+      // LAZY checkpoint (the PageRank r21 pattern): the peel count is
+      // FIXED and nothing reads a round on the driver, so the plan is
+      // cut to a leaf per round but all peels execute inside the ONE
+      // action the caller launches — no per-round scheduling barrier.
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

@@ -100,15 +100,19 @@ object StreamFuzzyDedup {
             .select(batch.columns.map(col): _*)
             .cache()
           try {
+            // the accepted write materializes the cache; the two index
+            // writes then only re-read it and are independent of each
+            // other — overlap them (guide §2.6)
             accepted.write.mode("overwrite")
               .parquet(s"$statePath/accepted/batch_id=$batchId")
-            base.select(col(idCol), col("_graft_t"))
-              .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
-              .write.mode("overwrite")
-              .parquet(s"$statePath/names/batch_id=$batchId")
-            bv.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
-              .write.mode("overwrite")
-              .parquet(s"$statePath/variants/batch_id=$batchId")
+            graft.operators.Concurrent.inParallel(
+              base.select(col(idCol), col("_graft_t"))
+                .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+                .write.mode("overwrite")
+                .parquet(s"$statePath/names/batch_id=$batchId"),
+              bv.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+                .write.mode("overwrite")
+                .parquet(s"$statePath/variants/batch_id=$batchId"))
           } finally accepted.unpersist()
         } finally bv.unpersist()
         ()

@@ -139,15 +139,20 @@ object StreamNearDup {
             .select(batch.columns.map(col): _*)
             .cache()
           try {
+            // the accepted write materializes the cache; the two index
+            // writes then only re-read it and are independent of each
+            // other — overlap them (guide §2.6)
             accepted.write.mode("overwrite")
               .parquet(s"$statePath/accepted/batch_id=$batchId")
-            batchBands.join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
-              .write.mode("overwrite")
-              .parquet(s"$statePath/bands/batch_id=$batchId")
-            signed.select(col(idCol), col("hs"), size(col("hs")).as("n_hs"))
-              .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
-              .write.mode("overwrite")
-              .parquet(s"$statePath/shingles/batch_id=$batchId")
+            graft.operators.Concurrent.inParallel(
+              batchBands
+                .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+                .write.mode("overwrite")
+                .parquet(s"$statePath/bands/batch_id=$batchId"),
+              signed.select(col(idCol), col("hs"), size(col("hs")).as("n_hs"))
+                .join(accepted.select(col(idCol)), Seq(idCol), "left_semi")
+                .write.mode("overwrite")
+                .parquet(s"$statePath/shingles/batch_id=$batchId"))
           } finally accepted.unpersist()
         } finally signed.unpersist()
         ()
